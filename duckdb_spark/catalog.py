@@ -1,0 +1,62 @@
+"""Table catalog: load the test-data star schema and register SQL views.
+
+DuckDB's catalog is hierarchical (catalog → schema → entries; reference
+`src/catalog/`); on Spark we use the session catalog (temp views) plus this
+module's loader, which also normalizes physical-encoding differences between
+the parquet files and engine types:
+
+- `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it as long-nanos
+  (session conf `nanosAsLong`) and we truncate to µs `TimestampType`,
+  which is byte-identical to what DuckDB's reader produces (verified).
+
+Scale note: each table is a plain parquet scan — partition pruning, predicate
+pushdown and column pruning all happen in Catalyst; nothing here materializes
+or collects.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+)
+
+AUX_TABLES = ("events", "documents", "embeddings")
+
+ALL_TABLES = TPCH_TABLES + AUX_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns → µs truncation (identical to the DuckDB reader's behavior).
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = ALL_TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = ALL_TABLES
+) -> dict[str, DataFrame]:
+    """Register each table as a temp view so `spark.sql` text can use it."""
+    tables = load_tables(spark, sf_dir, names)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

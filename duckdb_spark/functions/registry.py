@@ -1,0 +1,141 @@
+"""Function registry: DuckDB name → Column builder, plus SQL registration.
+
+Mirrors the reference's two-registry model (`src/function/function_list.cpp`
+built-ins + `extension/core_functions/function_list.cpp`): `FUNCTIONS` maps
+every DuckDB-visible name we support to a callable producing a Spark Column;
+names that are 1:1 with `pyspark.sql.functions` builtins map directly, the
+rest come from duckdb_spark.functions.scalar / .aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_spark.functions import aggregates as A
+from duckdb_spark.functions import scalar as S
+
+# DuckDB name → pyspark.sql.functions name (identical semantics).
+_DIRECT = {
+    # string
+    "concat": "concat", "concat_ws": "concat_ws", "lower": "lower", "upper": "upper",
+    "trim": "trim", "ltrim": "ltrim", "rtrim": "rtrim", "reverse": "reverse",
+    "replace": "replace", "repeat": "repeat", "lpad": "lpad", "rpad": "rpad",
+    "length": "length", "strlen": "octet_length", "octet_length": "octet_length",
+    "bit_length": "bit_length", "substring": "substring", "substr": "substring",
+    "contains": "contains", "starts_with": "startswith", "ends_with": "endswith",
+    "regexp_matches": "regexp_like", "regexp_replace": "regexp_replace",
+    "regexp_extract": "regexp_extract", "regexp_extract_all": "regexp_extract_all",
+    "regexp_split_to_array": "split", "split_part": "split_part",
+    "translate": "translate", "ascii": "ascii", "chr": "char", "instr": "instr",
+    "position": "instr", "levenshtein": "levenshtein", "md5": "md5", "sha1": "sha1",
+    "overlay": "overlay", "format": "format_string", "printf": "format_string",
+    "hex": "hex", "unhex": "unhex", "to_base64": "base64", "from_base64": "unbase64",
+    "initcap": "initcap", "unicode": "ascii",
+    # math
+    "abs": "abs", "ceil": "ceil", "ceiling": "ceil", "floor": "floor", "round": "round",
+    "trunc": "expr_trunc", "sqrt": "sqrt", "cbrt": "cbrt", "exp": "exp", "ln": "log",
+    "log2": "log2", "log10": "log10", "pow": "pow", "power": "pow", "pi": "pi",
+    "sin": "sin", "cos": "cos", "tan": "tan", "asin": "asin", "acos": "acos",
+    "atan": "atan", "atan2": "atan2", "sinh": "sinh", "cosh": "cosh", "tanh": "tanh",
+    "asinh": "asinh", "acosh": "acosh", "atanh": "atanh", "degrees": "degrees",
+    "radians": "radians", "sign": "signum", "factorial": "factorial",
+    "isnan": "isnan", "random": "rand", "greatest": "greatest", "least": "least",
+    "bit_count": "bit_count",
+    # date/time
+    "date_trunc": "date_trunc", "year": "year", "month": "month", "day": "day",
+    "hour": "hour", "minute": "minute", "second": "second", "quarter": "quarter",
+    "dayofyear": "dayofyear", "weekofyear": "weekofyear", "add_months": "add_months",
+    "to_timestamp": "to_timestamp", "make_timestamp": "make_timestamp",
+    "current_date": "current_date", "now": "current_timestamp",
+    "get_current_timestamp": "current_timestamp", "to_date": "to_date",
+    # list
+    "array_length": "size", "len": "size", "cardinality": "size",
+    "list_append": "array_append", "list_prepend": "array_prepend",
+    "list_concat": "concat", "list_extract": "element_at", "list_element": "element_at",
+    "array_contains": "array_contains", "list_reverse": "reverse",
+    "list_intersect": "array_intersect", "range": "sequence",
+    "array_to_string": "array_join", "list_max": "array_max", "list_min": "array_min",
+    "list_sum": "expr_list_sum",
+    # map
+    "map_keys": "map_keys", "map_values": "map_values", "map_concat": "map_concat",
+    "map_from_entries": "map_from_entries", "element_at": "element_at",
+    "map_contains": "map_contains_key",
+    # struct
+    "struct_pack": "struct", "row": "struct",
+    # json
+    "json_extract_string": "get_json_object", "to_json": "to_json",
+    "from_json": "from_json", "json_array_length": "json_array_length",
+    "json_keys": "json_object_keys",
+    # generic
+    "coalesce": "coalesce", "nullif": "nullif", "hash": "xxhash64",
+    "uuid": "uuid", "typeof": "typeof", "isnull": "isnull", "isnotnull": "isnotnull",
+    "if": "when", "iif": "when", "ifnull": "nvl", "nvl": "nvl", "nvl2": "nvl2",
+    "raise_error": "raise_error", "encode": "encode", "decode": "decode",
+}
+
+# Names implemented in our scalar/aggregate modules.
+_CUSTOM = {
+    name: getattr(S, name)
+    for name in dir(S)
+    if not name.startswith("_") and callable(getattr(S, name))
+}
+_CUSTOM.update(
+    {
+        name: getattr(A, name)
+        for name in dir(A)
+        if not name.startswith("_") and callable(getattr(A, name))
+    }
+)
+
+
+def _resolve_direct(spark_name: str):
+    if spark_name == "expr_trunc":
+        return lambda x: F.expr(f"trunc({x})") if isinstance(x, str) else F.floor(x)
+    if spark_name == "expr_list_sum":
+        return lambda arr: F.aggregate(
+            F.col(arr) if isinstance(arr, str) else arr, F.lit(0.0), lambda a, v: a + v
+        )
+    return getattr(F, spark_name)
+
+
+FUNCTIONS: dict[str, object] = {}
+for duck_name, spark_name in _DIRECT.items():
+    FUNCTIONS[duck_name] = _resolve_direct(spark_name)
+FUNCTIONS.update(_CUSTOM)
+
+
+def register_sql_functions(spark: SparkSession) -> list[str]:
+    """Expose DuckDB-only names to Spark SQL text via temp SQL aliases.
+
+    Spark SQL already resolves the `_DIRECT` right-hand names; here we add
+    lightweight SQL macros (CREATE TEMPORARY FUNCTION is JVM-only, so we
+    register SQL-body equivalents using Spark 3.5 SQL UDF syntax where
+    expressible).
+    """
+    created = []
+    macros = {
+        "strpos": "CREATE OR REPLACE TEMPORARY FUNCTION strpos(s STRING, sub STRING) RETURNS INT RETURN instr(s, sub)",
+        "list_cosine_similarity": (
+            "CREATE OR REPLACE TEMPORARY FUNCTION list_cosine_similarity(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE RETURN "
+            "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v) / "
+            "(sqrt(aggregate(a, cast(0.0 as double), (acc, v) -> acc + v * v)) * "
+            " sqrt(aggregate(b, cast(0.0 as double), (acc, v) -> acc + v * v)))"
+        ),
+        "list_inner_product": (
+            "CREATE OR REPLACE TEMPORARY FUNCTION list_inner_product(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE RETURN "
+            "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+        ),
+        "list_distance": (
+            "CREATE OR REPLACE TEMPORARY FUNCTION list_distance(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE RETURN "
+            "sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, v) -> acc + v))"
+        ),
+        "epoch_ms": "CREATE OR REPLACE TEMPORARY FUNCTION epoch_ms(ts TIMESTAMP) RETURNS BIGINT RETURN unix_millis(ts)",
+    }
+    for name, ddl in macros.items():
+        try:
+            spark.sql(ddl)
+            created.append(name)
+        except Exception:
+            pass
+    return created

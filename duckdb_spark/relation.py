@@ -1,0 +1,185 @@
+"""DuckDB-style Relation / Connection facade over PySpark DataFrames.
+
+Reference surface: the lazy Relation API in `src/main/relation.cpp`
+(Project :32, Filter :79, Limit :104, Order :108, Join :132, Union :166,
+Aggregate :186) and the 27 relation classes in `src/main/relation/`.
+That API *is* the DataFrame model — each method here composes a lazy
+`pyspark.sql.DataFrame`; nothing executes until an action
+(`.df()`, `.fetchall()`, `.show()`).
+
+String expressions (`rel.filter("l_quantity < 24")`) are delegated to
+Spark SQL's expression parser (`F.expr`) — same contract as DuckDB's
+string-expression forms, with Catalyst as the binder.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_spark.catalog import DEFAULT_SF_DIR, register_views
+from duckdb_spark.session import get_spark
+
+
+def _cols(exprs: Iterable[str | Column]) -> list[Column]:
+    return [F.expr(e) if isinstance(e, str) else e for e in exprs]
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split an expression list on commas outside parens/brackets/quotes
+    (so "round(sum(x), 2) AS r, g" → ["round(sum(x), 2) AS r", "g"])."""
+    parts, depth, quote, start = [], 0, None, 0
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+class Relation:
+    """Lazy relational node. Wraps a DataFrame; every method returns a new
+    Relation (mirrors DuckDB Relation's shared-ptr composition)."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    # -- composition (reference: src/main/relation.cpp) ------------------
+    def project(self, *exprs: str | Column) -> "Relation":
+        return Relation(self._df.select(*_cols(exprs)))
+
+    select = project
+
+    def filter(self, cond: str | Column) -> "Relation":
+        return Relation(self._df.filter(cond if isinstance(cond, Column) else F.expr(cond)))
+
+    where = filter
+
+    def aggregate(self, aggr: str, groups: str = "") -> "Relation":
+        """DuckDB-style: rel.aggregate("sum(x) AS s, count(*) AS n", "g1, g2")."""
+        agg_cols = _cols(_split_top_level(aggr)) if aggr else []
+        if groups.strip():
+            group_cols = _cols(_split_top_level(groups))
+            return Relation(self._df.groupBy(*group_cols).agg(*agg_cols))
+        return Relation(self._df.agg(*agg_cols))
+
+    def order(self, *exprs: str | Column) -> "Relation":
+        # DuckDB default null order is NULLS LAST for ASC (reference
+        # `default_null_order` setting) — Spark default is NULLS FIRST;
+        # string exprs may carry explicit NULLS FIRST/LAST to override.
+        return Relation(self._df.orderBy(*_cols(exprs)))
+
+    sort = order
+
+    def limit(self, n: int, offset: int = 0) -> "Relation":
+        if offset:
+            return Relation(self._df.offset(offset).limit(n))
+        return Relation(self._df.limit(n))
+
+    def join(self, other: "Relation", condition: str | Column, how: str = "inner") -> "Relation":
+        cond = condition if isinstance(condition, Column) else F.expr(condition)
+        return Relation(self._df.join(other._df, cond, how))
+
+    def cross(self, other: "Relation") -> "Relation":
+        return Relation(self._df.crossJoin(other._df))
+
+    def union(self, other: "Relation") -> "Relation":
+        return Relation(self._df.unionAll(other._df))
+
+    def union_by_name(self, other: "Relation") -> "Relation":
+        return Relation(self._df.unionByName(other._df, allowMissingColumns=True))
+
+    def intersect(self, other: "Relation") -> "Relation":
+        return Relation(self._df.intersect(other._df))
+
+    def except_(self, other: "Relation") -> "Relation":
+        return Relation(self._df.exceptAll(other._df))
+
+    def distinct(self) -> "Relation":
+        return Relation(self._df.distinct())
+
+    def set_alias(self, alias: str) -> "Relation":
+        return Relation(self._df.alias(alias))
+
+    # -- execution --------------------------------------------------------
+    def df(self) -> DataFrame:
+        return self._df
+
+    def fetchall(self):
+        return self._df.collect()
+
+    def fetchone(self):
+        rows = self._df.take(1)
+        return rows[0] if rows else None
+
+    def to_pandas(self):
+        return self._df.toPandas()
+
+    def show(self, n: int = 20) -> None:
+        self._df.show(n)
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._df.explain(mode=mode)
+
+    def count(self) -> int:
+        return self._df.count()
+
+    def create_view(self, name: str) -> "Relation":
+        self._df.createOrReplaceTempView(name)
+        return self
+
+    @property
+    def columns(self) -> list[str]:
+        return self._df.columns
+
+
+class Connection:
+    """DuckDB-style connection: `con.sql(...)`, `con.read_parquet(...)`."""
+
+    def __init__(self, spark: SparkSession | None = None, sf_dir: str | None = None):
+        self.spark = spark or get_spark()
+        if sf_dir:
+            register_views(self.spark, sf_dir)
+
+    def sql(self, query: str) -> Relation:
+        return Relation(self.spark.sql(query))
+
+    query = sql
+
+    def table(self, name: str) -> Relation:
+        return Relation(self.spark.table(name))
+
+    def from_df(self, df: DataFrame) -> Relation:
+        return Relation(df)
+
+    def read_parquet(self, path: str, **options) -> Relation:
+        return Relation(self.spark.read.options(**options).parquet(path))
+
+    def read_csv(self, path: str, **options) -> Relation:
+        from duckdb_spark.io.readers import read_csv
+
+        return Relation(read_csv(self.spark, path, **options))
+
+    def read_json(self, path: str, **options) -> Relation:
+        from duckdb_spark.io.readers import read_json
+
+        return Relation(read_json(self.spark, path, **options))
+
+    def register(self, name: str, rel: "Relation | DataFrame") -> None:
+        df = rel.df() if isinstance(rel, Relation) else rel
+        df.createOrReplaceTempView(name)
+
+
+def connect(sf_dir: str | None = None) -> Connection:
+    return Connection(sf_dir=sf_dir)

@@ -1,0 +1,86 @@
+"""SparkSession factory tuned for the engine.
+
+Scale posture (see SURVEY.md §4/§7): we rely on Catalyst + AQE for the
+optimizer passes DuckDB hand-implements (join reordering, runtime bloom
+filters, skew handling, partition coalescing).  The configs below are the
+"always on" set; they are safe on local[N] and are exactly what a
+1000-executor cluster deployment would use (only memory/parallelism sizing
+differs, which deployers override via spark-submit conf).
+
+Reference parity notes:
+- DuckDB timestamps are timezone-naive UTC; we pin the session timezone to
+  UTC so TimestampType comparisons against the DuckDB oracle agree.
+- The driver's events table carries parquet TIMESTAMP(NANOS); Spark rejects
+  that type unless `nanosAsLong` is set, after which catalog.py converts
+  ns → µs exactly like DuckDB's reader truncates (verified empirically).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs every deployment wants.  Keys are public Spark SQL conf names.
+ENGINE_CONF: dict[str, str] = {
+    # AQE: runtime re-planning — replaces DuckDB's build/probe-side optimizer,
+    # skew handling and partition sizing (SURVEY.md §4).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Runtime bloom filters ≈ DuckDB's join_filter_pushdown_optimizer
+    # (build-side filters injected into probe scans).
+    # NOTE: runtimeFilter.semiJoinReduction is deliberately NOT enabled —
+    # empirically it sends the planner into a loop on this Spark build
+    # (even a bare parquet count hangs).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # CBO for join reordering (DuckDB: DPhyp enumerator).
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
+    # Arrow for any pandas-UDF slow path + toPandas.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # DuckDB semantics: naive-UTC timestamps.
+    "spark.sql.session.timeZone": "UTC",
+    # Read parquet TIMESTAMP(NANOS) as long (catalog converts to µs).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Broadcast threshold: dims (region/nation/supplier/part at small SF)
+    # should broadcast; AQE also converts post-shuffle when sizes allow.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def get_spark(
+    app_name: str = "duckdb_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) the engine's SparkSession.
+
+    `SPARK_GRAFT_CPUS` (driver contract) sizes local parallelism; shuffle
+    partitions default to the core count — on a real cluster deployers set
+    both explicitly and AQE coalescing fixes over-partitioning at runtime.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    builder = builder.config("spark.ui.enabled", "false")
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    for k, v in ENGINE_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
