@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Mirrors the reference harness protocol (benchmark/README.md: warmup + timed
+runs); here: 1 warmup action to amortize session/JIT, then 1 timed run per
+query (the driver repeats rounds).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the most plan-diverse queries (scan-agg, multi-join,
+# semi/anti, window, dedup, similarity) — extended as coverage grows.
+HEADLINE = [
+    "tpch_q01", "tpch_q03", "tpch_q05", "tpch_q06", "tpch_q08", "tpch_q09",
+    "tpch_q13", "tpch_q18", "tpch_q21",
+]
+
+
+def main() -> None:
+    from duckdb_spark import queries as q
+    from duckdb_spark.session import get_spark
+
+    q.load_all()
+    spark = get_spark(app_name="duckdb_spark_bench")
+
+    # warmup: touch the biggest table so file listing/JIT are out of the way
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    names = [n for n in HEADLINE if n in q.QUERIES]
+    extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if extra:
+        names = [n.strip() for n in extra.split(",") if n.strip() in q.QUERIES]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = q.QUERIES[name](spark, SF_DIR)
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

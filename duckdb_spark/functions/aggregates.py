@@ -62,9 +62,11 @@ def kurtosis_pop(x) -> Column:
 
 
 def sem(x) -> Column:
-    """Standard error of the mean = stddev_samp / sqrt(n)."""
+    """Standard error of the mean — DuckDB computes stddev_pop/sqrt(n)
+    (verified against the oracle; the textbook samp variant differs by
+    sqrt((n-1)/n))."""
     x = _c(x)
-    return F.stddev_samp(x) / F.sqrt(F.count(x))
+    return F.stddev_pop(x) / F.sqrt(F.count(x))
 
 
 def product(x) -> Column:

@@ -1,0 +1,98 @@
+"""ASOF join — flagship custom operator (SURVEY.md §2.3).
+
+Reference semantics: `src/execution/operator/join/physical_asof_join.cpp`
+(+ `test/sql/join/asof/test_asof_join.test`): for each probe row, match the
+single build row with the greatest order-key ≤ the probe's order key
+(inequality `>=`), optionally within equality partition keys; LEFT variant
+emits NULLs on no-match.
+
+Spark-first implementation ("union trick", no per-row Python):
+tag both sides, union on (keys, order), and run a single
+`last(build_payload, ignorenulls=True)` window scan ordered by
+(order_key, is_probe) — each probe row then carries the payload of the most
+recent build row at-or-before it. One shuffle on the equality keys (same
+partitioning DuckDB's partitioned sort uses), fully JVM-side, scales to
+arbitrary build/probe sizes without a range cross-product.
+
+Why not `pd.merge_asof` per group: that pulls each group through Python/
+Arrow; the window formulation stays in Tungsten and handles skewed keys via
+AQE. (A group-local merge_asof would also break on groups larger than
+memory.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    by: list[str] | str | None = None,
+    direction: str = "backward",
+    how: str = "inner",
+    suffix: str = "_asof",
+) -> DataFrame:
+    """ASOF join probe↔build on ordered column `on`, equality keys `by`.
+
+    direction="backward": match greatest build.on <= probe.on (DuckDB
+    default `>=` inequality); "forward": least build.on >= probe.on.
+    how: "inner" (drop unmatched probes) or "left".
+    Build payload columns are suffixed when they collide with probe columns.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof direction must be backward/forward, got {direction}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof how must be inner/left, got {how}")
+    by = [by] if isinstance(by, str) else list(by or [])
+
+    payload_cols = [c for c in build.columns if c not in by and c != on]
+    renames = {c: (c + suffix if c in probe.columns else c) for c in payload_cols}
+    build_on_out = (on + suffix) if on in probe.columns else on + "_build"
+
+    probe_cols = probe.columns
+    # tag: build rows sort before probe rows at equal order key for
+    # backward (probe matches build at the same key — DuckDB `>=`).
+    b = build.select(
+        *[F.col(k) for k in by],
+        F.col(on).alias("__ord"),
+        F.lit(0 if direction == "backward" else 1).alias("__side"),
+        F.struct(
+            F.col(on).alias("__bon"), *[F.col(c).alias(renames[c]) for c in payload_cols]
+        ).alias("__payload"),
+    )
+    p = probe.select(
+        *[F.col(k) for k in by],
+        F.col(on).alias("__ord"),
+        F.lit(1 if direction == "backward" else 0).alias("__side"),
+        F.lit(None).cast(b.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c).alias(f"__p_{c}") for c in probe_cols],
+    )
+    b = b.select(*by, "__ord", "__side", "__payload",
+                 *[F.lit(None).cast(p.schema[f"__p_{c}"].dataType).alias(f"__p_{c}") for c in probe_cols])
+
+    unioned = b.unionByName(p)
+    w = Window.partitionBy(*by) if by else Window.partitionBy()
+    if direction == "backward":
+        w = w.orderBy(F.col("__ord").asc(), F.col("__side").asc())
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        match = F.last("__payload", ignorenulls=True).over(w)
+    else:
+        w = w.orderBy(F.col("__ord").desc(), F.col("__side").asc())
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        match = F.last("__payload", ignorenulls=True).over(w)
+
+    out = (
+        unioned.withColumn("__match", match)
+        .filter(F.col("__side") == (1 if direction == "backward" else 0))
+        .select(
+            *[F.col(f"__p_{c}").alias(c) for c in probe_cols],
+            F.col("__match.__bon").alias(build_on_out),
+            *[F.col(f"__match.{renames[c]}").alias(renames[c]) for c in payload_cols],
+        )
+    )
+    if how == "inner":
+        out = out.filter(F.col(build_on_out).isNotNull())
+    return out

@@ -1,0 +1,291 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Beyond-reference components (task spec): exact, MinHash+LSH, SimHash and
+n-gram-Jaccard dedup over a `documents(doc_id, text, ...)` table. All
+stages are JVM-side Column expressions (no Python UDFs): shingling uses
+split/transform, hashing uses md5 → hex→int (deterministic and
+reproducible in DuckDB for the oracle), banding uses explode + hash-groupBy.
+
+Scale design (100 TB corpora):
+- exact: one shuffle on a 64-bit content hash (no text comparison).
+- MinHash LSH: signatures are computed scan-local (narrow); only
+  (band_id, band_hash, doc_id) tuples shuffle — b×n rows of ~24 bytes —
+  then candidate pairs join within buckets. Bucket skew (giant near-dup
+  clusters) is handled by AQE skew-join; verification re-computes exact
+  Jaccard only on candidates.
+- SimHash: 32-bit signature scan-local; candidates via banding the
+  signature (two 16-bit halves — Hamming≤k pigeonhole), verified by
+  popcount of XOR.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def hash64(col) -> Column:
+    """Deterministic 60-bit int hash from md5 (reproducible in DuckDB as
+    ('0x' || substr(md5(x),1,15))::BIGINT — verified identical)."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("long")
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens of lowercased text."""
+    return F.split(F.lower(F.trim(_c(col))), r"\s+")
+
+
+def shingles(col, k: int = 3) -> Column:
+    """Distinct word k-shingles as space-joined strings — JVM-side:
+    transform over the token index range."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    )
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest id.
+
+    Only (hash, id) shuffles; ties on hash (collisions) are fine for
+    keep-one semantics since we group by full text equality via both
+    hash AND text (hash prunes the comparison)."""
+    return (
+        df.withColumn("__h", hash64(text_col))
+        .groupBy("__h", text_col)
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__h")
+        .select(id_col, text_col)
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def minhash_signature(col, num_hashes: int = 16, k: int = 3) -> Column:
+    """MinHash signature: per seed i, min over shingles of
+    hash64(i || '|' || shingle). Array<long> of length num_hashes."""
+    sh = shingles(col, k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                sh,
+                lambda s: F.conv(
+                    F.substring(F.md5(F.concat(i.cast("string"), F.lit("|"), s)), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) via LSH banding: docs sharing any
+    band of the signature. Output: (id_a, id_b) distinct."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"), minhash_signature(F.col(text_col), num_hashes, k).alias("__sig")
+    )
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.array_join(
+                        F.transform(
+                            F.sequence(b * rows_per_band + 1, (b + 1) * rows_per_band),
+                            lambda i: F.element_at(F.col("__sig"), i.cast("int")).cast("string"),
+                        ),
+                        ",",
+                    ).alias("key"),
+                ),
+            )
+        ).alias("__band"),
+    ).select("__id", F.col("__band.band").alias("__b"), F.col("__band.key").alias("__k"))
+    a = banded.select(F.col("__b"), F.col("__k"), F.col("__id").alias("id_a"))
+    b = banded.select(F.col("__b"), F.col("__k"), F.col("__id").alias("id_b"))
+    return (
+        a.join(b, ["__b", "__k"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Keep-set after MinHash LSH dedup: drop any doc that has a verified
+    near-dup (shingle Jaccard ≥ threshold) with a smaller doc_id.
+
+    (Single-link transitive clustering would need an iterative
+    connected-components pass — `recursive_cte` covers that; the
+    keep-smallest-neighbor rule is the standard one-pass policy.)"""
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, k)
+    sh = df.select(F.col(id_col).alias("__sid"), shingles(F.col(text_col), k).alias("__sh"))
+    verified = (
+        cands.join(sh.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+        .withColumn("__inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "__jac",
+            F.col("__inter") / (F.size("sh_a") + F.size("sh_b") - F.col("__inter")),
+        )
+        .filter(F.col("__jac") >= jaccard_threshold)
+    )
+    dupes = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dupes, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash(col, bits: int = 32) -> Column:
+    """SimHash signature over whitespace tokens: bit j of the signature is
+    the sign of Σ_tokens (±1 per token's hash bit j). JVM-side."""
+    toks = F.array_distinct(tokens(col))
+    hashes = F.transform(toks, lambda t: hash64(t))
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda s, h: s + F.when(F.shiftright(h, j).bitwiseAND(1) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.shiftleft(F.lit(1).cast("long"), j),
+        ).otherwise(0),
+    )
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 32-bit signature into 4 bytes
+    (pigeonhole: hamming ≤ 3 ⇒ at least one byte equal), join per band,
+    verify with popcount(xor) ≤ max_hamming."""
+    sig = df.select(F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sig"))
+    banded = sig.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.shiftright(F.col("__sig"), (b * 8).cast("int")).bitwiseAND(255).alias("key"),
+                ),
+            )
+        ).alias("__band"),
+    ).select("__id", "__sig", F.col("__band.band").alias("__b"), F.col("__band.key").alias("__k"))
+    a = banded.select("__b", "__k", F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"))
+    b = banded.select("__b", "__k", F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"))
+    return (
+        a.join(b, ["__b", "__k"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------- jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold via inverted index:
+    explode shingles → self-join on shingle (the only shuffle — one row
+    per (shingle, doc)) → count intersections → closed-form Jaccard.
+    At scale, prefix filtering (drop the most frequent shingles) bounds
+    the index fan-out; here the full index is exact."""
+    sh = df.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__sh"))
+    sizes = sh.select("__id", F.size("__sh").alias("__n"))
+    inv = sh.select("__id", F.explode("__sh").alias("__s"))
+    pairs = (
+        inv.alias("x")
+        .join(inv.alias("y"), "__s")
+        .filter(F.col("x.__id") < F.col("y.__id"))
+        .groupBy(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
+        .agg(F.count("*").alias("__inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "nb"), "id_b")
+        .withColumn("jaccard", F.col("__inter") / (F.col("na") + F.col("nb") - F.col("__inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# ------------------------------------------------------- embedding cosine
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold. Exact all-pairs within
+    optional blocking key (at scale pass an LSH bucket as block_col — see
+    similarity.lsh_buckets); without a block this is O(n²) — correct
+    baseline, use blocked/LSH path for large n."""
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        *( [F.col(block_col).alias("__blk")] if block_col else [] ),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a.__id") < F.col("b.__id")
+    joined = a.join(b, (F.col("a.__blk") == F.col("b.__blk")) & cond) if block_col else a.crossJoin(b).filter(cond)
+    dot = F.aggregate(
+        F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    return (
+        joined.withColumn("cosine", dot / (norm(F.col("a.__v")) * norm(F.col("b.__v"))))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
+            F.round("cosine", 4).alias("cosine"),
+        )
+    )

@@ -1,1 +1,278 @@
-"""(filled in incrementally)"""
+"""Window-function queries (SURVEY.md §2.5 coverage).
+
+Each exercises a distinct frame/executor shape from the reference's window
+operator (`src/execution/operator/aggregate/physical_window.cpp`,
+`src/function/window/`): ranking, offset (lag/lead), value (first/last),
+aggregate-over-frame (ROWS + RANGE), ntile, percent_rank/cume_dist, and
+QUALIFY. All hash-partition on the PARTITION BY key — the same
+materialize-then-compute strategy the reference uses, distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_spark.catalog import load_table
+from duckdb_spark.queries import register
+
+
+def _t(spark, sf_dir, *names):
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+@register(
+    "win_running_total",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 2) AS running
+FROM orders
+""",
+)
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer (ROWS UNBOUNDED PRECEDING frame)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running")
+    )
+
+
+@register(
+    "win_topk_per_group",
+    oracle="""
+SELECT p_brand, p_partkey, revenue, rnk FROM (
+  SELECT p_brand, p_partkey, revenue,
+         RANK() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rnk
+  FROM (SELECT p_brand, p_partkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey))
+WHERE rnk <= 3
+ORDER BY p_brand, rnk
+""",
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by revenue per brand (rank + filter ≡ QUALIFY).
+
+    Catalyst turns rank<=k into WindowGroupLimit (partial top-k before the
+    shuffle — the reference's topn_window_elimination pass, built in)."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    rev = (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return (
+        rev.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "rnk")
+        .orderBy("p_brand", "rnk")
+    )
+
+
+@register(
+    "win_lag_gap",
+    oracle="""
+SELECT event_type, ROUND(AVG(gap_s), 3) AS avg_gap_s, COUNT(*) AS n
+FROM (
+  SELECT event_type,
+         (epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) / 1e6 AS gap_s
+  FROM events)
+WHERE gap_s IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def win_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap via lag() over per-user time order."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / 1e6
+    return (
+        events.withColumn("gap_s", gap)
+        .filter(F.col("gap_s").isNotNull())
+        .groupBy("event_type")
+        .agg(F.round(F.avg("gap_s"), 3).alias("avg_gap_s"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "win_moving_avg",
+    oracle="""
+SELECT day_epoch, ROUND(AVG(day_rev) OVER (ORDER BY day_epoch ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+FROM (SELECT epoch(date_trunc('day', o_orderdate))::BIGINT AS day_epoch,
+             SUM(o_totalprice) AS day_rev
+      FROM orders GROUP BY 1)
+ORDER BY day_epoch
+""",
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily revenue (unpartitioned ROWS frame —
+    the reference's PhysicalStreamingWindow case; single-partition sort is
+    fine because the daily series is tiny after aggregation)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            (F.unix_micros(F.date_trunc("day", "o_orderdate")) / 1_000_000)
+            .cast("long").alias("day_epoch")
+        )
+        .agg(F.sum("o_totalprice").alias("day_rev"))
+    )
+    w = Window.orderBy("day_epoch").rowsBetween(-6, 0)
+    return daily.select(
+        "day_epoch", F.round(F.avg("day_rev").over(w), 2).alias("ma7")
+    ).orderBy("day_epoch")
+
+
+@register(
+    "win_ntile",
+    oracle="""
+SELECT q, COUNT(*) AS n, ROUND(AVG(c_acctbal), 2) AS avg_bal
+FROM (SELECT c_acctbal, NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS q FROM customer)
+GROUP BY q ORDER BY q
+""",
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance quartiles via ntile(4)."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        customer.withColumn("q", F.ntile(4).over(w))
+        .groupBy("q")
+        .agg(F.count("*").alias("n"), F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+        .orderBy("q")
+    )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+SELECT DISTINCT l_suppkey,
+       FIRST_VALUE(l_extendedprice) OVER w AS first_price,
+       LAST_VALUE(l_extendedprice)  OVER w AS last_price,
+       CAST(FIRST_VALUE(l_shipdate) OVER w AS DATE) AS first_ship,
+       CAST(LAST_VALUE(l_shipdate)  OVER w AS DATE) AS last_ship
+FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY l_suppkey
+""",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over an unbounded frame, per supplier."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        lineitem.select(
+            "l_suppkey",
+            F.first("l_extendedprice").over(w).alias("first_price"),
+            F.last("l_extendedprice").over(w).alias("last_price"),
+            F.first("l_shipdate").over(w).cast("date").alias("first_ship"),
+            F.last("l_shipdate").over(w).cast("date").alias("last_ship"),
+        )
+        .distinct()
+        .orderBy("l_suppkey")
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+SELECT o_orderkey,
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day_no RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING) AS near_orders
+FROM (SELECT o_orderkey, o_custkey, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_no FROM orders)
+ORDER BY o_orderkey
+""",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: per order, count same-customer orders within ±30 days."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    day_no = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy("day_no").rangeBetween(-30, 30)
+    return (
+        orders.withColumn("day_no", day_no)
+        .select("o_orderkey", F.count("*").over(w).alias("near_orders"))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "win_percent_rank",
+    oracle="""
+SELECT p_partkey,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY p_type ORDER BY p_retailprice, p_partkey), 4) AS pr,
+       ROUND(CUME_DIST()    OVER (PARTITION BY p_type ORDER BY p_retailprice, p_partkey), 4) AS cd
+FROM part ORDER BY p_partkey
+""",
+)
+def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist within part type."""
+    (part,) = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type").orderBy("p_retailprice", "p_partkey")
+    return part.select(
+        "p_partkey",
+        F.round(F.percent_rank().over(w), 4).alias("pr"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "win_qualify",
+    oracle="""
+SELECT n_name, s_name, ROUND(s_acctbal, 2) AS bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+QUALIFY ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey) = 1
+ORDER BY n_name
+""",
+)
+def win_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY (reference bind_select_node.cpp qualify binding): filter on
+    a window result — top supplier per nation."""
+    supplier, nation = _t(spark, sf_dir, "supplier", "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        supplier.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("n_name", "s_name", F.round("s_acctbal", 2).alias("bal"))
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "win_lead_ignorenulls",
+    oracle="""
+SELECT event_id,
+       LAST_VALUE(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_val
+FROM (SELECT event_id, user_id, ts, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+      FROM events)
+ORDER BY event_id
+""",
+)
+def win_lead_ignorenulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(... IGNORE NULLS) — offset function with null skipping."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    return (
+        events.withColumn("value2", val)
+        .select(
+            "event_id",
+            F.last("value2", ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ).alias("prev_val"),
+        )
+        .orderBy("event_id")
+    )
