@@ -1,1 +1,353 @@
-"""(filled in incrementally)"""
+"""Event-stream analytics + custom-operator queries.
+
+Covers the reference capabilities that need engine-level rewrites on Spark
+(SURVEY.md §2.3 ASOF/IEJoin, §2.5 fill, §2.7 recursive CTE, §2.2 unnest,
+§2.8 time_bucket/json) plus classic behavioral analytics (sessionization).
+Each oracle is DuckDB-native SQL — ASOF JOIN and time_bucket are *built-in*
+DuckDB features there, so these queries differentially validate our custom
+operators against the reference implementation's semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_spark.catalog import load_table
+from duckdb_spark.functions import scalar as S
+from duckdb_spark.operators.asof import asof_join
+from duckdb_spark.operators.fill import fill_interpolate
+from duckdb_spark.operators.misc import distinct_on
+from duckdb_spark.operators.recursive import recursive_cte
+from duckdb_spark.queries import register
+
+
+def _t(spark, sf_dir, *names):
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+@register(
+    "ev_sessionization",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 * 1000000
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps)
+SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       ROUND(COUNT(*) / COUNT(DISTINCT session_id), 2) AS events_per_session
+FROM sessions GROUP BY user_id ORDER BY user_id
+""",
+)
+def ev_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap session boundaries via lag + running sum
+    (the batch equivalent of session_window; one shuffle on user_id)."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(prev_ts)) > 1800 * 1_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        events.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(run))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.round(F.count("*") / F.countDistinct("session_id"), 2).alias("events_per_session"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "ev_time_bucket",
+    oracle="""
+SELECT CAST(epoch(time_bucket(INTERVAL 6 HOUR, ts)) AS BIGINT) AS bucket_epoch,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+FROM events GROUP BY 1 ORDER BY 1
+""",
+)
+def ev_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket(INTERVAL 6 HOUR) — our implementation matches DuckDB's
+    2000-01-03 bucket origin (functions/scalar.py:time_bucket)."""
+    (events,) = _t(spark, sf_dir, "events")
+    bucket = S.time_bucket(6 * 3600, F.col("ts"))
+    return (
+        events.groupBy((F.unix_micros(bucket) / 1_000_000).cast("long").alias("bucket_epoch"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .orderBy("bucket_epoch")
+    )
+
+
+@register(
+    "ev_json_extract",
+    oracle="""
+SELECT event_type,
+       ROUND(AVG(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k,
+       CAST(MAX(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (reference json_extract / ->> operators →
+    get_json_object)."""
+    (events,) = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ev_asof_join",
+    oracle="""
+SELECT p.event_id, CAST(epoch_us(v.ts) AS BIGINT) AS view_ts_us,
+       ROUND(v.value, 2) AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id
+""",
+)
+def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF LEFT JOIN: each purchase matched to the user's most recent
+    prior view — differentially tested against DuckDB's native ASOF JOIN
+    (reference physical_asof_join.cpp)."""
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    views = events.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    joined = asof_join(purchases, views, on="ts", by="user_id", how="left")
+    return joined.select(
+        "event_id",
+        F.unix_micros("ts_asof").alias("view_ts_us"),
+        F.round("value_asof", 2).alias("view_value"),
+    ).orderBy("event_id")
+
+
+@register(
+    "ev_range_join",
+    oracle="""
+SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+GROUP BY type_a, type_b ORDER BY type_a, type_b
+""",
+)
+def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (reference IEJoin territory): pairs of events of
+    the same user within (0, 5min]. The user_id equality makes it a hash
+    join + range filter — the scalable plan (no cross product)."""
+    (events,) = _t(spark, sf_dir, "events")
+    a = events.select(F.col("user_id"), F.col("ts").alias("ts_a"), F.col("event_type").alias("type_a"))
+    b = events.select(F.col("user_id"), F.col("ts").alias("ts_b"), F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTE"))
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "ev_pivot",
+    oracle="""
+SELECT user_id % 10 AS decile,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY decile ORDER BY decile
+""",
+)
+def ev_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (reference physical_pivot.cpp): explicit value list → Spark
+    groupBy().pivot(values) — one pass, no distinct-discovery scan."""
+    (events,) = _t(spark, sf_dir, "events")
+    out = (
+        events.groupBy((F.col("user_id") % 10).alias("decile"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .orderBy("decile")
+    )
+    # pivot null → 0 (DuckDB FILTER count yields 0)
+    return out.select(
+        "decile",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["click", "error", "purchase", "signup", "view"]],
+    )
+
+
+@register(
+    "ev_distinct_on",
+    oracle="""
+SELECT user_id, event_id AS last_event, event_type AS last_type
+FROM (SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1 ORDER BY user_id
+""",
+)
+def ev_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON (user_id) ... ORDER BY ts DESC — latest event per user
+    via the distinct_on operator (row_number rewrite)."""
+    (events,) = _t(spark, sf_dir, "events")
+    latest = distinct_on(events, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()])
+    return latest.select(
+        "user_id", F.col("event_id").alias("last_event"), F.col("event_type").alias("last_type")
+    ).orderBy("user_id")
+
+
+@register(
+    "ev_set_ops",
+    oracle="""
+(SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+ INTERSECT
+ SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+ORDER BY user_id
+""",
+)
+def ev_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (reference plan_set_operation.cpp semi/anti
+    planning — Spark plans the same shape natively)."""
+    (events,) = _t(spark, sf_dir, "events")
+
+    def users(t):
+        return events.filter(F.col("event_type") == t).select("user_id").distinct()
+
+    return users("purchase").intersect(users("error")).subtract(users("signup")).orderBy("user_id")
+
+
+@register(
+    "ev_fill_gaps",
+    oracle="""
+WITH valued AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+  FROM events),
+marks AS (
+  SELECT event_id, user_id, ts, v,
+         epoch_us(ts) AS x,
+         LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+  FROM valued)
+SELECT event_id,
+       ROUND(CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  WHEN nx = px THEN pv
+                  ELSE pv + (nv - pv) * (x - px) / (nx - px) END, 4) AS v_filled
+FROM marks ORDER BY event_id
+""",
+)
+def ev_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fill() gap interpolation (reference FillFun window function):
+    error-event values are NULLed then linearly interpolated per user."""
+    (events,) = _t(spark, sf_dir, "events")
+    valued = events.withColumn(
+        "v", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    ).withColumn("x_us", F.unix_micros("ts"))
+    filled = fill_interpolate(valued, "v", "x_us", partition_by=["user_id"], out_col="v_filled")
+    return filled.select("event_id", F.round("v_filled", 4).alias("v_filled")).orderBy("event_id")
+
+
+@register(
+    "rec_transitive_closure",
+    oracle="""
+WITH RECURSIVE edges AS (
+  SELECT n_nationkey AS src, (n_nationkey * 7 + 3) % 25 AS dst FROM nation
+),
+reach(node, d) AS (
+  SELECT 0, 0
+  UNION
+  SELECT e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.node WHERE r.d < 10
+)
+SELECT node, CAST(MIN(d) AS BIGINT) AS min_depth FROM reach GROUP BY node ORDER BY node
+""",
+)
+def rec_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (reference physical_recursive_cte.cpp) via the
+    driver-loop operator: reachability with depth from node 0 over a
+    synthetic functional graph on nation keys."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    edges = nation.select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        ((F.col("n_nationkey") * 7 + 3) % 25).cast("long").alias("dst"),
+    ).localCheckpoint(eager=True)
+    base = spark.createDataFrame([(0, 0)], "node long, d long")
+
+    def step(working: DataFrame) -> DataFrame:
+        return (
+            working.filter(F.col("d") < 10)
+            .join(edges, F.col("node") == F.col("src"))
+            .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+
+    reach = recursive_cte(base, step, distinct=True)
+    return reach.groupBy("node").agg(F.min("d").alias("min_depth")).orderBy("node")
+
+
+@register(
+    "unnest_tokens",
+    oracle="""
+SELECT word, COUNT(*) AS n
+FROM (SELECT UNNEST(regexp_split_to_array(lower(p_name), '\\s+')) AS word FROM part)
+GROUP BY word HAVING COUNT(*) >= 5 ORDER BY n DESC, word
+""",
+)
+def unnest_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST of a split list (reference physical_unnest.cpp → explode)."""
+    (part,) = _t(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split(F.lower("p_name"), r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+        .orderBy(F.desc("n"), "word")
+    )
+
+
+@register(
+    "val_generate_series",
+    oracle="""
+SELECT g AS n, g * g AS sq
+FROM generate_series(1, 50) t(g)
+WHERE g % 3 = 0 ORDER BY g
+""",
+)
+def val_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range/generate_series table function (reference range.cpp →
+    spark.range; lazy, partitioned, no driver materialization)."""
+    return (
+        spark.range(1, 51)
+        .select(F.col("id").alias("n"), (F.col("id") * F.col("id")).alias("sq"))
+        .filter(F.col("n") % 3 == 0)
+        .orderBy("n")
+    )
