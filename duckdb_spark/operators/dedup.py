@@ -171,20 +171,19 @@ def simhash(col, bits: int = 32) -> Column:
     the sign of Σ_tokens (±1 per token's hash bit j). JVM-side."""
     toks = F.array_distinct(tokens(col))
     hashes = F.transform(toks, lambda t: hash64(t))
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, j: acc
-        + F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda s, h: s + F.when(F.shiftright(h, j).bitwiseAND(1) == 1, 1).otherwise(-1),
-            )
-            > 0,
-            F.shiftleft(F.lit(1).cast("long"), j),
-        ).otherwise(0),
-    )
+    # Python-level loop over bit positions (shift amounts must be literals);
+    # yields one balanced expression tree, still a single JVM projection.
+    def bit_vote(j: int):
+        # closure factory: the lambda must be exactly 2-ary for F.aggregate
+        return lambda s, h: s + F.when(
+            F.shiftright(h, j).bitwiseAND(1) == 1, 1
+        ).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        bit_sum = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(j))
+        sig = sig + F.when(bit_sum > 0, F.lit(1 << j).cast("long")).otherwise(0)
+    return sig
 
 
 def simhash_candidates(
@@ -198,12 +197,14 @@ def simhash_candidates(
         "__id",
         "__sig",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.shiftright(F.col("__sig"), (b * 8).cast("int")).bitwiseAND(255).alias("key"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("__sig"), b * 8).bitwiseAND(255).alias("key"),
+                    )
+                    for b in range(4)
+                ]
             )
         ).alias("__band"),
     ).select("__id", "__sig", F.col("__band.band").alias("__b"), F.col("__band.key").alias("__k"))

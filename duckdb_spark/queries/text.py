@@ -1,1 +1,173 @@
-"""(filled in incrementally)"""
+"""Text-analysis queries over documents (corpus-curation surface).
+
+Language-ID, quality scoring, token stats, fingerprinting — all
+scan-local Column expressions (operators/text.py); the oracles recompute
+the identical closed-form definitions in DuckDB SQL, so the differential
+gate validates semantics, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_spark.catalog import load_table
+from duckdb_spark.operators import text as T
+from duckdb_spark.queries import register
+
+_SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in T.STOPWORDS.items()}
+
+_ORACLE_HITS = """
+WITH toks AS (
+  SELECT doc_id, lang, source, text,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+hits AS (
+  SELECT *,
+         len(list_filter(t, x -> list_contains([{en}], x))) AS h_en,
+         len(list_filter(t, x -> list_contains([{es}], x))) AS h_es,
+         len(list_filter(t, x -> list_contains([{fr}], x))) AS h_fr,
+         len(list_filter(t, x -> list_contains([{de}], x))) AS h_de,
+         len(list_filter(t, x -> list_contains([{zh}], x))) AS h_zh
+  FROM toks
+)
+""".format(en=_SW["en"], es=_SW["es"], fr=_SW["fr"], de=_SW["de"], zh=_SW["zh"])
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+SELECT source,
+       CAST(SUM(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) AS total_tokens,
+       ROUND(AVG(len(regexp_split_to_array(lower(trim(text)), '\\s+'))), 2) AS avg_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS total_word_tokens
+FROM documents GROUP BY source ORDER BY source
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    wt = F.size(F.expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(T.token_count(F.col("text"))).alias("total_tokens"),
+            F.round(F.avg(T.token_count(F.col("text"))), 2).alias("avg_tokens"),
+            F.sum(wt).alias("total_word_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_langid",
+    oracle=_ORACLE_HITS
+    + """
+SELECT lang AS labeled,
+       CASE WHEN greatest(h_en, h_es, h_fr, h_de, h_zh) = 0 THEN 'und'
+            WHEN h_de = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'de'
+            WHEN h_en = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'en'
+            WHEN h_es = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'es'
+            WHEN h_fr = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'fr'
+            ELSE 'zh' END AS predicted,
+       COUNT(*) AS n
+FROM hits GROUP BY labeled, predicted ORDER BY labeled, predicted
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-hit argmax, lexicographic ties)
+    cross-tabulated against the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("labeled"),
+            T.detect_language(F.col("text")).alias("predicted"),
+        )
+        .groupBy("labeled", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("labeled", "predicted")
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+WITH scored AS (
+  SELECT source, text,
+         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tok,
+         (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0
+            / greatest(length(text), 1) AS p,
+         greatest(
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> list_contains([{en}], x))),
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> list_contains([{es}], x))),
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> list_contains([{fr}], x))),
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> list_contains([{de}], x))),
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> list_contains([{zh}], x)))
+         ) AS sw
+  FROM documents)
+SELECT source,
+       ROUND(AVG(ROUND((
+         (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END)
+         + (CASE WHEN p <= 0.2 THEN 1.0 ELSE greatest(0.0, 1.0 - (p - 0.2) * 4) END)
+         + least(sw * 1.0 / greatest(n_tok, 1) * 5, 1.0)) / 3.0, 4)), 4) AS avg_quality
+FROM scored GROUP BY source ORDER BY source
+""".format(en=_SW["en"], es=_SW["es"], fr=_SW["fr"], de=_SW["de"], zh=_SW["zh"]),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length band + punct ratio + stopword
+    presence), averaged per source. Oracle recomputes the formula.
+
+    NOTE: punct definition uses the ASCII class [^a-zA-Z0-9 ] so the Java
+    and RE2 regex dialects agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    # ASCII-class punct ratio (dialect-portable, matches oracle)
+    stripped = F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9 ]", "")
+    p = (F.length("text") - F.length(stripped)) / F.greatest(F.length("text"), F.lit(1))
+    n_tok = T.token_count(F.col("text"))
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.3)
+    punct_ok = F.when(p <= 0.2, 1.0).otherwise(F.greatest(F.lit(0.0), 1.0 - (p - 0.2) * 4))
+    sw = F.greatest(*[T.stopword_hits(F.col("text"), lg) for lg in T.STOPWORDS])
+    sw_ok = F.least(sw / F.greatest(n_tok, F.lit(1)) * 5, F.lit(1.0))
+    quality = F.round((len_ok + punct_ok + sw_ok) / 3.0, 4)
+    return (
+        docs.groupBy("source")
+        .agg(F.round(F.avg(quality), 4).alias("avg_quality"))
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))), ' ')) AS fp
+FROM documents WHERE doc_id < 100 ORDER BY doc_id
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant content fingerprint: md5 of sorted distinct tokens."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+@register(
+    "text_length_histogram",
+    oracle="""
+SELECT (n_chars // 100) * 100 AS bucket, COUNT(*) AS n,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars, CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY bucket ORDER BY bucket
+""",
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length histogram on the n_chars metadata column (equi-width bins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy((F.floor(F.col("n_chars") / 100) * 100).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("bucket")
+    )
