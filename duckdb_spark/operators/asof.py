@@ -53,12 +53,13 @@ def asof_join(
     build_on_out = (on + suffix) if on in probe.columns else on + "_build"
 
     probe_cols = probe.columns
-    # tag: build rows sort before probe rows at equal order key for
-    # backward (probe matches build at the same key — DuckDB `>=`).
+    # tag: build __side=0, probe __side=1 — at equal order keys the build
+    # row sorts first in scan order (asc for backward, desc for forward),
+    # so a probe row matches a build row at the same key (DuckDB `>=`).
     b = build.select(
         *[F.col(k) for k in by],
         F.col(on).alias("__ord"),
-        F.lit(0 if direction == "backward" else 1).alias("__side"),
+        F.lit(0).alias("__side"),
         F.struct(
             F.col(on).alias("__bon"), *[F.col(c).alias(renames[c]) for c in payload_cols]
         ).alias("__payload"),
@@ -66,7 +67,7 @@ def asof_join(
     p = probe.select(
         *[F.col(k) for k in by],
         F.col(on).alias("__ord"),
-        F.lit(1 if direction == "backward" else 0).alias("__side"),
+        F.lit(1).alias("__side"),
         F.lit(None).cast(b.schema["__payload"].dataType).alias("__payload"),
         *[F.col(c).alias(f"__p_{c}") for c in probe_cols],
     )
@@ -75,18 +76,15 @@ def asof_join(
 
     unioned = b.unionByName(p)
     w = Window.partitionBy(*by) if by else Window.partitionBy()
-    if direction == "backward":
-        w = w.orderBy(F.col("__ord").asc(), F.col("__side").asc())
-        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        match = F.last("__payload", ignorenulls=True).over(w)
-    else:
-        w = w.orderBy(F.col("__ord").desc(), F.col("__side").asc())
-        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        match = F.last("__payload", ignorenulls=True).over(w)
+    ord_key = F.col("__ord").asc() if direction == "backward" else F.col("__ord").desc()
+    w = w.orderBy(ord_key, F.col("__side").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    match = F.last("__payload", ignorenulls=True).over(w)
 
     out = (
         unioned.withColumn("__match", match)
-        .filter(F.col("__side") == (1 if direction == "backward" else 0))
+        .filter(F.col("__side") == 1)
         .select(
             *[F.col(f"__p_{c}").alias(c) for c in probe_cols],
             F.col("__match.__bon").alias(build_on_out),

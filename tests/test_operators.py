@@ -1,0 +1,180 @@
+"""Unit tests for custom operators: edge cases the differential queries
+don't reach (empty inputs, no-match ASOF, ties, multimodal plumbing, io).
+
+ASOF fixtures mirror the reference's test/sql/join/asof/test_asof_join.test
+shape (FIXTURES.md §2): events0(begin, value) probed at exact / between /
+before-first / after-last keys.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_spark.operators.asof import asof_join
+from duckdb_spark.operators.fill import fill_interpolate
+from duckdb_spark.operators.misc import distinct_on, reservoir_sample
+from duckdb_spark.operators.multimodal import attach_media, extract_features, frame_sample
+from duckdb_spark.operators.recursive import recursive_cte
+
+
+@pytest.fixture(scope="module")
+def asof_tables(spark):
+    build = spark.createDataFrame(
+        [(1.0, 0), (3.0, 1), (6.0, 2), (8.0, 3)], "begin double, value int"
+    )
+    probe = spark.createDataFrame(
+        [(0.5,), (1.0,), (2.9,), (3.0,), (7.9,), (8.0,), (100.0,)], "begin double"
+    )
+    return probe, build
+
+
+def test_asof_backward_inner(spark, asof_tables):
+    probe, build = asof_tables
+    out = asof_join(probe, build, on="begin", how="inner")
+    got = {r["begin"]: r["value"] for r in out.collect()}
+    # 0.5 has no match (dropped); exact keys match themselves (>=)
+    assert got == {1.0: 0, 2.9: 0, 3.0: 1, 7.9: 2, 8.0: 3, 100.0: 3}
+
+
+def test_asof_backward_left(spark, asof_tables):
+    probe, build = asof_tables
+    out = asof_join(probe, build, on="begin", how="left")
+    got = {r["begin"]: r["value"] for r in out.collect()}
+    assert got[0.5] is None and len(got) == 7
+
+
+def test_asof_forward(spark, asof_tables):
+    probe, build = asof_tables
+    out = asof_join(probe, build, on="begin", direction="forward", how="left")
+    got = {r["begin"]: r["value"] for r in out.collect()}
+    assert got == {0.5: 0, 1.0: 0, 2.9: 1, 3.0: 1, 7.9: 3, 8.0: 3, 100.0: None}
+
+
+def test_asof_by_partition(spark):
+    build = spark.createDataFrame(
+        [("a", 1.0, 10), ("a", 5.0, 11), ("b", 2.0, 20)], "sym string, t double, px int"
+    )
+    probe = spark.createDataFrame(
+        [("a", 4.9,), ("b", 1.0,), ("c", 9.0,)], "sym string, t double"
+    )
+    out = asof_join(probe, build, on="t", by="sym", how="left")
+    got = {r["sym"]: r["px"] for r in out.collect()}
+    assert got == {"a": 10, "b": None, "c": None}
+
+
+def test_asof_empty_build(spark, asof_tables):
+    probe, build = asof_tables
+    out = asof_join(probe, build.filter(F.lit(False)), on="begin", how="left")
+    assert out.count() == 7
+    assert all(r["value"] is None for r in out.collect())
+
+
+def test_fill_interpolation(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, None), (4, 40.0), (5, None)],
+        "x int, v double",
+    )
+    out = {r["x"]: r["v_filled"] for r in fill_interpolate(df, "v", "x").collect()}
+    assert out == {1: 10.0, 2: 20.0, 3: 30.0, 4: 40.0, 5: 40.0}
+
+
+def test_fill_all_null_partition(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "x int, v double")
+    out = fill_interpolate(df, "v", "x").collect()
+    assert all(r["v_filled"] is None for r in out)
+
+
+def test_recursive_cte_union_all(spark):
+    base = spark.createDataFrame([(1,)], "n long")
+    # n -> n*2 up to 16, UNION ALL semantics
+    out = recursive_cte(
+        base,
+        lambda w: w.filter(F.col("n") < 16).select((F.col("n") * 2).alias("n")),
+        distinct=False,
+    )
+    assert sorted(r["n"] for r in out.collect()) == [1, 2, 4, 8, 16]
+
+
+def test_recursive_cte_cycle_terminates(spark):
+    # cycle 0 -> 1 -> 0: UNION (distinct) must terminate
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    base = spark.createDataFrame([(0,)], "node long")
+    out = recursive_cte(
+        base,
+        lambda w: w.join(edges, w["node"] == edges["src"]).select(F.col("dst").alias("node")),
+        distinct=True,
+    )
+    assert sorted(r["node"] for r in out.collect()) == [0, 1]
+
+
+def test_distinct_on_keep_last(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y"), ("b", 5, "z")], "k string, o int, p string"
+    )
+    out = {r["k"]: r["p"] for r in distinct_on(df, ["k"], ["o"], keep="last").collect()}
+    assert out == {"a": "y", "b": "z"}
+
+
+def test_reservoir_sample_size_and_determinism(spark):
+    df = spark.range(1000)
+    s1 = sorted(r["id"] for r in reservoir_sample(df, 10, seed=7).collect())
+    s2 = sorted(r["id"] for r in reservoir_sample(df, 10, seed=7).collect())
+    assert len(s1) == 10 and s1 == s2
+
+
+def test_multimodal_pipeline(spark):
+    docs = spark.createDataFrame(
+        [(1, b"imagebytes-1"), (2, b"imagebytes-22")], "doc_id long, payload binary"
+    )
+    media = attach_media(docs, "doc_id", "payload")
+    assert set(media.columns) == {"doc_id", "media_type", "width", "height", "n_bytes", "payload"}
+    feats = extract_features(media, dim=8, fake=True)
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert len(rows[1]["feat"]) == 8
+    # deterministic fake decode: same payload → same features
+    feats2 = {r["doc_id"]: r["feat"] for r in extract_features(media, dim=8, fake=True).collect()}
+    assert feats2[1] == list(rows[1]["feat"]) and feats2[2] == list(rows[2]["feat"])
+    # real decoder is a documented stub
+    from duckdb_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"x")
+    frames = frame_sample(media, every_n=5)
+    assert frames.count() > 0
+
+
+def test_io_roundtrip_and_sniffer(spark):
+    from duckdb_spark.io import copy_to, read_csv, sniff_csv
+
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+        copy_to(df, f"{d}/out_csv", format="csv", header=True)
+        back = read_csv(spark, f"{d}/out_csv", header=True)
+        assert sorted((r["id"], r["s"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+        copy_to(df, f"{d}/out_parquet", format="parquet", partition_by=["s"])
+        assert os.path.isdir(f"{d}/out_parquet/s=a")
+        # sniffer on a ;-delimited file
+        path = f"{d}/semi.csv"
+        with open(path, "w") as fh:
+            fh.write("x;y\n1;2\n3;4\n")
+        sniffed = sniff_csv(path)
+        assert sniffed["Delimiter"] == ";"
+        assert [c["name"] for c in sniffed["Columns"]] == ["x", "y"]
+
+
+def test_relation_string_api(spark):
+    from duckdb_spark.relation import Connection
+
+    con = Connection(spark=spark, sf_dir="/root/testdata/sf0.001")
+    rel = (
+        con.table("lineitem")
+        .filter("l_quantity < 24")
+        .aggregate("round(sum(l_extendedprice * l_discount), 2) AS rev, count(*) AS n", "l_returnflag")
+        .order("l_returnflag")
+    )
+    rows = rel.fetchall()
+    assert len(rows) == 3 and rows[0]["rev"] > 0
