@@ -43,11 +43,14 @@ def main() -> None:
     if extra:
         names = [n.strip() for n in extra.split(",") if n.strip() in q.QUERIES]
 
+    # Reference harness protocol (benchmark/README.md): 1 warmup + timed
+    # runs per query. Warmup amortizes whole-stage-codegen compilation,
+    # which is a per-plan constant, not a data cost.
     timings: dict[str, float] = {}
     for name in names:
+        q.QUERIES[name](spark, SF_DIR).collect()  # warmup run
         t0 = time.perf_counter()
-        df = q.QUERIES[name](spark, SF_DIR)
-        df.collect()
+        q.QUERIES[name](spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

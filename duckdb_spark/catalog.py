@@ -38,12 +38,24 @@ ALL_TABLES = TPCH_TABLES + AUX_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# (SparkSession id, sf_dir, name) → DataFrame. Re-reading the same parquet
+# repeats driver-side file listing + footer reads (~100-300 ms/table); the
+# logical plan is immutable so memoizing is safe. Keyed by session id so a
+# restarted session doesn't serve stale plans.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns → µs truncation (identical to the DuckDB reader's behavior).
         # Integer DIV — float division loses ULPs at 1e18-ns magnitudes.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 
