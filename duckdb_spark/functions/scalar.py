@@ -34,6 +34,12 @@ def _c(x) -> Column:
     return F.col(x) if isinstance(x, str) else x
 
 
+def _us(ts) -> Column:
+    """µs since epoch; casts TIMESTAMP_NTZ → TIMESTAMP (identity under the
+    pinned UTC session timezone) because unix_micros rejects NTZ inputs."""
+    return F.unix_micros(_c(ts).cast("timestamp"))
+
+
 def prefix(s, pre) -> Column:
     return F.startswith(_c(s), F.lit(pre) if isinstance(pre, str) else pre)
 
@@ -152,7 +158,7 @@ def time_bucket(width_seconds, ts, origin_us: int = _EPOCH_2000_01_03_US) -> Col
     reference's 2000-01-03 origin so week buckets start on Monday
     (extension/core_functions/scalar/date/time_bucket.cpp).
     """
-    us = F.unix_micros(_c(ts)) - origin_us
+    us = _us(ts) - origin_us
     width_us = F.lit(int(width_seconds) * 1_000_000).cast("long")
     bucket = F.floor(us / width_us).cast("long") * width_us + origin_us
     return F.timestamp_micros(bucket)
@@ -177,14 +183,14 @@ def date_part(part: str, ts) -> Column:
         "hour": lambda: F.hour(ts),
         "minute": lambda: F.minute(ts),
         "second": lambda: F.second(ts),
-        "millisecond": lambda: (F.second(ts) * 1000 + (F.unix_micros(ts) % 1_000_000) / 1000).cast("int"),
-        "microsecond": lambda: (F.second(ts) * 1_000_000 + F.unix_micros(ts) % 1_000_000).cast("long"),
+        "millisecond": lambda: (F.second(ts) * 1000 + (_us(ts) % 1_000_000) / 1000).cast("int"),
+        "microsecond": lambda: (F.second(ts) * 1_000_000 + _us(ts) % 1_000_000).cast("long"),
         "dow": lambda: F.dayofweek(ts) - 1,
         "isodow": lambda: F.expr(f"weekday({_sql_ts(ts)}) + 1"),
         "doy": lambda: F.dayofyear(ts),
         "week": lambda: F.weekofyear(ts),
         "quarter": lambda: F.quarter(ts),
-        "epoch": lambda: F.unix_micros(ts) / 1_000_000,
+        "epoch": lambda: _us(ts) / 1_000_000,
         "decade": lambda: F.floor(F.year(ts) / 10).cast("int"),
         "century": lambda: F.ceil(F.year(ts) / 100).cast("int"),
         "millennium": lambda: F.ceil(F.year(ts) / 1000).cast("int"),
@@ -203,15 +209,15 @@ datepart = date_part
 
 
 def epoch_ms(ts) -> Column:
-    return F.unix_millis(_c(ts))
+    return F.unix_millis(_c(ts).cast("timestamp"))
 
 
 def epoch_us(ts) -> Column:
-    return F.unix_micros(_c(ts))
+    return _us(ts)
 
 
 def epoch(ts) -> Column:
-    return F.unix_micros(_c(ts)) / 1_000_000
+    return _us(ts) / 1_000_000
 
 
 def date_diff(part: str, a, b) -> Column:
@@ -226,7 +232,7 @@ def date_diff(part: str, a, b) -> Column:
         return ((F.year(b) - F.year(a)) * 12 + F.month(b) - F.month(a)).cast("long")
     if p in ("hour", "minute", "second"):
         div = {"hour": 3_600_000_000, "minute": 60_000_000, "second": 1_000_000}[p]
-        return F.floor(F.unix_micros(b) / div) - F.floor(F.unix_micros(a) / div)
+        return F.floor(_us(b) / div) - F.floor(_us(a) / div)
     raise ValueError(f"unsupported date_diff part: {part}")
 
 
@@ -496,7 +502,7 @@ def nullif(a, b) -> Column:
 
 
 def try_cast(x, dtype: str) -> Column:
-    return F.try_cast(_c(x), dtype)
+    return _c(x).try_cast(dtype)
 
 
 def typeof(x) -> Column:

@@ -34,6 +34,7 @@ def load_all() -> None:
         aggregates,
         analytics,
         dedup,
+        functions_parity,
         similarity,
         text,
         tpch,

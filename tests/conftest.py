@@ -57,6 +57,8 @@ def _norm_cell(v):
         return v.isoformat()
     if isinstance(v, bytes):
         return v.hex()
+    if hasattr(v, "asDict"):  # Spark Row (struct) ↔ DuckDB struct dict
+        return tuple(sorted((k, _norm_cell(x)) for k, x in v.asDict().items()))
     if isinstance(v, list):
         return tuple(_norm_cell(x) for x in v)
     if isinstance(v, dict):
