@@ -36,6 +36,7 @@ def load_all() -> None:
         dedup,
         functions_parity,
         similarity,
+        streaming_queries,
         text,
         tpch,
         windows,
