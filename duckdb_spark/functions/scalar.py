@@ -505,6 +505,13 @@ def try_cast(x, dtype: str) -> Column:
     return _c(x).try_cast(dtype)
 
 
+def float_to_int_cast(x, dtype: str = "bigint") -> Column:
+    """DuckDB CAST(DOUBLE AS integer-type) *rounds to nearest* (reference
+    cast behavior, verified: 77610.6::BIGINT = 77611); Spark's CAST
+    truncates toward zero. Use this for DuckDB-parity casts of floats."""
+    return F.round(_c(x)).cast(dtype)
+
+
 def typeof(x) -> Column:
     return F.typeof(_c(x))
 

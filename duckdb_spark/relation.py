@@ -151,9 +151,19 @@ class Connection:
         self.spark = spark or get_spark()
         if sf_dir:
             register_views(self.spark, sf_dir)
+        from duckdb_spark.sql.macros import MacroRegistry
 
-    def sql(self, query: str) -> Relation:
-        return Relation(self.spark.sql(query))
+        self.macros = MacroRegistry()
+
+    def sql(self, query: str) -> "Relation | None":
+        """Run DuckDB-dialect SQL: macro/sequence DDL handled by our
+        catalog layer; everything else macro-expanded, dialect-translated
+        (QUALIFY, DISTINCT ON, EXCLUDE, //, ::casts) and handed to Catalyst."""
+        from duckdb_spark.sql.dialect import translate
+
+        if self.macros.handle_ddl(query):
+            return None
+        return Relation(self.spark.sql(translate(self.macros.expand(query))))
 
     query = sql
 

@@ -1,0 +1,162 @@
+"""SQL macros and sequences — catalog-layer features Spark lacks.
+
+Reference semantics:
+- `CREATE MACRO name(p1, p2 := default) AS expr` (scalar) and
+  `CREATE MACRO name(...) AS TABLE select` — macros are *inlined at bind
+  time*, never executed as calls (`src/function/macro_function.cpp`,
+  `scalar_macro_function.cpp`, `table_macro_function.cpp`). We do the
+  same: textual expansion with balanced-paren argument substitution
+  before the dialect translator runs.
+- `CREATE SEQUENCE` / `nextval('seq')` (`sequence_catalog_entry.cpp`):
+  driver-side counters — gap-free single-driver semantics, matching the
+  reference's in-process model. (Distributed gap-free sequences don't
+  exist on any engine; use uuid()/monotonically_increasing_id for scale.)
+"""
+
+from __future__ import annotations
+
+import re
+
+
+class Macro:
+    def __init__(self, name: str, params: list[str], defaults: dict[str, str], body: str,
+                 is_table: bool):
+        self.name = name
+        self.params = params
+        self.defaults = defaults
+        self.body = body
+        self.is_table = is_table
+
+
+_CREATE_RE = re.compile(
+    r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?MACRO\s+"
+    r"([A-Za-z_][A-Za-z_0-9]*)\s*\(([^)]*)\)\s*AS\s+(TABLE\s+)?(.*)$"
+)
+
+_CREATE_SEQ_RE = re.compile(
+    r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?SEQUENCE\s+"
+    r"([A-Za-z_][A-Za-z_0-9]*)(?:\s+START\s+(?:WITH\s+)?(\d+))?(?:\s+INCREMENT\s+(?:BY\s+)?(\d+))?"
+)
+
+
+def _split_args(s: str) -> list[str]:
+    parts, depth, quote, start = [], 0, None, 0
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    if s[start:].strip():
+        parts.append(s[start:])
+    return [p.strip() for p in parts]
+
+
+class MacroRegistry:
+    """Session-scoped macro + sequence catalog."""
+
+    def __init__(self):
+        self._macros: dict[str, Macro] = {}
+        self._sequences: dict[str, dict] = {}
+
+    # -- DDL ---------------------------------------------------------------
+    def handle_ddl(self, sql: str) -> bool:
+        """Returns True if sql was a macro/sequence DDL (and was handled)."""
+        m = _CREATE_RE.match(sql)
+        if m:
+            name, params_s, table_kw, body = m.groups()
+            params, defaults = [], {}
+            for p in _split_args(params_s):
+                if ":=" in p:
+                    pname, dflt = p.split(":=", 1)
+                    params.append(pname.strip())
+                    defaults[pname.strip()] = dflt.strip()
+                elif p:
+                    params.append(p.strip())
+            self._macros[name.lower()] = Macro(
+                name.lower(), params, defaults, body.strip().rstrip(";"), bool(table_kw)
+            )
+            return True
+        s = _CREATE_SEQ_RE.match(sql)
+        if s:
+            name, start, inc = s.groups()
+            self._sequences[name.lower()] = {
+                "value": int(start or 1) - int(inc or 1),
+                "increment": int(inc or 1),
+            }
+            return True
+        if re.match(r"(?is)^\s*DROP\s+MACRO\s+([A-Za-z_][A-Za-z_0-9]*)", sql):
+            name = re.match(r"(?is)^\s*DROP\s+MACRO\s+([A-Za-z_][A-Za-z_0-9]*)", sql).group(1)
+            self._macros.pop(name.lower(), None)
+            return True
+        if re.match(r"(?is)^\s*DROP\s+SEQUENCE\s+([A-Za-z_][A-Za-z_0-9]*)", sql):
+            name = re.match(r"(?is)^\s*DROP\s+SEQUENCE\s+([A-Za-z_][A-Za-z_0-9]*)", sql).group(1)
+            self._sequences.pop(name.lower(), None)
+            return True
+        return False
+
+    # -- sequences ---------------------------------------------------------
+    def nextval(self, name: str) -> int:
+        seq = self._sequences[name.lower()]
+        seq["value"] += seq["increment"]
+        return seq["value"]
+
+    def currval(self, name: str) -> int:
+        return self._sequences[name.lower()]["value"]
+
+    # -- expansion ---------------------------------------------------------
+    def expand(self, sql: str, max_depth: int = 10) -> str:
+        """Inline macro calls (and nextval/currval literals) textually."""
+        for _ in range(max_depth):
+            new = self._expand_once(sql)
+            if new == sql:
+                return sql
+            sql = new
+        raise RecursionError("macro expansion did not converge (recursive macro?)")
+
+    def _expand_once(self, sql: str) -> str:
+        def sub_seq(m: re.Match) -> str:
+            fn, name = m.group(1).lower(), m.group(2)
+            if name.lower() not in self._sequences:
+                return m.group(0)
+            return str(self.nextval(name) if fn == "nextval" else self.currval(name))
+
+        sql = re.sub(r"(?i)\b(nextval|currval)\s*\(\s*'([^']+)'\s*\)", sub_seq, sql)
+
+        for name, macro in self._macros.items():
+            pattern = re.compile(rf"(?i)\b{re.escape(name)}\s*\(", re.IGNORECASE)
+            m = pattern.search(sql)
+            while m:
+                # balanced-paren argument span
+                depth, i = 1, m.end()
+                while i < len(sql) and depth:
+                    if sql[i] == "(":
+                        depth += 1
+                    elif sql[i] == ")":
+                        depth -= 1
+                    i += 1
+                args = _split_args(sql[m.end() : i - 1])
+                binding = dict(macro.defaults)
+                pos = 0
+                for a in args:
+                    named = re.match(r"^\s*([A-Za-z_][A-Za-z_0-9]*)\s*:=\s*(.*)$", a, re.S)
+                    if named and named.group(1) in macro.params:
+                        binding[named.group(1)] = named.group(2).strip()
+                    else:
+                        binding[macro.params[pos]] = a
+                        pos += 1
+                body = macro.body
+                # parameter substitution, longest names first
+                for p in sorted(macro.params, key=len, reverse=True):
+                    body = re.sub(rf"\b{re.escape(p)}\b", f"({binding[p]})", body)
+                expansion = f"({body})" if not macro.is_table else f"({body})"
+                sql = sql[: m.start()] + expansion + sql[i:]
+                m = pattern.search(sql)
+        return sql
