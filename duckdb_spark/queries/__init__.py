@@ -34,6 +34,7 @@ def load_all() -> None:
         aggregates,
         analytics,
         dedup,
+        dml_queries,
         functions_parity,
         similarity,
         streaming_queries,

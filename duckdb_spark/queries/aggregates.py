@@ -256,7 +256,7 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_product",
     oracle="""
-SELECT l_orderkey, ROUND(PRODUCT(l_quantity), 2) AS qty_product, COUNT(*) AS n_items
+SELECT l_orderkey, ROUND(PRODUCT(l_quantity), 0) AS qty_product, COUNT(*) AS n_items
 FROM lineitem
 WHERE l_orderkey % 997 = 0
 GROUP BY l_orderkey ORDER BY l_orderkey
@@ -269,7 +269,7 @@ def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.filter(F.col("l_orderkey") % 997 == 0)
         .groupBy("l_orderkey")
         .agg(
-            F.round(A.product("l_quantity"), 2).alias("qty_product"),
+            F.round(A.product("l_quantity"), 0).alias("qty_product"),
             F.count("*").alias("n_items"),
         )
         .orderBy("l_orderkey")

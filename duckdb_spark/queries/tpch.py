@@ -29,6 +29,16 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [load_table(spark, sf_dir, n) for n in names]
 
 
+def money_sum(expr, scale: int = 4, out_scale: int = 2):
+    """Σ of a money expression, exactly: per-element cast to DECIMAL(18,s)
+    (products of 2-decimal inputs have ≤s decimals, so the cast is exact),
+    DECIMAL summation (associative — partial aggregation safe), round, and
+    back to DOUBLE. Avoids the FP hazard where an order-dependent double
+    sum lands within an ULP of a .xx5 rounding boundary and the rounded
+    cent diverges between engines."""
+    return F.round(F.sum(expr.cast(f"decimal(18,{scale})")), out_scale).cast("double")
+
+
 # --------------------------------------------------------------------- q01
 @register(
     "tpch_q01",
@@ -36,8 +46,8 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
        ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
        ROUND(AVG(l_quantity), 2)                                        AS avg_qty,
        ROUND(AVG(l_extendedprice), 2)                                   AS avg_price,
        ROUND(AVG(l_discount), 4)                                        AS avg_disc,
@@ -63,8 +73,8 @@ def tpch_q01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            money_sum(disc_price, 4).alias("sum_disc_price"),
+            money_sum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -79,7 +89,7 @@ def tpch_q01(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q03",
     oracle="""
 SELECT o_orderkey,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
        CAST(o_orderdate AS DATE)                         AS orderdate
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
@@ -102,7 +112,7 @@ def tpch_q03(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lineitem.filter(F.col("l_shipdate") > "1998-01-01"),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
         .select("o_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("orderdate"))
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
@@ -145,7 +155,7 @@ def tpch_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q05",
     oracle="""
-SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -176,7 +186,7 @@ def tpch_q05(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
         .join(region.filter(F.col("r_name") == "ASIA"), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
         .orderBy(F.desc("revenue"))
     )
 
@@ -185,7 +195,7 @@ def tpch_q05(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q06",
     oracle="""
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -202,7 +212,7 @@ def tpch_q06(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"))
     )
 
 
@@ -210,7 +220,7 @@ def tpch_q06(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q07",
     oracle="""
-SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+SELECT supp_nation, cust_nation, l_year, CAST(ROUND(SUM(CAST(volume AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          EXTRACT(year FROM l_shipdate) AS l_year,
@@ -254,7 +264,7 @@ def tpch_q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         df.groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .agg(money_sum(F.col("volume"), 4).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -321,7 +331,7 @@ def tpch_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q09",
     oracle="""
-SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+SELECT nation, o_year, CAST(ROUND(SUM(CAST(amount AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit
 FROM (
   SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
          l_extendedprice * (1 - l_discount) AS amount
@@ -354,7 +364,7 @@ def tpch_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(money_sum(F.col("amount"), 4).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -363,7 +373,7 @@ def tpch_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q10",
     oracle="""
-SELECT c_custkey, c_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT c_custkey, c_name, CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
        ROUND(c_acctbal, 2) AS acctbal, n_name
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -388,7 +398,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("l_orderkey") == F.col("o_orderkey"))
         .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
         .select(
             "c_custkey", "c_name", "revenue",
             F.round("c_acctbal", 2).alias("acctbal"), "n_name",
@@ -493,7 +503,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q15",
     oracle="""
 WITH revenue AS (
-  SELECT l_suppkey AS supplier_no, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  SELECT l_suppkey AS supplier_no, CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
   GROUP BY l_suppkey
@@ -512,7 +522,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = (
         lineitem.filter((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01"))
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("total_revenue"))
     )
     w = Window.partitionBy()  # global max, computed in one pass
     best = revenue.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
@@ -599,7 +609,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q19",
     oracle="""
-SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
@@ -614,7 +624,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20)
     c3 = (F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30)
     return df.filter(c1 | c2 | c3).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
     )
 
 

@@ -49,7 +49,7 @@ def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT p_brand, p_partkey, revenue, rnk FROM (
   SELECT p_brand, p_partkey, revenue,
          RANK() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rnk
-  FROM (SELECT p_brand, p_partkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM (SELECT p_brand, p_partkey, CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand, p_partkey))
 WHERE rnk <= 3
@@ -65,7 +65,7 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_partkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2).cast("double").alias("revenue"))
     )
     w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
     return (
