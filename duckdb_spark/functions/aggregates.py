@@ -39,7 +39,11 @@ def skewness(x) -> Column:
     m2 = F.avg(x * x) - m * m
     m3 = F.avg(x * x * x) - 3 * m * F.avg(x * x) + 2 * m * m * m
     s = F.sqrt(m2 * n / (n - 1))
-    return (n * n / ((n - 1) * (n - 2))) * m3 / F.pow(s, 3)
+    # zero variance → undefined (NULL), matching DuckDB; also avoids the
+    # ANSI-mode divide-by-zero error on constant inputs
+    return F.when(m2 <= 0, F.lit(None)).otherwise(
+        (n * n / ((n - 1) * (n - 2))) * m3 / F.pow(s, 3)
+    )
 
 
 def kurtosis(x) -> Column:
@@ -52,7 +56,7 @@ def kurtosis(x) -> Column:
     e4 = F.avg(x * x * x * x)
     m2 = e2 - m * m
     m4 = e4 - 4 * m * e3 + 6 * m * m * e2 - 3 * F.pow(m, 4)
-    g2 = m4 / (m2 * m2) - 3
+    g2 = m4 / F.when(m2 * m2 <= 0, F.lit(None)).otherwise(m2 * m2) - 3
     return ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * g2 + 6)
 
 

@@ -1,0 +1,139 @@
+"""Property/differential tests for the function library vs the DuckDB
+oracle — randomized inputs via hypothesis, evaluated in both engines.
+
+Strategy (SURVEY.md §5(d)): generate literal rows, run the same expression
+through our Column builders and DuckDB SQL, compare exactly.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from duckdb_spark.functions import aggregates as A
+from duckdb_spark.functions import scalar as S
+
+TEXT = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x7F),
+    min_size=0,
+    max_size=20,
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+def _spark_eval(spark, col, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    return [r[0] for r in df.select(col.alias("out")).collect()]
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(TEXT, TEXT), min_size=1, max_size=8))
+def test_levenshtein_parity(spark, duck, pairs):
+    got = _spark_eval(spark, F.levenshtein("a", "b"), pairs, "a string, b string")
+    want = [duck.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0] for a, b in pairs]
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=8),
+       st.integers(min_value=1, max_value=365 * 24 * 3600))
+def test_time_bucket_parity(spark, duck, epochs, width_s):
+    rows = [(e,) for e in epochs]
+    col = S.time_bucket(width_s, F.timestamp_seconds(F.col("e")))
+    got = _spark_eval(spark, F.unix_micros(col.cast("timestamp")), rows, "e long")
+    want = [
+        duck.execute(
+            f"SELECT epoch_us(time_bucket(INTERVAL {width_s} SECOND, to_timestamp(?)))", [e]
+        ).fetchone()[0]
+        for e in epochs
+    ]
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=6))
+def test_date_part_dow_parity(spark, duck, epochs):
+    rows = [(e,) for e in epochs]
+    for part in ("dow", "isodow", "doy", "quarter", "decade"):
+        col = S.date_part(part, F.timestamp_seconds(F.col("e")))
+        got = _spark_eval(spark, col.cast("long"), rows, "e long")
+        want = [
+            duck.execute(f"SELECT date_part('{part}', to_timestamp(?))", [e]).fetchone()[0]
+            for e in epochs
+        ]
+        assert got == want, part
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(min_value=1, max_value=10**6), min_size=1, max_size=6),
+       st.lists(st.integers(min_value=1, max_value=10**6), min_size=1, max_size=6))
+def test_gcd_lcm_parity(spark, duck, xs, ys):
+    n = min(len(xs), len(ys))
+    rows = list(zip(xs[:n], ys[:n]))
+    got_gcd = _spark_eval(spark, S.gcd("a", "b").cast("long"), rows, "a long, b long")
+    want_gcd = [duck.execute("SELECT gcd(?, ?)", [a, b]).fetchone()[0] for a, b in rows]
+    assert got_gcd == want_gcd
+    got_lcm = _spark_eval(spark, S.lcm("a", "b").cast("long"), rows, "a long, b long")
+    want_lcm = [duck.execute("SELECT lcm(?, ?)", [a, b]).fetchone()[0] for a, b in rows]
+    assert got_lcm == want_lcm
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=4, max_size=30))
+def test_skewness_kurtosis_parity(spark, duck, values):
+    rows = [(float(v),) for v in values]
+    df = spark.createDataFrame(rows, "x double")
+    got = df.agg(
+        F.round(A.skewness("x"), 6).alias("s"), F.round(A.kurtosis("x"), 6).alias("k")
+    ).collect()[0]
+    duck.execute("CREATE OR REPLACE TABLE tt AS SELECT * FROM (VALUES "
+                 + ",".join(f"({v!r})" for v, in rows) + ") t(x)")
+    want = duck.execute("SELECT ROUND(skewness(x), 6), ROUND(kurtosis(x), 6) FROM tt").fetchone()
+    for g, w in zip((got["s"], got["k"]), want):
+        if g is None or w is None:
+            assert g == w
+        else:
+            assert abs(g - w) < 1e-4, (g, w, values)
+
+
+def test_even_signbit_formatbytes(spark, duck):
+    vals = [-3.5, -2.0, -0.5, 0.0, 0.5, 2.0, 2.5, 3.1]
+    rows = [(v,) for v in vals]
+    got = _spark_eval(spark, S.even("x"), rows, "x double")
+    want = [duck.execute("SELECT even(?)", [v]).fetchone()[0] for v in vals]
+    assert got == want
+    sizes = [0, 999, 1024, 1536, 10**6, 10**9]
+    got_fb = _spark_eval(spark, S.format_bytes(F.col("n")), [(s,) for s in sizes], "n long")
+    assert got_fb[2] == "1.0 KiB" and got_fb[0] == "0 bytes"
+
+
+def test_hamming_jaccard(spark, duck):
+    pairs = [("abcd", "abcf"), ("hello", "hallo"), ("aa", "aa")]
+    got_h = _spark_eval(spark, S.hamming("a", "b"), pairs, "a string, b string")
+    want_h = [duck.execute("SELECT hamming(?, ?)", [a, b]).fetchone()[0] for a, b in pairs]
+    assert got_h == want_h
+    got_j = _spark_eval(spark, F.round(S.jaccard("a", "b"), 6), pairs, "a string, b string")
+    want_j = [
+        round(duck.execute("SELECT jaccard(?, ?)", [a, b]).fetchone()[0], 6) for a, b in pairs
+    ]
+    assert got_j == want_j
+
+
+def test_strftime_roundtrip(spark):
+    rows = [(1700000000,)]
+    col = S.strftime(F.timestamp_seconds(F.col("e")), "%Y-%m-%d %H:%M:%S")
+    out = _spark_eval(spark, col, rows, "e long")[0]
+    back = _spark_eval(
+        spark,
+        F.unix_micros(S.strptime(F.lit(out), "%Y-%m-%d %H:%M:%S").cast("timestamp")),
+        rows,
+        "e long",
+    )[0]
+    assert back == 1700000000 * 1_000_000
