@@ -40,5 +40,6 @@ def load_all() -> None:
         streaming_queries,
         text,
         tpch,
+        tpch2,
         windows,
     )

@@ -14,6 +14,7 @@ string-expression forms, with Catalyst as the binder.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -75,10 +76,32 @@ class Relation:
         return Relation(self._df.agg(*agg_cols))
 
     def order(self, *exprs: str | Column) -> "Relation":
-        # DuckDB default null order is NULLS LAST for ASC (reference
-        # `default_null_order` setting) — Spark default is NULLS FIRST;
-        # string exprs may carry explicit NULLS FIRST/LAST to override.
-        return Relation(self._df.orderBy(*_cols(exprs)))
+        """ORDER BY with DuckDB string syntax: "col DESC", "expr ASC NULLS
+        FIRST". DuckDB's default null order is NULLS LAST for ASC and NULLS
+        FIRST for DESC (reference `default_null_order` setting) — applied
+        here explicitly since Spark's bare default differs (NULLS FIRST asc).
+        """
+        cols = []
+        for e in exprs:
+            if not isinstance(e, str):
+                cols.append(e)
+                continue
+            for part in _split_top_level(e):
+                m = re.match(
+                    r"(?is)^(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*$", part
+                )
+                body, direction, nulls = m.group(1), (m.group(2) or "ASC").upper(), m.group(3)
+                c = F.expr(body)
+                if nulls is None:
+                    nulls = "LAST" if direction == "ASC" else "FIRST"
+                else:
+                    nulls = nulls.upper()
+                if direction == "ASC":
+                    c = c.asc_nulls_first() if nulls == "FIRST" else c.asc_nulls_last()
+                else:
+                    c = c.desc_nulls_first() if nulls == "FIRST" else c.desc_nulls_last()
+                cols.append(c)
+        return Relation(self._df.orderBy(*cols))
 
     sort = order
 
