@@ -21,10 +21,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: the most plan-diverse queries (scan-agg, multi-join,
-# semi/anti, window, dedup, similarity) — extended as coverage grows.
+# semi/anti, window, asof, dedup, similarity, streaming) — extended as
+# coverage grows.
 HEADLINE = [
     "tpch_q01", "tpch_q03", "tpch_q05", "tpch_q06", "tpch_q08", "tpch_q09",
     "tpch_q13", "tpch_q18", "tpch_q21",
+    "win_topk_per_group", "ev_sessionization", "ev_asof_join",
+    "dedup_minhash_lsh", "text_quality", "sim_cosine_topk",
 ]
 
 

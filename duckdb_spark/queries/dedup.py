@@ -53,8 +53,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 SELECT doc_id,
        list_transform(generate_series(0, 15),
-         i -> list_min(list_transform(s,
-                x -> CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || x), 1, 15)) AS BIGINT)))) AS sig
+         i -> list_min(list_transform(
+                list_transform(s, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)),
+                h -> (h * (2 * i + 1) + i * 12345 + 1) % 4294967311))) AS sig
 FROM sh WHERE doc_id < 50 ORDER BY doc_id
 """,
 )
@@ -74,8 +75,9 @@ def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 , sig AS (
   SELECT doc_id,
          list_transform(generate_series(0, 15),
-           i -> list_min(list_transform(s,
-                  x -> CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || x), 1, 15)) AS BIGINT)))) AS sig
+           i -> list_min(list_transform(
+                  list_transform(s, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)),
+                  h -> (h * (2 * i + 1) + i * 12345 + 1) % 4294967311))) AS sig
   FROM sh),
 banded AS (
   SELECT doc_id, b,
@@ -99,7 +101,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle recomputes the identical algorithm in DuckDB SQL."""
     docs = load_table(spark, sf_dir, "documents")
     cands = D.minhash_lsh_candidates(docs, "doc_id", "text", 16, 4, 3)
-    sh = docs.select(F.col("doc_id").alias("__sid"), D.shingles(F.col("text"), 3).alias("__sh"))
+    sh = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("doc_id").alias("__sid"), D.shingles(F.col("text"), 3).alias("__sh")
+    ).localCheckpoint(eager=True)  # reused by both verification branches
     return (
         cands.join(
             sh.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a"
