@@ -1,0 +1,127 @@
+"""DuckDB ↔ Spark type mapping (SURVEY.md §1.2).
+
+The full `LogicalTypeId` surface (reference `src/include/duckdb/common/
+types.hpp:193-258`) mapped to Spark SQL types, with documented emulations
+where Spark lacks a native type. `duckdb_type_to_spark` accepts DuckDB
+type *names* (as printed by `typeof()` / catalog DDL) including
+parameterized DECIMAL(w,s) and nested LIST/STRUCT/MAP spellings.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import types as T
+
+# Simple name → Spark type (emulations noted; SURVEY §1.2 table).
+_SIMPLE: dict[str, T.DataType] = {
+    "BOOLEAN": T.BooleanType(),
+    "TINYINT": T.ByteType(),
+    "SMALLINT": T.ShortType(),
+    "INTEGER": T.IntegerType(),
+    "INT": T.IntegerType(),
+    "BIGINT": T.LongType(),
+    "UTINYINT": T.ShortType(),          # widen: no unsigned in Spark
+    "USMALLINT": T.IntegerType(),
+    "UINTEGER": T.LongType(),
+    "UBIGINT": T.DecimalType(20, 0),
+    "HUGEINT": T.DecimalType(38, 0),
+    "UHUGEINT": T.DecimalType(38, 0),
+    "FLOAT": T.FloatType(),
+    "REAL": T.FloatType(),
+    "DOUBLE": T.DoubleType(),
+    "VARCHAR": T.StringType(),
+    "TEXT": T.StringType(),
+    "STRING": T.StringType(),
+    "BLOB": T.BinaryType(),
+    "BYTEA": T.BinaryType(),
+    "BIT": T.BinaryType(),              # bitstring emulated over binary
+    "DATE": T.DateType(),
+    "TIME": T.LongType(),               # µs since midnight (no Spark TIME)
+    "TIMESTAMP": T.TimestampNTZType(),  # DuckDB TIMESTAMP is tz-naive
+    "DATETIME": T.TimestampNTZType(),
+    "TIMESTAMP_S": T.TimestampNTZType(),
+    "TIMESTAMP_MS": T.TimestampNTZType(),
+    "TIMESTAMP_NS": T.TimestampNTZType(),  # ns truncated to µs (documented)
+    "TIMESTAMPTZ": T.TimestampType(),
+    "TIMESTAMP WITH TIME ZONE": T.TimestampType(),
+    "INTERVAL": T.StructType(            # months/days/micros triple
+        [
+            T.StructField("months", T.IntegerType()),
+            T.StructField("days", T.IntegerType()),
+            T.StructField("micros", T.LongType()),
+        ]
+    ),
+    "UUID": T.StringType(),             # canonical text form
+    "JSON": T.StringType(),
+    "ENUM": T.StringType(),             # + dictionary check at write
+    "GEOMETRY": T.BinaryType(),         # WKB
+    "BIGNUM": T.DecimalType(38, 0),
+    "SQLNULL": T.NullType(),
+}
+
+_DECIMAL_RE = re.compile(r"(?i)^(?:DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
+_LIST_RE = re.compile(r"(?i)^(.*)\[\]$")
+_MAP_RE = re.compile(r"(?i)^MAP\s*\((.*),(.*)\)$")
+_STRUCT_RE = re.compile(r"(?i)^STRUCT\s*\((.*)\)$")
+
+
+def duckdb_type_to_spark(name: str) -> T.DataType:
+    s = name.strip()
+    up = s.upper()
+    if up in _SIMPLE:
+        return _SIMPLE[up]
+    m = _DECIMAL_RE.match(s)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    m = _LIST_RE.match(s)
+    if m:
+        return T.ArrayType(duckdb_type_to_spark(m.group(1)))
+    m = _MAP_RE.match(s)
+    if m:
+        return T.MapType(duckdb_type_to_spark(m.group(1)), duckdb_type_to_spark(m.group(2)))
+    m = _STRUCT_RE.match(s)
+    if m:
+        fields = []
+        for part in _split_fields(m.group(1)):
+            fname, ftype = part.strip().split(" ", 1)
+            fields.append(T.StructField(fname.strip('"'), duckdb_type_to_spark(ftype)))
+        return T.StructType(fields)
+    raise ValueError(f"unmapped DuckDB type: {name}")
+
+
+def _split_fields(s: str) -> list[str]:
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p for p in parts if p.strip()]
+
+
+def spark_type_to_duckdb(dt: T.DataType) -> str:
+    """Inverse mapping (used by introspection/system tables)."""
+    mapping = {
+        T.BooleanType: "BOOLEAN", T.ByteType: "TINYINT", T.ShortType: "SMALLINT",
+        T.IntegerType: "INTEGER", T.LongType: "BIGINT", T.FloatType: "FLOAT",
+        T.DoubleType: "DOUBLE", T.StringType: "VARCHAR", T.BinaryType: "BLOB",
+        T.DateType: "DATE", T.TimestampNTZType: "TIMESTAMP",
+        T.TimestampType: "TIMESTAMP WITH TIME ZONE", T.NullType: "SQLNULL",
+    }
+    if type(dt) in mapping:
+        return mapping[type(dt)]
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return spark_type_to_duckdb(dt.elementType) + "[]"
+    if isinstance(dt, T.MapType):
+        return f"MAP({spark_type_to_duckdb(dt.keyType)}, {spark_type_to_duckdb(dt.valueType)})"
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(f'"{f.name}" {spark_type_to_duckdb(f.dataType)}' for f in dt.fields)
+        return f"STRUCT({inner})"
+    return dt.simpleString().upper()
