@@ -182,11 +182,24 @@ class Connection:
         """Run DuckDB-dialect SQL: macro/sequence DDL handled by our
         catalog layer; everything else macro-expanded, dialect-translated
         (QUALIFY, DISTINCT ON, EXCLUDE, //, ::casts) and handed to Catalyst."""
-        from duckdb_spark.sql.dialect import translate
+        from duckdb_spark.sql.dialect import split_union_by_name, translate
 
         if self.macros.handle_ddl(query):
             return None
-        return Relation(self.spark.sql(translate(self.macros.expand(query))))
+        query = self.macros.expand(query)
+        ubn = split_union_by_name(query)
+        if ubn:
+            branches, ops, tail = ubn
+            df = self.spark.sql(translate(branches[0]))
+            for branch, op in zip(branches[1:], ops):
+                df = df.unionByName(self.spark.sql(translate(branch)), allowMissingColumns=True)
+                if op == "UNION":
+                    df = df.distinct()
+            if tail:
+                df.createOrReplaceTempView("__union_by_name")
+                df = self.spark.sql(f"SELECT * FROM __union_by_name {tail}")
+            return Relation(df)
+        return Relation(self.spark.sql(translate(query)))
 
     query = sql
 

@@ -221,6 +221,37 @@ def _rewrite_distinct_on(sql: str) -> str:
     return f"SELECT {sel} FROM ({inner}) __distinct_on WHERE __rn = 1 {tail}".strip()
 
 
+def _rewrite_named_windows(sql: str) -> str:
+    """Inline `WINDOW w AS (...)` definitions into OVER references —
+    including DuckDB's frame-extension form `OVER (w ROWS ...)`, which
+    Spark's named-window support can't parse. The WINDOW clause itself is
+    removed after inlining."""
+    m = re.search(r"(?is)\bWINDOW\s+([A-Za-z_][A-Za-z_0-9]*)\s+AS\s*\(", sql)
+    if not m:
+        return sql
+    while m:
+        name = m.group(1)
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        body = sql[m.end() : i - 1]
+        # strip this definition (and an optional trailing comma for multi-defs)
+        rest = re.sub(r"(?s)^\s*,", " WINDOW ", sql[i:], count=1)
+        sql = sql[: m.start()] + " " + rest
+        # OVER (w <frame-extension>) → OVER (<body> <frame-extension>)
+        sql = re.sub(
+            rf"(?is)\bOVER\s*\(\s*{name}\b", f"OVER ({body} ", sql
+        )
+        # bare OVER w → OVER (<body>)
+        sql = re.sub(rf"(?is)\bOVER\s+{name}\b", f"OVER ({body})", sql)
+        m = re.search(r"(?is)\bWINDOW\s+([A-Za-z_][A-Za-z_0-9]*)\s+AS\s*\(", sql)
+    return sql
+
+
 def translate(sql: str) -> str:
     """DuckDB dialect → Spark SQL. Idempotent on plain ANSI SQL."""
     toks = _tokens(sql)
@@ -228,6 +259,57 @@ def translate(sql: str) -> str:
     toks = _rewrite_floordiv(toks)
     toks = _rewrite_pg_cast(toks)
     out = "".join(toks)
+    out = _rewrite_named_windows(out)
     out = _rewrite_distinct_on(out)
     out = _rewrite_qualify(out)
     return out
+
+
+def split_union_by_name(sql: str) -> tuple[list[str], list[str], str] | None:
+    """Detect top-level `UNION [ALL] BY NAME` (DuckDB-only; Spark has no SQL
+    spelling). Returns (branch_sqls, set_ops, trailing_clause) or None.
+    The caller unions the branches with DataFrame unionByName."""
+    toks = _tokens(sql)
+    idx: list[tuple[int, str]] = []
+    depth = 0
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and _is_word(t, "UNION"):
+            j = i + 1
+            while j < len(toks) and toks[j].isspace():
+                j += 1
+            op = "UNION"
+            if j < len(toks) and _is_word(toks[j], "ALL"):
+                op = "UNION ALL"
+                j += 1
+                while j < len(toks) and toks[j].isspace():
+                    j += 1
+            if j < len(toks) and _is_word(toks[j], "BY"):
+                k = j + 1
+                while k < len(toks) and toks[k].isspace():
+                    k += 1
+                if k < len(toks) and _is_word(toks[k], "NAME"):
+                    idx.append((i, op))
+                    # blank out the operator tokens; branch split below
+                    for z in range(i, k + 1):
+                        toks[z] = "\x00" if z == i else ""
+        i += 1
+    if not idx:
+        return None
+    joined = "".join(t if t != "\x00" else "\x00" for t in toks)
+    branches = joined.split("\x00")
+    # trailing ORDER BY / LIMIT of the final branch applies to the whole union
+    last = branches[-1]
+    clauses = _split_clauses("SELECT 1 FROM t " + last) if last.strip().upper().startswith(("ORDER", "LIMIT")) else None
+    tail = ""
+    if clauses is None:
+        lc = _split_clauses(last)
+        tail = "".join(lc.get(k, "") for k in ("ORDER", "LIMIT", "OFFSET"))
+        if tail:
+            branches[-1] = last[: last.upper().rindex(tail.strip().split()[0].upper())]
+    return [b.strip() for b in branches], [op for _, op in idx], tail.strip()

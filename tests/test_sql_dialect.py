@@ -73,6 +73,27 @@ DIFFERENTIAL_SQL = {
                CASE WHEN n_name ILIKE 'nation_1%' THEN 'one' ELSE 'other' END AS tag
         FROM nation ORDER BY n_name
     """,
+    "lateral_join": """
+        SELECT r_name, top_n
+        FROM region, LATERAL (
+          SELECT n_name AS top_n FROM nation
+          WHERE n_regionkey = r_regionkey ORDER BY n_nationkey LIMIT 1) t
+        ORDER BY r_name
+    """,
+    "window_clause": """
+        SELECT s_suppkey,
+               RANK() OVER w AS rnk,
+               ROUND(SUM(s_acctbal) OVER (w ROWS UNBOUNDED PRECEDING), 2) AS run
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+        ORDER BY s_suppkey
+    """,
+    "union_by_name": """
+        SELECT n_nationkey AS k, n_name AS nm FROM nation WHERE n_nationkey < 3
+        UNION ALL BY NAME
+        SELECT r_name AS nm, r_regionkey AS k FROM region WHERE r_regionkey < 2
+        ORDER BY k, nm
+    """,
 }
 
 
