@@ -351,3 +351,35 @@ def val_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") % 3 == 0)
         .orderBy("n")
     )
+
+
+@register(
+    "ev_banded_range_join",
+    oracle="""
+SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n
+FROM events a JOIN events b
+  ON abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 30 * 1000000
+ AND a.event_id < b.event_id
+GROUP BY type_a, type_b ORDER BY type_a, type_b
+""",
+)
+def ev_banded_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global temporal band join WITHOUT an equality key (pure IEJoin
+    territory — reference physical_iejoin.cpp): all event pairs within 30s
+    across ALL users, via the bucketize-and-equi-join strategy
+    (operators/rangejoin.py). DuckDB's native IEJoin is the oracle."""
+    from duckdb_spark.operators.rangejoin import banded_range_join
+
+    (events,) = _t(spark, sf_dir, "events")
+    ev = events.select("event_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+    joined = banded_range_join(
+        ev, ev, "ts_us", "ts_us", band=30 * 1_000_000,
+        extra_cond=F.col("event_id") < F.col("event_id_r"),
+    )
+    return (
+        joined.groupBy(
+            F.col("event_type").alias("type_a"), F.col("event_type_r").alias("type_b")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("type_a", "type_b")
+    )
