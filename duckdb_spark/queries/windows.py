@@ -276,3 +276,40 @@ def win_lead_ignorenulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "win_groups_frame",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(1) OVER (PARTITION BY o_custkey ORDER BY day_no
+                         GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS grp_cnt,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY day_no
+                                     GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS grp_rev
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_no
+      FROM orders)
+ORDER BY o_orderkey
+""",
+)
+def win_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS frame (reference WindowBoundary *_GROUPS — Spark has no
+    native GROUPS): exact dense_rank→RANGE rewrite
+    (operators/groups_frame.py), validated against DuckDB's native
+    GROUPS frames."""
+    from duckdb_spark.operators.groups_frame import groups_frame
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias("day_no"),
+    )
+    out = groups_frame(
+        base, F.count("*"), ["o_custkey"], ["day_no"], 1, 1, "grp_cnt"
+    )
+    out = groups_frame(
+        out, F.sum("o_totalprice"), ["o_custkey"], ["day_no"], 1, 1, "grp_rev"
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", "grp_cnt", F.round("grp_rev", 2).alias("grp_rev")
+    ).orderBy("o_orderkey")
