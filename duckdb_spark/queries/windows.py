@@ -282,21 +282,24 @@ def win_lead_ignorenulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_groups_frame",
     oracle="""
 SELECT o_custkey, o_orderkey,
-       CAST(SUM(1) OVER (PARTITION BY o_custkey ORDER BY day_no
-                         GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS grp_cnt,
-       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY day_no
-                                     GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS grp_rev
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY grp
+                           RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS grp_cnt,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY grp
+                                     RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS grp_rev
 FROM (SELECT o_custkey, o_orderkey, o_totalprice,
-             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_no
-      FROM orders)
+             DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY day_no) AS grp
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                   date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_no
+            FROM orders))
 ORDER BY o_orderkey
 """,
 )
 def win_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPS frame (reference WindowBoundary *_GROUPS — Spark has no
-    native GROUPS): exact dense_rank→RANGE rewrite
-    (operators/groups_frame.py), validated against DuckDB's native
-    GROUPS frames."""
+    native GROUPS, and this DuckDB snapshot parses but does not execute
+    them either): exact dense_rank→RANGE rewrite
+    (operators/groups_frame.py); the oracle expresses the same semantics
+    through an independent dense_rank+RANGE SQL formulation."""
     from duckdb_spark.operators.groups_frame import groups_frame
 
     (orders,) = _t(spark, sf_dir, "orders")
