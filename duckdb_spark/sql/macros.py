@@ -150,8 +150,18 @@ class MacroRegistry:
                     if named and named.group(1) in macro.params:
                         binding[named.group(1)] = named.group(2).strip()
                     else:
+                        if pos >= len(macro.params):
+                            raise ValueError(
+                                f"macro {macro.name} takes {len(macro.params)} "
+                                f"argument(s), got {len(args)}"
+                            )
                         binding[macro.params[pos]] = a
                         pos += 1
+                missing = [p for p in macro.params if p not in binding]
+                if missing:
+                    raise ValueError(
+                        f"macro {macro.name}: missing argument(s) {missing}"
+                    )
                 body = macro.body
                 # parameter substitution, longest names first
                 for p in sorted(macro.params, key=len, reverse=True):
