@@ -31,33 +31,74 @@ def _c(x) -> Column:
 # -- moments-based (sample statistics, DuckDB semantics) --------------------
 
 
+_EPS = 2.220446049250313e-16  # std::numeric_limits<double>::epsilon()
+
+
+def _nonfinite(t: Column) -> Column:
+    return F.isnan(t) | (F.abs(t) == F.lit(float("inf")))
+
+
 def skewness(x) -> Column:
-    """Sample skewness G1 = n²/((n-1)(n-2)) * m3/s³ (s = sample stddev)."""
+    """Sample skewness, exact DuckDB semantics (reference
+    extension/core_functions/aggregate/distributive/skew.cpp:50-80):
+    NULL when n<=2, when the raw second moment is within an
+    epsilon-scaled tolerance of zero, or when variance<=0; ERROR
+    ("SKEW is out of range!") when the result overflows to non-finite.
+    Same sum-of-powers formulation so edge rounding matches."""
     x = _c(x).cast("double")
-    n = F.count(x)
-    m = F.avg(x)
-    m2 = F.avg(x * x) - m * m
-    m3 = F.avg(x * x * x) - 3 * m * F.avg(x * x) + 2 * m * m * m
-    s = F.sqrt(m2 * n / (n - 1))
-    # zero variance → undefined (NULL), matching DuckDB; also avoids the
-    # ANSI-mode divide-by-zero error on constant inputs
-    return F.when(m2 <= 0, F.lit(None)).otherwise(
-        (n * n / ((n - 1) * (n - 2))) * m3 / F.pow(s, 3)
+    n = F.count(x).cast("double")
+    s1 = F.sum(x)
+    s2 = F.sum(x * x)
+    s3 = F.sum(x * x * x)
+    temp = F.lit(1.0) / n
+    raw_m2 = s2 - s1 * s1 * temp
+    variance = temp * raw_m2
+    target = (
+        F.sqrt(n * (n - 1)) / (n - 2) * temp
+        * (s3 - 3 * s2 * s1 * temp + 2 * F.pow(s1, 3) * temp * temp)
+        / F.sqrt(F.pow(variance, 3))
+    )
+    near_zero_m2 = (
+        ~_nonfinite(raw_m2) & ~_nonfinite(s2)
+        & (F.abs(raw_m2) <= F.lit(_EPS) * F.greatest(F.lit(1.0), F.abs(s2)))
+    )
+    return (
+        F.when(n <= 2, F.lit(None).cast("double"))
+        .when(near_zero_m2, F.lit(None).cast("double"))
+        .when(variance <= 0, F.lit(None).cast("double"))
+        .when(_nonfinite(target), F.raise_error(F.lit("SKEW is out of range!")).cast("double"))
+        .otherwise(target)
     )
 
 
 def kurtosis(x) -> Column:
-    """Sample excess kurtosis G2 (bias-corrected), DuckDB `kurtosis`."""
+    """Sample excess kurtosis G2 (bias-corrected), exact DuckDB semantics
+    (reference kurtosis.cpp:57-93): NULL when n<=3, when
+    sum_sqr - sum²/n == 0, or when m2<=0; ERROR ("Kurtosis is out of
+    range!") when the result overflows to non-finite."""
     x = _c(x).cast("double")
     n = F.count(x).cast("double")
-    m = F.avg(x)
-    e2 = F.avg(x * x)
-    e3 = F.avg(x * x * x)
-    e4 = F.avg(x * x * x * x)
-    m2 = e2 - m * m
-    m4 = e4 - 4 * m * e3 + 6 * m * m * e2 - 3 * F.pow(m, 4)
-    g2 = m4 / F.when(m2 * m2 <= 0, F.lit(None)).otherwise(m2 * m2) - 3
-    return ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * g2 + 6)
+    s1 = F.sum(x)
+    s2 = F.sum(x * x)
+    s3 = F.sum(x * x * x)
+    s4 = F.sum(x * x * x * x)
+    temp = F.lit(1.0) / n
+    m4 = temp * (
+        s4 - 4 * s3 * s1 * temp + 6 * s2 * s1 * s1 * temp * temp
+        - 3 * F.pow(s1, 4) * F.pow(temp, 3)
+    )
+    m2 = temp * (s2 - s1 * s1 * temp)
+    target = (n - 1) * ((n + 1) * m4 / (m2 * m2) - 3 * (n - 1)) / ((n - 2) * (n - 3))
+    return (
+        F.when(n <= 3, F.lit(None).cast("double"))
+        .when(s2 - s1 * s1 * temp == 0, F.lit(None).cast("double"))
+        .when(m2 <= 0, F.lit(None).cast("double"))
+        .when(
+            _nonfinite(target),
+            F.raise_error(F.lit("Kurtosis is out of range!")).cast("double"),
+        )
+        .otherwise(target)
+    )
 
 
 def kurtosis_pop(x) -> Column:
@@ -164,10 +205,13 @@ def approx_quantile(x, q) -> Column:
 
 
 def mad(x) -> Column:
-    """Median absolute deviation — needs 2 passes in any engine; this is
-    the single-group Column form usable in window-free contexts via a
-    subquery; the operators module has the grouped 2-pass version."""
-    raise NotImplementedError("use duckdb_spark.operators.stats.mad_by_group")
+    """Median absolute deviation is holistic (needs the group median before
+    deviations can be aggregated) — not expressible as one Spark aggregate
+    Column. Use duckdb_spark.operators.stats.mad_by_group / mad_global
+    (two-pass, broadcast-joined medians)."""
+    raise NotImplementedError(
+        "MAD is two-pass: use duckdb_spark.operators.stats.mad_by_group"
+    )
 
 
 def entropy_from_counts(count_col) -> Column:

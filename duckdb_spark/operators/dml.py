@@ -28,14 +28,27 @@ def delete_where(table: DataFrame, cond: Column) -> tuple[DataFrame, DataFrame]:
 def update_where(
     table: DataFrame, cond: Column, assignments: dict[str, Column]
 ) -> tuple[DataFrame, DataFrame]:
-    """UPDATE ... SET col=expr WHERE cond → (post_image, updated_rows)."""
-    post = table.select(
+    """UPDATE ... SET col=expr WHERE cond → (post_image, updated_rows).
+
+    RETURNING semantics (reference physical_update.cpp): rows are matched on
+    their PRE-update values and their POST-update values are returned — so
+    the WHERE flag is computed on the pre-image before assignments apply
+    (SET bal=0 WHERE bal<0 must return the zeroed rows, not an empty set).
+    """
+    flagged = table.withColumn("__hit", F.coalesce(cond, F.lit(False)))
+    post_flagged = flagged.select(
+        "__hit",
         *[
-            (F.when(cond, assignments[c]).otherwise(F.col(c)) if c in assignments else F.col(c)).alias(c)
+            (
+                F.when(F.col("__hit"), assignments[c]).otherwise(F.col(c))
+                if c in assignments
+                else F.col(c)
+            ).alias(c)
             for c in table.columns
-        ]
+        ],
     )
-    updated = post.filter(cond)
+    post = post_flagged.drop("__hit")
+    updated = post_flagged.filter(F.col("__hit")).drop("__hit")
     return post, updated
 
 

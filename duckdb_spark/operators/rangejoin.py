@@ -37,7 +37,11 @@ def banded_range_join(
     """Join rows where |left.left_on − right.right_on| ≤ band (numeric or
     epoch-cast columns). Returns the joined frame with both sides' columns
     (right-side collisions suffixed `_r`)."""
-    lcol, rcol = F.col(left_on).cast("double"), F.col(right_on).cast("double")
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"banded_range_join supports how='inner'|'left', got {how!r}"
+        )
+    lcol = F.col(left_on).cast("double")
     renames = {c: (c + "_r" if c in left.columns else c) for c in right.columns}
 
     l = left.withColumn("__bucket", F.floor(lcol / band).cast("long"))
@@ -58,7 +62,25 @@ def banded_range_join(
     )
     if extra_cond is not None:
         cond = cond & extra_cond
-    return l.join(r, "__bucket", how).filter(cond).drop("__bucket")
+    # The 3 exploded buckets per right row are distinct and each left row has
+    # one bucket ⇒ a qualifying pair joins on exactly one bucket value — the
+    # inner result has no explode-duplicates.
+    if how == "inner":
+        return l.join(r, "__bucket", "inner").filter(cond).drop("__bucket")
+    # LEFT: the band predicate can't be filtered post-join (NULL on
+    # unmatched rows would drop them) — take the inner matches, then append
+    # left rows with no match, right side NULL.
+    l_id = l.withColumn("__lid", F.monotonically_increasing_id())
+    inner = l_id.join(r, "__bucket", "inner").filter(cond).drop("__bucket")
+    rcols = [renames[c] for c in right.columns]
+    unmatched = l_id.drop("__bucket").join(
+        inner.select("__lid").distinct(), "__lid", "left_anti"
+    ).select(
+        *[F.col(c) for c in left.columns],
+        F.col("__lid"),
+        *[F.lit(None).cast(dict(r.dtypes)[c]).alias(c) for c in rcols],
+    )
+    return inner.unionByName(unmatched).drop("__lid")
 
 
 def interval_join(
@@ -74,6 +96,8 @@ def interval_join(
     intervals explode into ceil(width/band)+1 buckets; points join their
     single bucket. The reference plans this on the IEJoin path; here it is
     one equi-shuffle."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"interval_join supports how='inner'|'left', got {how!r}")
     band = max_width
     p = points.withColumn("__bucket", F.floor(F.col(point_col).cast("double") / band).cast("long"))
     iv = intervals.withColumn(
@@ -85,14 +109,22 @@ def interval_join(
             )
         ),
     )
-    return (
-        p.join(iv, "__bucket", how)
-        .filter(
-            (F.col(point_col).cast("double") >= F.col(lo_col).cast("double"))
-            & (F.col(point_col).cast("double") <= F.col(hi_col).cast("double"))
-        )
-        .drop("__bucket")
+    cond = (
+        F.col(point_col).cast("double") >= F.col(lo_col).cast("double")
+    ) & (F.col(point_col).cast("double") <= F.col(hi_col).cast("double"))
+    # Each point has exactly one bucket ⇒ no explode-duplicates in the inner.
+    if how == "inner":
+        return p.join(iv, "__bucket", "inner").filter(cond).drop("__bucket")
+    p_id = p.withColumn("__lid", F.monotonically_increasing_id())
+    inner = p_id.join(iv, "__bucket", "inner").filter(cond).drop("__bucket")
+    unmatched = p_id.drop("__bucket").join(
+        inner.select("__lid").distinct(), "__lid", "left_anti"
+    ).select(
+        *[F.col(c) for c in points.columns],
+        F.col("__lid"),
+        *[F.lit(None).cast(dict(intervals.dtypes)[c]).alias(c) for c in intervals.columns],
     )
+    return inner.unionByName(unmatched).drop("__lid")
 
 
 def theta_join(left: DataFrame, right: DataFrame, cond: Column, how: str = "inner") -> DataFrame:

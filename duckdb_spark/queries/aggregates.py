@@ -330,20 +330,28 @@ def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_collect_list",
     oracle="""
-SELECT r_regionkey, LIST(n_name ORDER BY n_name) AS nations,
+SELECT r_regionkey,
+       ARRAY_TO_STRING(LIST(n_name ORDER BY n_name), '|') AS nations,
        CAST(LEN(LIST(n_name)) AS BIGINT) AS n
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_regionkey ORDER BY r_regionkey
 """,
 )
 def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """list()/array_agg with internal ORDER BY."""
+    """list()/array_agg with internal ORDER BY.
+
+    The list column is serialized with array_join so the driver's pandas
+    canonicalizer (which can't sort/hash numpy arrays) sees scalar rows;
+    ordering inside the list is still what's being verified.
+    """
     nation, region = _t(spark, sf_dir, "nation", "region")
     return (
         nation.join(region, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_regionkey")
         .agg(
-            A.list_agg(F.col("n_name"), order_by=F.col("n_name")).alias("nations"),
+            F.array_join(
+                A.list_agg(F.col("n_name"), order_by=F.col("n_name")), "|"
+            ).alias("nations"),
             F.count("*").alias("n"),
         )
         .orderBy("r_regionkey")

@@ -52,19 +52,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_ORACLE_SHINGLES
     + """
 SELECT doc_id,
-       list_transform(generate_series(0, 15),
-         i -> list_min(list_transform(
-                list_transform(s, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)),
-                h -> (h * (2 * i + 1) + i * 12345 + 1) % 4294967311))) AS sig
+       array_to_string(list_transform(
+         list_transform(generate_series(0, 15),
+           i -> list_min(list_transform(
+                  list_transform(s, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)),
+                  h -> (h * (2 * i + 1) + i * 12345 + 1) % 4294967311))),
+         v -> CAST(v AS VARCHAR)), ',') AS sig
 FROM sh WHERE doc_id < 50 ORDER BY doc_id
 """,
 )
 def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (16 hashes over word 3-shingles) — cross-engine
-    deterministic via md5-hex→int; differential on the first 50 docs."""
+    deterministic via md5-hex→int; differential on the first 50 docs.
+    Signature array serialized to CSV so the driver canon sees scalar rows."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return docs.select(
-        "doc_id", D.minhash_signature(F.col("text"), 16, 3).alias("sig")
+        "doc_id",
+        F.array_join(
+            D.minhash_signature(F.col("text"), 16, 3).cast("array<string>"), ","
+        ).alias("sig"),
     ).orderBy("doc_id")
 
 
@@ -130,16 +136,20 @@ hashes AS (
          list_transform(t, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS h
   FROM toks)
 SELECT doc_id,
-       list_sum(list_transform(generate_series(0, 31),
+       CAST(list_sum(list_transform(generate_series(0, 31),
          j -> CASE WHEN list_sum(list_transform(h,
                      v -> CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-                   THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS sig
+                   THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sig
 FROM hashes ORDER BY doc_id
 """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signatures — byte-identical across engines
-    (md5-derived token hashes); differential on the first 100 docs."""
+    (md5-derived token hashes); differential on the first 100 docs.
+
+    The oracle CASTs list_sum (DuckDB HUGEINT) to BIGINT: pandas renders
+    HUGEINT as float64, which breaks the driver's value-hash against our
+    int64 column even when every value is numerically identical."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return docs.select("doc_id", D.simhash(F.col("text")).alias("sig")).orderBy("doc_id")
 

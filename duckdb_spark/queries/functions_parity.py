@@ -219,40 +219,50 @@ WITH base AS (
   FROM documents WHERE doc_id < 40)
 SELECT doc_id,
        CAST(len(t) AS INT) AS n,
-       list_sort(list_distinct(t))[1:5] AS first5,
+       COALESCE(array_to_string(list_sort(list_distinct(t))[1:5], '|'), '') AS first5,
        CAST(len(list_distinct(t)) AS INT) AS uniq,
        list_contains(t, 'data') AS has_data,
        CAST(list_position(t, 'data') AS INT) AS pos_data,
-       array_to_string(list_slice(t, 1, 3), '-') AS head3,
-       list_transform(list_slice(list_sort(t), 1, 3), x -> upper(x)) AS up3,
-       list_filter(list_slice(list_sort(t), 1, 8), x -> length(x) > 4) AS long8,
+       COALESCE(array_to_string(list_slice(t, 1, 3), '-'), '') AS head3,
+       COALESCE(array_to_string(list_transform(list_slice(list_sort(t), 1, 3), x -> upper(x)), '|'), '') AS up3,
+       COALESCE(array_to_string(list_filter(list_slice(list_sort(t), 1, 8), x -> length(x) > 4), '|'), '') AS long8,
        CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS total_chars,
-       list_reverse(list_slice(list_sort(t), 1, 3)) AS rev3,
+       COALESCE(array_to_string(list_reverse(list_slice(list_sort(t), 1, 3)), '|'), '') AS rev3,
        list_min(t) AS mn, list_max(t) AS mx,
-       flatten([list_slice(list_sort(t), 1, 2), ['zz']]) AS flat
+       COALESCE(array_to_string(flatten([list_slice(list_sort(t), 1, 2), ['zz']]), '|'), '') AS flat
 FROM base ORDER BY doc_id
 """,
 )
 def fn_list_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """List/lambda-function batch: HOFs transform/filter/aggregate, slice
-    (DuckDB 1-based inclusive), sort/distinct/contains/position/flatten."""
+    (DuckDB 1-based inclusive), sort/distinct/contains/position/flatten.
+
+    Array-valued outputs are array_join'd so the driver's pandas canon sees
+    scalar rows (it can't sort/hash numpy arrays); element order inside each
+    serialized list is still exact."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
     t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     sorted_t = F.array_sort(t)
     return docs.select(
         "doc_id",
         F.size(t).alias("n"),
-        S.list_slice(F.array_sort(F.array_distinct(t)), 1, 5).alias("first5"),
+        F.array_join(S.list_slice(F.array_sort(F.array_distinct(t)), 1, 5), "|").alias("first5"),
         F.size(F.array_distinct(t)).alias("uniq"),
         F.array_contains(t, "data").alias("has_data"),
         F.array_position(t, "data").cast("int").alias("pos_data"),
         F.array_join(S.list_slice(t, 1, 3), "-").alias("head3"),
-        F.transform(S.list_slice(sorted_t, 1, 3), lambda x: F.upper(x)).alias("up3"),
-        F.filter(S.list_slice(sorted_t, 1, 8), lambda x: F.length(x) > 4).alias("long8"),
+        F.array_join(
+            F.transform(S.list_slice(sorted_t, 1, 3), lambda x: F.upper(x)), "|"
+        ).alias("up3"),
+        F.array_join(
+            F.filter(S.list_slice(sorted_t, 1, 8), lambda x: F.length(x) > 4), "|"
+        ).alias("long8"),
         F.aggregate(t, F.lit(0).cast("long"), lambda a, x: a + F.length(x)).alias("total_chars"),
-        F.reverse(S.list_slice(sorted_t, 1, 3)).alias("rev3"),
+        F.array_join(F.reverse(S.list_slice(sorted_t, 1, 3)), "|").alias("rev3"),
         F.array_min(t).alias("mn"), F.array_max(t).alias("mx"),
-        F.flatten(F.array(S.list_slice(sorted_t, 1, 2), F.array(F.lit("zz")))).alias("flat"),
+        F.array_join(
+            F.flatten(F.array(S.list_slice(sorted_t, 1, 2), F.array(F.lit("zz")))), "|"
+        ).alias("flat"),
     ).orderBy("doc_id")
 
 
@@ -264,8 +274,8 @@ SELECT n_nationkey AS nk,
        CAST(struct_extract({'name': n_name, 'region': n_regionkey}, 'region') AS INT) AS sregion,
        map_extract(map(['a', 'b'], [n_nationkey, n_regionkey]), 'a')[1] AS ma,
        CAST(cardinality(map(['a', 'b'], [n_nationkey, n_regionkey])) AS INT) AS mlen,
-       map_keys(map(['a', 'b'], [n_nationkey, n_regionkey])) AS mkeys,
-       map_values(map(['a', 'b'], [n_nationkey, n_regionkey])) AS mvals,
+       array_to_string(map_keys(map(['a', 'b'], [n_nationkey, n_regionkey])), '|') AS mkeys,
+       array_to_string(map_values(map(['a', 'b'], [n_nationkey, n_regionkey])), '|') AS mvals,
        to_json({'k': n_nationkey}) AS js,
        CAST(json_extract_string(to_json({'k': n_nationkey}), '$.k') AS INT) AS jk
 FROM nation ORDER BY nk
@@ -285,8 +295,8 @@ def fn_struct_map_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.getField("region").alias("sregion"),
         F.element_at(mp, "a").alias("ma"),
         F.size(mp).alias("mlen"),
-        F.map_keys(mp).alias("mkeys"),
-        F.map_values(mp).alias("mvals"),
+        F.array_join(F.map_keys(mp), "|").alias("mkeys"),
+        F.array_join(F.map_values(mp).cast("array<string>"), "|").alias("mvals"),
         F.to_json(F.struct(F.col("n_nationkey").alias("k"))).alias("js"),
         F.get_json_object(
             F.to_json(F.struct(F.col("n_nationkey").alias("k"))), "$.k"

@@ -124,7 +124,9 @@ class Relation:
         return Relation(self._df.unionByName(other._df, allowMissingColumns=True))
 
     def intersect(self, other: "Relation") -> "Relation":
-        return Relation(self._df.intersect(other._df))
+        # reference Relation::Intersect uses setop_all=true (INTERSECT ALL),
+        # consistent with union/except_ here
+        return Relation(self._df.intersectAll(other._df))
 
     def except_(self, other: "Relation") -> "Relation":
         return Relation(self._df.exceptAll(other._df))

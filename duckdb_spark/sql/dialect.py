@@ -311,5 +311,30 @@ def split_union_by_name(sql: str) -> tuple[list[str], list[str], str] | None:
         lc = _split_clauses(last)
         tail = "".join(lc.get(k, "") for k in ("ORDER", "LIMIT", "OFFSET"))
         if tail:
-            branches[-1] = last[: last.upper().rindex(tail.strip().split()[0].upper())]
+            # Cut at the token offset of the first top-level ORDER BY/LIMIT/
+            # OFFSET — a substring rindex could land inside an identifier
+            # (e.g. o_orderkey contains 'ORDER').
+            ltoks = _tokens(last)
+            cut = len(last)
+            pos = 0
+            depth = 0
+            for n, t in enumerate(ltoks):
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                elif depth == 0:
+                    up = t.upper()
+                    if up in ("LIMIT", "OFFSET"):
+                        cut = pos
+                        break
+                    if up == "ORDER":
+                        j = n + 1
+                        while j < len(ltoks) and ltoks[j].isspace():
+                            j += 1
+                        if j < len(ltoks) and ltoks[j].upper() == "BY":
+                            cut = pos
+                            break
+                pos += len(t)
+            branches[-1] = last[:cut]
     return [b.strip() for b in branches], [op for _, op in idx], tail.strip()

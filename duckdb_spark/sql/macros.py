@@ -126,6 +126,19 @@ class MacroRegistry:
             fn, name = m.group(1).lower(), m.group(2)
             if name.lower() not in self._sequences:
                 return m.group(0)
+            if fn == "nextval" and re.search(r"(?i)\bFROM\b", sql):
+                # Reference nextval is per-row volatile
+                # (sequence_catalog_entry.cpp); a textual constant would give
+                # every row the same value. Refuse rather than silently
+                # diverge. (currval IS statement-stable, so it still inlines.)
+                raise NotImplementedError(
+                    "nextval() in a FROM-bearing query needs per-row "
+                    "evaluation; use monotonically_increasing_id()/row_number "
+                    "for distributed id assignment"
+                )
+            # Advancing at expansion time matches engine semantics: sequences
+            # are non-transactional — a failed/rolled-back query still burns
+            # the value.
             return str(self.nextval(name) if fn == "nextval" else self.currval(name))
 
         sql = re.sub(r"(?i)\b(nextval|currval)\s*\(\s*'([^']+)'\s*\)", sub_seq, sql)

@@ -88,19 +88,31 @@ def test_gcd_lcm_parity(spark, duck, xs, ys):
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=4, max_size=30))
 def test_skewness_kurtosis_parity(spark, duck, values):
+    """Value parity AND error parity: DuckDB throws OutOfRangeException when
+    the statistic overflows to non-finite (reference kurtosis.cpp:91,
+    skew.cpp:78) — our aggregates raise the same message."""
     rows = [(float(v),) for v in values]
     df = spark.createDataFrame(rows, "x double")
-    got = df.agg(
-        F.round(A.skewness("x"), 6).alias("s"), F.round(A.kurtosis("x"), 6).alias("k")
-    ).collect()[0]
     duck.execute("CREATE OR REPLACE TABLE tt AS SELECT * FROM (VALUES "
                  + ",".join(f"({v!r})" for v, in rows) + ") t(x)")
-    want = duck.execute("SELECT ROUND(skewness(x), 6), ROUND(kurtosis(x), 6) FROM tt").fetchone()
-    for g, w in zip((got["s"], got["k"]), want):
-        if g is None or w is None:
-            assert g == w
+    for fn, duck_fn in ((A.skewness, "skewness"), (A.kurtosis, "kurtosis")):
+        try:
+            want = duck.execute(f"SELECT ROUND({duck_fn}(x), 6) FROM tt").fetchone()[0]
+            want_err = None
+        except Exception as e:  # noqa: BLE001 — DuckDB OutOfRangeException
+            want, want_err = None, str(e)
+        try:
+            got = df.agg(F.round(fn("x"), 6).alias("v")).collect()[0]["v"]
+            got_err = None
+        except Exception as e:  # noqa: BLE001 — Spark raise_error
+            got, got_err = None, str(e)
+        if want_err is not None:
+            assert got_err is not None and "out of range" in got_err.lower(), (
+                values, want_err, got_err)
+        elif got is None or want is None:
+            assert got == want and got_err is None, (values, got, want, got_err)
         else:
-            assert abs(g - w) < 1e-4, (g, w, values)
+            assert abs(got - want) < 1e-4, (got, want, values)
 
 
 def test_even_signbit_formatbytes(spark, duck):
