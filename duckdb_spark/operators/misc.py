@@ -66,6 +66,18 @@ def sample_percent(df: DataFrame, pct: float, seed: int = 42) -> DataFrame:
     return df.sample(fraction=pct / 100.0, seed=seed)
 
 
+def hash_sample(df: DataFrame, pct: float, key_cols: list[str]) -> DataFrame:
+    """Deterministic bernoulli sample: keep rows where
+    md5(key) mod 1000 < pct*10. Engine-independent (md5 is identical
+    everywhere), scan-local, no shuffle, reproducible across runs and
+    engines — the sampling strategy to use when downstream must be
+    auditable (the reference's setseed+system sample is engine-RNG-bound).
+    """
+    key = F.concat_ws("\x01", *[F.col(c).cast("string") for c in key_cols])
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 1000
+    return df.filter(bucket < int(pct * 10))
+
+
 def limit_percent(df: DataFrame, pct: float) -> DataFrame:
     """LIMIT x% (reference physical_limit_percent.cpp) — two-pass."""
     n = df.count()

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from duckdb_spark.catalog import load_table
 from duckdb_spark.operators.dml import delete_where, merge_into, update_where
-from duckdb_spark.operators.misc import sample_percent
+from duckdb_spark.operators.misc import hash_sample, sample_percent
 from duckdb_spark.operators.pivot import dynamic_pivot, unpivot
 from duckdb_spark.queries import register
 
@@ -133,10 +133,23 @@ def unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey", "name")
 
 
-@register("sample_bernoulli")
+@register(
+    "sample_bernoulli",
+    oracle="""
+SELECT l_orderkey, l_linenumber FROM lineitem
+WHERE CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || chr(1) || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 100
+ORDER BY l_orderkey, l_linenumber
+""",
+)
 def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """USING SAMPLE 10% (bernoulli, reference reservoir_sample.cpp family).
-    Rows-only check: sampling is engine-RNG-specific by design; the unit
-    tests pin determinism-under-seed and size bounds."""
+    """Bernoulli 10% sample, deterministic hash-based variant (md5 mod
+    buckets — identical in both engines, so the sample is exactly
+    reproducible and oracle-checkable). Engine-RNG sampling (`USING
+    SAMPLE`, reference reservoir_sample.cpp family) stays available as
+    sample_percent/reservoir_sample with unit-tested size bounds."""
     lineitem = load_table(spark, sf_dir, "lineitem")
-    return sample_percent(lineitem, 10.0, seed=42).select("l_orderkey", "l_linenumber")
+    return (
+        hash_sample(lineitem, 10.0, ["l_orderkey", "l_linenumber"])
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )

@@ -38,11 +38,30 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("w_start_us", "event_type")
 
 
-@register("stream_session_windows")
+@register(
+    "stream_session_windows",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events),
+lagged AS (
+  SELECT user_id, t,
+         CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e),
+sess AS (
+  SELECT user_id, t,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged)
+SELECT user_id, MIN(t) AS s_start_us, MAX(t) + 1800 * 1000000 AS s_end_us,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start_us
+""",
+)
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """session_window(gap=30min) streaming pipeline (rows-only check: the
-    batch equivalent ev_sessionization pins per-user session *counts*; this
-    exercises the streaming session-state operator itself)."""
+    """session_window(gap=30min) streaming pipeline vs the batch-SQL session
+    formulation as oracle (Spark session semantics: a new session starts
+    when the gap is >= the threshold; session end = last event + gap)."""
     out = run_batch_as_stream(
         spark,
         f"{sf_dir}/events.parquet",
