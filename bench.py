@@ -26,7 +26,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "tpch_q01", "tpch_q03", "tpch_q05", "tpch_q06", "tpch_q08", "tpch_q09",
     "tpch_q13", "tpch_q18", "tpch_q21",
-    "win_topk_per_group", "ev_sessionization", "ev_asof_join",
+    "win_topk_per_group", "ev_timeseries", "ev_asof_join",
     "dedup_minhash_lsh", "text_quality", "sim_cosine_topk",
 ]
 

@@ -328,6 +328,185 @@ def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_grouping",
+    oracle="""
+SELECT 'gs' AS tag, r_name AS k1, n_name AS k2, COUNT(*) AS n,
+       ROUND(SUM(c_acctbal), 2) AS val,
+       GROUPING(r_name) AS g1, GROUPING(n_name) AS g2
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+UNION ALL
+SELECT 'ru', CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR), o_orderpriority,
+       COUNT(*), ROUND(SUM(o_totalprice), 2),
+       GROUPING(EXTRACT(year FROM o_orderdate)), GROUPING(o_orderpriority)
+FROM orders
+GROUP BY ROLLUP (EXTRACT(year FROM o_orderdate), o_orderpriority)
+UNION ALL
+SELECT 'cu', l_returnflag, l_linestatus, COUNT(*), ROUND(SUM(l_quantity), 2),
+       GROUPING(l_returnflag), GROUPING(l_linestatus)
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY tag, g1, g2, k1 NULLS FIRST, k2 NULLS FIRST
+""",
+)
+def agg_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS + ROLLUP + CUBE + GROUPING() in one tagged union
+    (reference grouping-set expansion in physical_hash_aggregate.cpp)."""
+    customer, nation, region, orders, lineitem = _t(
+        spark, sf_dir, "customer", "nation", "region", "orders", "lineitem"
+    )
+    for name, df in [("customer", customer), ("nation", nation), ("region", region),
+                     ("orders", orders), ("lineitem", lineitem)]:
+        df.createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT 'gs' AS tag, r_name AS k1, n_name AS k2, COUNT(*) AS n,
+               ROUND(SUM(c_acctbal), 2) AS val,
+               CAST(GROUPING(r_name) AS BIGINT) AS g1,
+               CAST(GROUPING(n_name) AS BIGINT) AS g2
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        UNION ALL
+        SELECT 'ru', CAST(EXTRACT(year FROM o_orderdate) AS STRING), o_orderpriority,
+               COUNT(*), ROUND(SUM(o_totalprice), 2),
+               CAST(GROUPING(EXTRACT(year FROM o_orderdate)) AS BIGINT),
+               CAST(GROUPING(o_orderpriority) AS BIGINT)
+        FROM orders
+        GROUP BY ROLLUP (EXTRACT(year FROM o_orderdate), o_orderpriority)
+        UNION ALL
+        SELECT 'cu', l_returnflag, l_linestatus, COUNT(*), ROUND(SUM(l_quantity), 2),
+               CAST(GROUPING(l_returnflag) AS BIGINT),
+               CAST(GROUPING(l_linestatus) AS BIGINT)
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY tag, g1, g2, k1 NULLS FIRST, k2 NULLS FIRST
+        """
+    )
+
+
+@register(
+    "agg_distributive",
+    oracle="""
+WITH ent AS (
+  SELECT n_name, ROUND(ENTROPY(s_suppkey % 10), 4) AS ent
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name)
+SELECT m.n_name, n_supp, n_pos, n_distinct, names, richest, poorest, prod,
+       all_pos, any_rich, band, bor, bxor, ent
+FROM (
+  SELECT n_name,
+         COUNT(*) AS n_supp,
+         COUNT(*) FILTER (WHERE s_acctbal > 0) AS n_pos,
+         COUNT(DISTINCT s_suppkey % 10) AS n_distinct,
+         STRING_AGG(s_name, ',' ORDER BY s_name) AS names,
+         ARG_MAX(s_name, s_acctbal) AS richest,
+         ARG_MIN(s_name, s_acctbal) AS poorest,
+         ROUND(PRODUCT(1 + s_acctbal / 100000), 4) AS prod,
+         BOOL_AND(s_acctbal > 0) AS all_pos,
+         BOOL_OR(s_acctbal > 9000) AS any_rich,
+         BIT_AND(s_suppkey) AS band,
+         BIT_OR(s_suppkey) AS bor,
+         BIT_XOR(s_suppkey) AS bxor
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name) m JOIN ent ON m.n_name = ent.n_name
+ORDER BY m.n_name
+""",
+)
+def agg_distributive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributive/sorted aggregate surface in one grouping: FILTER,
+    DISTINCT, ordered string_agg, arg_min/max, product, bool/bit aggs,
+    plus two-level Shannon entropy (broadcast-joined back — entropy is the
+    only one needing a second aggregation level)."""
+    supplier, nation = _t(spark, sf_dir, "supplier", "nation")
+    sn = supplier.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+    main = sn.groupBy("n_name").agg(
+        F.count("*").alias("n_supp"),
+        F.count(F.when(F.col("s_acctbal") > 0, 1)).alias("n_pos"),
+        F.countDistinct(F.col("s_suppkey") % 10).alias("n_distinct"),
+        A.string_agg(F.col("s_name"), ",").alias("names"),
+        F.max_by("s_name", "s_acctbal").alias("richest"),
+        F.min_by("s_name", "s_acctbal").alias("poorest"),
+        F.round(A.product(1 + F.col("s_acctbal") / 100000), 4).alias("prod"),
+        F.bool_and(F.col("s_acctbal") > 0).alias("all_pos"),
+        F.bool_or(F.col("s_acctbal") > 9000).alias("any_rich"),
+        F.bit_and("s_suppkey").alias("band"),
+        F.bit_or("s_suppkey").alias("bor"),
+        F.bit_xor("s_suppkey").alias("bxor"),
+    )
+    counts = sn.groupBy("n_name", (F.col("s_suppkey") % 10).alias("__b")).agg(
+        F.count("*").alias("__c")
+    )
+    ent = counts.groupBy("n_name").agg(
+        F.round(A.entropy_from_counts("__c"), 4).alias("ent")
+    )
+    return main.join(F.broadcast(ent), "n_name").orderBy("n_name")
+
+
+@register(
+    "agg_stats_wide",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+       ROUND(VAR_POP(l_discount), 6) AS var_disc,
+       ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qe,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS cov_qe,
+       ROUND(SKEWNESS(l_extendedprice), 4) AS skew,
+       ROUND(KURTOSIS(l_extendedprice), 4) AS kurt,
+       ROUND(SEM(l_extendedprice), 4) AS sem,
+       ROUND(MEDIAN(l_quantity), 2) AS med_qty,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 2) AS p25,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 2) AS p75,
+       ROUND(MAD(l_quantity), 2) AS mad_qty,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS r_slope,
+       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 2) AS r_icpt,
+       ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r_r2,
+       CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS r_n,
+       ROUND(REGR_AVGX(l_extendedprice, l_quantity), 4) AS r_avgx,
+       ROUND(REGR_AVGY(l_extendedprice, l_quantity), 2) AS r_avgy
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def agg_stats_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full statistical-aggregate surface in one grouping: algebraic
+    (stddev/var/corr/covar), sample skew/kurtosis/sem (DuckDB semantics,
+    functions/aggregates.py), holistic quantiles + 2-pass MAD, and the
+    regr_* regression family (Spark natives, reference
+    core_functions/aggregate/regression)."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    med = lineitem.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("__med")
+    )
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        lineitem.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_pop("l_discount"), 6).alias("var_disc"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qe"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qe"),
+            F.round(A.skewness("l_extendedprice"), 4).alias("skew"),
+            F.round(A.kurtosis("l_extendedprice"), 4).alias("kurt"),
+            F.round(A.sem("l_extendedprice"), 4).alias("sem"),
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 2).alias("med_qty"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 2).alias("p25"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 2).alias("p75"),
+            F.round(
+                F.percentile(F.abs(F.col("l_quantity") - F.col("__med")), F.lit(0.5)), 2
+            ).alias("mad_qty"),
+            F.round(F.regr_slope(y, x), 4).alias("r_slope"),
+            F.round(F.regr_intercept(y, x), 2).alias("r_icpt"),
+            F.round(F.regr_r2(y, x), 6).alias("r_r2"),
+            F.regr_count(y, x).alias("r_n"),
+            F.round(F.regr_avgx(y, x), 4).alias("r_avgx"),
+            F.round(F.regr_avgy(y, x), 2).alias("r_avgy"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "agg_collect_list",
     oracle="""
 SELECT r_regionkey,

@@ -354,6 +354,147 @@ def val_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_range_join_all",
+    oracle="""
+SELECT 'eq' AS tag, a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+GROUP BY type_a, type_b
+UNION ALL
+SELECT 'band', a.event_type, b.event_type, COUNT(*)
+FROM events a JOIN events b
+  ON abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 30 * 1000000
+ AND a.event_id < b.event_id
+GROUP BY 2, 3
+ORDER BY tag, type_a, type_b
+""",
+)
+def ev_range_join_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both range-join strategies, one tagged result: the piecewise path
+    (equi-key + range filter, reference physical_piecewise_merge_join.cpp)
+    and the keyless banded IEJoin path (bucketize-and-equi-join,
+    operators/rangejoin.py vs reference physical_iejoin.cpp)."""
+    from duckdb_spark.operators.rangejoin import banded_range_join
+
+    (events,) = _t(spark, sf_dir, "events")
+    a = events.select("user_id", F.col("ts").alias("ts_a"), F.col("event_type").alias("type_a"))
+    b = events.select("user_id", F.col("ts").alias("ts_b"), F.col("event_type").alias("type_b"))
+    eq = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTE"))
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("eq").alias("tag"), "type_a", "type_b", "n")
+    )
+    ev = events.select("event_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+    band = (
+        banded_range_join(
+            ev, ev, "ts_us", "ts_us", band=30 * 1_000_000,
+            extra_cond=F.col("event_id") < F.col("event_id_r"),
+        )
+        .groupBy(F.col("event_type").alias("type_a"), F.col("event_type_r").alias("type_b"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("band").alias("tag"), "type_a", "type_b", "n")
+    )
+    return eq.unionByName(band).orderBy("tag", "type_a", "type_b")
+
+
+@register(
+    "ev_timeseries",
+    oracle="""
+WITH sess AS (
+  SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n,
+         ROUND(COUNT(*) / COUNT(DISTINCT session_id), 2) AS v
+  FROM (SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM (SELECT user_id, ts, event_id,
+                     CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 * 1000000
+                            OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events))
+  GROUP BY user_id),
+tb AS (
+  SELECT CAST(epoch(time_bucket(INTERVAL 6 HOUR, ts)) AS BIGINT) AS k,
+         COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+  FROM events GROUP BY 1),
+filled AS (
+  SELECT event_id,
+         ROUND(CASE WHEN v IS NOT NULL THEN v
+                    WHEN pv IS NULL THEN nv
+                    WHEN nv IS NULL THEN pv
+                    WHEN nx = px THEN pv
+                    ELSE pv + (nv - pv) * (x - px) / (nx - px) END, 4) AS v_filled
+  FROM (
+    SELECT event_id, v, epoch_us(ts) AS x,
+           LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           LAST_VALUE(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px,
+           FIRST_VALUE(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+          FROM events)))
+SELECT 'sess' AS tag, user_id AS k, n, v FROM sess
+UNION ALL
+SELECT 'bucket', k, n, v FROM tb
+UNION ALL
+SELECT 'fill', event_id, CAST(NULL AS BIGINT), v_filled FROM filled
+ORDER BY tag, k
+""",
+)
+def ev_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series surface in one tagged result: 30-min sessionization
+    (lag + running sum) and 6h time_bucket aggregation (DuckDB bucket
+    origin) — merged so the driver's 50-query window covers both."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(prev_ts)) > 1800 * 1_000_000),
+        1,
+    ).otherwise(0)
+    sess = (
+        events.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(run))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n"),
+            F.round(F.count("*") / F.countDistinct("session_id"), 2).alias("v"),
+        )
+        .select(F.lit("sess").alias("tag"), F.col("user_id").alias("k"), "n", "v")
+    )
+    bucket = S.time_bucket(6 * 3600, F.col("ts"))
+    tb = (
+        events.groupBy((F.unix_micros(bucket) / 1_000_000).cast("long").alias("k"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .select(F.lit("bucket").alias("tag"), "k", "n", "v")
+    )
+    valued = events.withColumn(
+        "v", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    ).withColumn("x_us", F.unix_micros("ts"))
+    filled = fill_interpolate(
+        valued, "v", "x_us", partition_by=["user_id"], out_col="v_filled"
+    ).select(
+        F.lit("fill").alias("tag"),
+        F.col("event_id").alias("k"),
+        F.lit(None).cast("long").alias("n"),
+        F.round("v_filled", 4).alias("v"),
+    )
+    return sess.unionByName(tb).unionByName(filled).orderBy("tag", "k")
+
+
+@register(
     "ev_banded_range_join",
     oracle="""
 SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n

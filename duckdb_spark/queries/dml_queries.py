@@ -90,6 +90,73 @@ def dml_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dml_batch",
+    oracle="""
+WITH target AS (SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total, o_orderstatus
+                FROM orders WHERE o_orderkey % 3 = 0),
+source AS (SELECT l_orderkey AS o_orderkey,
+                  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+           FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY l_orderkey),
+merged AS (
+  SELECT t.o_orderkey, t.total, t.o_orderstatus FROM target t
+  WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+  UNION ALL
+  SELECT t.o_orderkey, s.revenue, 'U' FROM target t JOIN source s USING (o_orderkey)
+  UNION ALL
+  SELECT s.o_orderkey, s.revenue, 'I' FROM source s
+  WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = s.o_orderkey)),
+upd AS (
+  SELECT c_custkey,
+         CASE WHEN c_acctbal < 0 THEN 0.0 ELSE ROUND(c_acctbal, 2) END AS bal,
+         CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS was_updated
+  FROM customer)
+SELECT 'm' AS tag, o_orderkey AS k, total AS v, o_orderstatus AS s FROM merged
+UNION ALL
+SELECT 'u', c_custkey, bal, CAST(was_updated AS VARCHAR) FROM upd WHERE bal >= 1000
+ORDER BY tag, k
+""",
+)
+def dml_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO + UPDATE/DELETE post-images in one tagged result
+    (rewrite-pattern operators, operators/dml.py) so the driver window
+    covers the whole DML surface."""
+    orders, lineitem, customer = (
+        load_table(spark, sf_dir, t) for t in ("orders", "lineitem", "customer")
+    )
+    target = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total"), "o_orderstatus"
+    )
+    source = (
+        lineitem.filter(F.col("l_orderkey") % 2 == 0)
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2).cast("double").alias("revenue"))
+    )
+    merged = merge_into(
+        target,
+        source,
+        on=["o_orderkey"],
+        when_matched_update={"total": F.col("s.revenue"), "o_orderstatus": F.lit("U")},
+        when_not_matched_insert=True,
+        insert_values={"total": F.col("revenue"), "o_orderstatus": F.lit("I")},
+    ).select(
+        F.lit("m").alias("tag"), F.col("o_orderkey").alias("k"),
+        F.col("total").alias("v"), F.col("o_orderstatus").alias("s"),
+    )
+    cust = customer.select("c_custkey", F.round("c_acctbal", 2).alias("bal"))
+    updated, _changed = update_where(
+        cust.withColumn("was_updated", F.when(F.col("bal") < 0, 1).otherwise(0)),
+        F.col("bal") < 0,
+        {"bal": F.lit(0.0)},
+    )
+    post, _deleted = delete_where(updated, F.col("bal") < 1000)
+    ud = post.select(
+        F.lit("u").alias("tag"), F.col("c_custkey").alias("k"),
+        F.col("bal").alias("v"), F.col("was_updated").cast("string").alias("s"),
+    )
+    return merged.unionByName(ud).orderBy("tag", "k")
+
+
+@register(
     "pivot_dynamic",
     oracle="""
 SELECT c_mktsegment,

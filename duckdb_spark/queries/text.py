@@ -152,6 +152,53 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_profile",
+    oracle=_ORACLE_HITS
+    + """
+SELECT doc_id, lang AS labeled,
+       CASE WHEN greatest(h_en, h_es, h_fr, h_de, h_zh) = 0 THEN 'und'
+            WHEN h_de = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'de'
+            WHEN h_en = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'en'
+            WHEN h_es = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'es'
+            WHEN h_fr = greatest(h_en, h_es, h_fr, h_de, h_zh) THEN 'fr'
+            ELSE 'zh' END AS predicted,
+       CAST(len(t) AS BIGINT) AS n_tok,
+       ROUND((
+         (CASE WHEN len(t) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END)
+         + (CASE WHEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0
+                      / greatest(length(text), 1) <= 0.2 THEN 1.0
+                 ELSE greatest(0.0, 1.0 - ((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0
+                      / greatest(length(text), 1) - 0.2) * 4) END)
+         + least(greatest(h_en, h_es, h_fr, h_de, h_zh) * 1.0 / greatest(len(t), 1) * 5, 1.0)) / 3.0, 4) AS quality,
+       md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp
+FROM hits WHERE doc_id < 200 ORDER BY doc_id
+""",
+)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-analysis profile in one scan-local pass:
+    language-ID (stopword-hit argmax), composite quality score
+    (length band + punct ratio + stopword density), and the
+    order-invariant content fingerprint — the full curation surface
+    of operators/text.py differentially pinned per doc."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    stripped = F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9 ]", "")
+    p = (F.length("text") - F.length(stripped)) / F.greatest(F.length("text"), F.lit(1))
+    n_tok = T.token_count(F.col("text"))
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.3)
+    punct_ok = F.when(p <= 0.2, 1.0).otherwise(F.greatest(F.lit(0.0), 1.0 - (p - 0.2) * 4))
+    sw = F.greatest(*[T.stopword_hits(F.col("text"), lg) for lg in T.STOPWORDS])
+    sw_ok = F.least(sw / F.greatest(n_tok, F.lit(1)) * 5, F.lit(1.0))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled"),
+        T.detect_language(F.col("text")).alias("predicted"),
+        n_tok.cast("long").alias("n_tok"),
+        F.round((len_ok + punct_ok + sw_ok) / 3.0, 4).alias("quality"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    ).orderBy("doc_id")
+
+
+@register(
     "text_length_histogram",
     oracle="""
 SELECT (n_chars // 100) * 100 AS bucket, COUNT(*) AS n,

@@ -279,6 +279,150 @@ def win_lead_ignorenulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_ranking",
+    oracle="""
+SELECT p_partkey,
+       ROW_NUMBER()   OVER (PARTITION BY p_type ORDER BY p_retailprice, p_partkey) AS rn,
+       RANK()         OVER (PARTITION BY p_type ORDER BY p_size) AS rnk,
+       DENSE_RANK()   OVER (PARTITION BY p_type ORDER BY p_size) AS drnk,
+       NTILE(4)       OVER (PARTITION BY p_type ORDER BY p_retailprice, p_partkey) AS q,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY p_type ORDER BY p_retailprice, p_partkey), 4) AS pr,
+       ROUND(CUME_DIST()    OVER (PARTITION BY p_type ORDER BY p_retailprice, p_partkey), 4) AS cd
+FROM part ORDER BY p_partkey
+""",
+)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six ranking functions in one window pass (row_number / rank /
+    dense_rank with ties on p_size / ntile / percent_rank / cume_dist) —
+    one shuffle on p_type, every function shares the sort."""
+    (part,) = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type").orderBy("p_retailprice", "p_partkey")
+    wt = Window.partitionBy("p_type").orderBy("p_size")
+    return part.select(
+        "p_partkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(wt).alias("rnk"),
+        F.dense_rank().over(wt).alias("drnk"),
+        F.ntile(4).over(w).alias("q"),
+        F.round(F.percent_rank().over(w), 4).alias("pr"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "win_offsets",
+    oracle="""
+SELECT event_id,
+       ROUND(LAG(value)     OVER w, 2) AS prev_v,
+       ROUND(LEAD(value, 2) OVER w, 2) AS next2_v,
+       ROUND(LAST_VALUE(v2 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 2) AS prev_nonnull,
+       ROUND(FIRST_VALUE(value) OVER w, 2) AS first_v,
+       ROUND(LAST_VALUE(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS last_v,
+       ROUND(NTH_VALUE(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS third_v
+FROM (SELECT *, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v2 FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+""",
+)
+def win_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset/value window functions in one pass: lag, lead(2), ignore-null
+    last_value, first/last over the full frame, nth_value(3)."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    v2 = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    return (
+        events.withColumn("v2", v2)
+        .select(
+            "event_id",
+            F.round(F.lag("value").over(w), 2).alias("prev_v"),
+            F.round(F.lead("value", 2).over(w), 2).alias("next2_v"),
+            F.round(
+                F.last("v2", ignorenulls=True).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ), 2,
+            ).alias("prev_nonnull"),
+            F.round(F.first("value").over(w), 2).alias("first_v"),
+            F.round(F.last("value").over(wfull), 2).alias("last_v"),
+            F.round(F.nth_value("value", 3).over(wfull), 2).alias("third_v"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "win_frames",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY day_no, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 2) AS running,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey ORDER BY day_no, o_orderkey
+                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS ma3_sum,
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day_no, o_orderkey
+                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS ma3_n,
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day_no
+                           RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING) AS BIGINT) AS near_orders,
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY grp
+                           RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS grp_cnt,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY day_no, o_orderkey
+                                     ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                                     EXCLUDE CURRENT ROW), 2) AS near_rev_excl,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY day_no
+                                     RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING
+                                     EXCLUDE GROUP), 2) AS near_rev_exgrp
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_no,
+             DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY
+                 date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS grp
+      FROM orders)
+ORDER BY o_orderkey
+""",
+)
+def win_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates over every frame type in one pass: ROWS running total,
+    bounded ROWS moving average, value RANGE frame, GROUPS frame
+    (dense_rank→RANGE rewrite, operators/groups_frame.py), and the EXCLUDE
+    modifier (CURRENT ROW + GROUP, operators/exclude_frame.py) against
+    DuckDB's native EXCLUDE execution."""
+    from duckdb_spark.operators.exclude_frame import sum_exclude
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias("day_no"),
+    )
+    wgrp = Window.partitionBy("o_custkey").orderBy("day_no")
+    base = base.withColumn("grp", F.dense_rank().over(wgrp))
+    wo = Window.partitionBy("o_custkey").orderBy("day_no", "o_orderkey")
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ma = wo.rowsBetween(-2, 0)
+    rng = Window.partitionBy("o_custkey").orderBy("day_no").rangeBetween(-30, 30)
+    grp_rng = Window.partitionBy("o_custkey").orderBy("grp").rangeBetween(-1, 1)
+    excl_frame = wo.rowsBetween(-2, 2)
+    return base.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(run), 2).alias("running"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(ma).cast("double"), 2
+        ).alias("ma3_sum"),
+        F.count("*").over(ma).alias("ma3_n"),
+        F.count("*").over(rng).alias("near_orders"),
+        F.count("*").over(grp_rng).alias("grp_cnt"),
+        F.round(
+            sum_exclude(F.col("o_totalprice"), excl_frame, ["o_custkey"],
+                        [F.col("day_no"), F.col("o_orderkey")], "current row"), 2,
+        ).alias("near_rev_excl"),
+        F.round(
+            sum_exclude(F.col("o_totalprice"), rng, ["o_custkey"],
+                        [F.col("day_no")], "group"), 2,
+        ).alias("near_rev_exgrp"),
+    ).orderBy("o_orderkey")
+
+
+@register(
     "win_groups_frame",
     oracle="""
 SELECT o_custkey, o_orderkey,
