@@ -55,6 +55,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # ns → µs truncation (identical to the DuckDB reader's behavior).
         # Integer DIV — float division loses ULPs at 1e18-ns magnitudes.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # µs-precision parquet TIMESTAMP (e.g. the scaled bench data written
+        # by DuckDB) reads as NTZ; session timezone is UTC so the cast to
+        # TimestampType is value-preserving and unblocks unix_micros().
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
 

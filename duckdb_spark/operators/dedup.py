@@ -74,23 +74,38 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 _MINHASH_P = 4294967311  # prime > 2^32
 
 
-def minhash_signature(col, num_hashes: int = 16, k: int = 3) -> Column:
-    """MinHash signature via the classic affine hash family: ONE md5 per
-    shingle (32-bit base hash), then h_i = (a_i·h + b_i) mod p per
-    permutation — 16× less crypto than per-seed hashing, identical LSH
-    guarantees (Broder '97). All constants are deterministic so the DuckDB
-    oracle reproduces signatures bit-for-bit. Products stay < 2^38 —
-    no bigint overflow in either engine."""
-    base = F.transform(
+def minhash_base_hashes(col, k: int = 3) -> Column:
+    """Per-shingle 32-bit base hashes (ONE md5 per shingle). Materialize
+    this column (checkpoint/persist) before fanning out the permutations:
+    Catalyst inlines lambda subexpressions, so feeding this expression
+    directly into N permutation lambdas recomputes the md5 pass N times
+    (measured 37s → 4s for signatures over 50k docs at sf1)."""
+    return F.transform(
         shingles(col, k),
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
     )
+
+
+def minhash_sig_from_base(base, num_hashes: int = 16) -> Column:
+    """Affine-permutation minima over a (materialized) base-hash array:
+    h_i = (a_i·h + b_i) mod p (Broder '97 family). Deterministic constants
+    so the DuckDB oracle reproduces signatures bit-for-bit; products stay
+    < 2^38 — no bigint overflow in either engine."""
+    base = _c(base)
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
             F.transform(base, lambda h: (h * (2 * i + 1) + i * 12345 + 1) % _MINHASH_P)
         ),
     )
+
+
+def minhash_signature(col, num_hashes: int = 16, k: int = 3) -> Column:
+    """MinHash signature as a single Column expression (composition of
+    minhash_base_hashes + minhash_sig_from_base). Fine for small inputs /
+    API parity; pipelines should materialize the base hashes between the
+    two steps — see minhash_lsh_candidates."""
+    return minhash_sig_from_base(minhash_base_hashes(col, k), num_hashes)
 
 
 def minhash_lsh_candidates(
@@ -108,14 +123,32 @@ def minhash_lsh_candidates(
     # parquet file otherwise yields ONE scan partition and the md5 pipeline
     # runs on one core (measured 50s → 2s at sf0.1 on local[32]).
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    sig = df.select(
-        F.col(id_col).alias("__id"), minhash_signature(F.col(text_col), num_hashes, k).alias("__sig")
+    # Signature computation stays OUT of array-lambda land: explode the
+    # per-shingle base hashes (one md5 pass) and compute the num_hashes
+    # permutation minima as codegen'd MIN aggregates with map-side combine
+    # (one shuffle of partial minima). The HOF formulation
+    # (minhash_sig_from_base) evaluates interpreted per-element lambdas
+    # with boxing — measured 20s vs 9s at sf1 for 50k docs.
+    # (Docs with <k tokens have no shingles and drop out here; their
+    # candidate pairs would be discarded anyway — Jaccard 0/0 is NULL in
+    # both engines.)
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(minhash_base_hashes(F.col(text_col), k)).alias("__h"),
     )
-    # Materialize signatures once (eager): the band self-join's two branches
-    # otherwise EACH recompute the full md5 pipeline — and with a lazy
-    # checkpoint they race inside one job and still recompute (measured:
-    # 104s → 2s at sf0.1). Signatures are tiny (num_hashes longs/doc) so
-    # the checkpoint is cheap at any corpus size.
+    h = F.col("__h")
+    sig = exploded.groupBy("__id").agg(
+        *[
+            F.min((h * (2 * i + 1) + i * 12345 + 1) % _MINHASH_P).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    ).select(
+        "__id", F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("__sig")
+    )
+    # Materialize once (eager): the band self-join's two branches otherwise
+    # EACH recompute the pipeline, and with a lazy checkpoint they race
+    # inside one job and still recompute (measured 104s → 2s at sf0.1).
+    # Signatures are tiny (num_hashes longs/doc) at any corpus size.
     sig = sig.localCheckpoint(eager=True)
     banded = sig.select(
         "__id",

@@ -15,6 +15,7 @@ from duckdb_spark.catalog import load_table
 from duckdb_spark.operators.dml import delete_where, merge_into, update_where
 from duckdb_spark.operators.misc import hash_sample, sample_percent
 from duckdb_spark.operators.pivot import dynamic_pivot, unpivot
+from duckdb_spark.functions import aggregates as A
 from duckdb_spark.queries import register
 
 
@@ -49,7 +50,7 @@ def dml_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = (
         lineitem.filter(F.col("l_orderkey") % 2 == 0)
         .groupBy(F.col("l_orderkey").alias("o_orderkey"))
-        .agg(F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2).cast("double").alias("revenue"))
+        .agg(A.money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
     merged = merge_into(
         target,
@@ -129,7 +130,7 @@ def dml_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = (
         lineitem.filter(F.col("l_orderkey") % 2 == 0)
         .groupBy(F.col("l_orderkey").alias("o_orderkey"))
-        .agg(F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2).cast("double").alias("revenue"))
+        .agg(A.money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
     merged = merge_into(
         target,

@@ -29,14 +29,7 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [load_table(spark, sf_dir, n) for n in names]
 
 
-def money_sum(expr, scale: int = 4, out_scale: int = 2):
-    """Σ of a money expression, exactly: per-element cast to DECIMAL(18,s)
-    (products of 2-decimal inputs have ≤s decimals, so the cast is exact),
-    DECIMAL summation (associative — partial aggregation safe), round, and
-    back to DOUBLE. Avoids the FP hazard where an order-dependent double
-    sum lands within an ULP of a .xx5 rounding boundary and the rounded
-    cent diverges between engines."""
-    return F.round(F.sum(expr.cast(f"decimal(18,{scale})")), out_scale).cast("double")
+from duckdb_spark.functions.aggregates import money_sum  # noqa: E402 — shared exact-money Σ
 
 
 # --------------------------------------------------------------------- q01

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_spark.catalog import load_table
+from duckdb_spark.functions import aggregates as A
 from duckdb_spark.queries import register
 
 
@@ -102,22 +103,30 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a global-fraction HAVING — scalar subquery computed in the same
     shuffle via an unpartitioned window (no second scan)."""
     lineitem, supplier = _t(spark, sf_dir, "lineitem", "supplier")
+    # value stays in scaled-long "cents" through BOTH aggregation levels —
+    # rounding to double between the sums would reintroduce the .xx5
+    # boundary divergence money_sum exists to avoid.
+    cents = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+    ).cast("long")
     scoped = (
         lineitem.groupBy(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
-        .agg(
-            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")).alias("value")
-        )
+        .agg(F.sum(cents).alias("value_c"))
         .join(
             supplier.filter(F.col("s_nationkey").isin(3, 7, 11)),
             F.col("suppkey") == F.col("s_suppkey"),
         )
     )
-    per_part = scoped.groupBy("partkey").agg(F.sum("value").alias("part_value"))
+    per_part = scoped.groupBy("partkey").agg(F.sum("value_c").alias("part_c"))
     w = Window.partitionBy()
     return (
-        per_part.withColumn("grand", F.sum("part_value").over(w))
-        .filter(F.col("part_value") > F.col("grand") * 0.001)
-        .select("partkey", F.round("part_value", 2).cast("double").alias("total_value"))
+        per_part.withColumn("grand_c", F.sum("part_c").over(w))
+        .filter(F.col("part_c") > F.col("grand_c") * 0.001)
+        .select(
+            "partkey",
+            F.round(F.col("part_c").cast("decimal(28,0)") / 10000, 2)
+            .cast("double").alias("total_value"),
+        )
         .orderBy(F.desc("total_value"), "partkey")
     )
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_spark.catalog import load_table
+from duckdb_spark.functions import aggregates as A
 from duckdb_spark.queries import register
 
 
@@ -65,7 +66,7 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_partkey")
-        .agg(F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2).cast("double").alias("revenue"))
+        .agg(A.money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
     w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
     return (

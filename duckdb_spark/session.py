@@ -45,7 +45,12 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Broadcast threshold: dims (region/nation/supplier/part at small SF)
     # should broadcast; AQE also converts post-shuffle when sizes allow.
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # 16 MB, NOT larger: the planner compares against the column-pruned
+    # size ESTIMATE, and at 64 MB a 6M-row lineitem scan (523 MB in-memory)
+    # was estimated under the bar and broadcast — measured 13.5s for TPC-H
+    # q05 at sf1 vs 1.5s after the fix. On a cluster the same reasoning
+    # holds: broadcasts must stay driver/executor-memory-sized.
+    "spark.sql.autoBroadcastJoinThreshold": str(16 * 1024 * 1024),
 }
 
 

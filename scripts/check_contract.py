@@ -71,7 +71,7 @@ def main() -> None:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet{'/*.parquet' if os.path.isdir(f'{SF_DIR}/{t}.parquet') else ''}')"
         )
     qs, osql = E.queries(), E.oracle_sql()
     names = list(qs)[:FIRST_N]
