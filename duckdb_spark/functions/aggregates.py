@@ -235,3 +235,76 @@ def entropy_from_counts(count_col) -> Column:
     c = _c(count_col).cast("double")
     total = F.sum(c)
     return F.log2(total) - F.sum(c * F.log2(c)) / total
+
+
+def entropy(x) -> Column:
+    """Shannon entropy of the value distribution as ONE aggregate Column
+    (reference entropy.cpp). Collect + HOF counting — O(n·distinct) per
+    group, fine for typical group sizes; for massive groups use the
+    two-level groupBy + entropy_from_counts formulation instead (see
+    queries/aggregates.agg_distributive)."""
+    lst = F.collect_list(_c(x).cast("string"))
+    counts = F.transform(
+        F.array_distinct(lst),
+        lambda v: F.size(F.filter(lst, lambda y: y == v)).cast("double"),
+    )
+    n = F.size(lst).cast("double")
+    return F.log2(n) - F.aggregate(
+        counts, F.lit(0.0), lambda acc, c: acc + c * F.log2(c)
+    ) / n
+
+
+def histogram(x) -> Column:
+    """Value → count map (reference histogram in nested_functions.hpp),
+    keys sorted. Same collect + HOF shape (and the same scalability note)
+    as entropy()."""
+    lst = F.collect_list(_c(x))
+    return F.map_from_entries(
+        F.transform(
+            F.array_sort(F.array_distinct(lst)),
+            lambda v: F.struct(
+                v.alias("key"),
+                F.size(F.filter(lst, lambda y: y == v)).cast("long").alias("value"),
+            ),
+        )
+    )
+
+
+def bitstring_agg(x, min_val: int, max_val: int) -> Column:
+    """'0'/'1' bitstring with bit (x - min) set per present value
+    (reference bitstring_agg; BIT emulated as char string per types.py)."""
+    width = max_val - min_val + 1
+    present = F.collect_set((_c(x) - min_val).cast("int"))
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(width - 1)),
+            lambda i: F.when(F.array_contains(present, i.cast("int")), "1").otherwise("0"),
+        ),
+        "",
+    )
+
+
+mode = F.mode
+count_star = lambda: F.count(F.lit(1))  # noqa: E731
+arbitrary = F.first
+first = F.first
+last = F.last
+reservoir_quantile = (
+    lambda x, q, *_: F.percentile_approx(_c(x), F.lit(q), F.lit(10000))  # noqa: E731
+)
+quantile = reservoir_quantile
+arg_max_null = F.max_by
+arg_min_null = F.min_by
+argmax = F.max_by
+argmin = F.min_by
+regr_slope = F.regr_slope
+regr_intercept = F.regr_intercept
+regr_r2 = F.regr_r2
+regr_count = F.regr_count
+regr_avgx = F.regr_avgx
+regr_avgy = F.regr_avgy
+regr_sxx = F.regr_sxx
+regr_sxy = F.regr_sxy
+regr_syy = F.regr_syy
+sumkahan = F.sum
+fsum = F.sum

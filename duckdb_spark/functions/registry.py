@@ -72,21 +72,99 @@ _DIRECT = {
     "uuid": "uuid", "typeof": "typeof", "isnull": "isnull", "isnotnull": "isnotnull",
     "if": "when", "iif": "when", "ifnull": "nvl", "nvl": "nvl", "nvl2": "nvl2",
     "raise_error": "raise_error", "encode": "encode", "decode": "decode",
+    # -- wave 2 (names pinned against the shipping DuckDB's own
+    #    duckdb_functions() catalog; see functions/scalar2.py for the rest) --
+    # aggregates with identical Spark natives
+    "avg": "avg", "mean": "avg", "count": "count", "min": "min", "max": "max",
+    "sum": "sum",
+    # date aliases
+    "dayofmonth": "dayofmonth", "dayofweek": "dayofweek",
+    "datetrunc": "date_trunc", "base64": "base64",
+    "current_localtime": "localtimestamp", "get_current_time": "localtimestamp",
+    # array_* aliases of the list surface
+    "array_concat": "concat", "array_cat": "concat",
+    "array_extract": "element_at", "array_indexof": "array_position",
+    "array_position": "array_position", "array_contains": "array_contains",
+    "array_distinct": "array_distinct", "array_sort": "array_sort",
+    "array_transform": "transform", "array_apply": "transform",
+    "array_filter": "filter", "array_reduce": "reduce",
+    "array_slice": "slice", "array_zip": "arrays_zip",
+    "array_unique": "array_distinct", "array_value": "array",
+    "list": "collect_list", "array_agg": "collect_list",
+    # list HOF bare aliases
+    "apply": "transform", "aggregate": "aggregate", "filter": "filter",
+    "reduce": "reduce",
+    # misc
+    "split": "split", "str_split_regex": "split", "string_split_regex": "split",
+    "ord": "ascii",
 }
 
-# Names implemented in our scalar/aggregate modules.
-_CUSTOM = {
-    name: getattr(S, name)
-    for name in dir(S)
-    if not name.startswith("_") and callable(getattr(S, name))
-}
-_CUSTOM.update(
-    {
-        name: getattr(A, name)
-        for name in dir(A)
-        if not name.startswith("_") and callable(getattr(A, name))
-    }
+# Names implemented in our scalar/aggregate modules (wave 1 + wave 2).
+from duckdb_spark.functions import scalar2 as S2  # noqa: E402
+
+
+def _module_functions(mod) -> dict:
+    out = {}
+    for name in dir(mod):
+        if name.startswith("_"):
+            continue
+        obj = getattr(mod, name)
+        if callable(obj) and not isinstance(obj, type):
+            out[name] = obj
+    return out
+
+
+_CUSTOM = _module_functions(S)
+_CUSTOM.update(_module_functions(A))
+_CUSTOM.update(_module_functions(S2))
+_CUSTOM.update(S2.COLLATION_FUNCTIONS)
+# names that collide with python keywords/builtins inside the modules
+_CUSTOM["ord"] = S2.ord_
+_CUSTOM["bin"] = S2.to_binary
+_CUSTOM["array_resize"] = S.list_resize
+_CUSTOM["formatReadableDecimalSize"] = S.format_bytes
+_CUSTOM["formatReadableSize"] = S.format_bytes
+_CUSTOM["greatest_common_divisor"] = S.gcd
+_CUSTOM["least_common_multiple"] = S.lcm
+_CUSTOM["datediff"] = S.date_diff
+_CUSTOM["datesub"] = S.date_diff
+_CUSTOM["date_sub"] = S.date_diff
+_CUSTOM["datepart"] = S.date_part
+_CUSTOM["array_cosine_similarity"] = S.list_cosine_similarity
+_CUSTOM["array_cosine_distance"] = S.list_cosine_distance
+_CUSTOM["array_inner_product"] = S.list_inner_product
+_CUSTOM["array_dot_product"] = S.list_inner_product
+_CUSTOM["array_distance"] = S.list_distance
+_CUSTOM["array_has"] = S.list_contains
+_CUSTOM["array_has_any"] = S.list_has_any
+_CUSTOM["array_has_all"] = S.list_has_all
+_CUSTOM["list_has"] = S.list_contains
+_CUSTOM["list_indexof"] = S.list_position
+_CUSTOM["array_select"] = S.list_select
+_CUSTOM["array_where"] = S.list_where
+_CUSTOM["list_cat"] = lambda a, b: F.concat(
+    F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
 )
+_CUSTOM["generate_series"] = S.generate_series_list
+_CUSTOM["map"] = S2.map_
+_CUSTOM["log"] = S2.log
+
+
+def _seq_fn_stub(name):
+    def fn(*a, **kw):
+        raise NotImplementedError(
+            f"{name}() is catalog-stateful: use the SQL layer "
+            "(duckdb_spark.sql.macros.MacroRegistry handles CREATE SEQUENCE "
+            "+ nextval/currval inlining)"
+        )
+    return fn
+
+
+_CUSTOM["nextval"] = _seq_fn_stub("nextval")
+_CUSTOM["currval"] = _seq_fn_stub("currval")
+_CUSTOM["mod"] = S2.mod
+_CUSTOM["md5_number_lower"] = S.md5_number_lower
+_CUSTOM["md5_number_upper"] = S.md5_number_upper
 
 
 def _resolve_direct(spark_name: str):

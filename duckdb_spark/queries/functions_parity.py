@@ -338,3 +338,141 @@ def fn_conditional_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "fn_wave2_scalar",
+    oracle="""
+SELECT n_nationkey AS nk,
+       ROUND(jaro_similarity(n_name, 'NATION_12'), 6) AS js,
+       ROUND(jaro_winkler_similarity(n_name, 'NATION_12'), 6) AS jws,
+       CAST(damerau_levenshtein(n_name, 'NOTAIN_12') AS BIGINT) AS dl,
+       strip_accents(n_name || 'é') AS sa,
+       nfc_normalize(n_name) AS nfc,
+       CAST(length_grapheme(n_name) AS BIGINT) AS lg,
+       left_grapheme(n_name, 3) AS lg3,
+       right_grapheme(n_name, 2) AS rg2,
+       parse_filename('/data/' || n_name || '/doc.csv') AS pf,
+       parse_dirname('/data/' || n_name || '/doc.csv') AS pd,
+       parse_dirpath('/data/' || n_name || '/doc.csv') AS pdp,
+       array_to_string(parse_path('/data/' || n_name || '/doc.csv'), '|') AS pp,
+       regexp_full_match(n_name, 'NATION_[0-9]+') AS rfm,
+       CAST(mismatches(n_name || 'X', n_name || 'Y') AS BIGINT) AS mm,
+       lower(to_hex(n_nationkey + 255)) AS hx,
+       bin(n_nationkey + 5) AS bn,
+       CAST(md5_number(n_name) AS VARCHAR) AS mn,
+       ROUND(gamma(1.0 + n_nationkey % 5), 4) AS gm,
+       ROUND(lgamma(2.0 + n_nationkey % 7), 6) AS lgm,
+       ROUND(cot(1.0 + n_nationkey), 6) AS ct,
+       CAST(century(DATE '1995-03-15') AS BIGINT) AS cen,
+       CAST(decade(DATE '1995-03-15') AS BIGINT) AS dec,
+       CAST(isoyear(DATE '2021-01-01') AS BIGINT) AS iy,
+       CAST(week(DATE '1995-03-15') AS BIGINT) AS wk,
+       CAST(yearweek(DATE '1995-03-15') AS BIGINT) AS yw,
+       CAST(epoch_ns(TIMESTAMP '1995-03-15 12:00:00') AS BIGINT) AS ens,
+       array_to_string(list_grade_up([n_nationkey % 3, 5, 1]), ',') AS gu,
+       array_to_string(list_reverse_sort([n_nationkey % 3, 5, 1]), ',') AS lrs,
+       CAST(list_aggr([1.0, 2.0, CAST(n_nationkey AS DOUBLE)], 'sum') AS DOUBLE) AS la,
+       json_extract_string(json_object('k', n_nationkey), '$.k') AS jo,
+       json_valid('{"a": 1}') AS jv,
+       json_type('[1,2]') AS jt
+FROM nation ORDER BY nk
+""",
+)
+def fn_wave2_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-2 scalar surface: pandas-UDF string metrics (jaro/damerau/
+    unicode normalization — the documented Arrow slow path), grapheme
+    functions (Java \\X), path parsing, hex/binary, 128-bit md5_number,
+    gamma/lgamma, extended date parts, grade_up, list_aggr, JSON builders
+    — each against the DuckDB native."""
+    from duckdb_spark.functions import scalar2 as S2
+
+    (nation,) = [load_table(spark, sf_dir, "nation")]
+    n, nk = F.col("n_name"), F.col("n_nationkey")
+    path = F.concat(F.lit("/data/"), n, F.lit("/doc.csv"))
+    arr = F.array((nk % 3).cast("long"), F.lit(5).cast("long"), F.lit(1).cast("long"))
+    return nation.select(
+        nk.alias("nk"),
+        F.round(S2.jaro_similarity(n, F.lit("NATION_12")), 6).alias("js"),
+        F.round(S2.jaro_winkler_similarity(n, F.lit("NATION_12")), 6).alias("jws"),
+        S2.damerau_levenshtein(n, F.lit("NOTAIN_12")).alias("dl"),
+        S2.strip_accents(F.concat(n, F.lit("é"))).alias("sa"),
+        S2.nfc_normalize(n).alias("nfc"),
+        S2.length_grapheme(n).cast("long").alias("lg"),
+        S2.left_grapheme(n, 3).alias("lg3"),
+        S2.right_grapheme(n, 2).alias("rg2"),
+        S2.parse_filename(path).alias("pf"),
+        S2.parse_dirname(path).alias("pd"),
+        S2.parse_dirpath(path).alias("pdp"),
+        F.array_join(S2.parse_path(path), "|").alias("pp"),
+        S2.regexp_full_match(n, F.lit("NATION_[0-9]+")).alias("rfm"),
+        S2.mismatches(F.concat(n, F.lit("X")), F.concat(n, F.lit("Y"))).cast("long").alias("mm"),
+        S2.to_hex(nk + 255).alias("hx"),
+        S2.to_binary(nk + 5).alias("bn"),
+        S2.md5_number(n).cast("string").alias("mn"),
+        F.round(S2.gamma(1.0 + nk % 5), 4).alias("gm"),
+        F.round(S2.lgamma(2.0 + nk % 7), 6).alias("lgm"),
+        F.round(S2.cot(1.0 + nk), 6).alias("ct"),
+        S2.century(F.lit("1995-03-15").cast("date")).cast("long").alias("cen"),
+        S2.decade(F.lit("1995-03-15").cast("date")).cast("long").alias("dec"),
+        S2.isoyear(F.lit("2021-01-01").cast("date")).cast("long").alias("iy"),
+        S2.week(F.lit("1995-03-15").cast("date")).cast("long").alias("wk"),
+        S2.yearweek(F.lit("1995-03-15").cast("date")).cast("long").alias("yw"),
+        S2.epoch_ns(F.lit("1995-03-15 12:00:00").cast("timestamp")).alias("ens"),
+        F.array_join(S2.list_grade_up(arr).cast("array<string>"), ",").alias("gu"),
+        F.array_join(S2.list_reverse_sort(arr).cast("array<string>"), ",").alias("lrs"),
+        S2.list_aggregate(F.array(F.lit(1.0), F.lit(2.0), nk.cast("double")), "sum").alias("la"),
+        F.get_json_object(S2.json_object(F.lit("k"), nk), "$.k").alias("jo"),
+        S2.json_valid(F.lit('{"a": 1}')).alias("jv"),
+        S2.json_type(F.lit("[1,2]")).alias("jt"),
+    ).orderBy("nk")
+
+
+@register(
+    "fn_wave2_agg",
+    oracle="""
+SELECT n_name,
+       CAST(mode(s_suppkey % 7) AS BIGINT) AS md,
+       array_to_string(list_transform(map_entries(histogram(s_suppkey % 5)),
+                                      e -> CAST(e.key AS VARCHAR) || ':' || CAST(e.value AS VARCHAR)), '|') AS hist,
+       ROUND(entropy(s_suppkey % 5), 4) AS ent,
+       bitstring_agg(s_suppkey % 8, 0, 7)::VARCHAR AS bits,
+       ROUND(regr_sxx(s_acctbal, s_suppkey % 100), 2) AS sxx,
+       ROUND(regr_sxy(s_acctbal, s_suppkey % 100), 2) AS sxy,
+       ROUND(regr_syy(s_acctbal, s_suppkey % 100), 2) AS syy,
+       CAST(arg_max(s_suppkey, s_acctbal) AS BIGINT) AS amax
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+""",
+)
+def fn_wave2_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-2 aggregates: mode, histogram (serialized entries), single-
+    column entropy, bitstring_agg (BIT emulation), regr_sxx/sxy/syy."""
+    from duckdb_spark.functions import aggregates as A
+
+    supplier, nation = (load_table(spark, sf_dir, t) for t in ("supplier", "nation"))
+    sk, bal = F.col("s_suppkey"), F.col("s_acctbal")
+    hist = A.histogram(sk % 5)
+    return (
+        supplier.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            A.mode(sk % 7).cast("long").alias("md"),
+            F.array_join(
+                F.transform(
+                    F.map_entries(hist),
+                    lambda e: F.concat(
+                        e["key"].cast("string"), F.lit(":"), e["value"].cast("string")
+                    ),
+                ),
+                "|",
+            ).alias("hist"),
+            F.round(A.entropy(sk % 5), 4).alias("ent"),
+            A.bitstring_agg(sk % 8, 0, 7).alias("bits"),
+            F.round(F.regr_sxx(bal, (sk % 100).cast("double")), 2).alias("sxx"),
+            F.round(F.regr_sxy(bal, (sk % 100).cast("double")), 2).alias("sxy"),
+            F.round(F.regr_syy(bal, (sk % 100).cast("double")), 2).alias("syy"),
+            F.max_by(sk, bal).alias("amax"),
+        )
+        .orderBy("n_name")
+    )

@@ -149,3 +149,32 @@ def test_strftime_roundtrip(spark):
         "e long",
     )[0]
     assert back == 1700000000 * 1_000_000
+
+
+def test_wave2_collation_and_misc(spark, duck):
+    """ICU collation via Spark 4 native collate: German sorts 'ö' with 'o',
+    matching DuckDB's icu_collate_de-keyed ordering; plus bitstring and
+    enum emulation helpers."""
+    from duckdb_spark.functions import scalar2 as S2
+
+    df = spark.createDataFrame([("zebra",), ("öl",), ("ocean",)], "s string")
+    got = [r.s for r in df.orderBy(S2.COLLATION_FUNCTIONS["icu_collate_de"]("s")).collect()]
+    want = [r[0] for r in duck.execute(
+        "SELECT s FROM (VALUES ('zebra'),('öl'),('ocean')) t(s) ORDER BY icu_collate_de(s)"
+    ).fetchall()]
+    assert got == want == ["ocean", "öl", "zebra"]
+
+    row = spark.range(1).select(
+        S2.get_bit(F.lit("0110"), F.lit(1)).alias("gb"),
+        S2.set_bit(F.lit("0110"), F.lit(0), F.lit(1)).alias("sb"),
+        S2.bitstring(F.lit("101"), 8).alias("bs"),
+        S2.enum_code(["a", "b", "c"], F.lit("b")).alias("ec"),
+        S2.enum_first(["a", "b", "c"]).alias("ef"),
+        F.array_join(S2.enum_range(["a", "b", "c"]), ",").alias("er"),
+        S2.like_escape(F.lit("10%"), "10!%", "!").alias("le"),
+        S2.regexp_escape(F.lit("a.b*c")).alias("re"),
+    ).collect()[0]
+    assert row.gb == 1 and row.sb == "1110" and row.bs == "00000101"
+    assert row.ec == 1 and row.ef == "a" and row.er == "a,b,c"
+    assert row.le is True
+    assert row.re == duck.execute("SELECT regexp_escape('a.b*c')").fetchone()[0]
