@@ -75,16 +75,26 @@ def asof_join(
                  *[F.lit(None).cast(p.schema[f"__p_{c}"].dataType).alias(f"__p_{c}") for c in probe_cols])
 
     unioned = b.unionByName(p)
-    w = Window.partitionBy(*by) if by else Window.partitionBy()
     ord_key = F.col("__ord").asc() if direction == "backward" else F.col("__ord").desc()
-    w = w.orderBy(ord_key, F.col("__side").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    match = F.last("__payload", ignorenulls=True).over(w)
+
+    if by:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(ord_key, F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    else:
+        # Global ASOF (no equality keys): Window.partitionBy() would put the
+        # ENTIRE union in one task — the 100 TB scale-killer flagged in the
+        # round-1 audit. Instead: range-bucket on the order key (equi-depth
+        # boundaries from approxQuantile), window within each bucket, and
+        # carry each bucket's boundary payload across buckets via a
+        # bucket-level (tiny: n_buckets rows) window + broadcast join back.
+        matched = _bucketed_global_match(unioned, direction)
 
     out = (
-        unioned.withColumn("__match", match)
-        .filter(F.col("__side") == 1)
+        matched.filter(F.col("__side") == 1)
         .select(
             *[F.col(f"__p_{c}").alias(c) for c in probe_cols],
             F.col("__match.__bon").alias(build_on_out),
@@ -94,3 +104,55 @@ def asof_join(
     if how == "inner":
         out = out.filter(F.col(build_on_out).isNotNull())
     return out
+
+
+def _bucketed_global_match(unioned: DataFrame, direction: str) -> DataFrame:
+    """Two-pass global ASOF match: per-bucket window + cross-bucket carry.
+
+    Buckets come from approxQuantile over the order key (equi-depth, so a
+    hot time range doesn't produce one giant bucket); every bucket's
+    within-bucket scan is an independent task. The carry structure is one
+    row per bucket — driver-scale regardless of data size."""
+    spark = unioned.sparkSession
+    n_buckets = spark.sparkContext.defaultParallelism
+    # cache: the union is scanned twice (bucket assignment reuses it)
+    unioned = unioned.localCheckpoint(eager=True)
+    # approxQuantile needs a numeric column; timestamps go through double
+    # (ordering-preserving, only used for bucket boundaries)
+    numeric = unioned.select(F.col("__ord").cast("double").alias("__o"))
+    bounds = numeric.approxQuantile(
+        "__o", [i / n_buckets for i in range(1, n_buckets)], 0.01
+    )
+    bounds = sorted(set(bounds))
+    blit = F.array(*[F.lit(x) for x in bounds])
+    bucket = F.size(F.filter(blit, lambda bd: bd < F.col("__ord").cast("double")))
+    df = unioned.withColumn("__bucket", bucket)
+
+    backward = direction == "backward"
+    in_ord = F.col("__ord").asc() if backward else F.col("__ord").desc()
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(in_ord, F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = df.withColumn("__local", F.last("__payload", ignorenulls=True).over(w_in))
+
+    # Per-bucket boundary payload: the build row a later (earlier, for
+    # forward) bucket would see at its start.
+    agg_fn = F.max_by if backward else F.min_by
+    per_bucket = (
+        df.filter(F.col("__side") == 0)
+        .groupBy("__bucket")
+        .agg(agg_fn("__payload", "__ord").alias("__edge"))
+    )
+    all_buckets = spark.range(len(bounds) + 1).select(F.col("id").cast("int").alias("__bucket"))
+    carry_ord = F.col("__bucket").asc() if backward else F.col("__bucket").desc()
+    w_carry = Window.orderBy(carry_ord).rowsBetween(Window.unboundedPreceding, -1)
+    seeds = (
+        all_buckets.join(per_bucket, "__bucket", "left")
+        .withColumn("__seed", F.last("__edge", ignorenulls=True).over(w_carry))
+        .select("__bucket", "__seed")
+    )
+    return local.join(F.broadcast(seeds), "__bucket").withColumn(
+        "__match", F.coalesce(F.col("__local"), F.col("__seed"))
+    )

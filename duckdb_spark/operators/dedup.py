@@ -119,10 +119,14 @@ def minhash_lsh_candidates(
     """Candidate near-dup pairs (a < b) via LSH banding: docs sharing any
     band of the signature. Output: (id_a, id_b) distinct."""
     rows_per_band = num_hashes // bands
-    # Spread signature computation across the cluster: a single small
-    # parquet file otherwise yields ONE scan partition and the md5 pipeline
-    # runs on one core (measured 50s → 2s at sf0.1 on local[32]).
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # Spread signature computation across the cluster when the source is
+    # under-partitioned (a single small parquet file yields ONE scan
+    # partition and the md5 pipeline runs on one core — measured 50s → 2s
+    # at sf0.1 on local[32]). Gated on the input partition count: on a real
+    # many-file corpus the extra full shuffle of raw text would be waste.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par // 2:
+        df = df.repartition(par)
     # Signature computation stays OUT of array-lambda land: explode the
     # per-shingle base hashes (one md5 pass) and compute the num_hashes
     # permutation minima as codegen'd MIN aggregates with map-side combine
@@ -238,7 +242,9 @@ def simhash_candidates(
     """Near-dup pairs by SimHash: band the 32-bit signature into 4 bytes
     (pigeonhole: hamming ≤ 3 ⇒ at least one byte equal), join per band,
     verify with popcount(xor) ≤ max_hamming."""
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par // 2:
+        df = df.repartition(par)  # see minhash_lsh_candidates: gated spread
     sig = df.select(F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sig"))
     sig = sig.localCheckpoint(eager=True)  # reused by both self-join sides
     banded = sig.select(
@@ -278,15 +284,31 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via inverted index:
     explode shingles → self-join on shingle (the only shuffle — one row
     per (shingle, doc)) → count intersections → closed-form Jaccard.
-    At scale, prefix filtering (drop the most frequent shingles) bounds
-    the index fan-out; here the full index is exact."""
+
+    max_doc_freq enables document-frequency pruning of hot shingles (the
+    standard bound on inverted-index fan-out: a shingle in d docs produces
+    d² candidate rows, so one stop-word shingle at 100 TB is quadratic).
+    Dropping shingles with df > max_doc_freq makes the measured Jaccard a
+    lower bound over the REMAINING shingles — exact for pairs whose overlap
+    isn't dominated by corpus-hot shingles, and candidates lost this way
+    share only near-universal (non-discriminative) content. Default None =
+    exact (bench/oracle mode)."""
     sh = df.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__sh"))
     sizes = sh.select("__id", F.size("__sh").alias("__n"))
     inv = sh.select("__id", F.explode("__sh").alias("__s"))
+    if max_doc_freq is not None:
+        hot = (
+            inv.groupBy("__s")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("__s")
+        )
+        inv = inv.join(F.broadcast(hot), "__s", "left_anti")
     pairs = (
         inv.alias("x")
         .join(inv.alias("y"), "__s")
@@ -306,17 +328,34 @@ def ngram_jaccard_pairs(
 # ------------------------------------------------------- embedding cosine
 
 
+_NEARDUP_CROSSJOIN_LIMIT = 100_000
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
     block_col: str | None = None,
+    allow_crossjoin: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold. Exact all-pairs within
     optional blocking key (at scale pass an LSH bucket as block_col — see
-    similarity.lsh_buckets); without a block this is O(n²) — correct
-    baseline, use blocked/LSH path for large n."""
+    similarity.lsh_buckets).
+
+    Without a block the plan is an O(n²) crossJoin; to keep that from being
+    the silent default at corpus scale, blockless input is REFUSED above
+    _NEARDUP_CROSSJOIN_LIMIT rows unless allow_crossjoin=True — route
+    through similarity.lsh_buckets instead."""
+    if block_col is None and not allow_crossjoin:
+        n = df.count()
+        if n > _NEARDUP_CROSSJOIN_LIMIT:
+            raise ValueError(
+                f"embedding_neardup_pairs without block_col is O(n²) and the "
+                f"input has {n} rows (> {_NEARDUP_CROSSJOIN_LIMIT}); pass "
+                "block_col=similarity.lsh_buckets(...) output, or force with "
+                "allow_crossjoin=True"
+            )
     v = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),

@@ -40,7 +40,19 @@ def distinct_on(
 
 def positional_join(left: DataFrame, right: DataFrame, left_order: list[str],
                     right_order: list[str], how: str = "full") -> DataFrame:
-    """Align two relations row-by-row under explicit total orders."""
+    """Align two relations row-by-row under explicit total orders.
+
+    SCALE WARNING (emitted at plan time): the global row_number puts each
+    side through a single-partition window — positional alignment is
+    inherently a total order. Fine for the aligned-small-inputs use DuckDB
+    documents for POSITIONAL JOIN; do not feed fact tables through this."""
+    import warnings
+
+    warnings.warn(
+        "positional_join computes a global row_number (single-partition "
+        "window per side); intended for small aligned inputs only",
+        stacklevel=2,
+    )
     wl = Window.orderBy(*[F.col(c) for c in left_order])
     wr = Window.orderBy(*[F.col(c) for c in right_order])
     l = left.withColumn("__pos", F.row_number().over(wl))

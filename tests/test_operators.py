@@ -178,3 +178,82 @@ def test_relation_string_api(spark):
     )
     rows = rel.fetchall()
     assert len(rows) == 3 and rows[0]["rev"] > 0
+
+
+def test_global_asof_bucketed_matches_naive(spark):
+    """Global (no-by) ASOF now runs range-bucketed: same answer as the
+    single-window formulation, but no single-partition window over the
+    whole union (round-1 scale-killer)."""
+    import random
+
+    from duckdb_spark.operators.asof import asof_join
+
+    rnd = random.Random(7)
+    # unique build keys: the matched row at a duplicate order key is
+    # engine-unspecified (same as DuckDB), so don't test that
+    build_ts = rnd.sample(range(0, 10_000), 400)
+    build = spark.createDataFrame(
+        [(float(t), i) for i, t in enumerate(build_ts)], "t double, bval int"
+    )
+    probe = spark.createDataFrame(
+        [(float(rnd.randrange(0, 10_000)), i) for i in range(300)], "t double, pid int"
+    )
+    got = asof_join(probe, build, on="t", how="left")
+    rows = {r.pid: (r.t_asof, r.bval) for r in got.collect()}
+    # naive reference computed driver-side
+    bs = sorted((r.t, r.bval) for r in build.collect())
+    for r in probe.collect():
+        best = None
+        for t, v in bs:
+            if t <= r.t:
+                best = (t, v)
+            else:
+                break
+        assert rows[r.pid] == (best if best else (None, None)), r.pid
+    # forward direction spot check
+    fwd = asof_join(probe, build, on="t", direction="forward", how="left")
+    frows = {r.pid: (r.t_asof, r.bval) for r in fwd.collect()}
+    for r in probe.collect():
+        cands = [(t, v) for t, v in bs if t >= r.t]
+        best = min(cands) if cands else (None, None)
+        assert frows[r.pid] == best, r.pid
+
+
+def test_ngram_prefix_filter_prunes_hot_shingles(spark):
+    from duckdb_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high today"),
+            (2, "the quick brown fox jumps high tonight"),
+            (3, "a completely different sentence appears right here"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    pruned = ngram_jaccard_pairs(docs, threshold=0.3, max_doc_freq=1).collect()
+    # every shared shingle of (1,2) has df=2 > 1 → pruned drops the pair;
+    # exact keeps it
+    assert {(r.id_a, r.id_b) for r in exact} == {(1, 2)}
+    assert pruned == []
+
+
+def test_embedding_neardup_refuses_blockless_large(spark):
+    import pytest as _pytest
+
+    from duckdb_spark.operators import dedup as D
+
+    old = D._NEARDUP_CROSSJOIN_LIMIT
+    D._NEARDUP_CROSSJOIN_LIMIT = 5
+    try:
+        emb = spark.range(10).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+        )
+        with _pytest.raises(ValueError, match="O\\(n²\\)|crossjoin|block_col"):
+            D.embedding_neardup_pairs(emb, threshold=0.5).collect()
+        # explicit opt-in still works
+        n = D.embedding_neardup_pairs(emb, threshold=0.5, allow_crossjoin=True).count()
+        assert n == 45  # all pairs, identical vectors
+    finally:
+        D._NEARDUP_CROSSJOIN_LIMIT = old
