@@ -72,14 +72,44 @@ def read_csv(spark: SparkSession, path: str, **options) -> DataFrame:
     return df
 
 
+def _sniff_type(values: list[str]) -> str:
+    """Type-detection phase of the sniffer (reference csv_sniffer.hpp
+    phase 3/4: type detection + refinement over the sample): try the type
+    ladder BOOLEAN → BIGINT → DOUBLE → DATE → TIMESTAMP → VARCHAR on every
+    sampled value."""
+    import re as _re
+
+    vals = [v for v in values if v not in ("", None)]
+    if not vals:
+        return "VARCHAR"
+    if all(v.lower() in ("true", "false") for v in vals):
+        return "BOOLEAN"
+    if all(_re.fullmatch(r"[+-]?\d+", v) for v in vals):
+        return "BIGINT"
+    if all(_re.fullmatch(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", v) for v in vals):
+        return "DOUBLE"
+    if all(_re.fullmatch(r"\d{4}-\d{2}-\d{2}", v) for v in vals):
+        return "DATE"
+    if all(_re.fullmatch(r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(\.\d+)?", v) for v in vals):
+        return "TIMESTAMP"
+    return "VARCHAR"
+
+
 def sniff_csv(path: str, sample_bytes: int = 64 * 1024) -> dict:
-    """Mirror of DuckDB's `sniff_csv()` table function output
-    (`src/function/table/sniff_csv.cpp`): detect delimiter/quote/header
-    from a sample. Driver-side (reads one file head) — fine, sniffing is
-    inherently a small-sample operation in the reference too."""
+    """Mirror of DuckDB's `sniff_csv()` table function — full output-column
+    set (`src/function/table/sniff_csv.cpp`): Delimiter, Quote, Escape,
+    NewLineDelimiter, SkipRows, HasHeader, Columns (with sniffed types),
+    DateFormat, TimestampFormat, UserArguments, Prompt. Driver-side (reads
+    one file head) — sniffing is inherently a small-sample operation in
+    the reference too."""
     files = sorted(_glob.glob(path)) or [path]
     with open(files[0], "rb") as fh:
-        sample = fh.read(sample_bytes).decode("utf-8", errors="replace")
+        raw = fh.read(sample_bytes)
+    newline = "\r\n" if b"\r\n" in raw else "\n"
+    sample = raw.decode("utf-8", errors="replace")
+    # skip-rows detection: leading lines that don't match the dominant
+    # column count (phase 1 of the reference sniffer searches dialect +
+    # skip jointly; a consistency scan approximates it on clean data)
     try:
         dialect = _csv.Sniffer().sniff(sample, delimiters=",;|\t")
         has_header = _csv.Sniffer().has_header(sample)
@@ -87,16 +117,88 @@ def sniff_csv(path: str, sample_bytes: int = 64 * 1024) -> dict:
         dialect, has_header = None, True
     delim = dialect.delimiter if dialect else ","
     quote = dialect.quotechar if dialect else '"'
-    reader = _csv.reader(_io.StringIO(sample), delimiter=delim, quotechar=quote)
-    first = next(reader, [])
+    rows = list(_csv.reader(_io.StringIO(sample), delimiter=delim, quotechar=quote))
+    if not rows:
+        return {"Delimiter": delim, "Quote": quote, "Escape": quote,
+                "NewLineDelimiter": newline, "SkipRows": 0, "HasHeader": False,
+                "Columns": [], "DateFormat": None, "TimestampFormat": None,
+                "UserArguments": None, "Prompt": None}
+    from collections import Counter
+
+    ncols = Counter(len(r) for r in rows).most_common(1)[0][0]
+    skip = 0
+    while skip < len(rows) - 1 and len(rows[skip]) != ncols:
+        skip += 1
+    body = rows[skip:]
+    header_row = body[0] if body else []
+    data = body[1:] if has_header else body
+    names = (
+        header_row if has_header else [f"column{i:02d}" for i in range(ncols)]
+    )
+    cols = []
+    for i in range(ncols):
+        sampled = [r[i] for r in data[:100] if len(r) > i]
+        cols.append({"name": names[i] if i < len(names) else f"column{i:02d}",
+                     "type": _sniff_type(sampled)})
+    date_fmt = "%Y-%m-%d" if any(c["type"] == "DATE" for c in cols) else None
+    ts_fmt = (
+        "%Y-%m-%d %H:%M:%S" if any(c["type"] == "TIMESTAMP" for c in cols) else None
+    )
+    col_spec = ", ".join(f"'{c['name']}': '{c['type']}'" for c in cols)
+    prompt = (
+        f"FROM read_csv('{files[0]}', auto_detect=false, delim='{delim}', "
+        f"quote='{quote}', escape='{quote}', new_line='{newline}', skip={skip}, "
+        f"header={str(bool(has_header)).lower()}, columns={{{col_spec}}});"
+    )
     return {
         "Delimiter": delim,
         "Quote": quote,
         "Escape": quote,
+        "NewLineDelimiter": newline,
+        "SkipRows": skip,
         "HasHeader": bool(has_header),
-        "Columns": [{"name": c if has_header else f"column{i:02d}", "type": "VARCHAR"}
-                    for i, c in enumerate(first)],
+        "Columns": cols,
+        "DateFormat": date_fmt,
+        "TimestampFormat": ts_fmt,
+        "UserArguments": None,
+        "Prompt": prompt,
     }
+
+
+def read_csv_with_rejects(
+    spark: SparkSession, path: str, schema: str, **options
+):
+    """CSV scan with a rejects table (reference
+    src/execution/operator/persistent/csv_rejects_table.cpp: the
+    store_rejects/rejects_table options collect unparseable lines instead
+    of failing the scan). Spark-side: PERMISSIVE mode with a corrupt-record
+    column; returns (clean_df, rejects_df) where rejects carries the
+    DuckDB rejects-table shape (file, line content as csv_line, error)."""
+    corrupt = "__rejects"
+    reader = (
+        spark.read.options(
+            header=str(options.pop("header", True)).lower(),
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord=corrupt,
+        )
+        .schema(schema + f", {corrupt} STRING")
+    )
+    for k, v in options.items():
+        mapped = _CSV_OPTION_MAP.get(k, k)
+        if mapped:
+            reader = reader.option(mapped, str(v) if not isinstance(v, bool) else str(v).lower())
+    from pyspark.sql import functions as F
+
+    # capture the file name BEFORE caching (input_file_name() has no file
+    # context once rows come from the cache); one scan serves both outputs
+    df = reader.csv(path).withColumn("__file", F.input_file_name()).cache()
+    clean = df.filter(F.col(corrupt).isNull()).drop(corrupt, "__file")
+    rejects = df.filter(F.col(corrupt).isNotNull()).select(
+        F.col("__file").alias("file"),
+        F.col(corrupt).alias("csv_line"),
+        F.lit("CAST: could not parse line against schema").alias("error"),
+    )
+    return clean, rejects
 
 
 def read_parquet(spark: SparkSession, path: str, file_row_number: bool = False,
@@ -116,3 +218,19 @@ def read_json(spark: SparkSession, path: str, format: str = "auto", **options) -
         # DuckDB auto-detects top-level-array JSON; Spark needs multiLine.
         reader = reader.option("multiLine", "true") if format == "array" else reader
     return reader.json(path)
+
+
+def read_duckdb(spark: SparkSession, db_path: str, table: str) -> DataFrame:
+    """Read a table out of a .duckdb database file (reference
+    src/function/table/read_duckdb.cpp / ATTACH): open read-only through
+    the duckdb client, stream Arrow batches, hand to Spark. The file is a
+    single-machine artifact, so the driver-side read is inherent —
+    downstream transformations are distributed as usual."""
+    import duckdb
+
+    con = duckdb.connect(db_path, read_only=True)
+    try:
+        arrow_table = con.execute(f'SELECT * FROM "{table}"').arrow()
+    finally:
+        con.close()
+    return spark.createDataFrame(arrow_table.to_pandas())

@@ -38,3 +38,53 @@ def copy_to(
         writer.parquet(path)
     else:
         raise ValueError(f"unsupported COPY TO format: {format}")
+
+
+def export_database(
+    spark: SparkSession, out_dir: str, tables: list[str] | None = None
+) -> dict:
+    """EXPORT DATABASE 'dir' (FORMAT PARQUET) — reference
+    src/execution/operator/persistent/physical_export.cpp: every catalog
+    table written as parquet plus schema.sql / load.sql manifests so the
+    export round-trips (import_database) or loads directly into DuckDB."""
+    import json
+    import os
+
+    from duckdb_spark.types import spark_type_to_duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    names = tables or [
+        t.name for t in spark.catalog.listTables() if t.tableType != "VIEW" or True
+    ]
+    manifest = {}
+    schema_sql, load_sql = [], []
+    for name in names:
+        df = spark.table(name)
+        df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+        cols = ", ".join(
+            f'"{f.name}" {spark_type_to_duckdb(f.dataType)}' for f in df.schema.fields
+        )
+        schema_sql.append(f"CREATE TABLE {name} ({cols});")
+        load_sql.append(
+            f"COPY {name} FROM '{out_dir}/{name}.parquet' (FORMAT PARQUET);"
+        )
+        manifest[name] = [f.name for f in df.schema.fields]
+    with open(f"{out_dir}/schema.sql", "w") as fh:
+        fh.write("\n".join(schema_sql) + "\n")
+    with open(f"{out_dir}/load.sql", "w") as fh:
+        fh.write("\n".join(load_sql) + "\n")
+    with open(f"{out_dir}/manifest.json", "w") as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
+def import_database(spark: SparkSession, in_dir: str) -> list[str]:
+    """IMPORT DATABASE 'dir': re-register every exported table as a temp
+    view (our catalog model — SURVEY §2.10)."""
+    import json
+
+    with open(f"{in_dir}/manifest.json") as fh:
+        manifest = json.load(fh)
+    for name in manifest:
+        spark.read.parquet(f"{in_dir}/{name}.parquet").createOrReplaceTempView(name)
+    return list(manifest)

@@ -176,16 +176,27 @@ class Connection:
         self.spark = spark or get_spark()
         if sf_dir:
             register_views(self.spark, sf_dir)
-        from duckdb_spark.sql.macros import MacroRegistry
+        from duckdb_spark.sql.macros import MacroRegistry, PreparedStatements
 
         self.macros = MacroRegistry()
+        self.prepared = PreparedStatements()
 
-    def sql(self, query: str) -> "Relation | None":
-        """Run DuckDB-dialect SQL: macro/sequence DDL handled by our
-        catalog layer; everything else macro-expanded, dialect-translated
-        (QUALIFY, DISTINCT ON, EXCLUDE, //, ::casts) and handed to Catalyst."""
+    def sql(self, query: str, params=None) -> "Relation | None":
+        """Run DuckDB-dialect SQL: macro/sequence/PREPARE DDL handled by our
+        catalog layer, `?`/`$n`/`$name` parameters bound as literals
+        (reference client_context.cpp:535-579), everything else
+        macro-expanded, dialect-translated (QUALIFY, DISTINCT ON, EXCLUDE,
+        //, ::casts) and handed to Catalyst."""
         from duckdb_spark.sql.dialect import split_union_by_name, translate
+        from duckdb_spark.sql.macros import bind_parameters
 
+        if params is not None:
+            query = bind_parameters(query, params)
+        handled = self.prepared.handle(query)
+        if handled is True:
+            return None
+        if isinstance(handled, str):
+            query = handled
         if self.macros.handle_ddl(query):
             return None
         query = self.macros.expand(query)
@@ -204,9 +215,25 @@ class Connection:
         return Relation(self.spark.sql(translate(query)))
 
     query = sql
+    execute = sql
 
     def table(self, name: str) -> Relation:
         return Relation(self.spark.table(name))
+
+    def read_duckdb(self, db_path: str, table: str) -> Relation:
+        from duckdb_spark.io.readers import read_duckdb
+
+        return Relation(read_duckdb(self.spark, db_path, table))
+
+    def export_database(self, out_dir: str, tables: list[str] | None = None) -> dict:
+        from duckdb_spark.io.writers import export_database
+
+        return export_database(self.spark, out_dir, tables)
+
+    def import_database(self, in_dir: str) -> list[str]:
+        from duckdb_spark.io.writers import import_database
+
+        return import_database(self.spark, in_dir)
 
     def from_df(self, df: DataFrame) -> Relation:
         return Relation(df)

@@ -183,3 +183,133 @@ class MacroRegistry:
                 sql = sql[: m.start()] + expansion + sql[i:]
                 m = pattern.search(sql)
         return sql
+
+
+def quote_literal(v) -> str:
+    """Render a Python value as a SQL literal (reference parameter binding,
+    src/main/client_context.cpp:535-579 PendingStatementOrPreparedStatement:
+    values bind into the prepared plan; on our text-level layer they inline
+    as correctly-quoted literals)."""
+    import datetime
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(quote_literal(x) for x in v) + "]"
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def bind_parameters(sql: str, params) -> str:
+    """Substitute `?` positional or `$1`/`$name` parameters with quoted
+    literals, skipping occurrences inside string literals."""
+    out = []
+    i = 0
+    pos = 0
+    in_str = False
+    params_list = list(params) if not isinstance(params, dict) else None
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            out.append(ch)
+            if ch == "'":
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "?" and params_list is not None:
+            if pos >= len(params_list):
+                raise ValueError("not enough parameters for '?' placeholders")
+            out.append(quote_literal(params_list[pos]))
+            pos += 1
+            i += 1
+            continue
+        if ch == "$" and i + 1 < len(sql):
+            j = i + 1
+            while j < len(sql) and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            token = sql[i + 1 : j]
+            if token:
+                if token.isdigit() and params_list is not None:
+                    idx = int(token) - 1
+                    if idx >= len(params_list):
+                        raise ValueError(f"missing parameter ${token}")
+                    out.append(quote_literal(params_list[idx]))
+                elif isinstance(params, dict) and token in params:
+                    out.append(quote_literal(params[token]))
+                else:
+                    raise ValueError(f"unbound parameter ${token}")
+                i = j
+                continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+_PREPARE_RE = re.compile(
+    r"(?is)^\s*PREPARE\s+([A-Za-z_][A-Za-z_0-9]*)\s+AS\s+(.*)$"
+)
+_EXECUTE_RE = re.compile(
+    r"(?is)^\s*EXECUTE\s+([A-Za-z_][A-Za-z_0-9]*)\s*(?:\((.*)\))?\s*;?\s*$"
+)
+_DEALLOC_RE = re.compile(r"(?is)^\s*DEALLOCATE\s+(?:PREPARE\s+)?([A-Za-z_][A-Za-z_0-9]*)")
+
+
+class PreparedStatements:
+    """PREPARE name AS stmt / EXECUTE name(args) / DEALLOCATE name
+    (reference prepared-statement lifecycle, src/main/prepared_statement.cpp).
+    Statement text is stored at PREPARE time; EXECUTE binds positional
+    arguments ($1..$n or ?) and returns the bound SQL for planning —
+    Catalyst (re)optimizes per execution, which on Spark is the correct
+    trade (plans are parameter-dependent anyway: AQE, pruning)."""
+
+    def __init__(self):
+        self._stmts: dict[str, str] = {}
+
+    def handle(self, sql: str):
+        """Returns None if not a prepared-statement command; True if handled
+        DDL (PREPARE/DEALLOCATE); the bound SQL string for EXECUTE."""
+        m = _PREPARE_RE.match(sql)
+        if m:
+            self._stmts[m.group(1).lower()] = m.group(2).strip().rstrip(";")
+            return True
+        m = _DEALLOC_RE.match(sql)
+        if m:
+            self._stmts.pop(m.group(1).lower(), None)
+            return True
+        m = _EXECUTE_RE.match(sql)
+        if m:
+            name = m.group(1).lower()
+            if name not in self._stmts:
+                raise KeyError(f"prepared statement {name!r} does not exist")
+            args_s = m.group(2) or ""
+            args = []
+            for part in _split_args(args_s):
+                part = part.strip()
+                if not part:
+                    continue
+                if part.startswith("'") and part.endswith("'"):
+                    args.append(part[1:-1].replace("''", "'"))
+                elif part.upper() in ("TRUE", "FALSE"):
+                    args.append(part.upper() == "TRUE")
+                elif part.upper() == "NULL":
+                    args.append(None)
+                else:
+                    try:
+                        args.append(int(part))
+                    except ValueError:
+                        args.append(float(part))
+            return bind_parameters(self._stmts[name], args)
+        return None
