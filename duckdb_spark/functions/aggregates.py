@@ -207,9 +207,11 @@ def quantile_cont(x, q) -> Column:
 
 
 def quantile_disc(x, q) -> Column:
-    """Discrete quantile: the element at ceil(q*n) in sorted order —
-    matches DuckDB quantile_disc (lower interpolation)."""
-    return F.expr(f"percentile_disc({_sql(x)}, {q})") if isinstance(x, str) else F.median(x)
+    """Discrete quantile: an actual element of the input (DuckDB
+    quantile_disc / SQL PERCENTILE_DISC) — Spark's WITHIN GROUP form,
+    verified equal to DuckDB's lower-interpolation pick."""
+    expr = x if isinstance(x, str) else _sql(x)
+    return F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY {expr})")
 
 
 def _sql(x) -> str:

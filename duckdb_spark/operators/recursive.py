@@ -46,3 +46,39 @@ def recursive_cte(
         acc = acc.unionByName(nxt).localCheckpoint(eager=True)
         working = nxt
     raise RuntimeError(f"recursive_cte: no fixpoint after {max_iterations} iterations")
+
+
+def recursive_cte_using_key(
+    base: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    key_cols: list[str],
+    max_iterations: int = 100,
+) -> DataFrame:
+    """WITH RECURSIVE ... USING KEY (reference
+    physical_recursive_cte_key_join.cpp): the recurring table is KEYED —
+    each iteration's rows REPLACE existing rows with the same key instead
+    of accumulating, and iteration stops when a round changes nothing.
+    The canonical use is iterative relaxation (shortest paths, PageRank-
+    style updates) where plain UNION recursion would accumulate every
+    intermediate state.
+
+    Distributed shape: each round is one shuffle on the key (anti-join +
+    union); the working set stays at |keys| rows instead of growing by
+    |new rows| per round — exactly why the reference added the variant.
+    """
+    acc = base.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nxt = step(acc).localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            return acc
+        # replace-by-key: new rows win; unchanged keys keep their row
+        merged = nxt.unionByName(
+            acc.join(nxt.select(*key_cols).distinct(), key_cols, "left_anti")
+        ).localCheckpoint(eager=True)
+        # fixpoint: nothing changed (same multiset of rows)
+        if merged.exceptAll(acc).isEmpty() and acc.exceptAll(merged).isEmpty():
+            return acc
+        acc = merged
+    raise RuntimeError(
+        f"recursive_cte_using_key: no fixpoint after {max_iterations} iterations"
+    )

@@ -456,6 +456,11 @@ def ev_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lag + running sum) and 6h time_bucket aggregation (DuckDB bucket
     origin) — merged so the driver's 50-query window covers both."""
     (events,) = _t(spark, sf_dir, "events")
+    # Three independent branches (each column-pruned to exactly the window
+    # columns it needs) beat a shared wide window projection here: Spark
+    # schedules the branch stages concurrently and the time_bucket branch
+    # needs no window at all. (Measured: shared-window + checkpoint 2.6-3.1s
+    # vs this formulation 1.7s at sf0.1.)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, 0)
     prev_ts = F.lag("ts").over(w)

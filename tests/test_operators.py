@@ -257,3 +257,35 @@ def test_embedding_neardup_refuses_blockless_large(spark):
         assert n == 45  # all pairs, identical vectors
     finally:
         D._NEARDUP_CROSSJOIN_LIMIT = old
+
+
+def test_recursive_cte_using_key_shortest_path(spark):
+    """USING KEY recursion: Bellman-Ford-style relaxation where each round
+    REPLACES the per-key row instead of accumulating (reference
+    physical_recursive_cte_key_join.cpp). Plain UNION recursion on this
+    graph would keep every intermediate distance."""
+    from duckdb_spark.operators.recursive import recursive_cte_using_key
+
+    edges = spark.createDataFrame(
+        [(0, 1, 4.0), (0, 2, 1.0), (2, 1, 2.0), (1, 3, 1.0), (2, 3, 5.0)],
+        "src int, dst int, w double",
+    ).localCheckpoint(eager=True)
+    dist = spark.createDataFrame([(0, 0.0)], "node int, d double")
+
+    def relax(cur):
+        cand = (
+            cur.join(edges, cur.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d"))
+            .unionByName(cur)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        # only emit rows that improve on the current table
+        improved = cand.join(
+            cur.withColumnRenamed("d", "d_old"), "node", "left"
+        ).filter(F.col("d_old").isNull() | (F.col("d") < F.col("d_old"))).select("node", "d")
+        return improved
+
+    out = recursive_cte_using_key(dist, relax, ["node"])
+    got = {r.node: r.d for r in out.collect()}
+    assert got == {0: 0.0, 1: 3.0, 2: 1.0, 3: 4.0}
