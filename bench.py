@@ -49,12 +49,20 @@ def main() -> None:
     # Reference harness protocol (benchmark/README.md): 1 warmup + timed
     # runs per query. Warmup amortizes whole-stage-codegen compilation,
     # which is a per-plan constant, not a data cost.
+    import gc
+
     timings: dict[str, float] = {}
     for name in names:
         q.QUERIES[name](spark, SF_DIR).collect()  # warmup run
         t0 = time.perf_counter()
         q.QUERIES[name](spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Drop references to checkpointed RDDs (minhash/sessionization use
+        # eager localCheckpoint) so the ContextCleaner frees their blocks —
+        # otherwise they accumulate across queries and later queries degrade
+        # under block-manager eviction pressure (measured 6s → 35s drift).
+        spark.catalog.clearCache()
+        gc.collect()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -124,6 +124,17 @@ def product(x) -> Column:
     return F.when(zeros > 0, F.lit(0.0)).otherwise(signed)
 
 
+def money_scaled(x, scale: int = 4) -> Column:
+    """Per-row scaled-long money value: round-half-away(x·10^s) in pure
+    double math (sign-aware floor(v+0.5)). NOT F.round: Spark's round on
+    DOUBLE allocates a BigDecimal per row — measured 3-4× on a 60M-row
+    scan-agg with four money columns (tpch q01 at sf10)."""
+    v = _c(x) * (10 ** scale)
+    return (
+        F.when(v >= 0, F.floor(v + 0.5)).otherwise(-F.floor(-v + 0.5)).cast("long")
+    )
+
+
 def money_sum(x, scale: int = 4, out_scale: int = 2) -> Column:
     """Exact money-precision SUM, the way the reference actually computes
     it: DuckDB's DECIMAL(18,s) is a scaled int64 under the hood
@@ -132,11 +143,9 @@ def money_sum(x, scale: int = 4, out_scale: int = 2) -> Column:
     BigDecimal-backed decimal sum at sf1) and do ONE exact decimal
     division + round on the per-group result. Matches
     ROUND(SUM(CAST(x AS DECIMAL(18,s))), out_scale) (per-row scaling uses
-    the same round-half-up the decimal cast applies; verified
+    the same round-half-away the decimal cast applies; verified
     differentially at sf0.001/0.01/1)."""
-    mult = 10 ** scale
-    scaled = F.round(_c(x) * mult).cast("long")
-    total = F.sum(scaled).cast("decimal(28,0)") / mult
+    total = F.sum(money_scaled(x, scale)).cast("decimal(28,0)") / (10 ** scale)
     return F.round(total, out_scale).cast("double")
 
 

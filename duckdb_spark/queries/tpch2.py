@@ -106,9 +106,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     # value stays in scaled-long "cents" through BOTH aggregation levels —
     # rounding to double between the sums would reintroduce the .xx5
     # boundary divergence money_sum exists to avoid.
-    cents = F.round(
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
-    ).cast("long")
+    cents = A.money_scaled(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     scoped = (
         lineitem.groupBy(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
         .agg(F.sum(cents).alias("value_c"))
