@@ -218,23 +218,32 @@ def ev_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ev_set_ops",
     oracle="""
-(SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+(SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND event_id % 2 = 0
  INTERSECT
- SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+ SELECT DISTINCT user_id FROM events WHERE event_type = 'view' AND event_id % 3 = 0)
 EXCEPT
-SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND event_id % 5 = 0
 ORDER BY user_id
 """,
 )
 def ev_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT (reference plan_set_operation.cpp semi/anti
-    planning — Spark plans the same shape natively)."""
+    planning — Spark plans the same shape natively). The event_id residue
+    filters make all three legs NON-TRIVIAL, overlapping subsets at every
+    fixture SF (the round-1 formulation returned 0 rows everywhere — every
+    user has every event type — making the differential check vacuous)."""
     (events,) = _t(spark, sf_dir, "events")
 
-    def users(t):
-        return events.filter(F.col("event_type") == t).select("user_id").distinct()
+    def users(t, mod):
+        return (
+            events.filter((F.col("event_type") == t) & (F.col("event_id") % mod == 0))
+            .select("user_id").distinct()
+        )
 
-    return users("purchase").intersect(users("error")).subtract(users("signup")).orderBy("user_id")
+    return (
+        users("purchase", 2).intersect(users("view", 3))
+        .subtract(users("error", 5)).orderBy("user_id")
+    )
 
 
 @register(

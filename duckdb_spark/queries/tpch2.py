@@ -247,12 +247,23 @@ def sketch_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lttb(small, "x", "y", n_out=20, by=["user_id"]).orderBy("user_id", "x")
 
 
-@register("sketch_summarize")
+@register(
+    "sketch_summarize",
+    oracle="""
+SELECT column_name, min, max, CAST(count AS BIGINT) AS count,
+       ROUND(CAST(null_percentage AS DOUBLE), 2) AS null_percentage
+FROM (SUMMARIZE orders) ORDER BY column_name
+""",
+)
 def sketch_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SUMMARIZE orders (reference bind_summarize.cpp) — one-pass per-column
-    profile. Rows-only: approx_unique/percentile sketches are engine-
-    specific by definition."""
+    profile, differential on the EXACT output columns (min/max/count/null%)
+    vs DuckDB's native SUMMARIZE; the approx_unique / percentile sketch
+    columns are engine-specific by definition and stay unit-tested."""
     from duckdb_spark.operators.sketch import summarize
 
     (orders,) = _t(spark, sf_dir, "orders")
-    return summarize(orders)
+    return summarize(orders).select(
+        "column_name", "min", "max", F.col("count").cast("long").alias("count"),
+        F.round(F.col("null_percentage").cast("double"), 2).alias("null_percentage"),
+    ).orderBy("column_name")
