@@ -377,7 +377,9 @@ def weekday(ts) -> Column:
 
 
 def yearweek(ts) -> Column:
-    return F.year(_c(ts)) * 100 + F.weekofyear(_c(ts))
+    # ISO year, not calendar year (reference ExtractISOYearWeek): at year
+    # boundaries 2021-01-01 belongs to ISO week 2020-53 → 202053.
+    return isoyear(ts) * 100 + F.weekofyear(_c(ts))
 
 
 def microsecond(ts) -> Column:
@@ -779,7 +781,9 @@ def map_(keys, values) -> Column:
 def map_extract(m, k) -> Column:
     """DuckDB map_extract returns a LIST of matches (0 or 1 elements)."""
     v = F.element_at(_c(m), k if not isinstance(k, str) else F.lit(k))
-    return F.when(v.isNotNull(), F.array(v)).otherwise(F.array().cast(v.cast("string").isNotNull().cast("string").isNull().cast("string").isNull().cast("string").isNull().cast("string").isNull().cast("string").isNull().cast("string").isNull().cast("string").isNull().cast("string").isNull().cast("string").isNull().cast("string")))
+    # Typed empty array on miss: slice a 1-element array of the value type
+    # down to zero elements (keeps the element type without a cast string).
+    return F.when(v.isNotNull(), F.array(v)).otherwise(F.slice(F.array(v), 1, 0))
 
 
 def list_apply(arr, fn) -> Column:

@@ -53,9 +53,9 @@ def export_database(
     from duckdb_spark.types import spark_type_to_duckdb
 
     os.makedirs(out_dir, exist_ok=True)
-    names = tables or [
-        t.name for t in spark.catalog.listTables() if t.tableType != "VIEW" or True
-    ]
+    # Our catalog model registers every table as a (temp) view, so export
+    # everything listed — there is no view/table distinction to filter on.
+    names = tables or [t.name for t in spark.catalog.listTables()]
     manifest = {}
     schema_sql, load_sql = [], []
     for name in names:
@@ -65,8 +65,10 @@ def export_database(
             f'"{f.name}" {spark_type_to_duckdb(f.dataType)}' for f in df.schema.fields
         )
         schema_sql.append(f"CREATE TABLE {name} ({cols});")
+        # Spark writes <name>.parquet as a DIRECTORY of part files; DuckDB's
+        # COPY FROM needs the glob, not the bare directory path.
         load_sql.append(
-            f"COPY {name} FROM '{out_dir}/{name}.parquet' (FORMAT PARQUET);"
+            f"COPY {name} FROM '{out_dir}/{name}.parquet/*.parquet' (FORMAT PARQUET);"
         )
         manifest[name] = [f.name for f in df.schema.fields]
     with open(f"{out_dir}/schema.sql", "w") as fh:

@@ -69,8 +69,12 @@ def banded_range_join(
         return l.join(r, "__bucket", "inner").filter(cond).drop("__bucket")
     # LEFT: the band predicate can't be filtered post-join (NULL on
     # unmatched rows would drop them) — take the inner matches, then append
-    # left rows with no match, right side NULL.
-    l_id = l.withColumn("__lid", F.monotonically_increasing_id())
+    # left rows with no match, right side NULL. The __lid assignment is
+    # materialized once (monotonically_increasing_id is nondeterministic;
+    # the two plan branches below must see identical ids).
+    l_id = l.withColumn(
+        "__lid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
     inner = l_id.join(r, "__bucket", "inner").filter(cond).drop("__bucket")
     rcols = [renames[c] for c in right.columns]
     unmatched = l_id.drop("__bucket").join(
@@ -115,7 +119,10 @@ def interval_join(
     # Each point has exactly one bucket ⇒ no explode-duplicates in the inner.
     if how == "inner":
         return p.join(iv, "__bucket", "inner").filter(cond).drop("__bucket")
-    p_id = p.withColumn("__lid", F.monotonically_increasing_id())
+    # Materialized once — see banded_range_join: both branches need one id set.
+    p_id = p.withColumn(
+        "__lid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
     inner = p_id.join(iv, "__bucket", "inner").filter(cond).drop("__bucket")
     unmatched = p_id.drop("__bucket").join(
         inner.select("__lid").distinct(), "__lid", "left_anti"

@@ -369,6 +369,8 @@ SELECT n_nationkey AS nk,
        CAST(isoyear(DATE '2021-01-01') AS BIGINT) AS iy,
        CAST(week(DATE '1995-03-15') AS BIGINT) AS wk,
        CAST(yearweek(DATE '1995-03-15') AS BIGINT) AS yw,
+       CAST(yearweek(DATE '2021-01-01') AS BIGINT) AS yw_b1,
+       CAST(yearweek(DATE '2019-12-30') AS BIGINT) AS yw_b2,
        CAST(epoch_ns(TIMESTAMP '1995-03-15 12:00:00') AS BIGINT) AS ens,
        array_to_string(list_grade_up([n_nationkey % 3, 5, 1]), ',') AS gu,
        array_to_string(list_reverse_sort([n_nationkey % 3, 5, 1]), ',') AS lrs,
@@ -418,6 +420,9 @@ def fn_wave2_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         S2.isoyear(F.lit("2021-01-01").cast("date")).cast("long").alias("iy"),
         S2.week(F.lit("1995-03-15").cast("date")).cast("long").alias("wk"),
         S2.yearweek(F.lit("1995-03-15").cast("date")).cast("long").alias("yw"),
+        # ISO-year boundaries: 2021-01-01 is ISO week 2020-53, 2019-12-30 is 2020-01
+        S2.yearweek(F.lit("2021-01-01").cast("date")).cast("long").alias("yw_b1"),
+        S2.yearweek(F.lit("2019-12-30").cast("date")).cast("long").alias("yw_b2"),
         S2.epoch_ns(F.lit("1995-03-15 12:00:00").cast("timestamp")).alias("ens"),
         F.array_join(S2.list_grade_up(arr).cast("array<string>"), ",").alias("gu"),
         F.array_join(S2.list_reverse_sort(arr).cast("array<string>"), ",").alias("lrs"),

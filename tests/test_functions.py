@@ -178,3 +178,37 @@ def test_wave2_collation_and_misc(spark, duck):
     assert row.ec == 1 and row.ef == "a" and row.er == "a,b,c"
     assert row.le is True
     assert row.re == duck.execute("SELECT regexp_escape('a.b*c')").fetchone()[0]
+
+
+def test_map_extract_hit_and_miss(spark, duck):
+    """map_extract returns a LIST of 0 or 1 matches (reference map_extract);
+    both the hit and the miss (typed empty list) paths vs DuckDB."""
+    from duckdb_spark.functions import scalar2 as S2
+
+    df = spark.range(1).select(
+        F.create_map(F.lit("a"), F.lit(10), F.lit("b"), F.lit(20)).alias("m")
+    )
+    got = df.select(
+        S2.map_extract("m", "a").alias("hit"),
+        S2.map_extract("m", "zz").alias("miss"),
+    ).collect()[0]
+    want = duck.execute(
+        "SELECT map_extract(map(['a','b'], [10, 20]), 'a'), "
+        "map_extract(map(['a','b'], [10, 20]), 'zz')"
+    ).fetchone()
+    assert list(got.hit) == want[0] == [10]
+    assert list(got.miss) == want[1] == []
+
+
+def test_yearweek_iso_boundaries(spark, duck):
+    """yearweek uses the ISO year (reference ExtractISOYearWeek): dates near
+    year boundaries belong to the adjacent ISO year."""
+    from duckdb_spark.functions import scalar2 as S2
+
+    dates = ["2021-01-01", "2019-12-30", "1995-03-15", "2016-01-03"]
+    got = spark.createDataFrame([(d,) for d in dates], "d string").select(
+        S2.yearweek(F.col("d").cast("date")).cast("long").alias("yw")
+    ).collect()
+    for (g,), d in zip(got, dates):
+        want = duck.execute(f"SELECT yearweek(DATE '{d}')").fetchone()[0]
+        assert g == want, (d, g, want)

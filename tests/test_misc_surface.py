@@ -152,9 +152,16 @@ def test_read_duckdb_and_export_import(spark, tmp_path):
     spark.catalog.dropTempView("exp_t")
     names = con.import_database(out)
     assert names == ["exp_t"] and spark.table("exp_t").count() == 100
-    # the export is directly loadable by DuckDB via its own load.sql shape
+    # the export is directly loadable by DuckDB by executing its own
+    # schema.sql + load.sql manifests verbatim
     d2 = duckdb.connect()
-    n = d2.execute(f"SELECT COUNT(*) FROM read_parquet('{out}/exp_t.parquet/*.parquet')").fetchone()[0]
+    with open(f"{out}/schema.sql") as fh:
+        d2.execute(fh.read())
+    with open(f"{out}/load.sql") as fh:
+        for stmt in fh.read().split(";"):
+            if stmt.strip():
+                d2.execute(stmt)
+    n = d2.execute("SELECT COUNT(*) FROM exp_t").fetchone()[0]
     assert n == 100
 
 
