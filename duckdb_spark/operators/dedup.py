@@ -50,6 +50,16 @@ def shingles(col, k: int = 3) -> Column:
     )
 
 
+def hashed_shingles(col, k: int = 3) -> Column:
+    """Distinct word k-shingles as 64-bit xxhash64 longs. Set operations
+    (intersection size, Jaccard) over hashed shingles are identical to the
+    string formulation modulo 2^-64 collisions, and shuffling 8-byte longs
+    instead of raw shingle strings cuts verify-stage shuffle ~10× — at
+    corpus scale the string formulation re-materializes the corpus as
+    arrays on both sides of every candidate pair."""
+    return F.array_distinct(F.transform(shingles(col, k), lambda s: F.xxhash64(s)))
+
+
 # ---------------------------------------------------------------- exact
 
 
@@ -198,7 +208,12 @@ def minhash_dedup(
     connected-components pass — `recursive_cte` covers that; the
     keep-smallest-neighbor rule is the standard one-pass policy.)"""
     cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, k)
-    sh = df.select(F.col(id_col).alias("__sid"), shingles(F.col(text_col), k).alias("__sh"))
+    # Verification joins shingle sets to BOTH sides of every candidate pair;
+    # hashed longs keep that shuffle proportional to set cardinality, not
+    # text size.
+    sh = df.select(
+        F.col(id_col).alias("__sid"), hashed_shingles(F.col(text_col), k).alias("__sh")
+    )
     verified = (
         cands.join(sh.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
@@ -298,7 +313,11 @@ def ngram_jaccard_pairs(
     isn't dominated by corpus-hot shingles, and candidates lost this way
     share only near-universal (non-discriminative) content. Default None =
     exact (bench/oracle mode)."""
-    sh = df.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__sh"))
+    # Inverted index over hashed shingles: the per-(shingle, doc) shuffle
+    # rows carry an 8-byte long instead of the shingle text.
+    sh = df.select(
+        F.col(id_col).alias("__id"), hashed_shingles(F.col(text_col), k).alias("__sh")
+    )
     sizes = sh.select("__id", F.size("__sh").alias("__n"))
     inv = sh.select("__id", F.explode("__sh").alias("__s"))
     if max_doc_freq is not None:
@@ -348,11 +367,14 @@ def embedding_neardup_pairs(
     _NEARDUP_CROSSJOIN_LIMIT rows unless allow_crossjoin=True — route
     through similarity.lsh_buckets instead."""
     if block_col is None and not allow_crossjoin:
-        n = df.count()
+        # Bounded scan: we only need to know whether the input EXCEEDS the
+        # limit, not its exact size — a full count() of a 100 TB corpus just
+        # to raise an error would itself be the bug.
+        n = df.limit(_NEARDUP_CROSSJOIN_LIMIT + 1).count()
         if n > _NEARDUP_CROSSJOIN_LIMIT:
             raise ValueError(
                 f"embedding_neardup_pairs without block_col is O(n²) and the "
-                f"input has {n} rows (> {_NEARDUP_CROSSJOIN_LIMIT}); pass "
+                f"input exceeds {_NEARDUP_CROSSJOIN_LIMIT} rows; pass "
                 "block_col=similarity.lsh_buckets(...) output, or force with "
                 "allow_crossjoin=True"
             )

@@ -107,8 +107,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle recomputes the identical algorithm in DuckDB SQL."""
     docs = load_table(spark, sf_dir, "documents")
     cands = D.minhash_lsh_candidates(docs, "doc_id", "text", 16, 4, 3)
+    # Hashed shingle sets: Jaccard identical to the oracle's string sets
+    # (modulo 2^-64 xxhash collisions) at ~10× less verify-stage shuffle.
     sh = docs.repartition(spark.sparkContext.defaultParallelism).select(
-        F.col("doc_id").alias("__sid"), D.shingles(F.col("text"), 3).alias("__sh")
+        F.col("doc_id").alias("__sid"), D.hashed_shingles(F.col("text"), 3).alias("__sh")
     ).localCheckpoint(eager=True)  # reused by both verification branches
     return (
         cands.join(

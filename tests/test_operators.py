@@ -289,3 +289,40 @@ def test_recursive_cte_using_key_shortest_path(spark):
     out = recursive_cte_using_key(dist, relax, ["node"])
     got = {r.node: r.d for r in out.collect()}
     assert got == {0: 0.0, 1: 3.0, 2: 1.0, 3: 4.0}
+
+
+def test_hashed_shingles_jaccard_matches_string_formulation(spark):
+    """The verify stages shuffle xxhash64'd shingles instead of raw shingle
+    strings; set sizes, intersections, and every verified Jaccard value must
+    be identical to the string formulation (collisions ~2^-64)."""
+    from duckdb_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "the quick brown fox jumps over the lazy dog again tonight"),
+            (3, "an entirely different document with other words inside it"),
+            (4, "the quick brown fox jumps over the lazy dog again today"),
+        ],
+        "doc_id long, text string",
+    )
+    hashed = docs.select(
+        "doc_id", D.hashed_shingles(F.col("text"), 3).alias("h"),
+        D.shingles(F.col("text"), 3).alias("s"),
+    ).collect()
+    for r in hashed:
+        assert len(r.h) == len(r.s)  # distinct cardinality preserved
+
+    # minhash_dedup end-to-end equals the string-shingle verify it replaced
+    kept = {r.doc_id for r in D.minhash_dedup(docs, jaccard_threshold=0.7).collect()}
+    sh = docs.select(F.col("doc_id").alias("__sid"), D.shingles(F.col("text"), 3).alias("__sh"))
+    cands = D.minhash_lsh_candidates(docs, "doc_id", "text", 16, 4, 3)
+    verified = (
+        cands.join(sh.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+        .withColumn("__inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("j", F.col("__inter") / (F.size("sh_a") + F.size("sh_b") - F.col("__inter")))
+        .filter(F.col("j") >= 0.7)
+    )
+    dup = {r.id_b for r in verified.collect()}
+    assert kept == {1, 2, 3, 4} - dup and 4 in dup
