@@ -101,6 +101,7 @@ _DIRECT = {
 
 # Names implemented in our scalar/aggregate modules (wave 1 + wave 2).
 from duckdb_spark.functions import scalar2 as S2  # noqa: E402
+from duckdb_spark.functions import variant as V  # noqa: E402
 
 
 def _module_functions(mod) -> dict:
@@ -118,6 +119,15 @@ _CUSTOM = _module_functions(S)
 _CUSTOM.update(_module_functions(A))
 _CUSTOM.update(_module_functions(S2))
 _CUSTOM.update(S2.COLLATION_FUNCTIONS)
+# VARIANT surface (reference function_list.cpp:269-277)
+_CUSTOM.update({
+    n: getattr(V, n)
+    for n in (
+        "variant_extract", "variant_typeof", "variant_type", "variant_keys",
+        "variant_array_length", "variant_exists", "variant_contains",
+        "variant_normalize", "variant_comparator", "to_variant", "try_to_variant",
+    )
+})
 # names that collide with python keywords/builtins inside the modules
 _CUSTOM["ord"] = S2.ord_
 _CUSTOM["bin"] = S2.to_binary
@@ -210,10 +220,20 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         ),
         "epoch_ms": "CREATE OR REPLACE TEMPORARY FUNCTION epoch_ms(ts TIMESTAMP) RETURNS BIGINT RETURN unix_millis(ts)",
     }
+    failed = []
     for name, ddl in macros.items():
         try:
             spark.sql(ddl)
             created.append(name)
-        except Exception:
-            pass
+        except Exception as exc:  # collect, don't silently drop names
+            failed.append((name, f"{type(exc).__name__}: {exc}"))
+    if failed:
+        import warnings
+
+        warnings.warn(
+            "register_sql_functions: %d name(s) failed to register: %s"
+            % (len(failed), "; ".join(f"{n} ({e})" for n, e in failed)),
+            stacklevel=2,
+        )
+    register_sql_functions.last_failed = failed
     return created

@@ -481,3 +481,96 @@ def fn_wave2_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "fn_variant_batch",
+    oracle="""
+WITH src AS (
+  SELECT event_id, user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events WHERE event_id % 97 = 0
+), built AS (
+  SELECT event_id, user_id, k,
+         '{"id": ' || event_id
+           || ', "payload": {"k": ' || k
+           || CASE WHEN event_id % 2 = 0 THEN ', "maybe": null' ELSE '' END
+           || '}, "tag": '
+           || CASE event_id % 4
+                WHEN 0 THEN '"t' || user_id || '"'
+                WHEN 1 THEN CAST(user_id AS VARCHAR)
+                WHEN 2 THEN 'true'
+                ELSE 'null' END
+           || ', "vals": [' || k || ', ' || (k + 7) || ']}' AS j
+  FROM src
+)
+SELECT event_id,
+       json_extract_string(j, '$.payload.k') AS x_k,
+       json_extract_string(j, '$.vals[0]') AS v1,
+       CAST(json_array_length(j, '$.vals') AS INT) AS alen,
+       CASE event_id % 4
+         WHEN 0 THEN 'VARCHAR' WHEN 1 THEN 'INT64'
+         WHEN 2 THEN 'BOOL_TRUE' ELSE 'VARIANT_NULL' END AS t_tag,
+       'OBJECT(id, payload, tag, vals)' AS t_root,
+       'ARRAY(2)' AS t_vals,
+       array_to_string(json_keys(j), ',') AS keys_root,
+       (event_id % 2 = 0) AS has_maybe,
+       FALSE AS has_other,
+       json(j)::VARCHAR AS norm,
+       (event_id % 150 = k OR event_id % 150 = k + 7 OR event_id % 150 = event_id
+        OR (event_id % 4 = 1 AND event_id % 150 = user_id)) AS has_needle
+FROM built ORDER BY event_id
+""",
+)
+def fn_variant_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT function surface (reference function_list.cpp:269-277) over
+    JSON built from events: variant_extract (key/index/compound paths),
+    variant_typeof detail names, variant_keys, variant_array_length,
+    variant_exists (null-valued key exists, absent key doesn't),
+    variant_normalize canonical text, variant_contains recursive search.
+
+    Both engines build byte-identical JSON text (keys pre-sorted so
+    DuckDB's order-preserving json_keys matches Spark's key-sorted variant
+    binary); the oracle states expected typeof/exists/contains values from
+    the construction logic — same differential style as ev_json_extract."""
+    from duckdb_spark.functions import variant as V
+
+    events = load_table(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    src = (
+        events.where(eid % 97 == 0)
+        .select(
+            "event_id", "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+    )
+    k = F.col("k")
+    j = F.concat(
+        F.lit('{"id": '), eid.cast("string"),
+        F.lit(', "payload": {"k": '), k.cast("string"),
+        F.when(eid % 2 == 0, F.lit(', "maybe": null')).otherwise(F.lit("")),
+        F.lit('}, "tag": '),
+        F.when(eid % 4 == 0, F.concat(F.lit('"t'), uid.cast("string"), F.lit('"')))
+        .when(eid % 4 == 1, uid.cast("string"))
+        .when(eid % 4 == 2, F.lit("true"))
+        .otherwise(F.lit("null")),
+        F.lit(', "vals": ['), k.cast("string"), F.lit(", "),
+        (k + 7).cast("string"), F.lit("]}"),
+    )
+    built = src.withColumn("v", V.to_variant(j))
+    v = F.col("v")
+    needle = V.to_variant((eid % 150).cast("string"))
+    return built.select(
+        "event_id",
+        V.variant_extract(v, "payload.k").cast("string").alias("x_k"),
+        V.variant_extract(v, "vals", 1).cast("string").alias("v1"),
+        V.variant_array_length(v, "vals").alias("alen"),
+        V.variant_typeof(v, "tag").alias("t_tag"),
+        V.variant_typeof(v).alias("t_root"),
+        V.variant_typeof(v, "vals").alias("t_vals"),
+        F.array_join(V.variant_keys(v), ",").alias("keys_root"),
+        V.variant_exists(v, "payload.maybe").alias("has_maybe"),
+        V.variant_exists(v, "payload.other").alias("has_other"),
+        V.variant_normalized_json(v).alias("norm"),
+        V.variant_contains(v, needle).alias("has_needle"),
+    ).orderBy("event_id")
