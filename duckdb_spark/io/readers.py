@@ -24,6 +24,7 @@ import glob as _glob
 import io as _io
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # DuckDB read_csv option name → Spark DataFrameReader option name.
 _CSV_OPTION_MAP = {
@@ -234,3 +235,31 @@ def read_duckdb(spark: SparkSession, db_path: str, table: str) -> DataFrame:
     finally:
         con.close()
     return spark.createDataFrame(arrow_table.to_pandas())
+
+
+def read_blob(spark: SparkSession, path: str) -> DataFrame:
+    """DuckDB read_blob(pattern) → (filename, content BLOB, size, last_modified)
+    via Spark's binaryFile source (reference src/function/table/read_file.cpp
+    schema). Distributed: each file is a task-side read, glob/dir patterns
+    fan out across executors; content column is pruned when unused."""
+    df = spark.read.format("binaryFile").load(path)
+    return df.select(
+        F.col("path").alias("filename"),
+        F.col("content"),
+        F.col("length").alias("size"),
+        F.col("modificationTime").alias("last_modified"),
+    )
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """DuckDB read_text(pattern): read_blob with UTF-8 decoded content.
+    decode() is JVM-side; invalid UTF-8 raises, matching the reference's
+    "could not be decoded" error path."""
+    blob = read_blob(spark, path)
+    return blob.withColumn("content", F.decode(F.col("content"), "UTF-8"))
+
+
+def read_file(spark: SparkSession, path: str) -> DataFrame:
+    """Alias surface: reference registers read_text/read_blob from
+    read_file.cpp; read_file behaves as read_blob."""
+    return read_blob(spark, path)

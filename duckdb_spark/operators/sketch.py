@@ -139,3 +139,102 @@ def summarize(df: DataFrame) -> DataFrame:
         "approx_unique long, avg double, std double, q25 double, q50 double, "
         "q75 double, count long, null_percentage double",
     )
+
+
+def approx_top_k_sketch(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    by: list[str] | None = None,
+    buckets: int | None = None,
+) -> DataFrame:
+    """MERGEABLE approximate top-k: distributed filtered-space-saving
+    (reference extension/core_functions/aggregate/holistic/approx_top_k.cpp
+    keeps `capacity` monitored values with an error bound; merge sums
+    counts and propagates the bound).
+
+    Spark formulation — the sketch IS the shuffle bound:
+      map side  : mapInPandas keeps ≤ `buckets` (value, exact-in-partition
+                  count) pairs per group per partition; the (buckets+1)-th
+                  largest count becomes that partition's epsilon (any value
+                  dropped here appeared ≤ epsilon times in the partition).
+                  Arrow-batched, column-pruned input, state per partition.
+      merge side: one groupBy over ≤ buckets·partitions rows — cnt_lo =
+                  Σ emitted counts; cnt_hi = cnt_lo + Σ epsilon of the
+                  partitions that did NOT emit the value. Top-k ranked by
+                  cnt_lo (desc, value asc tie-break).
+
+    With per-partition group cardinality ≤ buckets, epsilon is 0 everywhere
+    and cnt_lo == cnt_hi == the exact count (the regime the differential
+    oracle pins); beyond that the bound degrades gracefully exactly like
+    the reference sketch. Shuffle payload is capped at buckets rows per
+    partition per group regardless of input cardinality — the property
+    that makes this scale where exact counting shuffles every distinct
+    value.
+
+    Output: (*by, value, cnt_lo, cnt_hi, rank), rank ≤ k.
+    """
+    by = by or []
+    buckets = buckets or 8 * k
+    narrow = df.select(*by, col)
+    fields = narrow.schema.fields
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in fields)
+        + ", __cnt long, __eps long, __is_eps boolean"
+    )
+
+    def _fss(batches):
+        # per-partition state: {group_key: {value: count}}
+        state: dict = {}
+        for pdf in batches:
+            grouped = (
+                pdf.groupby(list(by), dropna=False, sort=False)
+                if by
+                else [((), pdf)]
+            )
+            for key, g in grouped:
+                if by and not isinstance(key, tuple):
+                    key = (key,)
+                counts = state.setdefault(key, {})
+                for v, c in g[col].value_counts(dropna=True).items():
+                    counts[v] = counts.get(v, 0) + int(c)
+        for key, counts in state.items():
+            items = sorted(counts.items(), key=lambda kv: (-kv[1], str(kv[0])))
+            kept, dropped = items[:buckets], items[buckets:]
+            eps = dropped[0][1] if dropped else 0
+            rows = [(*key, v, c, eps, False) for v, c in kept]
+            rows.append((*key, None, 0, eps, True))  # per-partition eps row
+            yield pd.DataFrame(
+                rows, columns=[*by, col, "__cnt", "__eps", "__is_eps"]
+            )
+
+    partial = narrow.mapInPandas(_fss, schema=out_schema)
+    cand = (
+        partial.where(~F.col("__is_eps"))
+        .groupBy(*by, F.col(col).alias("value"))
+        .agg(
+            F.sum("__cnt").alias("cnt_lo"),
+            F.sum("__eps").alias("__eps_emitted"),
+        )
+    )
+    eps_tot = (
+        partial.where(F.col("__is_eps"))
+        .groupBy(*by)
+        .agg(F.sum("__eps").alias("__eps_tot"))
+    )
+    joined = (
+        cand.join(F.broadcast(eps_tot), on=by, how="left")
+        if by
+        else cand.crossJoin(F.broadcast(eps_tot))
+    )
+    w = Window.partitionBy(*by).orderBy(F.desc("cnt_lo"), F.asc("value"))
+    return (
+        joined.withColumn(
+            "cnt_hi",
+            F.col("cnt_lo") + F.coalesce(F.col("__eps_tot"), F.lit(0))
+            - F.col("__eps_emitted"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("__eps_emitted", "__eps_tot")
+    )

@@ -218,3 +218,50 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "tf_read_text",
+    oracle="""
+SELECT doc_id, CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes, md5(text) AS h
+FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id
+""",
+)
+def tf_read_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_text table function (reference src/function/table/read_file.cpp)
+    driven end-to-end: materialize a deterministic on-disk text corpus from
+    the documents table (fixture step, driver-side by design), then read it
+    back DISTRIBUTED via the binaryFile-backed read_text — filename glob
+    fan-out, UTF-8 decode, size column — and check byte counts + content
+    hashes against the documents view itself. The oracle states the same
+    expectations straight from the table, so any loss/corruption in the
+    write→glob→decode path diverges."""
+    import hashlib
+    import os
+
+    from duckdb_spark.io.readers import read_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    subset = docs.where(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    corpus = os.path.join(
+        "/tmp", "ddbspark_corpus_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    )
+    marker = os.path.join(corpus, "_complete")
+    if not os.path.exists(marker):
+        os.makedirs(corpus, exist_ok=True)
+        for row in subset.collect():  # fixture materialization, not the operator
+            with open(os.path.join(corpus, f"{row['doc_id']}.txt"), "w") as f:
+                f.write(row["text"])
+        with open(marker, "w") as f:
+            f.write("ok")
+    files = read_text(spark, corpus + "/*.txt")
+    return (
+        files.select(
+            F.regexp_extract(F.col("filename"), r"(\d+)\.txt$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("size").alias("n_bytes"),
+            F.md5(F.encode(F.col("content"), "UTF-8")).alias("h"),
+        )
+        .orderBy("doc_id")
+    )

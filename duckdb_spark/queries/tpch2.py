@@ -267,3 +267,34 @@ def sketch_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name", "min", "max", F.col("count").cast("long").alias("count"),
         F.round(F.col("null_percentage").cast("double"), 2).alias("null_percentage"),
     ).orderBy("column_name")
+
+
+@register(
+    "sketch_topk_merge",
+    oracle="""
+SELECT et, value, cnt_lo, cnt_lo AS cnt_hi, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT et, value, cnt_lo,
+         ROW_NUMBER() OVER (PARTITION BY et ORDER BY cnt_lo DESC, value) AS rank
+  FROM (
+    SELECT event_type AS et, user_id % 50 AS value, COUNT(*) AS cnt_lo
+    FROM events GROUP BY 1, 2))
+WHERE rank <= 5 ORDER BY et, rank
+""",
+)
+def sketch_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE approx_top_k (distributed filtered-space-saving; see
+    operators/sketch.py approx_top_k_sketch). Parameters put the sketch in
+    its exact regime (per-partition cardinality 50 ≤ buckets 64), so
+    cnt_lo == cnt_hi == the exact count and the differential oracle is the
+    exact per-group top-5 — this pins the map-side sketch + merge path
+    byte-for-byte; the degraded-bound regime is unit-tested."""
+    from duckdb_spark.operators.sketch import approx_top_k_sketch
+
+    (events,) = _t(spark, sf_dir, "events")
+    d = events.select(
+        F.col("event_type").alias("et"), (F.col("user_id") % 50).alias("value")
+    )
+    return (
+        approx_top_k_sketch(d, "value", k=5, by=["et"], buckets=64)
+        .orderBy("et", "rank")
+    )

@@ -1,0 +1,82 @@
+"""Table functions: repeat / repeat_row / query / query_table / read_blob.
+
+Reference: src/function/table/repeat.cpp, repeat_row.cpp,
+query_function.cpp, read_file.cpp.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_spark.operators import tablefn as TF
+
+
+def test_repeat_value_and_column_name(spark):
+    df = TF.repeat(spark, "x", 4)
+    assert df.columns == ["x"]
+    assert df.count() == 4
+    assert [r[0] for r in df.collect()] == ["x"] * 4
+    assert TF.repeat(spark, 42, 0).count() == 0
+    with pytest.raises(ValueError):
+        TF.repeat(spark, 1, -1)
+
+
+def test_repeat_row(spark):
+    df = TF.repeat_row(spark, 1, "a", True, num_rows=3)
+    assert df.columns == ["column0", "column1", "column2"]
+    assert df.count() == 3
+    assert df.collect()[0].asDict() == {"column0": 1, "column1": "a", "column2": True}
+    with pytest.raises(ValueError, match="num_rows"):
+        TF.repeat_row(spark, 1)
+    with pytest.raises(ValueError, match="at least one column"):
+        TF.repeat_row(spark, num_rows=2)
+
+
+def test_query_and_query_table(spark):
+    spark.range(3).createOrReplaceTempView("qt_a")
+    spark.range(2).createOrReplaceTempView("qt_b")
+    assert TF.query(spark, "SELECT 1 + 1 AS x;").collect()[0]["x"] == 2
+    with pytest.raises(ValueError, match="SELECT"):
+        TF.query(spark, "DROP TABLE qt_a")
+    assert TF.query_table(spark, "qt_a").count() == 3
+    assert TF.query_table(spark, ["qt_a", "qt_b"]).count() == 5
+    assert TF.query_table(spark, ["qt_a", "qt_b"], by_name=True).count() == 5
+
+
+def test_read_blob_and_text(spark, tmp_path):
+    from duckdb_spark.io.readers import read_blob, read_text
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01binary")
+    (tmp_path / "b.txt").write_text("hello")
+    blobs = read_blob(spark, str(tmp_path) + "/*")
+    assert set(blobs.columns) == {"filename", "content", "size", "last_modified"}
+    rows = {r["filename"].rsplit("/", 1)[-1]: r for r in blobs.collect()}
+    assert bytes(rows["a.bin"]["content"]) == b"\x00\x01binary"
+    assert rows["b.txt"]["size"] == 5
+    texts = read_text(spark, str(tmp_path) + "/b.txt")
+    assert texts.collect()[0]["content"] == "hello"
+
+
+def test_approx_top_k_sketch_bounds(spark):
+    """Degraded regime: buckets < cardinality. The sketch must (a) bracket
+    the exact count with [cnt_lo, cnt_hi], (b) still surface the true heavy
+    hitter when it dominates (space-saving guarantee)."""
+    from duckdb_spark.operators.sketch import approx_top_k_sketch
+
+    import pyspark.sql.functions as F
+
+    # 4 partitions; value 0 dominates (weight ~50%), long tail of 200 values
+    df = (
+        spark.range(0, 20000, 1, 4)
+        .select(
+            F.when(F.col("id") % 2 == 0, 0)
+            .otherwise((F.col("id") * 7919) % 200 + 1)
+            .alias("v")
+        )
+    )
+    got = approx_top_k_sketch(df, "v", k=3, buckets=16).collect()
+    exact = {r["v"]: r["c"] for r in df.groupBy("v").agg(F.count("*").alias("c")).collect()}
+    top = [r for r in got if r["rank"] == 1][0]
+    assert top["value"] == 0
+    for r in got:
+        assert r["cnt_lo"] <= exact[r["value"]] <= r["cnt_hi"]
