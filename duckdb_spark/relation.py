@@ -180,6 +180,9 @@ class Connection:
 
         self.macros = MacroRegistry()
         self.prepared = PreparedStatements()
+        from duckdb_spark.operators.udtf import register_builtin_udtfs
+
+        register_builtin_udtfs(self.spark)
 
     def sql(self, query: str, params=None) -> "Relation | None":
         """Run DuckDB-dialect SQL: macro/sequence/PREPARE DDL handled by our

@@ -80,3 +80,33 @@ def test_approx_top_k_sketch_bounds(spark):
     assert top["value"] == 0
     for r in got:
         assert r["cnt_lo"] <= exact[r["value"]] <= r["cnt_hi"]
+
+
+def test_udtf_sql_callable(spark):
+    """Native UDTF (reference physical_tableinout_function.cpp): registered
+    table-in/out functions callable from Connection.sql text, including the
+    per-input-row LATERAL form."""
+    from duckdb_spark.relation import Connection
+
+    conn = Connection(spark=spark)
+    out = conn.sql("SELECT * FROM tokenize_rows('a bb ccc') ORDER BY pos").fetchall()
+    assert [(r[0], r[1]) for r in out] == [("a", 0), ("bb", 1), ("ccc", 2)]
+    out2 = conn.sql("SELECT gram FROM ngram_rows('abcd', 2) ORDER BY pos").fetchall()
+    assert [r[0] for r in out2] == ["ab", "bc", "cd"]
+    # lateral: one udtf expansion per input row
+    spark.createDataFrame([("x y",), ("z",)], "t string").createOrReplaceTempView("udtf_src")
+    out3 = conn.sql(
+        "SELECT t, token FROM udtf_src, LATERAL tokenize_rows(t) ORDER BY t, pos"
+    ).fetchall()
+    assert [(r[0], r[1]) for r in out3] == [("x y", "x"), ("x y", "y"), ("z", "z")]
+    # custom registration via decorator
+    from duckdb_spark.operators.udtf import register_udtf
+
+    @register_udtf(spark, "double_rows", returnType="v bigint")
+    class DoubleRows:
+        def eval(self, n):
+            yield (n,)
+            yield (n * 2,)
+
+    out4 = conn.sql("SELECT v FROM double_rows(21) ORDER BY v").fetchall()
+    assert [r[0] for r in out4] == [21, 42]
