@@ -436,18 +436,32 @@ def fn_wave2_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_wave2_agg",
     oracle="""
-SELECT n_name,
-       CAST(mode(s_suppkey % 7) AS BIGINT) AS md,
-       array_to_string(list_transform(map_entries(histogram(s_suppkey % 5)),
-                                      e -> CAST(e.key AS VARCHAR) || ':' || CAST(e.value AS VARCHAR)), '|') AS hist,
-       ROUND(entropy(s_suppkey % 5), 4) AS ent,
-       bitstring_agg(s_suppkey % 8, 0, 7)::VARCHAR AS bits,
-       ROUND(regr_sxx(s_acctbal, s_suppkey % 100), 2) AS sxx,
-       ROUND(regr_sxy(s_acctbal, s_suppkey % 100), 2) AS sxy,
-       ROUND(regr_syy(s_acctbal, s_suppkey % 100), 2) AS syy,
-       CAST(arg_max(s_suppkey, s_acctbal) AS BIGINT) AS amax
-FROM supplier JOIN nation ON s_nationkey = n_nationkey
-GROUP BY n_name ORDER BY n_name
+WITH det_mode AS (
+  -- deterministic mode: greatest frequency, lowest value on ties. DuckDB's
+  -- native mode() resolves ties by internal scan order (verified: differs
+  -- between sf fixtures), so the oracle states the tie-break explicitly;
+  -- the Spark side uses mode(col, deterministic=true) with the same rule.
+  SELECT n_name, v AS md FROM (
+    SELECT n_name, s_suppkey % 7 AS v, COUNT(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c DESC, v) AS rn
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1, 2) WHERE rn = 1
+), grouped AS (
+  SELECT n_name,
+         array_to_string(list_transform(map_entries(histogram(s_suppkey % 5)),
+                                        e -> CAST(e.key AS VARCHAR) || ':' || CAST(e.value AS VARCHAR)), '|') AS hist,
+         ROUND(entropy(s_suppkey % 5), 4) AS ent,
+         bitstring_agg(s_suppkey % 8, 0, 7)::VARCHAR AS bits,
+         ROUND(regr_sxx(s_acctbal, s_suppkey % 100), 2) AS sxx,
+         ROUND(regr_sxy(s_acctbal, s_suppkey % 100), 2) AS sxy,
+         ROUND(regr_syy(s_acctbal, s_suppkey % 100), 2) AS syy,
+         CAST(arg_max(s_suppkey, s_acctbal) AS BIGINT) AS amax
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT g.n_name, CAST(d.md AS BIGINT) AS md, g.hist, g.ent, g.bits,
+       g.sxx, g.sxy, g.syy, g.amax
+FROM grouped g JOIN det_mode d USING (n_name) ORDER BY g.n_name
 """,
 )
 def fn_wave2_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,7 +476,7 @@ def fn_wave2_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         supplier.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            A.mode(sk % 7).cast("long").alias("md"),
+            A.mode(sk % 7, deterministic=True).cast("long").alias("md"),
             F.array_join(
                 F.transform(
                     F.map_entries(hist),
