@@ -130,7 +130,7 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
                     break
             operand = "".join(out[start:]).strip()
             del out[start:]
-            out.append(f"CAST({operand} AS {''.join(ty).strip()})")
+            out.append(f"CAST({operand} AS {_map_type(''.join(ty).strip())})")
             continue
         out.append(toks[i])
         i += 1
@@ -252,12 +252,447 @@ def _rewrite_named_windows(sql: str) -> str:
     return sql
 
 
+# -------------------------------------------------- function-call rewrites
+
+# DuckDB SQL function name → Spark SQL name, applied only when the token is
+# immediately followed by `(` (a call). Only names whose ARGUMENT semantics
+# are identical belong here; anything needing arg reshuffling stays in the
+# Column-builder registry (functions/registry.py).
+_SQL_FN_RENAMES: dict[str, str] = {
+    # aggregates
+    "arg_min": "min_by", "arg_max": "max_by",
+    "approx_quantile": "approx_percentile",
+    "quantile_cont": "percentile",
+    "covar_pop": "covar_pop", "every": "bool_and",
+    # list/array
+    "list_sort": "sort_array", "list_distinct": "array_distinct",
+    "list_contains": "array_contains", "array_has": "array_contains",
+    "list_position": "array_position", "list_indexof": "array_position",
+    "array_length": "array_size", "list_value": "array", "list_pack": "array",
+    "list_slice": "slice", "array_slice": "slice",
+    "string_split": "split", "str_split": "split",
+    "string_to_array": "split", "string_split_regex": "split",
+    "list_transform": "transform", "array_transform": "transform",
+    "list_filter": "filter", "array_filter": "filter",
+    "list_aggregate_first": "element_at", "list_zip": "arrays_zip",
+    "flatten": "flatten",
+    # string
+    "strpos": "instr", "ucase": "upper", "lcase": "lower",
+    "regexp_matches": "regexp_like", "regexp_full_match": "regexp_like",
+    "starts_with": "startswith", "ends_with": "endswith",
+    "prefix": "startswith", "suffix": "endswith",
+    "to_base64": "base64", "from_base64": "unbase64", "chr": "char",
+    "format": "format_string", "printf": "format_string",
+    # misc
+    "strlen": "octet_length", "nextafter": "nextafter",
+    "iif": "if", "error": "raise_error", "unnest": "explode",
+}
+
+_STRING_AGGS = {"string_agg", "group_concat", "listagg"}
+_LIST_AGGS = {"list", "array_agg"}
+_FIRST_LAST = {"first", "last", "any_value", "arbitrary"}
+
+# Keywords that are followed by '(' without being function calls — the call
+# rewriter must not treat their parenthesized body as argument lists
+# (OVER (ORDER BY …) was the painful one).
+_NONFN_WORDS = {
+    "over", "filter", "in", "exists", "values", "group", "window", "on",
+    "using", "as", "from", "join", "where", "having", "union", "except",
+    "intersect", "by", "distinct", "case", "when", "then", "else", "end",
+    "between", "not", "and", "or", "is", "like", "ilike", "escape", "limit",
+    "offset", "order", "partition", "rows", "range", "groups", "within",
+    "all", "any", "some", "select", "lateral", "with", "interval", "table",
+    "primary", "unique", "check", "references", "grouping", "sets",
+}
+
+
+def _match_paren(toks: list[str], i: int) -> int:
+    """toks[i] == '(' → index of its matching ')' (or -1)."""
+    depth = 0
+    for j in range(i, len(toks)):
+        if toks[j] == "(":
+            depth += 1
+        elif toks[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    return -1
+
+
+def _next_code(toks: list[str], i: int) -> int:
+    while i < len(toks) and (toks[i].isspace() or toks[i].startswith("--")):
+        i += 1
+    return i
+
+
+def _top_level_index(toks: list[str], lo: int, hi: int, word: str) -> int:
+    depth = 0
+    for j in range(lo, hi):
+        if toks[j] == "(":
+            depth += 1
+        elif toks[j] == ")":
+            depth -= 1
+        elif depth == 0 and _is_word(toks[j], word):
+            return j
+    return -1
+
+
+# DuckDB type name → Spark SQL type name (cast contexts only — these words
+# are legal column names elsewhere).
+_TYPE_RENAMES = {
+    "VARCHAR": "STRING", "TEXT": "STRING", "BPCHAR": "STRING", "CHAR": "STRING",
+    "HUGEINT": "DECIMAL(38,0)", "UHUGEINT": "DECIMAL(38,0)",
+    "INT128": "DECIMAL(38,0)", "UTINYINT": "SMALLINT", "USMALLINT": "INT",
+    "UINTEGER": "BIGINT", "UINT": "BIGINT", "UBIGINT": "DECIMAL(20,0)",
+    "REAL": "FLOAT", "FLOAT4": "FLOAT", "FLOAT8": "DOUBLE",
+    "BLOB": "BINARY", "BYTEA": "BINARY", "LOGICAL": "BOOLEAN",
+    "INT1": "TINYINT", "INT2": "SMALLINT", "INT4": "INT", "INT8": "BIGINT",
+    "SIGNED": "BIGINT", "OID": "BIGINT",
+}
+
+
+def _map_type(ty: str) -> str:
+    head = re.match(r"[A-Za-z_0-9]+", ty.strip())
+    if head and head.group(0).upper() in _TYPE_RENAMES:
+        mapped = _TYPE_RENAMES[head.group(0).upper()]
+        rest = ty.strip()[head.end():]
+        # CHAR(n)/VARCHAR(n) → STRING (drop the length)
+        if mapped == "STRING" and rest.strip().startswith("("):
+            rest = ""
+        return mapped + rest
+    return ty
+
+
+def _rewrite_cast_types(toks: list[str]) -> list[str]:
+    """CAST/TRY_CAST(expr AS <duckdb-type>) → Spark type names
+    (`_TYPE_RENAMES`). Scoped to cast calls: these words are legal column
+    aliases elsewhere (`SELECT x AS text`)."""
+    out = list(toks)
+    for i, t in enumerate(out):
+        if t.upper() not in ("CAST", "TRY_CAST"):
+            continue
+        p = _next_code(out, i + 1)
+        if p >= len(out) or out[p] != "(":
+            continue
+        close = _match_paren(out, p)
+        if close < 0:
+            continue
+        a = _top_level_index(out, p + 1, close, "AS")
+        if a < 0:
+            continue
+        j = _next_code(out, a + 1)
+        if j < close and re.match(r"^[A-Za-z_]", out[j]) \
+                and out[j].upper() in _TYPE_RENAMES:
+            k = _next_code(out, j + 1)
+            if k < close and out[k] == "(" and _TYPE_RENAMES[out[j].upper()] == "STRING":
+                pclose = _match_paren(out, k)
+                if pclose > 0 and pclose < close:
+                    del out[j + 1:pclose + 1]
+            out[j] = _TYPE_RENAMES[out[j].upper()]
+    return out
+
+
+def _rewrite_brackets(toks: list[str]) -> list[str]:
+    """DuckDB bracket syntax → Spark:
+
+    - literal `[a, b]` → `array(a, b)` (previous code token is not a value)
+    - subscript `expr[i]` → `element_at(expr, i)` (both engines 1-based
+      under this spelling; Spark's native `expr[i]` is 0-based)
+    - slice `expr[a:b]` → `slice(expr, a, b-a+1)` with open ends
+    """
+    out: list[str] = []
+    i = 0
+    toks = list(toks)
+    while i < len(toks):
+        t = toks[i]
+        if t != "[":
+            out.append(t)
+            i += 1
+            continue
+        close = _match_bracket(toks, i)
+        if close < 0:
+            out.append(t)
+            i += 1
+            continue
+        inner = toks[i + 1:close]
+        # previous code token decides literal vs subscript
+        p = len(out) - 1
+        while p >= 0 and (out[p].isspace() or out[p].startswith("--")):
+            p -= 1
+        is_subscript = p >= 0 and (
+            re.match(r"^[A-Za-z_\"]", out[p]) or out[p] in (")", "]")
+        ) and not _is_reserved_before_literal(out[p])
+        inner_rw = _rewrite_brackets(inner)
+        if not is_subscript:
+            out.append("array(" + "".join(inner_rw) + ")")
+            i = close + 1
+            continue
+        # operand: walk back one balanced unit (identifier chain or parens)
+        start = p
+        if out[p] == ")":
+            depth = 0
+            k = p
+            while k >= 0:
+                if out[k] == ")":
+                    depth += 1
+                elif out[k] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            m = k - 1
+            while m >= 0 and out[m].isspace():
+                m -= 1
+            start = k if m < 0 or not re.match(r"[A-Za-z_]", out[m]) else m
+        else:
+            while start - 2 >= 0 and out[start - 1] == ".":
+                start -= 2
+        operand = "".join(out[start:]).strip()
+        del out[start:]
+        # top-level ':' → slice
+        depth = 0
+        colon = -1
+        for k, tk in enumerate(inner_rw):
+            if tk in "([":
+                depth += 1
+            elif tk in ")]":
+                depth -= 1
+            elif tk == ":" and depth == 0:
+                colon = k
+                break
+        if colon >= 0:
+            lo = "".join(inner_rw[:colon]).strip() or "1"
+            hi = "".join(inner_rw[colon + 1:]).strip()
+            if hi:
+                out.append(f"slice({operand}, {lo}, ({hi}) - ({lo}) + 1)")
+            else:
+                out.append(
+                    f"slice({operand}, {lo}, greatest(0, size({operand}) - ({lo}) + 1))"
+                )
+        else:
+            out.append(f"element_at({operand}, {''.join(inner_rw).strip()})")
+        i = close + 1
+    return out
+
+
+def _match_bracket(toks: list[str], i: int) -> int:
+    depth = 0
+    for j in range(i, len(toks)):
+        if toks[j] == "[":
+            depth += 1
+        elif toks[j] == "]":
+            depth -= 1
+            if depth == 0:
+                return j
+    return -1
+
+
+def _is_reserved_before_literal(tok: str) -> bool:
+    # `IN [..]`, `VALUES [..]` etc: word before bracket that forces literal
+    return tok.upper() in {
+        "SELECT", "WHERE", "IN", "VALUES", "AND", "OR", "NOT", "THEN", "ELSE",
+        "WHEN", "BY", "ON", "AS", "FROM", "RETURN", "RETURNS", "UNNEST",
+        "DISTINCT", "ALL", "BETWEEN", "CASE", "END", "HAVING", "LIMIT", "SET",
+    }
+
+
+def _rewrite_struct_literals(toks: list[str]) -> list[str]:
+    """`{'k': v, ...}` → named_struct('k', v, ...) (DuckDB struct literal)."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if toks[i] != "{":
+            out.append(toks[i])
+            i += 1
+            continue
+        depth = 0
+        close = -1
+        for j in range(i, len(toks)):
+            if toks[j] == "{":
+                depth += 1
+            elif toks[j] == "}":
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+        if close < 0:
+            out.append(toks[i])
+            i += 1
+            continue
+        inner = _rewrite_struct_literals(toks[i + 1:close])
+        # split top-level commas; each part is 'key': value
+        parts: list[str] = []
+        depth = 0
+        cur: list[str] = []
+        for tk in inner:
+            if tk in "([{":
+                depth += 1
+            elif tk in ")]}":
+                depth -= 1
+            if tk == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(tk)
+        if "".join(cur).strip():
+            parts.append("".join(cur))
+        kvs: list[str] = []
+        ok = True
+        for part in parts:
+            k, sep, v = part.partition(":")
+            if not sep:
+                ok = False
+                break
+            kvs.append(f"{k.strip()}, {v.strip()}")
+        p = len(out) - 1
+        while p >= 0 and out[p].isspace():
+            p -= 1
+        is_map = p >= 0 and _is_word(out[p], "MAP")
+        if ok and kvs and is_map:
+            del out[p:]
+            out.append("map(" + ", ".join(kvs) + ")")
+        elif ok and kvs:
+            out.append("named_struct(" + ", ".join(kvs) + ")")
+        else:
+            out.extend(toks[i:close + 1])
+        i = close + 1
+    return out
+
+
+def _rewrite_calls(toks: list[str]) -> list[str]:
+    """Call-site rewrites: DuckDB→Spark function names, `count()` →
+    `count(*)`, single-arg `log` → `log10` (DuckDB log is base-10,
+    reference function_list.cpp), and in-aggregate ORDER BY:
+
+    - order-insensitive aggregates: the clause is dropped (DuckDB accepts
+      `count(x ORDER BY y)`; order cannot change the result)
+    - string_agg/group_concat → `listagg(...) WITHIN GROUP (ORDER BY ...)`
+    - list/array_agg ordered by their own argument → sort_array(collect_list)
+    - first/last ordered by one key → min_by/max_by (struct-free fast path)
+    """
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if not re.match(r"^[A-Za-z_]", t):
+            i += 1
+            continue
+        j = _next_code(out, i + 1)
+        if j >= len(out) or out[j] != "(":
+            i += 1
+            continue
+        name = t.lower()
+        if name in _NONFN_WORDS:
+            i = j
+            continue
+        close = _match_paren(out, j)
+        if close < 0:
+            i += 1
+            continue
+        # count() → count(*)
+        if name == "count" and _next_code(out, j + 1) == close:
+            out[j + 1:j + 1] = ["*"]
+            i = j
+            continue
+        # single-arg log → log10
+        if name == "log":
+            depth, commas = 0, 0
+            for k in range(j, close):
+                if out[k] == "(":
+                    depth += 1
+                elif out[k] == ")":
+                    depth -= 1
+                elif out[k] == "," and depth == 1:
+                    commas += 1
+            if commas == 0:
+                out[i] = "log10"
+            i = j
+            continue
+        ob = _top_level_index(out, j + 1, close, "ORDER")
+        has_order = ob >= 0 and _is_word(out[_next_code(out, ob + 1)], "BY")
+        # a top-level SELECT before the ORDER means the ORDER belongs to a
+        # subquery (EXISTS(SELECT … ORDER BY …)), not to the call itself
+        if has_order and _top_level_index(out, j + 1, ob, "SELECT") >= 0:
+            has_order = False
+        if has_order:
+            order_toks = out[_next_code(out, _next_code(out, ob + 1) + 1):close]
+            arg_toks = out[j + 1:ob]
+            if name in _STRING_AGGS:
+                order = "".join(order_toks).strip()
+                sep_needed = not _has_top_level_comma(arg_toks)
+                del out[ob:close]
+                close = _match_paren(out, j)
+                if sep_needed and name != "listagg":
+                    # DuckDB string_agg/group_concat default separator is ','
+                    out[close:close] = [", ','"]
+                    close += 1
+                out[close + 1:close + 1] = [f" WITHIN GROUP (ORDER BY {order})"]
+                out[i] = "listagg"
+            elif name in _LIST_AGGS:
+                order = "".join(order_toks).strip()
+                arg = "".join(arg_toks).strip()
+                desc = order.upper().endswith(" DESC")
+                key = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", order).strip()
+                if key == arg.strip():
+                    repl = f"sort_array(collect_list({arg}){', false' if desc else ''})"
+                    out[i:close + 1] = [repl]
+                else:
+                    i = j
+                    continue
+            elif name in _FIRST_LAST:
+                order = "".join(order_toks).strip()
+                arg = "".join(arg_toks).strip().rstrip(",")
+                desc = order.upper().endswith(" DESC")
+                key = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", order).strip()
+                if "," in key:
+                    i = j
+                    continue
+                want_min = (name == "first") != desc  # last DESC == first ASC
+                fn = "min_by" if want_min else "max_by"
+                out[i:close + 1] = [f"{fn}({arg}, {key})"]
+            else:
+                # every other aggregate: DuckDB permits ORDER BY in any
+                # aggregate; for order-insensitive ones it cannot change
+                # the result — drop it (scalar calls never parse with it).
+                del out[ob:close]
+                if name in _SQL_FN_RENAMES:
+                    out[i] = _SQL_FN_RENAMES[name]
+            i += 1
+            continue
+        if name in _SQL_FN_RENAMES:
+            out[i] = _SQL_FN_RENAMES[name]
+        elif name in _LIST_AGGS:
+            out[i] = "collect_list"
+        elif name in ("string_agg", "group_concat"):
+            out[i] = "listagg"
+            if not _has_top_level_comma(out[j + 1:close]):
+                out[close:close] = [", ','"]
+        i = j
+    return out
+
+
+def _has_top_level_comma(toks: list[str]) -> bool:
+    depth = 0
+    for t in toks:
+        if t in "([":
+            depth += 1
+        elif t in ")]":
+            depth -= 1
+        elif t == "," and depth == 0:
+            return True
+    return False
+
+
 def translate(sql: str) -> str:
     """DuckDB dialect → Spark SQL. Idempotent on plain ANSI SQL."""
     toks = _tokens(sql)
     toks = _rewrite_exclude(toks)
     toks = _rewrite_floordiv(toks)
     toks = _rewrite_pg_cast(toks)
+    toks = _rewrite_cast_types(toks)
+    toks = _rewrite_brackets(toks)
+    toks = _rewrite_struct_literals(toks)
+    toks = _rewrite_calls(toks)
     out = "".join(toks)
     out = _rewrite_named_windows(out)
     out = _rewrite_distinct_on(out)
