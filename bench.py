@@ -28,6 +28,9 @@ HEADLINE = [
     "tpch_q13", "tpch_q18", "tpch_q21",
     "win_topk_per_group", "ev_timeseries", "ev_asof_join",
     "dedup_minhash_lsh", "text_quality", "sim_cosine_topk",
+    # TPC-DS secondary gate (BASELINE.md): fixed-size fixture, same data at
+    # every sf — ratios vs the DuckDB baseline stay same-host/same-data.
+    "tpcds_q07", "tpcds_q25",
 ]
 
 

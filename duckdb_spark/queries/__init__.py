@@ -77,6 +77,7 @@ def load_all() -> None:
         similarity,
         streaming_queries,
         text,
+        tpcds,
         tpch,
         tpch2,
         windows,
