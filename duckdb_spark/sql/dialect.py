@@ -352,10 +352,22 @@ _TYPE_RENAMES = {
 
 
 def _map_type(ty: str) -> str:
-    head = re.match(r"[A-Za-z_0-9]+", ty.strip())
+    """DuckDB type text → Spark DDL type text, via the §1.2 type mapping
+    (handles nested LIST/MAP/STRUCT/ROW, decimal defaults, pg aliases).
+    INTERVAL stays native (the struct emulation is for storage, not casts)."""
+    s = ty.strip()
+    head = re.match(r"[A-Za-z_0-9]+", s)
+    if head and head.group(0).upper() in ("INTERVAL", "TIME", "TIMETZ"):
+        return ty  # storage emulations (types.py) would corrupt cast semantics
+    try:
+        from duckdb_spark.types import duckdb_type_to_spark
+
+        return duckdb_type_to_spark(s).simpleString()
+    except Exception:
+        pass
     if head and head.group(0).upper() in _TYPE_RENAMES:
         mapped = _TYPE_RENAMES[head.group(0).upper()]
-        rest = ty.strip()[head.end():]
+        rest = s[head.end():]
         # CHAR(n)/VARCHAR(n) → STRING (drop the length)
         if mapped == "STRING" and rest.strip().startswith("("):
             rest = ""
@@ -368,27 +380,29 @@ def _rewrite_cast_types(toks: list[str]) -> list[str]:
     (`_TYPE_RENAMES`). Scoped to cast calls: these words are legal column
     aliases elsewhere (`SELECT x AS text`)."""
     out = list(toks)
-    for i, t in enumerate(out):
-        if t.upper() not in ("CAST", "TRY_CAST"):
+    i = 0
+    while i < len(out):
+        if out[i].upper() not in ("CAST", "TRY_CAST"):
+            i += 1
             continue
         p = _next_code(out, i + 1)
         if p >= len(out) or out[p] != "(":
+            i += 1
             continue
         close = _match_paren(out, p)
         if close < 0:
+            i += 1
             continue
         a = _top_level_index(out, p + 1, close, "AS")
         if a < 0:
+            i = p  # nested casts still get their own visit
             continue
         j = _next_code(out, a + 1)
-        if j < close and re.match(r"^[A-Za-z_]", out[j]) \
-                and out[j].upper() in _TYPE_RENAMES:
-            k = _next_code(out, j + 1)
-            if k < close and out[k] == "(" and _TYPE_RENAMES[out[j].upper()] == "STRING":
-                pclose = _match_paren(out, k)
-                if pclose > 0 and pclose < close:
-                    del out[j + 1:pclose + 1]
-            out[j] = _TYPE_RENAMES[out[j].upper()]
+        ty = "".join(out[j:close]).strip()
+        mapped = _map_type(ty)
+        if ty and mapped != ty:
+            out[j:close] = [mapped]
+        i = p
     return out
 
 
@@ -419,11 +433,14 @@ def _rewrite_brackets(toks: list[str]) -> list[str]:
         p = len(out) - 1
         while p >= 0 and (out[p].isspace() or out[p].startswith("--")):
             p -= 1
-        is_subscript = p >= 0 and (
+        is_array_kw = p >= 0 and _is_word(out[p], "ARRAY")
+        is_subscript = not is_array_kw and p >= 0 and (
             re.match(r"^[A-Za-z_\"]", out[p]) or out[p] in (")", "]")
         ) and not _is_reserved_before_literal(out[p])
         inner_rw = _rewrite_brackets(inner)
         if not is_subscript:
+            if is_array_kw:
+                del out[p:]  # `ARRAY[1, 2]` (pg spelling) → plain literal
             out.append("array(" + "".join(inner_rw) + ")")
             i = close + 1
             continue
@@ -543,7 +560,14 @@ def _rewrite_struct_literals(toks: list[str]) -> list[str]:
             if not sep:
                 ok = False
                 break
-            kvs.append(f"{k.strip()}, {v.strip()}")
+            k = k.strip()
+            # DuckDB struct keys may be bare words or double-quoted; Spark
+            # named_struct needs string literals.
+            if re.match(r'^"(?:[^"]|"")*"$', k):
+                k = "'" + k[1:-1].replace('""', '"').replace("'", "''") + "'"
+            elif re.match(r"^[A-Za-z_][A-Za-z_0-9]*$", k):
+                k = f"'{k}'"
+            kvs.append(f"{k}, {v.strip()}")
         p = len(out) - 1
         while p >= 0 and out[p].isspace():
             p -= 1

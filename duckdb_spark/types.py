@@ -58,12 +58,31 @@ _SIMPLE: dict[str, T.DataType] = {
     "GEOMETRY": T.BinaryType(),         # WKB
     "BIGNUM": T.DecimalType(38, 0),
     "SQLNULL": T.NullType(),
+    # postgres-style aliases (reference parser accepts all of these)
+    "INT1": T.ByteType(),
+    "INT2": T.ShortType(),
+    "INT4": T.IntegerType(),
+    "INT8": T.LongType(),
+    "INT16": T.DecimalType(38, 0),
+    "INT128": T.DecimalType(38, 0),
+    "SIGNED": T.LongType(),
+    "FLOAT4": T.FloatType(),
+    "FLOAT8": T.DoubleType(),
+    "LOGICAL": T.BooleanType(),
+    "BOOL": T.BooleanType(),
+    "OID": T.LongType(),
+    "CHAR": T.StringType(),
+    "BPCHAR": T.StringType(),
+    "DECIMAL": T.DecimalType(18, 3),    # DuckDB default width/scale
+    "NUMERIC": T.DecimalType(18, 3),
+    "VARINT": T.DecimalType(38, 0),
 }
 
-_DECIMAL_RE = re.compile(r"(?i)^(?:DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
-_LIST_RE = re.compile(r"(?i)^(.*)\[\]$")
-_MAP_RE = re.compile(r"(?i)^MAP\s*\((.*),(.*)\)$")
-_STRUCT_RE = re.compile(r"(?i)^STRUCT\s*\((.*)\)$")
+_DECIMAL_RE = re.compile(r"(?i)^(?:DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)$")
+_CHAR_RE = re.compile(r"(?i)^(?:VARCHAR|CHAR|BPCHAR|STRING|TEXT)\s*\(\s*\d+\s*\)$")
+_LIST_RE = re.compile(r"(?is)^(.*)\[\s*\d*\s*\]$")
+_MAP_RE = re.compile(r"(?is)^MAP\s*\((.*),(.*)\)$")
+_STRUCT_RE = re.compile(r"(?is)^(?:STRUCT|ROW)\s*\((.*)\)$")
 
 
 def duckdb_type_to_spark(name: str) -> T.DataType:
@@ -73,7 +92,9 @@ def duckdb_type_to_spark(name: str) -> T.DataType:
         return _SIMPLE[up]
     m = _DECIMAL_RE.match(s)
     if m:
-        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+        return T.DecimalType(int(m.group(1)), int(m.group(2) or 0))
+    if _CHAR_RE.match(s):
+        return T.StringType()
     m = _LIST_RE.match(s)
     if m:
         return T.ArrayType(duckdb_type_to_spark(m.group(1)))
