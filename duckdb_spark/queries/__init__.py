@@ -29,39 +29,35 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness gate hard-checks the FIRST 50 registered queries.
-# ROUND-3 ROTATION (VERDICT.md r02 "Next round" #2): r01+r02 drove 84 of 101
-# registered queries; this window packs (a) 6 r02-green sentinels to catch
-# regressions in the flagship suites, (b) the 3 queries new this round,
-# (c) the 18 queries with NO green driver row yet (17 never in a window +
-# fn_struct_map_batch, red in r01 and fixed since), (d) 23 of the 33 queries
-# whose only green row is r01. The 10 left outside (grouping-sets/rollup/
-# cube/filter-distinct/stats narrows, sessionization/time_bucket/fill/
-# range_join narrows, text_langid) keep their r01 green row and their
-# coverage is carried by the merged queries inside the window
-# (agg_grouping, agg_distributive, agg_stats_wide, ev_timeseries,
-# ev_range_join_all, text_profile). Union(r02, r03-window) = 91/101;
-# union(r01..r03) = all 101 + the 3 new.
+# ROUND-4 ROTATION (VERDICT.md r03 "Next round" #2): the 11 never-driver-
+# checked queries are the 10 tpcds_q* (registered after the r03 window was
+# pinned) and sketch_lttb (no_oracle by design — rows-only row recorded in
+# r03; excluded here so a hard-checkable query keeps the slot). Window =
+# 10 TPC-DS + the 10 queries whose only green row is r01 (so every
+# registered query has a green row inside the r02–r04 range) + 3 r03-green
+# sentinels + 10 ClickBench queries NEW this round (in-window the round
+# they land, unlike the r03 TPC-DS slice) + 17 r02-only re-confirmations.
+# The 20 r02-only queries left outside keep their r02 green row; their
+# shapes are carried in-window by tpch_q03/q09/q21, win_topk_per_group/
+# win_frames, agg_grouping/agg_stats_wide, ev_timeseries.
 PRIORITY: list[str] = [
-    # r02-green sentinels (6)
-    "tpch_q01", "tpch_q05", "tpch_q18",
-    "dedup_minhash_lsh", "sim_cosine_topk", "ev_asof_join",
-    # new this round (3)
-    "fn_variant_batch", "tf_read_text", "sketch_topk_merge",
-    # never-green (18)
-    "fn_wave2_scalar", "fn_wave2_agg", "fn_struct_map_batch",
-    "win_running_total", "win_lag_gap", "win_moving_avg", "win_ntile",
-    "win_first_last", "win_range_frame", "win_percent_rank",
-    "win_lead_ignorenulls", "win_groups_frame",
-    "sketch_approx_top_k", "sketch_lttb", "sketch_summarize",
-    "text_quality", "text_fingerprint", "text_length_histogram",
-    # r01-green-only (23)
-    "fn_string_batch", "fn_date_batch", "fn_math_batch", "fn_conditional_batch",
-    "ev_json_extract", "ev_pivot", "ev_distinct_on", "ev_set_ops",
-    "pivot_dynamic", "unpivot_part", "rec_transitive_closure", "unnest_tokens",
-    "val_generate_series", "dml_merge_into", "dml_update_delete",
-    "ev_banded_range_join", "agg_skew_kurtosis", "agg_string_agg",
-    "agg_quantiles", "agg_argminmax", "agg_product", "agg_entropy",
-    "agg_bool_bit",
+    # never driver-checked: the TPC-DS slice (10)
+    "tpcds_q01", "tpcds_q03", "tpcds_q07", "tpcds_q19", "tpcds_q25",
+    "tpcds_q26", "tpcds_q29", "tpcds_q42", "tpcds_q55", "tpcds_q96",
+    # r01-green-only (10)
+    "agg_grouping_sets", "agg_rollup", "agg_cube", "agg_filter_distinct",
+    "agg_stats", "ev_sessionization", "ev_time_bucket", "ev_fill_gaps",
+    "ev_range_join", "text_langid",
+    # r03-green sentinels (3)
+    "tpch_q01", "dedup_minhash_lsh", "ev_asof_join",
+    # new this round: ClickBench slice (10)
+    "cb_q01", "cb_q08", "cb_q12", "cb_q16", "cb_q18",
+    "cb_q21", "cb_q23", "cb_q28", "cb_q32", "cb_q40",
+    # r02-only re-confirmations (17)
+    "tpch_q03", "tpch_q04", "tpch_q06", "tpch_q07", "tpch_q08", "tpch_q09",
+    "tpch_q10", "tpch_q12", "tpch_q13", "tpch_q17", "tpch_q21", "tpch_q22",
+    "win_topk_per_group", "win_frames", "ev_timeseries",
+    "agg_grouping", "agg_stats_wide",
 ]
 
 
