@@ -67,6 +67,7 @@ def load_all() -> None:
     from duckdb_spark.queries import (  # noqa: F401
         aggregates,
         analytics,
+        clickbench,
         dedup,
         dml_queries,
         functions_parity,
@@ -95,10 +96,20 @@ def load_all() -> None:
         "agg_stats", "ev_sessionization", "ev_time_bucket", "ev_fill_gaps",
         "ev_range_join", "text_langid",
     ]
+    # A PRIORITY typo must never zero out a driver round (VERDICT r04): an
+    # unregistered name is dropped with a warning, not raised — the driver
+    # still checks every real query in the window.
     missing = [n for n in PRIORITY if n not in QUERIES]
     if missing:
-        raise RuntimeError(f"PRIORITY names not registered: {missing}")
-    head = PRIORITY + [n for n in secondary if n in QUERIES]
+        import warnings
+
+        warnings.warn(
+            f"PRIORITY names not registered (dropped from window): {missing}",
+            stacklevel=2,
+        )
+    head = [n for n in PRIORITY if n in QUERIES] + [
+        n for n in secondary if n in QUERIES
+    ]
     ordered = head + [n for n in QUERIES if n not in head]
     for d in (QUERIES, ORACLE):
         items = {n: d[n] for n in ordered if n in d}
