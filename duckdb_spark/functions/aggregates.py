@@ -186,7 +186,9 @@ max_by = F.max_by
 bool_and = F.bool_and
 bool_or = F.bool_or
 count_if = F.count_if
-any_value = F.any_value
+# DuckDB any_value = first NON-NULL (src/core_functions/aggregate/distributive/
+# arbitrary semantics differ: first/arbitrary keep NULLs, any_value skips them)
+any_value = lambda c: F.any_value(_c(c), True)  # noqa: E731
 bit_and = F.bit_and
 bit_or = F.bit_or
 bit_xor = F.bit_xor

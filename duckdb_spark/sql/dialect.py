@@ -347,6 +347,7 @@ _TYPE_RENAMES = {
     "REAL": "FLOAT", "FLOAT4": "FLOAT", "FLOAT8": "DOUBLE",
     "BLOB": "BINARY", "BYTEA": "BINARY", "LOGICAL": "BOOLEAN",
     "INT1": "TINYINT", "INT2": "SMALLINT", "INT4": "INT", "INT8": "BIGINT",
+    "INT16": "SMALLINT", "INT32": "INT", "INT64": "BIGINT",
     "SIGNED": "BIGINT", "OID": "BIGINT",
 }
 
@@ -671,7 +672,9 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
                 if "," in key:
                     i = j
                     continue
-                want_min = (name == "first") != desc  # last DESC == first ASC
+                # first/any_value/arbitrary ASC take the MIN key's value;
+                # last is the reverse (last DESC == first ASC)
+                want_min = (name != "last") != desc
                 fn = "min_by" if want_min else "max_by"
                 out[i:close + 1] = [f"{fn}({arg}, {key})"]
             else:
@@ -685,6 +688,12 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
             continue
         if name in _SQL_FN_RENAMES:
             out[i] = _SQL_FN_RENAMES[name]
+        elif name == "arbitrary":
+            # DuckDB arbitrary = first INCLUDING NULLs = Spark first default
+            out[i] = "first"
+        elif name == "any_value":
+            # DuckDB any_value = first NON-NULL; Spark defaults ignoreNulls=false
+            out[close:close] = [", true"]
         elif name in _LIST_AGGS:
             out[i] = "collect_list"
         elif name in ("string_agg", "group_concat"):

@@ -99,6 +99,10 @@ def run_batch_as_stream(
     stream = spark.readStream.schema(static.schema).parquet(src_dir)
     if ts_from_ns and dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        # TIMESTAMP(MICROS, adjusted=false) parquet → NTZ; watermarks need
+        # TimestampType (same normalization as catalog.load_table)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
     out = transform(stream)
     # NOTE: "complete" for aggregations — append mode only emits windows

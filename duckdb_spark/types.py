@@ -63,7 +63,12 @@ _SIMPLE: dict[str, T.DataType] = {
     "INT2": T.ShortType(),
     "INT4": T.IntegerType(),
     "INT8": T.LongType(),
-    "INT16": T.DecimalType(38, 0),
+    # bit-width aliases (INT16/INT32/INT64), not byte-width (INT1/INT2/INT4/INT8)
+    "INT16": T.ShortType(),
+    "INT32": T.IntegerType(),
+    "INT64": T.LongType(),
+    "SHORT": T.ShortType(),
+    "LONG": T.LongType(),
     "INT128": T.DecimalType(38, 0),
     "SIGNED": T.LongType(),
     "FLOAT4": T.FloatType(),
