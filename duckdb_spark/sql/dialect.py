@@ -102,11 +102,16 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
                         if depth == 0:
                             break
                     k -= 1
-                # include preceding function name if present
+                # include preceding function name if present (but never a
+                # keyword — `SELECT (x)::T` parenthesizes an expression)
                 m = k - 1
                 while m >= 0 and out[m].isspace():
                     m -= 1
-                if m >= 0 and re.match(r"[A-Za-z_]", out[m]):
+                if (
+                    m >= 0
+                    and re.match(r"[A-Za-z_]", out[m])
+                    and out[m].lower() not in _NONFN_WORDS
+                ):
                     k = m
                 start = k
             else:
@@ -139,7 +144,21 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
                     break
             operand = "".join(out[start:]).strip()
             del out[start:]
-            out.append(f"CAST({operand} AS {_map_type(''.join(ty).strip())})")
+            target = _map_type("".join(ty).strip())
+            # DuckDB float→int casts ROUND (half away from zero); Spark
+            # truncates. Wrap round() when the operand is visibly floating
+            # (float fn / float literal / division) and the target integral.
+            if target.upper() in (
+                "INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT",
+            ) and re.search(
+                r"(?i)\b(log|log10|log2|ln|sqrt|cbrt|exp|pow|power|avg|mean|"
+                r"sin|cos|tan|asin|acos|atan|atan2|radians|degrees|random)\s*\(|"
+                r"\d\.\d|/", operand,
+            ):
+                operand = f"round({operand})"
+            # emit as tokens, not one blob — later passes (fn renames,
+            # bracket/list handling) must still see inside the operand
+            out.extend(_tokens(f"CAST({operand} AS {target})"))
             continue
         out.append(toks[i])
         i += 1
@@ -615,6 +634,23 @@ def _macro_list_aggregate(lst: str, fname_lit: str) -> str | None:
     return None
 
 
+def _macro_approx_top_k(x: str, k: str) -> str:
+    """approx_top_k(x, k) SQL surface (reference holistic/approx_top_k.cpp):
+    k most frequent values, most→least frequent, NULL on empty input. This
+    exact distinct-count form matches the oracle at test scale; the
+    mergeable filtered-space-saving sketch in operators/sketch.py is the
+    100 TB path."""
+    _check_topn(k, "approx_top_k")
+    lst = f"collect_list({x})"
+    ranked = (
+        f"array_sort(transform(array_distinct({lst}), __tv -> "
+        f"struct(cast(-size(filter({lst}, __ty -> __ty <=> __tv)) as bigint) as __negc, "
+        f"__tv as __v)))"
+    )
+    expr = f"transform(slice({ranked}, 1, {k}), __s -> __s.__v)"
+    return f"if(size({lst}) = 0, null, {expr})"
+
+
 def _check_topn(n_txt: str, fname: str) -> None:
     t = n_txt.strip().lower()
     if t == "null":
@@ -771,13 +807,15 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
         return _seq_expr(name, args)
     if name in _LIST_AGG_NAMES and n == 2:
         return _macro_list_aggregate(args[0], args[1])
+    if name == "approx_top_k" and n == 2:
+        return _macro_approx_top_k(args[0], args[1])
     return None
 
 
 _MACRO_NAMES = {
     "product", "histogram", "histogram_exact", "bitstring_agg",
     "min", "max", "arg_min", "arg_max", "min_by", "max_by", "equi_width_bins",
-    "range", "generate_series",
+    "range", "generate_series", "approx_top_k",
 } | _LIST_AGG_NAMES
 _FIRST_LAST = {"first", "last", "any_value", "arbitrary"}
 
@@ -1139,7 +1177,26 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
             out[j + 1:j + 1] = ["*"]
             i = j
             continue
-        # single-arg log → log10
+        # len(x): DuckDB's is polymorphic (string length / list length);
+        # Spark's is string-only. Use size() when the arg is visibly a list
+        # or aliased from a list-producing call anywhere in the statement.
+        if name in ("len", "length") and close > 0:
+            argtext = "".join(out[j + 1:close]).strip()
+            listy = re.search(
+                r"(?i)\[|collect_list|array|transform|slice|sequence|split|"
+                r"approx_top_k|list_sort|map_keys|map_values|flatten", argtext,
+            )
+            if not listy and re.match(r"^[A-Za-z_]\w*$", argtext):
+                full = "".join(out)
+                listy = re.search(
+                    r"(?i)(approx_top_k|list_sort|collect_list|array_agg|"
+                    r"string_split|split|sequence|list)\s*\([^;]*?\)\s*"
+                    rf"(?:as\s+)?{re.escape(argtext)}\b", full,
+                )
+            if listy:
+                out[i] = "size"
+                i = j
+                continue
         if name == "log":
             depth, commas = 0, 0
             for k in range(j, close):
@@ -1223,6 +1280,15 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
                 # aggregate; for order-insensitive ones it cannot change
                 # the result — drop it (scalar calls never parse with it).
                 del out[ob:close]
+                if name in _MACRO_NAMES:
+                    close = _match_paren(out, j)
+                    repl = _agg_macro(
+                        name, _split_top_args(_rewrite_calls(out[j + 1:close]))
+                    )
+                    if repl is not None:
+                        out[i:close + 1] = [repl]
+                        i += 1
+                        continue
                 if name in _SQL_FN_RENAMES:
                     out[i] = _SQL_FN_RENAMES[name]
             i += 1
