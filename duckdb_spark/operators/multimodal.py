@@ -6,11 +6,12 @@ Arrow-batched Pandas functions over `mapInPandas` (per-partition batch
 iterator — the right shape for expensive per-item Python work: one
 serialization per batch, prefetched, scan-local / zero shuffles).
 
-The actual codec step is STUBBED (no image/audio libs in this container):
-`decode_image` raises NotImplementedError unless `fake=True`, in which
-case a deterministic fake decoder (seeded by the payload hash) produces
-stable pseudo-features so the full pipeline — schema, batching, partition
-behavior — is real and testable.
+The codec is REAL for PNG/BMP (stdlib zlib decoder in operators/codec.py;
+golden-file tested); JPEG/WebP/AVIF raise with the needed codec named so
+deployments can plug PIL/cv2 into `decode_image` without touching the
+Spark-side plumbing. `fake=True` keeps the deterministic hash-seeded
+pseudo-decoder for payloads that aren't real images (the synthetic
+documents fixture).
 """
 
 from __future__ import annotations
@@ -54,14 +55,13 @@ def _fake_decode(payload: bytes, dim: int) -> list[float]:
     ]
 
 
-def decode_image(payload: bytes) -> object:
-    """Real decoder entry point — requires an imaging library.
+def decode_image(payload: bytes):
+    """Real decoder entry point: stdlib PNG/BMP codec (operators/codec.py).
+    JPEG/WebP/AVIF raise with the codec named — deployments plug PIL/cv2
+    here without touching the mapInPandas plumbing."""
+    from duckdb_spark.operators.codec import decode_image as _decode
 
-    STUB: this container ships no codec; production deployments plug
-    PIL/opencv here. The Spark-side plumbing (extract_features) is real."""
-    raise NotImplementedError(
-        "image decoding requires an imaging library (PIL/cv2) not present in this build"
-    )
+    return _decode(payload)
 
 
 def extract_features(df: DataFrame, dim: int = 16, fake: bool = True) -> DataFrame:
@@ -71,6 +71,8 @@ def extract_features(df: DataFrame, dim: int = 16, fake: bool = True) -> DataFra
     `decode_image` (raises until a codec is installed)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from duckdb_spark.operators.codec import image_features
+
         for pdf in batches:
             feats = []
             for payload in pdf["payload"]:
@@ -78,8 +80,7 @@ def extract_features(df: DataFrame, dim: int = 16, fake: bool = True) -> DataFra
                 if fake:
                     feats.append(_fake_decode(data, dim))
                 else:
-                    img = decode_image(data)  # pragma: no cover (stub)
-                    feats.append(img)
+                    feats.append(image_features(decode_image(data), dim))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
