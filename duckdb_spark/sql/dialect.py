@@ -251,6 +251,17 @@ def _rewrite_table_fns(toks: list[str]) -> list[str]:
                     if close > 0:
                         i = _expand_range_tvf(out, i, j, close)
                         continue
+            elif t.lower() == "test_all_types" and in_from.get(depth):
+                j = _next_code(out, i + 1)
+                if j < len(out) and out[j] == "(":
+                    close = _match_paren(out, j)
+                    if close > 0:
+                        from duckdb_spark.io.all_types import ensure_fixture
+
+                        path = ensure_fixture()
+                        out[i:close + 1] = [f"parquet.`{path}`"]
+                        i += 1
+                        continue
         i += 1
     return out
 
@@ -469,6 +480,7 @@ _SQL_FN_RENAMES: dict[str, str] = {
     # misc
     "strlen": "octet_length", "nextafter": "nextafter",
     "iif": "if", "error": "raise_error", "unnest": "explode",
+    "row": "struct",
 }
 
 _STRING_AGGS = {"string_agg", "group_concat", "listagg"}
@@ -632,6 +644,24 @@ def _macro_list_aggregate(lst: str, fname_lit: str) -> str | None:
     if fn == "string_agg":
         return f"array_join(({lst}), ',')"
     return None
+
+
+def _macro_mad(x: str) -> str:
+    """mad(x): median absolute deviation (reference holistic/mad —
+    quantile machinery). Two-level median via sorted collect_list with
+    continuous interpolation, all JVM-side."""
+    s = f"array_sort(collect_list(cast({x} as double)))"
+    n = f"size({s})"
+
+    def med(arr: str) -> str:
+        return (
+            f"((element_at({arr}, cast(({n} + 1) div 2 as int)) + "
+            f"element_at({arr}, cast({n} div 2 + 1 as int))) / 2)"
+        )
+
+    m1 = med(s)
+    s2 = f"array_sort(transform({s}, __mv -> abs(__mv - {m1})))"
+    return f"if({n} = 0, null, {med(s2)})"
 
 
 def _macro_approx_top_k(x: str, k: str) -> str:
@@ -809,13 +839,15 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
         return _macro_list_aggregate(args[0], args[1])
     if name == "approx_top_k" and n == 2:
         return _macro_approx_top_k(args[0], args[1])
+    if name == "mad" and n == 1:
+        return _macro_mad(args[0])
     return None
 
 
 _MACRO_NAMES = {
     "product", "histogram", "histogram_exact", "bitstring_agg",
     "min", "max", "arg_min", "arg_max", "min_by", "max_by", "equi_width_bins",
-    "range", "generate_series", "approx_top_k",
+    "range", "generate_series", "approx_top_k", "mad",
 } | _LIST_AGG_NAMES
 _FIRST_LAST = {"first", "last", "any_value", "arbitrary"}
 
@@ -1325,6 +1357,8 @@ def _has_top_level_comma(toks: list[str]) -> bool:
 
 def translate(sql: str) -> str:
     """DuckDB dialect → Spark SQL. Idempotent on plain ANSI SQL."""
+    # CTE materialization hints: Spark has no SQL spelling (Catalyst decides)
+    sql = re.sub(r"(?i)\bAS\s+(NOT\s+)?MATERIALIZED\s*\(", "AS (", sql)
     toks = _tokens(sql)
     toks = _rewrite_exclude(toks)
     toks = _rewrite_floordiv(toks)

@@ -461,7 +461,7 @@ class SLSession:
         m = _CREATE_TABLE_RE.match(sql)
         if m and not re.match(r"(?is).*\bas\s+(select|values|with|from)\b", m.group(2) or "") \
                 and (m.group(2) or "").lstrip().startswith("("):
-            name = m.group(1).strip('"')
+            name = m.group(1).strip('"').split(".")[-1].strip('"')
             from duckdb_spark.types import duckdb_type_to_spark
             from pyspark.sql import types as T
 
@@ -482,7 +482,7 @@ class SLSession:
             self._register(name, T.StructType(fields), [])
             return None
         if m:  # CREATE TABLE ... AS
-            name = m.group(1).strip('"')
+            name = m.group(1).strip('"').split(".")[-1].strip('"')
             as_m = re.match(r"(?is)^(?:\([^)]*\)\s*)?as\s+(.*)$", (m.group(2) or "").strip())
             if not as_m:
                 raise ValueError(f"unsupported CREATE TABLE form: {sql[:80]}")
@@ -491,7 +491,7 @@ class SLSession:
             return None
         m = _CREATE_VIEW_RE.match(sql)
         if m:
-            name = m.group(1).strip('"')
+            name = m.group(1).strip('"').split(".")[-1].strip('"')
             df = self.con.sql(m.group(3)).df()
             if m.group(2):
                 df = df.toDF(*[c.strip().strip('"') for c in m.group(2).split(",")])
@@ -500,7 +500,7 @@ class SLSession:
             return None
         m = _INSERT_RE.match(sql)
         if m:
-            name = m.group(1).strip('"')
+            name = m.group(1).strip('"').split(".")[-1].strip('"')
             if name not in self.tables:
                 raise ValueError(f"unknown table {name}")
             schema, rows = self.tables[name]
@@ -529,7 +529,7 @@ class SLSession:
             return None
         m = _DELETE_RE.match(sql)
         if m:
-            name = m.group(1).strip('"')
+            name = m.group(1).strip('"').split(".")[-1].strip('"')
             if name not in self.tables:
                 raise ValueError(f"unknown table {name}")
             schema, _ = self.tables[name]
@@ -545,7 +545,7 @@ class SLSession:
             return None
         m = _UPDATE_RE.match(sql)
         if m:
-            name = m.group(1).strip('"')
+            name = m.group(1).strip('"').split(".")[-1].strip('"')
             if name not in self.tables:
                 raise ValueError(f"unknown table {name}")
             schema, _ = self.tables[name]
