@@ -208,6 +208,62 @@ def _rewrite_values_specials(toks: list[str]) -> list[str]:
     return out
 
 
+def _rewrite_window_filter(toks: list[str]) -> list[str]:
+    """`agg(args) FILTER (WHERE c) OVER (...)` → `agg(CASE WHEN c THEN
+    args END) OVER (...)`: Spark rejects FILTER on window aggregates; the
+    CASE form is equivalent for the null-skipping aggregates (count(*)
+    becomes count(CASE WHEN c THEN 1 END))."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if not _is_word(out[i], "FILTER"):
+            i += 1
+            continue
+        p = i - 1
+        while p >= 0 and out[p].isspace():
+            p -= 1
+        if p < 0 or out[p] != ")":
+            i += 1
+            continue
+        j = _next_code(out, i + 1)
+        if j >= len(out) or out[j] != "(":
+            i += 1
+            continue
+        fclose = _match_paren(out, j)
+        if fclose < 0:
+            i += 1
+            continue
+        k = _next_code(out, fclose + 1)
+        if k >= len(out) or not _is_word(out[k], "OVER"):
+            i += 1
+            continue
+        depth, o = 0, p
+        while o >= 0:
+            if out[o] == ")":
+                depth += 1
+            elif out[o] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            o -= 1
+        if o < 0:
+            i += 1
+            continue
+        inner = out[j + 1:fclose]
+        w = _top_level_index(inner, 0, len(inner), "WHERE")
+        cond = "".join(inner[w + 1:] if w >= 0 else inner).strip()
+        argtext = "".join(out[o + 1:p]).strip()
+        distinct = ""
+        m = re.match(r"(?is)^distinct\s+(.*)$", argtext)
+        if m:
+            distinct, argtext = "DISTINCT ", m.group(1)
+        if argtext in ("*", ""):
+            argtext = "1"
+        out[o + 1:fclose + 1] = [f"{distinct}case when {cond} then {argtext} end", ")"]
+        i = o
+    return out
+
+
 _RANGE_FNS = {"range", "generate_series"}
 _FROM_STOP = {
     "WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW", "ORDER", "LIMIT",
@@ -1051,7 +1107,13 @@ def _rewrite_brackets(toks: list[str]) -> list[str]:
             m = k - 1
             while m >= 0 and out[m].isspace():
                 m -= 1
-            start = k if m < 0 or not re.match(r"[A-Za-z_]", out[m]) else m
+            start = (
+                k
+                if m < 0
+                or not re.match(r"[A-Za-z_]", out[m])
+                or out[m].lower() in _NONFN_WORDS
+                else m
+            )
         else:
             while start - 2 >= 0 and out[start - 1] == ".":
                 start -= 2
@@ -1078,7 +1140,14 @@ def _rewrite_brackets(toks: list[str]) -> list[str]:
                     f"slice({operand}, {lo}, greatest(0, size({operand}) - ({lo}) + 1))"
                 )
         else:
-            out.append(f"element_at({operand}, {''.join(inner_rw).strip()})")
+            idx = "".join(inner_rw).strip()
+            # DuckDB out-of-range/zero subscripts yield NULL; Spark's
+            # element_at raises (index 0 even under try_). nullif routes 0
+            # to NULL (→ NULL result), try_ absorbs out-of-range.
+            if re.match(r"^-?[1-9]\d*$", idx):
+                out.append(f"try_element_at({operand}, {idx})")
+            else:
+                out.append(f"try_element_at({operand}, nullif({idx}, 0))")
         i = close + 1
     return out
 
@@ -1367,6 +1436,7 @@ def translate(sql: str) -> str:
     toks = _rewrite_brackets(toks)
     toks = _rewrite_struct_literals(toks)
     toks = _rewrite_values_specials(toks)
+    toks = _rewrite_window_filter(toks)
     toks = _rewrite_table_fns(toks)
     toks = _rewrite_calls(toks)
     out = "".join(toks)

@@ -97,7 +97,10 @@ def duckdb_type_to_spark(name: str) -> T.DataType:
         return _SIMPLE[up]
     m = _DECIMAL_RE.match(s)
     if m:
-        return T.DecimalType(int(m.group(1)), int(m.group(2) or 0))
+        # DuckDB permits precision 39-40 via hugeint storage; Spark caps at
+        # 38 — clamp (values beyond 1e38 are out of scope per SURVEY §1.2)
+        prec = min(38, int(m.group(1)))
+        return T.DecimalType(prec, min(prec, int(m.group(2) or 0)))
     if _CHAR_RE.match(s):
         return T.StringType()
     m = _LIST_RE.match(s)
