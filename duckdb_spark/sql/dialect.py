@@ -127,6 +127,7 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
             tdepth = 0
             while i < len(toks) and (
                 re.match(r"[A-Za-z_]", toks[i]) or toks[i] in "()[]0123456789," or toks[i].isdigit()
+                or (toks[i].isspace() and tdepth > 0)  # STRUCT(k INT, …)
             ):
                 # a comma only belongs to the type inside its parens
                 # (DECIMAL(10,2)); at depth 0 it separates the next argument
@@ -256,6 +257,109 @@ def _rewrite_orderless_over(toks: list[str]) -> list[str]:
             out[close:close] = [(" " if body else "") + "ORDER BY 1"]
         i = j
     return out
+
+
+def _rewrite_filter_where(toks: list[str]) -> list[str]:
+    """DuckDB allows `agg(x) FILTER (cond)`; standard/Spark require
+    `FILTER (WHERE cond)` — insert the WHERE."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if _is_word(out[i], "FILTER"):
+            p = i - 1
+            while p >= 0 and out[p].isspace():
+                p -= 1
+            j = _next_code(out, i + 1)
+            if p >= 0 and out[p] == ")" and j < len(out) and out[j] == "(":
+                k = _next_code(out, j + 1)
+                if k < len(out) and not _is_word(out[k], "WHERE"):
+                    out[j + 1:j + 1] = ["WHERE "]
+        i += 1
+    return out
+
+
+def _rewrite_rowid(toks: list[str]) -> list[str]:
+    """DuckDB's `rowid` pseudo-column → monotonically_increasing_id()
+    (harness tables are single-partition, so values are the same 0..n-1
+    ordinals)."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if out[i].lower() == "rowid":
+            j = _next_code(out, i + 1)
+            if j < len(out) and out[j] == "(":
+                i += 1
+                continue
+            start = i
+            p = i - 1
+            while p >= 0 and out[p].isspace():
+                p -= 1
+            if p >= 0 and out[p] == ".":
+                q = p - 1
+                while q >= 0 and out[q].isspace():
+                    q -= 1
+                if q >= 0 and re.match(r"^[A-Za-z_\"]", out[q]):
+                    start = q
+            out[start:i + 1] = ["monotonically_increasing_id()"]
+            i = start + 1
+            continue
+        i += 1
+    return out
+
+
+_CMP_ANY_ALL = re.compile(
+    r"(?is)(=|<>|!=|>=|<=|>|<)\s*(ANY|ALL|SOME)\s*\(\s*(SELECT\b)"
+)
+
+
+def _rewrite_any_all(sql: str) -> str:
+    """Quantified comparisons over subqueries (Spark lacks them):
+    `= ANY` → IN, `<> ALL` → NOT IN; ordering comparators fold the
+    subquery through min/max (`> ANY s` ≡ `> (min s)`, `> ALL s` ≡
+    `> (max s)`, mirrored for </<=). Empty-subquery NULL-vs-false edges
+    differ in SELECT-list position; WHERE-position semantics match."""
+    out = []
+    pos = 0
+    while True:
+        m = _CMP_ANY_ALL.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            break
+        op, quant = m.group(1), m.group(2).upper()
+        if quant == "SOME":
+            quant = "ANY"
+        # matching close paren for the '(' right before SELECT
+        open_p = sql.rindex("(", m.end(2), m.start(3))
+        depth, i = 0, open_p
+        while i < len(sql):
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        sub = sql[open_p + 1:i]
+        out.append(sql[pos:m.start()])
+        if op == "=" and quant == "ANY":
+            out.append(f"IN ({sub})")
+        elif op in ("<>", "!=") and quant == "ALL":
+            out.append(f"NOT IN ({sub})")
+        elif op in (">", ">=", "<", "<="):
+            agg = {
+                (">", "ANY"): "min", (">=", "ANY"): "min",
+                ("<", "ANY"): "max", ("<=", "ANY"): "max",
+                (">", "ALL"): "max", (">=", "ALL"): "max",
+                ("<", "ALL"): "min", ("<=", "ALL"): "min",
+            }[(op, quant)]
+            out.append(
+                f"{op} (SELECT {agg}(__qv) FROM ({sub}) __anyq(__qv))"
+            )
+        else:
+            # `= ALL` / `<> ANY`: no clean fold — leave as written
+            out.append(sql[m.start():i + 1])
+        pos = i + 1
+    return "".join(out)
 
 
 def _rewrite_window_filter(toks: list[str]) -> list[str]:
@@ -947,13 +1051,21 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
         return _macro_approx_top_k(args[0], args[1])
     if name == "mad" and n == 1:
         return _macro_mad(args[0])
+    if name in ("struct_pack", "struct_insert") and n >= 1:
+        kvs = []
+        for a in args:
+            m = re.match(r"(?s)^\s*([A-Za-z_]\w*)\s*:\s*=\s*(.*)$", a)
+            if not m:
+                return None
+            kvs.append(f"'{m.group(1)}', {m.group(2).strip()}")
+        return "named_struct(" + ", ".join(kvs) + ")"
     return None
 
 
 _MACRO_NAMES = {
     "product", "histogram", "histogram_exact", "bitstring_agg",
     "min", "max", "arg_min", "arg_max", "min_by", "max_by", "equi_width_bins",
-    "range", "generate_series", "approx_top_k", "mad",
+    "range", "generate_series", "approx_top_k", "mad", "struct_pack",
 } | _LIST_AGG_NAMES
 _FIRST_LAST = {"first", "last", "any_value", "arbitrary"}
 
@@ -1361,7 +1473,13 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
                 out[i] = "log10"
             i = j
             continue
-        if name in _MACRO_NAMES and _top_level_index(out, j + 1, close, "ORDER") < 0:
+        nxt = _next_code(out, close + 1) if close > 0 else -1
+        windowed = 0 <= nxt < len(out) and _is_word(out[nxt], "OVER")
+        if (
+            name in _MACRO_NAMES
+            and not windowed  # macro compositions cannot be window-framed
+            and _top_level_index(out, j + 1, close, "ORDER") < 0
+        ):
             # rewrite nested calls inside the args first (the replacement is
             # a single opaque token later passes won't descend into)
             repl = _agg_macro(name, _split_top_args(_rewrite_calls(out[j + 1:close])))
@@ -1485,6 +1603,13 @@ def translate(sql: str) -> str:
         sql,
         flags=re.DOTALL,
     )
+    # numeric literals with digit separators (1_000_000)
+    sql = re.sub(
+        r"(?<![\w.])(\d[\d_]*\d)(?![\w])",
+        lambda m: m.group(1).replace("_", ""),
+        sql,
+    )
+    sql = _rewrite_any_all(sql)
     toks = _tokens(sql)
     toks = _rewrite_exclude(toks)
     toks = _rewrite_floordiv(toks)
@@ -1493,8 +1618,10 @@ def translate(sql: str) -> str:
     toks = _rewrite_brackets(toks)
     toks = _rewrite_struct_literals(toks)
     toks = _rewrite_values_specials(toks)
+    toks = _rewrite_filter_where(toks)
     toks = _rewrite_window_filter(toks)
     toks = _rewrite_orderless_over(toks)
+    toks = _rewrite_rowid(toks)
     toks = _rewrite_table_fns(toks)
     toks = _rewrite_calls(toks)
     out = "".join(toks)
