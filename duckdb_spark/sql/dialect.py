@@ -259,6 +259,175 @@ def _rewrite_orderless_over(toks: list[str]) -> list[str]:
     return out
 
 
+_JOIN_ITEM_STOP = {
+    "WHERE", "GROUP", "ORDER", "LIMIT", "OFFSET", "UNION", "EXCEPT",
+    "INTERSECT", "HAVING", "QUALIFY", "WINDOW", "JOIN", "LEFT", "RIGHT",
+    "INNER", "FULL", "CROSS", "ASOF", "NATURAL", "SEMI", "ANTI", "USING",
+}
+
+
+def _rewrite_asof_join(toks: list[str]) -> list[str]:
+    """`A ASOF [LEFT] JOIN B [alias] ON conds` (reference
+    src/planner/binder/tableref/bind_joinref.cpp ASOF semantics) →
+    `A {CROSS|LEFT} JOIN LATERAL (SELECT * FROM B alias WHERE conds
+    ORDER BY <b-side inequality expr> {DESC|ASC} LIMIT 1) alias [ON TRUE]`.
+
+    The lateral-subquery form keeps the output schema identical (no helper
+    columns) and is exact: per probe row, the nearest build row satisfying
+    the predicates. Spark plans it as a correlated lateral join — fine at
+    test scale; the partitioned window rewrite in operators/asof.py remains
+    the at-scale path. RIGHT/FULL/SEMI/ANTI ASOF and USING stay untouched.
+    """
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if not _is_word(out[i], "ASOF"):
+            i += 1
+            continue
+        j = _next_code(out, i + 1)
+        left = False
+        if j < len(out) and _is_word(out[j], "LEFT"):
+            left = True
+            j = _next_code(out, j + 1)
+        if j >= len(out) or not _is_word(out[j], "JOIN"):
+            i += 1
+            continue
+        # right side: parenthesized subquery/VALUES or identifier chain
+        r0 = _next_code(out, j + 1)
+        if r0 >= len(out):
+            i += 1
+            continue
+        if out[r0] == "(":
+            rend = _match_paren(out, r0)
+        else:
+            rend = r0
+            nxt = _next_code(out, rend + 1)
+            while nxt < len(out) and out[nxt] == ".":
+                rend = _next_code(out, nxt + 1)
+                nxt = _next_code(out, rend + 1)
+        if rend < 0:
+            i += 1
+            continue
+        # alias: [AS] ident [(cols)]
+        a = _next_code(out, rend + 1)
+        alias = None
+        colspec = ""
+        aend = rend
+        if a < len(out) and _is_word(out[a], "AS"):
+            a = _next_code(out, a + 1)
+        if (
+            a < len(out)
+            and re.match(r"^[A-Za-z_\"]", out[a])
+            and out[a].upper() not in _JOIN_ITEM_STOP
+            and out[a].upper() != "ON"
+        ):
+            alias = out[a].strip('"')
+            aend = a
+            p = _next_code(out, a + 1)
+            if p < len(out) and out[p] == "(":
+                pc = _match_paren(out, p)
+                colspec = "".join(out[p:pc + 1])
+                aend = pc
+        onk = _next_code(out, aend + 1)
+        if onk >= len(out) or not _is_word(out[onk], "ON"):
+            i += 1
+            continue
+        # condition span: up to the next top-level join/clause keyword
+        depth = 0
+        k = onk + 1
+        cend = len(out)
+        while k < len(out):
+            t = out[k]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                if depth == 0:
+                    cend = k
+                    break
+                depth -= 1
+            elif t == ";":
+                cend = k
+                break
+            elif depth == 0 and re.match(r"^[A-Za-z_]", t) and t.upper() in _JOIN_ITEM_STOP:
+                cend = k
+                break
+            k += 1
+        cond = "".join(out[onk + 1:cend]).strip()
+        bname = alias or "".join(out[r0:rend + 1]).split(".")[-1].strip('"')
+        # find THE inequality conjunct and its build-side operand
+        ineq = None
+        for part in re.split(r"(?i)\bAND\b", cond):
+            m = re.search(r"(>=|<=|>|<)", part)
+            if m and not re.search(r"<>|!=", part):
+                ineq = (part, m)
+                break
+        if ineq is None:
+            i += 1
+            continue
+        part, m = ineq
+        lhs, op, rhs = part[:m.start()].strip(), m.group(1), part[m.end():].strip()
+        bpat = rf"\b{re.escape(bname)}\b"
+        if re.search(bpat, rhs):
+            bexpr = rhs
+            newer = op in (">=", ">")  # probe >= build → take latest build
+        elif re.search(bpat, lhs):
+            bexpr = lhs
+            newer = op in ("<=", "<")  # build <= probe → same direction
+        else:
+            i += 1
+            continue
+        order = "DESC" if newer else "ASC"
+        right_src = "".join(out[r0:rend + 1])
+        inner_alias = f"{alias or bname}{colspec}"
+        repl = (
+            ("LEFT JOIN LATERAL" if left else "CROSS JOIN LATERAL")
+            + f" (SELECT * FROM {right_src} {inner_alias}"
+            + f" WHERE {cond} ORDER BY {bexpr} {order} LIMIT 1)"
+            + f" {alias or bname}"
+            + (" ON TRUE" if left else "")
+            + " "
+        )
+        out[i:cend] = _tokens(repl)
+        i += 1
+    return out
+
+
+_INTERVAL_UNITS = {
+    "YEAR", "YEARS", "MONTH", "MONTHS", "WEEK", "WEEKS", "DAY", "DAYS",
+    "HOUR", "HOURS", "MINUTE", "MINUTES", "SECOND", "SECONDS",
+    "MILLISECOND", "MILLISECONDS", "MICROSECOND", "MICROSECONDS",
+}
+
+
+def _rewrite_dynamic_interval(toks: list[str]) -> list[str]:
+    """DuckDB `INTERVAL (expr) UNIT` (dynamic) → `(expr) * INTERVAL '1'
+    UNIT` (Spark intervals only take literal quantities but multiply)."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if not _is_word(out[i], "INTERVAL"):
+            i += 1
+            continue
+        j = _next_code(out, i + 1)
+        if j >= len(out) or out[j] != "(":
+            i += 1
+            continue
+        close = _match_paren(out, j)
+        if close < 0:
+            i += 1
+            continue
+        u = _next_code(out, close + 1)
+        if u >= len(out) or out[u].upper() not in _INTERVAL_UNITS:
+            i += 1
+            continue
+        unit = out[u].upper().rstrip("S") if out[u].upper() not in (
+            "MILLISECONDS", "MICROSECONDS") else out[u].upper()[:-1]
+        expr = "".join(out[j:close + 1])
+        out[i:u + 1] = [f"({expr} * INTERVAL '1' {unit})"]
+        i += 1
+    return out
+
+
 def _rewrite_filter_where(toks: list[str]) -> list[str]:
     """DuckDB allows `agg(x) FILTER (cond)`; standard/Spark require
     `FILTER (WHERE cond)` — insert the WHERE."""
@@ -1622,6 +1791,8 @@ def translate(sql: str) -> str:
     toks = _rewrite_window_filter(toks)
     toks = _rewrite_orderless_over(toks)
     toks = _rewrite_rowid(toks)
+    toks = _rewrite_asof_join(toks)
+    toks = _rewrite_dynamic_interval(toks)
     toks = _rewrite_table_fns(toks)
     toks = _rewrite_calls(toks)
     out = "".join(toks)
