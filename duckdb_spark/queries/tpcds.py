@@ -31,7 +31,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from duckdb_spark.queries import register
 
-TPCDS_DIR = os.environ.get("SPARK_GRAFT_TPCDS_DIR", "/tmp/duckdb_spark_tpcds")
+# v2: customer gained c_salutation/c_preferred_cust_flag for q34/q73 —
+# new path so stale fixtures regenerate
+TPCDS_DIR = os.environ.get("SPARK_GRAFT_TPCDS_DIR", "/tmp/duckdb_spark_tpcds_v2")
 
 TABLES = [
     "date_dim", "time_dim", "item", "store", "customer", "customer_address",
@@ -92,7 +94,9 @@ SELECT i + 1 AS c_customer_sk,
            AS c_last_name,
        1 + (i * 3) % 5000 AS c_current_addr_sk,
        1 + (i * 11) % 280 AS c_current_cdemo_sk,
-       1 + (i * 13) % 200 AS c_current_hdemo_sk
+       1 + (i * 13) % 200 AS c_current_hdemo_sk,
+       ['Mr.','Mrs.','Ms.','Dr.','Sir'][1 + (i * 7) % 5] AS c_salutation,
+       ['Y','N'][1 + i % 2] AS c_preferred_cust_flag
 FROM range(5000) t(i);
 
 CREATE OR REPLACE TABLE customer_address AS
@@ -408,4 +412,275 @@ WHERE ss_sold_time_sk = time_dim.t_time_sk
   AND time_dim.t_hour = 20 AND time_dim.t_minute >= 30
   AND household_demographics.hd_dep_count = 7
   AND store.s_store_name = 'ese'
+""")
+
+# ---- round-5 expansion: 9 more query shapes (constants adapted to the
+# fixture's value cycles, as documented in the module header) ----
+
+# q15 — catalog sales by zip with OR-of-predicates (15.sql)
+_tpcds("tpcds_q15", """
+SELECT ca_zip, ROUND(CAST(SUM(cs_sales_price) AS DOUBLE), 2) AS sum_sales
+FROM {catalog_sales} catalog_sales, {customer} customer,
+     {customer_address} customer_address, {date_dim} date_dim
+WHERE cs_bill_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND (SUBSTRING(ca_zip, 1, 5) IN ('10037', '10074', '10111', '23456')
+       OR ca_state IN ('GA', 'VA', 'NC')
+       OR cs_sales_price > 50)
+  AND cs_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 2001
+GROUP BY ca_zip
+ORDER BY ca_zip NULLS FIRST
+LIMIT 100
+""")
+
+# q34 — ticket-count band join back to customer (34.sql)
+_tpcds("tpcds_q34", """
+SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+       ss_ticket_number, cnt
+FROM
+  (SELECT ss_ticket_number, ss_customer_sk, COUNT(*) AS cnt
+   FROM {store_sales} store_sales, {date_dim} date_dim, {store} store,
+        {household_demographics} household_demographics
+   WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+     AND store_sales.ss_store_sk = store.s_store_sk
+     AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND (date_dim.d_dom BETWEEN 1 AND 3 OR date_dim.d_dom BETWEEN 25 AND 28)
+     AND (household_demographics.hd_buy_potential = '>10000'
+          OR household_demographics.hd_buy_potential = '1001-5000')
+     AND household_demographics.hd_vehicle_count > 0
+     AND (CASE WHEN household_demographics.hd_vehicle_count > 0
+               THEN (household_demographics.hd_dep_count * 1.000)
+                    / household_demographics.hd_vehicle_count
+               ELSE NULL END) > 1.2
+     AND date_dim.d_year IN (1999, 1999 + 1, 1999 + 2)
+     AND store.s_county = 'county#1'
+   GROUP BY ss_ticket_number, ss_customer_sk) dn, {customer} customer
+WHERE ss_customer_sk = c_customer_sk AND cnt BETWEEN 1 AND 5
+ORDER BY c_last_name NULLS FIRST, c_first_name NULLS FIRST,
+         c_salutation NULLS FIRST, c_preferred_cust_flag DESC NULLS FIRST,
+         ss_ticket_number NULLS FIRST, cnt
+LIMIT 100
+""")
+
+# q48 — OR-of-conjunction demographic/address bands (48.sql)
+_tpcds("tpcds_q48", """
+SELECT CAST(SUM(ss_quantity) AS BIGINT) AS sum_qty
+FROM {store_sales} store_sales, {store} store,
+     {customer_demographics} customer_demographics,
+     {customer_address} customer_address, {date_dim} date_dim
+WHERE s_store_sk = ss_store_sk AND ss_sold_date_sk = d_date_sk
+  AND d_year = 2000
+  AND ((cd_demo_sk = ss_cdemo_sk AND cd_marital_status = 'M'
+        AND cd_education_status = '4 yr Degree'
+        AND ss_sales_price BETWEEN 10.00 AND 30.00)
+       OR (cd_demo_sk = ss_cdemo_sk AND cd_marital_status = 'D'
+           AND cd_education_status = '2 yr Degree'
+           AND ss_sales_price BETWEEN 30.00 AND 50.00)
+       OR (cd_demo_sk = ss_cdemo_sk AND cd_marital_status = 'S'
+           AND cd_education_status = 'College'
+           AND ss_sales_price BETWEEN 50.00 AND 70.00))
+  AND ((ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        AND ca_state IN ('TN', 'KY', 'GA') AND ss_net_profit BETWEEN 0 AND 50)
+       OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+           AND ca_state IN ('AL', 'VA', 'NC') AND ss_net_profit BETWEEN 10 AND 80)
+       OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+           AND ca_state IN ('SC', 'OH', 'TN') AND ss_net_profit BETWEEN -100 AND 100))
+""")
+
+# q61 — promoted-vs-total ratio via two scalar aggregates (61.sql)
+_tpcds("tpcds_q61", """
+SELECT promotions, total,
+       ROUND(CAST(promotions AS DOUBLE) / CAST(total AS DOUBLE) * 100, 4)
+           AS promo_pct
+FROM
+  (SELECT ROUND(CAST(SUM(ss_ext_sales_price) AS DOUBLE), 2) AS promotions
+   FROM {store_sales} store_sales, {store} store, {promotion} promotion,
+        {date_dim} date_dim, {customer} customer,
+        {customer_address} customer_address, {item} item
+   WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+     AND ss_promo_sk = p_promo_sk AND ss_customer_sk = c_customer_sk
+     AND ca_address_sk = c_current_addr_sk AND ss_item_sk = i_item_sk
+     AND ca_state = 'TN' AND i_category = 'category#3'
+     AND (p_channel_dmail = 'Y' OR p_channel_email = 'Y' OR p_channel_event = 'Y')
+     AND d_year = 2000 AND d_moy = 11) promotional_sales,
+  (SELECT ROUND(CAST(SUM(ss_ext_sales_price) AS DOUBLE), 2) AS total
+   FROM {store_sales} store_sales, {store} store, {date_dim} date_dim,
+        {customer} customer, {customer_address} customer_address, {item} item
+   WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+     AND ss_customer_sk = c_customer_sk AND ca_address_sk = c_current_addr_sk
+     AND ss_item_sk = i_item_sk AND ca_state = 'TN'
+     AND i_category = 'category#3' AND d_year = 2000 AND d_moy = 11) all_sales
+""")
+
+# q68 — bought-city vs home-city mismatch (68.sql)
+_tpcds("tpcds_q68", """
+SELECT c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number,
+       extended_price, extended_tax, list_price
+FROM
+  (SELECT ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+          ROUND(CAST(SUM(ss_ext_sales_price) AS DOUBLE), 2) AS extended_price,
+          ROUND(CAST(SUM(ss_ext_list_price) AS DOUBLE), 2) AS list_price,
+          ROUND(CAST(SUM(ss_ext_tax) AS DOUBLE), 2) AS extended_tax
+   FROM {store_sales} store_sales, {date_dim} date_dim, {store} store,
+        {household_demographics} household_demographics,
+        {customer_address} customer_address
+   WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+     AND store_sales.ss_store_sk = store.s_store_sk
+     AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+     AND date_dim.d_dom BETWEEN 1 AND 2
+     AND (household_demographics.hd_dep_count = 5
+          OR household_demographics.hd_vehicle_count = 3)
+     AND date_dim.d_year IN (1999, 1999 + 1, 1999 + 2)
+     AND store.s_city IN ('Fairview', 'Midway')
+   GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+  {customer} customer, {customer_address} current_addr
+WHERE ss_customer_sk = c_customer_sk
+  AND customer.c_current_addr_sk = current_addr.ca_address_sk
+  AND current_addr.ca_city <> bought_city
+ORDER BY c_last_name NULLS FIRST, ss_ticket_number NULLS FIRST,
+         c_first_name, bought_city, extended_price
+LIMIT 100
+""")
+
+# q73 — ticket-count band, household slice (73.sql)
+_tpcds("tpcds_q73", """
+SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+       ss_ticket_number, cnt
+FROM
+  (SELECT ss_ticket_number, ss_customer_sk, COUNT(*) AS cnt
+   FROM {store_sales} store_sales, {date_dim} date_dim, {store} store,
+        {household_demographics} household_demographics
+   WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+     AND store_sales.ss_store_sk = store.s_store_sk
+     AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND date_dim.d_dom BETWEEN 1 AND 2
+     AND (household_demographics.hd_buy_potential = '>10000'
+          OR household_demographics.hd_buy_potential = '0-500')
+     AND household_demographics.hd_vehicle_count > 0
+     AND CASE WHEN household_demographics.hd_vehicle_count > 0
+              THEN household_demographics.hd_dep_count * 1.0
+                   / household_demographics.hd_vehicle_count
+              ELSE NULL END > 1
+     AND date_dim.d_year IN (1999, 1999 + 1, 1999 + 2)
+     AND store.s_county = 'county#2'
+   GROUP BY ss_ticket_number, ss_customer_sk) dj, {customer} customer
+WHERE ss_customer_sk = c_customer_sk AND cnt BETWEEN 1 AND 5
+ORDER BY cnt DESC, c_last_name ASC, c_first_name, c_salutation,
+         ss_ticket_number
+LIMIT 100
+""")
+
+# q79 — per-customer-ticket profit with city detail (79.sql; the
+# s_number_of_employees predicate has no fixture column and is dropped)
+_tpcds("tpcds_q79", """
+SELECT c_last_name, c_first_name,
+       SUBSTRING(s_city, 1, 30) AS city30, ss_ticket_number, amt, profit
+FROM
+  (SELECT ss_ticket_number, ss_customer_sk, store.s_city,
+          ROUND(CAST(SUM(ss_coupon_amt) AS DOUBLE), 2) AS amt,
+          ROUND(CAST(SUM(ss_net_profit) AS DOUBLE), 2) AS profit
+   FROM {store_sales} store_sales, {date_dim} date_dim, {store} store,
+        {household_demographics} household_demographics
+   WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+     AND store_sales.ss_store_sk = store.s_store_sk
+     AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND (household_demographics.hd_dep_count = 8
+          OR household_demographics.hd_vehicle_count > 3)
+     AND date_dim.d_dow = 1
+     AND date_dim.d_year IN (1999, 1999 + 1, 1999 + 2)
+   GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, store.s_city) ms,
+  {customer} customer
+WHERE ss_customer_sk = c_customer_sk
+ORDER BY c_last_name, c_first_name, city30, profit, ss_ticket_number, amt
+LIMIT 100
+""")
+
+# q88 — eight half-hour traffic counters cross-joined (88.sql)
+_tpcds("tpcds_q88", """
+SELECT h8_30_to_9 AS c1, h9_to_9_30 AS c2, h9_30_to_10 AS c3,
+       h10_to_10_30 AS c4
+FROM
+ (SELECT COUNT(*) AS h8_30_to_9
+  FROM {store_sales} store_sales, {household_demographics} household_demographics,
+       {time_dim} time_dim, {store} store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 8 AND time_dim.t_minute >= 30
+    AND ((household_demographics.hd_dep_count = 4
+          AND household_demographics.hd_vehicle_count <= 4 + 2)
+         OR (household_demographics.hd_dep_count = 2
+             AND household_demographics.hd_vehicle_count <= 2 + 2)
+         OR (household_demographics.hd_dep_count = 0
+             AND household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_store_name = 'ese') s1,
+ (SELECT COUNT(*) AS h9_to_9_30
+  FROM {store_sales} store_sales, {household_demographics} household_demographics,
+       {time_dim} time_dim, {store} store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 9 AND time_dim.t_minute < 30
+    AND ((household_demographics.hd_dep_count = 4
+          AND household_demographics.hd_vehicle_count <= 4 + 2)
+         OR (household_demographics.hd_dep_count = 2
+             AND household_demographics.hd_vehicle_count <= 2 + 2)
+         OR (household_demographics.hd_dep_count = 0
+             AND household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_store_name = 'ese') s2,
+ (SELECT COUNT(*) AS h9_30_to_10
+  FROM {store_sales} store_sales, {household_demographics} household_demographics,
+       {time_dim} time_dim, {store} store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 9 AND time_dim.t_minute >= 30
+    AND ((household_demographics.hd_dep_count = 4
+          AND household_demographics.hd_vehicle_count <= 4 + 2)
+         OR (household_demographics.hd_dep_count = 2
+             AND household_demographics.hd_vehicle_count <= 2 + 2)
+         OR (household_demographics.hd_dep_count = 0
+             AND household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_store_name = 'ese') s3,
+ (SELECT COUNT(*) AS h10_to_10_30
+  FROM {store_sales} store_sales, {household_demographics} household_demographics,
+       {time_dim} time_dim, {store} store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 10 AND time_dim.t_minute < 30
+    AND ((household_demographics.hd_dep_count = 4
+          AND household_demographics.hd_vehicle_count <= 4 + 2)
+         OR (household_demographics.hd_dep_count = 2
+             AND household_demographics.hd_vehicle_count <= 2 + 2)
+         OR (household_demographics.hd_dep_count = 0
+             AND household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_store_name = 'ese') s4
+""")
+
+# q89 — rolling average over item/store months via a window (89.sql)
+_tpcds("tpcds_q89", """
+SELECT i_category, i_class, i_brand, s_store_name, s_company_name, d_moy,
+       sum_sales, avg_monthly_sales
+FROM
+  (SELECT i_category, i_class, i_brand, s_store_name,
+          'company#1' AS s_company_name, d_moy,
+          ROUND(CAST(SUM(ss_sales_price) AS DOUBLE), 2) AS sum_sales,
+          ROUND(CAST(AVG(SUM(ss_sales_price)) OVER (
+              PARTITION BY i_category, i_brand, s_store_name
+          ) AS DOUBLE), 2) AS avg_monthly_sales
+   FROM {item} item, {store_sales} store_sales, {date_dim} date_dim,
+        {store} store
+   WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+     AND ss_store_sk = s_store_sk AND d_year = 1999
+     AND i_category IN ('category#1', 'category#2', 'category#3')
+     AND i_class IN ('class#1', 'class#2', 'class#3')
+   GROUP BY i_category, i_class, i_brand, s_store_name, d_moy) tmp1
+WHERE avg_monthly_sales <> 0
+  AND ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales > 0.1
+ORDER BY sum_sales - avg_monthly_sales, s_store_name, i_category, i_class,
+         i_brand, d_moy
+LIMIT 100
 """)
