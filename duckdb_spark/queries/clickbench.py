@@ -199,3 +199,63 @@ WHERE CounterID = 62 AND EventDate >= '2013-07-01' AND EventDate <= '2013-07-31'
 GROUP BY URLHash, EventDate
 ORDER BY PageViews DESC, URLHash, EventDate LIMIT 10 OFFSET 100
 """)
+
+
+# ---- round-5 expansion: 10 more queries over the same fixture columns ----
+
+# q00 — bare count (queries/q00.sql)
+_cb("cb_q00", """
+SELECT COUNT(*) AS cnt FROM {hits} hits
+""")
+
+# q02 — scan-wide aggregate triple (q02.sql)
+_cb("cb_q02", """
+SELECT CAST(SUM(AdvEngineID) AS BIGINT) AS sum_adv, COUNT(*) AS cnt,
+       ROUND(CAST(AVG(ResolutionWidth) AS DOUBLE), 2) AS avg_width
+FROM {hits} hits
+""")
+
+# q03 — single avg (q03.sql)
+_cb("cb_q03", """
+SELECT ROUND(CAST(AVG(UserID) AS DOUBLE), 2) AS avg_user FROM {hits} hits
+""")
+
+# q04 — count distinct users (q04.sql)
+_cb("cb_q04", """
+SELECT COUNT(DISTINCT UserID) AS u FROM {hits} hits
+""")
+
+# q05 — count distinct phrases (q05.sql)
+_cb("cb_q05", """
+SELECT COUNT(DISTINCT SearchPhrase) AS p FROM {hits} hits
+""")
+
+# q06 — date range (q06.sql)
+_cb("cb_q06", """
+SELECT MIN(EventDate) AS min_date, MAX(EventDate) AS max_date FROM {hits} hits
+""")
+
+# q07 — ad-engine frequency (q07.sql)
+_cb("cb_q07", """
+SELECT AdvEngineID, COUNT(*) AS c FROM {hits} hits
+WHERE AdvEngineID <> 0 GROUP BY AdvEngineID ORDER BY c DESC, AdvEngineID
+""")
+
+# q09 — region rollup with four aggregate kinds (q09.sql)
+_cb("cb_q09", """
+SELECT RegionID, CAST(SUM(AdvEngineID) AS BIGINT) AS sum_adv, COUNT(*) AS c,
+       ROUND(CAST(AVG(ResolutionWidth) AS DOUBLE), 2) AS avg_width,
+       COUNT(DISTINCT UserID) AS u
+FROM {hits} hits GROUP BY RegionID ORDER BY c DESC, RegionID LIMIT 10
+""")
+
+# q20 — LIKE-filtered count (q20.sql)
+_cb("cb_q20", """
+SELECT COUNT(*) AS cnt FROM {hits} hits WHERE URL LIKE '%google%'
+""")
+
+# q25 — phrase scan ordered by time (q25.sql)
+_cb("cb_q25", """
+SELECT SearchPhrase FROM {hits} hits WHERE SearchPhrase <> ''
+ORDER BY EventTime, SearchPhrase LIMIT 10
+""")
