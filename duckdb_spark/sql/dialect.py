@@ -31,6 +31,9 @@ _TOKEN_RE = re.compile(
     | "(?:[^"]|"")*"            # double-quoted identifier
     | --[^\n]*                  # line comment
     | /\*.*?\*/                 # block comment
+    | \d+\.\d+(?:[eE][+-]?\d+)? # numeric literal (kept whole so casts and
+    | \.\d+(?:[eE][+-]?\d+)?    # arg rewrites see one token, not digits)
+    | \d+(?:[eE][+-]?\d+)?
     | [A-Za-z_][A-Za-z_0-9$]*   # word
     | ::| // | <= | >= | <> | != | \|\| | ->> | -> | =>
     | .                         # any single char
@@ -114,6 +117,19 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
                 ):
                     k = m
                 start = k
+            elif out[j] == "}":
+                # struct/map literal operand (rewritten to named_struct later)
+                depth = 0
+                k = j
+                while k >= 0:
+                    if out[k] == "}":
+                        depth += 1
+                    elif out[k] == "{":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    k -= 1
+                start = max(k, 0)
             else:
                 start = j
                 # allow dotted identifiers: a.b::T
@@ -1779,6 +1795,8 @@ def translate(sql: str) -> str:
         sql,
     )
     sql = _rewrite_any_all(sql)
+    # DuckDB tolerates a trailing comma before FROM in the SELECT list
+    sql = re.sub(r",\s*(FROM\b)", r" \1", sql, flags=re.IGNORECASE)
     toks = _tokens(sql)
     toks = _rewrite_exclude(toks)
     toks = _rewrite_floordiv(toks)

@@ -324,6 +324,9 @@ def values_equal(expected: str, actual: str, type_char: str) -> bool:
         if e != e and a != a:  # both NaN
             return True
         return abs(e - a) <= 1e-6 * max(1.0, abs(e), abs(a))
+    # T: booleans render as true/false in DuckDB text, 1/0 here
+    if {expected.lower(), actual.lower()} in ({"true", "1"}, {"false", "0"}):
+        return True
     # T: try timestamp-vs-date style trailing-zero normalization
     if expected.rstrip("0").rstrip(".") == actual.rstrip("0").rstrip("."):
         return True

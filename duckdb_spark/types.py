@@ -92,6 +92,8 @@ _STRUCT_RE = re.compile(r"(?is)^(?:STRUCT|ROW)\s*\((.*)\)$")
 
 def duckdb_type_to_spark(name: str) -> T.DataType:
     s = name.strip()
+    if re.match(r"(?i)^ROW\s*\(", s):  # pg spelling of STRUCT
+        s = "STRUCT" + s[s.index("("):]
     up = s.upper()
     if up in _SIMPLE:
         return _SIMPLE[up]
