@@ -31,6 +31,9 @@ HEADLINE = [
     # TPC-DS secondary gate (BASELINE.md): fixed-size fixture, same data at
     # every sf — ratios vs the DuckDB baseline stay same-host/same-data.
     "tpcds_q07", "tpcds_q25",
+    # ClickBench slice (round 5): phrase top-k and the wide two-key group-by
+    # — the scan-agg shapes of that workload, same fixed-fixture caveat.
+    "cb_q12", "cb_q32",
 ]
 
 

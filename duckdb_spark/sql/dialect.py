@@ -444,6 +444,71 @@ def _rewrite_dynamic_interval(toks: list[str]) -> list[str]:
     return out
 
 
+_GROUPBY_STOP = {
+    "ORDER", "HAVING", "LIMIT", "OFFSET", "WINDOW", "QUALIFY", "UNION",
+    "EXCEPT", "INTERSECT",
+}
+
+
+def _rewrite_group_by_lists(toks: list[str]) -> list[str]:
+    """DuckDB GROUP BY niceties Spark rejects: `GROUP BY (a, b)` is a
+    column list (strip the parens), and a bare `()` element in a mixed
+    grouping list contributes nothing (drop it with its comma)."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if not _is_word(out[i], "GROUP"):
+            i += 1
+            continue
+        j = _next_code(out, i + 1)
+        if j >= len(out) or not _is_word(out[j], "BY"):
+            i += 1
+            continue
+        k = j + 1
+        elem_start = None
+        while k < len(out):
+            t = out[k]
+            if t == "(":
+                close = _match_paren(out, k)
+                if close < 0:
+                    break
+                prev = k - 1
+                while prev >= 0 and out[prev].isspace():
+                    prev -= 1
+                inner = out[k + 1:close]
+                if not "".join(inner).strip():
+                    # bare () element: drop it and one adjacent comma
+                    nxt = _next_code(out, close + 1)
+                    if nxt < len(out) and out[nxt] == ",":
+                        del out[k:nxt + 1]
+                    else:
+                        if prev >= 0 and out[prev] == ",":
+                            del out[prev:close + 1]
+                            k = prev
+                        else:
+                            del out[k:close + 1]
+                    continue
+                if (
+                    (prev == j or (prev >= 0 and out[prev] == ","))
+                    and _has_top_level_comma(inner)
+                    and not _top_level_index(out, k + 1, close, "SELECT") >= 0
+                ):
+                    # (a, b) column list → a, b
+                    del out[close]
+                    del out[k]
+                    k = close - 1
+                    continue
+                k = close + 1
+                continue
+            if t == ";" or t == ")":
+                break
+            if re.match(r"^[A-Za-z_]", t) and t.upper() in _GROUPBY_STOP:
+                break
+            k += 1
+        i = k
+    return out
+
+
 def _rewrite_filter_where(toks: list[str]) -> list[str]:
     """DuckDB allows `agg(x) FILTER (cond)`; standard/Spark require
     `FILTER (WHERE cond)` — insert the WHERE."""
@@ -1236,6 +1301,10 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
         return _macro_approx_top_k(args[0], args[1])
     if name == "mad" and n == 1:
         return _macro_mad(args[0])
+    if name == "unnest" and n == 1 and args[0].lstrip().startswith(("named_struct(", "{")):
+        # UNNEST(struct) expands the struct into columns (reference
+        # unnest of STRUCT); inline() does that for a 1-element array
+        return f"inline(array({args[0]}))"
     if name in ("struct_pack", "struct_insert") and n >= 1:
         kvs = []
         for a in args:
@@ -1251,6 +1320,7 @@ _MACRO_NAMES = {
     "product", "histogram", "histogram_exact", "bitstring_agg",
     "min", "max", "arg_min", "arg_max", "min_by", "max_by", "equi_width_bins",
     "range", "generate_series", "approx_top_k", "mad", "struct_pack",
+    "unnest",
 } | _LIST_AGG_NAMES
 _FIRST_LAST = {"first", "last", "any_value", "arbitrary"}
 
@@ -1311,6 +1381,8 @@ _TYPE_RENAMES = {
     "INT1": "TINYINT", "INT2": "SMALLINT", "INT4": "INT", "INT8": "BIGINT",
     "INT16": "SMALLINT", "INT32": "INT", "INT64": "BIGINT",
     "SIGNED": "BIGINT", "OID": "BIGINT",
+    "TIMESTAMP_S": "TIMESTAMP", "TIMESTAMP_MS": "TIMESTAMP",
+    "TIMESTAMP_NS": "TIMESTAMP", "DATETIME": "TIMESTAMP",
 }
 
 
@@ -1795,9 +1867,17 @@ def translate(sql: str) -> str:
         sql,
     )
     sql = _rewrite_any_all(sql)
-    # DuckDB tolerates a trailing comma before FROM in the SELECT list
-    sql = re.sub(r",\s*(FROM\b)", r" \1", sql, flags=re.IGNORECASE)
+    # GROUP BY () — empty grouping set ≡ global aggregate
+    sql = re.sub(r"(?i)\bGROUP\s+BY\s*\(\s*\)", " GROUP BY GROUPING SETS (()) ", sql)
     toks = _tokens(sql)
+    # DuckDB tolerates trailing commas (before FROM and before `)`)
+    for _i, _t in enumerate(toks):
+        if _t == ")" or _is_word(_t, "FROM"):
+            _p = _i - 1
+            while _p >= 0 and toks[_p].isspace():
+                _p -= 1
+            if _p >= 0 and toks[_p] == ",":
+                toks[_p] = " "
     toks = _rewrite_exclude(toks)
     toks = _rewrite_floordiv(toks)
     toks = _rewrite_pg_cast(toks)
@@ -1806,6 +1886,7 @@ def translate(sql: str) -> str:
     toks = _rewrite_struct_literals(toks)
     toks = _rewrite_values_specials(toks)
     toks = _rewrite_filter_where(toks)
+    toks = _rewrite_group_by_lists(toks)
     toks = _rewrite_window_filter(toks)
     toks = _rewrite_orderless_over(toks)
     toks = _rewrite_rowid(toks)
