@@ -29,35 +29,30 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness gate hard-checks the FIRST 50 registered queries.
-# ROUND-4 ROTATION (VERDICT.md r03 "Next round" #2): the 11 never-driver-
-# checked queries are the 10 tpcds_q* (registered after the r03 window was
-# pinned) and sketch_lttb (no_oracle by design — rows-only row recorded in
-# r03; excluded here so a hard-checkable query keeps the slot). Window =
-# 10 TPC-DS + the 10 queries whose only green row is r01 (so every
-# registered query has a green row inside the r02–r04 range) + 3 r03-green
-# sentinels + 10 ClickBench queries NEW this round (in-window the round
-# they land, unlike the r03 TPC-DS slice) + 17 r02-only re-confirmations.
-# The 20 r02-only queries left outside keep their r02 green row; their
-# shapes are carried in-window by tpch_q03/q09/q21, win_topk_per_group/
-# win_frames, agg_grouping/agg_stats_wide, ev_timeseries.
+# ROUND-5 ROTATION: round 4's driver run crashed before checking anything
+# (VERDICT r04), so no query has an r04 row. The window therefore takes
+# every query that has NEVER had a driver row — the full 19-query TPC-DS
+# slice and the full 20-query ClickBench slice (both landed after the r03
+# window was pinned) — plus the 10 queries whose only green row is r01,
+# and tpch_q01 as the cross-round sentinel. Every other registered query
+# keeps its r02/r03 green row and is re-verified every session by
+# tests/test_queries.py, which runs the identical differential at sf0.001.
 PRIORITY: list[str] = [
-    # never driver-checked: the TPC-DS slice (10)
-    "tpcds_q01", "tpcds_q03", "tpcds_q07", "tpcds_q19", "tpcds_q25",
-    "tpcds_q26", "tpcds_q29", "tpcds_q42", "tpcds_q55", "tpcds_q96",
+    # never driver-checked: the TPC-DS slice (19)
+    "tpcds_q01", "tpcds_q03", "tpcds_q07", "tpcds_q15", "tpcds_q19",
+    "tpcds_q25", "tpcds_q26", "tpcds_q29", "tpcds_q34", "tpcds_q42",
+    "tpcds_q48", "tpcds_q55", "tpcds_q61", "tpcds_q68", "tpcds_q73",
+    "tpcds_q79", "tpcds_q88", "tpcds_q89", "tpcds_q96",
+    # never driver-checked: the ClickBench slice (20)
+    "cb_q00", "cb_q01", "cb_q02", "cb_q03", "cb_q04", "cb_q05", "cb_q06",
+    "cb_q07", "cb_q08", "cb_q09", "cb_q12", "cb_q16", "cb_q18", "cb_q20",
+    "cb_q21", "cb_q23", "cb_q25", "cb_q28", "cb_q32", "cb_q40",
     # r01-green-only (10)
     "agg_grouping_sets", "agg_rollup", "agg_cube", "agg_filter_distinct",
     "agg_stats", "ev_sessionization", "ev_time_bucket", "ev_fill_gaps",
     "ev_range_join", "text_langid",
-    # r03-green sentinels (3)
-    "tpch_q01", "dedup_minhash_lsh", "ev_asof_join",
-    # new this round: ClickBench slice (10)
-    "cb_q01", "cb_q08", "cb_q12", "cb_q16", "cb_q18",
-    "cb_q21", "cb_q23", "cb_q28", "cb_q32", "cb_q40",
-    # r02-only re-confirmations (17)
-    "tpch_q03", "tpch_q04", "tpch_q06", "tpch_q07", "tpch_q08", "tpch_q09",
-    "tpch_q10", "tpch_q12", "tpch_q13", "tpch_q17", "tpch_q21", "tpch_q22",
-    "win_topk_per_group", "win_frames", "ev_timeseries",
-    "agg_grouping", "agg_stats_wide",
+    # cross-round sentinel (1)
+    "tpch_q01",
 ]
 
 

@@ -1,8 +1,10 @@
-"""ClickBench workload slice (reference `benchmark/clickbench/`): the 10
-query shapes PRIORITY names — selective count (q01), count-distinct top-k
-(q08), string-filtered group-by top-k (q12/q16/q18/q21), full-row top-k
-scan (q23), regex-domain rollup with HAVING (q28), wide two-key group-by
-(q32), and a multi-predicate slice with LIMIT/OFFSET pagination (q40).
+"""ClickBench workload — the FULL 43-query set (reference
+`benchmark/clickbench/queries/q00.sql`–`q42.sql`): bare/selective counts,
+scan-wide aggregate batteries (q29's 91 sums), count-distinct rollups,
+string-filtered group-by top-k, full-row top-k scans, regex-domain
+rollups with HAVING, high-cardinality two-key group-bys, derived-key
+grouping (q35), CASE-derived traffic matrices (q39), and deep
+LIMIT/OFFSET pagination (q38/q39/q40/q41/q42).
 
 One SQL text per query runs through BOTH engines — Spark via the dialect
 layer (`sql.dialect.translate` → Catalyst), DuckDB via read_parquet
@@ -18,8 +20,8 @@ Fixture: the real ClickBench `hits` table is a 100M-row web-analytics log
 distributed as a ~75 GB parquet download; like the TPC-DS slice, a
 deterministic arithmetic fixture is generated on demand into /tmp — pure
 hash/modulus arithmetic over `range()`, no RNG, so both engines and every
-rerun see byte-identical data. Schema is the 19-column slice of
-`benchmark/clickbench/queries/load.sql` that the 10 queries actually
+rerun see byte-identical data. Schema is the 27-column slice of
+`benchmark/clickbench/queries/load.sql` that the 43 queries actually
 reference (q23's SELECT * resolves against the same parquet schema in
 both engines). Value cycles are chosen so every predicate slice is
 non-trivially selective: AdvEngineID!=0 on ~6%, SearchPhrase non-empty on
@@ -45,7 +47,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from duckdb_spark.queries import register
 
-CB_DIR = os.environ.get("SPARK_GRAFT_CLICKBENCH_DIR", "/tmp/duckdb_spark_clickbench")
+# _v3: +8 columns (MobilePhone[Model], SearchEngineID, DontCountHits,
+# IsLink, IsDownload, WindowClientWidth/Height) for the full 43-query set;
+# path bump regenerates stale copies.
+CB_DIR = os.environ.get("SPARK_GRAFT_CLICKBENCH_DIR", "/tmp/duckdb_spark_clickbench_v3")
 
 _N = 200_000  # ~sf0.002 of the real 100M-row hits table
 
@@ -54,7 +59,8 @@ CREATE OR REPLACE TABLE hits AS
 SELECT
     (i * 37) % 50000 AS WatchID,
     (i % 2)::SMALLINT AS JavaEnable,
-    'title ' || (i % 1000) AS Title,
+    CASE WHEN i % 53 = 0 THEN 'Google search ' || (i % 100)
+         ELSE 'title ' || (i % 1000) END AS Title,
     TIMESTAMP '2013-07-01 00:00:00' + INTERVAL ((i * 97) % 2678400) SECOND
         AS EventTime,
     DATE '2013-07-01' + INTERVAL (((i * 97) % 2678400) // 86400) DAY
@@ -81,7 +87,17 @@ SELECT
     CASE WHEN i % 3 = 0 THEN 3594120000172545465
          ELSE (i * 104729) * 1000003 END AS RefererHash,
     (i * 2654435761) % 2000 AS URLHash,
-    (1000 + (i % 25) * 40)::SMALLINT AS ResolutionWidth
+    (1000 + (i % 25) * 40)::SMALLINT AS ResolutionWidth,
+    ((i * 11) % 8)::SMALLINT AS MobilePhone,
+    CASE WHEN i % 13 < 3 THEN 'model ' || (i % 17) ELSE '' END
+        AS MobilePhoneModel,
+    (CASE WHEN i % 10 < 7 THEN 0 ELSE 1 + (i * 3) % 5 END)::SMALLINT
+        AS SearchEngineID,
+    (CASE WHEN i % 9 = 0 THEN 1 ELSE 0 END)::SMALLINT AS DontCountHits,
+    (CASE WHEN i % 6 = 0 THEN 1 ELSE 0 END)::SMALLINT AS IsLink,
+    (CASE WHEN i % 50 = 0 THEN 1 ELSE 0 END)::SMALLINT AS IsDownload,
+    (800 + (i % 40) * 16)::SMALLINT AS WindowClientWidth,
+    (600 + ((i * 7) % 30) * 8)::SMALLINT AS WindowClientHeight
 FROM range({_N}) t(i);
 """
 
@@ -258,4 +274,196 @@ SELECT COUNT(*) AS cnt FROM {hits} hits WHERE URL LIKE '%google%'
 _cb("cb_q25", """
 SELECT SearchPhrase FROM {hits} hits WHERE SearchPhrase <> ''
 ORDER BY EventTime, SearchPhrase LIMIT 10
+""")
+
+
+# ---- full-set completion: the remaining 23 queries (q10..q42) ----
+# Same adaptation protocol as above: aggregates aliased, doubles
+# rounded+cast, deterministic tie-breakers appended to every ORDER BY,
+# and filter/OFFSET constants scaled to the 200k-row fixture (reference
+# constants target the 100M-row hits table).
+
+# q10/q11 — mobile-model count-distinct rollups (q10.sql, q11.sql)
+_cb("cb_q10", """
+SELECT MobilePhoneModel, COUNT(DISTINCT UserID) AS u FROM {hits} hits
+WHERE MobilePhoneModel <> '' GROUP BY MobilePhoneModel
+ORDER BY u DESC, MobilePhoneModel LIMIT 10
+""")
+
+_cb("cb_q11", """
+SELECT MobilePhone, MobilePhoneModel, COUNT(DISTINCT UserID) AS u
+FROM {hits} hits WHERE MobilePhoneModel <> ''
+GROUP BY MobilePhone, MobilePhoneModel
+ORDER BY u DESC, MobilePhone, MobilePhoneModel LIMIT 10
+""")
+
+# q13 — phrase count-distinct top-k (q13.sql)
+_cb("cb_q13", """
+SELECT SearchPhrase, COUNT(DISTINCT UserID) AS u FROM {hits} hits
+WHERE SearchPhrase <> '' GROUP BY SearchPhrase
+ORDER BY u DESC, SearchPhrase LIMIT 10
+""")
+
+# q14 — engine × phrase frequency (q14.sql)
+_cb("cb_q14", """
+SELECT SearchEngineID, SearchPhrase, COUNT(*) AS c FROM {hits} hits
+WHERE SearchPhrase <> '' GROUP BY SearchEngineID, SearchPhrase
+ORDER BY c DESC, SearchEngineID, SearchPhrase LIMIT 10
+""")
+
+# q15 — heavy-user top-k (q15.sql)
+_cb("cb_q15", """
+SELECT UserID, COUNT(*) AS c FROM {hits} hits GROUP BY UserID
+ORDER BY c DESC, UserID LIMIT 10
+""")
+
+# q17 — two-key group-by page (q17.sql; reference has a bare LIMIT with no
+# ORDER BY — a full deterministic order is imposed so both engines return
+# the same page)
+_cb("cb_q17", """
+SELECT UserID, SearchPhrase, COUNT(*) AS c FROM {hits} hits
+GROUP BY UserID, SearchPhrase ORDER BY c DESC, UserID, SearchPhrase LIMIT 10
+""")
+
+# q19 — point lookup on UserID (q19.sql; constant 435090932899640449 maps
+# to 4350, a value the fixture's (i*123457)%8000 cycle actually hits)
+_cb("cb_q19", """
+SELECT UserID FROM {hits} hits WHERE UserID = 4350
+""")
+
+# q22 — Title/URL LIKE combination with five aggregates (q22.sql)
+_cb("cb_q22", """
+SELECT SearchPhrase, MIN(URL) AS min_url, MIN(Title) AS min_title,
+       COUNT(*) AS c, COUNT(DISTINCT UserID) AS u
+FROM {hits} hits
+WHERE Title LIKE '%Google%' AND URL NOT LIKE '%.google.%'
+  AND SearchPhrase <> ''
+GROUP BY SearchPhrase ORDER BY c DESC, SearchPhrase LIMIT 10
+""")
+
+# q24/q26 — time-ordered phrase scans (q24.sql, q26.sql; q24's ORDER BY
+# gains the same tie-breaker q26 already has, making both deterministic)
+_cb("cb_q24", """
+SELECT SearchPhrase FROM {hits} hits WHERE SearchPhrase <> ''
+ORDER BY EventTime, SearchPhrase LIMIT 10
+""")
+
+_cb("cb_q26", """
+SELECT SearchPhrase FROM {hits} hits WHERE SearchPhrase <> ''
+ORDER BY EventTime, SearchPhrase LIMIT 10
+""")
+
+# q27 — URL-length rollup with HAVING (q27.sql; STRLEN→LENGTH, HAVING
+# 100000 scaled to the ~1.5k-rows-per-CounterID fixture)
+_cb("cb_q27", """
+SELECT CounterID, ROUND(CAST(AVG(LENGTH(URL)) AS DOUBLE), 2) AS l,
+       COUNT(*) AS c
+FROM {hits} hits WHERE URL <> '' GROUP BY CounterID
+HAVING COUNT(*) > 1000 ORDER BY l DESC, CounterID LIMIT 25
+""")
+
+# q29 — 91-aggregate scan (q29.sql: SUM(ResolutionWidth + 0..89))
+_cb("cb_q29", "SELECT " + ", ".join(
+    f"CAST(SUM(ResolutionWidth + {k}) AS BIGINT) AS s{k:02d}" for k in range(90)
+) + " FROM {hits} hits")
+
+# q30/q31 — engine×IP and watch×IP rollups (q30.sql, q31.sql)
+_cb("cb_q30", """
+SELECT SearchEngineID, ClientIP, COUNT(*) AS c,
+       CAST(SUM(IsRefresh) AS BIGINT) AS sum_refresh,
+       ROUND(CAST(AVG(ResolutionWidth) AS DOUBLE), 2) AS avg_width
+FROM {hits} hits WHERE SearchPhrase <> ''
+GROUP BY SearchEngineID, ClientIP
+ORDER BY c DESC, SearchEngineID, ClientIP LIMIT 10
+""")
+
+_cb("cb_q31", """
+SELECT WatchID, ClientIP, COUNT(*) AS c,
+       CAST(SUM(IsRefresh) AS BIGINT) AS sum_refresh,
+       ROUND(CAST(AVG(ResolutionWidth) AS DOUBLE), 2) AS avg_width
+FROM {hits} hits WHERE SearchPhrase <> ''
+GROUP BY WatchID, ClientIP ORDER BY c DESC, WatchID, ClientIP LIMIT 10
+""")
+
+# q33/q34 — URL frequency, with and without a constant group key
+# (q33.sql, q34.sql; q34's positional `GROUP BY 1` keeps a constant in
+# the grouping list — aliased so the hash compare has a named column)
+_cb("cb_q33", """
+SELECT URL, COUNT(*) AS c FROM {hits} hits GROUP BY URL
+ORDER BY c DESC, URL LIMIT 10
+""")
+
+_cb("cb_q34", """
+SELECT 1 AS one, URL, COUNT(*) AS c FROM {hits} hits GROUP BY one, URL
+ORDER BY c DESC, URL LIMIT 10
+""")
+
+# q35 — grouping on derived key expressions (q35.sql)
+_cb("cb_q35", """
+SELECT ClientIP, ClientIP - 1 AS ip1, ClientIP - 2 AS ip2,
+       ClientIP - 3 AS ip3, COUNT(*) AS c
+FROM {hits} hits GROUP BY ClientIP, ip1, ip2, ip3
+ORDER BY c DESC, ClientIP LIMIT 10
+""")
+
+# q36/q37 — counter-slice page views by URL / Title (q36.sql, q37.sql)
+_cb("cb_q36", """
+SELECT URL, COUNT(*) AS PageViews FROM {hits} hits
+WHERE CounterID = 62 AND EventDate >= '2013-07-01' AND EventDate <= '2013-07-31'
+  AND DontCountHits = 0 AND IsRefresh = 0 AND URL <> ''
+GROUP BY URL ORDER BY PageViews DESC, URL LIMIT 10
+""")
+
+_cb("cb_q37", """
+SELECT Title, COUNT(*) AS PageViews FROM {hits} hits
+WHERE CounterID = 62 AND EventDate >= '2013-07-01' AND EventDate <= '2013-07-31'
+  AND DontCountHits = 0 AND IsRefresh = 0 AND Title <> ''
+GROUP BY Title ORDER BY PageViews DESC, Title LIMIT 10
+""")
+
+# q38 — link-click page with deep OFFSET (q38.sql; OFFSET 1000 scaled to
+# 200 against the ~7k-row filtered slice)
+_cb("cb_q38", """
+SELECT URL, COUNT(*) AS PageViews FROM {hits} hits
+WHERE CounterID = 62 AND EventDate >= '2013-07-01' AND EventDate <= '2013-07-31'
+  AND IsRefresh = 0 AND IsLink <> 0 AND IsDownload = 0
+GROUP BY URL ORDER BY PageViews DESC, URL LIMIT 10 OFFSET 200
+""")
+
+# q39 — traffic-source matrix with CASE-derived key (q39.sql; OFFSET
+# scaled as q38)
+_cb("cb_q39", """
+SELECT TraficSourceID, SearchEngineID, AdvEngineID,
+       CASE WHEN (SearchEngineID = 0 AND AdvEngineID = 0) THEN Referer
+            ELSE '' END AS Src,
+       URL AS Dst, COUNT(*) AS PageViews
+FROM {hits} hits
+WHERE CounterID = 62 AND EventDate >= '2013-07-01' AND EventDate <= '2013-07-31'
+  AND IsRefresh = 0
+GROUP BY TraficSourceID, SearchEngineID, AdvEngineID, Src, Dst
+ORDER BY PageViews DESC, TraficSourceID, SearchEngineID, AdvEngineID, Src, Dst
+LIMIT 10 OFFSET 200
+""")
+
+# q41 — viewport histogram behind a point URLHash (q41.sql; hash constant
+# mapped into the fixture's [0,2000) cycle, OFFSET 10000 scaled to 5
+# against the ~19-row slice)
+_cb("cb_q41", """
+SELECT WindowClientWidth, WindowClientHeight, COUNT(*) AS PageViews
+FROM {hits} hits
+WHERE CounterID = 62 AND EventDate >= '2013-07-01' AND EventDate <= '2013-07-31'
+  AND IsRefresh = 0 AND DontCountHits = 0 AND URLHash = 1234
+GROUP BY WindowClientWidth, WindowClientHeight
+ORDER BY PageViews DESC, WindowClientWidth, WindowClientHeight
+LIMIT 10 OFFSET 5
+""")
+
+# q42 — per-minute page views over a two-day slice (q42.sql; OFFSET 1000
+# scaled to 200 against ~2.4k minute groups)
+_cb("cb_q42", """
+SELECT DATE_TRUNC('minute', EventTime) AS M, COUNT(*) AS PageViews
+FROM {hits} hits
+WHERE CounterID = 62 AND EventDate >= '2013-07-14' AND EventDate <= '2013-07-15'
+  AND IsRefresh = 0 AND DontCountHits = 0
+GROUP BY M ORDER BY M LIMIT 10 OFFSET 200
 """)

@@ -138,10 +138,10 @@ def test_multimodal_pipeline(spark):
     # deterministic fake decode: same payload → same features
     feats2 = {r["doc_id"]: r["feat"] for r in extract_features(media, dim=8, fake=True).collect()}
     assert feats2[1] == list(rows[1]["feat"]) and feats2[2] == list(rows[2]["feat"])
-    # real decoder is a documented stub
+    # real decoder rejects unrecognized containers with a named error
     from duckdb_spark.operators.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="unrecognized image container"):
         decode_image(b"x")
     frames = frame_sample(media, every_n=5)
     assert frames.count() > 0
