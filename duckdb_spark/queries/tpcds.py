@@ -1,7 +1,10 @@
 """TPC-DS workload slice (reference `extension/tpcds/`, BASELINE.md
-secondary gate): the 10 most join-heavy query shapes, run from ONE SQL text
-per query through both engines — Spark via our dialect layer
-(`sql.dialect.translate` → Catalyst) and DuckDB via the oracle string.
+secondary gate): 34 queries spanning star joins, OR-of-band demographic
+filters, UNION-spelled rollups + rank windows, correlated count
+subqueries, day-bucket pivots, windowed deviation-from-average, and
+returns-chain statistics — each run from ONE SQL text per query through
+both engines — Spark via our dialect layer (`sql.dialect.translate` →
+Catalyst) and DuckDB via the oracle string.
 
 Reference query text: `extension/tpcds/dsdgen/queries/NN.sql` (adapted:
 aggregates aliased + cast to rounded doubles so the driver's value-hash
@@ -31,13 +34,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 from duckdb_spark.queries import register
 
-# v2: customer gained c_salutation/c_preferred_cust_flag for q34/q73 —
-# new path so stale fixtures regenerate
-TPCDS_DIR = os.environ.get("SPARK_GRAFT_TPCDS_DIR", "/tmp/duckdb_spark_tpcds_v2")
+# v3: date_dim gains d_month_seq/d_quarter_name/d_day_name, store gains
+# address/company/gmt columns, item gains product/color/units/size/cost,
+# store_sales gains wholesale costs, store_returns gains sr_reason_sk, and
+# the reason table lands — for the q06..q98 expansion. New path so stale
+# fixtures regenerate.
+TPCDS_DIR = os.environ.get("SPARK_GRAFT_TPCDS_DIR", "/tmp/duckdb_spark_tpcds_v3")
 
 TABLES = [
     "date_dim", "time_dim", "item", "store", "customer", "customer_address",
-    "customer_demographics", "household_demographics", "promotion",
+    "customer_demographics", "household_demographics", "promotion", "reason",
     "store_sales", "store_returns", "catalog_sales",
 ]
 
@@ -49,7 +55,11 @@ SELECT i + 1 AS d_date_sk,
        month(DATE '1998-01-01' + INTERVAL (i) DAY) AS d_moy,
        day(DATE '1998-01-01' + INTERVAL (i) DAY) AS d_dom,
        quarter(DATE '1998-01-01' + INTERVAL (i) DAY) AS d_qoy,
-       dayofweek(DATE '1998-01-01' + INTERVAL (i) DAY) AS d_dow
+       dayofweek(DATE '1998-01-01' + INTERVAL (i) DAY) AS d_dow,
+       -- real dsdgen numbering: month_seq 1200 = Jan 2000
+       (d_year - 1900) * 12 + (d_moy - 1) AS d_month_seq,
+       d_year || 'Q' || d_qoy AS d_quarter_name,
+       dayname(d_date) AS d_day_name
 FROM range(1826) t(i);
 
 CREATE OR REPLACE TABLE time_dim AS
@@ -70,7 +80,17 @@ SELECT i + 1 AS i_item_sk,
        'category#' || (1 + (i * 3) % 7) AS i_category,
        1 + (i * 11) % 19 AS i_class_id,
        'class#' || (1 + (i * 11) % 19) AS i_class,
-       CAST(1 + (i * 7919 % 9000) / 100.0 AS DECIMAL(7,2)) AS i_current_price
+       CAST(1 + (i * 7919 % 9000) / 100.0 AS DECIMAL(7,2)) AS i_current_price,
+       CAST(1 + (i * 6101 % 8000) / 100.0 AS DECIMAL(7,2)) AS i_wholesale_cost,
+       'name#' || (1 + (i * 5) % 97) AS i_product_name,
+       ['powder','khaki','brown','honeydew','floral','deep','light',
+        'cornflower','midnight','snow','cyan','papaya','orange','frosted',
+        'forest','ghost','red','blue'][1 + (i * 7) % 18] AS i_color,
+       ['Ounce','Oz','Bunch','Ton','N/A','Dozen','Box','Pound','Pallet',
+        'Gross','Cup','Dram','Each','Tbl','Lb','Bundle'][1 + (i * 11) % 16]
+           AS i_units,
+       ['medium','extra large','N/A','small','petite','large'][1 + (i * 13) % 6]
+           AS i_size
 FROM range(2000) t(i);
 
 CREATE OR REPLACE TABLE store AS
@@ -80,7 +100,14 @@ SELECT i + 1 AS s_store_sk,
        ['Fairview', 'Midway', 'Plainview', 'Centerville'][1 + i % 4] AS s_city,
        ['TN', 'KY', 'GA'][1 + i % 3] AS s_state,
        lpad((38000 + i * 701)::VARCHAR, 5, '0') AS s_zip,
-       'county#' || (1 + i % 5) AS s_county
+       'county#' || (1 + i % 5) AS s_county,
+       1 + i % 2 AS s_company_id,
+       'company#' || (1 + i % 2) AS s_company_name,
+       (100 + i * 7)::VARCHAR AS s_street_number,
+       ['Main','Oak','Elm','Park'][1 + i % 4] AS s_street_name,
+       ['St','Ave','Blvd','Ln'][1 + (i * 3) % 4] AS s_street_type,
+       'Suite ' || (10 * (1 + i % 9)) AS s_suite_number,
+       -5 AS s_gmt_offset
 FROM range(12) t(i);
 
 CREATE OR REPLACE TABLE customer AS
@@ -158,7 +185,9 @@ SELECT 1 + (i * 37) % 1826 AS ss_sold_date_sk,
        CAST((i * 3571 % 80000) / 100.0 AS DECIMAL(7,2)) AS ss_ext_tax,
        CAST((i * 2903 % 3000) / 100.0 AS DECIMAL(7,2)) AS ss_coupon_amt,
        CAST(1 + (i * 6983 % 900000) / 100.0 AS DECIMAL(7,2)) AS ss_net_paid,
-       CAST(((i * 104729) % 20000 - 10000) / 100.0 AS DECIMAL(7,2)) AS ss_net_profit
+       CAST(((i * 104729) % 20000 - 10000) / 100.0 AS DECIMAL(7,2)) AS ss_net_profit,
+       CAST(1 + (i * 3109 % 9000) / 100.0 AS DECIMAL(7,2)) AS ss_wholesale_cost,
+       CAST(1 + (i * 4001 % 800000) / 100.0 AS DECIMAL(7,2)) AS ss_ext_wholesale_cost
 FROM range(120000) t(i);
 
 CREATE OR REPLACE TABLE store_returns AS
@@ -172,9 +201,16 @@ SELECT DISTINCT
        CAST(1 + ((ss_item_sk * 131 + ss_ticket_number * 17) % 50000) / 100.0
             AS DECIMAL(7,2)) AS sr_return_amt,
        CAST(1 + ((ss_item_sk * 89 + ss_ticket_number * 29) % 40000) / 100.0
-            AS DECIMAL(7,2)) AS sr_net_loss
+            AS DECIMAL(7,2)) AS sr_net_loss,
+       1 + (ss_item_sk * 7 + ss_ticket_number * 3) % 35 AS sr_reason_sk
 FROM store_sales
 WHERE (ss_item_sk + ss_ticket_number) % 9 = 0;
+
+CREATE OR REPLACE TABLE reason AS
+SELECT i + 1 AS r_reason_sk,
+       'R' || lpad((i + 1)::VARCHAR, 4, '0') AS r_reason_id,
+       'reason ' || (i + 1) AS r_reason_desc
+FROM range(35) t(i);
 
 CREATE OR REPLACE TABLE catalog_sales AS
 SELECT LEAST(1826, ss_sold_date_sk + 60) AS cs_sold_date_sk,
@@ -683,4 +719,490 @@ WHERE avg_monthly_sales <> 0
 ORDER BY sum_sales - avg_monthly_sales, s_store_name, i_category, i_class,
          i_brand, d_moy
 LIMIT 100
+""")
+
+
+# ---- round-5 second expansion: 15 more queries over the v3 fixture ----
+# Same adaptation protocol: constants mapped into the fixture's value
+# cycles, aggregates aliased + rounded doubles, tie-breakers appended.
+
+# q06 — state rollup gated on a month-seq scalar subquery and a
+# category-average price comparison (06.sql)
+_tpcds("tpcds_q06", """
+SELECT a.ca_state AS state, COUNT(*) AS cnt
+FROM {customer_address} a, {customer} c, {store_sales} s,
+     {date_dim} d, {item} i
+WHERE a.ca_address_sk = c.c_current_addr_sk
+  AND c.c_customer_sk = s.ss_customer_sk
+  AND s.ss_sold_date_sk = d.d_date_sk
+  AND s.ss_item_sk = i.i_item_sk
+  AND d.d_month_seq =
+    (SELECT DISTINCT (d_month_seq) FROM {date_dim} date_dim
+     WHERE d_year = 2001 AND d_moy = 1)
+  AND i.i_current_price > 1.2 *
+    (SELECT ROUND(CAST(AVG(j.i_current_price) AS DOUBLE), 6)
+     FROM {item} j WHERE j.i_category = i.i_category)
+GROUP BY a.ca_state
+HAVING COUNT(*) >= 10
+ORDER BY cnt NULLS FIRST, a.ca_state NULLS FIRST
+LIMIT 100
+""")
+
+# q13 — three-way OR of demographic bands × three-way OR of address bands
+# (13.sql; state lists and net-profit bands mapped to the fixture cycles)
+_tpcds("tpcds_q13", """
+SELECT ROUND(CAST(AVG(ss_quantity) AS DOUBLE), 2) AS avg1,
+       ROUND(CAST(AVG(ss_ext_sales_price) AS DOUBLE), 2) AS avg2,
+       ROUND(CAST(AVG(ss_ext_wholesale_cost) AS DOUBLE), 2) AS avg3,
+       ROUND(CAST(SUM(ss_ext_wholesale_cost) AS DOUBLE), 2) AS sum4
+FROM {store_sales} store_sales, {store} store,
+     {customer_demographics} customer_demographics,
+     {household_demographics} household_demographics,
+     {customer_address} customer_address, {date_dim} date_dim
+WHERE s_store_sk = ss_store_sk
+  AND ss_sold_date_sk = d_date_sk
+  AND d_year = 2001
+  AND ((ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'M' AND cd_education_status = 'Advanced Degree'
+        AND ss_sales_price BETWEEN 50.00 AND 80.00 AND hd_dep_count = 3)
+       OR (ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+           AND cd_marital_status = 'S' AND cd_education_status = 'College'
+           AND ss_sales_price BETWEEN 20.00 AND 50.00 AND hd_dep_count = 1)
+       OR (ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+           AND cd_marital_status = 'W' AND cd_education_status = '2 yr Degree'
+           AND ss_sales_price BETWEEN 60.00 AND 81.00 AND hd_dep_count = 1))
+  AND ((ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        AND ca_state IN ('TN', 'OH', 'KY') AND ss_net_profit BETWEEN 0 AND 100)
+       OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+           AND ca_state IN ('GA', 'AL', 'VA') AND ss_net_profit BETWEEN -50 AND 50)
+       OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+           AND ca_state IN ('NC', 'SC', 'TN') AND ss_net_profit BETWEEN -100 AND 0))
+""")
+
+# q17 — quantity statistics across the ss→sr→cs chain over three date
+# roles (17.sql; stddev/cov rounded for the hash compare)
+_tpcds("tpcds_q17", """
+SELECT i_item_id, i_item_desc, s_state,
+       COUNT(ss_quantity) AS ss_qty_count,
+       ROUND(CAST(AVG(ss_quantity) AS DOUBLE), 2) AS ss_qty_avg,
+       ROUND(CAST(STDDEV_SAMP(ss_quantity) AS DOUBLE), 2) AS ss_qty_stdev,
+       ROUND(CAST(STDDEV_SAMP(ss_quantity) / AVG(ss_quantity) AS DOUBLE), 2)
+           AS ss_qty_cov,
+       COUNT(sr_return_quantity) AS sr_qty_count,
+       ROUND(CAST(AVG(sr_return_quantity) AS DOUBLE), 2) AS sr_qty_avg,
+       ROUND(CAST(STDDEV_SAMP(sr_return_quantity) AS DOUBLE), 2) AS sr_qty_stdev,
+       ROUND(CAST(STDDEV_SAMP(sr_return_quantity) / AVG(sr_return_quantity)
+             AS DOUBLE), 2) AS sr_qty_cov,
+       COUNT(cs_quantity) AS cs_qty_count,
+       ROUND(CAST(AVG(cs_quantity) AS DOUBLE), 2) AS cs_qty_avg,
+       ROUND(CAST(STDDEV_SAMP(cs_quantity) AS DOUBLE), 2) AS cs_qty_stdev,
+       ROUND(CAST(STDDEV_SAMP(cs_quantity) / AVG(cs_quantity) AS DOUBLE), 2)
+           AS cs_qty_cov
+FROM {store_sales} store_sales, {store_returns} store_returns,
+     {catalog_sales} catalog_sales, {date_dim} d1, {date_dim} d2,
+     {date_dim} d3, {store} store, {item} item
+WHERE d1.d_quarter_name = '2001Q1'
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk
+  AND s_store_sk = ss_store_sk
+  AND ss_customer_sk = sr_customer_sk
+  AND ss_item_sk = sr_item_sk
+  AND ss_ticket_number = sr_ticket_number
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND d2.d_quarter_name IN ('2001Q1', '2001Q2', '2001Q3')
+  AND sr_customer_sk = cs_bill_customer_sk
+  AND sr_item_sk = cs_item_sk
+  AND cs_sold_date_sk = d3.d_date_sk
+  AND d3.d_quarter_name IN ('2001Q1', '2001Q2', '2001Q3')
+GROUP BY i_item_id, i_item_desc, s_state
+ORDER BY i_item_id NULLS FIRST, i_item_desc NULLS FIRST, s_state NULLS FIRST
+LIMIT 100
+""")
+
+# q27 — demographic item/state rollup via UNION ALL grouping levels
+# (27.sql; the reference spells ROLLUP as explicit UNION ALL branches)
+_tpcds("tpcds_q27", """
+WITH results AS
+  (SELECT i_item_id, s_state, ss_quantity AS agg1, ss_list_price AS agg2,
+          ss_coupon_amt AS agg3, ss_sales_price AS agg4
+   FROM {store_sales} store_sales, {customer_demographics} customer_demographics,
+        {date_dim} date_dim, {store} store, {item} item
+   WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+     AND ss_store_sk = s_store_sk AND ss_cdemo_sk = cd_demo_sk
+     AND cd_gender = 'M' AND cd_marital_status = 'S'
+     AND cd_education_status = 'College'
+     AND d_year = 2002 AND s_state = 'TN')
+SELECT i_item_id, s_state, g_state, agg1, agg2, agg3, agg4
+FROM
+  (SELECT i_item_id, s_state, 0 AS g_state,
+          ROUND(CAST(AVG(agg1) AS DOUBLE), 2) AS agg1,
+          ROUND(CAST(AVG(agg2) AS DOUBLE), 2) AS agg2,
+          ROUND(CAST(AVG(agg3) AS DOUBLE), 2) AS agg3,
+          ROUND(CAST(AVG(agg4) AS DOUBLE), 2) AS agg4
+   FROM results GROUP BY i_item_id, s_state
+   UNION ALL
+   SELECT i_item_id, NULL AS s_state, 1 AS g_state,
+          ROUND(CAST(AVG(agg1) AS DOUBLE), 2),
+          ROUND(CAST(AVG(agg2) AS DOUBLE), 2),
+          ROUND(CAST(AVG(agg3) AS DOUBLE), 2),
+          ROUND(CAST(AVG(agg4) AS DOUBLE), 2)
+   FROM results GROUP BY i_item_id
+   UNION ALL
+   SELECT NULL AS i_item_id, NULL AS s_state, 1 AS g_state,
+          ROUND(CAST(AVG(agg1) AS DOUBLE), 2),
+          ROUND(CAST(AVG(agg2) AS DOUBLE), 2),
+          ROUND(CAST(AVG(agg3) AS DOUBLE), 2),
+          ROUND(CAST(AVG(agg4) AS DOUBLE), 2)
+   FROM results) foo
+ORDER BY i_item_id NULLS FIRST, s_state NULLS FIRST
+LIMIT 100
+""")
+
+# q28 — six quantity-band aggregate triples cross-joined (28.sql; price/
+# coupon/wholesale bands mapped to the fixture's value ranges)
+_tpcds("tpcds_q28", """
+SELECT *
+FROM
+  (SELECT ROUND(CAST(AVG(ss_list_price) AS DOUBLE), 2) AS B1_LP,
+          COUNT(ss_list_price) AS B1_CNT,
+          COUNT(DISTINCT ss_list_price) AS B1_CNTD
+   FROM {store_sales} store_sales
+   WHERE ss_quantity BETWEEN 0 AND 5
+     AND (ss_list_price BETWEEN 8 AND 18
+          OR ss_coupon_amt BETWEEN 10 AND 20
+          OR ss_wholesale_cost BETWEEN 57 AND 77)) B1,
+  (SELECT ROUND(CAST(AVG(ss_list_price) AS DOUBLE), 2) AS B2_LP,
+          COUNT(ss_list_price) AS B2_CNT,
+          COUNT(DISTINCT ss_list_price) AS B2_CNTD
+   FROM {store_sales} store_sales
+   WHERE ss_quantity BETWEEN 6 AND 10
+     AND (ss_list_price BETWEEN 80 AND 90
+          OR ss_coupon_amt BETWEEN 12 AND 22
+          OR ss_wholesale_cost BETWEEN 31 AND 51)) B2,
+  (SELECT ROUND(CAST(AVG(ss_list_price) AS DOUBLE), 2) AS B3_LP,
+          COUNT(ss_list_price) AS B3_CNT,
+          COUNT(DISTINCT ss_list_price) AS B3_CNTD
+   FROM {store_sales} store_sales
+   WHERE ss_quantity BETWEEN 11 AND 15
+     AND (ss_list_price BETWEEN 70 AND 80
+          OR ss_coupon_amt BETWEEN 5 AND 15
+          OR ss_wholesale_cost BETWEEN 79 AND 90)) B3,
+  (SELECT ROUND(CAST(AVG(ss_list_price) AS DOUBLE), 2) AS B4_LP,
+          COUNT(ss_list_price) AS B4_CNT,
+          COUNT(DISTINCT ss_list_price) AS B4_CNTD
+   FROM {store_sales} store_sales
+   WHERE ss_quantity BETWEEN 16 AND 20
+     AND (ss_list_price BETWEEN 65 AND 75
+          OR ss_coupon_amt BETWEEN 6 AND 16
+          OR ss_wholesale_cost BETWEEN 38 AND 58)) B4,
+  (SELECT ROUND(CAST(AVG(ss_list_price) AS DOUBLE), 2) AS B5_LP,
+          COUNT(ss_list_price) AS B5_CNT,
+          COUNT(DISTINCT ss_list_price) AS B5_CNTD
+   FROM {store_sales} store_sales
+   WHERE ss_quantity BETWEEN 21 AND 25
+     AND (ss_list_price BETWEEN 60 AND 70
+          OR ss_coupon_amt BETWEEN 8 AND 18
+          OR ss_wholesale_cost BETWEEN 17 AND 37)) B5,
+  (SELECT ROUND(CAST(AVG(ss_list_price) AS DOUBLE), 2) AS B6_LP,
+          COUNT(ss_list_price) AS B6_CNT,
+          COUNT(DISTINCT ss_list_price) AS B6_CNTD
+   FROM {store_sales} store_sales
+   WHERE ss_quantity BETWEEN 26 AND 30
+     AND (ss_list_price BETWEEN 55 AND 65
+          OR ss_coupon_amt BETWEEN 9 AND 19
+          OR ss_wholesale_cost BETWEEN 7 AND 27)) B6
+LIMIT 100
+""")
+
+# q36 — gross-margin hierarchy levels + rank within parent (36.sql;
+# UNION-spelled rollup, window on top)
+_tpcds("tpcds_q36", """
+WITH results AS
+  (SELECT CAST(SUM(ss_net_profit) AS DOUBLE) AS ss_net_profit,
+          CAST(SUM(ss_ext_sales_price) AS DOUBLE) AS ss_ext_sales_price,
+          CAST(SUM(ss_net_profit) AS DOUBLE) /
+              CAST(SUM(ss_ext_sales_price) AS DOUBLE) AS gross_margin,
+          i_category, i_class, 0 AS g_category, 0 AS g_class
+   FROM {store_sales} store_sales, {date_dim} d1, {item} item, {store} store
+   WHERE d1.d_year = 2001
+     AND d1.d_date_sk = ss_sold_date_sk
+     AND i_item_sk = ss_item_sk
+     AND s_store_sk = ss_store_sk
+     AND s_state = 'TN'
+   GROUP BY i_category, i_class),
+results_rollup AS
+  (SELECT gross_margin, i_category, i_class, 0 AS t_category, 0 AS t_class,
+          0 AS lochierarchy
+   FROM results
+   UNION
+   SELECT SUM(ss_net_profit) / SUM(ss_ext_sales_price) AS gross_margin,
+          i_category, NULL AS i_class, 0 AS t_category, 1 AS t_class,
+          1 AS lochierarchy
+   FROM results GROUP BY i_category
+   UNION
+   SELECT SUM(ss_net_profit) / SUM(ss_ext_sales_price) AS gross_margin,
+          NULL AS i_category, NULL AS i_class, 1 AS t_category, 1 AS t_class,
+          2 AS lochierarchy
+   FROM results)
+SELECT ROUND(CAST(gross_margin AS DOUBLE), 4) + 0.0 AS gross_margin,
+       i_category, i_class, lochierarchy,
+       RANK() OVER (PARTITION BY lochierarchy,
+                    CASE WHEN t_class = 0 THEN i_category END
+                    ORDER BY gross_margin ASC) AS rank_within_parent
+FROM results_rollup
+ORDER BY lochierarchy DESC NULLS FIRST,
+         CASE WHEN lochierarchy = 0 THEN i_category END NULLS FIRST,
+         rank_within_parent NULLS FIRST, i_category NULLS FIRST,
+         i_class NULLS FIRST
+LIMIT 100
+""")
+
+# q41 — correlated count over item attribute combinations (41.sql;
+# manufact band and color/units/size constants mapped to fixture cycles)
+_tpcds("tpcds_q41", """
+SELECT DISTINCT (i_product_name) AS i_product_name
+FROM {item} i1
+WHERE i_manufact_id BETWEEN 100 AND 140
+  AND (SELECT COUNT(*) AS item_cnt
+       FROM {item} item
+       WHERE (item.i_manufact = i1.i_manufact
+              AND ((item.i_category = 'category#1'
+                    AND (item.i_color = 'powder' OR item.i_color = 'khaki')
+                    AND (item.i_units = 'Ounce' OR item.i_units = 'Oz')
+                    AND (item.i_size = 'medium' OR item.i_size = 'extra large'))
+                   OR (item.i_category = 'category#1'
+                       AND (item.i_color = 'brown' OR item.i_color = 'honeydew')
+                       AND (item.i_units = 'Bunch' OR item.i_units = 'Ton')
+                       AND (item.i_size = 'N/A' OR item.i_size = 'small'))
+                   OR (item.i_category = 'category#2'
+                       AND (item.i_color = 'floral' OR item.i_color = 'deep')
+                       AND (item.i_units = 'N/A' OR item.i_units = 'Dozen')
+                       AND (item.i_size = 'petite' OR item.i_size = 'large'))
+                   OR (item.i_category = 'category#2'
+                       AND (item.i_color = 'light' OR item.i_color = 'cornflower')
+                       AND (item.i_units = 'Box' OR item.i_units = 'Pound')
+                       AND (item.i_size = 'medium' OR item.i_size = 'extra large'))))
+          OR (item.i_manufact = i1.i_manufact
+              AND ((item.i_category = 'category#1'
+                    AND (item.i_color = 'midnight' OR item.i_color = 'snow')
+                    AND (item.i_units = 'Pallet' OR item.i_units = 'Gross')
+                    AND (item.i_size = 'medium' OR item.i_size = 'extra large'))
+                   OR (item.i_category = 'category#1'
+                       AND (item.i_color = 'cyan' OR item.i_color = 'papaya')
+                       AND (item.i_units = 'Cup' OR item.i_units = 'Dram')
+                       AND (item.i_size = 'N/A' OR item.i_size = 'small'))
+                   OR (item.i_category = 'category#2'
+                       AND (item.i_color = 'orange' OR item.i_color = 'frosted')
+                       AND (item.i_units = 'Each' OR item.i_units = 'Tbl')
+                       AND (item.i_size = 'petite' OR item.i_size = 'large'))
+                   OR (item.i_category = 'category#2'
+                       AND (item.i_color = 'forest' OR item.i_color = 'ghost')
+                       AND (item.i_units = 'Lb' OR item.i_units = 'Bundle')
+                       AND (item.i_size = 'medium' OR item.i_size = 'extra large'))))) > 0
+ORDER BY i_product_name
+LIMIT 100
+""")
+
+# q43 — day-of-week pivot per store (43.sql)
+_tpcds("tpcds_q43", """
+SELECT s_store_name, s_store_id,
+       ROUND(CAST(SUM(CASE WHEN (d_day_name = 'Sunday') THEN ss_sales_price
+                           ELSE NULL END) AS DOUBLE), 2) AS sun_sales,
+       ROUND(CAST(SUM(CASE WHEN (d_day_name = 'Monday') THEN ss_sales_price
+                           ELSE NULL END) AS DOUBLE), 2) AS mon_sales,
+       ROUND(CAST(SUM(CASE WHEN (d_day_name = 'Tuesday') THEN ss_sales_price
+                           ELSE NULL END) AS DOUBLE), 2) AS tue_sales,
+       ROUND(CAST(SUM(CASE WHEN (d_day_name = 'Wednesday') THEN ss_sales_price
+                           ELSE NULL END) AS DOUBLE), 2) AS wed_sales,
+       ROUND(CAST(SUM(CASE WHEN (d_day_name = 'Thursday') THEN ss_sales_price
+                           ELSE NULL END) AS DOUBLE), 2) AS thu_sales,
+       ROUND(CAST(SUM(CASE WHEN (d_day_name = 'Friday') THEN ss_sales_price
+                           ELSE NULL END) AS DOUBLE), 2) AS fri_sales,
+       ROUND(CAST(SUM(CASE WHEN (d_day_name = 'Saturday') THEN ss_sales_price
+                           ELSE NULL END) AS DOUBLE), 2) AS sat_sales
+FROM {date_dim} date_dim, {store_sales} store_sales, {store} store
+WHERE d_date_sk = ss_sold_date_sk
+  AND s_store_sk = ss_store_sk
+  AND s_gmt_offset = -5
+  AND d_year = 2000
+GROUP BY s_store_name, s_store_id
+ORDER BY s_store_name, s_store_id, sun_sales, mon_sales, tue_sales,
+         wed_sales, thu_sales, fri_sales, sat_sales
+LIMIT 100
+""")
+
+# q50 — return-lag day buckets per store (50.sql; the fixture's fixed
+# 45-day return lag lands rows in the 31-60 bucket by construction)
+_tpcds("tpcds_q50", """
+SELECT s_store_name, s_company_id, s_street_number, s_street_name,
+       s_street_type, s_suite_number, s_city, s_county, s_state, s_zip,
+       SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk <= 30)
+                THEN 1 ELSE 0 END) AS d30,
+       SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 30)
+                AND (sr_returned_date_sk - ss_sold_date_sk <= 60)
+                THEN 1 ELSE 0 END) AS d31_60,
+       SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 60)
+                AND (sr_returned_date_sk - ss_sold_date_sk <= 90)
+                THEN 1 ELSE 0 END) AS d61_90,
+       SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 90)
+                AND (sr_returned_date_sk - ss_sold_date_sk <= 120)
+                THEN 1 ELSE 0 END) AS d91_120,
+       SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 120)
+                THEN 1 ELSE 0 END) AS d_over_120
+FROM {store_sales} store_sales, {store_returns} store_returns,
+     {store} store, {date_dim} d1, {date_dim} d2
+WHERE d2.d_year = 2001
+  AND d2.d_moy = 8
+  AND ss_ticket_number = sr_ticket_number
+  AND ss_item_sk = sr_item_sk
+  AND ss_sold_date_sk = d1.d_date_sk
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND ss_customer_sk = sr_customer_sk
+  AND ss_store_sk = s_store_sk
+GROUP BY s_store_name, s_company_id, s_street_number, s_street_name,
+         s_street_type, s_suite_number, s_city, s_county, s_state, s_zip
+ORDER BY s_store_name, s_company_id, s_street_number, s_street_name,
+         s_street_type, s_suite_number, s_city, s_county, s_state, s_zip
+LIMIT 100
+""")
+
+# q52 — brand revenue for one manager-month (52.sql)
+_tpcds("tpcds_q52", """
+SELECT dt.d_year, item.i_brand_id AS brand_id, item.i_brand AS brand,
+       ROUND(CAST(SUM(ss_ext_sales_price) AS DOUBLE), 2) AS ext_price
+FROM {date_dim} dt, {store_sales} store_sales, {item} item
+WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+  AND store_sales.ss_item_sk = item.i_item_sk
+  AND item.i_manager_id = 1
+  AND dt.d_moy = 11
+  AND dt.d_year = 2000
+GROUP BY dt.d_year, item.i_brand, item.i_brand_id
+ORDER BY dt.d_year, ext_price DESC, brand_id
+LIMIT 100
+""")
+
+# q53 — quarterly manufacturer sales vs windowed average (53.sql;
+# category/class/brand lists mapped to fixture cycles)
+_tpcds("tpcds_q53", """
+SELECT i_manufact_id, sum_sales, avg_quarterly_sales
+FROM
+  (SELECT i_manufact_id,
+          ROUND(CAST(SUM(ss_sales_price) AS DOUBLE), 2) AS sum_sales,
+          ROUND(CAST(AVG(SUM(ss_sales_price)) OVER (
+              PARTITION BY i_manufact_id) AS DOUBLE), 2)
+              AS avg_quarterly_sales
+   FROM {item} item, {store_sales} store_sales, {date_dim} date_dim,
+        {store} store
+   WHERE ss_item_sk = i_item_sk
+     AND ss_sold_date_sk = d_date_sk
+     AND ss_store_sk = s_store_sk
+     AND d_month_seq IN (1200, 1201, 1202, 1203, 1204, 1205, 1206, 1207,
+                         1208, 1209, 1210, 1211)
+     AND ((i_category IN ('category#1', 'category#2', 'category#3')
+           AND i_class IN ('class#1', 'class#2', 'class#3', 'class#4'))
+          OR (i_category IN ('category#4', 'category#5', 'category#6')
+              AND i_class IN ('class#5', 'class#6', 'class#7', 'class#8')))
+   GROUP BY i_manufact_id, d_qoy) tmp1
+WHERE CASE WHEN avg_quarterly_sales > 0
+           THEN ABS(sum_sales - avg_quarterly_sales) / avg_quarterly_sales
+           ELSE NULL END > 0.1
+ORDER BY avg_quarterly_sales, sum_sales, i_manufact_id
+LIMIT 100
+""")
+
+# q63 — monthly manager sales vs windowed average (63.sql)
+_tpcds("tpcds_q63", """
+SELECT i_manager_id, sum_sales, avg_monthly_sales
+FROM
+  (SELECT i_manager_id,
+          ROUND(CAST(SUM(ss_sales_price) AS DOUBLE), 2) AS sum_sales,
+          ROUND(CAST(AVG(SUM(ss_sales_price)) OVER (
+              PARTITION BY i_manager_id) AS DOUBLE), 2) AS avg_monthly_sales
+   FROM {item} item, {store_sales} store_sales, {date_dim} date_dim,
+        {store} store
+   WHERE ss_item_sk = i_item_sk
+     AND ss_sold_date_sk = d_date_sk
+     AND ss_store_sk = s_store_sk
+     AND d_month_seq IN (1200, 1201, 1202, 1203, 1204, 1205, 1206, 1207,
+                         1208, 1209, 1210, 1211)
+     AND ((i_category IN ('category#1', 'category#2', 'category#3')
+           AND i_class IN ('class#1', 'class#2', 'class#3', 'class#4'))
+          OR (i_category IN ('category#4', 'category#5', 'category#6')
+              AND i_class IN ('class#5', 'class#6', 'class#7', 'class#8')))
+   GROUP BY i_manager_id, d_moy) tmp1
+WHERE CASE WHEN avg_monthly_sales > 0
+           THEN ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales
+           ELSE NULL END > 0.1
+ORDER BY i_manager_id, avg_monthly_sales, sum_sales
+LIMIT 100
+""")
+
+# q65 — under-performing item/store revenue vs 10% of store average
+# (65.sql)
+_tpcds("tpcds_q65", """
+SELECT s_store_name, i_item_desc, sc.revenue, i_current_price,
+       i_wholesale_cost, i_brand
+FROM {store} store, {item} item,
+  (SELECT ss_store_sk, ROUND(CAST(AVG(revenue) AS DOUBLE), 2) AS ave
+   FROM
+     (SELECT ss_store_sk, ss_item_sk,
+             ROUND(CAST(SUM(ss_sales_price) AS DOUBLE), 2) AS revenue
+      FROM {store_sales} store_sales, {date_dim} date_dim
+      WHERE ss_sold_date_sk = d_date_sk
+        AND d_month_seq BETWEEN 1176 AND 1187
+      GROUP BY ss_store_sk, ss_item_sk) sa
+   GROUP BY ss_store_sk) sb,
+  (SELECT ss_store_sk, ss_item_sk,
+          ROUND(CAST(SUM(ss_sales_price) AS DOUBLE), 2) AS revenue
+   FROM {store_sales} store_sales, {date_dim} date_dim
+   WHERE ss_sold_date_sk = d_date_sk
+     AND d_month_seq BETWEEN 1176 AND 1187
+   GROUP BY ss_store_sk, ss_item_sk) sc
+WHERE sb.ss_store_sk = sc.ss_store_sk
+  -- reference threshold is 0.1; the fixture's uniform price cycle never
+  -- dips below ~15% of the store average, so 0.5 keeps the band-join
+  -- shape AND a non-empty differential
+  AND sc.revenue <= 0.5 * sb.ave
+  AND s_store_sk = sc.ss_store_sk
+  AND i_item_sk = sc.ss_item_sk
+ORDER BY s_store_name NULLS FIRST, i_item_desc NULLS FIRST,
+         sc.revenue NULLS FIRST, i_brand NULLS FIRST
+LIMIT 100
+""")
+
+# q93 — actual sales net of returns for one return reason (93.sql)
+_tpcds("tpcds_q93", """
+SELECT ss_customer_sk, ROUND(CAST(SUM(act_sales) AS DOUBLE), 2) AS sumsales
+FROM
+  (SELECT ss_item_sk, ss_ticket_number, ss_customer_sk,
+          CASE WHEN sr_return_quantity IS NOT NULL
+               THEN (ss_quantity - sr_return_quantity) * ss_sales_price
+               ELSE (ss_quantity * ss_sales_price) END AS act_sales
+   FROM {store_sales} store_sales
+   LEFT OUTER JOIN {store_returns} store_returns
+     ON (sr_item_sk = ss_item_sk AND sr_ticket_number = ss_ticket_number),
+   {reason} reason
+   WHERE sr_reason_sk = r_reason_sk
+     AND r_reason_desc = 'reason 28') t
+GROUP BY ss_customer_sk
+ORDER BY sumsales NULLS FIRST, ss_customer_sk NULLS FIRST
+LIMIT 100
+""")
+
+# q98 — item revenue with class-partitioned ratio window (98.sql)
+_tpcds("tpcds_q98", """
+SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+       ROUND(CAST(SUM(ss_ext_sales_price) AS DOUBLE), 2) AS itemrevenue,
+       ROUND(CAST(SUM(ss_ext_sales_price) * 100.0000 /
+             SUM(SUM(ss_ext_sales_price)) OVER (PARTITION BY i_class)
+             AS DOUBLE), 4) AS revenueratio
+FROM {store_sales} store_sales, {item} item, {date_dim} date_dim
+WHERE ss_item_sk = i_item_sk
+  AND i_category IN ('category#4', 'category#5', 'category#6')
+  AND ss_sold_date_sk = d_date_sk
+  AND d_date BETWEEN CAST('1999-02-22' AS DATE) AND CAST('1999-03-24' AS DATE)
+GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+ORDER BY i_category NULLS FIRST, i_class NULLS FIRST,
+         i_item_id NULLS FIRST, i_item_desc NULLS FIRST,
+         revenueratio NULLS FIRST
 """)
