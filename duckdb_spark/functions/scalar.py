@@ -160,7 +160,9 @@ def time_bucket(width_seconds, ts, origin_us: int = _EPOCH_2000_01_03_US) -> Col
     """
     us = _us(ts) - origin_us
     width_us = F.lit(int(width_seconds) * 1_000_000).cast("long")
-    bucket = F.floor(us / width_us).cast("long") * width_us + origin_us
+    # stay in LONG arithmetic: floor(us/width) via pmod (a double division
+    # loses µs precision past 2^53 ≈ year 2255)
+    bucket = us - F.pmod(us, width_us) + origin_us
     return F.timestamp_micros(bucket)
 
 

@@ -91,8 +91,7 @@ def hash_sample(df: DataFrame, pct: float, key_cols: list[str]) -> DataFrame:
 
 
 def limit_percent(df: DataFrame, pct: float) -> DataFrame:
-    """LIMIT x% (reference physical_limit_percent.cpp) — two-pass."""
+    """LIMIT x% (reference physical_limit_percent.cpp:145 — the row count
+    is `idx_t(percent/100*count)`, i.e. truncation) — two-pass."""
     n = df.count()
-    import math
-
-    return df.limit(math.ceil(n * pct / 100.0))
+    return df.limit(int(n * pct / 100.0))

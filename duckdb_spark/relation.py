@@ -203,6 +203,40 @@ class Connection:
         if self.macros.handle_ddl(query):
             return None
         query = self.macros.expand(query)
+        # LIMIT n% (reference physical_limit_percent.cpp): no Spark SQL
+        # spelling — strip it and apply the two-pass relation operator
+        m = re.match(
+            r"(?is)^(.*)\bLIMIT\s+(.+?)\s*(?:%|\bPERCENT\b)"
+            r"\s*(?:OFFSET\s+(.+?))?\s*;?\s*$",
+            query,
+        )
+        if m:
+            def _scalar(expr: str) -> float:
+                if re.fullmatch(r"[\d\s()+\-*/.]+", expr):
+                    return float(eval(expr, {"__builtins__": {}}))  # arithmetic
+                if re.match(
+                    r"(?is)^\s*(sum|count|avg|min|max|first|last|median|"
+                    r"product)\s*\(", expr,
+                ):
+                    raise ValueError(
+                        "Binder Error: Aggregate functions are not supported "
+                        "in the LIMIT clause"
+                    )
+                # scalar expr / scalar subquery: evaluate driver-side; a
+                # NULL percentage means "no limit" = 100%
+                # (physical_limit_percent.cpp:75)
+                v = self.spark.sql(translate(
+                    f"SELECT CAST(({expr}) AS DOUBLE)")).collect()[0][0]
+                return 100.0 if v is None else float(v)
+
+            df = self.sql(m.group(1)).df()
+            pct = _scalar(m.group(2))
+            # reference physical_limit_percent.cpp:145: the row budget is
+            # idx_t(pct/100 * count) over the PRE-offset count; OFFSET then
+            # skips within that scan order
+            n = df.count()
+            k = int(_scalar(m.group(3))) if m.group(3) else 0
+            return Relation(df.offset(k).limit(int(n * pct / 100.0)))
         ubn = split_union_by_name(query)
         if ubn:
             branches, ops, tail = ubn

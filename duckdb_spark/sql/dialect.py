@@ -225,6 +225,357 @@ def _rewrite_values_specials(toks: list[str]) -> list[str]:
     return out
 
 
+def _rewrite_ignore_nulls_args(toks: list[str]) -> list[str]:
+    """DuckDB permits IGNORE/RESPECT NULLS *inside* the call parens
+    (`last_value(x IGNORE NULLS) OVER …`, reference
+    src/parser/transform/expression/transform_function.cpp); Spark wants it
+    between the close paren and OVER. Move it just past the `)`."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if _is_word(out[i], "IGNORE") or _is_word(out[i], "RESPECT"):
+            j = _next_code(out, i + 1)
+            if j < len(out) and _is_word(out[j], "NULLS"):
+                k = _next_code(out, j + 1)
+                if k < len(out) and out[k] == ")":
+                    word = "IGNORE" if _is_word(out[i], "IGNORE") else "RESPECT"
+                    del out[i:k]  # the ')' lands at index i
+                    out[i + 1:i + 1] = [f" {word} NULLS "]
+        i += 1
+    return out
+
+
+def _rewrite_where_null(toks: list[str]) -> list[str]:
+    """`WHERE NULL` (and WHERE NULL before GROUP/ORDER/…): DuckDB implicitly
+    casts to BOOLEAN (no rows); Spark rejects an untyped NULL filter."""
+    out = list(toks)
+    stops = {
+        "GROUP", "ORDER", "LIMIT", "HAVING", "UNION", "EXCEPT", "INTERSECT",
+        "WINDOW", "QUALIFY", "OFFSET",
+    }
+    for i, t in enumerate(out):
+        if not _is_word(t, "WHERE"):
+            continue
+        j = _next_code(out, i + 1)
+        if j < len(out) and (
+            _is_word(out[j], "NULL") or re.fullmatch(r"\d+", out[j])
+        ):
+            k = _next_code(out, j + 1)
+            if (
+                k >= len(out)
+                or out[k] in (")", ";")
+                or (re.match(r"^[A-Za-z_]", out[k]) and out[k].upper() in stops)
+            ):
+                out[j] = (
+                    "cast(null as boolean)" if _is_word(out[j], "NULL")
+                    else ("false" if out[j] == "0" else "true")
+                )
+    return out
+
+
+import threading as _threading
+
+_SESSION_SETTINGS = _threading.local()
+
+
+def set_session_setting(name: str, value: str) -> None:
+    """Record a DuckDB session setting that changes dialect semantics
+    (`SET order_by_non_integer_literal=true`, …). Thread-local: concurrent
+    sqllogic workers don't leak settings into each other."""
+    d = getattr(_SESSION_SETTINGS, "d", None)
+    if d is None:
+        d = _SESSION_SETTINGS.d = {}
+    d[name.lower()] = str(value).strip().strip("'\"").lower()
+
+
+def get_session_setting(name: str, default: str = "") -> str:
+    return getattr(_SESSION_SETTINGS, "d", {}).get(name.lower(), default)
+
+
+def reset_session_settings() -> None:
+    _SESSION_SETTINGS.d = {}
+
+
+_INT_CAST_RANGES = {
+    "TINYINT": (-128, 127), "INT1": (-128, 127),
+    "UTINYINT": (0, 255),
+    "SMALLINT": (-32768, 32767), "INT2": (-32768, 32767),
+    "INT16": (-32768, 32767), "SHORT": (-32768, 32767),
+    "USMALLINT": (0, 65535),
+    "INTEGER": (-2**31, 2**31 - 1), "INT": (-2**31, 2**31 - 1),
+    "INT4": (-2**31, 2**31 - 1), "INT32": (-2**31, 2**31 - 1),
+    "UINTEGER": (0, 2**32 - 1),
+    "BIGINT": (-2**63, 2**63 - 1), "INT8": (-2**63, 2**63 - 1),
+    "INT64": (-2**63, 2**63 - 1), "LONG": (-2**63, 2**63 - 1),
+    "UBIGINT": (0, 2**64 - 1),
+}
+_FLOAT_MAX = 3.4028235e38
+
+
+def _check_const_cast_ranges(toks: list[str]) -> None:
+    """DuckDB errors on out-of-range constant casts (`1000::utinyint`,
+    `1e308::float` — src/function/cast/numeric_casts.cpp); Spark wraps or
+    saturates silently. Raise at translate time for visible literals."""
+    for i, t in enumerate(toks):
+        if t != "::":
+            continue
+        p = _prev_code(toks, i - 1)
+        n = _next_code(toks, i + 1)
+        if p < 0 or n >= len(toks):
+            continue
+        lit = toks[p]
+        if not re.fullmatch(r"(?i)\d+(\.\d*)?(e[+-]?\d+)?", lit):
+            continue
+        target = toks[n].upper()
+        if target in _INT_CAST_RANGES:
+            lo, hi = _INT_CAST_RANGES[target]
+            try:
+                v = float(lit)
+            except ValueError:
+                continue
+            if v < lo or v > hi:
+                raise ValueError(
+                    f"Conversion Error: value {lit} out of range for {target}"
+                )
+        elif target in ("FLOAT", "FLOAT4", "REAL"):
+            try:
+                v = float(lit)
+            except ValueError:
+                continue
+            if v > _FLOAT_MAX or v < -_FLOAT_MAX:
+                raise ValueError(
+                    f"Conversion Error: value {lit} out of range for FLOAT"
+                )
+
+
+def _check_order_by_terms(toks: list[str]) -> None:
+    """DuckDB binder errors for ORDER BY with a string literal or an
+    out-of-range ordinal (test_order_by_exceptions). Window/WITHIN-GROUP
+    ORDER BYs allow constants — tracked via the paren-opener context."""
+    # context stack: True = inside an OVER(...)/WITHIN GROUP(...) paren
+    ctx = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t == "(":
+            p = _prev_code(toks, i - 1)
+            word = toks[p].upper() if p >= 0 and re.match(r"^[A-Za-z_]", toks[p]) else ""
+            ctx.append(word in ("OVER", "GROUP"))
+            i += 1
+            continue
+        if t == ")":
+            if ctx:
+                ctx.pop()
+            i += 1
+            continue
+        if _is_word(t, "ORDER") and not (ctx and ctx[-1]):
+            b = _next_code(toks, i + 1)
+            if b >= len(toks) or not _is_word(toks[b], "BY"):
+                i += 1
+                continue
+            # scan items at this depth until a stop
+            k = _next_code(toks, b + 1)
+            item: list[str] = []
+            depth = 0
+            def _flush(item: list[str]) -> None:
+                text = "".join(item).strip()
+                if re.fullmatch(r"'[^']*'", text):
+                    if get_session_setting("order_by_non_integer_literal") in (
+                        "true", "1", "on",
+                    ):
+                        return
+                    raise ValueError(
+                        "Binder Error: ORDER BY non-integer literal has no effect"
+                    )
+                m = re.fullmatch(r"(-?\d+)", text)
+                if m:
+                    v = int(m.group(1))
+                    if v <= 0 or v > 2**31:
+                        raise ValueError("Binder Error: ORDER term out of range")
+            while k < len(toks):
+                tk = toks[k]
+                if tk == "(":
+                    depth += 1
+                elif tk == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif depth == 0 and tk == ",":
+                    _flush(item)
+                    item = []
+                    k += 1
+                    continue
+                elif depth == 0 and tk == ";":
+                    break
+                elif (
+                    depth == 0
+                    and re.match(r"^[A-Za-z_]", tk)
+                    and tk.upper() in (
+                        "LIMIT", "OFFSET", "UNION", "EXCEPT", "INTERSECT",
+                        "FOR", "FROM",
+                    )
+                ):
+                    break
+                item.append(tk)
+                k += 1
+            _flush(item)
+            i = k
+            continue
+        i += 1
+
+
+_BOOL_CTX_STOPS = {
+    "AND", "OR", "NOT", "THEN", "ELSE", "END", "GROUP", "ORDER", "HAVING",
+    "LIMIT", "UNION", "EXCEPT", "INTERSECT", "WHERE", "WHEN", "QUALIFY",
+}
+
+
+def _rewrite_int_bool_context(toks: list[str]) -> list[str]:
+    """Bare integer literals in boolean contexts — `a < 2 AND 0`,
+    `CASE WHEN 1 THEN …` — autocast to BOOLEAN in DuckDB
+    (src/function/cast/numeric_casts.cpp); Spark type-errors. Replace the
+    literal with its truth value when both neighbors are context
+    boundaries (so `x + 1 AND y` is untouched)."""
+    out = list(toks)
+    for i, t in enumerate(out):
+        if not re.fullmatch(r"\d+", t):
+            continue
+        p = _prev_code(out, i - 1)
+        n = _next_code(out, i + 1)
+        prev_bool = p >= 0 and re.match(r"^[A-Za-z_]", out[p]) and out[p].upper() in (
+            "AND", "OR", "WHEN", "NOT",
+        )
+        next_bool = (
+            n >= len(out)
+            or out[n] in (")", ";")
+            or (re.match(r"^[A-Za-z_]", out[n]) and out[n].upper() in _BOOL_CTX_STOPS)
+        )
+        if prev_bool and next_bool:
+            if _is_word(out[p], "WHEN") and not _searched_case_when(out, p):
+                continue  # simple CASE (`CASE x WHEN 1 …`): value compare
+            if _is_word(out[p], "AND") and _is_between_and(out, p):
+                continue  # `x BETWEEN a AND 15`: the 15 is a bound
+            out[i] = "false" if t == "0" else "true"
+    return out
+
+
+def _is_between_and(toks: list[str], ai: int) -> bool:
+    """True if the AND at index ai is the AND of a [NOT] BETWEEN."""
+    depth = 0
+    for k in range(ai - 1, -1, -1):
+        t = toks[k]
+        if t == ")":
+            depth += 1
+        elif t == "(":
+            if depth == 0:
+                return False
+            depth -= 1
+        elif depth == 0:
+            if t in (",", ";"):
+                return False
+            if re.match(r"^[A-Za-z_]", t):
+                u = t.upper()
+                if u == "BETWEEN":
+                    return True
+                if u in ("AND", "OR", "WHERE", "WHEN", "THEN", "ELSE", "ON",
+                         "HAVING", "SELECT", "NOT"):
+                    return False
+    return False
+
+
+def _searched_case_when(toks: list[str], wi: int) -> bool:
+    """True if the WHEN at index wi belongs to a searched CASE
+    (`CASE WHEN cond …`), false for simple CASE (`CASE expr WHEN v …`)."""
+    depth = 0
+    case_skip = 0
+    for k in range(wi - 1, -1, -1):
+        t = toks[k]
+        if t == ")":
+            depth += 1
+        elif t == "(":
+            depth -= 1
+        elif depth == 0 and _is_word(t, "END"):
+            case_skip += 1  # a complete nested CASE…END lies in between
+        elif depth == 0 and _is_word(t, "CASE"):
+            if case_skip:
+                case_skip -= 1
+                continue
+            return _is_word(toks[_next_code(toks, k + 1)], "WHEN")
+    return True
+
+
+def _rewrite_bool_int_compare(toks: list[str]) -> list[str]:
+    """`true = 1` / `1 = false`: DuckDB autocasts INT↔BOOL in comparisons
+    (reference src/function/cast/numeric_casts.cpp); Spark type-errors.
+    Rewrite the integer-literal side to its boolean value when the other
+    side is a visible TRUE/FALSE literal."""
+    out = list(toks)
+    ops = {"=", "<>", "!=", "<", ">", "<=", ">=", "=="}
+    for i, t in enumerate(out):
+        if t not in ops:
+            continue
+        li = _prev_code(out, i - 1)
+        ri = _next_code(out, i + 1)
+        if li < 0 or ri >= len(out):
+            continue
+        lb = out[li].lower() in ("true", "false")
+        rb = out[ri].lower() in ("true", "false")
+        lint = re.fullmatch(r"\d+", out[li])
+        rint = re.fullmatch(r"\d+", out[ri])
+        if lb and rint:
+            out[ri] = "false" if out[ri] == "0" else "true"
+        elif rb and lint:
+            out[li] = "false" if out[li] == "0" else "true"
+    return out
+
+
+def _prev_code(toks: list[str], i: int) -> int:
+    while i >= 0 and (toks[i].isspace() or toks[i].startswith("--")):
+        i -= 1
+    return i
+
+
+def _rewrite_distinct_window(toks: list[str]) -> list[str]:
+    """`count(DISTINCT x) OVER (partition-only spec)` → `size(collect_set(x)
+    OVER (...))`. Spark rejects DISTINCT window aggregates; over an
+    unordered/unframed window the distinct count is the partition-wide set
+    size, which collect_set computes exactly (and mergeably) at scale.
+    Ordered/framed specs are left untouched (still an error)."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if not _is_word(out[i], "COUNT"):
+            i += 1
+            continue
+        j = _next_code(out, i + 1)
+        if j >= len(out) or out[j] != "(":
+            i += 1
+            continue
+        d = _next_code(out, j + 1)
+        if d >= len(out) or not _is_word(out[d], "DISTINCT"):
+            i += 1
+            continue
+        close = _match_paren(out, j)
+        ov = _next_code(out, close + 1) if close > 0 else -1
+        if ov < 0 or ov >= len(out) or not _is_word(out[ov], "OVER"):
+            i += 1
+            continue
+        op = _next_code(out, ov + 1)
+        if op >= len(out) or out[op] != "(":
+            i += 1
+            continue
+        oc = _match_paren(out, op)
+        spec = "".join(out[op + 1:oc]).upper()
+        if re.search(r"\bORDER\b|\bROWS\b|\bRANGE\b|\bGROUPS\b", spec):
+            i += 1
+            continue
+        arg = "".join(out[_next_code(out, d + 1):close])
+        over = "".join(out[ov:oc + 1])
+        out[i:oc + 1] = [f"size(collect_set({arg}) {over})"]
+        i += 1
+    return out
+
+
 _NEED_ORDER_WINFNS = {
     "lag", "lead", "row_number", "rank", "dense_rank", "ntile",
     "percent_rank", "cume_dist", "nth_value",
@@ -302,6 +653,12 @@ def _rewrite_asof_join(toks: list[str]) -> list[str]:
             continue
         j = _next_code(out, i + 1)
         left = False
+        if j < len(out) and (_is_word(out[j], "SEMI") or _is_word(out[j], "ANTI")):
+            # ASOF SEMI/ANTI: existence of the nearest matching row ≡
+            # existence of ANY matching row — a plain semi/anti join
+            out[i] = "LEFT"
+            i += 1
+            continue
         if j < len(out) and _is_word(out[j], "LEFT"):
             left = True
             j = _next_code(out, j + 1)
@@ -345,6 +702,24 @@ def _rewrite_asof_join(toks: list[str]) -> list[str]:
                 colspec = "".join(out[p:pc + 1])
                 aend = pc
         onk = _next_code(out, aend + 1)
+        bname0 = alias or "".join(out[r0:rend + 1]).split(".")[-1].strip('"')
+        if onk < len(out) and _is_word(out[onk], "USING"):
+            # ASOF ... USING (k1, …, t): equality on all but the last
+            # column, `L.t >= R.t` on the last (bind_joinref.cpp USING
+            # lowering). Needs a plain identifier as the probe-side alias.
+            p = _next_code(out, onk + 1)
+            pc = _match_paren(out, p) if p < len(out) and out[p] == "(" else -1
+            la = _prev_code(out, i - 1)
+            if pc < 0 or la < 0 or not re.match(r"^[A-Za-z_]\w*$", out[la]):
+                i += 1
+                continue
+            cols = [c.strip().strip('"')
+                    for c in "".join(out[p + 1:pc]).split(",") if c.strip()]
+            lal = out[la]
+            conds = [f"{lal}.{c} = {bname0}.{c}" for c in cols[:-1]]
+            conds.append(f"{lal}.{cols[-1]} >= {bname0}.{cols[-1]}")
+            out[onk:pc + 1] = _tokens("ON " + " AND ".join(conds))
+            onk = _next_code(out, aend + 1)
         if onk >= len(out) or not _is_word(out[onk], "ON"):
             i += 1
             continue
@@ -610,6 +985,85 @@ def _rewrite_any_all(sql: str) -> str:
             out.append(sql[m.start():i + 1])
         pos = i + 1
     return "".join(out)
+
+
+def _rewrite_list_quantifier(toks: list[str]) -> list[str]:
+    """`x op ANY(list_expr)` / `x op ALL(list_expr)` over LIST values
+    (reference quantified comparisons accept lists, not just subqueries) →
+    `exists(list, __qx -> x op __qx)` / `forall(...)`. Spark's exists and
+    forall HOFs implement the exact three-valued semantics (true beats
+    null beats false for ANY; false beats null beats true for ALL).
+    Subquery forms are already folded by _rewrite_any_all."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if not (re.match(r"^[A-Za-z_]", t) and t.upper() in ("ANY", "ALL", "SOME")):
+            i += 1
+            continue
+        j = _next_code(out, i + 1)
+        if j >= len(out) or out[j] != "(":
+            i += 1
+            continue
+        inner0 = _next_code(out, j + 1)
+        if inner0 < len(out) and _is_word(out[inner0], "SELECT"):
+            i += 1
+            continue
+        close = _match_paren(out, j)
+        p = _prev_code(out, i - 1)
+        if close < 0 or p < 0 or out[p] not in (
+            "=", "<>", "!=", ">", ">=", "<", "<=", "==",
+        ):
+            i += 1
+            continue
+        op = "=" if out[p] == "==" else out[p]
+        # LHS: one balanced unit (paren/bracket group + optional fn name,
+        # or a dotted identifier chain / literal)
+        q = _prev_code(out, p - 1)
+        if q < 0:
+            i += 1
+            continue
+        if out[q] in (")", "]"):
+            opench = "(" if out[q] == ")" else "["
+            depth, k = 0, q
+            while k >= 0:
+                if out[k] == out[q]:
+                    depth += 1
+                elif out[k] == opench:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            if k < 0:
+                i += 1
+                continue
+            m2 = _prev_code(out, k - 1)
+            if (
+                m2 >= 0
+                and re.match(r"^[A-Za-z_`]", out[m2])
+                and out[m2].lower() not in _NONFN_WORDS
+            ):
+                k = m2
+            start = k
+        else:
+            start = q
+            while True:
+                m2 = _prev_code(out, start - 1)
+                if m2 >= 0 and out[m2] == ".":
+                    m3 = _prev_code(out, m2 - 1)
+                    if m3 < 0:
+                        break
+                    start = m3
+                    continue
+                break
+        lhs = "".join(out[start:p]).strip()
+        arr = "".join(out[j + 1:close]).strip()
+        fn = "forall" if t.upper() == "ALL" else "exists"
+        out[start:close + 1] = [
+            f"{fn}({arr}, __qx -> ({lhs}) {op} __qx)"
+        ]
+        i = start + 1
+    return out
 
 
 def _rewrite_window_filter(toks: list[str]) -> list[str]:
@@ -984,6 +1438,24 @@ def _macro_product(x: str) -> str:
     )
 
 
+def _macro_product_distinct(x: str) -> str:
+    """product(DISTINCT x): Σ ln|v| over the distinct values. Positive and
+    negative values sum separately so |v|-collisions across sign (−2 vs 2)
+    stay distinct; sign flips when the count of distinct negatives is odd;
+    any zero value zeroes the product."""
+    pos = f"sum(distinct case when ({x}) > 0 then ln(cast(({x}) as double)) end)"
+    neg = f"sum(distinct case when ({x}) < 0 then ln(cast(-({x}) as double)) end)"
+    mag = f"exp(coalesce({pos}, 0.0d) + coalesce({neg}, 0.0d))"
+    return (
+        f"(case when count(case when ({x}) = 0 then 1 end) > 0 then 0.0d "
+        f"when count(distinct case when ({x}) < 0 then ({x}) end) % 2 = 1 "
+        f"then -{mag} "
+        f"when count(case when ({x}) is not null then 1 end) = 0 then "
+        f"cast(null as double) "
+        f"else {mag} end)"
+    )
+
+
 def _macro_histogram(x: str) -> str:
     """value → count map, keys sorted (reference histogram.cpp)."""
     lst = f"collect_list({x})"
@@ -1273,6 +1745,9 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
     """Dispatch: returns replacement text, or None to leave the call."""
     n = len(args)
     if name == "product" and n == 1:
+        m = re.match(r"(?is)^\s*DISTINCT\s+(.*)$", args[0])
+        if m:
+            return _macro_product_distinct(m.group(1).strip())
         return _macro_product(args[0])
     if name == "histogram" and n == 1:
         return _macro_histogram(args[0])
@@ -1286,6 +1761,12 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
         return _macro_bitstring(args[0], args[1], args[2])
     if name in ("min", "max") and n == 2:
         return _macro_minmax_n(args[0], args[1], want_max=name == "max")
+    if name in ("arg_min", "arg_max", "min_by", "max_by") and n == 2:
+        # DuckDB ignores rows whose VALUE is NULL (arg_min_max.cpp); Spark
+        # min_by/max_by would happily return that NULL — guard the key
+        fn = "max_by" if name in ("arg_max", "max_by") else "min_by"
+        a0, a1 = args[0].strip(), args[1].strip()
+        return f"{fn}({a0}, case when ({a0}) is not null then ({a1}) end)"
     if name in ("arg_min", "arg_max", "min_by", "max_by") and n == 3:
         return _macro_arg_n(
             args[0], args[1], args[2], want_max=name in ("arg_max", "max_by")
@@ -1309,9 +1790,15 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
         kvs = []
         for a in args:
             m = re.match(r"(?s)^\s*([A-Za-z_]\w*)\s*:\s*=\s*(.*)$", a)
-            if not m:
-                return None
-            kvs.append(f"'{m.group(1)}', {m.group(2).strip()}")
+            if m:
+                kvs.append(f"'{m.group(1)}', {m.group(2).strip()}")
+                continue
+            # bare column shorthand: struct_pack(e) ≡ struct_pack(e := e)
+            bare = a.strip()
+            if re.fullmatch(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)*", bare):
+                kvs.append(f"'{bare.split('.')[-1]}', {bare}")
+                continue
+            return None
         return "named_struct(" + ", ".join(kvs) + ")"
     return None
 
@@ -1685,6 +2172,8 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
             i += 1
             continue
         name = t.lower()
+        if name in ("argmin", "argmax"):  # reference aliases (function_list.cpp)
+            name = "arg_" + name[3:]
         if name in _NONFN_WORDS:
             i = j
             continue
@@ -1692,11 +2181,22 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
         if close < 0:
             i += 1
             continue
-        # count() → count(*)
-        if name == "count" and _next_code(out, j + 1) == close:
-            out[j + 1:j + 1] = ["*"]
-            i = j
-            continue
+        # count() → count(*); DuckDB binder strictness re-checks
+        if name == "count":
+            if _next_code(out, j + 1) == close:
+                out[j + 1:j + 1] = ["*"]
+                i = j
+                continue
+            cargs = _split_top_args(out[j + 1:close])
+            if len(cargs) > 1:
+                raise ValueError(
+                    "Binder Error: count() accepts at most one argument"
+                )
+            if cargs and re.match(r"(?is)^\s*DISTINCT\s*\*\s*$", cargs[0]):
+                raise ValueError(
+                    "Binder Error: STAR expression is only allowed as the "
+                    "root element of COUNT"
+                )
         # len(x): DuckDB's is polymorphic (string length / list length);
         # Spark's is string-only. Use size() when the arg is visibly a list
         # or aliased from a list-producing call anywhere in the statement.
@@ -1730,6 +2230,21 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
                 out[i] = "log10"
             i = j
             continue
+        if name == "make_timestamp":
+            # 1-arg form is µs-since-epoch (reference timestamp functions);
+            # Spark's make_timestamp is the 6-arg calendar form only
+            depth, commas = 0, 0
+            for k in range(j, close):
+                if out[k] == "(":
+                    depth += 1
+                elif out[k] == ")":
+                    depth -= 1
+                elif out[k] == "," and depth == 1:
+                    commas += 1
+            if commas == 0:
+                out[i] = "timestamp_micros"
+            i = j
+            continue
         nxt = _next_code(out, close + 1) if close > 0 else -1
         windowed = 0 <= nxt < len(out) and _is_word(out[nxt], "OVER")
         if (
@@ -1753,6 +2268,22 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
         if has_order:
             order_toks = out[_next_code(out, _next_code(out, ob + 1) + 1):close]
             arg_toks = out[j + 1:ob]
+            # a trailing FILTER (WHERE cond): compositions can't carry a
+            # native FILTER clause — fold the condition into the value arg
+            # (CASE yields NULL, which null-skipping aggregates drop)
+            filt_cond, filt_end = None, close
+            fi = _next_code(out, close + 1)
+            if fi < len(out) and _is_word(out[fi], "FILTER"):
+                fp = _next_code(out, fi + 1)
+                if fp < len(out) and out[fp] == "(":
+                    fc = _match_paren(out, fp)
+                    inner = _next_code(out, fp + 1)
+                    if fc > 0 and inner < fc:
+                        # the WHERE keyword is optional in DuckDB (and the
+                        # normalizing pass runs after this one)
+                        body = "".join(out[inner:fc]).strip()
+                        filt_cond = re.sub(r"(?is)^WHERE\b", "", body).strip()
+                        filt_end = fc
             if name in ("arg_min", "arg_max", "min_by", "max_by"):
                 margs = _split_top_args(arg_toks)
                 if len(margs) == 3:
@@ -1782,25 +2313,118 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
                 arg = "".join(arg_toks).strip()
                 desc = order.upper().endswith(" DESC")
                 key = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", order).strip()
-                if key == arg.strip():
-                    repl = f"sort_array(collect_list({arg}){', false' if desc else ''})"
-                    out[i:close + 1] = [repl]
+                dm = re.match(r"(?is)^\s*DISTINCT\s+(.*)$", arg)
+                if dm and key == dm.group(1).strip():
+                    # list(DISTINCT x ORDER BY x [DESC])
+                    val = dm.group(1).strip()
+                    if filt_cond:
+                        val = f"case when {filt_cond} then {val} end"
+                    repl = (
+                        f"sort_array(array_distinct(collect_list({val}))"
+                        f"{', false' if desc else ''})"
+                    )
+                    out[i:(filt_end if filt_cond else close) + 1] = [repl]
+                elif dm:
+                    # DISTINCT ordered by a non-argument key is a binder
+                    # error in DuckDB too — leave for Spark to reject
+                    i = j
+                    continue
+                elif key == arg.strip():
+                    val = arg if not filt_cond else (
+                        f"case when {filt_cond} then {arg} end"
+                    )
+                    repl = f"sort_array(collect_list({val}){', false' if desc else ''})"
+                    out[i:(filt_end if filt_cond else close) + 1] = [repl]
                 else:
-                    i = j
-                    continue
+                    # ordered by other key(s): comparator-sorted collect of
+                    # (value, keys) structs, then project the values back
+                    entries = []
+                    for part in _split_top_args(order_toks):
+                        p = part.strip()
+                        nf = bool(re.search(r"(?i)\bNULLS\s+FIRST\s*$", p))
+                        p = re.sub(r"(?i)\s+NULLS\s+(FIRST|LAST)\s*$", "", p).strip()
+                        d = bool(re.search(r"(?i)\s+DESC\s*$", p))
+                        p = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", p).strip()
+                        entries.append((p, d, nf))
+                    el = f"named_struct('v', {arg}, " + ", ".join(
+                        f"'k{x}', {k}" for x, (k, _, _) in enumerate(entries)
+                    ) + ")"
+                    cmp = "0"
+                    for x, (_, d, nf) in reversed(list(enumerate(entries))):
+                        lt, gt = ("1", "-1") if d else ("-1", "1")
+                        ln, rn = ("-1", "1") if nf else ("1", "-1")
+                        cmp = (
+                            f"case when l.k{x} <=> r.k{x} then {cmp} "
+                            f"when l.k{x} is null then {ln} "
+                            f"when r.k{x} is null then {rn} "
+                            f"when l.k{x} < r.k{x} then {lt} else {gt} end"
+                        )
+                    if filt_cond:
+                        el = f"case when {filt_cond} then {el} end"
+                    out[i:(filt_end if filt_cond else close) + 1] = [
+                        f"transform(array_sort(collect_list({el}), "
+                        f"(l, r) -> {cmp}), s -> s.v)"
+                    ]
             elif name in _FIRST_LAST:
-                order = "".join(order_toks).strip()
                 arg = "".join(arg_toks).strip().rstrip(",")
-                desc = order.upper().endswith(" DESC")
-                key = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", order).strip()
-                if "," in key:
+                # parse the order list: (key, desc, nulls_first) per entry;
+                # DuckDB's default null order is NULLS LAST either direction
+                entries = []
+                for part in _split_top_args(order_toks):
+                    p = part.strip()
+                    nf = bool(re.search(r"(?i)\bNULLS\s+FIRST\s*$", p))
+                    p = re.sub(r"(?i)\s+NULLS\s+(FIRST|LAST)\s*$", "", p).strip()
+                    d = bool(re.search(r"(?i)\s+DESC\s*$", p))
+                    p = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", p).strip()
+                    entries.append((p, d, nf))
+                if not entries:
                     i = j
                     continue
-                # first/any_value/arbitrary ASC take the MIN key's value;
-                # last is the reverse (last DESC == first ASC)
-                want_min = (name != "last") != desc
-                fn = "min_by" if want_min else "max_by"
-                out[i:close + 1] = [f"{fn}({arg}, {key})"]
+                # `last` = `first` under the fully inverted order
+                if name == "last":
+                    entries = [(k, not d, not nf) for k, d, nf in entries]
+                uniform = len({d for _, d, _ in entries}) == 1
+                no_nf = not any(nf for _, _, nf in entries)
+                if uniform and no_nf:
+                    # fast path: min_by/max_by (NULL keys skipped = the
+                    # NULLS LAST default; struct key for multi-column)
+                    desc = entries[0][1]
+                    keys = [k for k, _, _ in entries]
+                    key = keys[0] if len(keys) == 1 else (
+                        "struct(" + ", ".join(keys) + ")"
+                    )
+                    if name == "any_value":
+                        # any_value = first NON-NULL value in order: a NULL
+                        # key makes min_by/max_by skip the row
+                        key = f"case when ({arg}) is not null then {key} end"
+                    fn = "max_by" if desc else "min_by"
+                    out[i:close + 1] = [f"{fn}({arg}, {key})"]
+                else:
+                    # general path: comparator-sorted collect (mixed
+                    # directions / NULLS FIRST); JVM-side lambda, exact
+                    el = f"named_struct('v', {arg}, " + ", ".join(
+                        f"'k{x}', {k}" for x, (k, _, _) in enumerate(entries)
+                    ) + ")"
+                    if name in ("any_value",):
+                        # any_value skips NULL values (CASE drops them:
+                        # collect_list skips NULL elements)
+                        el = f"case when ({arg}) is not null then {el} end"
+                    cmp = "0"
+                    for x, (_, d, nf) in reversed(list(enumerate(entries))):
+                        lt, gt = ("1", "-1") if d else ("-1", "1")
+                        ln, rn = ("-1", "1") if nf else ("1", "-1")
+                        cmp = (
+                            f"case when l.k{x} <=> r.k{x} then {cmp} "
+                            f"when l.k{x} is null then {ln} "
+                            f"when r.k{x} is null then {rn} "
+                            f"when l.k{x} < r.k{x} then {lt} else {gt} end"
+                        )
+                    if filt_cond:
+                        el = f"case when {filt_cond} then {el} end"
+                    out[i:(filt_end if filt_cond else close) + 1] = [
+                        f"try_element_at(array_sort(collect_list({el}), "
+                        f"(l, r) -> {cmp}), 1).v"
+                    ]
             else:
                 # every other aggregate: DuckDB permits ORDER BY in any
                 # aggregate; for order-insensitive ones it cannot change
@@ -1828,6 +2452,18 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
             # DuckDB any_value = first NON-NULL; Spark defaults ignoreNulls=false
             out[close:close] = [", true"]
         elif name in _LIST_AGGS:
+            argtext = "".join(out[j + 1:close]).strip()
+            if argtext and not windowed and not re.match(
+                r"(?is)^DISTINCT\b", argtext
+            ):
+                # DuckDB LIST keeps NULL elements; collect_list drops them —
+                # struct-wrap so nulls survive, then project back out
+                out[i:close + 1] = [
+                    f"transform(collect_list(named_struct('v', {argtext})), "
+                    f"__s -> __s.v)"
+                ]
+                i += 1
+                continue
             out[i] = "collect_list"
         elif name in ("string_agg", "group_concat"):
             out[i] = "listagg"
@@ -1870,6 +2506,13 @@ def translate(sql: str) -> str:
     # GROUP BY () — empty grouping set ≡ global aggregate
     sql = re.sub(r"(?i)\bGROUP\s+BY\s*\(\s*\)", " GROUP BY GROUPING SETS (()) ", sql)
     toks = _tokens(sql)
+    # DuckDB double-quoted identifiers ("col") → Spark backticks; DuckDB
+    # never uses double quotes for string literals, so this is unambiguous
+    for _i, _t in enumerate(toks):
+        if len(_t) >= 2 and _t[0] == '"' and _t[-1] == '"':
+            toks[_i] = "`" + _t[1:-1].replace('""', '"').replace("`", "``") + "`"
+    _check_const_cast_ranges(toks)
+    _check_order_by_terms(toks)
     # DuckDB tolerates trailing commas (before FROM and before `)`)
     for _i, _t in enumerate(toks):
         if _t == ")" or _is_word(_t, "FROM"):
@@ -1886,6 +2529,12 @@ def translate(sql: str) -> str:
     toks = _rewrite_struct_literals(toks)
     toks = _rewrite_values_specials(toks)
     toks = _rewrite_filter_where(toks)
+    toks = _rewrite_ignore_nulls_args(toks)
+    toks = _rewrite_where_null(toks)
+    toks = _rewrite_bool_int_compare(toks)
+    toks = _rewrite_int_bool_context(toks)
+    toks = _rewrite_distinct_window(toks)
+    toks = _rewrite_list_quantifier(toks)
     toks = _rewrite_group_by_lists(toks)
     toks = _rewrite_window_filter(toks)
     toks = _rewrite_orderless_over(toks)

@@ -445,6 +445,9 @@ class SLSession:
                 pass
         self.tables.clear()
         self.views.clear()
+        from duckdb_spark.sql.dialect import reset_session_settings
+
+        reset_session_settings()
 
     # -- SQL entry --------------------------------------------------
     def execute(self, sql: str):
@@ -571,6 +574,14 @@ class SLSession:
         m = _DROP_RE.match(sql)
         if m:
             self._drop(m.group(2).strip('"'))
+            return None
+        m = re.match(r"(?is)^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(\w+)\s*=\s*(.+?)\s*$", sql)
+        if m:
+            # record DuckDB semantic settings (thread-local) so the dialect
+            # can honor e.g. order_by_non_integer_literal
+            from duckdb_spark.sql.dialect import set_session_setting
+
+            set_session_setting(m.group(1), m.group(2))
             return None
         if _NOOP_RE.match(sql):
             return None

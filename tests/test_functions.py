@@ -42,7 +42,11 @@ def test_levenshtein_parity(spark, duck, pairs):
 
 
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
-@given(st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=8),
+# epochs capped at 2^33 s (~year 2242): DuckDB's to_timestamp converts via
+# DOUBLE seconds, which loses µs precision past 2^53 µs — beyond that the
+# oracle itself is off by 64 µs steps, not our arithmetic (verified:
+# epoch_us(to_timestamp(642590350781)) = …780999936 in DuckDB)
+@given(st.lists(st.integers(min_value=0, max_value=2**33), min_size=1, max_size=8),
        st.integers(min_value=1, max_value=365 * 24 * 3600))
 def test_time_bucket_parity(spark, duck, epochs, width_s):
     rows = [(e,) for e in epochs]
