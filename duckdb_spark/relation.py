@@ -249,7 +249,24 @@ class Connection:
                 df.createOrReplaceTempView("__union_by_name")
                 df = self.spark.sql(f"SELECT * FROM __union_by_name {tail}")
             return Relation(df)
-        return Relation(self.spark.sql(translate(query)))
+        try:
+            return Relation(self.spark.sql(translate(query)))
+        except Exception as e:
+            # `s['field']` subscripts are type-ambiguous at translate time
+            # (map key vs struct field); retry the struct reading when the
+            # map reading fails analysis
+            msg = str(e)
+            if "element_at" in msg and (
+                "UNEXPECTED_INPUT_TYPE" in msg or "MAP" in msg
+            ):
+                from duckdb_spark.sql.dialect import set_session_setting
+
+                set_session_setting("__struct_subscript", "1")
+                try:
+                    return Relation(self.spark.sql(translate(query)))
+                finally:
+                    set_session_setting("__struct_subscript", "")
+            raise
 
     query = sql
     execute = sql

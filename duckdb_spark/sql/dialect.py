@@ -142,7 +142,7 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
                 i += 1
             tdepth = 0
             while i < len(toks) and (
-                re.match(r"[A-Za-z_]", toks[i]) or toks[i] in "()[]0123456789," or toks[i].isdigit()
+                re.match(r"[A-Za-z_`]", toks[i]) or toks[i] in "()[]0123456789," or toks[i].isdigit()
                 or (toks[i].isspace() and tdepth > 0)  # STRUCT(k INT, …)
             ):
                 # a comma only belongs to the type inside its parens
@@ -157,11 +157,43 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
                 i += 1
                 if ty and ty[-1] == ")" and tdepth <= 0:
                     break
-                if i < len(toks) and toks[i].isspace() and (i + 1 < len(toks) and not re.match(r"[A-Za-z_0-9(\[]", toks[i + 1])):
-                    break
+                if tdepth <= 0 and i < len(toks) and toks[i].isspace():
+                    nx = _next_code(toks, i)
+                    if nx >= len(toks) or not re.match(
+                        r"[A-Za-z_0-9(\[]", toks[nx]
+                    ):
+                        break
             operand = "".join(out[start:]).strip()
             del out[start:]
-            target = _map_type("".join(ty).strip())
+            rawty = "".join(ty).strip()
+            # constant string → nested type: fold into constructors
+            mlit = re.fullmatch(r"(?s)\s*'((?:[^']|'')*)'\s*", operand)
+            if mlit and re.match(r"(?is)^(.*\[\s*\d*\s*\]|STRUCT\s*\(|MAP\s*\()", rawty):
+                from duckdb_spark.sql.textcast import fold_string_cast
+
+                folded = fold_string_cast(mlit.group(1).replace("''", "'"), rawty)
+                if folded is not None:
+                    out.append(folded)
+                    continue
+            # struct literal → MAP: `{k: v, …}::MAP(K, V)` (DuckDB
+            # struct-to-map cast; Spark has no struct→map cast)
+            if re.match(r"(?is)^MAP\s*\(", rawty) and re.match(
+                r"(?s)^\s*\{.*\}\s*$", operand
+            ):
+                from duckdb_spark.sql.textcast import _part3, _split_top
+
+                body = operand.strip()[1:-1].strip()
+                kvs = []
+                try:
+                    for part in _split_top(body, ",") if body else []:
+                        k, _, val = _part3(part, ":")
+                        key = k.strip().strip('"').strip("'")
+                        kvs.append(f"'{key}', {val.strip()}")
+                    out.append("map(" + ", ".join(kvs) + ")")
+                    continue
+                except ValueError:
+                    pass
+            target = _map_type(rawty)
             # DuckDB float→int casts ROUND (half away from zero); Spark
             # truncates. Wrap round() when the operand is visibly floating
             # (float fn / float literal / division) and the target integral.
@@ -1921,6 +1953,17 @@ def _rewrite_cast_types(toks: list[str]) -> list[str]:
             continue
         j = _next_code(out, a + 1)
         ty = "".join(out[j:close]).strip()
+        # constant string → nested type: fold into constructors
+        operand = "".join(out[p + 1:a]).strip()
+        mlit = re.fullmatch(r"(?s)\s*'((?:[^']|'')*)'\s*", operand)
+        if mlit and re.match(r"(?is)^(STRUCT\s*\(|MAP\s*\(|.*\[\s*\d*\s*\]$)", ty):
+            from duckdb_spark.sql.textcast import fold_string_cast
+
+            folded = fold_string_cast(mlit.group(1).replace("''", "'"), ty)
+            if folded is not None:
+                out[i:close + 1] = [folded]
+                i += 1
+                continue
         mapped = _map_type(ty)
         if ty and mapped != ty:
             out[j:close] = [mapped]
@@ -2050,7 +2093,15 @@ def _rewrite_brackets(toks: list[str]) -> list[str]:
             # DuckDB out-of-range/zero subscripts yield NULL; Spark's
             # element_at raises (index 0 even under try_). nullif routes 0
             # to NULL (→ NULL result), try_ absorbs out-of-range.
-            if re.match(r"^-?[1-9]\d*$", idx):
+            if re.match(r"(?s)^'.*'$", idx) and get_session_setting(
+                "__struct_subscript"
+            ):
+                # retry mode: `s['field']` is a STRUCT access (DuckDB
+                # subscripts structs by name; Spark needs dot syntax)
+                out.append(f"{operand}.`" + idx[1:-1].replace("''", "'") + "`")
+            elif re.match(r"^-?[1-9]\d*$", idx) or re.match(r"(?s)^'.*'$", idx):
+                # int literal, or a string key (map subscript) — the
+                # zero-index guard only applies to numeric positions
                 out.append(f"try_element_at({operand}, {idx})")
             else:
                 out.append(f"try_element_at({operand}, nullif({idx}, 0))")

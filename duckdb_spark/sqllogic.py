@@ -285,8 +285,17 @@ def _nested(v) -> str:
     if v is None:
         return "NULL"
     if isinstance(v, str):
-        # DuckDB's varchar render of nested strings is bare (no quotes,
-        # even for spaces/commas/empty)
+        # DuckDB's varchar render of nested strings is bare unless quoting
+        # is needed (Value::ToString NeedsQuotes): special punctuation,
+        # leading/trailing whitespace, empty, or the literal word NULL
+        if (
+            v == ""
+            or v.upper() == "NULL"
+            or any(c in v for c in "[]{},'\"=:")
+            or v[0].isspace()
+            or v[-1].isspace()
+        ):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
         return v
     if isinstance(v, bool):
         return "true" if v else "false"
