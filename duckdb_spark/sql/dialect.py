@@ -81,6 +81,62 @@ def _rewrite_floordiv(toks: list[str]) -> list[str]:
     return [" DIV " if t == "//" else t for t in toks]
 
 
+def _rewrite_division(toks: list[str]) -> list[str]:
+    """DuckDB `/` is always DOUBLE division, whatever the operand types
+    (reference binary_operators — `//` is the integral form). Spark keeps
+    DECIMAL division (result rounded to the derived scale), which visibly
+    diverges (e.g. 14/3.0 → 4.666667 not 4.666666…). Casting the RIGHT
+    operand to double forces a double division without having to find the
+    left operand's extent."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if out[i] != "/":
+            i += 1
+            continue
+        p = i - 1
+        while p >= 0 and (out[p].isspace() or out[p].startswith(("--", "/*"))):
+            p -= 1
+        if p < 0 or not (re.match(r"^[A-Za-z_0-9'`\".]", out[p])
+                         or out[p] in (")", "]", "*")):
+            i += 1
+            continue
+        # right operand: optional sign, then one atom (paren group /
+        # call / dotted chain / literal)
+        j = _next_code(out, i + 1)
+        while j < len(out) and out[j] in ("+", "-"):
+            j = _next_code(out, j + 1)
+        if j >= len(out):
+            break
+        if out[j] == "(":
+            end = _match_paren(out, j)
+        elif re.match(r"^[A-Za-z_`\"]", out[j]):
+            end = j
+            while True:
+                k = _next_code(out, end + 1)
+                if k < len(out) and out[k] == "(":
+                    end = _match_paren(out, k)
+                    break
+                if k + 1 < len(out) and out[k] == "." and re.match(
+                    r"^[A-Za-z_`\"]", out[_next_code(out, k + 1)]
+                ):
+                    end = _next_code(out, k + 1)
+                    continue
+                break
+        else:
+            end = j  # literal token
+        if end < 0 or end >= len(out):
+            i += 1
+            continue
+        start = _next_code(out, i + 1)
+        out[start:end + 1] = (
+            ["cast", "("] + out[start:end + 1] + [" as double", ")"]
+        )
+        i = start + 2  # resume inside the wrapped atom so nested
+        # divisions (e.g. f(g(y)/2)) still get rewritten
+    return out
+
+
 def _rewrite_pg_cast(toks: list[str]) -> list[str]:
     """expr::TYPE → CAST(expr AS TYPE) for simple (literal/identifier/
     parenthesized) operands and word-or-word(args) type names."""
@@ -1327,9 +1383,33 @@ def _rewrite_qualify(sql: str) -> str:
 
 def _rewrite_distinct_on(sql: str) -> str:
     """SELECT DISTINCT ON (keys) sel FROM ... [WHERE ...] ORDER BY o1, o2 →
-    row_number() PARTITION BY keys ORDER BY <order-minus-keys> rewrite."""
+    row_number() PARTITION BY keys ORDER BY <order-minus-keys> rewrite.
+    Applies at statement top level and inside parenthesized subqueries."""
+    sql = re.sub(r"\s*;\s*$", "", sql)
     m = re.match(r"(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(", sql)
     if not m:
+        # nested: rewrite every `( SELECT DISTINCT ON ...)` subquery body
+        toks = _tokens(sql)
+        for i, t in enumerate(toks):
+            if t != "(":
+                continue
+            j = _next_code(toks, i + 1)
+            if j >= len(toks) or not _is_word(toks[j], "SELECT"):
+                continue
+            k = _next_code(toks, j + 1)
+            if k >= len(toks) or not _is_word(toks[k], "DISTINCT"):
+                continue
+            l = _next_code(toks, k + 1)
+            if l >= len(toks) or not _is_word(toks[l], "ON"):
+                continue
+            close = _match_paren(toks, i)
+            if close < 0:
+                continue
+            inner = "".join(toks[i + 1:close])
+            new = _rewrite_distinct_on(inner)
+            if new != inner:
+                toks[i + 1:close] = [new]
+                return _rewrite_distinct_on("".join(toks))
         return sql
     toks = _tokens(sql)
     # find the ON ( ... ) span
@@ -1352,12 +1432,18 @@ def _rewrite_distinct_on(sql: str) -> str:
     sel = re.sub(r"(?i)^SELECT\s*", "", clauses["SELECT"]).strip()
     order = re.sub(r"(?i)^ORDER\s+BY\s*", "", clauses.get("ORDER", "")).strip()
     body = "".join(clauses.get(k, "") for k in ("FROM", "WHERE", "GROUP", "HAVING"))
+    if not body.strip():
+        # FROM-less (correlated scalar subquery): single implicit row —
+        # DISTINCT ON keys cannot reduce it further
+        return f"SELECT {sel}"
     order_expr = order if order else keys
     inner = (
         f"SELECT *, row_number() OVER (PARTITION BY {keys} ORDER BY {order_expr}) AS __rn "
         f"{body.strip()}"
     )
     tail = "".join(clauses.get(k, "") for k in ("LIMIT", "OFFSET"))
+    if re.fullmatch(r"\*", sel.strip()):
+        sel = "* EXCEPT (__rn)"
     return f"SELECT {sel} FROM ({inner}) __distinct_on WHERE __rn = 1 {tail}".strip()
 
 
@@ -1410,8 +1496,7 @@ _SQL_FN_RENAMES: dict[str, str] = {
     "list_position": "array_position", "list_indexof": "array_position",
     "array_length": "array_size", "list_value": "array", "list_pack": "array",
     "list_slice": "slice", "array_slice": "slice",
-    "string_split": "split", "str_split": "split",
-    "string_to_array": "split", "string_split_regex": "split",
+    "string_split_regex": "split",
     "list_transform": "transform", "array_transform": "transform",
     "list_filter": "filter", "array_filter": "filter",
     "list_aggregate_first": "element_at", "list_zip": "arrays_zip",
@@ -1427,6 +1512,8 @@ _SQL_FN_RENAMES: dict[str, str] = {
     "strlen": "octet_length", "nextafter": "nextafter",
     "iif": "if", "error": "raise_error", "unnest": "explode",
     "row": "struct",
+    "gen_random_uuid": "uuid",
+    "list_reverse": "reverse",
 }
 
 _STRING_AGGS = {"string_agg", "group_concat", "listagg"}
@@ -1668,9 +1755,122 @@ def _macro_minmax_n(x: str, n: str, want_max: bool) -> str:
     return f"slice(array_sort(collect_list({x}){cmp}), 1, {n})"
 
 
+_TO_INTERVAL_FNS = {
+    # reference to_interval.cpp family; Spark make_interval /
+    # make_dt_interval take the same component quantities
+    "to_years": "make_interval({x})",
+    "to_months": "make_interval(0, {x})",
+    "to_weeks": "make_interval(0, 0, {x})",
+    "to_days": "make_interval(0, 0, 0, {x})",
+    "to_hours": "make_dt_interval(0, {x})",
+    "to_minutes": "make_dt_interval(0, 0, {x})",
+    "to_seconds": "make_dt_interval(0, 0, 0, {x})",
+    "to_milliseconds": "make_dt_interval(0, 0, 0, ({x}) / 1e3)",
+    "to_microseconds": "make_dt_interval(0, 0, 0, ({x}) / 1e6)",
+}
+
+
+def _qdisc_pick(arr: str, qq: str) -> str:
+    """1-based discrete-quantile pick (reference quantile_sort_tree.hpp
+    Index(): max(1, n - floor(n - n*|q|)), descending order for q < 0 —
+    mapped onto the ascending array as position n - idx + 1)."""
+    n = f"size({arr})"
+    pos = f"greatest(1, {n} - cast(floor({n} - {n} * abs({qq})) as int))"
+    return (
+        f"if(({qq}) >= 0, try_element_at({arr}, {pos}), "
+        f"try_element_at({arr}, {n} - ({pos}) + 1))"
+    )
+
+
+def _macro_quantile_disc(x: str, q: str) -> str:
+    """quantile_disc(x, q) over the sorted non-NULL values (reference
+    quantile.cpp discrete path). A list-typed q maps elementwise; an
+    empty (all-NULL) group yields NULL, not a list of NULLs."""
+    s = f"array_sort(collect_list({x}))"
+    if re.match(r"(?is)^\s*array\s*\(", q):
+        return (
+            f"if(size({s}) = 0, null, "
+            f"transform({q}, __q -> {_qdisc_pick(s, '__q')}))"
+        )
+    return _qdisc_pick(s, q)
+
+
+def _macro_struct_search(name: str, s: str, v: str) -> str | None:
+    """struct_contains / struct_position over a VISIBLE struct constructor
+    (reference struct_contains.cpp): fold the member list out of the
+    constructor text. Non-constructor struct expressions need schema
+    knowledge this layer doesn't have — left unresolved."""
+    t = s.strip()
+    if t.upper() == "NULL" or re.match(r"(?is)^cast\s*\(\s*null\b", t):
+        return ("cast(null as boolean)" if name == "struct_contains"
+                else "cast(null as int)")
+    vals: list[str] | None = None
+    m = re.match(r"(?is)^(named_struct|struct)\s*\(", t)
+    if m and t.endswith(")"):
+        inner = _split_top_args(_tokens(t[m.end():-1]))
+        vals = inner[1::2] if m.group(1).lower() == "named_struct" else inner
+    if not vals:
+        return None
+    if name == "struct_contains":
+        ors = " or ".join(f"(({e}) <=> ({v}))" for e in vals)
+        return f"(case when ({v}) is null then cast(null as boolean) else ({ors}) end)"
+    hits = ", ".join(
+        f"if((({e}) <=> ({v})), {i + 1}, cast(null as int))"
+        for i, e in enumerate(vals)
+    )
+    return (
+        f"try_element_at(filter(array({hits}), __p -> __p is not null), 1)"
+    )
+
+
+def _macro_try(x: str) -> str:
+    """TRY(expr): arithmetic/casts inside become non-throwing (reference
+    TRY expression). Casts → try_cast; the top-level binary chain →
+    try_add/try_subtract/try_multiply; `/` keeps DuckDB's double-division
+    semantics (x/0 → ±inf / nan, which TRY does not nullify)."""
+    toks = _tokens(x)
+    for idx, t in enumerate(toks):
+        if t.lower() == "cast":
+            toks[idx] = "try_cast"
+    # rightmost lowest-precedence top-level binary operator
+    depth = 0
+    split_at, split_op = -1, None
+    best_tier = 99
+    for idx, t in enumerate(toks):
+        if t in "([":
+            depth += 1
+        elif t in ")]":
+            depth -= 1
+        elif depth == 0 and t in ("+", "-", "*", "/"):
+            p = idx - 1
+            while p >= 0 and toks[p].isspace():
+                p -= 1
+            if p < 0 or not (re.match(r"^[A-Za-z_0-9'\"]", toks[p])
+                             or toks[p] in (")", "]")):
+                continue  # unary sign
+            tier = 0 if t in ("+", "-") else 1
+            if tier <= best_tier:
+                best_tier, split_at, split_op = tier, idx, t
+    if split_at < 0:
+        return "(" + "".join(toks) + ")"
+    lhs = _macro_try("".join(toks[:split_at]))
+    rhs = _macro_try("".join(toks[split_at + 1:]))
+    if split_op == "/":
+        return (
+            f"(case when cast(({rhs}) as double) = 0 and ({lhs}) is not null "
+            f"then (case when ({lhs}) > 0 then cast('Infinity' as double) "
+            f"when ({lhs}) < 0 then cast('-Infinity' as double) "
+            f"else cast('NaN' as double) end) "
+            f"else try_divide({lhs}, {rhs}) end)"
+        )
+    fn = {"+": "try_add", "-": "try_subtract", "*": "try_multiply"}[split_op]
+    return f"{fn}({lhs}, {rhs})"
+
+
 def _macro_arg_n(
     v: str, k: str, n: str, want_max: bool,
     order: str | None = None, order_desc: bool = False,
+    nulls_last: bool = False,
 ) -> str:
     """arg_min/arg_max(v, k, n): the n values for the extreme n keys
     (reference minmax_n.cpp: fixed-size heap fed in input order, NULL keys
@@ -1681,11 +1881,20 @@ def _macro_arg_n(
     fields = f"({k}) as __k, ({v}) as __v"
     if order is not None:
         fields = f"({k}) as __k, ({order}) as __o, ({v}) as __v"
-    s = f"filter(collect_list(struct({fields})), __s -> __s.__k is not null)"
-    if want_max:
-        p = "case when l.__k > r.__k then -1 when l.__k < r.__k then 1 "
+    if nulls_last:
+        # _nulls_last variants keep NULL keys, ordered after everything
+        s = f"collect_list(struct({fields}))"
+        null_arms = (
+            "when (l.__k is null) and (r.__k is null) then 0 "
+            "when l.__k is null then 1 when r.__k is null then -1 "
+        )
     else:
-        p = "case when l.__k < r.__k then -1 when l.__k > r.__k then 1 "
+        s = f"filter(collect_list(struct({fields})), __s -> __s.__k is not null)"
+        null_arms = ""
+    if want_max:
+        p = f"case {null_arms}when l.__k > r.__k then -1 when l.__k < r.__k then 1 "
+    else:
+        p = f"case {null_arms}when l.__k < r.__k then -1 when l.__k > r.__k then 1 "
     if order is None:
         picked = f"slice(array_sort({s}, (l, r) -> {p}else 0 end), 1, {n})"
     else:
@@ -1814,6 +2023,114 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
         return _macro_approx_top_k(args[0], args[1])
     if name == "mad" and n == 1:
         return _macro_mad(args[0])
+    if name == "sem" and n == 1:
+        # standard error of the mean (reference sem: stddev_pop/sqrt(n))
+        return f"(stddev_pop({args[0]}) / sqrt(count({args[0]})))"
+    if name == "entropy" and n == 1:
+        # Shannon entropy (log2) over value counts, NULLs ignored; empty
+        # input and all-NULL input give 0 (reference entropy.cpp)
+        x = args[0]
+        lst = f"collect_list({x})"
+        cnts = (
+            f"transform(array_distinct({lst}), "
+            f"__ek -> size(filter({lst}, __ev -> __ev <=> __ek)))"
+        )
+        return (
+            f"coalesce(aggregate({cnts}, cast(0 as double), (__acc, __c) -> "
+            f"__acc - (__c / size({lst})) * log2(__c / size({lst}))), "
+            f"cast(0 as double))"
+        )
+    if name in ("weighted_avg", "wavg") and n == 2:
+        # sum(v*w)/sum(w) skipping rows where v OR w is NULL; an all-zero
+        # weight sum yields NaN (reference weighted_avg semantics)
+        v, w = args[0], args[1]
+        g = f"({v}) is not null and ({w}) is not null"
+        num = f"sum(case when {g} then cast({v} as double) * ({w}) end)"
+        den = f"sum(case when {g} then cast({w} as double) end)"
+        return (
+            f"(case when ({den}) = 0 then cast('NaN' as double) "
+            f"else ({num}) / ({den}) end)"
+        )
+    if name in ("fsum", "sumkahan", "kahan_sum", "favg") and n == 1:
+        # Kahan-compensated float sum/avg (reference sum.cpp FSUM/FAVG):
+        # exact decimal accumulation, surfaced back as double
+        agg = "avg" if name == "favg" else "sum"
+        return f"cast({agg}(cast({args[0]} as decimal(38,8))) as double)"
+    if name == "quantile_disc" and n == 2:
+        return _macro_quantile_disc(args[0], args[1])
+    if name in ("arg_min_null", "arg_max_null") and n == 2:
+        # keeps NULL args; NULL keys still skipped (min_by/max_by native)
+        fn = "max_by" if name == "arg_max_null" else "min_by"
+        return f"{fn}({args[0]}, {args[1]})"
+    if name in ("arg_min_null", "arg_max_null") and n == 3:
+        return _macro_arg_n(
+            args[0], args[1], args[2], want_max=name == "arg_max_null"
+        )
+    if name in ("arg_min_nulls_last", "arg_max_nulls_last") and n == 2:
+        want_max = name == "arg_max_nulls_last"
+        lt, gt = ("1", "-1") if want_max else ("-1", "1")
+        cmp = (
+            f"case when l.__k <=> r.__k then 0 "
+            f"when l.__k is null then 1 when r.__k is null then -1 "
+            f"when l.__k < r.__k then {lt} else {gt} end"
+        )
+        return (
+            f"try_element_at(array_sort(collect_list(named_struct("
+            f"'__v', {args[0]}, '__k', {args[1]})), (l, r) -> {cmp}), 1).__v"
+        )
+    if name in ("arg_min_nulls_last", "arg_max_nulls_last") and n == 3:
+        return _macro_arg_n(
+            args[0], args[1], args[2],
+            want_max=name == "arg_max_nulls_last", nulls_last=True,
+        )
+    if name == "is_histogram_other_bin" and n == 1:
+        # true iff x equals the overflow-bin sentinel for its type (the
+        # same per-type sentinels _macro_histogram_binned emits)
+        x = args[0]
+        if re.search(r"(?i)::\s*(double|float4?|float8|real)\b", x) or \
+                re.search(r"(?i)\bas\s+(double|float)\b", x):
+            sent = "cast('Infinity' as double)"
+        elif re.search(r"(?i)\btimestamp\b", x):
+            sent = "timestamp '9999-12-31 23:59:59.999999'"
+        elif re.search(r"(?i)\bdate\b", x):
+            sent = "date '9999-12-31'"
+        else:
+            sent = "9223372036854775807"
+        return f"(case when ({x}) is null then null else ({x}) = {sent} end)"
+    if name in ("list_extract", "array_extract") and n == 2:
+        # 1-based, index 0 / out-of-range → NULL (reference list_extract)
+        return f"try_element_at({args[0]}, nullif({args[1]}, 0))"
+    if name == "epoch" and n == 1:
+        # seconds since epoch incl. fraction; Spark's timestamp→double
+        # cast has exactly this meaning
+        return f"cast({args[0]} as double)"
+    if name in _TO_INTERVAL_FNS and n == 1:
+        return _TO_INTERVAL_FNS[name].format(x=args[0])
+    if name in ("struct_contains", "struct_position") and n == 2:
+        return _macro_struct_search(name, args[0], args[1])
+    if name == "try" and n == 1:
+        return _macro_try(args[0])
+    if name in ("string_split", "str_split", "string_to_array") and n == 2:
+        # DuckDB splits on a LITERAL separator; Spark split() takes a
+        # regex — escape metacharacters (at translate time for literals,
+        # at runtime otherwise)
+        sep = args[1].strip()
+        m = re.match(r"(?s)^'(.*)'$", sep)
+        if m:
+            esc = re.sub(r"([.^$*+?()\[\]{}|\\])", r"\\\\\1", m.group(1))
+            return f"split({args[0]}, '{esc}')"
+        return (
+            f"split({args[0]}, regexp_replace({sep}, "
+            r"'([.^$*+?()\\[\\]{}|\\\\])', '\\\\\\\\$1'))"
+        )
+    if name == "concat_ws" and n == 2 and re.search(
+        r"(?i)\[|\barray\s*\(|collect_list|string_split|\bsplit\s*\(|"
+        r"list_reverse|sort_array|transform\s*\(|sequence\s*\(", args[1],
+    ):
+        # DuckDB concat_ws casts a single LIST argument to its text form
+        # instead of joining its elements (Spark flattens) — surface the
+        # list itself; the result renderer produces the same text
+        return f"({args[1]})"
     if name == "unnest" and n == 1 and args[0].lstrip().startswith(("named_struct(", "{")):
         # UNNEST(struct) expands the struct into columns (reference
         # unnest of STRUCT); inline() does that for a 1-element array
@@ -1840,7 +2157,92 @@ _MACRO_NAMES = {
     "min", "max", "arg_min", "arg_max", "min_by", "max_by", "equi_width_bins",
     "range", "generate_series", "approx_top_k", "mad", "struct_pack",
     "unnest",
-} | _LIST_AGG_NAMES
+    "sem", "entropy", "weighted_avg", "wavg",
+    "fsum", "sumkahan", "kahan_sum", "favg", "quantile_disc",
+    "arg_min_null", "arg_max_null", "arg_min_nulls_last",
+    "arg_max_nulls_last", "is_histogram_other_bin",
+    "list_extract", "array_extract", "epoch",
+    "struct_contains", "struct_position", "try", "concat_ws",
+    "string_split", "str_split", "string_to_array",
+} | _LIST_AGG_NAMES | set(_TO_INTERVAL_FNS)
+
+
+def _agg_macro_windowed(name: str, args: list[str], over: str) -> str | None:
+    """Window-framed forms of the macro aggregates: compositions of
+    window-able aggregates get the OVER clause attached to each; holistic
+    ones bind the windowed collect_list to a lambda variable via a 1-step
+    aggregate() so nothing window-typed appears inside lambda bodies."""
+    n = len(args)
+
+    def let(val: str, body_of: str) -> str:
+        # bind `val` (a windowed array expr) as lambda var __l in body —
+        # window expressions cannot appear inside lambda bodies, so the
+        # windowed collect is evaluated once in argument position and the
+        # body only sees the lambda variable
+        return f"element_at(transform(array({val}), __l -> {body_of}), 1)"
+
+    if name == "sem" and n == 1:
+        x = args[0]
+        return f"(stddev_pop({x}) {over} / sqrt(count({x}) {over}))"
+    if name in ("fsum", "sumkahan", "kahan_sum", "favg") and n == 1:
+        agg = "avg" if name == "favg" else "sum"
+        return f"cast({agg}(cast({args[0]} as decimal(38,8))) {over} as double)"
+    if name in ("weighted_avg", "wavg") and n == 2:
+        v, w = args[0], args[1]
+        g = f"({v}) is not null and ({w}) is not null"
+        num = f"sum(case when {g} then cast({v} as double) * ({w}) end) {over}"
+        den = f"sum(case when {g} then cast({w} as double) end) {over}"
+        return (
+            f"(case when ({den}) = 0 then cast('NaN' as double) "
+            f"else ({num}) / ({den}) end)"
+        )
+    if name == "product" and n == 1:
+        x = args[0]
+        ln = f"exp(sum(ln(abs(nullif(cast(({x}) as double), 0.0d)))) {over})"
+        return (
+            f"(case when sum(case when ({x}) = 0 then 1 else 0 end) {over} > 0 "
+            f"then 0.0d "
+            f"when pmod(sum(case when ({x}) < 0 then 1 else 0 end) {over}, 2) = 1 "
+            f"then -{ln} else {ln} end)"
+        )
+    if name == "entropy" and n == 1:
+        lst = f"collect_list({args[0]}) {over}"
+        body = (
+            "coalesce(aggregate("
+            "transform(array_distinct(__l), __ek -> "
+            "size(filter(__l, __ev -> __ev <=> __ek))), cast(0 as double), "
+            "(__a, __c) -> __a - (__c / size(__l)) * log2(__c / size(__l))"
+            "), cast(0 as double))"
+        )
+        return let(lst, body)
+    if name == "mad" and n == 1:
+        lst = f"collect_list(cast({args[0]} as double)) {over}"
+        s = "array_sort(__l)"
+        nn = "size(__l)"
+        med1 = (
+            f"((element_at({s}, cast(({nn} + 1) div 2 as int)) + "
+            f"element_at({s}, cast({nn} div 2 + 1 as int))) / 2)"
+        )
+        s2 = f"array_sort(transform({s}, __mv -> abs(__mv - {med1})))"
+        med2 = (
+            f"((element_at({s2}, cast(({nn} + 1) div 2 as int)) + "
+            f"element_at({s2}, cast({nn} div 2 + 1 as int))) / 2)"
+        )
+        return let(lst, f"if({nn} = 0, cast(null as double), {med2})")
+    if name == "quantile_disc" and n == 2:
+        lst = f"collect_list({args[0]}) {over}"
+        q = args[1]
+        arr = "array_sort(__l)"
+        if re.match(r"(?is)^\s*array\s*\(", q):
+            return let(lst, f"transform({q}, __q -> {_qdisc_pick(arr, '__q')})")
+        return let(lst, _qdisc_pick(arr, q))
+    return None
+
+
+_WINDOWED_MACROS = {
+    "sem", "entropy", "weighted_avg", "wavg", "fsum", "sumkahan",
+    "kahan_sum", "favg", "product", "mad", "quantile_disc",
+}
 _FIRST_LAST = {"first", "last", "any_value", "arbitrary"}
 
 # Keywords that are followed by '(' without being function calls — the call
@@ -2037,7 +2439,10 @@ def _rewrite_brackets(toks: list[str]) -> list[str]:
             if is_array_kw:
                 del out[p:]  # `ARRAY[1, 2]` (pg spelling) → plain literal
             comp = _comprehension(inner_rw)
-            out.append(comp if comp else "array(" + "".join(inner_rw) + ")")
+            # re-tokenize so later passes (function renames, macros) can
+            # still descend into the replacement
+            out.extend(_tokens(comp) if comp else
+                       ["array", "("] + inner_rw + [")"])
             i = close + 1
             continue
         # operand: walk back one balanced unit (identifier chain or parens)
@@ -2082,12 +2487,18 @@ def _rewrite_brackets(toks: list[str]) -> list[str]:
         if colon >= 0:
             lo = "".join(inner_rw[:colon]).strip() or "1"
             hi = "".join(inner_rw[colon + 1:]).strip()
+            # DuckDB clamps slice bounds (l[0:0] → []); Spark's slice
+            # raises on start 0 — clamp the start to 1 and the length to 0
             if hi:
-                out.append(f"slice({operand}, {lo}, ({hi}) - ({lo}) + 1)")
+                out.extend(_tokens(
+                    f"slice({operand}, greatest(1, {lo}), "
+                    f"greatest(0, ({hi}) - greatest(1, ({lo})) + 1))"
+                ))
             else:
-                out.append(
-                    f"slice({operand}, {lo}, greatest(0, size({operand}) - ({lo}) + 1))"
-                )
+                out.extend(_tokens(
+                    f"slice({operand}, greatest(1, {lo}), "
+                    f"greatest(0, size({operand}) - greatest(1, ({lo})) + 1))"
+                ))
         else:
             idx = "".join(inner_rw).strip()
             # DuckDB out-of-range/zero subscripts yield NULL; Spark's
@@ -2098,13 +2509,15 @@ def _rewrite_brackets(toks: list[str]) -> list[str]:
             ):
                 # retry mode: `s['field']` is a STRUCT access (DuckDB
                 # subscripts structs by name; Spark needs dot syntax)
-                out.append(f"{operand}.`" + idx[1:-1].replace("''", "'") + "`")
+                out.extend(_tokens(
+                    f"{operand}.`" + idx[1:-1].replace("''", "'") + "`"
+                ))
             elif re.match(r"^-?[1-9]\d*$", idx) or re.match(r"(?s)^'.*'$", idx):
                 # int literal, or a string key (map subscript) — the
                 # zero-index guard only applies to numeric positions
-                out.append(f"try_element_at({operand}, {idx})")
+                out.extend(_tokens(f"try_element_at({operand}, {idx})"))
             else:
-                out.append(f"try_element_at({operand}, nullif({idx}, 0))")
+                out.extend(_tokens(f"try_element_at({operand}, nullif({idx}, 0))"))
         i = close + 1
     return out
 
@@ -2298,6 +2711,21 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
             continue
         nxt = _next_code(out, close + 1) if close > 0 else -1
         windowed = 0 <= nxt < len(out) and _is_word(out[nxt], "OVER")
+        if windowed and name in _WINDOWED_MACROS:
+            op = _next_code(out, nxt + 1)
+            if op < len(out) and out[op] == "(":
+                oc = _match_paren(out, op)
+                if oc > 0:
+                    over = "".join(out[nxt:oc + 1])
+                    repl = _agg_macro_windowed(
+                        name,
+                        _split_top_args(_rewrite_calls(out[j + 1:close])),
+                        over,
+                    )
+                    if repl is not None:
+                        out[i:oc + 1] = [repl]
+                        i += 1
+                        continue
         if (
             name in _MACRO_NAMES
             and not windowed  # macro compositions cannot be window-framed
@@ -2578,6 +3006,7 @@ def translate(sql: str) -> str:
     toks = _rewrite_cast_types(toks)
     toks = _rewrite_brackets(toks)
     toks = _rewrite_struct_literals(toks)
+    toks = _rewrite_division(toks)
     toks = _rewrite_values_specials(toks)
     toks = _rewrite_filter_where(toks)
     toks = _rewrite_ignore_nulls_args(toks)

@@ -524,9 +524,11 @@ class SLSession:
                 if m.group(2) else [f.name for f in schema.fields]
             )
             src_sql = sql[m.end(2) if m.group(2) else m.end(1):].strip()
+            src_sql = re.sub(r";\s*$", "", src_sql)
             src = self.con.sql(
                 src_sql if not src_sql.upper().startswith("VALUES")
-                else "SELECT * FROM (" + src_sql + ")"
+                # newline before ')' so a trailing -- comment can't eat it
+                else "SELECT * FROM (" + src_sql + "\n)"
             ).df()
             if len(src.columns) != len(cols):
                 raise ValueError("INSERT column count mismatch")
@@ -704,7 +706,10 @@ def run_file(
         expected = []
         for line in rec.expected:
             if "\t" in line:
-                expected.extend(line.split("\t"))
+                # runs of tabs count as one separator (reference test files
+                # occasionally double a tab; empty string values are always
+                # spelled "(empty)" so nothing legitimate is lost)
+                expected.extend(re.split(r"\t+", line))
             else:
                 expected.append(line)
         if len(expected) != len(actual):
