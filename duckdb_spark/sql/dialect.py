@@ -173,6 +173,29 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
                 ):
                     k = m
                 start = k
+            elif out[j] == "]":
+                # list literal `[…]::T[]` or subscript `x[i]::T`
+                depth = 0
+                k = j
+                while k >= 0:
+                    if out[k] == "]":
+                        depth += 1
+                    elif out[k] == "[":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    k -= 1
+                m = k - 1
+                while m >= 0 and out[m].isspace():
+                    m -= 1
+                if (
+                    m >= 0
+                    and re.match(r"[A-Za-z_]", out[m])
+                    and out[m].lower() not in _NONFN_WORDS
+                    and not _is_reserved_before_literal(out[m])
+                ):
+                    k = m  # subscript base identifier
+                start = max(k, 0)
             elif out[j] == "}":
                 # struct/map literal operand (rewritten to named_struct later)
                 depth = 0
@@ -200,6 +223,14 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
             while i < len(toks) and (
                 re.match(r"[A-Za-z_`]", toks[i]) or toks[i] in "()[]0123456789," or toks[i].isdigit()
                 or (toks[i].isspace() and tdepth > 0)  # STRUCT(k INT, …)
+                or (
+                    # multi-word spellings: INT ARRAY, DOUBLE PRECISION,
+                    # CHARACTER VARYING
+                    toks[i].isspace() and tdepth == 0
+                    and _next_code(toks, i) < len(toks)
+                    and toks[_next_code(toks, i)].upper() in (
+                        "ARRAY", "PRECISION", "VARYING")
+                )
             ):
                 # a comma only belongs to the type inside its parens
                 # (DECIMAL(10,2)); at depth 0 it separates the next argument
@@ -1235,6 +1266,55 @@ def _rewrite_table_fns(toks: list[str]) -> list[str]:
     while i < len(out):
         t = out[i]
         if t == "(":
+            # `, (SELECT UNNEST(x)) AS a(value)` — DuckDB's implicit
+            # correlated lateral; same LATERAL VIEW rewrite as bare UNNEST
+            if in_from.get(depth):
+                oc = _match_paren(out, i)
+                j2 = _next_code(out, i + 1)
+                k2 = _next_code(out, j2 + 1) if j2 < len(out) else len(out)
+                l2 = _next_code(out, k2 + 1) if k2 < len(out) else len(out)
+                if (
+                    oc > 0 and j2 < len(out) and _is_word(out[j2], "SELECT")
+                    and k2 < len(out) and _is_word(out[k2], "UNNEST")
+                    and l2 < len(out) and out[l2] == "("
+                ):
+                    ic = _match_paren(out, l2)
+                    if ic > 0 and _next_code(out, ic + 1) == oc:
+                        arg = "".join(out[l2 + 1:ic]).strip()
+                        k = _next_code(out, oc + 1)
+                        alias, col, end = None, None, oc
+                        if k < len(out) and _is_word(out[k], "AS"):
+                            k = _next_code(out, k + 1)
+                        if (
+                            k < len(out)
+                            and re.match(r"^[A-Za-z_]", out[k])
+                            and out[k].upper() not in _FROM_STOP
+                            and out[k].upper() not in (
+                                "ON", "USING", "JOIN", "LEFT", "RIGHT",
+                                "FULL", "INNER", "CROSS", "NATURAL", "AS")
+                        ):
+                            alias = out[k]
+                            end = k
+                            p2 = _next_code(out, k + 1)
+                            if p2 < len(out) and out[p2] == "(":
+                                pc = _match_paren(out, p2)
+                                cols = _split_top_args(out[p2 + 1:pc])
+                                if len(cols) == 1:
+                                    col = cols[0]
+                                    end = pc
+                        pi = i - 1
+                        while pi >= 0 and (out[pi].isspace()
+                                           or out[pi].startswith(("--", "/*"))):
+                            pi -= 1
+                        if pi >= 0 and out[pi] == ",":
+                            repl = (
+                                f" LATERAL VIEW explode({arg}) "
+                                f"{alias or '__unnest_tvf'} AS "
+                                f"{col or 'unnest'} "
+                            )
+                            out[pi:end + 1] = _tokens(repl)
+                            i = pi + 1
+                            continue
             depth += 1
             in_from.setdefault(depth, False)
         elif t == ")":
@@ -1253,6 +1333,55 @@ def _rewrite_table_fns(toks: list[str]) -> list[str]:
                     if close > 0:
                         i = _expand_range_tvf(out, i, j, close)
                         continue
+            elif t.lower() == "unnest" and in_from.get(depth):
+                # FROM UNNEST(x) [AS] t(a) → (SELECT explode(x) AS a) AS t;
+                # after a comma (implicit lateral, possibly correlated) →
+                # LATERAL VIEW explode(x) t AS a
+                j = _next_code(out, i + 1)
+                if j < len(out) and out[j] == "(":
+                    close = _match_paren(out, j)
+                    if close > 0:
+                        arg = "".join(out[j + 1:close]).strip()
+                        k = _next_code(out, close + 1)
+                        alias, col, end = None, None, close
+                        if k < len(out) and _is_word(out[k], "AS"):
+                            k = _next_code(out, k + 1)
+                        if (
+                            k < len(out)
+                            and re.match(r"^[A-Za-z_]", out[k])
+                            and out[k].upper() not in _FROM_STOP
+                            and out[k].upper() not in (
+                                "ON", "USING", "JOIN", "LEFT", "RIGHT",
+                                "FULL", "INNER", "CROSS", "NATURAL", "AS")
+                        ):
+                            alias = out[k]
+                            end = k
+                            p2 = _next_code(out, k + 1)
+                            if p2 < len(out) and out[p2] == "(":
+                                pc = _match_paren(out, p2)
+                                cols = _split_top_args(out[p2 + 1:pc])
+                                if len(cols) == 1:
+                                    col = cols[0]
+                                    end = pc
+                        colname = col or "unnest"
+                        # preceding comma → correlated lateral form
+                        pi = i - 1
+                        while pi >= 0 and (out[pi].isspace()
+                                           or out[pi].startswith(("--", "/*"))):
+                            pi -= 1
+                        if pi >= 0 and out[pi] == ",":
+                            repl = (
+                                f" LATERAL VIEW explode({arg}) "
+                                f"{alias or '__unnest_tvf'} AS {colname} "
+                            )
+                            out[pi:end + 1] = _tokens(repl)
+                            i = pi + 1
+                            continue
+                        repl = f"(SELECT explode({arg}) AS {colname})"
+                        repl += f" AS {alias}" if alias else " AS __unnest_tvf"
+                        out[i:end + 1] = _tokens(repl)
+                        i += 1
+                        continue
             elif t.lower() == "test_all_types" and in_from.get(depth):
                 j = _next_code(out, i + 1)
                 if j < len(out) and out[j] == "(":
@@ -1266,6 +1395,166 @@ def _rewrite_table_fns(toks: list[str]) -> list[str]:
                         continue
         i += 1
     return out
+
+
+_SELECT_STOP = {
+    "FROM", "WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW", "ORDER",
+    "LIMIT", "OFFSET", "UNION", "EXCEPT", "INTERSECT",
+}
+
+
+def _rewrite_select_unnest(toks: list[str]) -> list[str]:
+    """SELECT-position UNNEST beyond the bare single-generator form Spark
+    accepts (reference unnest.cpp): expression-wrapped unnests and several
+    aligned unnests become ONE lateral generator —
+
+        SELECT unnest(a) % 10, unnest(b) FROM t
+        → SELECT __uz.c0 % 10, __uz.c1 FROM t
+          LATERAL VIEW explode(<zip of a, b padded with NULL>) __ut AS __uz
+
+    DuckDB aligns multiple unnests positionally, padding the shorter lists
+    with NULL; emitted as an index transform over try_element_at so the
+    padding is exact. Bare single unnests keep the plain explode path."""
+    out = list(toks)
+    # top-level SELECT region
+    si = -1
+    depth = 0
+    for i, t in enumerate(out):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and _is_word(t, "SELECT"):
+            si = i
+            break
+    if si < 0:
+        return out
+    end = len(out)
+    depth = 0
+    for i in range(si + 1, len(out)):
+        t = out[i]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and t.upper() in _SELECT_STOP:
+            end = i
+            break
+    # collect unnest( occurrences inside the select list (not inside
+    # nested sub-SELECTs)
+    occ: list[tuple[int, int, str]] = []
+    i = si + 1
+    sub = 0  # depth of nested SELECT parens
+    sub_stack: list[int] = []
+    depth = 0
+    while i < end:
+        t = out[i]
+        if t == "(":
+            depth += 1
+            j = _next_code(out, i + 1)
+            if j < end and _is_word(out[j], "SELECT"):
+                sub_stack.append(depth)
+        elif t == ")":
+            if sub_stack and sub_stack[-1] == depth:
+                sub_stack.pop()
+            depth -= 1
+        elif not sub_stack and _is_word(t, "UNNEST"):
+            j = _next_code(out, i + 1)
+            if j < end and out[j] == "(":
+                close = _match_paren(out, j)
+                if 0 < close < end:
+                    parts = [
+                        p.strip()
+                        for p in _split_top_args(out[j + 1:close])
+                    ]
+                    arg = ", ".join(parts)
+                    if not arg.lstrip().startswith(("named_struct(", "{")):
+                        if len(parts) > 1:
+                            # named-arg form: fold through the macro; only
+                            # plain-explode expansions can join the zip
+                            exp = _macro_unnest(parts)
+                            if exp and exp.startswith("explode(") \
+                                    and exp.endswith(")"):
+                                occ.append((i, close, exp[8:-1]))
+                        else:
+                            occ.append((i, close, arg))
+                    i = close + 1
+                    continue
+        i += 1
+    if not occ:
+        return out
+    if len(occ) == 1:
+        # bare item (only commas/AS alias around it) → leave to explode
+        i0, c0, _ = occ[0]
+        p = i0 - 1
+        while p > si and (out[p].isspace() or out[p] == ","):
+            p -= 1
+        before_ok = p == si or out[p] == ","
+        q = _next_code(out, c0 + 1)
+        after_ok = q >= end or out[q] == ","
+        if not after_ok and q < end and _is_word(out[q], "AS"):
+            q2 = _next_code(out, q + 1)
+            q3 = _next_code(out, q2 + 1) if q2 < end else end
+            after_ok = q3 >= end or out[q3] == ","
+        if before_ok and after_ok:
+            return out
+    # distinct args in first-appearance order
+    distinct: list[str] = []
+    for _, _, a in occ:
+        if a not in distinct:
+            distinct.append(a)
+    if len(distinct) == 1:
+        gen = f"explode({distinct[0]})"
+        var = "__un0"
+        names = {distinct[0]: "__un0"}
+        lateral = f" LATERAL VIEW {gen} __ut AS {var} "
+    else:
+        sizes = ", ".join(f"size({a})" for a in distinct)
+        fields = ", ".join(
+            f"'c{k}', try_element_at({a}, __i)" for k, a in enumerate(distinct)
+        )
+        n = f"greatest({sizes})"
+        gen = (
+            f"explode(if(coalesce({n}, 0) < 1, "
+            f"array(), transform(sequence(1, {n}), "
+            f"__i -> named_struct({fields}))))"
+        )
+        names = {a: f"__uz.c{k}" for k, a in enumerate(distinct)}
+        lateral = f" LATERAL VIEW {gen} __ut AS __uz "
+    # replace occurrences back-to-front
+    for i0, c0, a in reversed(occ):
+        out[i0:c0 + 1] = [names[a]]
+    # find insertion point: first top-level clause after the FROM items
+    # (or, FROM-less, the first clause after the select list)
+    fi = -1
+    depth = 0
+    ins = len(out)
+    stop_i = len(out)
+    for i in range(si + 1, len(out)):
+        t = out[i]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and re.match(r"^[A-Za-z]", t):
+            up = t.upper()
+            if up == "FROM":
+                fi = i
+            elif up in _SELECT_STOP and stop_i == len(out):
+                stop_i = i
+            if fi >= 0 and up in (
+                "WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW", "ORDER",
+                "LIMIT", "OFFSET", "UNION", "EXCEPT", "INTERSECT",
+            ):
+                ins = i
+                break
+    if fi < 0:
+        # FROM-less: a single implicit row feeds the generator
+        ins = stop_i
+        return (
+            out[:ins] + _tokens(" FROM (SELECT 1) " + lateral) + out[ins:]
+        )
+    return out[:ins] + _tokens(lateral) + out[ins:]
 
 
 def _expand_range_tvf(out: list[str], i: int, j: int, close: int) -> int:
@@ -1982,6 +2271,129 @@ def _fold_equi_width_bins(args: list[str]) -> str | None:
     return "array(" + ", ".join(parts) + ")"
 
 
+def _struct_literal_pairs(text: str) -> list[tuple[str, str]] | None:
+    """named_struct('k', v, ...) text → [(k, v)] or None."""
+    t = text.strip()
+    m = re.match(r"(?is)^named_struct\s*\(", t)
+    if not m or not t.endswith(")"):
+        return None
+    parts = _split_top_args(_tokens(t[m.end():-1]))
+    if len(parts) % 2:
+        return None
+    pairs = []
+    for k, v in zip(parts[::2], parts[1::2]):
+        km = re.match(r"(?s)^\s*'(.*)'\s*$", k)
+        if not km:
+            return None
+        pairs.append((km.group(1), v.strip()))
+    return pairs
+
+
+def _macro_unnest(args: list[str]) -> str | None:
+    """UNNEST named-arg forms (reference unnest.cpp):
+    - struct literal → inline(array(named_struct(...))) column expansion,
+      recursively flattened for recursive:=true / max_depth:=N, with
+      keep_parent_names:=true dotted spellings
+    - nested-list literal/cast + recursive → explode(flatten^k)
+    """
+    arg = args[0]
+    recursive, keep_parent = False, False
+    max_depth = None
+    for extra in args[1:]:
+        em = re.match(r"(?is)^\s*(\w+)\s*:\s*=\s*(.*)$", extra)
+        if not em:
+            return None
+        key, val = em.group(1).lower(), em.group(2).strip().lower()
+        if key == "recursive":
+            recursive = val == "true"
+        elif key == "max_depth":
+            try:
+                max_depth = int(val)
+            except ValueError:
+                return None
+        elif key == "keep_parent_names":
+            keep_parent = val == "true"
+        else:
+            return None
+    depth = max_depth if max_depth is not None else (10**6 if recursive else 1)
+    if arg.strip().upper() == "NULL":
+        # bare NULL: zero rows whatever the (unknowable) element type
+        return "explode(cast(null as array<int>))"
+
+    def flatten(text: str, levels: int, prefix: str) -> list[tuple[str, str]] | None:
+        pairs = _struct_literal_pairs(text)
+        if pairs is None:
+            return None
+        fields: list[tuple[str, str]] = []
+        for k, v in pairs:
+            label = f"{prefix}{k}"
+            sub = (
+                flatten(v, levels - 1, f"{label}." if keep_parent else "")
+                if levels > 1 else None
+            )
+            if sub is not None:
+                fields.extend(sub)
+            else:
+                fields.append((label, v))
+        return fields
+
+    if arg.lstrip().startswith(("named_struct(", "{")):
+        if depth <= 1:
+            return f"inline(array({arg}))"
+        flat = flatten(arg, depth, "")
+        if flat is None:
+            return f"inline(array({arg}))"
+        body = ", ".join(f"'{k}', ({v})" for k, v in flat)
+        return f"inline(array(named_struct({body})))"
+    if not args[1:]:
+        return None  # plain list unnest: the explode rename handles it
+
+    def elems_of(text: str) -> list[str] | None:
+        t2 = text.strip()
+        m2 = re.match(r"(?is)^array\s*\(", t2)
+        if not m2 or not t2.endswith(")"):
+            return None
+        return [
+            e.strip() for e in _split_top_args(_tokens(t2[m2.end():-1]))
+        ]
+
+    # literal list tree: peel one list level per depth unit, then (budget
+    # permitting) expand struct-literal elements into columns via inline()
+    rows = [arg]
+    budget = depth
+    peeled = 0
+    while budget > 0:
+        es = [elems_of(r) for r in rows]
+        if not es or any(e is None for e in es):
+            break
+        rows = [x for e in es for x in e]
+        budget -= 1
+        peeled += 1
+    if peeled and budget > 0 and rows and all(
+        _struct_literal_pairs(r) is not None for r in rows
+    ):
+        outs = []
+        for e in rows:
+            flat = flatten(e, budget, "")
+            body = ", ".join(f"'{k}', ({v})" for k, v in flat)
+            outs.append(f"named_struct({body})")
+        return "inline(array(" + ", ".join(outs) + "))"
+    if peeled:
+        return "explode(array(" + ", ".join(rows) + "))"
+    # non-literal nested list: flatten per the visible type text
+    low = arg.lower()
+    nest = max(
+        low.count("array<") - 1,
+        len(re.findall(r"(?i)\barray\s*\(\s*array", arg)),
+    )
+    if "[" in arg and nest == 0:
+        nest = max(low.count("[") - 1, 0)
+    inner = arg
+    for _ in range(min(nest, depth - 1)):
+        inner = f"flatten({inner})"
+    return f"explode({inner})"
+
+
 def _agg_macro(name: str, args: list[str]) -> str | None:
     """Dispatch: returns replacement text, or None to leave the call."""
     n = len(args)
@@ -2131,10 +2543,8 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
         # instead of joining its elements (Spark flattens) — surface the
         # list itself; the result renderer produces the same text
         return f"({args[1]})"
-    if name == "unnest" and n == 1 and args[0].lstrip().startswith(("named_struct(", "{")):
-        # UNNEST(struct) expands the struct into columns (reference
-        # unnest of STRUCT); inline() does that for a 1-element array
-        return f"inline(array({args[0]}))"
+    if name == "unnest" and n >= 1:
+        return _macro_unnest(args)
     if name in ("struct_pack", "struct_insert") and n >= 1:
         kvs = []
         for a in args:
@@ -3022,6 +3432,7 @@ def translate(sql: str) -> str:
     toks = _rewrite_asof_join(toks)
     toks = _rewrite_dynamic_interval(toks)
     toks = _rewrite_table_fns(toks)
+    toks = _rewrite_select_unnest(toks)
     toks = _rewrite_calls(toks)
     out = "".join(toks)
     out = _rewrite_named_windows(out)

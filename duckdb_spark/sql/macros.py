@@ -29,7 +29,8 @@ class Macro:
 
 
 _CREATE_RE = re.compile(
-    r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?MACRO\s+"
+    r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?"
+    r"(?:MACRO|FUNCTION)\s+"  # CREATE FUNCTION is the reference's alias
     r"([A-Za-z_][A-Za-z_0-9]*)\s*\(([^)]*)\)\s*AS\s+(TABLE\s+)?(.*)$"
 )
 

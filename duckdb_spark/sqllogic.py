@@ -54,6 +54,20 @@ import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+
+def _nullable_json(j):
+    """Schema JSON with every nullable flag forced true (recursively)."""
+    if isinstance(j, dict):
+        return {
+            k: (True if k in ("nullable", "containsNull", "valueContainsNull")
+                else _nullable_json(v))
+            for k, v in j.items()
+        }
+    if isinstance(j, list):
+        return [_nullable_json(x) for x in j]
+    return j
 
 # ------------------------------------------------------------ parsing
 
@@ -436,6 +450,9 @@ class SLSession:
 
     # -- table store ------------------------------------------------
     def _register(self, name: str, schema, rows) -> None:
+        # CTAS-derived schemas can carry nullable=False from literals;
+        # tables always admit NULLs in later INSERTs
+        schema = T.StructType.fromJson(_nullable_json(schema.jsonValue()))
         self.tables[name] = (schema, rows)
         # coalesce(1): test tables are tiny by design; default parallelism
         # would give every scan 32 empty partitions' worth of task launches.

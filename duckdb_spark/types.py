@@ -94,6 +94,9 @@ def duckdb_type_to_spark(name: str) -> T.DataType:
     s = name.strip()
     if re.match(r"(?i)^ROW\s*\(", s):  # pg spelling of STRUCT
         s = "STRUCT" + s[s.index("("):]
+    m = re.match(r"(?is)^(.*\S)\s+ARRAY$", s)  # SQL-standard `INT ARRAY`
+    if m:
+        return T.ArrayType(duckdb_type_to_spark(m.group(1)))
     up = s.upper()
     if up in _SIMPLE:
         return _SIMPLE[up]
