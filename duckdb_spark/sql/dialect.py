@@ -1382,6 +1382,23 @@ def _rewrite_table_fns(toks: list[str]) -> list[str]:
                         out[i:end + 1] = _tokens(repl)
                         i += 1
                         continue
+            elif t.lower() == "query_table" and in_from.get(depth):
+                # query_table('name') → the table itself (reference
+                # table_function query_table; names are constants here)
+                j = _next_code(out, i + 1)
+                if j < len(out) and out[j] == "(":
+                    close = _match_paren(out, j)
+                    if close > 0:
+                        arg = "".join(out[j + 1:close]).strip()
+                        arg = re.sub(r"(?is)^cast\s*\((.*)\s+as\s+\w+\s*\)$",
+                                     r"\1", arg).strip()
+                        while arg.startswith("(") and arg.endswith(")"):
+                            arg = arg[1:-1].strip()
+                        arg = arg.strip("'\"")
+                        if re.fullmatch(r"[A-Za-z_]\w*", arg):
+                            out[i:close + 1] = [arg]
+                            i += 1
+                            continue
             elif t.lower() == "test_all_types" and in_from.get(depth):
                 j = _next_code(out, i + 1)
                 if j < len(out) and out[j] == "(":
@@ -2041,7 +2058,9 @@ def _macro_minmax_n(x: str, n: str, want_max: bool) -> str:
         cmp = ", (l, r) -> case when l > r then -1 when l < r then 1 else 0 end"
     else:
         cmp = ""
-    return f"slice(array_sort(collect_list({x}){cmp}), 1, {n})"
+    s = f"array_sort(collect_list({x}){cmp})"
+    # all-NULL/empty groups give NULL, not [] (reference minmax_n.cpp)
+    return f"if(size({s}) = 0, null, slice({s}, 1, {n}))"
 
 
 _TO_INTERVAL_FNS = {
@@ -2192,7 +2211,8 @@ def _macro_arg_n(
         sec_sel, sec_out = (desc, asc) if order_desc else (asc, desc)
         sel = f"array_sort({s}, (l, r) -> {p}{sec_sel}else 0 end)"
         picked = f"array_sort(slice({sel}, 1, {n}), (l, r) -> {p}{sec_out}else 0 end)"
-    return f"transform({picked}, __s -> __s.__v)"
+    # empty/all-skipped groups give NULL, not [] (reference minmax_n.cpp)
+    return f"if(size({s}) = 0, null, transform({picked}, __s -> __s.__v))"
 
 
 _SQL_LIT_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
@@ -2468,8 +2488,29 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
         # exact decimal accumulation, surfaced back as double
         agg = "avg" if name == "favg" else "sum"
         return f"cast({agg}(cast({args[0]} as decimal(38,8))) as double)"
-    if name == "quantile_disc" and n == 2:
+    if name in ("quantile_disc", "quantile") and n == 2:
+        # `quantile` is the reference's alias for the discrete form
         return _macro_quantile_disc(args[0], args[1])
+    if name in ("quantile_disc", "quantile") and n == 1:
+        return _macro_quantile_disc(args[0], "0.5")
+    if name == "quantile_cont" and n == 2:
+        # DECIMAL inputs: the reference interpolates then TRUNCATES back
+        # to the input scale (quantile.cpp CastInterpolation)
+        dm = re.search(
+            r"(?i)(?:::|\bas)\s*decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)",
+            args[0],
+        )
+        if dm:
+            p_, s_ = dm.group(1), dm.group(2)
+            fac = 10 ** int(s_)
+            base = f"percentile({args[0]}, {args[1]})"
+            if re.match(r"(?is)^\s*array\s*\(", args[1]):
+                return (
+                    f"transform({base}, __v -> "
+                    f"cast(floor(__v * {fac}) / {fac} as decimal({p_},{s_})))"
+                )
+            return f"cast(floor({base} * {fac}) / {fac} as decimal({p_},{s_}))"
+        return None
     if name in ("arg_min_null", "arg_max_null") and n == 2:
         # keeps NULL args; NULL keys still skipped (min_by/max_by native)
         fn = "max_by" if name == "arg_max_null" else "min_by"
@@ -2571,6 +2612,7 @@ _MACRO_NAMES = {
     "fsum", "sumkahan", "kahan_sum", "favg", "quantile_disc",
     "arg_min_null", "arg_max_null", "arg_min_nulls_last",
     "arg_max_nulls_last", "is_histogram_other_bin",
+    "quantile", "quantile_cont",
     "list_extract", "array_extract", "epoch",
     "struct_contains", "struct_position", "try", "concat_ws",
     "string_split", "str_split", "string_to_array",

@@ -79,9 +79,12 @@ _TYPE_GROUPS["<integral>"] = _TYPE_GROUPS["<signed>"] + _TYPE_GROUPS["<unsigned>
 _TYPE_GROUPS["<numeric>"] = _TYPE_GROUPS["<integral>"] + ["float", "double"]
 _TYPE_GROUPS["<alltypes>"] = _TYPE_GROUPS["<numeric>"] + ["bool", "interval", "varchar"]
 
-# Features the runner satisfies (harness-mode flags, not engine features).
+# Features the runner satisfies (harness-mode flags, not engine features),
+# plus capability extensions this engine genuinely provides (parquet/json
+# sources, ICU collations, the core_functions surface).
 _REQUIRE_OK = {"64bit", "skip_reload", "noforcestorage", "no_alternative_verify",
-               "notwindows", "no_extension_autoloading", "notmusl", "long_tests"}
+               "notwindows", "no_extension_autoloading", "notmusl", "long_tests",
+               "parquet", "json", "icu", "core_functions", "tpch"}
 
 
 @dataclass
@@ -148,9 +151,40 @@ def expand_loops(lines: list[tuple[int, str]]) -> list[tuple[int, str]]:
     return out
 
 
+_REF_ROOT = "/root/reference"
+
+
+def _expand_includes(lines: list[tuple[int, str]]) -> list[tuple[int, str]]:
+    """`include path` splices another file (reference test runner); `set
+    variable NAME VALUE` directive lines bind {NAME} substitutions used by
+    the included templates (tpch_setup.test_template's {sf})."""
+    out: list[tuple[int, str]] = []
+    variables: dict[str, str] = {}
+    for ln, line in lines:
+        s = line.strip()
+        m = re.match(r"(?i)^set\s+variable\s+(\w+)\s+(\S+)\s*$", s)
+        if m:
+            variables[m.group(1)] = m.group(2)
+            continue
+        m = re.match(r"^include\s+(\S+)\s*$", s)
+        if m:
+            inc = os.path.join(_REF_ROOT, m.group(1))
+            if not os.path.exists(inc):
+                raise FileSkip(f"include {m.group(1)} not found")
+            text = open(inc, encoding="utf-8").read()
+            for k, v in variables.items():
+                text = text.replace("{" + k + "}", v).replace(
+                    "${" + k + "}", v)
+            out.extend((ln, t) for t in text.splitlines())
+            continue
+        out.append((ln, line))
+    return out
+
+
 def parse_file(path: str) -> list[Record]:
     raw = open(path, encoding="utf-8").read().splitlines()
     lines = [(n + 1, l.rstrip("\n")) for n, l in enumerate(raw)]
+    lines = _expand_includes(lines)
     lines = expand_loops(lines)
     records: list[Record] = []
     mode_skip = False
@@ -179,8 +213,14 @@ def parse_file(path: str) -> list[Record]:
             mode_skip = len(tok) > 1 and tok[1] == "skip"
             i += 1
             continue
-        if head in ("restart", "load", "unzip", "sleep"):
+        if head in ("restart", "unzip", "sleep"):
             raise FileSkip(head)
+        if head == "load":
+            # opens/attaches an on-disk database; state is per-session
+            # here, so a plain load is a no-op (files that then `restart`
+            # to test persistence still skip above)
+            i += 1
+            continue
         if head == "require":
             feat = " ".join(tok[1:])
             if tok[1] not in _REQUIRE_OK:
@@ -458,6 +498,25 @@ class SLSession:
         # would give every scan 32 empty partitions' worth of task launches.
         self.spark.createDataFrame(rows, schema).coalesce(1).createOrReplaceTempView(name)
 
+    def _dbgen(self, sf: float) -> None:
+        """CALL dbgen(sf=…): the reference's TPC-H generator. DuckDB (the
+        correctness oracle already in-process) generates the canonical
+        data; tables round-trip through parquet so schemas map exactly."""
+        import tempfile
+
+        import duckdb
+
+        gen = duckdb.connect()
+        gen.execute(f"CALL dbgen(sf={sf})")
+        tdir = tempfile.mkdtemp(prefix="sl_dbgen_")
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "partsupp", "orders", "lineitem"):
+            p = os.path.join(tdir, f"{t}.parquet")
+            gen.execute(f"COPY {t} TO '{p}' (FORMAT PARQUET)")
+            df = self.spark.read.parquet(p)
+            self._register(t, df.schema, df.collect())
+        gen.close()
+
     def _drop(self, name: str) -> None:
         self.tables.pop(name, None)
         self.views.discard(name)
@@ -490,6 +549,10 @@ class SLSession:
 
     def _execute_one(self, sql: str):
         sql = sql.strip().rstrip(";")
+        m = re.match(r"(?is)^\s*CALL\s+dbgen\s*\(\s*sf\s*=\s*([0-9.]+)", sql)
+        if m:
+            self._dbgen(float(m.group(1)))
+            return None
         m = _CREATE_TABLE_RE.match(sql)
         if m and not re.match(r"(?is).*\bas\s+(select|values|with|from)\b", m.group(2) or "") \
                 and (m.group(2) or "").lstrip().startswith("("):
@@ -648,6 +711,7 @@ def run_file(
     n = 0
     t0 = _time.time()
     bounded = ""
+    label_store: dict[str, list[str]] = {}
     for rec in records:
         if max_records and n >= max_records:
             bounded = f"pass (first {n}/{len(records)} records; record cap)"
@@ -710,6 +774,20 @@ def run_file(
             actual = _rowsorted(actual, ncols)
         elif rec.sort == "valuesort":
             actual = sorted(actual)
+        if rec.label is not None and not rec.expected:
+            # labeled queries with no inline expectation: all queries
+            # sharing a label must produce the same result (reference
+            # runner's result labels)
+            if rec.label in label_store:
+                prev = label_store[rec.label]
+                if actual != prev:
+                    return FileResult(
+                        rel, "fail",
+                        f"line {rec.line}: label {rec.label}: "
+                        f"{len(actual)} values vs {len(prev)} stored", n)
+            else:
+                label_store[rec.label] = actual
+            continue
         hm = _HASH_RE.match(rec.expected[0].strip()) if len(rec.expected) == 1 else None
         if hm:
             if int(hm.group(1)) != len(actual):
