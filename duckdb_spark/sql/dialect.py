@@ -1420,6 +1420,156 @@ _SELECT_STOP = {
 }
 
 
+_WITHIN_GROUP_FOLD = {
+    # ordered-set spellings Spark lacks (or types differently: Spark's
+    # percentile_disc always returns DOUBLE, the reference keeps the input
+    # type): fold the ORDER BY key back into the argument list; the
+    # quantile forms re-dispatch through their macros
+    "mode": "mode", "quantile_cont": "quantile_cont",
+    "quantile_disc": "quantile_disc", "quantile": "quantile",
+    "median": "median", "mad": "mad",
+    "percentile_disc": "quantile_disc", "percentile_cont": "quantile_cont",
+}
+
+
+def _neg_q(q: str, cont: bool) -> str:
+    """Descending WITHIN GROUP order: continuous quantiles mirror to 1-q;
+    discrete ones use the reference's negative-quantile path. Literal
+    quantiles fold numerically (Spark's percentile requires a foldable
+    fraction array)."""
+
+    def one(e: str) -> str:
+        s = e.strip()
+        if re.fullmatch(r"[+-]?(\d+\.?\d*|\.\d+)", s):
+            v = float(s)
+            folded = 1 - v if cont else -v
+            return repr(round(folded, 12))
+        return f"(1 - ({s}))" if cont else f"-({s})"
+
+    qs = q.strip()
+    m = re.match(r"(?is)^array\s*\(", qs)
+    if m and qs.endswith(")"):
+        elems = _split_top_args(_tokens(qs[m.end():-1]))
+        return "array(" + ", ".join(one(e) for e in elems) + ")"
+    return one(qs)
+
+
+def _rewrite_within_group(toks: list[str]) -> list[str]:
+    """`fn(args) WITHIN GROUP (ORDER BY key [dir])` → `fn(key[, args])`
+    for ordered-set aggregates Spark has no WITHIN GROUP spelling for
+    (reference transform_function.cpp ordered-aggregate path).
+    percentile_cont/percentile_disc/listagg keep the native syntax."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if not re.match(r"^[A-Za-z_]", t) or t.lower() not in _WITHIN_GROUP_FOLD:
+            i += 1
+            continue
+        j = _next_code(out, i + 1)
+        if j >= len(out) or out[j] != "(":
+            i += 1
+            continue
+        close = _match_paren(out, j)
+        if close < 0:
+            i += 1
+            continue
+        w = _next_code(out, close + 1)
+        if w >= len(out) or not _is_word(out[w], "WITHIN"):
+            i = j
+            continue
+        g = _next_code(out, w + 1)
+        if g >= len(out) or not _is_word(out[g], "GROUP"):
+            i = j
+            continue
+        p = _next_code(out, g + 1)
+        if p >= len(out) or out[p] != "(":
+            i = j
+            continue
+        pc = _match_paren(out, p)
+        body = "".join(out[p + 1:pc]).strip()
+        key = re.sub(r"(?is)^ORDER\s+BY\s*", "", body).strip()
+        if len(_split_top_args(_tokens(key))) > 1:
+            raise ValueError(
+                "Binder Error: Cannot use multiple ORDER BY clauses "
+                "with WITHIN GROUP"
+            )
+        desc = bool(re.search(r"(?i)\s+DESC\s*$", key))
+        key = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", key).strip()
+        key = re.sub(r"(?i)\s+NULLS\s+(FIRST|LAST)\s*$", "", key).strip()
+        prior0 = [a for a in _split_top_args(out[j + 1:close]) if a.strip()]
+        prior = []
+        for a in prior0:
+            nm = re.match(r"(?is)^\s*(\w+)\s*:\s*=\s*(.*)$", a)
+            if nm:
+                # only the documented parameter name resolves
+                if nm.group(1).lower() != "quantile":
+                    raise ValueError(
+                        f"Binder Error: No function matches the given name "
+                        f"and argument types '{t.lower()}({nm.group(1)})'"
+                    )
+                prior.append(nm.group(2).strip())
+            else:
+                prior.append(a)
+        fn = _WITHIN_GROUP_FOLD[t.lower()]
+        if t.lower().startswith("percentile") and len(prior) != 1:
+            raise ValueError(
+                f"Binder Error: Wrong number of arguments for "
+                f"{t.upper()}"
+            )
+        if fn in ("mode", "median", "mad") and prior:
+            raise ValueError(
+                f"Binder Error: Wrong number of arguments for {t.upper()}"
+            )
+        for q in prior:
+            if fn.startswith("quantile"):
+                if re.search(r"(?i)'nan'|\bnull\b", q):
+                    raise ValueError(
+                        "Binder Error: QUANTILE parameter cannot be NaN/NULL"
+                    )
+                if re.fullmatch(r"(?is)array\s*\(\s*\)", q.strip()):
+                    raise ValueError(
+                        "Binder Error: QUANTILE requires a non-empty list"
+                    )
+                if re.search(r"(?i)\b(sum|count|avg|min|max|median|mode)\s*\(", q):
+                    raise ValueError(
+                        "Binder Error: aggregate function calls cannot be "
+                        "nested"
+                    )
+                if re.search(r"(?is)\bcase\b", q) and not re.search(
+                    r"(?i)\belse\b", q
+                ):
+                    # ELSE-less CASE over non-matching literals is a NULL
+                    # fraction (reference rejects NULL fractions)
+                    raise ValueError(
+                        "Binder Error: QUANTILE parameter cannot be NULL"
+                    )
+                if t.lower().startswith("percentile"):
+                    # the SQL-standard spelling requires fractions in
+                    # [0, 1] — only quantile_* admits negatives
+                    lits = [q.strip()]
+                    qm = re.match(r"(?is)^array\s*\(", q.strip())
+                    if qm and q.strip().endswith(")"):
+                        lits = _split_top_args(_tokens(q.strip()[qm.end():-1]))
+                    for lit in lits:
+                        if re.match(r"^\s*-\s*(\d+\.?\d*|\.\d+)\s*$", lit):
+                            raise ValueError(
+                                "Binder Error: PERCENTILE fraction must be "
+                                "between 0 and 1"
+                            )
+        if fn in ("mode", "median", "mad"):
+            args = [key]
+        else:
+            # quantile_disc(q) WITHIN GROUP (ORDER BY x) = quantile_disc(x, q)
+            args = [key] + prior
+        if desc and fn in ("quantile_disc", "quantile", "quantile_cont"):
+            cont = fn == "quantile_cont"
+            args = [args[0]] + [_neg_q(a, cont) for a in args[1:]]
+        out[i:pc + 1] = _tokens(f"{fn}(" + ", ".join(args) + ")")
+        i += 1
+    return out
+
+
 def _rewrite_select_unnest(toks: list[str]) -> list[str]:
     """SELECT-position UNNEST beyond the bare single-generator form Spark
     accepts (reference unnest.cpp): expression-wrapped unnests and several
@@ -2510,6 +2660,19 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
                     f"cast(floor(__v * {fac}) / {fac} as decimal({p_},{s_})))"
                 )
             return f"cast(floor({base} * {fac}) / {fac} as decimal({p_},{s_}))"
+        if re.search(r"(?i)timestamp|\bdate\b", args[0]):
+            # temporal interpolation: seconds-domain percentile, back to
+            # timestamp (reference interpolates temporals directly)
+            # timestamp_ntz has no direct double cast; hop through the
+            # (UTC-session) timestamp type both ways
+            base = (
+                f"percentile(cast(cast({args[0]} as timestamp) as double), "
+                f"{args[1]})"
+            )
+            back = "cast(timestamp_seconds(__v) as timestamp_ntz)"
+            if re.match(r"(?is)^\s*array\s*\(", args[1]):
+                return f"transform({base}, __v -> {back})"
+            return back.replace("__v", base)
         return None
     if name in ("arg_min_null", "arg_max_null") and n == 2:
         # keeps NULL args; NULL keys still skipped (min_by/max_by native)
@@ -3307,7 +3470,8 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
                     p = re.sub(r"(?i)\s+NULLS\s+(FIRST|LAST)\s*$", "", p).strip()
                     d = bool(re.search(r"(?i)\s+DESC\s*$", p))
                     p = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", p).strip()
-                    entries.append((p, d, nf))
+                    if p not in [k for k, _, _ in entries]:
+                        entries.append((p, d, nf))  # ORDER BY i, i, i
                 if not entries:
                     i = j
                     continue
@@ -3475,6 +3639,7 @@ def translate(sql: str) -> str:
     toks = _rewrite_dynamic_interval(toks)
     toks = _rewrite_table_fns(toks)
     toks = _rewrite_select_unnest(toks)
+    toks = _rewrite_within_group(toks)
     toks = _rewrite_calls(toks)
     out = "".join(toks)
     out = _rewrite_named_windows(out)
