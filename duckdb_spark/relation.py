@@ -231,6 +231,11 @@ class Connection:
 
             df = self.sql(m.group(1)).df()
             pct = _scalar(m.group(2))
+            if pct < 0:
+                raise ValueError(
+                    "Out of Range Error: Limit percent out of range, "
+                    "should be between 0% and 100%"
+                )
             # reference physical_limit_percent.cpp:145: the row budget is
             # idx_t(pct/100 * count) over the PRE-offset count; OFFSET then
             # skips within that scan order

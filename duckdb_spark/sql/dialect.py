@@ -549,6 +549,34 @@ _BOOL_CTX_STOPS = {
 }
 
 
+def _check_strictness(toks: list[str]) -> None:
+    """Translate-time rejections the reference binder makes but Spark
+    tolerates: negative LIMIT/OFFSET literals and negative window frame
+    boundaries (reference bind errors)."""
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if re.match(r"^[A-Za-z_]", t) and t.upper() in ("LIMIT", "OFFSET"):
+            j = _next_code(toks, i + 1)
+            if j < len(toks) and toks[j] == "-":
+                k = _next_code(toks, j + 1)
+                if k < len(toks) and re.fullmatch(r"\d+(\.\d+)?", toks[k]):
+                    raise ValueError(
+                        f"Binder Error: {t.upper()} cannot be negative"
+                    )
+        elif t == "-":
+            k = _next_code(toks, i + 1)
+            if k < len(toks) and re.fullmatch(r"\d+(\.\d+)?", toks[k]):
+                f = _next_code(toks, k + 1)
+                if f < len(toks) and re.match(r"^[A-Za-z_]", toks[f]) and \
+                        toks[f].upper() in ("PRECEDING", "FOLLOWING"):
+                    raise ValueError(
+                        "Binder Error: Invalid (negative) window frame "
+                        "boundary"
+                    )
+        i += 1
+
+
 def _rewrite_int_bool_context(toks: list[str]) -> list[str]:
     """Bare integer literals in boolean contexts — `a < 2 AND 0`,
     `CASE WHEN 1 THEN …` — autocast to BOOLEAN in DuckDB
@@ -1086,9 +1114,9 @@ def _rewrite_any_all(sql: str) -> str:
         sub = sql[open_p + 1:i]
         out.append(sql[pos:m.start()])
         if op == "=" and quant == "ANY":
-            out.append(f"IN ({sub})")
+            out.append(f" IN ({sub})")
         elif op in ("<>", "!=") and quant == "ALL":
-            out.append(f"NOT IN ({sub})")
+            out.append(f" NOT IN ({sub})")
         elif op in (">", ">=", "<", "<="):
             agg = {
                 (">", "ANY"): "min", (">=", "ANY"): "min",
@@ -1226,6 +1254,18 @@ def _rewrite_window_filter(toks: list[str]) -> list[str]:
         if o < 0:
             i += 1
             continue
+        # reference rejects FILTER on non-aggregate window functions
+        fn_i = o - 1
+        while fn_i >= 0 and out[fn_i].isspace():
+            fn_i -= 1
+        if fn_i >= 0 and out[fn_i].lower() in (
+            "rank", "dense_rank", "row_number", "percent_rank", "cume_dist",
+            "ntile", "lag", "lead", "nth_value", "first_value", "last_value",
+        ):
+            raise ValueError(
+                "Binder Error: FILTER is not supported for non-aggregate "
+                "window functions"
+            )
         inner = out[j + 1:fclose]
         w = _top_level_index(inner, 0, len(inner), "WHERE")
         cond = "".join(inner[w + 1:] if w >= 0 else inner).strip()
@@ -1452,6 +1492,202 @@ def _neg_q(q: str, cont: bool) -> str:
         elems = _split_top_args(_tokens(qs[m.end():-1]))
         return "array(" + ", ".join(one(e) for e in elems) + ")"
     return one(qs)
+
+
+_QUANT_OPS = {"=", "<>", "!=", "<", ">", "<=", ">="}
+
+
+def _quantified_repl(xs: list[str], op: str, quant: str, sub: str) -> str:
+    """Three-valued `x <op> ANY/ALL (SELECT …)` / `x IN (SELECT …)`
+    (reference subquery semantics; Spark's ExistenceJoin yields FALSE
+    where SQL requires NULL). EXISTS probes keep outer references out of
+    aggregate expressions (Spark rejects mixed outer/local refs there);
+    row-values compare componentwise so NULL components stay 3-valued."""
+    cols = [f"__c{k}" for k in range(len(xs))]
+    src = f"({sub}) __q_sub({', '.join(cols)})"
+    cmp = " and ".join(
+        f"(({x}) {op} ({c}))" for x, c in zip(xs, cols)
+    )
+    cnt = f"(select count(*) from {src})"
+    if quant == "ALL":
+        return (
+            f"(case when {cnt} = 0 then true "
+            f"when exists(select 1 from {src} where ({cmp}) is false) "
+            f"then false "
+            f"when exists(select 1 from {src} where ({cmp}) is null) "
+            f"then cast(null as boolean) "
+            f"else true end)"
+        )
+    return (
+        f"(case when {cnt} = 0 then false "
+        f"when exists(select 1 from {src} where {cmp}) then true "
+        f"when exists(select 1 from {src} where ({cmp}) is null) "
+        f"then cast(null as boolean) "
+        f"else false end)"
+    )
+
+
+def _rewrite_quantified_region(
+    out: list[str], lo: int, hi: int, only_unfoldable: bool = False
+) -> int:
+    """Rewrite [NOT] IN / <op> ANY|ALL|SOME subqueries within out[lo:hi];
+    returns the change in token count (negative = shrank). With
+    only_unfoldable, just `= ALL` / `<> ANY` (the combos with no native
+    or min/max fold at all) are rewritten."""
+    i = lo
+    end = hi
+    delta = 0
+    while i < end:
+        t = out[i]
+        is_in = _is_word(t, "IN")
+        is_quant = (
+            re.match(r"^[A-Za-z_]", t)
+            and t.upper() in ("ANY", "ALL", "SOME")
+        )
+        if not (is_in or is_quant):
+            i += 1
+            continue
+        # operator before ANY/ALL
+        op = "="
+        op_i = i
+        if is_quant:
+            q = i - 1
+            while q > lo and out[q].isspace():
+                q -= 1
+            if out[q] not in _QUANT_OPS:
+                i += 1
+                continue
+            op = "<>" if out[q] == "!=" else out[q]
+            op_i = q
+        j = _next_code(out, i + 1)
+        if j >= end or out[j] != "(":
+            i += 1
+            continue
+        k = _next_code(out, j + 1)
+        if k >= end or not _is_word(out[k], "SELECT"):
+            i += 1
+            continue
+        close = _match_paren(out, j)
+        if close < 0 or close > end:
+            i += 1
+            continue
+        sub = "".join(out[j + 1:close]).strip()
+        # operand: walk back over NOT (IN only), then one balanced unit
+        p = op_i - 1
+        while p > lo and out[p].isspace():
+            p -= 1
+        negated = False
+        if is_in and p > lo and _is_word(out[p], "NOT"):
+            negated = True
+            p -= 1
+            while p > lo and out[p].isspace():
+                p -= 1
+        opnd_end = p
+        start = p
+        if out[p] == ")":
+            d2 = 0
+            k2 = p
+            while k2 > lo:
+                if out[k2] == ")":
+                    d2 += 1
+                elif out[k2] == "(":
+                    d2 -= 1
+                    if d2 == 0:
+                        break
+                k2 -= 1
+            m2 = k2 - 1
+            while m2 > lo and out[m2].isspace():
+                m2 -= 1
+            if (
+                m2 > lo
+                and re.match(r"^[A-Za-z_]", out[m2])
+                and out[m2].lower() not in _NONFN_WORDS
+                and out[m2].upper() not in ("SELECT",)
+            ):
+                k2 = m2  # function call operand: row(a, b) IN …
+            start = k2
+        elif re.match(r"^[A-Za-z_0-9'`\"]", out[p]):
+            while start - 2 > lo and out[start - 1] == ".":
+                start -= 2
+        else:
+            i = close + 1
+            continue
+        x = "".join(out[start:opnd_end + 1]).strip()
+        rm = re.match(r"(?is)^(?:row|struct)\s*\((.*)\)$", x)
+        if x.startswith("(") and x.endswith(")") and _has_top_level_comma(
+            _tokens(x[1:-1])
+        ):
+            if op != "=":
+                i = close + 1  # lexicographic row comparison: native path
+                continue
+            xs = [e.strip() for e in _split_top_args(_tokens(x[1:-1]))]
+        elif rm and op == "=":
+            xs = [e.strip() for e in _split_top_args(_tokens(rm.group(1)))]
+        else:
+            xs = [x]
+        quant = "ALL" if (is_quant and t.upper() == "ALL") else "ANY"
+        if only_unfoldable and not (
+            (op == "=" and quant == "ALL")
+            or (op == "<>" and quant == "ANY")
+        ):
+            i = close + 1
+            continue
+        repl = _quantified_repl(xs, op, quant, sub)
+        if negated:
+            repl = f"(not {repl})"
+        removed = close + 1 - start
+        out[start:close + 1] = [repl]
+        delta -= removed - 1
+        end -= removed - 1
+        i = start + 1
+    return delta
+
+
+def _rewrite_select_in_subquery(toks: list[str]) -> list[str]:
+    """Three-valued quantified subqueries where the VALUE matters (not
+    plain filtering): the top-level SELECT list, and parenthesized
+    predicates followed by IS (`(x IN (sub)) IS NULL`). WHERE-position
+    forms keep the native (efficient) join rewrites since NULL filters
+    like FALSE there."""
+    out = list(toks)
+    si = -1
+    depth = 0
+    for i, t in enumerate(out):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and _is_word(t, "SELECT"):
+            si = i
+            break
+    if si < 0:
+        return out
+    end = len(out)
+    depth = 0
+    for i in range(si + 1, len(out)):
+        t = out[i]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and t.upper() in _SELECT_STOP:
+            end = i
+            break
+    _rewrite_quantified_region(out, si + 1, end)
+    # `= ALL` / `<> ANY` have no foldable native form anywhere (WHERE
+    # included) — rewrite them wherever they appear
+    _rewrite_quantified_region(out, 0, len(out), only_unfoldable=True)
+    # `( pred ) IS [NOT] NULL` anywhere: the predicate VALUE matters
+    i = 0
+    while i < len(out):
+        if out[i] == "(":
+            close = _match_paren(out, i)
+            if close > 0:
+                nx = _next_code(out, close + 1)
+                if nx < len(out) and _is_word(out[nx], "IS"):
+                    _rewrite_quantified_region(out, i + 1, close)
+        i += 1
+    return out
 
 
 def _rewrite_within_group(toks: list[str]) -> list[str]:
@@ -1967,7 +2203,7 @@ _SQL_FN_RENAMES: dict[str, str] = {
     # misc
     "strlen": "octet_length", "nextafter": "nextafter",
     "iif": "if", "error": "raise_error", "unnest": "explode",
-    "row": "struct",
+    "row": "struct", "kurtosis_pop": "kurtosis", "skewness_pop": "skewness",
     "gen_random_uuid": "uuid",
     "list_reverse": "reverse",
 }
@@ -2237,6 +2473,48 @@ def _qdisc_pick(arr: str, qq: str) -> str:
     return (
         f"if(({qq}) >= 0, try_element_at({arr}, {pos}), "
         f"try_element_at({arr}, {n} - ({pos}) + 1))"
+    )
+
+
+def _macro_skew_kurt(name: str, x: str, over: str = "") -> str:
+    """Sample (bias-corrected) skewness/kurtosis, exact reference
+    semantics incl. the out-of-range runtime error (skew.cpp /
+    kurtosis.cpp); SQL twin of functions/aggregates.py. The optional OVER
+    clause attaches to every constituent aggregate (windowed form)."""
+    X = f"cast({x} as double)"
+    cn = f"cast(count({X}) {over} as double)"
+    s1, s2 = f"sum({X}) {over}", f"sum({X} * {X}) {over}"
+    s3 = f"sum({X} * {X} * {X}) {over}"
+    tmp = f"(1.0d / {cn})"
+    raw_m2 = f"({s2} - {s1} * {s1} * {tmp})"
+    var = f"({tmp} * {raw_m2})"
+    if name == "skewness":
+        target = (
+            f"(sqrt({cn} * ({cn} - 1)) / ({cn} - 2) * {tmp} * "
+            f"({s3} - 3 * {s2} * {s1} * {tmp} + "
+            f"2 * power({s1}, 3) * {tmp} * {tmp}) / "
+            f"sqrt(power({var}, 3)))"
+        )
+        guard_n, msg = 2, "SKEW is out of range!"
+    else:
+        s4 = f"sum({X} * {X} * {X} * {X}) {over}"
+        m4 = (
+            f"({tmp} * ({s4} - 4 * {s3} * {s1} * {tmp} + "
+            f"6 * {s2} * {s1} * {s1} * {tmp} * {tmp} - "
+            f"3 * power({s1}, 4) * power({tmp}, 3)))"
+        )
+        target = (
+            f"(({cn} - 1) * (({cn} + 1) * {m4} / ({var} * {var}) - "
+            f"3 * ({cn} - 1)) / (({cn} - 2) * ({cn} - 3)))"
+        )
+        guard_n, msg = 3, "Kurtosis is out of range!"
+    return (
+        f"(case when {cn} <= {guard_n} then cast(null as double) "
+        f"when {raw_m2} = 0 then cast(null as double) "
+        f"when {var} <= 0 then cast(null as double) "
+        f"when isnan({target}) or abs({target}) = cast('Infinity' as double) "
+        f"then cast(raise_error('{msg}') as double) "
+        f"else {target} end)"
     )
 
 
@@ -2608,6 +2886,8 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
     if name == "sem" and n == 1:
         # standard error of the mean (reference sem: stddev_pop/sqrt(n))
         return f"(stddev_pop({args[0]}) / sqrt(count({args[0]})))"
+    if name in ("skewness", "kurtosis") and n == 1:
+        return _macro_skew_kurt(name, args[0])
     if name == "entropy" and n == 1:
         # Shannon entropy (log2) over value counts, NULLs ignored; empty
         # input and all-NULL input give 0 (reference entropy.cpp)
@@ -2775,7 +3055,7 @@ _MACRO_NAMES = {
     "fsum", "sumkahan", "kahan_sum", "favg", "quantile_disc",
     "arg_min_null", "arg_max_null", "arg_min_nulls_last",
     "arg_max_nulls_last", "is_histogram_other_bin",
-    "quantile", "quantile_cont",
+    "quantile", "quantile_cont", "skewness", "kurtosis",
     "list_extract", "array_extract", "epoch",
     "struct_contains", "struct_position", "try", "concat_ws",
     "string_split", "str_split", "string_to_array",
@@ -2799,6 +3079,8 @@ def _agg_macro_windowed(name: str, args: list[str], over: str) -> str | None:
     if name == "sem" and n == 1:
         x = args[0]
         return f"(stddev_pop({x}) {over} / sqrt(count({x}) {over}))"
+    if name in ("skewness", "kurtosis") and n == 1:
+        return _macro_skew_kurt(name, args[0], over)
     if name in ("fsum", "sumkahan", "kahan_sum", "favg") and n == 1:
         agg = "avg" if name == "favg" else "sum"
         return f"cast({agg}(cast({args[0]} as decimal(38,8))) {over} as double)"
@@ -2857,6 +3139,7 @@ def _agg_macro_windowed(name: str, args: list[str], over: str) -> str | None:
 _WINDOWED_MACROS = {
     "sem", "entropy", "weighted_avg", "wavg", "fsum", "sumkahan",
     "kahan_sum", "favg", "product", "mad", "quantile_disc",
+    "skewness", "kurtosis",
 }
 _FIRST_LAST = {"first", "last", "any_value", "arbitrary"}
 
@@ -3217,6 +3500,14 @@ def _rewrite_struct_literals(toks: list[str]) -> list[str]:
         while p >= 0 and out[p].isspace():
             p -= 1
         is_map = p >= 0 and _is_word(out[p], "MAP")
+        if ok and not is_map:
+            # duplicate keys are a bind error (case-insensitive, reference
+            # struct keys are case-insensitive)
+            keys = [kv.split(",", 1)[0].strip().lower() for kv in kvs]
+            if len(set(keys)) != len(keys):
+                raise ValueError(
+                    "Binder Error: Duplicate struct entry name"
+                )
         if ok and kvs and is_map:
             del out[p:]
             out.append("map(" + ", ".join(kvs) + ")")
@@ -3326,6 +3617,26 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
             continue
         nxt = _next_code(out, close + 1) if close > 0 else -1
         windowed = 0 <= nxt < len(out) and _is_word(out[nxt], "OVER")
+        if windowed:
+            inner = out[j + 1:close]
+            if any(_is_word(x, "OVER") for x in inner) and not any(
+                _is_word(x, "SELECT") for x in inner
+            ):
+                raise ValueError(
+                    "Binder Error: window function calls cannot be nested"
+                )
+            # ... nor appear inside the OVER specification itself
+            op_ = _next_code(out, nxt + 1)
+            if op_ < len(out) and out[op_] == "(":
+                oc_ = _match_paren(out, op_)
+                spec = out[op_ + 1:oc_] if oc_ > 0 else []
+                if any(_is_word(x, "OVER") for x in spec) and not any(
+                    _is_word(x, "SELECT") for x in spec
+                ):
+                    raise ValueError(
+                        "Parser Error: window functions are not allowed "
+                        "in the window specification"
+                    )
         if windowed and name in _WINDOWED_MACROS:
             op = _next_code(out, nxt + 1)
             if op < len(out) and out[op] == "(":
@@ -3597,6 +3908,7 @@ def translate(sql: str) -> str:
         lambda m: m.group(1).replace("_", ""),
         sql,
     )
+    sql = "".join(_rewrite_select_in_subquery(_tokens(sql)))
     sql = _rewrite_any_all(sql)
     # GROUP BY () — empty grouping set ≡ global aggregate
     sql = re.sub(r"(?i)\bGROUP\s+BY\s*\(\s*\)", " GROUP BY GROUPING SETS (()) ", sql)
@@ -3608,6 +3920,7 @@ def translate(sql: str) -> str:
             toks[_i] = "`" + _t[1:-1].replace('""', '"').replace("`", "``") + "`"
     _check_const_cast_ranges(toks)
     _check_order_by_terms(toks)
+    _check_strictness(toks)
     # DuckDB tolerates trailing commas (before FROM and before `)`)
     for _i, _t in enumerate(toks):
         if _t == ")" or _is_word(_t, "FROM"):

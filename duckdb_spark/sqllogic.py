@@ -675,6 +675,23 @@ class SLSession:
             set_session_setting(m.group(1), m.group(2))
             return None
         if _NOOP_RE.match(sql):
+            # still reject syntactically broken PRAGMAs (unbalanced parens
+            # or stray tokens — the reference parser does)
+            if re.match(r"(?is)^\s*pragma\b", sql):
+                if sql.count("(") != sql.count(")") or re.search(
+                    r"\(\s*\)\s*\)", sql
+                ):
+                    raise ValueError(f"Parser Error: syntax error in {sql[:60]!r}")
+                m2 = re.match(
+                    r"(?is)^\s*pragma\s+default_null_order\s*=\s*'([^']*)'", sql
+                )
+                if m2 and not re.fullmatch(
+                    r"(?i)nulls[_ ](first|last)(_on_asc_\w+)?", m2.group(1)
+                ):
+                    raise ValueError(
+                        f"Parser Error: Unrecognized parameter for option "
+                        f"NULL_ORDER \"{m2.group(1)}\""
+                    )
             return None
         return self.con.sql(sql)
 
