@@ -271,6 +271,17 @@ class Connection:
                     return Relation(self.spark.sql(translate(query)))
                 finally:
                     set_session_setting("__struct_subscript", "")
+            # DuckDB allows SELECT-list aliases inside window expressions;
+            # Spark doesn't. Retry with aliases inlined into window specs
+            # (retry-only: columns must win over aliases when both resolve)
+            if "LATERAL_COLUMN_ALIAS_IN_WINDOW" in msg:
+                from duckdb_spark.sql.dialect import set_session_setting
+
+                set_session_setting("__window_alias", "1")
+                try:
+                    return Relation(self.spark.sql(translate(query)))
+                finally:
+                    set_session_setting("__window_alias", "")
             raise
 
     query = sql

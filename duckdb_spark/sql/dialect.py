@@ -1690,6 +1690,175 @@ def _rewrite_select_in_subquery(toks: list[str]) -> list[str]:
     return out
 
 
+def _substitute_window_aliases(sql: str) -> str:
+    """DuckDB lets window expressions reference sibling SELECT-list
+    aliases (`i // 2 AS inside, … OVER (ORDER BY inside)`); Spark raises
+    LATERAL_COLUMN_ALIAS_IN_WINDOW. Inline the alias definition into
+    OVER specs and window-call argument lists. Retry-only (gated by the
+    __window_alias setting): DuckDB prefers real columns over aliases,
+    so this must not run on queries Spark resolves natively."""
+    toks = _tokens(sql)
+    # alias map from every SELECT item list: `expr AS ident`
+    aliases: dict[str, str] = {}
+    i = 0
+    while i < len(toks):
+        if not _is_word(toks[i], "SELECT"):
+            i += 1
+            continue
+        # items until top-level FROM / end-of-scope
+        start = i + 1
+        depth = 0
+        j = start
+        item_start = start
+        items: list[tuple[int, int]] = []
+        while j < len(toks):
+            t = toks[j]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and t == ",":
+                items.append((item_start, j))
+                item_start = j + 1
+            elif depth == 0 and re.match(r"^[A-Za-z_]", t) and t.upper() in (
+                "FROM", "WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY",
+                "ORDER", "LIMIT", "UNION", "EXCEPT", "INTERSECT",
+            ):
+                break
+            j += 1
+        items.append((item_start, j))
+        for lo, hi in items:
+            a = _top_level_index(toks, lo, hi, "AS")
+            if a < 0:
+                continue
+            ident = _next_code(toks, a + 1)
+            if ident >= hi or not re.match(r"^[A-Za-z_]\w*$", toks[ident]):
+                continue
+            expr = "".join(toks[lo:a]).strip()
+            # window-dependent aliases can't be inlined into another window
+            if not expr or re.search(r"(?i)\bOVER\b", expr):
+                continue
+            aliases.setdefault(toks[ident].lower(), expr)
+        i = j
+    if not aliases:
+        return sql
+    # replace alias references inside OVER(...) specs and inside call
+    # parens directly followed by OVER (in-call ORDER BY keys)
+    out = list(toks)
+
+    def _sub_region(lo: int, hi: int) -> None:
+        for k in range(lo, hi):
+            t = out[k]
+            if not re.match(r"^[A-Za-z_]\w*$", t) or t.lower() not in aliases:
+                continue
+            p = k - 1
+            while p >= lo and out[p].isspace():
+                p -= 1
+            if p >= lo and out[p] == ".":
+                continue
+            n = _next_code(out, k + 1)
+            if n < hi and out[n] == "(":
+                continue
+            out[k] = "(" + aliases[t.lower()] + ")"
+
+    i = 0
+    while i < len(out):
+        if out[i] == "(":
+            close = _match_paren(out, i)
+            if close > 0:
+                p = i - 1
+                while p >= 0 and out[p].isspace():
+                    p -= 1
+                if p >= 0 and _is_word(out[p], "OVER"):
+                    _sub_region(i + 1, close)
+                elif p >= 0 and re.match(r"^[A-Za-z_]\w*$", out[p]):
+                    # call parens followed (possibly via IGNORE/RESPECT
+                    # NULLS) by OVER
+                    n = _next_code(out, close + 1)
+                    if n < len(out) and (
+                        _is_word(out[n], "IGNORE") or _is_word(out[n], "RESPECT")
+                    ):
+                        n2 = _next_code(out, n + 1)
+                        n = _next_code(out, n2 + 1) if n2 < len(out) else n
+                    if n < len(out) and _is_word(out[n], "OVER"):
+                        _sub_region(i + 1, close)
+        i += 1
+    return "".join(out)
+
+
+def _rewrite_from_first(sql: str) -> str:
+    """DuckDB FROM-first: `FROM t [WHERE …]` ≡ `SELECT * FROM t …`, also
+    as the body after a WITH clause. `FROM t SELECT cols` reorders to the
+    standard clause order."""
+    toks = _tokens(sql)
+    i = _next_code(toks, 0)
+    if i < len(toks) and _is_word(toks[i], "WITH"):
+        # skip CTE list: [RECURSIVE] name [(cols)] AS [MATERIALIZED] (…) ,…
+        j = _next_code(toks, i + 1)
+        if j < len(toks) and _is_word(toks[j], "RECURSIVE"):
+            j = _next_code(toks, j + 1)
+        while j < len(toks):
+            if not re.match(r"^[A-Za-z_`\"]", toks[j]):
+                return sql
+            j = _next_code(toks, j + 1)
+            if j < len(toks) and toks[j] == "(":  # column list
+                c = _match_paren(toks, j)
+                if c < 0:
+                    return sql
+                j = _next_code(toks, c + 1)
+            if j >= len(toks) or not _is_word(toks[j], "AS"):
+                return sql
+            j = _next_code(toks, j + 1)
+            while j < len(toks) and re.match(r"^[A-Za-z_]", toks[j]) and \
+                    toks[j].upper() in ("NOT", "MATERIALIZED"):
+                j = _next_code(toks, j + 1)
+            if j >= len(toks) or toks[j] != "(":
+                return sql
+            c = _match_paren(toks, j)
+            if c < 0:
+                return sql
+            j = _next_code(toks, c + 1)
+            if j < len(toks) and toks[j] == ",":
+                j = _next_code(toks, j + 1)
+                continue
+            break
+        i = j
+    if i >= len(toks) or not _is_word(toks[i], "FROM"):
+        return sql
+    # `FROM … SELECT cols` → move the SELECT list up front
+    depth = 0
+    for k in range(i + 1, len(toks)):
+        if toks[k] == "(":
+            depth += 1
+        elif toks[k] == ")":
+            depth -= 1
+        elif depth == 0 and _is_word(toks[k], "SELECT"):
+            sel = toks[k + 1:]
+            # the select list ends at the next top-level clause keyword;
+            # trailing clauses (GROUP/ORDER/…) go back after the FROM part
+            b = len(sel)
+            d2 = 0
+            for x, t2 in enumerate(sel):
+                if t2 == "(":
+                    d2 += 1
+                elif t2 == ")":
+                    d2 -= 1
+                elif d2 == 0 and re.match(r"^[A-Za-z_]", t2) and t2.upper() in (
+                    "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+                    "QUALIFY", "WINDOW", "UNION", "EXCEPT", "INTERSECT",
+                ):
+                    b = x
+                    break
+            return "".join(
+                toks[:i] + ["SELECT "] + sel[:b] + [" "]
+                + toks[i:k] + [" "] + sel[b:]
+            )
+    toks[i:i] = ["SELECT * "]
+    return "".join(toks)
+
+
 def _rewrite_within_group(toks: list[str]) -> list[str]:
     """`fn(args) WITHIN GROUP (ORDER BY key [dir])` → `fn(key[, args])`
     for ordered-set aggregates Spark has no WITHIN GROUP spelling for
@@ -3143,6 +3312,170 @@ _WINDOWED_MACROS = {
 }
 _FIRST_LAST = {"first", "last", "any_value", "arbitrary"}
 
+# DuckDB windowed ordered aggregates: `fn(args ORDER BY keys) OVER w`
+# evaluates fn as if the frame rows were ordered by keys (reference
+# src/execution/window_executor.cpp ordered-argument path). Spark has no
+# spelling for this; rewritten to collect_list + comparator array ops.
+_ORDERED_WINDOW_FNS = {
+    "rank", "dense_rank", "percent_rank", "cume_dist", "row_number",
+    "ntile", "lag", "lead", "first_value", "last_value", "nth_value",
+}
+# windowed ordered aggregate spellings of the same shapes; any_value in
+# order = first non-NULL value (forced IGNORE NULLS)
+_OW_ALIASES = {
+    "first": "first_value", "last": "last_value",
+    "any_value": "first_value", "arbitrary": "first_value",
+}
+
+
+def _ow_entries(order_toks: list[str]) -> list[tuple[str, bool, bool]]:
+    """Parse an in-call ORDER BY list → [(key, desc, nulls_first)];
+    DuckDB's default null order is NULLS LAST in either direction."""
+    entries: list[tuple[str, bool, bool]] = []
+    for part in _split_top_args(order_toks):
+        p = part.strip()
+        p = re.sub(r"(?i)\s+(IGNORE|RESPECT)\s+NULLS\s*$", "", p).strip()
+        if not p:
+            continue
+        nf = bool(re.search(r"(?i)\bNULLS\s+FIRST\s*$", p))
+        p = re.sub(r"(?i)\s+NULLS\s+(FIRST|LAST)\s*$", "", p).strip()
+        d = bool(re.search(r"(?i)\s+DESC\s*$", p))
+        p = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", p).strip()
+        entries.append((p, d, nf))
+    return entries
+
+
+def _ow_cmp(entries: list[tuple[str, bool, bool]], lf, rf) -> str:
+    """-1/0/1 comparator over key tuples; lf(i)/rf(i) give the SQL for
+    key i on each side (struct field ref or raw current-row expression)."""
+    cmp = "0"
+    for x, (_, d, nf) in reversed(list(enumerate(entries))):
+        l, r = lf(x), rf(x)
+        lt, gt = ("1", "-1") if d else ("-1", "1")
+        ln, rn = ("-1", "1") if nf else ("1", "-1")
+        cmp = (
+            f"case when {l} <=> {r} then {cmp} "
+            f"when {l} is null then {ln} "
+            f"when {r} is null then {rn} "
+            f"when {l} < {r} then {lt} else {gt} end"
+        )
+    return cmp
+
+
+def _ordered_window_repl(
+    name: str,
+    args: list[str],
+    entries: list[tuple[str, bool, bool]],
+    ignore_nulls: bool,
+    spec: str,
+) -> str | None:
+    """`fn(args ORDER BY keys) OVER (spec)` → Spark expression. Ties in
+    keys are resolved arbitrarily-but-consistently (test corpora use
+    unique keys; DuckDB's own tie order is implementation-defined)."""
+    if not entries:
+        return None
+    # DuckDB breaks arg-key ties by frame position, i.e. by the window's
+    # own ORDER BY — append those keys as tiebreakers where position (not
+    # peer-shared rank) is what's computed
+    om = re.search(
+        r"(?is)\bORDER\s+BY\s+(.*?)(?:\b(?:ROWS|RANGE|GROUPS)\b|$)", spec
+    )
+    spec_entries = _ow_entries(_tokens(om.group(1))) if om else []
+    pos_entries = entries + [
+        e for e in spec_entries if e[0] not in [k for k, _, _ in entries]
+    ]
+    over = f"OVER ({spec})"
+
+    def _fields(es):
+        return ", ".join(f"'k{x}', ({k})" for x, (k, _, _) in enumerate(es))
+
+    keyfields = _fields(entries)
+    x_lt_cur = (
+        _ow_cmp(entries, lambda x: f"__x.k{x}",
+                lambda x: f"({entries[x][0]})") + " < 0"
+    )
+    pos_lt_cur = (
+        _ow_cmp(pos_entries, lambda x: f"__x.k{x}",
+                lambda x: f"({pos_entries[x][0]})") + " < 0"
+    )
+    if name in ("rank", "dense_rank", "row_number"):
+        if name == "row_number":
+            karr = f"collect_list(named_struct({_fields(pos_entries)})) {over}"
+            return f"(1 + size(filter({karr}, __x -> ({pos_lt_cur}))))"
+        karr = f"collect_list(named_struct({keyfields})) {over}"
+        inner = f"filter({karr}, __x -> ({x_lt_cur}))"
+        if name == "dense_rank":
+            inner = f"array_distinct({inner})"
+        return f"(1 + size({inner}))"
+    if name == "ntile":
+        n = f"({args[0].strip()})" if args and args[0].strip() else None
+        if n is None:
+            return None
+        karr = f"collect_list(named_struct({_fields(pos_entries)})) {over}"
+        p0 = f"size(filter({karr}, __x -> ({pos_lt_cur})))"
+        m = f"size({karr})"
+        # first (m % n) buckets get floor(m/n)+1 rows, the rest floor(m/n)
+        big = f"(floor({m} / {n}) + 1)"
+        rem = f"({m} % {n})"
+        return (
+            f"(cast(case when {p0} < {rem} * {big} "
+            f"then floor({p0} / {big}) "
+            f"else {rem} + floor(({p0} - {rem} * {big}) / floor({m} / {n})) "
+            f"end as int) + 1)"
+        )
+    if name == "percent_rank":
+        karr = f"collect_list(named_struct({keyfields})) {over}"
+        return (
+            f"(case when size({karr}) <= 1 then cast(0 as double) "
+            f"else cast(size(filter({karr}, __x -> ({x_lt_cur}))) as double)"
+            f" / (size({karr}) - 1) end)"
+        )
+    if name == "cume_dist":
+        karr = f"collect_list(named_struct({keyfields})) {over}"
+        cur_lt_x = (
+            _ow_cmp(entries, lambda x: f"({entries[x][0]})",
+                    lambda x: f"__x.k{x}") + " < 0"
+        )
+        return (
+            f"(case when size({karr}) = 0 then cast(0 as double) "
+            f"else cast(size(filter({karr}, __x -> not({cur_lt_x}))) "
+            f"as double) / size({karr}) end)"
+        )
+    sort_cmp = _ow_cmp(pos_entries, lambda x: f"l.k{x}", lambda x: f"r.k{x}")
+    if name in ("first_value", "last_value", "nth_value"):
+        val = args[0] if args else None
+        if val is None:
+            return None
+        if name == "last_value":
+            # last under keys ≡ first under the fully inverted order
+            inv = [(k, not d, not nf) for k, d, nf in pos_entries]
+            sort_cmp = _ow_cmp(inv, lambda x: f"l.k{x}", lambda x: f"r.k{x}")
+        el = f"named_struct('v', ({val}), {_fields(pos_entries)})"
+        if ignore_nulls:
+            el = f"case when ({val}) is not null then {el} end"
+        sorted_ = f"array_sort(collect_list({el}) {over}, (l, r) -> {sort_cmp})"
+        n = args[1].strip() if name == "nth_value" and len(args) > 1 else "1"
+        return f"try_element_at({sorted_}, {n}).v"
+    if name in ("lag", "lead"):
+        val = args[0] if args else None
+        if val is None:
+            return None
+        n = f"({args[1].strip()})" if len(args) > 1 and args[1].strip() else "1"
+        dflt = args[2].strip() if len(args) > 2 and args[2].strip() else "null"
+        # the ordered-argument variant is an ordered aggregate over the
+        # FRAME (unlike plain lag/lead, which range over the partition)
+        el = f"named_struct('v', ({val}), {_fields(pos_entries)})"
+        arr = f"collect_list({el}) {over}"
+        sorted_ = f"array_sort({arr}, (l, r) -> {sort_cmp})"
+        idx = f"size(filter({arr}, __x -> ({pos_lt_cur})))"
+        sgn = "-" if name == "lag" else "+"
+        tgt = f"({idx} + 1 {sgn} {n})"
+        return (
+            f"(case when {tgt} between 1 and size({arr}) "
+            f"then try_element_at({sorted_}, {tgt}).v else ({dflt}) end)"
+        )
+    return None
+
 # Keywords that are followed by '(' without being function calls — the call
 # rewriter must not treat their parenthesized body as argument lists
 # (OVER (ORDER BY …) was the painful one).
@@ -3702,6 +4035,44 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
                     )]
                     i += 1
                     continue
+            if name in _ORDERED_WINDOW_FNS or name in _OW_ALIASES:
+                # `fn(args ORDER BY keys) OVER (spec)`; an in-call IGNORE
+                # NULLS may have been hoisted between `)` and OVER already
+                k2 = _next_code(out, close + 1)
+                ig = name in ("any_value", "arbitrary")
+                nm = re.fullmatch(
+                    r"\s*(IGNORE|RESPECT)\s+NULLS\s*", out[k2], re.I
+                ) if k2 < len(out) else None
+                if nm:
+                    # single hoisted token (from _rewrite_ignore_nulls_args)
+                    ig = ig or nm.group(1).upper() == "IGNORE"
+                    k2 = _next_code(out, k2 + 1)
+                elif k2 < len(out) and (
+                    _is_word(out[k2], "IGNORE") or _is_word(out[k2], "RESPECT")
+                ):
+                    k3 = _next_code(out, k2 + 1)
+                    if k3 < len(out) and _is_word(out[k3], "NULLS"):
+                        ig = ig or _is_word(out[k2], "IGNORE")
+                        k2 = _next_code(out, k3 + 1)
+                if k2 < len(out) and _is_word(out[k2], "OVER"):
+                    op = _next_code(out, k2 + 1)
+                    if op < len(out) and out[op] == "(":
+                        oc = _match_paren(out, op)
+                        if oc > 0:
+                            spec = "".join(
+                                _rewrite_calls(out[op + 1:oc])
+                            ).strip()
+                            repl = _ordered_window_repl(
+                                _OW_ALIASES.get(name, name),
+                                _split_top_args(_rewrite_calls(arg_toks)),
+                                _ow_entries(_rewrite_calls(order_toks)),
+                                ig,
+                                spec,
+                            )
+                            if repl is not None:
+                                out[i:oc + 1] = [repl]
+                                i += 1
+                                continue
             if name in _STRING_AGGS:
                 order = "".join(order_toks).strip()
                 sep_needed = not _has_top_level_comma(arg_toks)
@@ -3908,6 +4279,29 @@ def translate(sql: str) -> str:
         lambda m: m.group(1).replace("_", ""),
         sql,
     )
+    # FROM-first syntax: `FROM t [WHERE …]` ≡ `SELECT * FROM t …`, also
+    # after a WITH clause (reference parser FROM-first statements)
+    sql = _rewrite_from_first(sql)
+    # BITSTRING/BIT typed literals: the BIT emulation is binary-backed
+    sql = re.sub(
+        r"(?i)\b(?:BITSTRING|BIT)\s*'([01]*)'",
+        lambda m: f"cast('{m.group(1)}' as binary)",
+        sql,
+    )
+    # `SELECT * AS x FROM generate_series/range(...)`: DuckDB renames the
+    # single output column; only these two sources have a known column name
+    sql = re.sub(
+        r"(?is)\bSELECT\s+\*\s+AS\s+([A-Za-z_]\w*)\s+FROM\s+"
+        r"(generate_series|range)\s*\(",
+        lambda m: f"SELECT {m.group(2)} AS {m.group(1)} "
+                  f"FROM {m.group(2)}(",
+        sql,
+    )
+    # named windows inline FIRST: later OVER-spec passes (orderless-over,
+    # frame rewrites) must see the resolved spec, not the reference
+    sql = _rewrite_named_windows(sql)
+    if get_session_setting("__window_alias"):
+        sql = _substitute_window_aliases(sql)
     sql = "".join(_rewrite_select_in_subquery(_tokens(sql)))
     sql = _rewrite_any_all(sql)
     # GROUP BY () — empty grouping set ≡ global aggregate
@@ -3955,7 +4349,6 @@ def translate(sql: str) -> str:
     toks = _rewrite_within_group(toks)
     toks = _rewrite_calls(toks)
     out = "".join(toks)
-    out = _rewrite_named_windows(out)
     out = _rewrite_distinct_on(out)
     out = _rewrite_qualify(out)
     return out

@@ -51,6 +51,7 @@ from __future__ import annotations
 import hashlib
 import os
 import re
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -470,6 +471,10 @@ def _split_coldefs(s: str) -> list[str]:
     return parts
 
 
+_DBGEN_LOCK = threading.Lock()
+_DBGEN_CACHE: dict[float, str] = {}
+
+
 class SLSession:
     """One logical sqllogictest database over a shared SparkSession."""
 
@@ -501,21 +506,30 @@ class SLSession:
     def _dbgen(self, sf: float) -> None:
         """CALL dbgen(sf=…): the reference's TPC-H generator. DuckDB (the
         correctness oracle already in-process) generates the canonical
-        data; tables round-trip through parquet so schemas map exactly."""
+        data; tables round-trip through parquet so schemas map exactly.
+        Generation is process-global-locked and cached per sf: concurrent
+        `CALL dbgen` from several harness threads segfaults the in-process
+        DuckDB extension loader, and the data is deterministic anyway."""
         import tempfile
 
         import duckdb
 
-        gen = duckdb.connect()
-        gen.execute(f"CALL dbgen(sf={sf})")
-        tdir = tempfile.mkdtemp(prefix="sl_dbgen_")
+        with _DBGEN_LOCK:
+            tdir = _DBGEN_CACHE.get(sf)
+            if tdir is None:
+                gen = duckdb.connect()
+                gen.execute(f"CALL dbgen(sf={sf})")
+                tdir = tempfile.mkdtemp(prefix="sl_dbgen_")
+                for t in ("region", "nation", "customer", "supplier", "part",
+                          "partsupp", "orders", "lineitem"):
+                    p = os.path.join(tdir, f"{t}.parquet")
+                    gen.execute(f"COPY {t} TO '{p}' (FORMAT PARQUET)")
+                gen.close()
+                _DBGEN_CACHE[sf] = tdir
         for t in ("region", "nation", "customer", "supplier", "part",
                   "partsupp", "orders", "lineitem"):
-            p = os.path.join(tdir, f"{t}.parquet")
-            gen.execute(f"COPY {t} TO '{p}' (FORMAT PARQUET)")
-            df = self.spark.read.parquet(p)
+            df = self.spark.read.parquet(os.path.join(tdir, f"{t}.parquet"))
             self._register(t, df.schema, df.collect())
-        gen.close()
 
     def _drop(self, name: str) -> None:
         self.tables.pop(name, None)

@@ -30,12 +30,14 @@ _SIMPLE: dict[str, T.DataType] = {
     "FLOAT": T.FloatType(),
     "REAL": T.FloatType(),
     "DOUBLE": T.DoubleType(),
+    "DOUBLE PRECISION": T.DoubleType(),
     "VARCHAR": T.StringType(),
     "TEXT": T.StringType(),
     "STRING": T.StringType(),
     "BLOB": T.BinaryType(),
     "BYTEA": T.BinaryType(),
     "BIT": T.BinaryType(),              # bitstring emulated over binary
+    "BITSTRING": T.BinaryType(),
     "DATE": T.DateType(),
     "TIME": T.LongType(),               # µs since midnight (no Spark TIME)
     "TIMESTAMP": T.TimestampNTZType(),  # DuckDB TIMESTAMP is tz-naive
