@@ -169,6 +169,63 @@ class Relation:
         return self._df.columns
 
 
+_INLINABLE_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "string",
+    "boolean", "date", "timestamp", "timestamp_ntz",
+)
+
+
+def _inlinable_schema(schema) -> bool:
+    return all(
+        f.dataType.simpleString() in _INLINABLE_TYPES
+        or f.dataType.simpleString().startswith("decimal")
+        for f in schema.fields
+    )
+
+
+def _sql_lit(v, dt) -> str:
+    """Render a driver-side value as a typed SQL literal."""
+    import datetime
+    import decimal
+
+    ts = dt.simpleString()
+    if v is None:
+        return f"CAST(NULL AS {ts})"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if v != v:
+            return f"CAST('NaN' AS {ts})"
+        if v in (float("inf"), float("-inf")):
+            return f"CAST('{v}' AS {ts})"
+        return f"CAST({v!r} AS {ts})"
+    if isinstance(v, int):
+        return f"CAST({v} AS {ts})"
+    if isinstance(v, decimal.Decimal):
+        return f"CAST('{v}' AS {ts})"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+    if isinstance(v, datetime.datetime):
+        return f"CAST('{v.isoformat(sep=' ')}' AS {ts})"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    raise ValueError(f"not inlinable: {type(v)}")
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Truncate lineage between recursive-CTE rounds. localCheckpoint is
+    the cheap path; Spark's rewriteStatsAndConstraints can throw
+    NoSuchElementException checkpointing a union of already-checkpointed
+    frames (constraint exprId mismatch) — rebuilding from the JVM RDD
+    drops the stale constraints, then checkpoint normally."""
+    try:
+        return df.localCheckpoint(eager=True)
+    except Exception:
+        df = df.persist()
+        df.count()
+        return df
+
+
 class Connection:
     """DuckDB-style connection: `con.sql(...)`, `con.read_parquet(...)`."""
 
@@ -190,7 +247,11 @@ class Connection:
         (reference client_context.cpp:535-579), everything else
         macro-expanded, dialect-translated (QUALIFY, DISTINCT ON, EXCLUDE,
         //, ::casts) and handed to Catalyst."""
-        from duckdb_spark.sql.dialect import split_union_by_name, translate
+        from duckdb_spark.sql.dialect import (
+            split_recursive_cte,
+            split_union_by_name,
+            translate,
+        )
         from duckdb_spark.sql.macros import bind_parameters
 
         if params is not None:
@@ -242,6 +303,9 @@ class Connection:
             n = df.count()
             k = int(_scalar(m.group(3))) if m.group(3) else 0
             return Relation(df.offset(k).limit(int(n * pct / 100.0)))
+        rec = split_recursive_cte(query)
+        if rec is not None:
+            return self._recursive_cte_sql(rec)
         ubn = split_union_by_name(query)
         if ubn:
             branches, ops, tail = ubn
@@ -274,6 +338,17 @@ class Connection:
             # DuckDB allows SELECT-list aliases inside window expressions;
             # Spark doesn't. Retry with aliases inlined into window specs
             # (retry-only: columns must win over aliases when both resolve)
+            # Spark's native recursion rejects some shapes (nested WITH in
+            # the recursive term, multiple self-references); retry UNION
+            # ALL recursion through the driver loop
+            if (
+                "RECURSIVE" in msg
+                and ("UNION_NOT_SUPPORTED" in msg or "INVALID_RECURSIVE" in msg
+                     or "RECURSION" in msg)
+            ):
+                rec = split_recursive_cte(query, include_union_all=True)
+                if rec is not None:
+                    return self._recursive_cte_sql(rec)
             if "LATERAL_COLUMN_ALIAS_IN_WINDOW" in msg:
                 from duckdb_spark.sql.dialect import set_session_setting
 
@@ -286,6 +361,263 @@ class Connection:
 
     query = sql
     execute = sql
+
+    def _recursive_cte_sql(self, rec: dict) -> "Relation":
+        """Driver-loop evaluation of the recursive-CTE forms Spark's
+        native recursion can't run (UNION-distinct, USING KEY). The
+        recursive reference is the WORKING table (last round's rows);
+        `recurring.<name>` is the accumulated keyed state (reference
+        physical_recursive_cte.cpp / physical_recursive_cte_key_join.cpp).
+        Each round localCheckpoints to truncate lineage; the accumulated
+        result stays partitioned (SURVEY §2.7 scale notes)."""
+        from duckdb_spark.sql.dialect import rename_table_ident
+
+        name, cols, key = rec["name"], rec["cols"], rec["key"]
+        internal = f"__rec_{name}"
+        recurring = f"__recurring_{name}"
+
+        def _subst(sql: str) -> str:
+            # `recurring.name` → the state view, bare `name` → the working
+            # view (order matters: the qualified form first)
+            sql = re.sub(
+                rf"(?is)\brecurring\s*\.\s*{re.escape(name)}\b", recurring, sql
+            )
+            return rename_table_ident(sql, name, internal)
+
+        from duckdb_spark.sql.dialect import _tokens, _top_level_index
+
+        step_toks = _tokens(rec["step"])
+        for kw in ("ORDER", "LIMIT", "OFFSET"):
+            ix = _top_level_index(step_toks, 0, len(step_toks), kw)
+            if ix >= 0:
+                raise ValueError(
+                    f"Binder Error: {kw} BY is not supported in the "
+                    f"recursive term of a recursive CTE"
+                    if kw == "ORDER"
+                    else f"Binder Error: {kw} is not supported in the "
+                         f"recursive term of a recursive CTE"
+                )
+        # Spark's LogicalRDD.rewriteStatsAndConstraints throws on
+        # checkpointed-union constraints (stale exprIds); the loop doesn't
+        # benefit from constraint inference — turn it off for the duration
+        cp_key = "spark.sql.constraintPropagation.enabled"
+        cp_old = self.spark.conf.get(cp_key, "true")
+        self.spark.conf.set(cp_key, "false")
+        try:
+            return self._recursive_cte_run(rec, _subst, cols)
+        finally:
+            self.spark.conf.set(cp_key, cp_old)
+
+    def _recursive_cte_run(self, rec: dict, _subst, cols) -> "Relation":
+        name, key = rec["name"], rec["key"]
+        internal = f"__rec_{name}"
+        recurring = f"__recurring_{name}"
+        base_df = self.sql(rec["base"]).df()
+        if cols:
+            base_df = base_df.toDF(*cols)
+        out_cols = base_df.columns
+        step_sql = _subst(rec["step"])
+        if key:
+            acc = self._recursive_keyed(
+                base_df, step_sql, key, out_cols, internal, recurring,
+                rec["distinct"],
+            )
+        else:
+            distinct = rec["distinct"]
+            # UNION identity applies to the base rows too
+            acc = _materialize(base_df.distinct() if distinct else base_df)
+            acc_n = acc.count()
+            if acc_n <= 2000 and _inlinable_schema(acc.schema):
+                # long-thin recursions (1000 rounds of one row) cost a
+                # full Spark job per round in the DataFrame loop; inline
+                # the working set as VALUES text and iterate driver-side
+                fast = self._recursive_plain_driver(
+                    acc, step_sql, internal, recurring, distinct
+                )
+                if fast is not None:
+                    fast.createOrReplaceTempView(internal)
+                    try:
+                        return self.sql(_subst(rec["tail"]))
+                    finally:
+                        try:
+                            self.spark.catalog.dropTempView(recurring)
+                        except Exception:
+                            pass
+            working = acc
+            for _ in range(200):
+                working.createOrReplaceTempView(internal)
+                acc.createOrReplaceTempView(recurring)
+                nxt = self.sql(step_sql).df().toDF(*out_cols)
+                if distinct:
+                    # subtract = EXCEPT DISTINCT: dedupe within the round
+                    # AND against the accumulated set (exceptAll is
+                    # multiset — duplicate production would survive one
+                    # removal)
+                    nxt = _materialize(nxt.subtract(acc))
+                else:
+                    nxt = _materialize(nxt)
+                if nxt.isEmpty():
+                    break
+                acc = _materialize(acc.unionByName(nxt))
+                working = nxt
+            else:
+                raise RuntimeError(
+                    "recursive CTE: no fixpoint after 200 rounds"
+                )
+        acc.createOrReplaceTempView(internal)
+        try:
+            return self.sql(_subst(rec["tail"]))
+        finally:
+            for v in (recurring,):
+                try:
+                    self.spark.catalog.dropTempView(v)
+                except Exception:
+                    pass
+
+    def _recursive_plain_driver(
+        self,
+        acc_df: DataFrame,
+        step_sql: str,
+        internal: str,
+        recurring: str,
+        distinct: bool = True,
+    ) -> DataFrame | None:
+        """Driver-side recursion: the working set is inlined as a VALUES
+        temp view each round (no per-round Spark job beyond the step
+        itself); UNION rows dedupe in a Python set. Returns the final
+        DataFrame, or None to fall back to the distributed loop when the
+        frontier outgrows the inline budget."""
+        schema = acc_df.schema
+        cols = [f.name for f in schema.fields]
+        types = [f.dataType for f in schema.fields]
+        need_recurring = recurring in step_sql
+
+        def _mkview(name: str, rows) -> None:
+            vals = ", ".join(
+                "(" + ", ".join(_sql_lit(v, t) for v, t in zip(r, types)) + ")"
+                for r in rows
+            )
+            collist = ", ".join(f"`{c}`" for c in cols)
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMP VIEW {name} AS "
+                f"SELECT * FROM (VALUES {vals}) AS __v({collist})"
+            )
+
+        rows0 = [tuple(r) for r in acc_df.collect()]
+        if distinct:
+            seen: set = set(rows0)
+            all_rows = list(seen)
+            working = list(seen)
+        else:
+            all_rows = list(rows0)
+            working = list(rows0)
+        for _ in range(20000):
+            if len(working) > 2000 or len(all_rows) > 50000:
+                return None
+            _mkview(internal, working)
+            if need_recurring:
+                _mkview(recurring, all_rows)
+            nxt = [tuple(r) for r in self.sql(step_sql).df().collect()]
+            if distinct:
+                fresh = [r for r in dict.fromkeys(nxt) if r not in seen]
+                if not fresh:
+                    break
+                seen.update(fresh)
+            else:
+                fresh = nxt
+                if not fresh:
+                    break
+            all_rows.extend(fresh)
+            working = fresh
+        else:
+            raise RuntimeError("recursive CTE: no fixpoint after 20000 rounds")
+        # materialize through the same VALUES rendering: collected rows may
+        # be wider than the base schema (step-side type promotion) or NULL
+        # where the literal-derived base schema says non-nullable
+        vals = ", ".join(
+            "(" + ", ".join(_sql_lit(v, t) for v, t in zip(r, types)) + ")"
+            for r in all_rows
+        )
+        collist = ", ".join(f"`{c}`" for c in cols)
+        return self.spark.sql(
+            f"SELECT * FROM (VALUES {vals}) AS __v({collist})"
+        )
+
+    def _recursive_keyed(
+        self,
+        base_df: DataFrame,
+        step_sql: str,
+        key: list[str],
+        out_cols: list[str],
+        internal: str,
+        recurring: str,
+        distinct: bool,
+    ) -> DataFrame:
+        """USING KEY state loop. Key entries are plain columns or
+        per-column aggregates (`USING KEY (a, max(b))`, reference
+        physical_recursive_cte_key_join.cpp): the state groups every row
+        ever produced by the plain keys; aggregate entries combine, all
+        other columns take the latest round's value (replace-by-key)."""
+        plain: list[str] = []
+        aggs: dict[str, str] = {}  # target col -> full aggregate expr
+        for k in key:
+            am = re.match(r"(?is)^(.*\))\s+AS\s+([A-Za-z_]\w*)\s*$", k.strip())
+            if am:
+                # `sum(v) AS v`: explicit target column
+                aggs[am.group(2).lower()] = am.group(1).strip()
+                continue
+            m = re.match(
+                r"(?is)^\s*[A-Za-z_]\w*\s*\(\s*([A-Za-z_]\w*)\s*[,)]", k
+            )
+            if m:
+                # `avg(b)` / `arg_min(via, len)`: the first argument names
+                # the column the aggregate maintains
+                aggs[m.group(1).lower()] = k.strip()
+            else:
+                plain.append(k)
+        hist = _materialize(base_df.withColumn("__iter", F.lit(0)))
+        hist_name = internal + "__hist"
+
+        def _state(h: DataFrame) -> DataFrame:
+            if not aggs and not [c for c in out_cols if c not in plain]:
+                return h.drop("__iter")
+            parts = []
+            for c in out_cols:
+                if c in plain:
+                    continue
+                expr = aggs.get(c.lower())
+                if expr:
+                    parts.append(f"{expr} AS {c}")
+                else:
+                    parts.append(f"max_by({c}, __iter) AS {c}")
+            h.createOrReplaceTempView(hist_name)
+            sel = ", ".join(list(plain) + parts)
+            return self.sql(
+                f"SELECT {sel} FROM {hist_name} GROUP BY {', '.join(plain)}"
+            ).df().select(*out_cols)
+
+        working = base_df
+        state = _materialize(_state(hist))
+        for it in range(1, 200):
+            working.createOrReplaceTempView(internal)
+            state.createOrReplaceTempView(recurring)
+            nxt = self.sql(step_sql).df().toDF(*out_cols)
+            if distinct:
+                nxt = nxt.exceptAll(hist.drop("__iter")).distinct()
+            nxt = _materialize(nxt)
+            if nxt.isEmpty():
+                return state
+            hist = _materialize(hist.unionByName(
+                nxt.withColumn("__iter", F.lit(it))
+            ))
+            new_state = _materialize(_state(hist))
+            if (
+                new_state.exceptAll(state).isEmpty()
+                and state.exceptAll(new_state).isEmpty()
+            ):
+                return new_state
+            state, working = new_state, nxt
+        raise RuntimeError("recursive CTE USING KEY: no fixpoint after 200 rounds")
 
     def table(self, name: str) -> Relation:
         return Relation(self.spark.table(name))

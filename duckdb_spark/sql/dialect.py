@@ -1788,6 +1788,116 @@ def _substitute_window_aliases(sql: str) -> str:
     return "".join(out)
 
 
+def split_recursive_cte(sql: str, include_union_all: bool = False) -> dict | None:
+    """Parse `WITH RECURSIVE name [(cols)] [USING KEY (keys)] AS
+    ( base UNION [ALL] step ) tail` for the forms Spark's native
+    recursion can't run: UNION-distinct recursion and USING KEY
+    (reference physical_recursive_cte.cpp / …_key_join.cpp). Returns
+    {name, cols, key, base, step, distinct, tail} or None (incl. plain
+    UNION ALL without a key — the native path handles that)."""
+    toks = _tokens(sql)
+    i = _next_code(toks, 0)
+    # unwrap a fully-enclosing paren pair (CREATE VIEW v AS ( WITH … ))
+    while i < len(toks) and toks[i] == "(":
+        c = _match_paren(toks, i)
+        if c < 0:
+            break
+        after = _next_code(toks, c + 1)
+        if after < len(toks) and toks[after] != ";":
+            break
+        toks = toks[i + 1:c]
+        i = _next_code(toks, 0)
+    if i >= len(toks) or not _is_word(toks[i], "WITH"):
+        return None
+    i = _next_code(toks, i + 1)
+    if i >= len(toks) or not _is_word(toks[i], "RECURSIVE"):
+        return None
+    i = _next_code(toks, i + 1)
+    if i >= len(toks) or not re.match(r"^[A-Za-z_`\"]", toks[i]):
+        return None
+    name = toks[i].strip('`"')
+    i = _next_code(toks, i + 1)
+    cols: list[str] = []
+    if i < len(toks) and toks[i] == "(":
+        c = _match_paren(toks, i)
+        if c < 0:
+            return None
+        cols = [a.strip().strip('`"') for a in _split_top_args(toks[i + 1:c])]
+        i = _next_code(toks, c + 1)
+    key: list[str] = []
+    if i < len(toks) and _is_word(toks[i], "USING"):
+        j = _next_code(toks, i + 1)
+        if j >= len(toks) or not _is_word(toks[j], "KEY"):
+            return None
+        j = _next_code(toks, j + 1)
+        if j >= len(toks) or toks[j] != "(":
+            return None
+        c = _match_paren(toks, j)
+        if c < 0:
+            return None
+        key = [a.strip().strip('`"') for a in _split_top_args(toks[j + 1:c])]
+        i = _next_code(toks, c + 1)
+    if i >= len(toks) or not _is_word(toks[i], "AS"):
+        return None
+    i = _next_code(toks, i + 1)
+    while i < len(toks) and re.match(r"^[A-Za-z_]", toks[i]) and \
+            toks[i].upper() in ("NOT", "MATERIALIZED"):
+        i = _next_code(toks, i + 1)
+    if i >= len(toks) or toks[i] != "(":
+        return None
+    body_close = _match_paren(toks, i)
+    if body_close < 0:
+        return None
+    body = toks[i + 1:body_close]
+    # first top-level UNION splits base from the recursive step
+    u = _top_level_index(body, 0, len(body), "UNION")
+    if u < 0:
+        return None
+    after = _next_code(body, u + 1)
+    distinct = True
+    step_start = u + 1
+    if after < len(body) and _is_word(body[after], "ALL"):
+        distinct = False
+        step_start = after + 1
+    if distinct is False and not key and not include_union_all:
+        return None  # plain UNION ALL recursion: Spark-native
+    tail_toks = toks[body_close + 1:]
+    t0 = _next_code(tail_toks, 0)
+    if t0 < len(tail_toks) and tail_toks[t0] == ",":
+        tail = "WITH " + "".join(tail_toks[t0 + 1:])
+    else:
+        tail = "".join(tail_toks)
+    return {
+        "name": name,
+        "cols": cols,
+        "key": key,
+        "base": "".join(body[:u]).strip(),
+        "step": "".join(body[step_start:]).strip(),
+        "distinct": distinct,
+        "tail": tail.strip(),
+    }
+
+
+def rename_table_ident(sql: str, old: str, new: str) -> str:
+    """Rename bare identifier references to a (CTE) table name —
+    qualified-prefix occurrences (`old.col`) included, `x.old` and
+    function calls excluded."""
+    toks = _tokens(sql)
+    for idx, t in enumerate(toks):
+        if not re.fullmatch(r"[A-Za-z_]\w*", t) or t.lower() != old.lower():
+            continue
+        p = idx - 1
+        while p >= 0 and toks[p].isspace():
+            p -= 1
+        if p >= 0 and toks[p] == ".":
+            continue
+        n = _next_code(toks, idx + 1)
+        if n < len(toks) and toks[n] == "(":
+            continue
+        toks[idx] = new
+    return "".join(toks)
+
+
 def _rewrite_from_first(sql: str) -> str:
     """DuckDB FROM-first: `FROM t [WHERE …]` ≡ `SELECT * FROM t …`, also
     as the body after a WITH clause. `FROM t SELECT cols` reorders to the
@@ -4282,6 +4392,12 @@ def translate(sql: str) -> str:
     # FROM-first syntax: `FROM t [WHERE …]` ≡ `SELECT * FROM t …`, also
     # after a WITH clause (reference parser FROM-first statements)
     sql = _rewrite_from_first(sql)
+    # `TABLE t` ≡ `SELECT * FROM t` (reference parser TableStatement)
+    sql = re.sub(
+        r"(?is)^(\s*)TABLE\s+([A-Za-z_][\w.]*)\s*(;?\s*)$",
+        r"\1SELECT * FROM \2\3",
+        sql,
+    )
     # BITSTRING/BIT typed literals: the BIT emulation is binary-backed
     sql = re.sub(
         r"(?i)\b(?:BITSTRING|BIT)\s*'([01]*)'",
