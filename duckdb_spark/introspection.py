@@ -66,6 +66,57 @@ def duckdb_functions(spark: SparkSession) -> DataFrame:
     )
 
 
+def duckdb_types(spark: SparkSession) -> DataFrame:
+    """duckdb_types() — the engine's type registry (reference
+    src/function/table/system/duckdb_types.cpp). Every mapped DuckDB
+    type name reports as a system type."""
+    from duckdb_spark.types import _SIMPLE
+
+    rows = [
+        ("system", "main", name, name, "NUMERIC" if "INT" in name
+         or name in ("FLOAT", "DOUBLE", "DECIMAL", "NUMERIC", "REAL")
+         else "STRING" if name in ("VARCHAR", "TEXT", "STRING", "CHAR")
+         else "DATETIME" if "TIME" in name or name == "DATE"
+         else "BOOLEAN" if name in ("BOOLEAN", "BOOL", "LOGICAL")
+         else "COMPOSITE", True)
+        for name in sorted(_SIMPLE)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "database_name string, schema_name string, type_name string, "
+        "logical_type string, type_category string, internal boolean",
+    )
+
+
+def duckdb_memory(spark: SparkSession) -> DataFrame:
+    """duckdb_memory() — memory-usage breakdown by tag (reference
+    src/function/table/system/duckdb_memory.cpp). Spark's JVM owns
+    allocation; every DuckDB tag reports zero from this engine."""
+    tags = [
+        "BASE_TABLE", "HASH_TABLE", "PARQUET_READER", "CSV_READER",
+        "ORDER_BY", "ART_INDEX", "COLUMN_DATA", "METADATA",
+        "OVERFLOW_STRINGS", "IN_MEMORY_TABLE", "ALLOCATOR", "EXTENSION",
+    ]
+    return spark.createDataFrame(
+        [(t, 0, 0) for t in tags],
+        "tag string, memory_usage_bytes bigint, temporary_storage_bytes bigint",
+    )
+
+
+def pragma_table_info(spark: SparkSession, table: str) -> DataFrame:
+    """pragma_table_info('t') — SQLite-compatible table description
+    (reference src/function/table/sqlite/pragma_table_info.cpp)."""
+    rows = [
+        (i, f.name, spark_type_to_duckdb(f.dataType), not f.nullable, None, False)
+        for i, f in enumerate(spark.table(table).schema.fields)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "cid int, name string, type string, notnull boolean, "
+        "dflt_value string, pk boolean",
+    )
+
+
 def duckdb_settings(spark: SparkSession) -> DataFrame:
     """duckdb_settings() — the session's SQL conf (name/value/description)."""
     items = spark.sql("SET -v").collect()

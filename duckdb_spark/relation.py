@@ -303,6 +303,40 @@ class Connection:
             n = df.count()
             k = int(_scalar(m.group(3))) if m.group(3) else 0
             return Relation(df.offset(k).limit(int(n * pct / 100.0)))
+        m = re.match(
+            r"(?is)^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?"
+            r"([\w\"]+)\s*;?\s*$", query,
+        )
+        if m:
+            from duckdb_spark.sql.dialect import (
+                register_schema,
+                registered_schemas,
+            )
+
+            name = m.group(2).strip('"').lower()
+            if name in registered_schemas() and not m.group(1):
+                raise ValueError(
+                    f'Catalog Error: Schema with name "{name}" already exists!'
+                )
+            register_schema(name)
+            return None
+        m = re.match(
+            r"(?is)^\s*DROP\s+SCHEMA\s+(?:IF\s+EXISTS\s+)?([\w\"]+)"
+            r"\s*(CASCADE)?\s*;?\s*$", query,
+        )
+        if m:
+            from duckdb_spark.sql.dialect import unregister_schema
+
+            name = m.group(1).strip('"').lower()
+            unregister_schema(name)
+            for t in self.spark.catalog.listTables():
+                if t.name.lower().startswith(name + "__"):
+                    try:
+                        self.spark.catalog.dropTempView(t.name)
+                    except Exception:
+                        pass
+            return None
+        query = self._bind_sql_tvfs(query)
         rec = split_recursive_cte(query)
         if rec is not None:
             return self._recursive_cte_sql(rec)
@@ -361,6 +395,56 @@ class Connection:
 
     query = sql
     execute = sql
+
+    _TVF_NAMES = (
+        "duckdb_functions", "duckdb_settings", "duckdb_tables",
+        "duckdb_columns", "duckdb_views", "duckdb_types", "duckdb_memory",
+        "pragma_table_info", "repeat",
+    )
+    _tvf_seq = 0
+
+    def _bind_sql_tvfs(self, query: str) -> str:
+        """Engine-level table functions in SQL text (`FROM
+        duckdb_functions()`, `FROM pragma_table_info('t')`, `FROM
+        repeat(v, n)`): compute the DataFrame NOW (catalog state is
+        query-time), register a temp view, substitute the call."""
+        import duckdb_spark.introspection as I
+        from duckdb_spark.operators import tablefn
+
+        def repl(m: re.Match) -> str:
+            prefix = m.group(1)
+            name = m.group(2).lower()
+            args = m.group(3).strip()
+            try:
+                if name == "pragma_table_info":
+                    df = I.pragma_table_info(
+                        self.spark, args.strip("'\""))
+                elif name == "repeat":
+                    parts = [a.strip() for a in args.split(",")]
+                    if len(parts) != 2:
+                        return m.group(0)  # scalar repeat(str, n)
+                    vals = self.spark.sql(
+                        f"SELECT ({parts[0]}) AS v, "
+                        f"CAST(({parts[1]}) AS BIGINT) AS n"
+                    ).collect()[0]
+                    if vals["n"] is None or isinstance(vals["v"], str):
+                        return m.group(0)  # scalar string repeat
+                    df = tablefn.repeat(self.spark, vals["v"], int(vals["n"]))
+                else:
+                    df = getattr(I, name)(self.spark)
+            except Exception:
+                return m.group(0)
+            Connection._tvf_seq += 1
+            view = f"__tvf_{name}_{Connection._tvf_seq}"
+            df.createOrReplaceTempView(view)
+            return f"{prefix} {view} "
+
+        return re.sub(
+            r"(?is)(\bFROM|\bJOIN|,)\s*("
+            + "|".join(self._TVF_NAMES) + r")\s*\(([^()]*)\)",
+            repl,
+            query,
+        )
 
     def _recursive_cte_sql(self, rec: dict) -> "Relation":
         """Driver-loop evaluation of the recursive-CTE forms Spark's

@@ -415,6 +415,178 @@ def reset_session_settings() -> None:
     _SESSION_SETTINGS.d = {}
 
 
+def registered_schemas() -> set[str]:
+    """User schemas created this session (CREATE SCHEMA emulation:
+    `s.t` flattens to the `s__t` temp view; thread-local like every
+    session setting)."""
+    return {
+        s for s in get_session_setting("__schemas", "").split(",") if s
+    }
+
+
+def register_schema(name: str) -> None:
+    s = registered_schemas()
+    s.add(name.lower())
+    set_session_setting("__schemas", ",".join(sorted(s)))
+
+
+def unregister_schema(name: str) -> None:
+    s = registered_schemas()
+    s.discard(name.lower())
+    set_session_setting("__schemas", ",".join(sorted(s)))
+
+
+def flat_table_name(raw: str) -> str:
+    """Flatten a (possibly schema-qualified) table name to the temp-view
+    namespace: catalog prefixes drop, `main` drops, user schemas join
+    with `__` (`s1.tbl` → `s1__tbl`)."""
+    parts = [p.strip().strip('"`') for p in raw.split(".")]
+    while len(parts) > 1 and parts[0].lower() in ("memory", "temp", "system"):
+        parts.pop(0)
+    if len(parts) > 1 and parts[0].lower() == "main":
+        parts.pop(0)
+    return "__".join(parts)
+
+
+def _rewrite_schema_refs(toks: list[str]) -> list[str]:
+    """Schema-qualified references (CREATE SCHEMA emulation over flat
+    temp views). Table position (`FROM s.t`): `s.t` → `s__t AS t` so the
+    table name keeps working as a qualifier; `main`/catalog prefixes
+    drop. Column position: only 3-part refs (`s.t.c` → `t.c`) rewrite —
+    a bare `a.b` is ambiguous with column.field access."""
+    schemas = registered_schemas()
+    out = list(toks)
+    bindings: dict[tuple[str, str], bool] = {}
+    in_from: dict[int, bool] = {0: False}
+    depth = 0
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t == "(":
+            depth += 1
+            in_from.setdefault(depth, False)
+            i += 1
+            continue
+        if t == ")":
+            in_from[depth] = False
+            depth -= 1
+            i += 1
+            continue
+        if not re.match(r"^[A-Za-z_]\w*$", t):
+            i += 1
+            continue
+        up = t.upper()
+        if up in ("FROM", "JOIN", "INTO", "UPDATE", "TABLE", "VIEW"):
+            in_from[depth] = True
+            i += 1
+            continue
+        if up in ("WHERE", "SELECT", "GROUP", "HAVING", "ORDER", "LIMIT",
+                  "ON", "SET", "QUALIFY", "WINDOW", "VALUES", "AS"):
+            in_from[depth] = False
+        j = _next_code(out, i + 1)
+        if j >= len(out) or out[j] != ".":
+            i += 1
+            continue
+        k = _next_code(out, j + 1)
+        if k >= len(out) or not re.match(r"^[A-Za-z_`\"]", out[k]):
+            i += 1
+            continue
+        p = i - 1
+        while p >= 0 and out[p].isspace():
+            p -= 1
+        if p >= 0 and out[p] == ".":  # mid-path (a.b.c)
+            i += 1
+            continue
+        low = t.lower()
+        # does a further `.part` follow (3-part reference)?
+        k2 = _next_code(out, k + 1)
+        three = k2 < len(out) and out[k2] == "."
+        if in_from.get(depth):
+            if low in ("memory", "temp") or (low == "main" and three):
+                del out[i:k]
+                continue
+            if low == "main" and not three:
+                del out[i:k]
+                continue
+            if low in schemas:
+                tbl = out[k].strip('`"')
+                nxt = _next_code(out, k + 1)
+                has_alias = (
+                    nxt < len(out)
+                    and re.match(r"^[A-Za-z_`\"]", out[nxt])
+                    and out[nxt].upper() not in (
+                        "ON", "USING", "JOIN", "LEFT", "RIGHT", "FULL",
+                        "INNER", "CROSS", "NATURAL", "WHERE", "GROUP",
+                        "ORDER", "LIMIT", "HAVING", "UNION", "EXCEPT",
+                        "INTERSECT", "SET", "QUALIFY", "WINDOW", "SELECT",
+                    )
+                ) or (nxt < len(out) and _is_word(out[nxt], "AS"))
+                flat = f"{low}__{tbl}"
+                dup = any(t2 == tbl.lower() for (_, t2) in bindings)
+                if has_alias:
+                    repl, qual = flat, None
+                elif dup:
+                    # same table name under another schema: keep the flat
+                    # name as the qualifier to avoid ambiguous aliases
+                    repl, qual = flat, flat
+                else:
+                    repl, qual = f"{flat} AS {tbl}", tbl
+                out[i:k + 1] = [repl]
+                # record which qualifier (if any) schema-qualified column
+                # refs should rewrite to
+                bindings.setdefault((low, tbl.lower()), qual)
+            i += 1
+            continue
+        # column position: handled in the second pass (needs the FROM
+        # bindings to know whether the table kept its name)
+        i += 1
+    # second pass: 3-part column refs `s.t.c` → `t.c` when the FROM
+    # binding kept the table's own name (aliased tables make the
+    # schema-qualified spelling a binder error in DuckDB too)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if not re.match(r"^[A-Za-z_]\w*$", t):
+            i += 1
+            continue
+        low = t.lower()
+        if low not in schemas and low not in ("main", "memory", "temp"):
+            i += 1
+            continue
+        j = _next_code(out, i + 1)
+        if j >= len(out) or out[j] != ".":
+            i += 1
+            continue
+        k = _next_code(out, j + 1)
+        if k >= len(out) or not re.match(r"^[A-Za-z_`\"]", out[k]):
+            i += 1
+            continue
+        k2 = _next_code(out, k + 1)
+        if k2 >= len(out) or out[k2] != ".":
+            i += 1
+            continue
+        p = i - 1
+        while p >= 0 and out[p].isspace():
+            p -= 1
+        if p >= 0 and out[p] == ".":
+            i += 1
+            continue
+        tbl = out[k].strip('`"').lower()
+        qual = bindings.get((low, tbl))
+        if low in ("main", "memory", "temp"):
+            del out[i:k]
+            # skip past the table part and its dot — the stripped prefix
+            # must not cascade (`t.t.t.t` strips exactly one level)
+            i = _next_code(out, i + 1) + 1
+            continue
+        if qual:
+            out[i:k + 1] = [qual]
+            i = _next_code(out, i + 1) + 1
+            continue
+        i += 1
+    return out
+
+
 _INT_CAST_RANGES = {
     "TINYINT": (-128, 127), "INT1": (-128, 127),
     "UTINYINT": (0, 255),
@@ -4428,6 +4600,7 @@ def translate(sql: str) -> str:
     for _i, _t in enumerate(toks):
         if len(_t) >= 2 and _t[0] == '"' and _t[-1] == '"':
             toks[_i] = "`" + _t[1:-1].replace('""', '"').replace("`", "``") + "`"
+    toks = _rewrite_schema_refs(toks)
     _check_const_cast_ranges(toks)
     _check_order_by_terms(toks)
     _check_strictness(toks)

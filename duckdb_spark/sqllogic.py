@@ -471,6 +471,14 @@ def _split_coldefs(s: str) -> list[str]:
     return parts
 
 
+def _flat(raw: str) -> str:
+    """DDL-side name flattening (schema emulation): `s1.tbl` → the
+    `s1__tbl` temp view, catalog/`main` prefixes drop."""
+    from duckdb_spark.sql.dialect import flat_table_name
+
+    return flat_table_name(raw.strip().strip('"'))
+
+
 _DBGEN_LOCK = threading.Lock()
 _DBGEN_CACHE: dict[float, str] = {}
 
@@ -570,7 +578,7 @@ class SLSession:
         m = _CREATE_TABLE_RE.match(sql)
         if m and not re.match(r"(?is).*\bas\s+(select|values|with|from)\b", m.group(2) or "") \
                 and (m.group(2) or "").lstrip().startswith("("):
-            name = m.group(1).strip('"').split(".")[-1].strip('"')
+            name = _flat(m.group(1))
             from duckdb_spark.types import duckdb_type_to_spark
             from pyspark.sql import types as T
 
@@ -591,7 +599,7 @@ class SLSession:
             self._register(name, T.StructType(fields), [])
             return None
         if m:  # CREATE TABLE ... AS
-            name = m.group(1).strip('"').split(".")[-1].strip('"')
+            name = _flat(m.group(1))
             as_m = re.match(r"(?is)^(?:\([^)]*\)\s*)?as\s+(.*)$", (m.group(2) or "").strip())
             if not as_m:
                 raise ValueError(f"unsupported CREATE TABLE form: {sql[:80]}")
@@ -600,7 +608,7 @@ class SLSession:
             return None
         m = _CREATE_VIEW_RE.match(sql)
         if m:
-            name = m.group(1).strip('"').split(".")[-1].strip('"')
+            name = _flat(m.group(1))
             df = self.con.sql(m.group(3)).df()
             if m.group(2):
                 df = df.toDF(*[c.strip().strip('"') for c in m.group(2).split(",")])
@@ -609,7 +617,7 @@ class SLSession:
             return None
         m = _INSERT_RE.match(sql)
         if m:
-            name = m.group(1).strip('"').split(".")[-1].strip('"')
+            name = _flat(m.group(1))
             if name not in self.tables:
                 raise ValueError(f"unknown table {name}")
             schema, rows = self.tables[name]
@@ -640,7 +648,7 @@ class SLSession:
             return None
         m = _DELETE_RE.match(sql)
         if m:
-            name = m.group(1).strip('"').split(".")[-1].strip('"')
+            name = _flat(m.group(1))
             if name not in self.tables:
                 raise ValueError(f"unknown table {name}")
             schema, _ = self.tables[name]
@@ -656,7 +664,7 @@ class SLSession:
             return None
         m = _UPDATE_RE.match(sql)
         if m:
-            name = m.group(1).strip('"').split(".")[-1].strip('"')
+            name = _flat(m.group(1))
             if name not in self.tables:
                 raise ValueError(f"unknown table {name}")
             schema, _ = self.tables[name]
