@@ -391,6 +391,18 @@ class Connection:
                     return Relation(self.spark.sql(translate(query)))
                 finally:
                     set_session_setting("__window_alias", "")
+            # DuckDB resolves SELECT-list aliases in WHERE/HAVING/QUALIFY;
+            # Spark doesn't. Retry with the definitions inlined there.
+            if "UNRESOLVED_COLUMN" in msg:
+                from duckdb_spark.sql.dialect import set_session_setting
+
+                set_session_setting("__select_alias", "1")
+                try:
+                    retried = translate(query)
+                finally:
+                    set_session_setting("__select_alias", "")
+                if retried != translate(query):
+                    return Relation(self.spark.sql(retried))
             raise
 
     query = sql

@@ -344,6 +344,69 @@ def _rewrite_values_specials(toks: list[str]) -> list[str]:
     return out
 
 
+def _rewrite_values_colnames(toks: list[str]) -> list[str]:
+    """`FROM (VALUES …)` without a column list: DuckDB auto-names the
+    columns col0, col1, …; Spark names them col1, col2, …. Attach an
+    explicit list (reference expression_binder VALUES naming)."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if out[i] != "(":
+            i += 1
+            continue
+        j = _next_code(out, i + 1)
+        if j >= len(out) or not _is_word(out[j], "VALUES"):
+            i += 1
+            continue
+        # FROM/JOIN/comma must precede for table position
+        p = i - 1
+        while p >= 0 and out[p].isspace():
+            p -= 1
+        if not (p >= 0 and (
+            out[p] == ","
+            or (re.match(r"^[A-Za-z_]", out[p])
+                and out[p].upper() in ("FROM", "JOIN"))
+        )):
+            i += 1
+            continue
+        close = _match_paren(out, i)
+        r0 = _next_code(out, j + 1)
+        if close < 0 or r0 >= len(out) or out[r0] != "(":
+            i += 1
+            continue
+        rc = _match_paren(out, r0)
+        arity = len(_split_top_args(out[r0 + 1:rc])) if rc > 0 else 0
+        if not arity:
+            i += 1
+            continue
+        k = _next_code(out, close + 1)
+        named = False
+        alias_end = close
+        if k < len(out) and _is_word(out[k], "AS"):
+            k = _next_code(out, k + 1)
+        if (
+            k < len(out)
+            and re.match(r"^[A-Za-z_]", out[k])
+            and out[k].upper() not in _FROM_STOP
+            and out[k].upper() not in ("ON", "USING", "JOIN", "LEFT",
+                                       "RIGHT", "FULL", "INNER", "CROSS",
+                                       "NATURAL", "AS")
+        ):
+            alias_end = k
+            nxt = _next_code(out, k + 1)
+            named = nxt < len(out) and out[nxt] == "("
+        cols = ", ".join(f"col{x}" for x in range(arity))
+        if named:
+            i = close + 1
+            continue
+        if alias_end == close:
+            out[close + 1:close + 1] = [f" AS __values({cols}) "]
+        else:
+            out[alias_end + 1:alias_end + 1] = [f"({cols}) "]
+        i = close + 1
+    return out
+
+
 def _rewrite_ignore_nulls_args(toks: list[str]) -> list[str]:
     """DuckDB permits IGNORE/RESPECT NULLS *inside* the call parens
     (`last_value(x IGNORE NULLS) OVER …`, reference
@@ -1064,17 +1127,20 @@ def _rewrite_asof_join(toks: list[str]) -> list[str]:
             k += 1
         cond = "".join(out[onk + 1:cend]).strip()
         bname = alias or "".join(out[r0:rend + 1]).split(".")[-1].strip('"')
-        # find THE inequality conjunct and its build-side operand
-        ineq = None
+        # find THE inequality conjunct and its build-side operand; exactly
+        # one is required (reference bind_joinref.cpp ASOF validation)
+        ineqs = []
         for part in re.split(r"(?i)\bAND\b", cond):
             m = re.search(r"(>=|<=|>|<)", part)
             if m and not re.search(r"<>|!=", part):
-                ineq = (part, m)
-                break
-        if ineq is None:
-            i += 1
-            continue
-        part, m = ineq
+                ineqs.append((part, m))
+        if not ineqs:
+            raise ValueError("Binder Error: Missing ASOF JOIN inequality")
+        if len(ineqs) > 1:
+            raise ValueError(
+                "Binder Error: Multiple ASOF JOIN inequalities"
+            )
+        part, m = ineqs[0]
         lhs, op, rhs = part[:m.start()].strip(), m.group(1), part[m.end():].strip()
         bpat = rf"\b{re.escape(bname)}\b"
         if re.search(bpat, rhs):
@@ -1870,50 +1936,11 @@ def _substitute_window_aliases(sql: str) -> str:
     __window_alias setting): DuckDB prefers real columns over aliases,
     so this must not run on queries Spark resolves natively."""
     toks = _tokens(sql)
-    # alias map from every SELECT item list: `expr AS ident`
-    aliases: dict[str, str] = {}
-    i = 0
-    while i < len(toks):
-        if not _is_word(toks[i], "SELECT"):
-            i += 1
-            continue
-        # items until top-level FROM / end-of-scope
-        start = i + 1
-        depth = 0
-        j = start
-        item_start = start
-        items: list[tuple[int, int]] = []
-        while j < len(toks):
-            t = toks[j]
-            if t == "(":
-                depth += 1
-            elif t == ")":
-                if depth == 0:
-                    break
-                depth -= 1
-            elif depth == 0 and t == ",":
-                items.append((item_start, j))
-                item_start = j + 1
-            elif depth == 0 and re.match(r"^[A-Za-z_]", t) and t.upper() in (
-                "FROM", "WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY",
-                "ORDER", "LIMIT", "UNION", "EXCEPT", "INTERSECT",
-            ):
-                break
-            j += 1
-        items.append((item_start, j))
-        for lo, hi in items:
-            a = _top_level_index(toks, lo, hi, "AS")
-            if a < 0:
-                continue
-            ident = _next_code(toks, a + 1)
-            if ident >= hi or not re.match(r"^[A-Za-z_]\w*$", toks[ident]):
-                continue
-            expr = "".join(toks[lo:a]).strip()
-            # window-dependent aliases can't be inlined into another window
-            if not expr or re.search(r"(?i)\bOVER\b", expr):
-                continue
-            aliases.setdefault(toks[ident].lower(), expr)
-        i = j
+    # window-dependent aliases can't be inlined into another window
+    aliases = {
+        k: v for k, v in _collect_select_aliases(toks).items()
+        if not re.search(r"(?i)\bOVER\b", v)
+    }
     if not aliases:
         return sql
     # replace alias references inside OVER(...) specs and inside call
@@ -2139,6 +2166,210 @@ def _rewrite_from_first(sql: str) -> str:
             )
     toks[i:i] = ["SELECT * "]
     return "".join(toks)
+
+
+def _collect_select_aliases(toks: list[str]) -> dict[str, str]:
+    """`expr AS ident` items from every SELECT list in the statement
+    (scope-blind; callers gate on retry so a wrong hit can only replace
+    an already-failing query)."""
+    aliases: dict[str, str] = {}
+    i = 0
+    while i < len(toks):
+        if not _is_word(toks[i], "SELECT"):
+            i += 1
+            continue
+        start = i + 1
+        depth = 0
+        j = start
+        item_start = start
+        items: list[tuple[int, int]] = []
+        while j < len(toks):
+            t = toks[j]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and t == ",":
+                items.append((item_start, j))
+                item_start = j + 1
+            elif depth == 0 and re.match(r"^[A-Za-z_]", t) and t.upper() in (
+                "FROM", "WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY",
+                "ORDER", "LIMIT", "UNION", "EXCEPT", "INTERSECT",
+            ):
+                break
+            j += 1
+        items.append((item_start, j))
+        for lo, hi in items:
+            a = _top_level_index(toks, lo, hi, "AS")
+            if a < 0:
+                continue
+            ident = _next_code(toks, a + 1)
+            if ident >= hi or not re.match(r"^[A-Za-z_]\w*$", toks[ident]):
+                continue
+            expr = "".join(toks[lo:a]).strip()
+            if not expr:
+                continue
+            aliases.setdefault(toks[ident].lower(), expr)
+        i = j
+    return aliases
+
+
+_COMMON_AGG_RE = re.compile(
+    r"(?is)\b(count|sum|avg|mean|min|max|first|last|any_value|arbitrary|"
+    r"string_agg|group_concat|listagg|list|array_agg|collect_list|"
+    r"collect_set|median|mode|quantile\w*|percentile\w*|stddev\w*|"
+    r"var\w*|corr|covar\w*|regr_\w+|skewness|kurtosis\w*|entropy|"
+    r"product|bool_and|bool_or|bit_and|bit_or|bit_xor|arg_min\w*|"
+    r"arg_max\w*|min_by|max_by|approx_\w+|histogram\w*|bitstring_agg|"
+    r"kahan_sum|fsum|favg|sem|mad|reservoir_quantile)\s*\("
+)
+
+
+def _rewrite_group_by_all_having(toks: list[str]) -> list[str]:
+    """`GROUP BY ALL … HAVING c` where c isn't a SELECT item: the
+    reference adds the HAVING-referenced column to the grouping keys
+    (reference group_by_all binder). Spark's native GROUP BY ALL only
+    groups by the select list — expand explicitly."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if not _is_word(out[i], "GROUP"):
+            i += 1
+            continue
+        j = _next_code(out, i + 1)
+        k = _next_code(out, j + 1) if j < len(out) else len(out)
+        if not (j < len(out) and _is_word(out[j], "BY")
+                and k < len(out) and _is_word(out[k], "ALL")):
+            i += 1
+            continue
+        h = _next_code(out, k + 1)
+        if h >= len(out) or not _is_word(out[h], "HAVING"):
+            i += 1
+            continue
+        # select list for this scope: scan backwards to the nearest SELECT
+        s = i - 1
+        depth = 0
+        while s >= 0:
+            if out[s] == ")":
+                depth += 1
+            elif out[s] == "(":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and _is_word(out[s], "SELECT"):
+                break
+            s -= 1
+        if s < 0 or out[s] == "(":
+            i += 1
+            continue
+        f = _top_level_index(out, s + 1, i, "FROM")
+        sel_items = _split_top_args(out[s + 1:(f if f >= 0 else i)])
+        group_items = []
+        sel_names = set()
+        for it in sel_items:
+            expr = re.sub(r"(?is)\s+AS\s+([A-Za-z_]\w*)\s*$", "", it).strip()
+            am = re.search(r"(?is)\s+AS\s+([A-Za-z_]\w*)\s*$", it)
+            if am:
+                sel_names.add(am.group(1).lower())
+            if re.fullmatch(r"[A-Za-z_]\w*", expr):
+                sel_names.add(expr.lower())
+            if not _COMMON_AGG_RE.search(expr) and "over" not in expr.lower():
+                group_items.append(expr)
+        # HAVING region end
+        e = h + 1
+        depth = 0
+        while e < len(out):
+            t2 = out[e]
+            if t2 == "(":
+                depth += 1
+            elif t2 == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and re.match(r"^[A-Za-z_]", t2) and t2.upper() in (
+                "GROUP", "ORDER", "LIMIT", "WINDOW", "UNION", "EXCEPT",
+                "INTERSECT", "QUALIFY", "OFFSET",
+            ):
+                break
+            e += 1
+        extra = []
+        for x in range(h + 1, e):
+            t2 = out[x]
+            if not re.fullmatch(r"[A-Za-z_]\w*", t2):
+                continue
+            if t2.upper() in _NONFN_WORDS or t2.upper() in (
+                "AND", "OR", "NOT", "NULL", "TRUE", "FALSE", "IS", "IN",
+                "LIKE", "BETWEEN", "CASE", "WHEN", "THEN", "ELSE", "END",
+            ):
+                continue
+            p = x - 1
+            while p > h and out[p].isspace():
+                p -= 1
+            if p > h and out[p] == ".":
+                continue
+            n = _next_code(out, x + 1)
+            if n < e and out[n] == "(":
+                continue
+            if t2.lower() in sel_names or t2 in extra:
+                continue
+            extra.append(t2)
+        if extra and group_items:
+            out[k] = ", ".join(group_items + extra)
+        i += 1
+    return out
+
+
+def _substitute_filter_aliases(sql: str) -> str:
+    """DuckDB lets WHERE/HAVING/QUALIFY reference SELECT-list aliases;
+    Spark resolves only real columns there. Inline the definitions.
+    Retry-only (__select_alias setting): columns must win over aliases
+    when both resolve."""
+    toks = _tokens(sql)
+    aliases = _collect_select_aliases(toks)
+    if not aliases:
+        return sql
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if not (re.match(r"^[A-Za-z_]", t)
+                and t.upper() in ("WHERE", "HAVING", "QUALIFY")):
+            i += 1
+            continue
+        # region: until a clause keyword at this depth or the scope closes
+        j = i + 1
+        depth = 0
+        while j < len(out):
+            t2 = out[j]
+            if t2 == "(":
+                depth += 1
+            elif t2 == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and re.match(r"^[A-Za-z_]", t2) and t2.upper() in (
+                "GROUP", "HAVING", "ORDER", "LIMIT", "WINDOW", "UNION",
+                "EXCEPT", "INTERSECT", "QUALIFY", "OFFSET", "SELECT",
+            ):
+                break
+            j += 1
+        for k in range(i + 1, j):
+            t2 = out[k]
+            if not re.match(r"^[A-Za-z_]\w*$", t2) or t2.lower() not in aliases:
+                continue
+            p = k - 1
+            while p > i and out[p].isspace():
+                p -= 1
+            if p > i and out[p] == ".":
+                continue
+            n = _next_code(out, k + 1)
+            if n < j and out[n] == "(":
+                continue
+            out[k] = "(" + aliases[t2.lower()] + ")"
+        i = j
+    return "".join(out)
 
 
 def _rewrite_within_group(toks: list[str]) -> list[str]:
@@ -2440,6 +2671,26 @@ def _expand_range_tvf(out: list[str], i: int, j: int, close: int) -> int:
                 col = cols[0]
                 end = pc
     colname = col or name  # DuckDB names the column after the function
+    if col is None and alias:
+        # DuckDB resolves a bare reference to the table ALIAS as the
+        # single column (`SELECT n FROM generate_series(1,3) AS n`);
+        # rename the column only when such a reference exists — `SELECT *`
+        # keeps the function-named column otherwise
+        for x, t2 in enumerate(out):
+            if x == end or t2.lower() != alias.lower() or not re.fullmatch(
+                r"[A-Za-z_]\w*", t2
+            ):
+                continue
+            p2 = x - 1
+            while p2 >= 0 and out[p2].isspace():
+                p2 -= 1
+            if p2 >= 0 and (out[p2] == "." or _is_word(out[p2], "AS")):
+                continue
+            n2 = _next_code(out, x + 1)
+            if n2 < len(out) and out[n2] in ("(", "."):
+                continue
+            colname = alias
+            break
     temporal = bool(re.search(
         r"(?i)\b(date|timestamp|interval|now)\b", "".join(out[j:close + 1])
     ))
@@ -4590,6 +4841,8 @@ def translate(sql: str) -> str:
     sql = _rewrite_named_windows(sql)
     if get_session_setting("__window_alias"):
         sql = _substitute_window_aliases(sql)
+    if get_session_setting("__select_alias"):
+        sql = _substitute_filter_aliases(sql)
     sql = "".join(_rewrite_select_in_subquery(_tokens(sql)))
     sql = _rewrite_any_all(sql)
     # GROUP BY () — empty grouping set ≡ global aggregate
@@ -4601,6 +4854,7 @@ def translate(sql: str) -> str:
         if len(_t) >= 2 and _t[0] == '"' and _t[-1] == '"':
             toks[_i] = "`" + _t[1:-1].replace('""', '"').replace("`", "``") + "`"
     toks = _rewrite_schema_refs(toks)
+    toks = _rewrite_group_by_all_having(toks)
     _check_const_cast_ranges(toks)
     _check_order_by_terms(toks)
     _check_strictness(toks)
@@ -4620,6 +4874,7 @@ def translate(sql: str) -> str:
     toks = _rewrite_struct_literals(toks)
     toks = _rewrite_division(toks)
     toks = _rewrite_values_specials(toks)
+    toks = _rewrite_values_colnames(toks)
     toks = _rewrite_filter_where(toks)
     toks = _rewrite_ignore_nulls_args(toks)
     toks = _rewrite_where_null(toks)
