@@ -2097,6 +2097,175 @@ def rename_table_ident(sql: str, old: str, new: str) -> str:
     return "".join(toks)
 
 
+def _parse_time_us(txt: str) -> int:
+    tm = re.fullmatch(
+        r"(\d{1,2}):(\d{2})(?::(\d{2})(?:\.(\d{1,6}))?)?", txt.strip()
+    )
+    if not tm:
+        raise ValueError(
+            f"Conversion Error: Could not convert string '{txt}' to TIME"
+        )
+    h, mi = int(tm.group(1)), int(tm.group(2))
+    s = int(tm.group(3) or 0)
+    frac = (tm.group(4) or "").ljust(6, "0")
+    if h > 24 or mi > 59 or s > 59:
+        raise ValueError(
+            f"Conversion Error: Could not convert string '{txt}' to TIME"
+        )
+    return ((h * 3600 + mi * 60 + s) * 1_000_000) + int(frac)
+
+
+def _fold_time_literals(sql: str) -> str:
+    """`TIME 'hh:mm:ss[.ffffff]'` → µs-since-midnight BIGINT (the TIME
+    emulation, SURVEY §1.2; Spark has no TIME type)."""
+    return re.sub(
+        r"(?i)\bTIME\s*'([^']*)'",
+        lambda m: f"CAST({_parse_time_us(m.group(1))} AS BIGINT)",
+        sql,
+    )
+
+
+_INT_TYPE_NAMES = {
+    "TINYINT": "tinyint", "INT1": "tinyint",
+    "SMALLINT": "smallint", "INT2": "smallint",
+    "INTEGER": "int", "INT": "int", "INT4": "int",
+    "BIGINT": "bigint", "INT8": "bigint",
+    "UTINYINT": "smallint", "USMALLINT": "int", "UINTEGER": "bigint",
+    "HUGEINT": "decimal(38,0)", "UHUGEINT": "decimal(38,0)",
+    "UBIGINT": "decimal(20,0)",
+    "UINT8": "smallint", "UINT16": "int", "UINT32": "bigint",
+    "UINT64": "decimal(20,0)",
+}
+
+
+_FOLD_CAST_RANGES = {
+    "TINYINT": (-128, 127), "INT1": (-128, 127),
+    "SMALLINT": (-2**15, 2**15 - 1), "INT2": (-2**15, 2**15 - 1),
+    "INTEGER": (-2**31, 2**31 - 1), "INT": (-2**31, 2**31 - 1),
+    "INT4": (-2**31, 2**31 - 1),
+    "BIGINT": (-2**63, 2**63 - 1), "INT8": (-2**63, 2**63 - 1),
+    "UTINYINT": (0, 255), "UINT8": (0, 255),
+    "USMALLINT": (0, 2**16 - 1), "UINT16": (0, 2**16 - 1),
+    "UINTEGER": (0, 2**32 - 1), "UINT32": (0, 2**32 - 1),
+    "UBIGINT": (0, 2**64 - 1), "UINT64": (0, 2**64 - 1),
+    "HUGEINT": (-2**127, 2**127 - 1), "UHUGEINT": (0, 2**128 - 1),
+}
+
+
+def _fold_null_cast_chains(toks: list[str]) -> list[str]:
+    """`NULL::a::b::…::z` → `CAST(NULL AS z)`: the reference folds a
+    constant NULL through any cast chain; Spark rejects intermediate
+    incompatible pairs (STRING→ARRAY, …)."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if not _is_word(out[i], "NULL"):
+            i += 1
+            continue
+        j = _next_code(out, i + 1)
+        last_ty = None
+        end = i
+        while j < len(out) and out[j] == "::":
+            t0 = _next_code(out, j + 1)
+            if t0 >= len(out) or not re.match(r"^[A-Za-z_]", out[t0]):
+                break
+            te = t0
+            p = _next_code(out, te + 1)
+            if p < len(out) and out[p] == "(":
+                pc = _match_paren(out, p)
+                if pc > 0:
+                    te = pc
+                    p = _next_code(out, te + 1)
+            while p < len(out) and out[p] == "[":
+                pc = _match_paren(out, p)
+                if pc < 0:
+                    break
+                te = pc
+                p = _next_code(out, te + 1)
+            last_ty = "".join(out[t0:te + 1])
+            end = te
+            j = _next_code(out, te + 1)
+        if last_ty is not None:
+            repl = _tokens(f"NULL::{last_ty} ")
+            out[i:end + 1] = repl
+            i += len(repl)
+            continue
+        i += 1
+    return out
+
+
+def _fold_const_string_int_casts(toks: list[str]) -> list[str]:
+    """Constant `'1e2'::INT` / `CAST('0xF' AS INT)`: the reference's
+    string→integer cast accepts exponent and hex forms and rounds
+    decimals half-away-from-zero (src/common/operator/cast_operators);
+    Spark's rejects them. Fold literal cases driver-side."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        lit = ty = close = -1
+        if _is_word(out[i], "CAST"):
+            j = _next_code(out, i + 1)
+            if j < len(out) and out[j] == "(":
+                l0 = _next_code(out, j + 1)
+                if l0 < len(out) and out[l0].startswith("'") and \
+                        out[l0].endswith("'"):
+                    a = _next_code(out, l0 + 1)
+                    if a < len(out) and _is_word(out[a], "AS"):
+                        t0 = _next_code(out, a + 1)
+                        c0 = _next_code(out, t0 + 1) if t0 < len(out) else len(out)
+                        if t0 < len(out) and c0 < len(out) and out[c0] == ")":
+                            lit, ty, close = l0, t0, c0
+        elif out[i].startswith("'") and out[i].endswith("'"):
+            j = _next_code(out, i + 1)
+            if j < len(out) and out[j] == "::":
+                t0 = _next_code(out, j + 1)
+                if t0 < len(out):
+                    lit, ty, close = i, t0, t0
+        if lit < 0:
+            i += 1
+            continue
+        tyname = out[ty].upper()
+        if tyname == "TIME":
+            us = _parse_time_us(out[lit][1:-1])
+            out[i:close + 1] = [f"CAST({us} AS BIGINT)"]
+            i += 1
+            continue
+        if tyname not in _INT_TYPE_NAMES:
+            i += 1
+            continue
+        raw = out[lit][1:-1].strip()
+        if re.fullmatch(r"[+-]?\d+", raw):
+            i += 1
+            continue  # plain integer: Spark handles (and range-checks)
+        v = None
+        hx = re.fullmatch(r"([+-]?)0[xX]([0-9a-fA-F]+)", raw)
+        if hx:
+            v = int(hx.group(2), 16) * (-1 if hx.group(1) == "-" else 1)
+        elif re.fullmatch(
+            r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", raw
+        ):
+            from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+            with localcontext() as ctx:
+                ctx.prec = 60
+                v = int(
+                    Decimal(raw).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+                )
+        if v is None:
+            i += 1
+            continue
+        lo_hi = _FOLD_CAST_RANGES.get(tyname)
+        if lo_hi and not (lo_hi[0] <= v <= lo_hi[1]):
+            raise ValueError(
+                f"Conversion Error: Could not convert string '{raw}' to "
+                f"{tyname}: out of range"
+            )
+        spark_ty = _INT_TYPE_NAMES[tyname]
+        out[i:close + 1] = [f"CAST({v} AS {spark_ty})"]
+        i += 1
+    return out
+
+
 def _rewrite_from_first(sql: str) -> str:
     """DuckDB FROM-first: `FROM t [WHERE …]` ≡ `SELECT * FROM t …`, also
     as the body after a WITH clause. `FROM t SELECT cols` reorders to the
@@ -4064,6 +4233,8 @@ _TYPE_RENAMES = {
     "REAL": "FLOAT", "FLOAT4": "FLOAT", "FLOAT8": "DOUBLE",
     "BLOB": "BINARY", "BYTEA": "BINARY", "LOGICAL": "BOOLEAN",
     "INT1": "TINYINT", "INT2": "SMALLINT", "INT4": "INT", "INT8": "BIGINT",
+    "UINT8": "SMALLINT", "UINT16": "INT", "UINT32": "BIGINT",
+    "UINT64": "DECIMAL(20,0)",
     "INT16": "SMALLINT", "INT32": "INT", "INT64": "BIGINT",
     "SIGNED": "BIGINT", "OID": "BIGINT",
     "TIMESTAMP_S": "TIMESTAMP", "TIMESTAMP_MS": "TIMESTAMP",
@@ -4815,6 +4986,7 @@ def translate(sql: str) -> str:
     # FROM-first syntax: `FROM t [WHERE …]` ≡ `SELECT * FROM t …`, also
     # after a WITH clause (reference parser FROM-first statements)
     sql = _rewrite_from_first(sql)
+    sql = _fold_time_literals(sql)
     # `TABLE t` ≡ `SELECT * FROM t` (reference parser TableStatement)
     sql = re.sub(
         r"(?is)^(\s*)TABLE\s+([A-Za-z_][\w.]*)\s*(;?\s*)$",
@@ -4868,6 +5040,8 @@ def translate(sql: str) -> str:
                 toks[_p] = " "
     toks = _rewrite_exclude(toks)
     toks = _rewrite_floordiv(toks)
+    toks = _fold_null_cast_chains(toks)
+    toks = _fold_const_string_int_casts(toks)
     toks = _rewrite_pg_cast(toks)
     toks = _rewrite_cast_types(toks)
     toks = _rewrite_brackets(toks)

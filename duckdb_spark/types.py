@@ -66,6 +66,10 @@ _SIMPLE: dict[str, T.DataType] = {
     "INT4": T.IntegerType(),
     "INT8": T.LongType(),
     # bit-width aliases (INT16/INT32/INT64), not byte-width (INT1/INT2/INT4/INT8)
+    "UINT8": T.ShortType(),
+    "UINT16": T.IntegerType(),
+    "UINT32": T.LongType(),
+    "UINT64": T.DecimalType(20, 0),
     "INT16": T.ShortType(),
     "INT32": T.IntegerType(),
     "INT64": T.LongType(),
