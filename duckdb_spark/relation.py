@@ -340,6 +340,43 @@ class Connection:
         rec = split_recursive_cte(query)
         if rec is not None:
             return self._recursive_cte_sql(rec)
+        # LIMIT/OFFSET with non-integer or subquery expressions: DuckDB
+        # evaluates them (LIMIT 1.25 → 1 row, LIMIT (SELECT 3)); Spark
+        # wants foldable integers
+        _lim_alt = (
+            r"\(\s*SELECT\b[^;]*?\)|'[^']*'(?:\s*::\s*\w+)?"
+            r"|[\d.]+(?:\s*::\s*\w+)?"
+        )
+        m = re.match(
+            rf"(?is)^(.*)\bLIMIT\s+({_lim_alt})"
+            rf"(?:\s+OFFSET\s+({_lim_alt}))?\s*;?\s*$",
+            query,
+        )
+        if m and not re.fullmatch(r"\d+", m.group(2).strip()) and \
+                m.group(1).count("(") == m.group(1).count(")"):
+            def _ev(expr: str) -> int:
+                expr = expr.strip()
+                qm = re.fullmatch(r"'([^']*)'(?:\s*::\s*\w+)?", expr)
+                if qm:
+                    expr = qm.group(1)
+                expr = re.sub(r"::\s*\w+\s*$", "", expr).strip()
+                if re.fullmatch(r"[\d.]+", expr):
+                    return int(float(expr))
+                # scalar subqueries may reference the statement's CTEs
+                from duckdb_spark.sql.dialect import split_with_prefix
+
+                pre = split_with_prefix(m.group(1))[0] if \
+                    expr.startswith("(") else ""
+                v = self.sql(
+                    f"{pre} SELECT CAST({expr} AS DOUBLE)"
+                ).df().collect()[0][0]
+                return 0 if v is None else int(v)
+
+            base = self.sql(m.group(1))
+            df = base.df()
+            if m.group(3):
+                df = df.offset(_ev(m.group(3)))
+            return Relation(df.limit(_ev(m.group(2))))
         ubn = split_union_by_name(query)
         if ubn:
             branches, ops, tail = ubn

