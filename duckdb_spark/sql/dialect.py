@@ -2177,7 +2177,16 @@ def _fold_null_cast_chains(toks: list[str]) -> list[str]:
                     te = pc
                     p = _next_code(out, te + 1)
             while p < len(out) and out[p] == "[":
-                pc = _match_paren(out, p)
+                bd = 0
+                pc = -1
+                for q in range(p, len(out)):
+                    if out[q] == "[":
+                        bd += 1
+                    elif out[q] == "]":
+                        bd -= 1
+                        if bd == 0:
+                            pc = q
+                            break
                 if pc < 0:
                     break
                 te = pc
@@ -4115,6 +4124,15 @@ def _ordered_window_repl(
     unique keys; DuckDB's own tie order is implementation-defined)."""
     if not entries:
         return None
+    # in-call IGNORE/RESPECT NULLS may trail any argument
+    cleaned = []
+    for a in args:
+        m0 = re.search(r"(?is)\s+(IGNORE|RESPECT)\s+NULLS\s*$", a)
+        if m0:
+            ignore_nulls = ignore_nulls or m0.group(1).upper() == "IGNORE"
+            a = a[:m0.start()]
+        cleaned.append(a)
+    args = cleaned
     # DuckDB breaks arg-key ties by frame position, i.e. by the window's
     # own ORDER BY — append those keys as tiebreakers where position (not
     # peer-shared rank) is what's computed
