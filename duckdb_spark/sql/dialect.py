@@ -733,7 +733,12 @@ def _check_order_by_terms(toks: list[str]) -> None:
             depth = 0
             def _flush(item: list[str]) -> None:
                 text = "".join(item).strip()
-                if re.fullmatch(r"'[^']*'", text):
+                text = re.sub(
+                    r"(?i)\s+(ASC|DESC|NULLS\s+(FIRST|LAST))\s*$", "", text
+                ).strip()
+                if re.fullmatch(r"'[^']*'", text) or re.fullmatch(
+                    r"(?i)NULL|TRUE|FALSE|\d+\.\d+", text
+                ):
                     if get_session_setting("order_by_non_integer_literal") in (
                         "true", "1", "on",
                     ):
@@ -2443,6 +2448,50 @@ _COMMON_AGG_RE = re.compile(
 )
 
 
+def _check_grouping_set_limits(toks: list[str]) -> None:
+    """Reference binder limits: CUBE/ROLLUP cannot nest grouping-set
+    constructs, and the total number of generated grouping sets is capped
+    at 65535 (bind_group_by.cpp)."""
+    total = 1
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if not (re.match(r"^[A-Za-z_]", t) and t.upper() in ("CUBE", "ROLLUP")):
+            i += 1
+            continue
+        # only the GROUP BY construct (preceded by BY or ',' at clause level)
+        j = _next_code(toks, i + 1)
+        if j >= len(toks) or toks[j] != "(":
+            i += 1
+            continue
+        p = i - 1
+        while p >= 0 and toks[p].isspace():
+            p -= 1
+        if not (p >= 0 and (toks[p] == "," or _is_word(toks[p], "BY"))):
+            i += 1
+            continue
+        c = _match_paren(toks, j)
+        if c < 0:
+            i += 1
+            continue
+        inner = toks[j + 1:c]
+        for x in inner:
+            if re.match(r"^[A-Za-z_]", x) and x.upper() in (
+                "CUBE", "ROLLUP", "GROUPING",
+            ):
+                raise ValueError(
+                    "Parser Error: GROUP BY clause cannot contain nested "
+                    "grouping sets"
+                )
+        n = len(_split_top_args(inner))
+        total *= (2 ** n) if t.upper() == "CUBE" else (n + 1)
+        if total > 65535:
+            raise ValueError(
+                "Binder Error: maximum grouping set count of 65535 exceeded"
+            )
+        i = c + 1
+
+
 def _rewrite_group_by_all_having(toks: list[str]) -> list[str]:
     """`GROUP BY ALL … HAVING c` where c isn't a SELECT item: the
     reference adds the HAVING-referenced column to the grouping keys
@@ -3037,6 +3086,12 @@ def _rewrite_distinct_on(sql: str) -> str:
                 end = i
                 break
     keys = "".join(toks[start + 1 : end]).strip()
+    for _k in _split_top_args(_tokens(keys)):
+        _k = _k.strip()
+        if re.fullmatch(r"(?i)'[^']*'|NULL|TRUE|FALSE|\d+\.\d+", _k):
+            raise ValueError(
+                "Binder Error: DISTINCT ON non-integer literal has no effect"
+            )
     rest = "".join(toks[end + 1 :]).strip()  # select list + FROM ...
     clauses = _split_clauses("SELECT " + rest)
     sel = re.sub(r"(?i)^SELECT\s*", "", clauses["SELECT"]).strip()
@@ -3057,11 +3112,39 @@ def _rewrite_distinct_on(sql: str) -> str:
     return f"SELECT {sel} FROM ({inner}) __distinct_on WHERE __rn = 1 {tail}".strip()
 
 
+def _scope_span(sql: str, pos: int) -> tuple[int, int]:
+    """(start, end) of the innermost paren scope containing pos (whole
+    string when at top level)."""
+    depth = 0
+    start = 0
+    opens: list[int] = []
+    for i, ch in enumerate(sql):
+        if i >= pos:
+            break
+        if ch == "(":
+            opens.append(i)
+        elif ch == ")" and opens:
+            opens.pop()
+    start = opens[-1] + 1 if opens else 0
+    depth = 0
+    for i in range(pos, len(sql)):
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            if depth == 0:
+                return start, i
+            depth -= 1
+    return start, len(sql)
+
+
 def _rewrite_named_windows(sql: str) -> str:
     """Inline `WINDOW w AS (...)` definitions into OVER references —
     including DuckDB's frame-extension form `OVER (w ROWS ...)`, which
     Spark's named-window support can't parse. The WINDOW clause itself is
-    removed after inlining."""
+    removed after inlining. Scope-aware: a definition only resolves
+    references within its own SELECT scope (reference binder; a CTE can't
+    see the main query's WINDOW clause), and duplicate names in one scope
+    are a binder error."""
     m = re.search(r"(?is)\bWINDOW\s+([A-Za-z_][A-Za-z_0-9]*)\s+AS\s*\(", sql)
     if not m:
         return sql
@@ -3075,15 +3158,66 @@ def _rewrite_named_windows(sql: str) -> str:
                 depth -= 1
             i += 1
         body = sql[m.end() : i - 1]
+        # duplicate names later in the same WINDOW clause chain
+        rest_probe = sql[i:]
+        probe_names = []
+        while True:
+            pm = re.match(
+                r"(?is)\s*,\s*([A-Za-z_]\w*)\s+AS\s*\(", rest_probe
+            )
+            if not pm:
+                break
+            probe_names.append(pm.group(1).lower())
+            d2, x2 = 1, pm.end()
+            while x2 < len(rest_probe) and d2:
+                if rest_probe[x2] == "(":
+                    d2 += 1
+                elif rest_probe[x2] == ")":
+                    d2 -= 1
+                x2 += 1
+            rest_probe = rest_probe[x2:]
+        if name.lower() in probe_names:
+            raise ValueError(
+                f"Binder Error: window \"{name}\" is already defined"
+            )
         # strip this definition (and an optional trailing comma for multi-defs)
         rest = re.sub(r"(?s)^\s*,", " WINDOW ", sql[i:], count=1)
         sql = sql[: m.start()] + " " + rest
-        # OVER (w <frame-extension>) → OVER (<body> <frame-extension>)
-        sql = re.sub(
-            rf"(?is)\bOVER\s*\(\s*{name}\b", f"OVER ({body} ", sql
-        )
-        # bare OVER w → OVER (<body>)
-        sql = re.sub(rf"(?is)\bOVER\s+{name}\b", f"OVER ({body})", sql)
+        span0, span1 = _scope_span(sql, m.start())
+        seg = sql[span0:span1]
+        # same-SELECT scope only: mask nested subqueries (paren groups
+        # opening with SELECT/WITH/VALUES — the reference binder doesn't
+        # resolve a parent's WINDOW clause inside them)
+        parts: list[tuple[str, bool]] = []
+        pos0 = 0
+        while True:
+            nm = re.search(r"\(\s*(?:SELECT|WITH|VALUES)\b", seg[pos0:], re.I)
+            if not nm:
+                parts.append((seg[pos0:], True))
+                break
+            st = pos0 + nm.start()
+            parts.append((seg[pos0:st], True))
+            d2 = 0
+            en = len(seg)
+            for x2 in range(st, len(seg)):
+                if seg[x2] == "(":
+                    d2 += 1
+                elif seg[x2] == ")":
+                    d2 -= 1
+                    if d2 == 0:
+                        en = x2 + 1
+                        break
+            parts.append((seg[st:en], False))
+            pos0 = en
+        def _apply(s: str) -> str:
+            # OVER (w <frame-extension>) → OVER (<body> <frame-extension>)
+            s = re.sub(
+                rf"(?is)\bOVER\s*\(\s*{name}\b", f"OVER ({body} ", s
+            )
+            # bare OVER w → OVER (<body>)
+            return re.sub(rf"(?is)\bOVER\s+{name}\b", f"OVER ({body})", s)
+        seg = "".join(_apply(p) if ok else p for p, ok in parts)
+        sql = sql[:span0] + seg + sql[span1:]
         m = re.search(r"(?is)\bWINDOW\s+([A-Za-z_][A-Za-z_0-9]*)\s+AS\s*\(", sql)
     return sql
 
@@ -5122,6 +5256,7 @@ def translate(sql: str) -> str:
         if len(_t) >= 2 and _t[0] == '"' and _t[-1] == '"':
             toks[_i] = "`" + _t[1:-1].replace('""', '"').replace("`", "``") + "`"
     toks = _rewrite_schema_refs(toks)
+    _check_grouping_set_limits(toks)
     toks = _rewrite_group_by_all_having(toks)
     # grouping()/grouping_id() under a PLAIN group by: always 0 in the
     # reference; Spark requires grouping sets

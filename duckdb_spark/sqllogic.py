@@ -720,6 +720,16 @@ class SLSession:
                         f"Parser Error: Unrecognized parameter for option "
                         f"NULL_ORDER \"{m2.group(1)}\""
                     )
+                m2 = re.match(
+                    r"(?is)^\s*pragma\s+default_order\s*=\s*'([^']*)'", sql
+                )
+                if m2 and not re.fullmatch(
+                    r"(?i)(asc|desc)(ending)?", m2.group(1)
+                ):
+                    raise ValueError(
+                        f"Invalid Input Error: Unrecognized parameter for "
+                        f"option DEFAULT_ORDER \"{m2.group(1)}\""
+                    )
             return None
         return self.con.sql(sql)
 
