@@ -1137,15 +1137,40 @@ def _rewrite_asof_join(toks: list[str]) -> list[str]:
         ineqs = []
         for part in re.split(r"(?i)\bAND\b", cond):
             m = re.search(r"(>=|<=|>|<)", part)
-            if m and not re.search(r"<>|!=", part):
-                ineqs.append((part, m))
+            if not m or re.search(r"<>|!=", part):
+                continue
+            # the ASOF inequality joins the two sides; a one-sided
+            # comparison (`l.price > 150`) is a pushed filter, not the
+            # ordering predicate (reference bind_joinref.cpp)
+            lhs, rhs = part[:m.start()], part[m.end():]
+
+            def _refs(s: str) -> tuple[bool, bool]:
+                has_b = bool(re.search(rf"(?i)\b{re.escape(bname)}\s*\.", s))
+                s2 = re.sub(
+                    rf"(?i)\b{re.escape(bname)}\s*\.\s*[A-Za-z_]\w*", " ", s
+                )
+                other = any(
+                    w.upper() not in (
+                        "AND", "OR", "NOT", "NULL", "TRUE", "FALSE", "CAST",
+                        "AS", "INTERVAL", "DATE", "TIMESTAMP", "TIME",
+                        "YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND",
+                    )
+                    for w in re.findall(r"[A-Za-z_]\w*", s2)
+                )
+                return has_b, other
+
+            b_l, o_l = _refs(lhs)
+            b_r, o_r = _refs(rhs)
+            two_sided = (b_l and o_r and not b_r) or (b_r and o_l and not b_l)
+            ineqs.append((part, m, two_sided))
+        qualified = [x for x in ineqs if x[2]]
         if not ineqs:
             raise ValueError("Binder Error: Missing ASOF JOIN inequality")
-        if len(ineqs) > 1:
+        if len(qualified) > 1:
             raise ValueError(
                 "Binder Error: Multiple ASOF JOIN inequalities"
             )
-        part, m = ineqs[0]
+        part, m, _ = qualified[0] if qualified else ineqs[0]
         lhs, op, rhs = part[:m.start()].strip(), m.group(1), part[m.end():].strip()
         bpat = rf"\b{re.escape(bname)}\b"
         if re.search(bpat, rhs):
@@ -2637,6 +2662,169 @@ def _substitute_filter_aliases(sql: str) -> str:
     return "".join(out)
 
 
+_ORDER_STOPS = {
+    "LIMIT", "OFFSET", "ROWS", "RANGE", "GROUPS", "UNION", "EXCEPT",
+    "INTERSECT", "HAVING", "WINDOW", "QUALIFY", "FROM", "WHERE", "GROUP",
+    "EXCLUDE", "SELECT",
+}
+
+
+def _rewrite_order_by_all(toks: list[str]) -> list[str]:
+    """`ORDER BY ALL [dir]` → explicit ordinals for the owning SELECT's
+    list (reference order_binder ALL expansion). Spark supports the ALL
+    spelling natively but with its own NULL defaults — expanding lets
+    the null-order normalization apply per term. Star select lists stay
+    native (arity unknown)."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if not _is_word(out[i], "ORDER"):
+            i += 1
+            continue
+        b = _next_code(out, i + 1)
+        a = _next_code(out, b + 1) if b < len(out) else len(out)
+        if not (b < len(out) and _is_word(out[b], "BY")
+                and a < len(out) and _is_word(out[a], "ALL")):
+            i += 1
+            continue
+        nx = _next_code(out, a + 1)
+        direction = ""
+        end = a
+        if nx < len(out) and re.match(r"^[A-Za-z_]", out[nx]) and \
+                out[nx].upper() in ("ASC", "DESC"):
+            direction = " " + out[nx].upper()
+            end = nx
+        # owning SELECT: scan back at the same depth
+        s = i - 1
+        depth = 0
+        while s >= 0:
+            if out[s] == ")":
+                depth += 1
+            elif out[s] == "(":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and _is_word(out[s], "SELECT"):
+                break
+            s -= 1
+        if s < 0 or out[s] == "(":
+            i += 1
+            continue
+        f = _top_level_index(out, s + 1, i, "FROM")
+        items = _split_top_args(out[s + 1:(f if f >= 0 else i)])
+        if not items or any("*" in x for x in items):
+            i += 1
+            continue
+        out[a:end + 1] = _tokens(
+            ", ".join(f"{x + 1}{direction}" for x in range(len(items)))
+        )
+        i += 1
+    return out
+
+
+def _normalize_null_order(toks: list[str]) -> list[str]:
+    """DuckDB sorts NULLs LAST under ASC and FIRST under DESC (NULLs as
+    largest, reference default_null_order); Spark's defaults are the
+    opposite. Make the DuckDB default explicit on every ORDER BY term
+    lacking a NULLS spec — query scopes and OVER specs; in-call
+    aggregate ORDER BYs keep their own comparator handling."""
+    if get_session_setting("default_null_order") in (
+        "nulls_first", "nulls first",
+    ):
+        return toks  # Spark's own default
+    out = list(toks)
+    # classify each paren: normalize inside OVER(...) and subqueries,
+    # skip inside function-call parens
+    ctx: list[bool] = [True]
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t == "(":
+            p = _prev_code(out, i - 1)
+            if p >= 0 and _is_word(out[p], "OVER"):
+                ctx.append(True)
+            elif p >= 0 and re.match(r"^[A-Za-z_`\"]", out[p]) and \
+                    out[p].upper() not in ("SELECT", "ALL", "DISTINCT"):
+                ctx.append(False)  # function call / table alias parens
+            else:
+                ctx.append(True)
+            i += 1
+            continue
+        if t == ")":
+            if len(ctx) > 1:
+                ctx.pop()
+            i += 1
+            continue
+        if not (_is_word(t, "ORDER") and ctx[-1]):
+            i += 1
+            continue
+        b = _next_code(out, i + 1)
+        if b >= len(out) or not _is_word(out[b], "BY"):
+            i += 1
+            continue
+        # walk items at this depth
+        k = b + 1
+        depth = 0
+        item_start = _next_code(out, k)
+        last_code = -1
+        desc = False
+        has_nulls = False
+
+        def _close(end_at: int) -> None:
+            nonlocal desc, has_nulls
+            if last_code < 0 or has_nulls:
+                desc = False
+                has_nulls = False
+                return
+            word = " NULLS FIRST " if desc else " NULLS LAST "
+            out[end_at:end_at] = [word]
+            desc = False
+            has_nulls = False
+
+        k = item_start
+        while k < len(out):
+            t2 = out[k]
+            if t2 == "(":
+                depth += 1
+            elif t2 == ")":
+                if depth == 0:
+                    _close(last_code + 1)
+                    break
+                depth -= 1
+            elif depth == 0 and t2 == ",":
+                _close(last_code + 1)
+                k += 2  # account for the inserted token
+                last_code = -1
+                continue
+            elif depth == 0 and t2 == ";":
+                _close(last_code + 1)
+                break
+            elif depth == 0 and re.match(r"^[A-Za-z_]", t2):
+                up = t2.upper()
+                if up in _ORDER_STOPS:
+                    _close(last_code + 1)
+                    break
+                if up == "ALL" and last_code < 0:
+                    # ORDER BY ALL: expanded later; leave untouched
+                    break
+                if up == "DESC":
+                    desc = True
+                elif up == "ASC":
+                    desc = False
+                elif up == "NULLS" or re.fullmatch(
+                    r"(?i)NULLS\s+(FIRST|LAST)", t2
+                ):
+                    has_nulls = True
+                last_code = k
+            elif not t2.isspace():
+                last_code = k
+            k += 1
+        else:
+            _close(last_code + 1)
+        i += 1
+    return out
+
+
 def _rewrite_within_group(toks: list[str]) -> list[str]:
     """`fn(args) WITHIN GROUP (ORDER BY key [dir])` → `fn(key[, args])`
     for ordered-set aggregates Spark has no WITHIN GROUP spelling for
@@ -3040,6 +3228,75 @@ def _rewrite_qualify(sql: str) -> str:
     return f"SELECT * FROM ({inner.strip()}) __qualify WHERE {qualify_body} {tail.strip()}".strip()
 
 
+def _rewrite_distinct_orderby(sql: str) -> str:
+    """`SELECT DISTINCT sel … ORDER BY key` where key isn't a select
+    item: the reference transforms it into DISTINCT ON(sel-exprs) with
+    the ORDER BY choosing the representative row (issue #2656 /
+    test_distinct_order_by). Spark rejects ordering by a non-projected
+    column after DISTINCT."""
+    toks = _tokens(sql)
+    i = _next_code(toks, 0)
+    if i >= len(toks) or not _is_word(toks[i], "SELECT"):
+        return sql
+    d = _next_code(toks, i + 1)
+    if d >= len(toks) or not _is_word(toks[d], "DISTINCT"):
+        return sql
+    n = _next_code(toks, d + 1)
+    if n < len(toks) and (_is_word(toks[n], "ON") or toks[n] == "*"):
+        return sql
+    f = _top_level_index(toks, d + 1, len(toks), "FROM")
+    if f < 0:
+        return sql
+    ob = _top_level_index(toks, f, len(toks), "ORDER")
+    if ob < 0:
+        return sql
+    sel_items = _split_top_args(toks[d + 1:f])
+    names = set()
+    exprs = []
+    for it in sel_items:
+        am = re.search(r"(?is)\s+AS\s+([A-Za-z_]\w*)\s*$", it)
+        if am:
+            names.add(am.group(1).lower())
+            it = it[:am.start()]
+        exprs.append(it.strip())
+        names.add(it.strip().lower())
+        # qualifier-insensitive: `integers.i` also answers to `i`
+        if re.fullmatch(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)+", it.strip()):
+            names.add(it.strip().lower().rsplit(".", 1)[-1])
+    # ORDER BY item list until LIMIT/OFFSET/end
+    oe = len(toks)
+    for k in range(ob + 1, len(toks)):
+        if toks[k] == "(":
+            k2 = _match_paren(toks, k)
+            if k2 < 0:
+                return sql
+        if re.match(r"^[A-Za-z_]", toks[k]) and toks[k].upper() in (
+            "LIMIT", "OFFSET",
+        ):
+            oe = k
+            break
+    by = _next_code(toks, ob + 1)
+    keys = _split_top_args(toks[by + 1:oe]) if by < len(toks) else []
+    extra = False
+    for kx in keys:
+        kx = kx.strip()
+        while True:
+            kx2 = re.sub(
+                r"(?i)\s+(ASC|DESC|NULLS\s+(FIRST|LAST)|NULLS|FIRST|LAST)\s*$",
+                "", kx,
+            ).strip()
+            if kx2 == kx:
+                break
+            kx = kx2
+        if kx and not re.fullmatch(r"\d+", kx) and kx.lower() not in names:
+            extra = True
+            break
+    if not extra:
+        return sql
+    toks[d] = "DISTINCT ON (" + ", ".join(exprs) + ")"
+    return "".join(toks)
+
+
 def _rewrite_distinct_on(sql: str) -> str:
     """SELECT DISTINCT ON (keys) sel FROM ... [WHERE ...] ORDER BY o1, o2 →
     row_number() PARTITION BY keys ORDER BY <order-minus-keys> rewrite.
@@ -3095,6 +3352,20 @@ def _rewrite_distinct_on(sql: str) -> str:
     rest = "".join(toks[end + 1 :]).strip()  # select list + FROM ...
     clauses = _split_clauses("SELECT " + rest)
     sel = re.sub(r"(?i)^SELECT\s*", "", clauses["SELECT"]).strip()
+    # ordinal partition keys: ON (1) = first select item (reference
+    # OrderBinder ordinal resolution)
+    sel_items = _split_top_args(_tokens(sel))
+    mapped = []
+    for kp in _split_top_args(_tokens(keys)):
+        kp = kp.strip()
+        if re.fullmatch(r"\d+", kp):
+            idx = int(kp) - 1
+            if 0 <= idx < len(sel_items):
+                kp = re.sub(
+                    r"(?is)\s+AS\s+[A-Za-z_]\w*\s*$", "", sel_items[idx]
+                ).strip()
+        mapped.append(kp)
+    keys = ", ".join(mapped)
     order = re.sub(r"(?i)^ORDER\s+BY\s*", "", clauses.get("ORDER", "")).strip()
     body = "".join(clauses.get(k, "") for k in ("FROM", "WHERE", "GROUP", "HAVING"))
     if not body.strip():
@@ -5238,6 +5509,9 @@ def translate(sql: str) -> str:
                   f"FROM {m.group(2)}(",
         sql,
     )
+    # `ORDER BY *` / `GROUP BY *` ≡ the ALL forms (reference star form)
+    sql = re.sub(r"(?i)\bORDER\s+BY\s+\*", "ORDER BY ALL", sql)
+    sql = re.sub(r"(?i)\bGROUP\s+BY\s+\*", "GROUP BY ALL", sql)
     # named windows inline FIRST: later OVER-spec passes (orderless-over,
     # frame rewrites) must see the resolved spec, not the reference
     sql = _rewrite_named_windows(sql)
@@ -5349,8 +5623,11 @@ def translate(sql: str) -> str:
     toks = _rewrite_table_fns(toks)
     toks = _rewrite_select_unnest(toks)
     toks = _rewrite_within_group(toks)
+    toks = _rewrite_order_by_all(toks)
+    toks = _normalize_null_order(toks)
     toks = _rewrite_calls(toks)
     out = "".join(toks)
+    out = _rewrite_distinct_orderby(out)
     out = _rewrite_distinct_on(out)
     out = _rewrite_qualify(out)
     return out

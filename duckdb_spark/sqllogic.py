@@ -479,10 +479,12 @@ def _split_coldefs(s: str) -> list[str]:
 
 def _flat(raw: str) -> str:
     """DDL-side name flattening (schema emulation): `s1.tbl` → the
-    `s1__tbl` temp view, catalog/`main` prefixes drop."""
+    `s1__tbl` temp view, catalog/`main` prefixes drop. Lower-cased:
+    DuckDB identifiers are case-insensitive, and the driver-side table
+    store must find `T` when the INSERT says `t`."""
     from duckdb_spark.sql.dialect import flat_table_name
 
-    return flat_table_name(raw.strip().strip('"'))
+    return flat_table_name(raw.strip().strip('"')).lower()
 
 
 _DBGEN_LOCK = threading.Lock()
@@ -582,7 +584,7 @@ class SLSession:
             self._dbgen(float(m.group(1)))
             return None
         m = _CREATE_TABLE_RE.match(sql)
-        if m and not re.match(r"(?is).*\bas\s+(select|values|with|from)\b", m.group(2) or "") \
+        if m and not re.match(r"(?is).*\bas\s*\(?\s*(select|values|with|from)\b", m.group(2) or "") \
                 and (m.group(2) or "").lstrip().startswith("("):
             name = _flat(m.group(1))
             from duckdb_spark.types import duckdb_type_to_spark
@@ -606,10 +608,26 @@ class SLSession:
             return None
         if m:  # CREATE TABLE ... AS
             name = _flat(m.group(1))
-            as_m = re.match(r"(?is)^(?:\([^)]*\)\s*)?as\s+(.*)$", (m.group(2) or "").strip())
+            as_m = re.match(r"(?is)^(?:\([^)]*\)\s*)?as\s*(.*)$", (m.group(2) or "").strip())
             if not as_m:
                 raise ValueError(f"unsupported CREATE TABLE form: {sql[:80]}")
-            df = self.con.sql(as_m.group(1)).df()
+            body = as_m.group(1).strip().rstrip(";").strip()
+            # CTAS body may be fully parenthesized: `create table t as(select …)`
+            while body.startswith("(") and body.endswith(")"):
+                depth = 0
+                ok = True
+                for x, ch in enumerate(body):
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                        if depth == 0 and x != len(body) - 1:
+                            ok = False
+                            break
+                if not ok:
+                    break
+                body = body[1:-1].strip()
+            df = self.con.sql(body).df()
             self._register(name, df.schema, df.collect())
             return None
         m = _CREATE_VIEW_RE.match(sql)
@@ -692,7 +710,7 @@ class SLSession:
             return None
         m = _DROP_RE.match(sql)
         if m:
-            self._drop(m.group(2).strip('"'))
+            self._drop(_flat(m.group(2)))
             return None
         m = re.match(r"(?is)^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(\w+)\s*=\s*(.+?)\s*$", sql)
         if m:
