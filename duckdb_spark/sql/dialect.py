@@ -400,9 +400,9 @@ def _rewrite_values_colnames(toks: list[str]) -> list[str]:
             i = close + 1
             continue
         if alias_end == close:
-            out[close + 1:close + 1] = [f" AS __values({cols}) "]
+            out[close + 1:close + 1] = _tokens(f" AS __values({cols}) ")
         else:
-            out[alias_end + 1:alias_end + 1] = [f"({cols}) "]
+            out[alias_end + 1:alias_end + 1] = _tokens(f"({cols}) ")
         i = close + 1
     return out
 
@@ -1020,6 +1020,177 @@ _JOIN_ITEM_STOP = {
 }
 
 
+def _item_alias(item_toks: list[str]) -> str | None:
+    """Trailing alias of a FROM-item token span (`tbl p`, `tbl AS p`,
+    `fn(...) p(cols)` → p; bare `tbl` → tbl; unaliased subquery → None)."""
+    idx = len(item_toks) - 1
+    while idx >= 0 and item_toks[idx].isspace():
+        idx -= 1
+    if idx < 0:
+        return None
+    if item_toks[idx] == ")":
+        d = 0
+        while idx >= 0:
+            if item_toks[idx] == ")":
+                d += 1
+            elif item_toks[idx] == "(":
+                d -= 1
+                if d == 0:
+                    break
+            idx -= 1
+        idx -= 1
+        while idx >= 0 and item_toks[idx].isspace():
+            idx -= 1
+    if idx >= 0 and re.match(r"^[A-Za-z_]\w*$", item_toks[idx]):
+        return item_toks[idx]
+    return None
+
+
+def _rewrite_asof_right(out: list[str], i: int, j: int) -> int:
+    """`A ASOF RIGHT JOIN B ON conds` (reference bind_joinref.cpp): all
+    probe→build pairs of the inner ASOF join, plus unmatched BUILD rows.
+    The pairing stays probe-driven — a swap would re-anchor the
+    inequality — so: `B LEFT JOIN LATERAL (SELECT * FROM A WHERE conds
+    AND NOT EXISTS (closer build row)) a ON TRUE`. Returns the resume
+    index, or -1 to leave the statement untouched."""
+    jj = _next_code(out, j + 1)
+    if jj >= len(out) or not _is_word(out[jj], "JOIN"):
+        return -1
+    # left (probe) item span
+    ls = i - 1
+    depth2 = 0
+    left_start = -1
+    while ls >= 0:
+        t2 = out[ls]
+        if t2 == ")":
+            depth2 += 1
+        elif t2 == "(":
+            depth2 -= 1
+        elif depth2 == 0 and (
+            t2 == ","
+            or (re.match(r"^[A-Za-z_]", t2) and t2.upper() in (
+                "FROM", "JOIN", "ON", "USING", "WHERE", "SELECT",
+            ))
+        ):
+            left_start = ls + 1
+            break
+        ls -= 1
+    if left_start < 0:
+        return -1
+    # right (build) item span up to ON
+    r1 = _next_code(out, jj + 1)
+    depth2 = 0
+    onk = -1
+    k2 = r1
+    while k2 < len(out):
+        t2 = out[k2]
+        if t2 == "(":
+            depth2 += 1
+        elif t2 == ")":
+            if depth2 == 0:
+                break
+            depth2 -= 1
+        elif depth2 == 0 and re.match(r"^[A-Za-z_]", t2) and (
+            _is_word(t2, "ON") or _is_word(t2, "USING")
+        ):
+            onk = k2
+            break
+        k2 += 1
+    if onk < 0:
+        return -1
+    left_toks = out[left_start:i]
+    right_toks = out[r1:onk]
+    a_alias = _item_alias(left_toks)
+    b_alias = _item_alias(right_toks)
+    if not a_alias or not b_alias:
+        return -1
+    if _is_word(out[onk], "USING"):
+        # lower USING (k1, …, t) into the ON form (equalities + final >=)
+        up = _next_code(out, onk + 1)
+        upc = _match_paren(out, up) if up < len(out) and out[up] == "(" else -1
+        if upc < 0:
+            return -1
+        ucols = [c.strip().strip('"')
+                 for c in "".join(out[up + 1:upc]).split(",") if c.strip()]
+        conds = [f"{a_alias}.{c} = {b_alias}.{c}" for c in ucols[:-1]]
+        conds.append(f"{a_alias}.{ucols[-1]} >= {b_alias}.{ucols[-1]}")
+        out[onk:upc + 1] = _tokens("ON " + " AND ".join(conds))
+    # condition span
+    depth2 = 0
+    k2 = onk + 1
+    cend = len(out)
+    while k2 < len(out):
+        t2 = out[k2]
+        if t2 == "(":
+            depth2 += 1
+        elif t2 == ")":
+            if depth2 == 0:
+                cend = k2
+                break
+            depth2 -= 1
+        elif t2 == ";":
+            cend = k2
+            break
+        elif depth2 == 0 and re.match(r"^[A-Za-z_]", t2) and \
+                t2.upper() in _JOIN_ITEM_STOP:
+            cend = k2
+            break
+        k2 += 1
+    cond = "".join(out[onk + 1:cend]).strip()
+    # the single two-sided inequality (build expr side)
+    bexpr = None
+    strict = None
+    for part in re.split(r"(?i)\bAND\b", cond):
+        m = re.search(r"(>=|<=|>|<)", part)
+        if not m or re.search(r"<>|!=", part):
+            continue
+        lhs, rhs = part[:m.start()].strip(), part[m.end():].strip()
+        if re.search(rf"(?i)\b{re.escape(b_alias)}\s*\.", rhs):
+            bexpr = rhs
+            strict = ">" if m.group(1) in (">=", ">") else "<"
+            break
+        if re.search(rf"(?i)\b{re.escape(b_alias)}\s*\.", lhs):
+            bexpr = lhs
+            strict = ">" if m.group(1) in ("<=", "<") else "<"
+            break
+    if bexpr is None:
+        return -1
+    # build-table core (alias stripped) for the closer-row probe
+    bi = len(right_toks) - 1
+    while bi >= 0 and right_toks[bi].isspace():
+        bi -= 1
+    core_end = bi
+    if bi >= 0 and re.match(r"^[A-Za-z_]\w*$", right_toks[bi]):
+        p2 = _prev_code(right_toks, bi - 1)
+        if p2 >= 0 and _is_word(right_toks[p2], "AS"):
+            core_end = p2 - 1
+        elif bi > 0:
+            core_end = bi - 1
+        if core_end == bi - 1 and _prev_code(right_toks, bi - 1) < 0:
+            core_end = bi  # bare table name IS the core
+    b_core = "".join(right_toks[:core_end + 1]).strip() or "".join(right_toks)
+    ltext = "".join(left_toks).strip()
+    cond_b2 = re.sub(rf"(?i)\b{re.escape(b_alias)}\s*\.", "__b2.", cond)
+    bexpr_b2 = re.sub(rf"(?i)\b{re.escape(b_alias)}\s*\.", "__b2.", bexpr)
+    # TVFs inside the opaque replacement won't see later passes
+    ltext = "".join(_rewrite_table_fns(_tokens(" FROM " + ltext + " ")))[6:]
+    b_core = "".join(_rewrite_table_fns(_tokens(" FROM " + b_core + " ")))[6:]
+    # flat formulation (Spark allows only one level of outer reference):
+    # a derived table computes each probe row's matched build key via a
+    # correlated argmax, then a plain LEFT JOIN from the build side keeps
+    # unmatched build rows
+    agg = "max" if strict == ">" else "min"
+    repl = (
+        f" {''.join(right_toks).strip()} LEFT JOIN "
+        f"(SELECT {a_alias}.*, "
+        f"(SELECT {agg}({bexpr_b2}) FROM {b_core} __b2 WHERE ({cond_b2})) "
+        f"AS __asof_k FROM {ltext}) {a_alias} "
+        f"ON ({cond}) AND {a_alias}.__asof_k = {bexpr} "
+    )
+    out[left_start:cend] = [repl]
+    return left_start + 1
+
+
 def _rewrite_asof_join(toks: list[str]) -> list[str]:
     """`A ASOF [LEFT] JOIN B [alias] ON conds` (reference
     src/planner/binder/tableref/bind_joinref.cpp ASOF semantics) →
@@ -1046,6 +1217,13 @@ def _rewrite_asof_join(toks: list[str]) -> list[str]:
             out[i] = "LEFT"
             i += 1
             continue
+        if j < len(out) and _is_word(out[j], "RIGHT"):
+            res = _rewrite_asof_right(out, i, j)
+            if res >= 0:
+                i = res
+                continue
+            i += 1
+            continue
         if j < len(out) and _is_word(out[j], "LEFT"):
             left = True
             j = _next_code(out, j + 1)
@@ -1065,6 +1243,9 @@ def _rewrite_asof_join(toks: list[str]) -> list[str]:
             while nxt < len(out) and out[nxt] == ".":
                 rend = _next_code(out, nxt + 1)
                 nxt = _next_code(out, rend + 1)
+            if nxt < len(out) and out[nxt] == "(":
+                # table-function build side: range(1, 10) tbl(cols)
+                rend = _match_paren(out, nxt)
         if rend < 0:
             i += 1
             continue
@@ -1097,6 +1278,20 @@ def _rewrite_asof_join(toks: list[str]) -> list[str]:
             p = _next_code(out, onk + 1)
             pc = _match_paren(out, p) if p < len(out) and out[p] == "(" else -1
             la = _prev_code(out, i - 1)
+            if la >= 0 and out[la] == ")":
+                # aliased column list (`range(0,10) p(ts) ASOF JOIN …`):
+                # the probe alias is the identifier before the paren group
+                lo2 = la
+                d3 = 0
+                while lo2 >= 0:
+                    if out[lo2] == ")":
+                        d3 += 1
+                    elif out[lo2] == "(":
+                        d3 -= 1
+                        if d3 == 0:
+                            break
+                    lo2 -= 1
+                la = _prev_code(out, lo2 - 1) if lo2 > 0 else -1
             if pc < 0 or la < 0 or not re.match(r"^[A-Za-z_]\w*$", out[la]):
                 i += 1
                 continue
@@ -5487,6 +5682,8 @@ def translate(sql: str) -> str:
     # FROM-first syntax: `FROM t [WHERE …]` ≡ `SELECT * FROM t …`, also
     # after a WITH clause (reference parser FROM-first statements)
     sql = _rewrite_from_first(sql)
+    # … and inside parenthesized subqueries: `( FROM t ...`
+    sql = re.sub(r"(?i)\(\s*FROM\b", "( SELECT * FROM", sql)
     sql = _fold_time_literals(sql)
     # `TABLE t` ≡ `SELECT * FROM t` (reference parser TableStatement)
     sql = re.sub(
