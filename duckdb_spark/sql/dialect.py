@@ -272,14 +272,32 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
                 body = operand.strip()[1:-1].strip()
                 kvs = []
                 try:
+                    # cast keys/values to the declared K/V so mixed-type
+                    # struct values don't fight map()'s type unification
+                    kv_m = re.match(r"(?is)^MAP\s*\((.*)\)\s*$", rawty)
+                    parts_ty = _split_top(kv_m.group(1), ",") if kv_m else []
+                    k_ty = _map_type(parts_ty[0]) if len(parts_ty) == 2 else "string"
+                    v_ty = _map_type(parts_ty[1]) if len(parts_ty) == 2 else None
                     for part in _split_top(body, ",") if body else []:
                         k, _, val = _part3(part, ":")
-                        key = k.strip().strip('"').strip("'")
-                        kvs.append(f"'{key}', {val.strip()}")
+                        key = k.strip().strip('"').strip("'").strip("`")
+                        v_expr = (
+                            f"cast(({val.strip()}) as {v_ty})"
+                            if v_ty else val.strip()
+                        )
+                        kvs.append(f"cast('{key}' as {k_ty}), {v_expr}")
                     out.append("map(" + ", ".join(kvs) + ")")
                     continue
                 except ValueError:
                     pass
+            if re.match(r"(?is)^MAP\s*\(", rawty):
+                # struct COLUMN → MAP: no Spark cast exists; JSON
+                # round-trip keeps field order (reference struct-to-map)
+                target = _map_type(rawty)
+                out.append(
+                    f"from_json(to_json({operand}), '{target}')"
+                )
+                continue
             target = _map_type(rawty)
             # DuckDB float→int casts ROUND (half away from zero); Spark
             # truncates. Wrap round() when the operand is visibly floating
@@ -3786,12 +3804,14 @@ def _macro_product_distinct(x: str) -> str:
 
 
 def _macro_histogram(x: str) -> str:
-    """value → count map, keys sorted (reference histogram.cpp)."""
+    """value → count map, keys sorted; all-NULL/empty input → NULL
+    (reference histogram.cpp)."""
     lst = f"collect_list({x})"
-    return (
+    inner = (
         f"map_from_entries(transform(array_sort(array_distinct({lst})), "
         f"__hk -> struct(__hk, cast(size(filter({lst}, __hv -> __hv <=> __hk)) as bigint))))"
     )
+    return f"(case when size({lst}) = 0 then null else {inner} end)"
 
 
 def _macro_histogram_binned(x: str, bins: str) -> str:
@@ -3853,10 +3873,43 @@ def _macro_histogram_binned(x: str, bins: str) -> str:
 
 
 def _macro_histogram_exact(x: str, elems: str) -> str:
-    return (
-        f"map_from_entries(transform(any_value(({elems}), true), "
-        f"__e -> struct(__e, cast(size(filter(collect_list({x}), __v -> __v <=> __e)) as bigint))))"
+    """Per-element counts plus the reference's catch-all "other" bucket
+    keyed at the type max for values outside the element list
+    (reference histogram_exact / is_histogram_other_bin)."""
+    E = f"any_value(({elems}), true)"
+    XS = f"collect_list({x})"
+    dbl = bool(
+        re.search(r"(?i)::\s*(double|float4?|float8|real)\b", x + " " + elems)
+        or re.search(r"(?i)\bas\s+(double|float)\b", x + " " + elems)
+        or re.search(r"\d\.\d", elems)
     )
+    if dbl:
+        sent0 = "cast('Infinity' as double)"
+    elif re.search(r"(?i)\btimestamp\b", x + " " + elems):
+        sent0 = "timestamp '9999-12-31 23:59:59.999999'"
+    elif re.search(r"(?i)\bdate\b", x + " " + elems):
+        sent0 = "date '9999-12-31'"
+    elif re.search(r"(?i)varchar|string|'", x + " " + elems):
+        sent0 = "''"
+    else:
+        sent0 = "9223372036854775807"
+    # typecheck against the element type without evaluating
+    sent = f"if(1=0, element_at({E}, 1), {sent0})"
+    other = (
+        f"size(filter({XS}, __v -> not exists({E}, __e -> __e <=> __v)))"
+    )
+    # both key exprs go through the same dead if() so Spark unifies the
+    # element/sentinel types identically on both concat sides
+    entries = (
+        f"transform({E}, __e -> struct(if(1=0, {sent0}, __e) AS k, "
+        f"cast(size(filter({XS}, __v -> __v <=> __e)) as bigint) AS c))"
+    )
+    kb = (
+        f"(case when {other} > 0 then concat({entries}, "
+        f"array(struct({sent} AS k, cast({other} as bigint) AS c))) "
+        f"else {entries} end)"
+    )
+    return f"map_from_entries({kb})"
 
 
 def _macro_bitstring(x: str, mn: str | None = None, mx: str | None = None) -> str:
@@ -5196,6 +5249,10 @@ def _rewrite_struct_literals(toks: list[str]) -> list[str]:
             # named_struct needs string literals.
             if re.match(r'^"(?:[^"]|"")*"$', k):
                 k = "'" + k[1:-1].replace('""', '"').replace("'", "''") + "'"
+            elif re.match(r"^`(?:[^`]|``)*`$", k):
+                # the identifier pass has already backticked double-quoted
+                # keys by the time struct literals rewrite
+                k = "'" + k[1:-1].replace("``", "`").replace("'", "''") + "'"
             elif re.match(r"^[A-Za-z_][A-Za-z_0-9]*$", k):
                 k = f"'{k}'"
             kvs.append(f"{k}, {v.strip()}")

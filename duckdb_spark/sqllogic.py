@@ -317,15 +317,12 @@ def format_value(v) -> str:
     if isinstance(v, list):
         return "[" + ", ".join(_nested(x) for x in v) + "]"
     if isinstance(v, dict):  # MapType
-        # py4j hands Spark maps over as an unordered HashMap; DuckDB renders
-        # entry order. Sort by key — every map-producing function we emit
-        # (histogram, histogram_exact) constructs sorted-key entries.
-        def _key(kv):
-            k = kv[0]
-            return (0, k) if isinstance(k, (int, float)) else (1, str(k))
-
+        # ArrayBasedMapData keeps construction order through collect(), and
+        # Python dicts keep insertion order — render entries as built
+        # (histogram constructs sorted-key entries; struct→map casts keep
+        # declaration order, both matching the reference's rendering)
         return "{" + ", ".join(
-            f"{_nested(k)}={_nested(x)}" for k, x in sorted(v.items(), key=_key)
+            f"{_nested(k)}={_nested(x)}" for k, x in v.items()
         ) + "}"
     if hasattr(v, "asDict"):  # Row / struct
         d = v.asDict()
@@ -818,7 +815,54 @@ def run_file(
             if rec.kind == "query":
                 if out is None:
                     return FileResult(rel, "fail", f"line {rec.line}: DDL where query expected", n)
-                rows = out.df().collect()
+                df = out.df()
+                # MAP columns: entry order is lost crossing py4j (Python
+                # gets a scrambled HashMap); render JVM-side where
+                # ArrayBasedMapData order — DuckDB's entry order — survives
+                from pyspark.sql import types as _T
+
+                if any(isinstance(f.dataType, _T.MapType)
+                       for f in df.schema.fields):
+                    from pyspark.sql import functions as _F
+
+                    def _map_str(f):
+                        # DuckDB quotes temporal keys/values, not strings
+                        def _side(expr, dt):
+                            s = f"cast({expr} as string)"
+                            if isinstance(
+                                dt, (_T.DateType, _T.TimestampType,
+                                     _T.TimestampNTZType),
+                            ):
+                                return f"concat(\"'\", {s}, \"'\")"
+                            if isinstance(dt, (_T.DoubleType, _T.FloatType)):
+                                # DuckDB renders inf/-inf/nan
+                                return (
+                                    f"case when isnan({expr}) then 'nan' "
+                                    f"when {expr} = cast('Infinity' as double) "
+                                    f"then 'inf' "
+                                    f"when {expr} = cast('-Infinity' as double) "
+                                    f"then '-inf' else {s} end"
+                                )
+                            return s
+
+                        k = _side("e.key", f.dataType.keyType)
+                        v = _side("e.value", f.dataType.valueType)
+                        return _F.expr(
+                            f"if(`{f.name}` is null, cast(null as string), "
+                            f"concat('{{', array_join(transform("
+                            f"map_entries(`{f.name}`), e -> "
+                            f"concat({k}, '=', coalesce({v}, 'NULL'))), "
+                            f"', '), '}}'))"
+                        ).alias(f.name)
+
+                    cols = [
+                        _map_str(f)
+                        if isinstance(f.dataType, _T.MapType)
+                        else _F.col(f.name)
+                        for f in df.schema.fields
+                    ]
+                    df = df.select(*cols)
+                rows = df.collect()
             elif rec.expect_error:
                 # force evaluation: lazy plans only fail on action
                 if out is not None:
