@@ -337,6 +337,27 @@ class Connection:
                         pass
             return None
         query = self._bind_sql_tvfs(query)
+        # positional column references `#N` (reference positional_reference
+        # binder): resolve against the FROM relation's schema at bind time
+        if re.search(r"#\d+", query):
+            m = re.search(
+                r"(?is)\bFROM\s+(.*?)(?:\bWHERE\b|\bGROUP\b|\bORDER\b"
+                r"|\bLIMIT\b|;|$)", query,
+            )
+            if m and m.group(1).count("(") == m.group(1).count(")"):
+                try:
+                    cols = self.sql(
+                        f"SELECT * FROM {m.group(1)} LIMIT 0"
+                    ).df().columns
+                    query = re.sub(
+                        r"#(\d+)",
+                        lambda g: f"`{cols[int(g.group(1)) - 1]}`"
+                        if 0 < int(g.group(1)) <= len(cols)
+                        else g.group(0),
+                        query,
+                    )
+                except Exception:
+                    pass
         rec = split_recursive_cte(query)
         if rec is not None:
             return self._recursive_cte_sql(rec)

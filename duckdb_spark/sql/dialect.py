@@ -2556,6 +2556,84 @@ def split_with_prefix(sql: str) -> tuple[str, str]:
     return "".join(toks[:j]), "".join(toks[j:])
 
 
+def _rewrite_colon_alias(toks: list[str]) -> list[str]:
+    """DuckDB prefix alias `SELECT j : expr` ≡ `expr AS j` (reference
+    parser colon-alias form)."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if not _is_word(out[i], "SELECT"):
+            i += 1
+            continue
+        # walk items at this depth
+        j = _next_code(out, i + 1)
+        while j < len(out):
+            # item start: ident ':' (not '::')
+            k = _next_code(out, j + 1) if j < len(out) else len(out)
+            if (
+                j < len(out)
+                and re.fullmatch(r"[A-Za-z_]\w*|`[^`]*`", out[j])
+                and out[j].upper() not in _NONFN_WORDS
+                and k < len(out) and out[k] == ":"
+                and (k + 1 >= len(out) or out[k + 1] != ":")
+            ):
+                alias = out[j]
+                # find item end
+                depth = 0
+                e = k + 1
+                while e < len(out):
+                    t2 = out[e]
+                    if t2 == "(":
+                        depth += 1
+                    elif t2 == ")":
+                        if depth == 0:
+                            break
+                        depth -= 1
+                    elif depth == 0 and (
+                        t2 in (",", ";")
+                        or (re.match(r"^[A-Za-z_]", t2)
+                            and t2.upper() in ("FROM", "WHERE", "GROUP",
+                                               "ORDER", "LIMIT", "UNION",
+                                               "HAVING", "WINDOW", "QUALIFY"))
+                    ):
+                        break
+                    e += 1
+                out[e:e] = [f" AS {alias} "]
+                del out[j:k + 1]
+                j = e - (k + 1 - j) + 1
+            # advance to next top-level comma
+            depth = 0
+            while j < len(out):
+                t2 = out[j]
+                if t2 == "(":
+                    depth += 1
+                elif t2 == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif depth == 0 and t2 == ",":
+                    j = _next_code(out, j + 1)
+                    break
+                elif depth == 0 and re.match(r"^[A-Za-z_]", t2) and \
+                        t2.upper() in ("FROM", "WHERE", "GROUP", "ORDER",
+                                       "LIMIT", "UNION", "HAVING",
+                                       "WINDOW", "QUALIFY", "SELECT"):
+                    break
+                j += 1
+            else:
+                break
+            if j < len(out) and (
+                out[j] == ")"
+                or (re.match(r"^[A-Za-z_]", out[j]) and out[j].upper() in (
+                    "FROM", "WHERE", "GROUP", "ORDER", "LIMIT", "UNION",
+                    "HAVING", "WINDOW", "QUALIFY", "SELECT",
+                ))
+            ):
+                break
+        i += 1
+    return out
+
+
 def _rewrite_from_first(sql: str) -> str:
     """DuckDB FROM-first: `FROM t [WHERE …]` ≡ `SELECT * FROM t …`, also
     as the body after a WITH clause. `FROM t SELECT cols` reorders to the
@@ -5784,6 +5862,8 @@ def translate(sql: str) -> str:
         if len(_t) >= 2 and _t[0] == '"' and _t[-1] == '"':
             toks[_i] = "`" + _t[1:-1].replace('""', '"').replace("`", "``") + "`"
     toks = _rewrite_schema_refs(toks)
+    if ":" in sql:
+        toks = _rewrite_colon_alias(toks)
     _check_grouping_set_limits(toks)
     toks = _rewrite_group_by_all_having(toks)
     # grouping()/grouping_id() under a PLAIN group by: always 0 in the
