@@ -2634,6 +2634,101 @@ def _rewrite_colon_alias(toks: list[str]) -> list[str]:
     return out
 
 
+def _pad_table_col_aliases(toks: list[str]) -> list[str]:
+    """`rel t(a)` with fewer aliases than columns: the reference keeps
+    the source names for the remainder (test_cte.test / subquery alias
+    tests); Spark requires exact arity. Padding needs the source arity —
+    derivable for same-statement CTEs with explicit column lists and for
+    parenthesized subqueries whose SELECT items carry names."""
+    out = list(toks)
+    # CTE name -> declared column list
+    ctes: dict[str, list[str]] = {}
+    i = 0
+    while i < len(out):
+        if _is_word(out[i], "WITH") or (i > 0 and out[i] == ","):
+            j = _next_code(out, i + 1)
+            if j < len(out) and _is_word(out[j], "RECURSIVE"):
+                j = _next_code(out, j + 1)
+            if j < len(out) and re.fullmatch(r"[A-Za-z_]\w*", out[j]):
+                p = _next_code(out, j + 1)
+                if p < len(out) and out[p] == "(":
+                    pc = _match_paren(out, p)
+                    a = _next_code(out, pc + 1) if pc > 0 else len(out)
+                    if pc > 0 and a < len(out) and _is_word(out[a], "AS"):
+                        cols = [c.strip().strip('`"')
+                                for c in _split_top_args(out[p + 1:pc])]
+                        if all(re.fullmatch(r"[A-Za-z_]\w*", c) for c in cols):
+                            ctes[out[j].lower()] = cols
+        i += 1
+
+    def _names_from_select(lo: int, hi: int) -> list[str] | None:
+        k = _next_code(out, lo)
+        if k >= hi or not _is_word(out[k], "SELECT"):
+            return None
+        f = _top_level_index(out, k + 1, hi, "FROM")
+        items = _split_top_args(out[k + 1:(f if f >= 0 else hi)])
+        names = []
+        for it in items:
+            it = it.strip()
+            am = re.search(r"(?is)\s+AS\s+([A-Za-z_]\w*)\s*$", it)
+            if am:
+                names.append(am.group(1))
+            elif re.fullmatch(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)*", it):
+                names.append(it.rsplit(".", 1)[-1])
+            elif re.fullmatch(r"\d+", it):
+                names.append(f"`{it}`")
+            else:
+                return None
+        return names
+
+    i = 0
+    while i < len(out):
+        # <rel> [AS] alias ( cols ) — rel = ident (CTE) or `)` (subquery)
+        if not re.fullmatch(r"[A-Za-z_]\w*", out[i]):
+            i += 1
+            continue
+        p = _next_code(out, i + 1)
+        if p >= len(out) or out[p] != "(":
+            i += 1
+            continue
+        pc = _match_paren(out, p)
+        if pc < 0:
+            i += 1
+            continue
+        cols = [c.strip() for c in _split_top_args(out[p + 1:pc])]
+        if not cols or not all(
+            re.fullmatch(r"[A-Za-z_]\w*", c) for c in cols
+        ):
+            i += 1
+            continue
+        # what precedes the alias?
+        q = _prev_code(out, i - 1)
+        if q >= 0 and _is_word(out[q], "AS"):
+            q = _prev_code(out, q - 1)
+        src_names: list[str] | None = None
+        if q >= 0 and re.fullmatch(r"[A-Za-z_]\w*", out[q]) and \
+                out[q].lower() in ctes:
+            src_names = ctes[out[q].lower()]
+        elif q >= 0 and out[q] == ")":
+            d2 = 0
+            lo = q
+            while lo >= 0:
+                if out[lo] == ")":
+                    d2 += 1
+                elif out[lo] == "(":
+                    d2 -= 1
+                    if d2 == 0:
+                        break
+                lo -= 1
+            if lo >= 0:
+                src_names = _names_from_select(lo + 1, q)
+        if src_names and len(cols) < len(src_names):
+            padded = cols + src_names[len(cols):]
+            out[p + 1:pc] = [", ".join(padded)]
+        i += 1
+    return out
+
+
 def _rewrite_from_first(sql: str) -> str:
     """DuckDB FROM-first: `FROM t [WHERE …]` ≡ `SELECT * FROM t …`, also
     as the body after a WITH clause. `FROM t SELECT cols` reorders to the
@@ -5941,6 +6036,7 @@ def translate(sql: str) -> str:
     toks = _rewrite_division(toks)
     toks = _rewrite_values_specials(toks)
     toks = _rewrite_values_colnames(toks)
+    toks = _pad_table_col_aliases(toks)
     toks = _rewrite_filter_where(toks)
     toks = _rewrite_ignore_nulls_args(toks)
     toks = _rewrite_where_null(toks)
