@@ -128,6 +128,15 @@ def _rewrite_division(toks: list[str]) -> list[str]:
         if end < 0 or end >= len(out):
             i += 1
             continue
+        # windowed aggregate operand: the OVER clause is part of the atom
+        # (cast(sum(x)) OVER (...) is a parse error)
+        ov = _next_code(out, end + 1)
+        if ov < len(out) and _is_word(out[ov], "OVER"):
+            op2 = _next_code(out, ov + 1)
+            if op2 < len(out) and out[op2] == "(":
+                oc2 = _match_paren(out, op2)
+                if oc2 > 0:
+                    end = oc2
         start = _next_code(out, i + 1)
         out[start:end + 1] = (
             ["cast", "("] + out[start:end + 1] + [" as double", ")"]
