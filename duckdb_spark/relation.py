@@ -366,7 +366,7 @@ class Connection:
         # wants foldable integers
         _lim_alt = (
             r"\(\s*SELECT\b[^;]*?\)|'[^']*'(?:\s*::\s*\w+)?"
-            r"|[\d.]+(?:\s*::\s*\w+)?"
+            r"|[\d.]+(?:\s*::\s*\w+)?|[A-Za-z_]\w*\s*\([^()]*\)"
         )
         m = re.match(
             rf"(?is)^(.*)\bLIMIT\s+({_lim_alt})"
@@ -377,6 +377,19 @@ class Connection:
                 m.group(1).count("(") == m.group(1).count(")"):
             def _ev(expr: str) -> int:
                 expr = expr.strip()
+                if re.match(
+                    r"(?is)^(sum|count|avg|min|max|first|last|median|"
+                    r"product|stddev\w*|var\w*)\s*\(", expr,
+                ):
+                    raise ValueError(
+                        "Binder Error: Aggregate functions are not "
+                        "supported in the LIMIT clause"
+                    )
+                if re.search(r"(?is)\bover\b", expr):
+                    raise ValueError(
+                        "Binder Error: Window functions are not supported "
+                        "in the LIMIT clause"
+                    )
                 qm = re.fullmatch(r"'([^']*)'(?:\s*::\s*\w+)?", expr)
                 if qm:
                     expr = qm.group(1)
