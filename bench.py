@@ -7,18 +7,29 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Mirrors the reference harness protocol (benchmark/README.md: warmup + timed
 runs); here: 1 warmup action to amortize session/JIT, then 1 timed run per
 query (the driver repeats rounds).
+
+PRIMARY GATE SCALE (BASELINE.md protocol, VERDICT r05 item 10): sf0.1 sits
+on Spark's ~0.2-1s per-job floor, so per-query ratios there measure job
+launch, not operators. When the primary pass runs at sf0.1, a second pass
+runs the same queries at sf1 (self-generated via scripts/gen_scaled_sf.py,
+FK-preserving 10× replication; TPC-DS/ClickBench fixtures scale via their
+own mult) and reports it under the extra "sf1" key — same JSON line, same
+driver contract, gate judged at sf1.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# Must end in "sf1" so queries.bench_scale_mult scales the TPC-DS/CB fixtures.
+SF1_DIR = os.environ.get("SPARK_GRAFT_BENCH_SF1_DIR", "/tmp/duckdb_spark_bench_sf1")
 
 # Headline set: the most plan-diverse queries (scan-agg, multi-join,
 # semi/anti, window, asof, dedup, similarity, streaming) — extended as
@@ -28,13 +39,49 @@ HEADLINE = [
     "tpch_q13", "tpch_q18", "tpch_q21",
     "win_topk_per_group", "ev_timeseries", "ev_asof_join",
     "dedup_minhash_lsh", "text_quality", "sim_cosine_topk",
-    # TPC-DS secondary gate (BASELINE.md): fixed-size fixture, same data at
-    # every sf — ratios vs the DuckDB baseline stay same-host/same-data.
+    # TPC-DS secondary gate (BASELINE.md): fact tables now scale with sf
+    # (queries/tpcds.py ensure_fixture mult), so these measure star-join
+    # throughput rather than the engines' per-job floors.
     "tpcds_q07", "tpcds_q25",
-    # ClickBench slice (round 5): phrase top-k and the wide two-key group-by
-    # — the scan-agg shapes of that workload, same fixed-fixture caveat.
+    # ClickBench slice: phrase top-k and the wide two-key group-by — the
+    # scan-agg shapes of that workload; hits row count scales with sf too.
     "cb_q12", "cb_q32",
 ]
+
+
+def ensure_sf1() -> str | None:
+    """Generate the sf1 fixture (10× sf0.1) if missing; None on failure."""
+    marker = os.path.join(SF1_DIR, ".complete")
+    if os.path.exists(marker):
+        return SF1_DIR
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "gen_scaled_sf.py")
+    try:
+        subprocess.run([sys.executable, script, "10", SF1_DIR], check=True,
+                       capture_output=True, timeout=1200)
+        open(marker, "w").write("ok\n")
+        return SF1_DIR
+    except Exception as e:  # noqa: BLE001 — sf1 pass is best-effort extra
+        print(f"sf1 fixture generation failed: {e}", file=sys.stderr)
+        return None
+
+
+def run_pass(spark, q, names: list[str], sf_dir: str) -> dict[str, float]:
+    import gc
+
+    timings: dict[str, float] = {}
+    for name in names:
+        q.QUERIES[name](spark, sf_dir).collect()  # warmup run
+        t0 = time.perf_counter()
+        q.QUERIES[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        # Drop references to checkpointed RDDs (minhash/sessionization use
+        # eager localCheckpoint) so the ContextCleaner frees their blocks —
+        # otherwise they accumulate across queries and later queries degrade
+        # under block-manager eviction pressure (measured 6s → 35s drift).
+        spark.catalog.clearCache()
+        gc.collect()
+    return timings
 
 
 def main() -> None:
@@ -52,36 +99,34 @@ def main() -> None:
     if extra:
         names = [n.strip() for n in extra.split(",") if n.strip() in q.QUERIES]
 
-    # Reference harness protocol (benchmark/README.md): 1 warmup + timed
-    # runs per query. Warmup amortizes whole-stage-codegen compilation,
-    # which is a per-plan constant, not a data cost.
-    import gc
-
-    timings: dict[str, float] = {}
-    for name in names:
-        q.QUERIES[name](spark, SF_DIR).collect()  # warmup run
-        t0 = time.perf_counter()
-        q.QUERIES[name](spark, SF_DIR).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # Drop references to checkpointed RDDs (minhash/sessionization use
-        # eager localCheckpoint) so the ContextCleaner frees their blocks —
-        # otherwise they accumulate across queries and later queries degrade
-        # under block-manager eviction pressure (measured 6s → 35s drift).
-        spark.catalog.clearCache()
-        gc.collect()
+    timings = run_pass(spark, q, names, SF_DIR)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # Secondary pass at the primary gate scale (sf1). Best-effort: any
+    # failure leaves the primary contract output intact.
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0"
+        and sf == "0.1"
+        and ensure_sf1()
+    ):
+        try:
+            sf1_timings = run_pass(spark, q, names, SF1_DIR)
+            result["sf1"] = {
+                "value": round(sum(sf1_timings.values()), 3),
+                "queries": sf1_timings,
             }
-        )
-    )
+        except Exception as e:  # noqa: BLE001
+            print(f"sf1 pass failed: {e}", file=sys.stderr)
+
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -16,6 +16,21 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
 
+def bench_scale_mult(sf_dir: str) -> int:
+    """Scale multiplier for the self-generated benchmark fixtures (TPC-DS /
+    ClickBench), derived from the driver's sf dir: the base fixture is sized
+    ~sf0.01, so sf0.1 → 10×, sf1 → 100× (fact tables scale linearly, dims
+    stay fixed — dsdgen semantics). sf ≤ 0.01 (correctness gates) → 1, so
+    the registered oracle strings, which bake the base fixture path, stay
+    valid for every differential run."""
+    tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(tail)
+    except ValueError:
+        return 1
+    return max(1, int(round(sf / 0.01)))
+
+
 def register(name: str, oracle: str | None = None):
     """Decorator: add a query builder (and optionally its oracle SQL)."""
 
@@ -29,30 +44,29 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness gate hard-checks the FIRST 50 registered queries.
-# ROUND-5 ROTATION: round 4's driver run crashed before checking anything
-# (VERDICT r04), so no query has an r04 row. The window therefore takes
-# every query that has NEVER had a driver row — the full 19-query TPC-DS
-# slice and the full 20-query ClickBench slice (both landed after the r03
-# window was pinned) — plus the 10 queries whose only green row is r01,
-# and tpch_q01 as the cross-round sentinel. Every other registered query
-# keeps its r02/r03 green row and is re-verified every session by
+# ROUND-6 ROTATION (VERDICT r05 item 1): the 38 queries that have NEVER had
+# a driver CORRECTNESS row (23 ClickBench + 15 TPC-DS that landed after the
+# r05 window was pinned), plus sketch_lttb (new recursive-CTE oracle — its
+# only prior driver row is a r03 FAIL), plus the 11 stalest queries whose
+# latest green row is r01/r02. Every other registered query keeps its
+# r03/r05 green row and is re-verified every session by
 # tests/test_queries.py, which runs the identical differential at sf0.001.
 PRIORITY: list[str] = [
-    # never driver-checked: the TPC-DS slice (19)
-    "tpcds_q01", "tpcds_q03", "tpcds_q07", "tpcds_q15", "tpcds_q19",
-    "tpcds_q25", "tpcds_q26", "tpcds_q29", "tpcds_q34", "tpcds_q42",
-    "tpcds_q48", "tpcds_q55", "tpcds_q61", "tpcds_q68", "tpcds_q73",
-    "tpcds_q79", "tpcds_q88", "tpcds_q89", "tpcds_q96",
-    # never driver-checked: the ClickBench slice (20)
-    "cb_q00", "cb_q01", "cb_q02", "cb_q03", "cb_q04", "cb_q05", "cb_q06",
-    "cb_q07", "cb_q08", "cb_q09", "cb_q12", "cb_q16", "cb_q18", "cb_q20",
-    "cb_q21", "cb_q23", "cb_q25", "cb_q28", "cb_q32", "cb_q40",
-    # r01-green-only (10)
-    "agg_grouping_sets", "agg_rollup", "agg_cube", "agg_filter_distinct",
-    "agg_stats", "ev_sessionization", "ev_time_bucket", "ev_fill_gaps",
-    "ev_range_join", "text_langid",
-    # cross-round sentinel (1)
-    "tpch_q01",
+    # never driver-checked: ClickBench beyond the r05 slice (23)
+    "cb_q10", "cb_q11", "cb_q13", "cb_q14", "cb_q15", "cb_q17", "cb_q19",
+    "cb_q22", "cb_q24", "cb_q26", "cb_q27", "cb_q29", "cb_q30", "cb_q31",
+    "cb_q33", "cb_q34", "cb_q35", "cb_q36", "cb_q37", "cb_q38", "cb_q39",
+    "cb_q41", "cb_q42",
+    # never driver-checked: TPC-DS beyond the r05 slice (15)
+    "tpcds_q06", "tpcds_q13", "tpcds_q17", "tpcds_q27", "tpcds_q28",
+    "tpcds_q36", "tpcds_q41", "tpcds_q43", "tpcds_q50", "tpcds_q52",
+    "tpcds_q53", "tpcds_q63", "tpcds_q65", "tpcds_q93", "tpcds_q98",
+    # first oracle-backed driver row (r03 row was a FAIL) (1)
+    "sketch_lttb",
+    # stalest: latest green row is r01/r02 (11)
+    "tpch_q02", "tpch_q21", "win_frames", "win_topk_per_group",
+    "dedup_exact", "dedup_minhash_sig", "dedup_simhash", "sim_lsh_topk",
+    "text_token_stats", "stream_windowed_counts", "ev_timeseries",
 ]
 
 

@@ -102,8 +102,19 @@ FROM range({_N}) t(i);
 """
 
 
-def ensure_fixture(out_dir: str = CB_DIR) -> str:
-    """Generate the hits fixture if missing (deterministic; idempotent)."""
+def fixture_dir(mult: int = 1) -> str:
+    """Fixture path for a scale multiplier (1 = the base 200k-row fixture,
+    whose path the registered oracle strings bake in)."""
+    return CB_DIR if mult <= 1 else f"{CB_DIR}_x{mult}"
+
+
+def ensure_fixture(mult: int = 1) -> str:
+    """Generate the hits fixture if missing (deterministic; idempotent).
+    `mult` scales the row count linearly (sf0.1 → 2M rows, sf1 → 20M) so
+    the bench measures scan-agg throughput, not job floors (VERDICT r05
+    item 2). The value cycles are row-index arithmetic, so selectivities
+    (AdvEngineID≠0 ≈ 6%, phrase tail, CounterID=62 slice) are scale-free."""
+    out_dir = fixture_dir(mult)
     marker = os.path.join(out_dir, ".complete")
     if os.path.exists(marker):
         return out_dir
@@ -111,28 +122,29 @@ def ensure_fixture(out_dir: str = CB_DIR) -> str:
 
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
-    con.execute(_GEN_SQL)
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    con.execute(_GEN_SQL.replace(f"range({_N})", f"range({_N * mult})"))
     con.execute(f"COPY hits TO '{out_dir}/hits.parquet' (FORMAT PARQUET)")
     con.close()
     open(marker, "w").write("ok\n")
     return out_dir
 
 
-def _spark_run(spark: SparkSession, sql: str) -> DataFrame:
+def _spark_run(spark: SparkSession, sql: str, sf_dir: str = "") -> DataFrame:
+    from duckdb_spark.queries import bench_scale_mult
     from duckdb_spark.sql.dialect import translate
 
-    ensure_fixture()
-    spark.read.parquet(f"{CB_DIR}/hits.parquet").createOrReplaceTempView("hits")
+    d = ensure_fixture(bench_scale_mult(sf_dir))
+    spark.read.parquet(f"{d}/hits.parquet").createOrReplaceTempView("hits")
     return spark.sql(translate(sql.format(hits="hits")))
 
 
 def _cb(name: str, sql: str):
     @register(name, oracle=sql.format(hits=f"read_parquet('{CB_DIR}/hits.parquet')"))
-    def q(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:  # noqa: ARG001
-        """ClickBench over the deterministic fixture (sf_dir unused: hits
-        has its own schema; reference benchmark/clickbench/queries)."""
-        ensure_fixture()
-        return _spark_run(spark, _sql)
+    def q(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
+        """ClickBench over the deterministic fixture (row count scales with
+        sf_dir; reference benchmark/clickbench/queries)."""
+        return _spark_run(spark, _sql, sf_dir)
 
     q.__name__ = name
     return q

@@ -243,16 +243,31 @@ FROM range(60000) t(i);
 """
 
 
-def ensure_fixture(out_dir: str = TPCDS_DIR) -> str:
-    """Generate the TPC-DS fixture if missing (deterministic; idempotent)."""
+def fixture_dir(mult: int = 1) -> str:
+    """Fixture path for a scale multiplier (1 = the base ~sf0.01 fixture,
+    whose path the registered oracle strings bake in)."""
+    return TPCDS_DIR if mult <= 1 else f"{TPCDS_DIR}_x{mult}"
+
+
+def ensure_fixture(mult: int = 1) -> str:
+    """Generate the TPC-DS fixture if missing (deterministic; idempotent).
+    `mult` scales the fact tables (store_sales / its derived store_returns
+    and catalog_sales) linearly while dimensions stay fixed — dsdgen
+    semantics — so the bench at sf0.1/sf1 measures operator throughput
+    instead of the two engines' per-job floors (VERDICT r05 item 2)."""
+    out_dir = fixture_dir(mult)
     marker = os.path.join(out_dir, ".complete")
     if os.path.exists(marker):
         return out_dir
     import duckdb
 
     os.makedirs(out_dir, exist_ok=True)
+    gen = _GEN_SQL.replace("range(120000)", f"range({120000 * mult})").replace(
+        "range(60000)", f"range({60000 * mult})"
+    )
     con = duckdb.connect()
-    con.execute(_GEN_SQL)
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    con.execute(gen)
     for t in TABLES:
         con.execute(f"COPY {t} TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)")
     con.close()
@@ -264,21 +279,22 @@ def _oracle(sql: str) -> str:
     return sql.format(**{t: f"read_parquet('{TPCDS_DIR}/{t}.parquet')" for t in TABLES})
 
 
-def _spark_run(spark: SparkSession, sql: str) -> DataFrame:
+def _spark_run(spark: SparkSession, sql: str, sf_dir: str = "") -> DataFrame:
+    from duckdb_spark.queries import bench_scale_mult
     from duckdb_spark.sql.dialect import translate
 
-    ensure_fixture()
+    d = ensure_fixture(bench_scale_mult(sf_dir))
     for t in TABLES:
-        spark.read.parquet(f"{TPCDS_DIR}/{t}.parquet").createOrReplaceTempView(t)
+        spark.read.parquet(f"{d}/{t}.parquet").createOrReplaceTempView(t)
     return spark.sql(translate(sql.format(**{t: t for t in TABLES})))
 
 
 def _tpcds(name: str, sql: str):
     @register(name, oracle=_oracle(sql))
-    def q(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:  # noqa: ARG001
-        """TPC-DS over the deterministic fixture (sf_dir unused: TPC-DS has
-        its own schema; reference extension/tpcds/dsdgen)."""
-        return _spark_run(spark, _sql)
+    def q(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
+        """TPC-DS over the deterministic fixture (fact tables scale with
+        sf_dir; reference extension/tpcds/dsdgen)."""
+        return _spark_run(spark, _sql, sf_dir)
 
     q.__name__ = name
     return q

@@ -232,12 +232,72 @@ def sketch_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_top_k(events, "event_type", k=3).orderBy("rank")
 
 
-@register("sketch_lttb")
+@register(
+    "sketch_lttb",
+    # Pure-SQL LTTB: the sequential bucket selection is unrolled as a
+    # recursive CTE carrying the previously-selected point index. Bucket
+    # edges replicate numpy linspace(1, n-1, 19).astype(int): edge(m) =
+    # floor(1 + m*w) with w = (v-2)/18.0 double, endpoint pinned to v-1
+    # (reference lttb.cpp:276 computes the same floor(m*width)+1).
+    oracle="""
+WITH RECURSIVE pts AS (
+  SELECT user_id, epoch_us(ts) AS x, value AS y,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) - 1 AS i,
+         COUNT(*) OVER (PARTITION BY user_id) AS v
+  FROM events WHERE user_id < 10
+),
+small AS (SELECT user_id, x, y FROM pts WHERE v <= 20),
+big AS (SELECT * FROM pts WHERE v > 20),
+params AS (SELECT user_id, MAX(v) AS v, (MAX(v) - 2) / 18.0 AS w FROM big GROUP BY user_id),
+edges AS (
+  SELECT p.user_id, r.range AS m,
+         CASE WHEN r.range = 18 THEN p.v - 1
+              ELSE CAST(FLOOR(1 + r.range * p.w) AS BIGINT) END AS e,
+         p.v
+  FROM params p, range(0, 19) r
+),
+bkt AS (
+  SELECT e1.user_id, e1.m AS b, e1.e AS lo, GREATEST(e2.e, e1.e + 1) AS hi,
+         e2.e AS nlo, COALESCE(e3.e, e1.v) AS nhi, e1.v AS v
+  FROM edges e1
+  JOIN edges e2 ON e2.user_id = e1.user_id AND e2.m = e1.m + 1
+  LEFT JOIN edges e3 ON e3.user_id = e1.user_id AND e3.m = e1.m + 2
+  WHERE e1.m < 18
+),
+navg AS (
+  SELECT k.user_id, k.b, AVG(p.x) AS bx, AVG(p.y) AS by
+  FROM bkt k JOIN big p ON p.user_id = k.user_id AND p.i >= k.nlo AND p.i < k.nhi
+  GROUP BY k.user_id, k.b
+),
+sel AS (
+  SELECT user_id, -1 AS b, CAST(0 AS BIGINT) AS prev_i FROM params
+  UNION ALL
+  SELECT s.user_id, k.b,
+    (SELECT c.i FROM big c
+      WHERE c.user_id = s.user_id AND c.i >= k.lo AND c.i < k.hi
+      ORDER BY ABS((pr.x - a.bx) * (c.y - pr.y) - (pr.x - c.x) * (a.by - pr.y)) DESC,
+               c.i ASC
+      LIMIT 1) AS prev_i
+  FROM sel s
+  JOIN bkt k ON k.user_id = s.user_id AND k.b = s.b + 1
+  JOIN navg a ON a.user_id = s.user_id AND a.b = k.b
+  JOIN big pr ON pr.user_id = s.user_id AND pr.i = s.prev_i
+),
+result AS (
+  SELECT b.user_id, b.x, b.y FROM big b JOIN sel s ON s.user_id = b.user_id AND b.i = s.prev_i
+  UNION ALL
+  SELECT user_id, x, y FROM big WHERE i = v - 1
+  UNION ALL
+  SELECT user_id, x, y FROM small
+)
+SELECT user_id, x, y FROM result ORDER BY user_id, x
+""",
+)
 def sketch_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTTB downsampling of each user's event-value series to 20 points
-    (reference lttb.cpp). Rows-only: the algorithm is deterministic but
-    not SQL-expressible (sequential dependency); unit-level properties
-    (endpoint retention, output size) are asserted in tests."""
+    (reference lttb.cpp:276 — same floor-based bucket edges, first-argmax
+    tie-break). Full value-hash oracle: the sequential selection is
+    reproduced in DuckDB SQL via a recursive CTE over bucket index."""
     from duckdb_spark.operators.sketch import lttb
 
     (events,) = _t(spark, sf_dir, "events")

@@ -37,11 +37,24 @@ def main() -> None:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet{'/*.parquet' if os.path.isdir(f'{SF_DIR}/{t}.parquet') else ''}')"
         )
+    # TPC-DS / ClickBench fixtures scale with sf (VERDICT r05 item 2): the
+    # registered oracles bake the base (~sf0.01) fixture path; substitute the
+    # scaled directory so DuckDB reads the same data bench.py's Spark run does.
+    from duckdb_spark.queries import bench_scale_mult, clickbench, tpcds
+
+    mult = bench_scale_mult(SF_DIR)
+    subs = {}
+    if mult > 1 and any(n.startswith(("tpcds_", "cb_")) for n in HEADLINE):
+        subs[tpcds.fixture_dir(1)] = tpcds.ensure_fixture(mult)
+        subs[clickbench.fixture_dir(1)] = clickbench.ensure_fixture(mult)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in q.ORACLE:
             continue
         sql = q.ORACLE[name]
+        for base, scaled in subs.items():
+            sql = sql.replace(base + "/", scaled + "/")
         con.execute(sql).fetchall()  # warmup
         t0 = time.perf_counter()
         con.execute(sql).fetchall()
