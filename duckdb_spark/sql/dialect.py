@@ -64,6 +64,92 @@ def _find_top_level(toks: list[str], word: str, start: int = 0) -> int:
     return -1
 
 
+def _rewrite_groups_frames(toks: list[str]) -> list[str]:
+    """GROUPS frames in SQL text (reference window_boundaries_state.cpp
+    GROUPS mode; SURVEY §2.5): Spark has no GROUPS frame unit, but a
+    GROUPS offset over the window's ORDER BY is exactly a RANGE offset
+    over that ordering's dense_rank. Rewrite
+
+        agg(x) OVER (PARTITION BY p ORDER BY o GROUPS <frame>) … FROM src
+
+    to
+
+        agg(x) OVER (PARTITION BY p ORDER BY __grkN RANGE <frame>) …
+        FROM (SELECT *, dense_rank() OVER (PARTITION BY p ORDER BY o)
+              AS __grkN … FROM src) __grt
+
+    (same rewrite operators/groups_frame.py applies at the DataFrame
+    layer). Single-SELECT statements without GROUP BY only — the window
+    input set is then the WHERE-filtered source, which moves into the
+    derived table intact."""
+    if not any(_is_word(t, "GROUPS") for t in toks):
+        return toks
+    out = list(toks)
+    keys: dict[tuple[str, str], str] = {}  # (partition, order) -> alias
+    i = 0
+    changed = False
+    while i < len(out):
+        if not _is_word(out[i], "OVER"):
+            i += 1
+            continue
+        op = _next_code(out, i + 1)
+        if op >= len(out) or out[op] != "(":
+            i += 1
+            continue
+        oc = _match_paren(out, op)
+        if oc < 0:
+            i += 1
+            continue
+        spec = out[op + 1:oc]
+        g = _top_level_index(spec, 0, len(spec), "GROUPS")
+        if g < 0:
+            i = oc + 1
+            continue
+        pp = _top_level_index(spec, 0, len(spec), "PARTITION")
+        oo = _top_level_index(spec, 0, len(spec), "ORDER")
+        part = "".join(
+            spec[_next_code(spec, pp + 1) + 1:oo if oo >= 0 else g]
+        ).strip() if pp >= 0 else ""
+        order = "".join(
+            spec[_next_code(spec, oo + 1) + 1:g]
+        ).strip() if oo >= 0 else ""
+        if not order:
+            i = oc + 1
+            continue  # GROUPS without ORDER BY errors downstream
+        tail = "".join(spec[g + 1:]).strip()
+        k = (part, order)
+        if k not in keys:
+            keys[k] = f"__grk{len(keys)}"
+        alias = keys[k]
+        new_spec = (
+            (f"PARTITION BY {part} " if part else "")
+            + f"ORDER BY {alias} RANGE {tail}"
+        )
+        out[op + 1:oc] = _tokens(new_spec)
+        changed = True
+        i = op + 1
+    if not changed:
+        return toks
+    # wrap the source segment with the dense_rank computations
+    sel = _top_level_index(out, 0, len(out), "SELECT")
+    frm = _top_level_index(out, sel + 1, len(out), "FROM")
+    if frm < 0 or _top_level_index(out, frm, len(out), "GROUP") >= 0:
+        return toks  # unsupported shape: leave original (will error)
+    end = len(out)
+    for stop in ("HAVING", "QUALIFY", "WINDOW", "ORDER", "LIMIT", "OFFSET"):
+        p = _top_level_index(out, frm + 1, len(out), stop)
+        if p >= 0:
+            end = min(end, p)
+    src = "".join(out[_next_code(out, frm + 1):end]).strip().rstrip(";")
+    ranks = ", ".join(
+        f"dense_rank() OVER ({'PARTITION BY ' + p + ' ' if p else ''}"
+        f"ORDER BY {o}) AS {a}"
+        for (p, o), a in keys.items()
+    )
+    out[frm:end] = _tokens(f"FROM (SELECT *, {ranks} FROM {src}) __grt ")
+    return out
+
+
 def _rewrite_exclude(toks: list[str]) -> list[str]:
     """EXCLUDE → EXCEPT when it follows `*` (star expression modifier)."""
     out = list(toks)
@@ -3220,6 +3306,256 @@ def _normalize_null_order(toks: list[str]) -> list[str]:
     return out
 
 
+def _rewrite_array_subquery(toks: list[str]) -> list[str]:
+    """ARRAY(SELECT …) subqueries (reference
+    bind_subquery_expression.cpp ARRAY path): collect the subquery's
+    single column into a list — [] on no rows, NULL elements kept,
+    honoring the subquery's DISTINCT / ORDER BY / LIMIT / OFFSET. Spark
+    has no ARRAY-subquery form; rewritten to a scalar aggregate subquery:
+
+        coalesce((SELECT transform(array_sort(collect_list(
+            named_struct('v', sel, 'k0', key0 …)), cmp), __s -> __s.v)
+          FROM …), array())
+
+    The struct wrap keeps NULL elements (collect_list drops bare NULLs)
+    and carries the sort keys; correlation decorrelates through Catalyst
+    like any scalar-aggregate subquery. `ARRAY(SELECT unnest(x) …)` with
+    no FROM is array sorting/dedup of x itself — rewritten to pure array
+    ops (a generator cannot nest inside an aggregate)."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if not _is_word(t, "ARRAY"):
+            i += 1
+            continue
+        j = _next_code(out, i + 1)
+        if j >= len(out) or out[j] != "(":
+            i += 1
+            continue
+        k = _next_code(out, j + 1)
+        if k >= len(out) or not _is_word(out[k], "SELECT"):
+            i += 1
+            continue
+        close = _match_paren(out, j)
+        if close < 0:
+            i += 1
+            continue
+        inner = out[j + 1:close]
+        # recurse into nested ARRAY(SELECT …) first
+        inner = _rewrite_array_subquery(inner)
+        repl = _array_subquery_repl(inner)
+        if repl is None:
+            i += 1
+            continue
+        out[i:close + 1] = _tokens(repl)
+        i += 1
+    return out
+
+
+def _array_subquery_repl(inner: list[str]) -> str | None:
+    sel_start = _next_code(inner, 0)
+    if sel_start >= len(inner) or not _is_word(inner[sel_start], "SELECT"):
+        return None
+    # clause boundaries at top level of the subquery
+    pos_from = _top_level_index(inner, sel_start + 1, len(inner), "FROM")
+    pos_order = _top_level_index(inner, sel_start + 1, len(inner), "ORDER")
+    pos_limit = _top_level_index(inner, sel_start + 1, len(inner), "LIMIT")
+    pos_offset = _top_level_index(inner, sel_start + 1, len(inner), "OFFSET")
+    # set-operation bodies: wrap the whole body (sans trailing ORDER/LIMIT)
+    # as a single-column derived table; ORDER keys must then be ordinals
+    union_pos = min(
+        (p for p in (
+            _top_level_index(inner, sel_start + 1, len(inner), w)
+            for w in ("UNION", "INTERSECT", "EXCEPT")
+        ) if p >= 0),
+        default=-1,
+    )
+    if union_pos >= 0:
+        return _array_union_repl(inner, pos_order, pos_limit, pos_offset)
+    sel_end = min(
+        p for p in (pos_from, pos_order, pos_limit, pos_offset, len(inner))
+        if p >= 0
+    )
+    sel_toks = inner[sel_start + 1:sel_end]
+    s0 = _next_code(sel_toks, 0)
+    distinct = s0 < len(sel_toks) and _is_word(sel_toks[s0], "DISTINCT")
+    if distinct:
+        sel_toks = sel_toks[s0 + 1:]
+    sel = "".join(sel_toks).strip()
+    if not sel or _has_top_level_comma(sel_toks):
+        return None  # multi-column ARRAY subqueries error in DuckDB too
+    # strip a trailing alias: `expr AS a` / the alias names the order key
+    alias = None
+    am = re.match(r"(?is)^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", sel)
+    if am and am.group(1).count("(") == am.group(1).count(")"):
+        sel, alias = am.group(1).strip(), am.group(2).lower()
+
+    body_end = min(p for p in (pos_order, pos_limit, pos_offset, len(inner)) if p >= 0)
+    from_where = "".join(inner[pos_from:body_end]).strip() if pos_from >= 0 \
+        and pos_from < body_end else ""
+    if sel == "*":
+        # SELECT * over a single-column aliased source: the value is that
+        # column (`FROM unnest([…]) AS _t(u)` shapes)
+        cm = re.search(
+            r"(?is)\bAS\s+[A-Za-z_]\w*\s*\(\s*([A-Za-z_]\w*)\s*\)", from_where
+        )
+        if not cm:
+            return None
+        sel = cm.group(1)
+
+    entries: list[tuple[str, bool, bool]] = []
+    if pos_order >= 0:
+        ob = _next_code(inner, pos_order + 1)
+        if ob >= len(inner) or not _is_word(inner[ob], "BY"):
+            return None
+        oend = min(p for p in (pos_limit, pos_offset, len(inner))
+                   if p >= 0 and p > pos_order)
+        nf_default = get_session_setting("default_null_order") in (
+            "nulls_first", "nulls first", "'nulls_first'", "'nulls first'",
+        )
+        for part in _split_top_args(inner[ob + 1:oend]):
+            p = part.strip()
+            nm = re.search(r"(?i)\bNULLS\s+(FIRST|LAST)\s*$", p)
+            nf = nm.group(1).upper() == "FIRST" if nm else nf_default
+            p = re.sub(r"(?i)\s*NULLS\s+(FIRST|LAST)\s*$", "", p).strip()
+            d = bool(re.search(r"(?i)\s+DESC\s*$", p))
+            key = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", p).strip()
+            if alias and re.fullmatch(alias, key, re.I):
+                key = sel
+            entries.append((_array_ordinal_key(key, sel), d, nf))
+
+    limit = "".join(
+        inner[_next_code(inner, pos_limit + 1):
+              min(p for p in (pos_offset, len(inner)) if p >= 0 and p > pos_limit)]
+    ).strip() if pos_limit >= 0 else None
+    offset = "".join(inner[_next_code(inner, pos_offset + 1):]).strip() \
+        if pos_offset >= 0 else None
+
+    um = re.match(r"(?is)^unnest\s*\((.*)\)$", sel)
+    if pos_from < 0 and um:
+        # ARRAY(SELECT unnest(x) [AS a] ORDER BY …): sort/dedup of x itself
+        arr = f"({um.group(1).strip()})"
+        if distinct:
+            arr = f"array_distinct{arr if arr.startswith('(') else f'({arr})'}"
+        if entries:
+            # keys must reference the element (via the alias) — map to __e
+            def _elkey(k: str) -> str:
+                if k.strip() == sel:  # alias/expr = the element itself
+                    return "__e"
+                return re.sub(rf"(?i)\b{re.escape(alias)}\b", "__e", k) \
+                    if alias else k
+
+            cmp_entries = [(_elkey(k), d, nf) for k, d, nf in entries]
+            karr = (
+                f"transform({arr}, __e -> named_struct('v', __e, "
+                + ", ".join(
+                    f"'k{x}', ({k})" for x, (k, _, _) in enumerate(cmp_entries)
+                ) + "))"
+            )
+            cmp = _ow_cmp(entries, lambda x: f"l.k{x}", lambda x: f"r.k{x}")
+            arr = f"transform(array_sort({karr}, (l, r) -> {cmp}), __s -> __s.v)"
+        expr = arr
+    else:
+        # ORDER BY rowid (already rewritten to monotonically_increasing_id,
+        # which cannot appear inside an aggregate): collect_list already
+        # buffers in scan order, so natural order ≡ rowid ASC.
+        natural_desc = (
+            len(entries) == 1
+            and entries[0][0].replace(" ", "") == "monotonically_increasing_id()"
+        )
+        if natural_desc:
+            rev = entries[0][1]
+            entries = []
+        fields = [f"'v', ({sel})"] + [
+            f"'k{x}', ({k})" for x, (k, _, _) in enumerate(entries)
+        ]
+        collected = f"collect_list(named_struct({', '.join(fields)}))"
+        if distinct:
+            collected = f"array_distinct({collected})"
+        if entries:
+            cmp = _ow_cmp(entries, lambda x: f"l.k{x}", lambda x: f"r.k{x}")
+            collected = f"array_sort({collected}, (l, r) -> {cmp})"
+        if natural_desc and rev:
+            collected = f"reverse({collected})"
+        expr = f"transform({collected}, __s -> __s.v)"
+    if offset is not None or limit is not None:
+        start = f"(({offset}) + 1)" if offset else "1"
+        length = f"({limit})" if limit is not None else "2147483647"
+        expr = f"slice({expr}, {start}, {length})"
+    if pos_from < 0 and um:
+        return f"({expr})"
+    return f"coalesce((SELECT {expr} {from_where}), array())"
+
+
+def _array_ordinal_key(key: str, sel: str) -> str:
+    """Resolve an ORDER BY key inside an ARRAY subquery: ordinal 1 → the
+    select item; other numeric/string literals error like the reference
+    order binder."""
+    k = key.strip()
+    if re.fullmatch(r"-?\d+", k):
+        if k != "1":
+            raise ValueError(
+                "Binder Error: ORDER term out of range - should be between "
+                "1 and the number of select list elements"
+            )
+        return sel
+    if re.fullmatch(r"'(?:[^']|'')*'", k):
+        raise ValueError(
+            "Binder Error: ORDER BY non-integer literal has no effect"
+        )
+    return k
+
+
+def _array_union_repl(
+    inner: list[str], pos_order: int, pos_limit: int, pos_offset: int
+) -> str | None:
+    end = min(p for p in (pos_order, pos_limit, pos_offset, len(inner)) if p >= 0)
+    body = "".join(inner[:end]).strip()
+    entries: list[tuple[str, bool, bool]] = []
+    if pos_order >= 0:
+        ob = _next_code(inner, pos_order + 1)
+        if ob >= len(inner) or not _is_word(inner[ob], "BY"):
+            return None
+        oend = min(p for p in (pos_limit, pos_offset, len(inner))
+                   if p >= 0 and p > pos_order)
+        nf_default = get_session_setting("default_null_order") in (
+            "nulls_first", "nulls first", "'nulls_first'", "'nulls first'",
+        )
+        for part in _split_top_args(inner[ob + 1:oend]):
+            p = part.strip()
+            nm = re.search(r"(?i)\bNULLS\s+(FIRST|LAST)\s*$", p)
+            nf = nm.group(1).upper() == "FIRST" if nm else nf_default
+            p = re.sub(r"(?i)\s*NULLS\s+(FIRST|LAST)\s*$", "", p).strip()
+            d = bool(re.search(r"(?i)\s+DESC\s*$", p))
+            key = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", p).strip()
+            key = _array_ordinal_key(key, "__v")
+            # a (qualified) column ref can only name the single output
+            # column (DuckDB binds union ORDER BY against the output list)
+            if re.fullmatch(r"[A-Za-z_][\w.]*", key):
+                key = "__v"
+            entries.append((key, d, nf))
+    fields = ["'v', (__v)"] + [
+        f"'k{x}', ({k})" for x, (k, _, _) in enumerate(entries)
+    ]
+    collected = f"collect_list(named_struct({', '.join(fields)}))"
+    if entries:
+        cmp = _ow_cmp(entries, lambda x: f"l.k{x}", lambda x: f"r.k{x}")
+        collected = f"array_sort({collected}, (l, r) -> {cmp})"
+    expr = f"transform({collected}, __s -> __s.v)"
+    limit = "".join(
+        inner[_next_code(inner, pos_limit + 1):
+              min(p for p in (pos_offset, len(inner)) if p >= 0 and p > pos_limit)]
+    ).strip() if pos_limit >= 0 else None
+    offset = "".join(inner[_next_code(inner, pos_offset + 1):]).strip() \
+        if pos_offset >= 0 else None
+    if offset is not None or limit is not None:
+        start = f"(({offset}) + 1)" if offset else "1"
+        length = f"({limit})" if limit is not None else "2147483647"
+        expr = f"slice({expr}, {start}, {length})"
+    return f"coalesce((SELECT {expr} FROM ({body}) AS __asq(__v)), array())"
+
+
 def _rewrite_within_group(toks: list[str]) -> list[str]:
     """`fn(args) WITHIN GROUP (ORDER BY key [dir])` → `fn(key[, args])`
     for ordered-set aggregates Spark has no WITHIN GROUP spelling for
@@ -3816,6 +4152,10 @@ def _rewrite_named_windows(sql: str) -> str:
         return sql
     while m:
         name = m.group(1)
+        if name.lower() in ("partition", "range", "rows", "groups"):
+            # frame/partition keywords cannot name a window (reference
+            # parser; test_invalid_window.test)
+            raise ValueError(f"Parser Error: Invalid window name {name}")
         depth, i = 1, m.end()
         while i < len(sql) and depth:
             if sql[i] == "(":
@@ -4855,6 +5195,19 @@ def _agg_macro_windowed(name: str, args: list[str], over: str) -> str | None:
             f"when pmod(sum(case when ({x}) < 0 then 1 else 0 end) {over}, 2) = 1 "
             f"then -{ln} else {ln} end)"
         )
+    if name == "mode" and n == 1:
+        # DuckDB windowed mode tie-break: highest count, then lowest first-
+        # occurrence position in frame order (reference mode.cpp Scan()
+        # "Tie break with the lowest insert position"). collect_list drops
+        # NULLs, which mode ignores anyway, and preserves frame order so
+        # array_position gives the first-occurrence rank.
+        lst = f"collect_list({args[0]}) {over}"
+        ranked = (
+            "array_sort(transform(array_distinct(__l), __mv -> "
+            "named_struct('negc', -size(filter(__l, __my -> __my <=> __mv)), "
+            "'pos', array_position(__l, __mv), 'v', __mv)))"
+        )
+        return let(lst, f"try_element_at({ranked}, 1).v")
     if name == "entropy" and n == 1:
         lst = f"collect_list({args[0]}) {over}"
         body = (
@@ -4892,7 +5245,7 @@ def _agg_macro_windowed(name: str, args: list[str], over: str) -> str | None:
 _WINDOWED_MACROS = {
     "sem", "entropy", "weighted_avg", "wavg", "fsum", "sumkahan",
     "kahan_sum", "favg", "product", "mad", "quantile_disc",
-    "skewness", "kurtosis",
+    "skewness", "kurtosis", "mode",
 }
 _FIRST_LAST = {"first", "last", "any_value", "arbitrary"}
 
@@ -5609,6 +5962,32 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
                         "Parser Error: window functions are not allowed "
                         "in the window specification"
                     )
+        if (
+            windowed
+            and name in _LIST_AGGS
+            and _top_level_index(out, j + 1, close, "ORDER") < 0
+        ):
+            # DuckDB LIST/ARRAY_AGG keeps NULL elements; Spark collect_list
+            # drops them (window/test_list_window.test). Struct-wrap the
+            # value so nulls survive the collect, then project back out —
+            # frame order is preserved because transform is elementwise.
+            op = _next_code(out, nxt + 1)
+            argtext = "".join(_rewrite_calls(out[j + 1:close])).strip()
+            if (
+                argtext
+                and not re.match(r"(?is)^DISTINCT\b", argtext)
+                and op < len(out)
+                and out[op] == "("
+            ):
+                oc = _match_paren(out, op)
+                if oc > 0:
+                    spec = "".join(_rewrite_calls(out[op + 1:oc])).strip()
+                    out[i:oc + 1] = [
+                        f"transform(collect_list(named_struct('v', {argtext}))"
+                        f" OVER ({spec}), __s -> __s.v)"
+                    ]
+                    i += 1
+                    continue
         if windowed and name in _WINDOWED_MACROS:
             op = _next_code(out, nxt + 1)
             if op < len(out) and out[op] == "(":
@@ -6034,6 +6413,7 @@ def translate(sql: str) -> str:
                 _p -= 1
             if _p >= 0 and toks[_p] == ",":
                 toks[_p] = " "
+    toks = _rewrite_groups_frames(toks)
     toks = _rewrite_exclude(toks)
     toks = _rewrite_floordiv(toks)
     toks = _fold_null_cast_chains(toks)
@@ -6059,6 +6439,7 @@ def translate(sql: str) -> str:
     toks = _rewrite_rowid(toks)
     toks = _rewrite_asof_join(toks)
     toks = _rewrite_dynamic_interval(toks)
+    toks = _rewrite_array_subquery(toks)
     toks = _rewrite_table_fns(toks)
     toks = _rewrite_select_unnest(toks)
     toks = _rewrite_within_group(toks)
