@@ -202,12 +202,13 @@ def read_csv_with_rejects(
     return clean, rejects
 
 
-def read_parquet(spark: SparkSession, path: str, file_row_number: bool = False,
+def read_parquet(spark: SparkSession, path: str | list[str],
+                 file_row_number: bool = False,
                  union_by_name: bool = False, **options) -> DataFrame:
     reader = spark.read.options(**options)
     if union_by_name:
         reader = reader.option("mergeSchema", "true")
-    df = reader.parquet(path)
+    df = reader.parquet(*path) if isinstance(path, list) else reader.parquet(path)
     if file_row_number:
         df = df.selectExpr("*", "_metadata.row_index AS file_row_number")
     return df
@@ -218,7 +219,7 @@ def read_json(spark: SparkSession, path: str, format: str = "auto", **options) -
     if format in ("array", "auto"):
         # DuckDB auto-detects top-level-array JSON; Spark needs multiLine.
         reader = reader.option("multiLine", "true") if format == "array" else reader
-    return reader.json(path)
+    return reader.json(path)  # Spark accepts str or list here natively
 
 
 def read_duckdb(spark: SparkSession, db_path: str, table: str) -> DataFrame:

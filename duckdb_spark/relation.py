@@ -28,6 +28,30 @@ def _cols(exprs: Iterable[str | Column]) -> list[Column]:
     return [F.expr(e) if isinstance(e, str) else e for e in exprs]
 
 
+def _split_sql_args(args: str) -> list[str]:
+    """Split a TVF argument list on top-level commas (quotes and brackets
+    respected)."""
+    return _split_top_level(args)
+
+
+def _parse_path_arg(arg: str) -> str | list[str] | None:
+    """A file-reader TVF's path argument: a string literal or a list of
+    string literals. None if it's anything else (expression, parameter)."""
+    a = arg.strip()
+    m = re.fullmatch(r"'((?:[^']|'')*)'", a)
+    if m:
+        return m.group(1).replace("''", "'")
+    if a.startswith("[") and a.endswith("]"):
+        out = []
+        for p in _split_top_level(a[1:-1]):
+            pm = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", p)
+            if not pm:
+                return None
+            out.append(pm.group(1).replace("''", "'"))
+        return out
+    return None
+
+
 def _split_top_level(s: str) -> list[str]:
     """Split an expression list on commas outside parens/brackets/quotes
     (so "round(sum(x), 2) AS r, g" → ["round(sum(x), 2) AS r", "g"])."""
@@ -336,6 +360,13 @@ class Connection:
                     except Exception:
                         pass
             return None
+        if re.search(r"(?is)\bWITH\b", query):
+            from duckdb_spark.sql.dialect import strip_unused_ctes
+
+            try:
+                query = strip_unused_ctes(query)
+            except Exception:
+                pass
         query = self._bind_sql_tvfs(query)
         # positional column references `#N` (reference positional_reference
         # binder): resolve against the FROM relation's schema at bind time
@@ -483,6 +514,12 @@ class Connection:
         "duckdb_functions", "duckdb_settings", "duckdb_tables",
         "duckdb_columns", "duckdb_views", "duckdb_types", "duckdb_memory",
         "pragma_table_info", "repeat",
+        # file readers in FROM position (reference
+        # extension/parquet/parquet_extension.cpp, read_csv.cpp): the
+        # Python API (io/readers.py) bound as SQL-text table functions
+        "read_parquet", "parquet_scan", "read_csv", "read_csv_auto",
+        "read_json", "read_json_auto", "read_json_objects", "read_ndjson",
+        "read_text", "read_blob",
     )
     _tvf_seq = 0
 
@@ -513,6 +550,44 @@ class Connection:
                     if vals["n"] is None or isinstance(vals["v"], str):
                         return m.group(0)  # scalar string repeat
                     df = tablefn.repeat(self.spark, vals["v"], int(vals["n"]))
+                elif name in (
+                    "read_parquet", "parquet_scan", "read_csv",
+                    "read_csv_auto", "read_json", "read_json_auto",
+                    "read_json_objects", "read_ndjson", "read_text",
+                    "read_blob",
+                ):
+                    from duckdb_spark.io import readers
+
+                    parts = _split_sql_args(args)
+                    if not parts:
+                        return m.group(0)
+                    paths = _parse_path_arg(parts[0])
+                    if paths is None:
+                        return m.group(0)
+                    opts = {}
+                    for p in parts[1:]:
+                        om = re.match(r"(?s)^\s*(\w+)\s*(?::?=)\s*(.*)$", p)
+                        if om:
+                            opts[om.group(1).lower()] = om.group(2).strip()
+                    if name in ("read_parquet", "parquet_scan"):
+                        df = readers.read_parquet(
+                            self.spark, paths,
+                            union_by_name=opts.get("union_by_name", "")
+                            .lower() == "true",
+                        )
+                    elif name in ("read_csv", "read_csv_auto"):
+                        kw = {}
+                        if opts.get("header", "").lower() in ("true", "false", "0", "1"):
+                            kw["header"] = opts["header"].lower() in ("true", "1")
+                        if opts.get("delim") or opts.get("sep"):
+                            kw["sep"] = (opts.get("delim") or opts["sep"]).strip("'\"")
+                        df = readers.read_csv(self.spark, paths, **kw)
+                    elif name == "read_text":
+                        df = readers.read_text(self.spark, paths)
+                    elif name == "read_blob":
+                        df = readers.read_blob(self.spark, paths)
+                    else:
+                        df = readers.read_json(self.spark, paths)
                 else:
                     df = getattr(I, name)(self.spark)
             except Exception:

@@ -316,7 +316,7 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
                 i += 1
             tdepth = 0
             while i < len(toks) and (
-                re.match(r"[A-Za-z_`]", toks[i]) or toks[i] in "()[]0123456789," or toks[i].isdigit()
+                re.match(r"[A-Za-z_`]", toks[i]) or toks[i] in "()[]0123456789,." or toks[i].isdigit()
                 or (toks[i].isspace() and tdepth > 0)  # STRUCT(k INT, …)
                 or (
                     # multi-word spellings: INT ARRAY, DOUBLE PRECISION,
@@ -589,6 +589,64 @@ def get_session_setting(name: str, default: str = "") -> str:
 
 def reset_session_settings() -> None:
     _SESSION_SETTINGS.d = {}
+    _SESSION_SETTINGS.types = {}
+
+
+def registered_type_aliases() -> dict[str, str]:
+    """CREATE TYPE aliases (reference catalog type entries,
+    create_type_info.cpp): lowercase qualified name → DuckDB type text
+    with nested aliases already expanded. Thread-local like settings."""
+    d = getattr(_SESSION_SETTINGS, "types", None)
+    if d is None:
+        d = _SESSION_SETTINGS.types = {}
+    return d
+
+
+def register_type_alias(name: str, definition: str) -> None:
+    defn = definition.strip().rstrip(";").strip()
+    if re.match(r"(?is)^ENUM\s*\(", defn):
+        defn = "VARCHAR"  # enum emulation is string-backed
+    key = name.strip().strip('"').lower()
+    for pfx in ("memory.", "temp.", "main."):
+        if key.startswith(pfx):
+            key = key[len(pfx):]
+    # an unqualified CREATE TYPE lands in the current schema (SEARCH_PATH)
+    sp = get_session_setting("search_path")
+    if "." not in key and sp and sp not in ("main", "memory", "temp"):
+        key = f"{sp}.{key}"
+    registered_type_aliases()[key] = expand_type_aliases(defn)
+
+
+def unregister_type_alias(name: str) -> None:
+    registered_type_aliases().pop(name.strip().strip('"').lower(), None)
+
+
+def expand_type_aliases(ty: str) -> str:
+    """Substitute registered CREATE TYPE aliases (bare, schema-qualified,
+    or resolvable through SEARCH_PATH) inside a DuckDB type text."""
+    d = registered_type_aliases()
+    if not d:
+        return ty
+
+    def look(nm: str) -> str | None:
+        nm = nm.lower()
+        for pfx in ("memory.", "temp.", "main."):
+            if nm.startswith(pfx):
+                nm = nm[len(pfx):]
+        if nm in d:
+            return d[nm]
+        sp = get_session_setting("search_path")
+        if sp and "." not in nm and f"{sp}.{nm}" in d:
+            return d[f"{sp}.{nm}"]
+        return None
+
+    pat = re.compile(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*")
+    prev, n = None, 0
+    while prev != ty and n < 5:
+        prev = ty
+        ty = pat.sub(lambda m: look(m.group(0)) or m.group(0), ty)
+        n += 1
+    return ty
 
 
 def registered_schemas() -> set[str]:
@@ -2649,6 +2707,90 @@ def split_with_prefix(sql: str) -> tuple[str, str]:
             continue
         break
     return "".join(toks[:j]), "".join(toks[j:])
+
+
+def strip_unused_ctes(sql: str) -> str:
+    """Drop WITH-clause entries never referenced by the main query or by a
+    retained later CTE. DuckDB binds CTEs lazily (test/sql/cte/
+    lazy_cte_bind.test: an unused CTE over a missing file never errors);
+    Spark analyzes every CTE eagerly — pruning unreferenced ones restores
+    the lazy contract."""
+    toks = _tokens(sql)
+    # nested `( WITH … )` blocks first (subquery-local CTE lists)
+    i = 0
+    while i < len(toks):
+        if toks[i] == "(":
+            k = _next_code(toks, i + 1)
+            c = _match_paren(toks, i)
+            if c > 0 and k < c and _is_word(toks[k], "WITH"):
+                inner = "".join(toks[i + 1:c])
+                stripped = strip_unused_ctes(inner)
+                if stripped != inner:
+                    toks[i + 1:c] = [stripped]
+        i += 1
+    sql = "".join(toks)
+    toks = _tokens(sql)
+    i = _next_code(toks, 0)
+    if i >= len(toks) or not _is_word(toks[i], "WITH"):
+        return sql
+    j = _next_code(toks, i + 1)
+    recursive = ""
+    if j < len(toks) and _is_word(toks[j], "RECURSIVE"):
+        recursive = "RECURSIVE "
+        j = _next_code(toks, j + 1)
+    ctes: list[tuple[str, int, int]] = []  # (name, start_tok, end_tok_excl)
+    while j < len(toks):
+        start = j
+        if not re.match(r"^[A-Za-z_`\"]", toks[j]):
+            return sql
+        name = toks[j].strip('`"').lower()
+        j = _next_code(toks, j + 1)
+        if j < len(toks) and toks[j] == "(":
+            c = _match_paren(toks, j)
+            if c < 0:
+                return sql
+            j = _next_code(toks, c + 1)
+        if j >= len(toks) or not _is_word(toks[j], "AS"):
+            return sql
+        j = _next_code(toks, j + 1)
+        while j < len(toks) and re.match(r"^[A-Za-z_]", toks[j]) and \
+                toks[j].upper() in ("NOT", "MATERIALIZED"):
+            j = _next_code(toks, j + 1)
+        if j >= len(toks) or toks[j] != "(":
+            return sql
+        c = _match_paren(toks, j)
+        if c < 0:
+            return sql
+        ctes.append((name, start, c + 1))
+        j = _next_code(toks, c + 1)
+        if j < len(toks) and toks[j] == ",":
+            j = _next_code(toks, j + 1)
+            continue
+        break
+    body = "".join(toks[j:])
+    texts = {n: "".join(toks[s:e]) for n, s, e in ctes}
+    # keep set: referenced (word-boundary) from the body, transitively
+    # through retained CTEs (later defs can reference earlier ones)
+    keep: set[str] = set()
+    frontier = body
+    changed = True
+    while changed:
+        changed = False
+        for n, s, e in ctes:
+            if n in keep:
+                continue
+            pat = re.compile(rf"(?i)\b{re.escape(n)}\b")
+            if pat.search(frontier) or any(
+                pat.search(texts[m]) for m in keep if m != n
+            ):
+                keep.add(n)
+                changed = True
+    if len(keep) == len(ctes):
+        return sql
+    kept = [texts[n] for n, _, _ in ctes if n in keep]
+    if not kept:
+        return body
+    return f"WITH {recursive}" + ", ".join(kept) + " " + body
 
 
 def _rewrite_colon_alias(toks: list[str]) -> list[str]:
@@ -5200,8 +5342,26 @@ def _agg_macro_windowed(name: str, args: list[str], over: str) -> str | None:
         # occurrence position in frame order (reference mode.cpp Scan()
         # "Tie break with the lowest insert position"). collect_list drops
         # NULLs, which mode ignores anyway, and preserves frame order so
-        # array_position gives the first-occurrence rank.
-        lst = f"collect_list({args[0]}) {over}"
+        # array_position gives the first-occurrence rank. An in-call
+        # ORDER BY (`mode(x ORDER BY k) OVER w`) redefines that insertion
+        # order: sort the collected (v, keys) structs first.
+        arg = args[0]
+        om = re.search(r"(?is)\bORDER\s+BY\b", arg)
+        if om:
+            x = arg[:om.start()].strip()
+            entries = _ow_entries(_tokens(arg[om.end():]))
+            fields = [f"'v', ({x})"] + [
+                f"'k{i}', ({k})" for i, (k, _, _) in enumerate(entries)
+            ]
+            cmp = _ow_cmp(entries, lambda i: f"l.k{i}", lambda i: f"r.k{i}")
+            lst = (
+                f"transform(array_sort("
+                f"collect_list(named_struct({', '.join(fields)})) {over}, "
+                f"(l, r) -> {cmp}), __s -> __s.v)"
+            )
+            lst = f"filter({lst}, __fv -> __fv is not null)"
+        else:
+            lst = f"collect_list({arg}) {over}"
         ranked = (
             "array_sort(transform(array_distinct(__l), __mv -> "
             "named_struct('negc', -size(filter(__l, __my -> __my <=> __mv)), "
@@ -5500,7 +5660,11 @@ def _map_type(ty: str) -> str:
     """DuckDB type text → Spark DDL type text, via the §1.2 type mapping
     (handles nested LIST/MAP/STRUCT/ROW, decimal defaults, pg aliases).
     INTERVAL stays native (the struct emulation is for storage, not casts)."""
-    s = ty.strip()
+    s = expand_type_aliases(ty.strip())
+    # SETOF wrapper drops; `T ARRAY[n]` / `T[n]` fixed-size arrays map to
+    # plain lists (reference array_type parity: one list dimension each)
+    s = re.sub(r"(?is)^\s*SETOF\s+", "", s)
+    s = re.sub(r"(?is)\bARRAY\s*\[\s*\d*\s*\]", "[]", s)
     head = re.match(r"[A-Za-z_0-9]+", s)
     if head and head.group(0).upper() in ("INTERVAL", "TIME", "TIMETZ"):
         return ty  # storage emulations (types.py) would corrupt cast semantics
@@ -6334,6 +6498,17 @@ def translate(sql: str) -> str:
         sql = _substitute_window_aliases(sql)
     if get_session_setting("__select_alias"):
         sql = _substitute_filter_aliases(sql)
+    # `x IN (SELECT <expr>)` with no FROM is a single-row membership test
+    # ≡ `x = (<expr>)` — and unlike the subquery form, Spark resolves
+    # multi-level outer references in the plain comparison
+    # (cte/lazy_cte_bind_correlated.test)
+    sql = re.sub(
+        r"(?is)\b(NOT\s+)?IN\s*\(\s*SELECT\s+((?:[^(),'\"]|'[^']*')+?)\s*\)",
+        lambda m: (" <> (" if m.group(1) else " = (") + m.group(2) + ")"
+        if not re.search(r"(?i)\b(FROM|WHERE|UNION|DISTINCT|GROUP)\b|\*",
+                         m.group(2)) else m.group(0),
+        sql,
+    )
     sql = "".join(_rewrite_select_in_subquery(_tokens(sql)))
     sql = _rewrite_any_all(sql)
     # GROUP BY () — empty grouping set ≡ global aggregate

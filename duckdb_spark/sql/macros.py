@@ -93,6 +93,42 @@ class MacroRegistry:
                 "increment": int(inc or 1),
             }
             return True
+        t = re.match(
+            r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TYPE\s+"
+            r"([\w\".]+)\s+AS\s+(.*?)\s*;?\s*$", sql,
+        )
+        if t:
+            from duckdb_spark.sql.dialect import register_type_alias
+
+            register_type_alias(t.group(1), t.group(2))
+            return True
+        t = re.match(
+            r"(?is)^\s*DROP\s+TYPE\s+(?:IF\s+EXISTS\s+)?([\w\".]+)\s*;?\s*$",
+            sql,
+        )
+        if t:
+            from duckdb_spark.sql.dialect import unregister_type_alias
+
+            unregister_type_alias(t.group(1))
+            return True
+        t = re.match(r"(?is)^\s*USE\s+([\w\"]+)\s*;?\s*$", sql)
+        if t:
+            from duckdb_spark.sql.dialect import set_session_setting
+
+            self_name = t.group(1).strip().strip('"')
+            set_session_setting("search_path", self_name)
+            return True
+        t = re.match(
+            r"(?is)^\s*SET\s+SEARCH_PATH\s*(?:TO|=)\s*([\w\"., ]+?)\s*;?\s*$",
+            sql,
+        )
+        if t:
+            from duckdb_spark.sql.dialect import set_session_setting
+
+            set_session_setting(
+                "search_path", t.group(1).split(",")[0].strip().strip('"')
+            )
+            return True
         if re.match(r"(?is)^\s*DROP\s+MACRO\s+([A-Za-z_][A-Za-z_0-9]*)", sql):
             name = re.match(r"(?is)^\s*DROP\s+MACRO\s+([A-Za-z_][A-Za-z_0-9]*)", sql).group(1)
             self._macros.pop(name.lower(), None)

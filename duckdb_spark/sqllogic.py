@@ -396,6 +396,45 @@ def values_equal(expected: str, actual: str, type_char: str) -> bool:
 
 # ------------------------------------------------------------- execution
 
+
+def _parse_cte_list(with_txt: str) -> list[tuple[str, list[str] | None, str]]:
+    """Parse a WITH clause into [(name, column_aliases, body_sql)]."""
+    from duckdb_spark.sql.dialect import _is_word, _match_paren, _next_code, _tokens
+
+    toks = _tokens(with_txt)
+    i = _next_code(toks, 0)
+    if i >= len(toks) or not _is_word(toks[i], "WITH"):
+        return []
+    j = _next_code(toks, i + 1)
+    if j < len(toks) and _is_word(toks[j], "RECURSIVE"):
+        j = _next_code(toks, j + 1)
+    out: list[tuple[str, list[str] | None, str]] = []
+    while j < len(toks):
+        name = toks[j].strip('`"')
+        j = _next_code(toks, j + 1)
+        cols = None
+        if j < len(toks) and toks[j] == "(":
+            c = _match_paren(toks, j)
+            cols = [x.strip().strip('`"') for x in
+                    "".join(toks[j + 1:c]).split(",")]
+            j = _next_code(toks, c + 1)
+        if j >= len(toks) or not _is_word(toks[j], "AS"):
+            break
+        j = _next_code(toks, j + 1)
+        while j < len(toks) and toks[j].upper() in ("NOT", "MATERIALIZED"):
+            j = _next_code(toks, j + 1)
+        if j >= len(toks) or toks[j] != "(":
+            break
+        c = _match_paren(toks, j)
+        out.append((name, cols, "".join(toks[j + 1:c]).strip()))
+        j = _next_code(toks, c + 1)
+        if j < len(toks) and toks[j] == ",":
+            j = _next_code(toks, j + 1)
+            continue
+        break
+    return out
+
+
 _CREATE_TABLE_RE = re.compile(
     r"(?is)^\s*create\s+(?:or\s+replace\s+)?(?:temp(?:orary)?\s+)?table\s+"
     r"(?:if\s+not\s+exists\s+)?([\w\".]+)\s*(.*)$"
@@ -574,8 +613,53 @@ class SLSession:
             return res
         return self._execute_one(stmts[0] if stmts else sql)
 
+    def _count_result(self, n: int):
+        from duckdb_spark.relation import Relation
+
+        return Relation(self.spark.createDataFrame([(n,)], "Count: bigint"))
+
     def _execute_one(self, sql: str):
         sql = sql.strip().rstrip(";")
+        # PREPARE/EXECUTE expand here (not in Connection.sql) so a prepared
+        # DML statement routes through the driver-side DML handlers
+        # (cte/materialized/materialized_cte_prepared.test)
+        if re.match(r"(?is)^\s*(PREPARE|EXECUTE|DEALLOCATE)\b", sql):
+            handled = self.con.prepared.handle(sql)
+            if handled is True:
+                return None
+            if isinstance(handled, str):
+                return self._execute_one(handled)
+        # WITH … INSERT/DELETE/UPDATE (reference: DML statements accept a
+        # leading CTE list, including DML CTEs with RETURNING —
+        # cte/insert_cte_bug_3417.test, cte/materialized/
+        # dml_materialized_cte.test). CTE bodies materialize as temp views
+        # (they are either tiny VALUES lists or RETURNING row sets); the
+        # main DML then runs through the normal handlers.
+        if re.match(r"(?is)^\s*WITH\b", sql):
+            from duckdb_spark.sql.dialect import split_with_prefix
+
+            with_txt, body = split_with_prefix(sql)
+            if with_txt and re.match(r"(?is)^\s*(INSERT|UPDATE|DELETE)\b", body):
+                views = []
+                try:
+                    for name, cols, cbody in _parse_cte_list(with_txt):
+                        if re.match(r"(?is)^\s*(INSERT|UPDATE|DELETE)\b", cbody):
+                            res = self._execute_one(cbody)
+                            df = res.df() if res is not None else \
+                                self.spark.createDataFrame([], "x: int")
+                        else:
+                            df = self.con.sql(cbody).df()
+                        if cols:
+                            df = df.toDF(*cols)
+                        df.createOrReplaceTempView(name)
+                        views.append(name)
+                    return self._execute_one(body)
+                finally:
+                    for v in views:
+                        try:
+                            self.spark.catalog.dropTempView(v)
+                        except Exception:
+                            pass
         m = re.match(r"(?is)^\s*CALL\s+dbgen\s*\(\s*sf\s*=\s*([0-9.]+)", sql)
         if m:
             self._dbgen(float(m.group(1)))
@@ -600,7 +684,11 @@ class SLSession:
                 ctype = re.sub(
                     r"(?i)\s+(primary\s+key|not\s+null|unique|default\s+.*|check\s*\(.*|collate\s+\S+)",
                     "", mm.group(3)).strip()
-                fields.append(T.StructField(cname, duckdb_type_to_spark(ctype)))
+                from duckdb_spark.sql.dialect import expand_type_aliases
+
+                fields.append(T.StructField(
+                    cname, duckdb_type_to_spark(expand_type_aliases(ctype))
+                ))
             self._register(name, T.StructType(fields), [])
             return None
         if m:  # CREATE TABLE ... AS
@@ -648,6 +736,18 @@ class SLSession:
             )
             src_sql = sql[m.end(2) if m.group(2) else m.end(1):].strip()
             src_sql = re.sub(r";\s*$", "", src_sql)
+            ret = None
+            rm = re.search(r"(?is)\bRETURNING\s+(.+)$", src_sql)
+            if rm:
+                ret, src_sql = rm.group(1).strip(), src_sql[:rm.start()].strip()
+            if re.match(r"(?is)^\s*WITH\b", src_sql) and re.search(
+                r"(?is)\b(INSERT|UPDATE|DELETE)\s+(INTO|FROM|\w+\s+SET)\b",
+                src_sql,
+            ):
+                raise ValueError(
+                    "Binder Error: data-modifying statement must be at "
+                    "the top level"
+                )
             src = self.con.sql(
                 src_sql if not src_sql.upper().startswith("VALUES")
                 # newline before ')' so a trailing -- comment can't eat it
@@ -665,24 +765,38 @@ class SLSession:
                     for f in schema.fields
                 ]
             )
-            self._register(name, schema, rows + casted.collect())
-            return None
+            added = casted.collect()
+            self._register(name, schema, rows + added)
+            if ret:
+                # RETURNING projects over the inserted rows (reference
+                # physical_insert.cpp return_chunk path)
+                from duckdb_spark.relation import Relation
+                from duckdb_spark.sql.dialect import translate
+
+                self.spark.createDataFrame(
+                    added, schema
+                ).createOrReplaceTempView("__dml_returning")
+                return Relation(self.spark.sql(translate(
+                    f"SELECT {ret} FROM __dml_returning"
+                )))
+            return self._count_result(len(added))
         m = _DELETE_RE.match(sql)
         if m:
             name = _flat(m.group(1))
             if name not in self.tables:
                 raise ValueError(f"unknown table {name}")
-            schema, _ = self.tables[name]
+            schema, prev = self.tables[name]
             if m.group(2):
                 from duckdb_spark.sql.dialect import translate
 
                 keep = self.spark.sql(translate(
                     f"SELECT * FROM {name} WHERE NOT COALESCE(({m.group(2)}), FALSE)"
                 ))
-                self._register(name, schema, keep.collect())
-            else:
-                self._register(name, schema, [])
-            return None
+                kept = keep.collect()
+                self._register(name, schema, kept)
+                return self._count_result(len(prev) - len(kept))
+            self._register(name, schema, [])
+            return self._count_result(len(prev))
         m = _UPDATE_RE.match(sql)
         if m:
             name = _flat(m.group(1))
@@ -696,6 +810,9 @@ class SLSession:
             cond = m.group(3) or "TRUE"
             from duckdb_spark.sql.dialect import translate
 
+            cnt = self.spark.sql(translate(
+                f"SELECT COUNT(*) FROM {name} WHERE COALESCE(({cond}), FALSE)"
+            )).collect()[0][0]
             proj = ", ".join(
                 f"CASE WHEN COALESCE(({cond}), FALSE) THEN CAST(({assigns[f.name]}) AS "
                 f"{f.dataType.simpleString()}) ELSE {f.name} END AS {f.name}"
@@ -704,7 +821,7 @@ class SLSession:
             )
             post = self.spark.sql(translate(f"SELECT {proj} FROM {name}"))
             self._register(name, schema, post.collect())
-            return None
+            return self._count_result(int(cnt))
         m = _DROP_RE.match(sql)
         if m:
             self._drop(_flat(m.group(2)))
