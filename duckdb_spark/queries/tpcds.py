@@ -34,17 +34,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 from duckdb_spark.queries import register
 
-# v3: date_dim gains d_month_seq/d_quarter_name/d_day_name, store gains
-# address/company/gmt columns, item gains product/color/units/size/cost,
-# store_sales gains wholesale costs, store_returns gains sr_reason_sk, and
-# the reason table lands — for the q06..q98 expansion. New path so stale
-# fixtures regenerate.
-TPCDS_DIR = os.environ.get("SPARK_GRAFT_TPCDS_DIR", "/tmp/duckdb_spark_tpcds_v3")
+# v4 (round 6): the full-channel schema for the 34→67 query expansion —
+# web_sales/web_returns/catalog_returns chains (FK-aligned order numbers),
+# inventory+warehouse, ship_mode/call_center/web_page/web_site/income_band/
+# catalog_page dims, d_week_seq, discount/ship-cost columns, and NULL
+# cycles on the q76 channel keys. New path so stale fixtures regenerate.
+TPCDS_DIR = os.environ.get("SPARK_GRAFT_TPCDS_DIR", "/tmp/duckdb_spark_tpcds_v4")
 
 TABLES = [
     "date_dim", "time_dim", "item", "store", "customer", "customer_address",
     "customer_demographics", "household_demographics", "promotion", "reason",
     "store_sales", "store_returns", "catalog_sales",
+    "catalog_returns", "web_sales", "web_returns", "inventory", "warehouse",
+    "ship_mode", "call_center", "web_page", "web_site", "income_band",
+    "catalog_page",
 ]
 
 _GEN_SQL = """
@@ -59,11 +62,14 @@ SELECT i + 1 AS d_date_sk,
        -- real dsdgen numbering: month_seq 1200 = Jan 2000
        (d_year - 1900) * 12 + (d_moy - 1) AS d_month_seq,
        d_year || 'Q' || d_qoy AS d_quarter_name,
-       dayname(d_date) AS d_day_name
+       dayname(d_date) AS d_day_name,
+       -- Sunday-started weeks; 1998-01-01 is a Thursday (4 days past
+       -- Sunday); 5270 ≈ the real dsdgen week_seq at that date
+       5270 + (i + 4) // 7 AS d_week_seq
 FROM range(1826) t(i);
 
 CREATE OR REPLACE TABLE time_dim AS
-SELECT i AS t_time_sk, (i // 3600)::INT AS t_hour,
+SELECT i AS t_time_sk, i AS t_time, (i // 3600)::INT AS t_hour,
        ((i % 3600) // 60)::INT AS t_minute, (i % 60)::INT AS t_second
 FROM range(86400) t(i);
 
@@ -123,7 +129,15 @@ SELECT i + 1 AS c_customer_sk,
        1 + (i * 11) % 280 AS c_current_cdemo_sk,
        1 + (i * 13) % 200 AS c_current_hdemo_sk,
        ['Mr.','Mrs.','Ms.','Dr.','Sir'][1 + (i * 7) % 5] AS c_salutation,
-       ['Y','N'][1 + i % 2] AS c_preferred_cust_flag
+       ['Y','N'][1 + i % 2] AS c_preferred_cust_flag,
+       1 + (i * 3) % 28 AS c_birth_day,
+       1 + (i * 5) % 12 AS c_birth_month,
+       1924 + (i * 7) % 68 AS c_birth_year,
+       ['UNITED STATES','CANADA','MEXICO','GERMANY','JAPAN','BRAZIL',
+        'FRANCE','INDIA'][1 + (i * 11) % 8] AS c_birth_country,
+       'login' || (i + 1) AS c_login,
+       'user' || (i + 1) || '@example.com' AS c_email_address,
+       1 + (i * 11) % 1826 AS c_last_review_date_sk
 FROM range(5000) t(i);
 
 CREATE OR REPLACE TABLE customer_address AS
@@ -163,7 +177,8 @@ SELECT i + 1 AS p_promo_sk,
        'PROMO' || lpad((i + 1)::VARCHAR, 4, '0') AS p_promo_id,
        ['N', 'Y'][1 + i % 2] AS p_channel_dmail,
        ['N', 'Y'][1 + (i // 2) % 2] AS p_channel_email,
-       ['N', 'Y'][1 + (i // 4) % 2] AS p_channel_event
+       ['N', 'Y'][1 + (i // 4) % 2] AS p_channel_event,
+       ['N', 'Y'][1 + (i // 8) % 2] AS p_channel_tv
 FROM range(30) t(i);
 
 CREATE OR REPLACE TABLE store_sales AS
@@ -174,7 +189,8 @@ SELECT 1 + (i * 37) % 1826 AS ss_sold_date_sk,
        1 + (i * 11) % 280 AS ss_cdemo_sk,
        1 + (i * 17) % 200 AS ss_hdemo_sk,
        1 + (i * 23) % 5000 AS ss_addr_sk,
-       1 + i % 12 AS ss_store_sk,
+       -- NULL cycle: q76 aggregates the no-store channel slice
+       CASE WHEN i % 101 = 0 THEN NULL ELSE 1 + i % 12 END AS ss_store_sk,
        1 + (i * 5) % 30 AS ss_promo_sk,
        1 + i // 3 AS ss_ticket_number,
        1 + (i * 3) % 99 AS ss_quantity,
@@ -187,7 +203,8 @@ SELECT 1 + (i * 37) % 1826 AS ss_sold_date_sk,
        CAST(1 + (i * 6983 % 900000) / 100.0 AS DECIMAL(7,2)) AS ss_net_paid,
        CAST(((i * 104729) % 20000 - 10000) / 100.0 AS DECIMAL(7,2)) AS ss_net_profit,
        CAST(1 + (i * 3109 % 9000) / 100.0 AS DECIMAL(7,2)) AS ss_wholesale_cost,
-       CAST(1 + (i * 4001 % 800000) / 100.0 AS DECIMAL(7,2)) AS ss_ext_wholesale_cost
+       CAST(1 + (i * 4001 % 800000) / 100.0 AS DECIMAL(7,2)) AS ss_ext_wholesale_cost,
+       CAST((i * 5077 % 50000) / 100.0 AS DECIMAL(7,2)) AS ss_ext_discount_amt
 FROM range(120000) t(i);
 
 CREATE OR REPLACE TABLE store_returns AS
@@ -202,7 +219,8 @@ SELECT DISTINCT
             AS DECIMAL(7,2)) AS sr_return_amt,
        CAST(1 + ((ss_item_sk * 89 + ss_ticket_number * 29) % 40000) / 100.0
             AS DECIMAL(7,2)) AS sr_net_loss,
-       1 + (ss_item_sk * 7 + ss_ticket_number * 3) % 35 AS sr_reason_sk
+       1 + (ss_item_sk * 7 + ss_ticket_number * 3) % 35 AS sr_reason_sk,
+       ss_cdemo_sk AS sr_cdemo_sk
 FROM store_sales
 WHERE (ss_item_sk + ss_ticket_number) % 9 = 0;
 
@@ -213,33 +231,188 @@ SELECT i + 1 AS r_reason_sk,
 FROM range(35) t(i);
 
 CREATE OR REPLACE TABLE catalog_sales AS
-SELECT LEAST(1826, ss_sold_date_sk + 60) AS cs_sold_date_sk,
-       ss_item_sk AS cs_item_sk,
-       ss_customer_sk AS cs_bill_customer_sk,
-       1 + (ss_item_sk * 11 + ss_customer_sk) % 280 AS cs_bill_cdemo_sk,
-       1 + (ss_item_sk * 5 + ss_customer_sk) % 30 AS cs_promo_sk,
-       1 + (ss_item_sk * 3 + ss_customer_sk) % 99 AS cs_quantity,
-       CAST(1 + ((ss_item_sk * 7919 + ss_customer_sk) % 9000) / 100.0
+WITH both_arms AS (
+  -- arm 1: FK-aligned with store_sales (q25/q29 returns-chain overlap)
+  SELECT ss_sold_date_sk AS base_date, ss_item_sk AS it, ss_customer_sk AS cu,
+         (ss_sold_date_sk * 2001 + ss_item_sk) * 5001 + ss_customer_sk AS ordno
+  FROM (SELECT DISTINCT ss_sold_date_sk, ss_item_sk, ss_customer_sk
+        FROM store_sales WHERE (ss_item_sk * 31 + ss_customer_sk) % 7 = 0)
+  UNION ALL
+  -- arm 2: independent volume
+  SELECT 1 + (i * 41) % 1826, 1 + (i * 19) % 2000, 1 + (i * 3) % 5000, i
+  FROM range(60000) t(i)
+)
+SELECT LEAST(1826, base_date + 60) AS cs_sold_date_sk,
+       (it * 211 + cu * 101) % 86400 AS cs_sold_time_sk,
+       LEAST(1826, base_date + 62 + (it + cu) % 58) AS cs_ship_date_sk,
+       it AS cs_item_sk,
+       cu AS cs_bill_customer_sk,
+       1 + (it * 11 + cu) % 280 AS cs_bill_cdemo_sk,
+       1 + (it * 17 + cu) % 200 AS cs_bill_hdemo_sk,
+       1 + (it * 23 + cu) % 5000 AS cs_bill_addr_sk,
+       CASE WHEN (it + cu) % 97 = 0 THEN NULL
+            ELSE 1 + (it * 29 + cu * 3) % 5000 END AS cs_ship_addr_sk,
+       CASE WHEN (it * 3 + cu) % 89 = 0 THEN NULL
+            ELSE 1 + (it * 31 + cu) % 5000 END AS cs_ship_customer_sk,
+       ordno AS cs_order_number,
+       1 + (it + cu) % 5 AS cs_warehouse_sk,
+       1 + (it * 7 + cu) % 20 AS cs_ship_mode_sk,
+       1 + (it * 3 + cu) % 6 AS cs_call_center_sk,
+       1 + (it * 13 + cu) % 40 AS cs_catalog_page_sk,
+       1 + (it * 5 + cu) % 30 AS cs_promo_sk,
+       1 + (it * 3 + cu) % 99 AS cs_quantity,
+       CAST(1 + ((it * 7919 + cu) % 9000) / 100.0
             AS DECIMAL(7,2)) AS cs_list_price,
-       CAST(1 + ((ss_item_sk * 6101 + ss_customer_sk) % 8000) / 100.0
+       CAST(1 + ((it * 6101 + cu) % 8000) / 100.0
             AS DECIMAL(7,2)) AS cs_sales_price,
-       CAST(((ss_item_sk * 2903 + ss_customer_sk) % 3000) / 100.0
+       CAST(((it * 2903 + cu) % 3000) / 100.0
             AS DECIMAL(7,2)) AS cs_coupon_amt,
-       CAST(1 + ((ss_item_sk * 4507 + ss_customer_sk) % 900000) / 100.0
+       CAST(1 + ((it * 4507 + cu) % 900000) / 100.0
             AS DECIMAL(7,2)) AS cs_ext_sales_price,
-       CAST((((ss_item_sk * 104729 + ss_customer_sk) % 20000) - 10000) / 100.0
+       CAST(((it * 5077 + cu * 7) % 50000) / 100.0
+            AS DECIMAL(7,2)) AS cs_ext_discount_amt,
+       CAST(((it * 3313 + cu * 11) % 30000) / 100.0
+            AS DECIMAL(7,2)) AS cs_ext_ship_cost,
+       CAST(1 + ((it * 6983 + cu) % 900000) / 100.0
+            AS DECIMAL(7,2)) AS cs_net_paid,
+       CAST(1 + ((it * 7127 + cu) % 950000) / 100.0
+            AS DECIMAL(7,2)) AS cs_net_paid_inc_tax,
+       CAST((((it * 104729 + cu) % 20000) - 10000) / 100.0
             AS DECIMAL(7,2)) AS cs_net_profit
-FROM (SELECT DISTINCT ss_sold_date_sk, ss_item_sk, ss_customer_sk
-      FROM store_sales WHERE (ss_item_sk * 31 + ss_customer_sk) % 7 = 0)
-UNION ALL
-SELECT 1 + (i * 41) % 1826, 1 + (i * 19) % 2000, 1 + (i * 3) % 5000,
-       1 + (i * 13) % 280, 1 + (i * 7) % 30, 1 + (i * 5) % 99,
-       CAST(1 + (i * 7919 % 9000) / 100.0 AS DECIMAL(7,2)),
-       CAST(1 + (i * 6101 % 8000) / 100.0 AS DECIMAL(7,2)),
-       CAST((i * 2903 % 3000) / 100.0 AS DECIMAL(7,2)),
-       CAST(1 + (i * 4507 % 900000) / 100.0 AS DECIMAL(7,2)),
-       CAST(((i * 104729 % 20000) - 10000) / 100.0 AS DECIMAL(7,2))
-FROM range(60000) t(i);
+FROM both_arms;
+
+CREATE OR REPLACE TABLE catalog_returns AS
+SELECT cs_item_sk AS cr_item_sk,
+       cs_order_number AS cr_order_number,
+       LEAST(1826, cs_sold_date_sk + 30 + (cs_item_sk % 30)) AS cr_returned_date_sk,
+       cs_bill_customer_sk AS cr_returning_customer_sk,
+       cs_bill_addr_sk AS cr_returning_addr_sk,
+       cs_catalog_page_sk AS cr_catalog_page_sk,
+       cs_call_center_sk AS cr_call_center_sk,
+       1 + (cs_item_sk * 3 + cs_order_number) % 20 AS cr_return_quantity,
+       CAST(1 + ((cs_item_sk * 131 + cs_order_number * 17) % 50000) / 100.0
+            AS DECIMAL(7,2)) AS cr_return_amount,
+       CAST(1 + ((cs_item_sk * 89 + cs_order_number * 29) % 40000) / 100.0
+            AS DECIMAL(7,2)) AS cr_net_loss,
+       CAST(((cs_item_sk * 61 + cs_order_number * 7) % 30000) / 100.0
+            AS DECIMAL(7,2)) AS cr_refunded_cash,
+       1 + (cs_item_sk * 7 + cs_order_number * 3) % 35 AS cr_reason_sk
+FROM catalog_sales
+WHERE (cs_item_sk + cs_order_number) % 11 = 0;
+
+CREATE OR REPLACE TABLE web_sales AS
+SELECT 1 + (i * 43) % 1826 AS ws_sold_date_sk,
+       (i * 211) % 86400 AS ws_sold_time_sk,
+       LEAST(1826, 1 + (i * 43) % 1826 + 2 + i % 58) AS ws_ship_date_sk,
+       1 + (i * 17) % 2000 AS ws_item_sk,
+       1 + (i * 23) % 5000 AS ws_bill_customer_sk,
+       1 + (i * 7) % 280 AS ws_bill_cdemo_sk,
+       1 + (i * 19) % 200 AS ws_ship_hdemo_sk,
+       1 + (i * 29) % 5000 AS ws_bill_addr_sk,
+       CASE WHEN i % 89 = 0 THEN NULL
+            ELSE 1 + (i * 31) % 5000 END AS ws_ship_customer_sk,
+       1 + (i * 37) % 5000 AS ws_ship_addr_sk,
+       1 + (i * 3) % 12 AS ws_web_site_sk,
+       1 + (i * 5) % 20 AS ws_web_page_sk,
+       1 + i % 5 AS ws_warehouse_sk,
+       1 + (i * 7) % 20 AS ws_ship_mode_sk,
+       1 + (i * 11) % 30 AS ws_promo_sk,
+       1 + i // 2 AS ws_order_number,
+       1 + (i * 3) % 99 AS ws_quantity,
+       CAST(1 + (i * 7919 % 9000) / 100.0 AS DECIMAL(7,2)) AS ws_list_price,
+       CAST(1 + (i * 6101 % 8000) / 100.0 AS DECIMAL(7,2)) AS ws_sales_price,
+       CAST(1 + (i * 4507 % 900000) / 100.0 AS DECIMAL(7,2)) AS ws_ext_sales_price,
+       CAST(1 + (i * 5309 % 990000) / 100.0 AS DECIMAL(7,2)) AS ws_ext_list_price,
+       CAST((i * 5077 % 50000) / 100.0 AS DECIMAL(7,2)) AS ws_ext_discount_amt,
+       CAST((i * 3313 % 30000) / 100.0 AS DECIMAL(7,2)) AS ws_ext_ship_cost,
+       CAST(1 + (i * 6983 % 900000) / 100.0 AS DECIMAL(7,2)) AS ws_net_paid,
+       CAST(((i * 104729) % 20000 - 10000) / 100.0 AS DECIMAL(7,2)) AS ws_net_profit
+FROM range(80000) t(i);
+
+CREATE OR REPLACE TABLE web_returns AS
+SELECT ws_item_sk AS wr_item_sk,
+       ws_order_number AS wr_order_number,
+       LEAST(1826, ws_sold_date_sk + 40 + (ws_item_sk % 20)) AS wr_returned_date_sk,
+       ws_bill_customer_sk AS wr_returning_customer_sk,
+       ws_ship_addr_sk AS wr_returning_addr_sk,
+       ws_web_page_sk AS wr_web_page_sk,
+       1 + (ws_item_sk * 3 + ws_order_number) % 20 AS wr_return_quantity,
+       CAST(1 + ((ws_item_sk * 131 + ws_order_number * 17) % 50000) / 100.0
+            AS DECIMAL(7,2)) AS wr_return_amt,
+       CAST(1 + ((ws_item_sk * 89 + ws_order_number * 29) % 40000) / 100.0
+            AS DECIMAL(7,2)) AS wr_net_loss,
+       CAST(((ws_item_sk * 61 + ws_order_number * 7) % 30000) / 100.0
+            AS DECIMAL(7,2)) AS wr_refunded_cash,
+       1 + (ws_item_sk * 7 + ws_order_number * 3) % 35 AS wr_reason_sk
+FROM web_sales
+WHERE (ws_item_sk * 13 + ws_order_number) % 11 = 0;
+
+CREATE OR REPLACE TABLE inventory AS
+SELECT 1 + (i * 7) % 1826 AS inv_date_sk,
+       1 + (i * 13) % 2000 AS inv_item_sk,
+       1 + i % 5 AS inv_warehouse_sk,
+       (i * 17) % 1000 AS inv_quantity_on_hand
+FROM range(200000) t(i);
+
+CREATE OR REPLACE TABLE warehouse AS
+SELECT i + 1 AS w_warehouse_sk,
+       'WH' || lpad((i + 1)::VARCHAR, 2, '0') AS w_warehouse_id,
+       'Warehouse#' || (i + 1) AS w_warehouse_name,
+       1000 * (i + 1) AS w_warehouse_sq_ft,
+       ['Fairview', 'Midway', 'Plainview', 'Centerville', 'Oakland'][1 + i % 5]
+           AS w_city,
+       'county#' || (1 + i % 5) AS w_county,
+       ['TN', 'KY', 'GA'][1 + i % 3] AS w_state,
+       'United States' AS w_country,
+       -5 AS w_gmt_offset
+FROM range(5) t(i);
+
+CREATE OR REPLACE TABLE ship_mode AS
+SELECT i + 1 AS sm_ship_mode_sk,
+       'SM' || lpad((i + 1)::VARCHAR, 2, '0') AS sm_ship_mode_id,
+       ['EXPRESS', 'OVERNIGHT', 'REGULAR', 'NEXT DAY', 'LIBRARY'][1 + i % 5]
+           AS sm_type,
+       ['AIR', 'SURFACE', 'SEA'][1 + i % 3] AS sm_code,
+       ['UPS', 'FEDEX', 'AIRBORNE', 'USPS', 'DHL'][1 + (i * 3) % 5] AS sm_carrier
+FROM range(20) t(i);
+
+CREATE OR REPLACE TABLE call_center AS
+SELECT i + 1 AS cc_call_center_sk,
+       'CC' || lpad((i + 1)::VARCHAR, 2, '0') AS cc_call_center_id,
+       'call center ' || (i + 1) AS cc_name,
+       'county#' || (1 + i % 5) AS cc_county,
+       'manager#' || (1 + i % 3) AS cc_manager
+FROM range(6) t(i);
+
+CREATE OR REPLACE TABLE web_page AS
+SELECT i + 1 AS wp_web_page_sk,
+       'WP' || lpad((i + 1)::VARCHAR, 2, '0') AS wp_web_page_id,
+       4900 + i * 20 AS wp_char_count,
+       'http://www.site' || (i % 4) || '.com/page' || i AS wp_url,
+       ['order', 'general', 'welcome', 'protected', 'dynamic', 'feedback']
+           [1 + i % 6] AS wp_type
+FROM range(20) t(i);
+
+CREATE OR REPLACE TABLE web_site AS
+SELECT i + 1 AS web_site_sk,
+       'WS' || lpad((i + 1)::VARCHAR, 2, '0') AS web_site_id,
+       'site_' || (i % 4) AS web_name,
+       ['pri', 'ally', 'able', 'eing'][1 + i % 4] AS web_company_name
+FROM range(12) t(i);
+
+CREATE OR REPLACE TABLE income_band AS
+SELECT i + 1 AS ib_income_band_sk,
+       i * 10000 AS ib_lower_bound,
+       (i + 1) * 10000 AS ib_upper_bound
+FROM range(20) t(i);
+
+CREATE OR REPLACE TABLE catalog_page AS
+SELECT i + 1 AS cp_catalog_page_sk,
+       'CP' || lpad((i + 1)::VARCHAR, 4, '0') AS cp_catalog_page_id,
+       1 + i % 5 AS cp_catalog_number,
+       1 + i % 8 AS cp_catalog_page_number,
+       ['bi-annual', 'quarterly', 'monthly'][1 + i % 3] AS cp_type
+FROM range(40) t(i);
 """
 
 
@@ -262,8 +435,12 @@ def ensure_fixture(mult: int = 1) -> str:
     import duckdb
 
     os.makedirs(out_dir, exist_ok=True)
-    gen = _GEN_SQL.replace("range(120000)", f"range({120000 * mult})").replace(
-        "range(60000)", f"range({60000 * mult})"
+    gen = (
+        _GEN_SQL
+        .replace("range(120000)", f"range({120000 * mult})")
+        .replace("range(60000)", f"range({60000 * mult})")
+        .replace("range(80000)", f"range({80000 * mult})")
+        .replace("range(200000)", f"range({200000 * mult})")
     )
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
@@ -720,9 +897,9 @@ FROM
   (SELECT i_category, i_class, i_brand, s_store_name,
           'company#1' AS s_company_name, d_moy,
           ROUND(CAST(SUM(ss_sales_price) AS DOUBLE), 2) AS sum_sales,
-          ROUND(CAST(AVG(SUM(ss_sales_price)) OVER (
+          CAST(ROUND(CAST(AVG(SUM(ss_sales_price)) OVER (
               PARTITION BY i_category, i_brand, s_store_name
-          ) AS DOUBLE), 2) AS avg_monthly_sales
+          ) AS DECIMAL(20,6)), 2) AS DOUBLE) AS avg_monthly_sales
    FROM {item} item, {store_sales} store_sales, {date_dim} date_dim,
         {store} store
    WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
@@ -1104,8 +1281,8 @@ SELECT i_manufact_id, sum_sales, avg_quarterly_sales
 FROM
   (SELECT i_manufact_id,
           ROUND(CAST(SUM(ss_sales_price) AS DOUBLE), 2) AS sum_sales,
-          ROUND(CAST(AVG(SUM(ss_sales_price)) OVER (
-              PARTITION BY i_manufact_id) AS DOUBLE), 2)
+          CAST(ROUND(CAST(AVG(SUM(ss_sales_price)) OVER (
+              PARTITION BY i_manufact_id) AS DECIMAL(20,6)), 2) AS DOUBLE)
               AS avg_quarterly_sales
    FROM {item} item, {store_sales} store_sales, {date_dim} date_dim,
         {store} store
@@ -1132,8 +1309,9 @@ SELECT i_manager_id, sum_sales, avg_monthly_sales
 FROM
   (SELECT i_manager_id,
           ROUND(CAST(SUM(ss_sales_price) AS DOUBLE), 2) AS sum_sales,
-          ROUND(CAST(AVG(SUM(ss_sales_price)) OVER (
-              PARTITION BY i_manager_id) AS DOUBLE), 2) AS avg_monthly_sales
+          CAST(ROUND(CAST(AVG(SUM(ss_sales_price)) OVER (
+              PARTITION BY i_manager_id) AS DECIMAL(20,6)), 2) AS DOUBLE)
+              AS avg_monthly_sales
    FROM {item} item, {store_sales} store_sales, {date_dim} date_dim,
         {store} store
    WHERE ss_item_sk = i_item_sk
@@ -1221,4 +1399,1156 @@ GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
 ORDER BY i_category NULLS FIRST, i_class NULLS FIRST,
          i_item_id NULLS FIRST, i_item_desc NULLS FIRST,
          revenueratio NULLS FIRST
+""")
+
+
+# ---- round-6 expansion: full-channel schema (web/catalog returns chains,
+# inventory, warehouse/ship_mode/call_center/web_page/web_site/income_band)
+
+# q2 — web+catalog weekly sales ratios across years (02.sql)
+_tpcds("tpcds_q02", """
+WITH wscs AS
+  (SELECT sold_date_sk, sales_price
+   FROM (SELECT ws_sold_date_sk AS sold_date_sk,
+                ws_ext_sales_price AS sales_price FROM {web_sales} web_sales
+         UNION ALL
+         SELECT cs_sold_date_sk, cs_ext_sales_price
+         FROM {catalog_sales} catalog_sales) sq1),
+wswscs AS
+  (SELECT d_week_seq,
+          SUM(CASE WHEN d_day_name = 'Sunday' THEN sales_price END) AS sun_sales,
+          SUM(CASE WHEN d_day_name = 'Monday' THEN sales_price END) AS mon_sales,
+          SUM(CASE WHEN d_day_name = 'Tuesday' THEN sales_price END) AS tue_sales,
+          SUM(CASE WHEN d_day_name = 'Wednesday' THEN sales_price END) AS wed_sales,
+          SUM(CASE WHEN d_day_name = 'Thursday' THEN sales_price END) AS thu_sales,
+          SUM(CASE WHEN d_day_name = 'Friday' THEN sales_price END) AS fri_sales,
+          SUM(CASE WHEN d_day_name = 'Saturday' THEN sales_price END) AS sat_sales
+   FROM wscs, {date_dim} date_dim
+   WHERE d_date_sk = sold_date_sk GROUP BY d_week_seq)
+SELECT d_week_seq1,
+       ROUND(CAST(sun_sales1 AS DOUBLE) / CAST(sun_sales2 AS DOUBLE), 4) AS r1,
+       ROUND(CAST(mon_sales1 AS DOUBLE) / CAST(mon_sales2 AS DOUBLE), 4) AS r2,
+       ROUND(CAST(tue_sales1 AS DOUBLE) / CAST(tue_sales2 AS DOUBLE), 4) AS r3,
+       ROUND(CAST(wed_sales1 AS DOUBLE) / CAST(wed_sales2 AS DOUBLE), 4) AS r4,
+       ROUND(CAST(thu_sales1 AS DOUBLE) / CAST(thu_sales2 AS DOUBLE), 4) AS r5,
+       ROUND(CAST(fri_sales1 AS DOUBLE) / CAST(fri_sales2 AS DOUBLE), 4) AS r6,
+       ROUND(CAST(sat_sales1 AS DOUBLE) / CAST(sat_sales2 AS DOUBLE), 4) AS r7
+FROM
+  (SELECT wswscs.d_week_seq AS d_week_seq1, sun_sales AS sun_sales1,
+          mon_sales AS mon_sales1, tue_sales AS tue_sales1,
+          wed_sales AS wed_sales1, thu_sales AS thu_sales1,
+          fri_sales AS fri_sales1, sat_sales AS sat_sales1
+   FROM wswscs, {date_dim} date_dim
+   WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 2001) y,
+  (SELECT wswscs.d_week_seq AS d_week_seq2, sun_sales AS sun_sales2,
+          mon_sales AS mon_sales2, tue_sales AS tue_sales2,
+          wed_sales AS wed_sales2, thu_sales AS thu_sales2,
+          fri_sales AS fri_sales2, sat_sales AS sat_sales2
+   FROM wswscs, {date_dim} date_dim
+   WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 2002) z
+WHERE d_week_seq1 = d_week_seq2 - 53
+ORDER BY d_week_seq1
+""")
+
+# q9 — reason-driven bucketed conditional averages (09.sql)
+_tpcds("tpcds_q09", """
+SELECT CASE WHEN (SELECT COUNT(*) FROM {store_sales} store_sales
+                  WHERE ss_quantity BETWEEN 1 AND 20) > 24000
+            THEN (SELECT ROUND(CAST(AVG(ss_ext_discount_amt) AS DOUBLE), 2)
+                  FROM {store_sales} store_sales
+                  WHERE ss_quantity BETWEEN 1 AND 20)
+            ELSE (SELECT ROUND(CAST(AVG(ss_net_paid) AS DOUBLE), 2)
+                  FROM {store_sales} store_sales
+                  WHERE ss_quantity BETWEEN 1 AND 20) END AS bucket1,
+       CASE WHEN (SELECT COUNT(*) FROM {store_sales} store_sales
+                  WHERE ss_quantity BETWEEN 21 AND 40) > 25000
+            THEN (SELECT ROUND(CAST(AVG(ss_ext_discount_amt) AS DOUBLE), 2)
+                  FROM {store_sales} store_sales
+                  WHERE ss_quantity BETWEEN 21 AND 40)
+            ELSE (SELECT ROUND(CAST(AVG(ss_net_paid) AS DOUBLE), 2)
+                  FROM {store_sales} store_sales
+                  WHERE ss_quantity BETWEEN 21 AND 40) END AS bucket2,
+       CASE WHEN (SELECT COUNT(*) FROM {store_sales} store_sales
+                  WHERE ss_quantity BETWEEN 41 AND 60) > 23000
+            THEN (SELECT ROUND(CAST(AVG(ss_ext_discount_amt) AS DOUBLE), 2)
+                  FROM {store_sales} store_sales
+                  WHERE ss_quantity BETWEEN 41 AND 60)
+            ELSE (SELECT ROUND(CAST(AVG(ss_net_paid) AS DOUBLE), 2)
+                  FROM {store_sales} store_sales
+                  WHERE ss_quantity BETWEEN 41 AND 60) END AS bucket3,
+       CASE WHEN (SELECT COUNT(*) FROM {store_sales} store_sales
+                  WHERE ss_quantity BETWEEN 61 AND 80) > 23000
+            THEN (SELECT ROUND(CAST(AVG(ss_ext_discount_amt) AS DOUBLE), 2)
+                  FROM {store_sales} store_sales
+                  WHERE ss_quantity BETWEEN 61 AND 80)
+            ELSE (SELECT ROUND(CAST(AVG(ss_net_paid) AS DOUBLE), 2)
+                  FROM {store_sales} store_sales
+                  WHERE ss_quantity BETWEEN 61 AND 80) END AS bucket4,
+       CASE WHEN (SELECT COUNT(*) FROM {store_sales} store_sales
+                  WHERE ss_quantity BETWEEN 81 AND 100) > 23000
+            THEN (SELECT ROUND(CAST(AVG(ss_ext_discount_amt) AS DOUBLE), 2)
+                  FROM {store_sales} store_sales
+                  WHERE ss_quantity BETWEEN 81 AND 100)
+            ELSE (SELECT ROUND(CAST(AVG(ss_net_paid) AS DOUBLE), 2)
+                  FROM {store_sales} store_sales
+                  WHERE ss_quantity BETWEEN 81 AND 100) END AS bucket5
+FROM {reason} reason
+WHERE r_reason_sk = 1
+""")
+
+# q12 — web item revenue with class-partitioned ratio window (12.sql)
+_tpcds("tpcds_q12", """
+SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+       ROUND(CAST(SUM(ws_ext_sales_price) AS DOUBLE), 2) AS itemrevenue,
+       ROUND(CAST(SUM(ws_ext_sales_price) * 100.0000 /
+             SUM(SUM(ws_ext_sales_price)) OVER (PARTITION BY i_class)
+             AS DOUBLE), 4) AS revenueratio
+FROM {web_sales} web_sales, {item} item, {date_dim} date_dim
+WHERE ws_item_sk = i_item_sk
+  AND i_category IN ('category#1', 'category#2', 'category#3')
+  AND ws_sold_date_sk = d_date_sk
+  AND d_date BETWEEN CAST('1999-02-22' AS DATE) AND CAST('1999-03-24' AS DATE)
+GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+ORDER BY i_category NULLS FIRST, i_class NULLS FIRST, i_item_id NULLS FIRST,
+         i_item_desc NULLS FIRST, revenueratio NULLS FIRST
+LIMIT 100
+""")
+
+# q16 — shipped-order count with multi-warehouse EXISTS / returns NOT EXISTS
+# (16.sql)
+_tpcds("tpcds_q16", """
+SELECT COUNT(DISTINCT cs_order_number) AS order_cnt,
+       ROUND(CAST(SUM(cs_ext_ship_cost) AS DOUBLE), 2) AS total_shipping_cost,
+       ROUND(CAST(SUM(cs_net_profit) AS DOUBLE), 2) AS total_net_profit
+FROM {catalog_sales} cs1, {date_dim} date_dim,
+     {customer_address} customer_address, {call_center} call_center
+WHERE d_date BETWEEN '2002-02-01' AND CAST('2002-04-02' AS DATE)
+  AND cs1.cs_ship_date_sk = d_date_sk
+  AND cs1.cs_ship_addr_sk = ca_address_sk
+  AND ca_state = 'GA'
+  AND cs1.cs_call_center_sk = cc_call_center_sk
+  AND cc_county = 'county#2'
+  AND EXISTS (SELECT * FROM {catalog_sales} cs2
+              WHERE cs1.cs_order_number = cs2.cs_order_number
+                AND cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+  AND NOT EXISTS (SELECT * FROM {catalog_returns} cr1
+                  WHERE cs1.cs_order_number = cr1.cr_order_number)
+""")
+
+# q20 — catalog item revenue ratio window (20.sql)
+_tpcds("tpcds_q20", """
+SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+       ROUND(CAST(SUM(cs_ext_sales_price) AS DOUBLE), 2) AS itemrevenue,
+       ROUND(CAST(SUM(cs_ext_sales_price) * 100.0000 /
+             SUM(SUM(cs_ext_sales_price)) OVER (PARTITION BY i_class)
+             AS DOUBLE), 4) AS revenueratio
+FROM {catalog_sales} catalog_sales, {item} item, {date_dim} date_dim
+WHERE cs_item_sk = i_item_sk
+  AND i_category IN ('category#1', 'category#2', 'category#3')
+  AND cs_sold_date_sk = d_date_sk
+  AND d_date BETWEEN CAST('1999-02-22' AS DATE) AND CAST('1999-03-24' AS DATE)
+GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+ORDER BY i_category NULLS FIRST, i_class NULLS FIRST, i_item_id NULLS FIRST,
+         i_item_desc NULLS FIRST, revenueratio NULLS FIRST
+LIMIT 100
+""")
+
+# q21 — warehouse inventory before/after a date pivot (21.sql)
+_tpcds("tpcds_q21", """
+SELECT * FROM
+  (SELECT w_warehouse_name, i_item_id,
+          SUM(CASE WHEN CAST(d_date AS DATE) < CAST('2000-03-11' AS DATE)
+                   THEN inv_quantity_on_hand ELSE 0 END) AS inv_before,
+          SUM(CASE WHEN CAST(d_date AS DATE) >= CAST('2000-03-11' AS DATE)
+                   THEN inv_quantity_on_hand ELSE 0 END) AS inv_after
+   FROM {inventory} inventory, {warehouse} warehouse, {item} item,
+        {date_dim} date_dim
+   WHERE i_current_price BETWEEN 0.99 AND 1.49
+     AND i_item_sk = inv_item_sk
+     AND inv_warehouse_sk = w_warehouse_sk
+     AND inv_date_sk = d_date_sk
+     AND d_date BETWEEN CAST('2000-02-10' AS DATE) AND CAST('2000-04-10' AS DATE)
+   GROUP BY w_warehouse_name, i_item_id) x
+WHERE (CASE WHEN inv_before > 0
+            THEN CAST(inv_after AS DOUBLE) / inv_before ELSE NULL END)
+      BETWEEN 2.000 / 3.000 AND 3.000 / 2.000
+ORDER BY w_warehouse_name NULLS FIRST, i_item_id NULLS FIRST
+LIMIT 100
+""")
+
+# q30 — web-returns customers above 1.2x state average (30.sql)
+_tpcds("tpcds_q30", """
+WITH customer_total_return AS
+  (SELECT wr_returning_customer_sk AS ctr_customer_sk,
+          ca_state AS ctr_state,
+          SUM(wr_return_amt) AS ctr_total_return
+   FROM {web_returns} web_returns, {date_dim} date_dim,
+        {customer_address} customer_address
+   WHERE wr_returned_date_sk = d_date_sk AND d_year = 2002
+     AND wr_returning_addr_sk = ca_address_sk
+   GROUP BY wr_returning_customer_sk, ca_state)
+SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
+       c_preferred_cust_flag, c_birth_day, c_birth_month, c_birth_year,
+       c_birth_country, c_login, c_email_address, c_last_review_date_sk,
+       ROUND(CAST(ctr_total_return AS DOUBLE), 2) AS ctr_total_return
+FROM customer_total_return ctr1, {customer_address} customer_address,
+     {customer} customer
+WHERE ctr1.ctr_total_return >
+    (SELECT AVG(ctr_total_return) * 1.2 FROM customer_total_return ctr2
+     WHERE ctr1.ctr_state = ctr2.ctr_state)
+  AND ca_address_sk = c_current_addr_sk
+  AND ca_state = 'GA'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id NULLS FIRST, ctr_total_return NULLS FIRST
+LIMIT 100
+""")
+
+# q31 — county web/store quarter-over-quarter growth comparison (31.sql)
+_tpcds("tpcds_q31", """
+WITH ss AS
+  (SELECT ca_county, d_qoy, d_year,
+          SUM(ss_ext_sales_price) AS store_sales
+   FROM {store_sales} store_sales, {date_dim} date_dim,
+        {customer_address} customer_address
+   WHERE ss_sold_date_sk = d_date_sk AND ss_addr_sk = ca_address_sk
+   GROUP BY ca_county, d_qoy, d_year),
+ws AS
+  (SELECT ca_county, d_qoy, d_year,
+          SUM(ws_ext_sales_price) AS web_sales
+   FROM {web_sales} web_sales, {date_dim} date_dim,
+        {customer_address} customer_address
+   WHERE ws_sold_date_sk = d_date_sk AND ws_bill_addr_sk = ca_address_sk
+   GROUP BY ca_county, d_qoy, d_year)
+SELECT ss1.ca_county, ss1.d_year,
+       ROUND(CAST(ws2.web_sales AS DOUBLE) / CAST(ws1.web_sales AS DOUBLE), 4)
+           AS web_q1_q2_increase,
+       ROUND(CAST(ss2.store_sales AS DOUBLE) / CAST(ss1.store_sales AS DOUBLE), 4)
+           AS store_q1_q2_increase,
+       ROUND(CAST(ws3.web_sales AS DOUBLE) / CAST(ws2.web_sales AS DOUBLE), 4)
+           AS web_q2_q3_increase,
+       ROUND(CAST(ss3.store_sales AS DOUBLE) / CAST(ss2.store_sales AS DOUBLE), 4)
+           AS store_q2_q3_increase
+FROM ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+WHERE ss1.d_qoy = 1 AND ss1.d_year = 2000
+  AND ss1.ca_county = ss2.ca_county AND ss2.d_qoy = 2 AND ss2.d_year = 2000
+  AND ss2.ca_county = ss3.ca_county AND ss3.d_qoy = 3 AND ss3.d_year = 2000
+  AND ss1.ca_county = ws1.ca_county AND ws1.d_qoy = 1 AND ws1.d_year = 2000
+  AND ws1.ca_county = ws2.ca_county AND ws2.d_qoy = 2 AND ws2.d_year = 2000
+  AND ws1.ca_county = ws3.ca_county AND ws3.d_qoy = 3 AND ws3.d_year = 2000
+  AND CASE WHEN ws1.web_sales > 0
+           THEN CAST(ws2.web_sales AS DOUBLE) / CAST(ws1.web_sales AS DOUBLE)
+           ELSE NULL END
+      > CASE WHEN ss1.store_sales > 0
+             THEN CAST(ss2.store_sales AS DOUBLE) / CAST(ss1.store_sales AS DOUBLE)
+             ELSE NULL END
+  AND CASE WHEN ws2.web_sales > 0
+           THEN CAST(ws3.web_sales AS DOUBLE) / CAST(ws2.web_sales AS DOUBLE)
+           ELSE NULL END
+      > CASE WHEN ss2.store_sales > 0
+             THEN CAST(ss3.store_sales AS DOUBLE) / CAST(ss2.store_sales AS DOUBLE)
+             ELSE NULL END
+ORDER BY ss1.ca_county
+""")
+
+# q32 — excess catalog discount vs 1.3x item average (32.sql)
+_tpcds("tpcds_q32", """
+SELECT ROUND(CAST(SUM(cs_ext_discount_amt) AS DOUBLE), 2)
+           AS excess_discount_amount
+FROM {catalog_sales} catalog_sales, {item} item, {date_dim} date_dim
+WHERE i_manufact_id = 310
+  AND i_item_sk = cs_item_sk
+  AND d_date BETWEEN '2000-01-27' AND CAST('2000-04-26' AS DATE)
+  AND d_date_sk = cs_sold_date_sk
+  AND cs_ext_discount_amt >
+    (SELECT 1.3 * AVG(cs_ext_discount_amt)
+     FROM {catalog_sales} catalog_sales, {date_dim} date_dim
+     WHERE cs_item_sk = i_item_sk
+       AND d_date BETWEEN '2000-01-27' AND CAST('2000-04-26' AS DATE)
+       AND d_date_sk = cs_sold_date_sk)
+LIMIT 100
+""")
+
+
+# q37 — low-stock catalog items in a price/manufacturer slice (37.sql)
+_tpcds("tpcds_q37", """
+SELECT i_item_id, i_item_desc, i_current_price
+FROM {item} item, {inventory} inventory, {date_dim} date_dim,
+     {catalog_sales} catalog_sales
+WHERE i_current_price BETWEEN 68 AND 68 + 30
+  AND inv_item_sk = i_item_sk
+  AND d_date_sk = inv_date_sk
+  AND d_date BETWEEN CAST('2000-02-01' AS DATE) AND CAST('2000-04-01' AS DATE)
+  AND i_manufact_id IN (127, 240, 394, 408)
+  AND inv_quantity_on_hand BETWEEN 100 AND 500
+  AND cs_item_sk = i_item_sk
+GROUP BY i_item_id, i_item_desc, i_current_price
+ORDER BY i_item_id, i_item_desc, i_current_price
+LIMIT 100
+""")
+
+# q40 — warehouse sales before/after with returns netting (40.sql)
+_tpcds("tpcds_q40", """
+SELECT w_state, i_item_id,
+       ROUND(CAST(SUM(CASE WHEN CAST(d_date AS DATE) < CAST('2000-03-11' AS DATE)
+               THEN cs_sales_price - COALESCE(cr_refunded_cash, 0) ELSE 0 END)
+             AS DOUBLE), 2) AS sales_before,
+       ROUND(CAST(SUM(CASE WHEN CAST(d_date AS DATE) >= CAST('2000-03-11' AS DATE)
+               THEN cs_sales_price - COALESCE(cr_refunded_cash, 0) ELSE 0 END)
+             AS DOUBLE), 2) AS sales_after
+FROM {catalog_sales} catalog_sales
+LEFT OUTER JOIN {catalog_returns} catalog_returns
+  ON (cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk),
+  {warehouse} warehouse, {item} item, {date_dim} date_dim
+WHERE i_current_price BETWEEN 0.99 AND 1.49
+  AND i_item_sk = cs_item_sk
+  AND cs_warehouse_sk = w_warehouse_sk
+  AND cs_sold_date_sk = d_date_sk
+  AND d_date BETWEEN CAST('2000-02-10' AS DATE) AND CAST('2000-04-10' AS DATE)
+GROUP BY w_state, i_item_id
+ORDER BY w_state, i_item_id
+LIMIT 100
+""")
+
+# q45 — web sales by zip with item-id OR-subquery (45.sql)
+_tpcds("tpcds_q45", """
+SELECT ca_zip, ca_city,
+       ROUND(CAST(SUM(ws_sales_price) AS DOUBLE), 2) AS sum_ws_sales_price
+FROM {web_sales} web_sales, {customer} customer,
+     {customer_address} customer_address, {date_dim} date_dim, {item} item
+WHERE ws_bill_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND ws_item_sk = i_item_sk
+  AND (SUBSTRING(ca_zip, 1, 5) IN ('85669', '86197', '88274', '83405',
+                                   '86475', '85392', '85460', '80348', '81792')
+       OR i_item_id IN (SELECT i_item_id FROM {item} item
+                        WHERE i_item_sk IN (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)))
+  AND ws_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 2001
+GROUP BY ca_zip, ca_city
+ORDER BY ca_zip, ca_city
+LIMIT 100
+""")
+
+# q46 — weekend coupon/profit by bought-vs-home city (46.sql)
+_tpcds("tpcds_q46", """
+SELECT c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number,
+       ROUND(CAST(amt AS DOUBLE), 2) AS amt,
+       ROUND(CAST(profit AS DOUBLE), 2) AS profit
+FROM
+  (SELECT ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+          SUM(ss_coupon_amt) AS amt, SUM(ss_net_profit) AS profit
+   FROM {store_sales} store_sales, {date_dim} date_dim, {store} store,
+        {household_demographics} household_demographics,
+        {customer_address} customer_address
+   WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+     AND store_sales.ss_store_sk = store.s_store_sk
+     AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+     AND (household_demographics.hd_dep_count = 4
+          OR household_demographics.hd_vehicle_count = 3)
+     AND date_dim.d_dow IN (6, 0)
+     AND date_dim.d_year IN (1999, 2000, 2001)
+     AND store.s_city IN ('Fairview', 'Midway')
+   GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+  {customer} customer, {customer_address} current_addr
+WHERE ss_customer_sk = c_customer_sk
+  AND customer.c_current_addr_sk = current_addr.ca_address_sk
+  AND current_addr.ca_city <> bought_city
+ORDER BY c_last_name NULLS FIRST, c_first_name NULLS FIRST,
+         ca_city NULLS FIRST, bought_city NULLS FIRST,
+         ss_ticket_number NULLS FIRST, amt NULLS FIRST, profit NULLS FIRST
+LIMIT 100
+""")
+
+# q47 — store monthly sales vs yearly average with lag/lead self-joins
+# (47.sql)
+_tpcds("tpcds_q47", """
+WITH v1 AS
+  (SELECT i_category, i_brand, s_store_name, s_company_name, d_year, d_moy,
+          SUM(ss_sales_price) AS sum_sales,
+          AVG(SUM(ss_sales_price)) OVER (PARTITION BY i_category, i_brand,
+              s_store_name, s_company_name, d_year) AS avg_monthly_sales,
+          RANK() OVER (PARTITION BY i_category, i_brand, s_store_name,
+              s_company_name ORDER BY d_year, d_moy) AS rn
+   FROM {item} item, {store_sales} store_sales, {date_dim} date_dim,
+        {store} store
+   WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+     AND ss_store_sk = s_store_sk
+     AND (d_year = 1999 OR (d_year = 1998 AND d_moy = 12)
+          OR (d_year = 2000 AND d_moy = 1))
+   GROUP BY i_category, i_brand, s_store_name, s_company_name, d_year, d_moy),
+v2 AS
+  (SELECT v1.i_category, v1.i_brand, v1.s_store_name, v1.s_company_name,
+          v1.d_year, v1.d_moy, v1.avg_monthly_sales, v1.sum_sales,
+          v1_lag.sum_sales AS psum, v1_lead.sum_sales AS nsum
+   FROM v1, v1 v1_lag, v1 v1_lead
+   WHERE v1.i_category = v1_lag.i_category
+     AND v1.i_category = v1_lead.i_category
+     AND v1.i_brand = v1_lag.i_brand AND v1.i_brand = v1_lead.i_brand
+     AND v1.s_store_name = v1_lag.s_store_name
+     AND v1.s_store_name = v1_lead.s_store_name
+     AND v1.s_company_name = v1_lag.s_company_name
+     AND v1.s_company_name = v1_lead.s_company_name
+     AND v1.rn = v1_lag.rn + 1 AND v1.rn = v1_lead.rn - 1)
+SELECT i_category, i_brand, s_store_name, s_company_name, d_year, d_moy,
+       CAST(ROUND(CAST(avg_monthly_sales AS DECIMAL(20,6)), 2) AS DOUBLE)
+           AS avg_monthly_sales,
+       ROUND(CAST(sum_sales AS DOUBLE), 2) AS sum_sales,
+       ROUND(CAST(psum AS DOUBLE), 2) AS psum,
+       ROUND(CAST(nsum AS DOUBLE), 2) AS nsum
+FROM v2
+WHERE d_year = 1999 AND avg_monthly_sales > 0
+  AND CASE WHEN avg_monthly_sales > 0
+           THEN ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales
+           ELSE NULL END > 0.1
+ORDER BY ROUND(CAST(sum_sales - avg_monthly_sales AS DOUBLE), 2),
+         1, 2, 3, 4, 5, 6, 7, 8, 9, 10
+LIMIT 100
+""")
+
+# q51 — web-vs-store cumulative sales crossover via FULL OUTER JOIN (51.sql)
+_tpcds("tpcds_q51", """
+WITH web_v1 AS
+  (SELECT ws_item_sk AS item_sk, d_date,
+          SUM(SUM(ws_sales_price)) OVER (PARTITION BY ws_item_sk
+              ORDER BY d_date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS cume_sales
+   FROM {web_sales} web_sales, {date_dim} date_dim
+   WHERE ws_sold_date_sk = d_date_sk
+     AND d_month_seq BETWEEN 1200 AND 1211 AND ws_item_sk IS NOT NULL
+   GROUP BY ws_item_sk, d_date),
+store_v1 AS
+  (SELECT ss_item_sk AS item_sk, d_date,
+          SUM(SUM(ss_sales_price)) OVER (PARTITION BY ss_item_sk
+              ORDER BY d_date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS cume_sales
+   FROM {store_sales} store_sales, {date_dim} date_dim
+   WHERE ss_sold_date_sk = d_date_sk
+     AND d_month_seq BETWEEN 1200 AND 1211 AND ss_item_sk IS NOT NULL
+   GROUP BY ss_item_sk, d_date)
+SELECT item_sk, d_date,
+       ROUND(CAST(web_sales AS DOUBLE), 2) AS web_sales,
+       ROUND(CAST(store_sales AS DOUBLE), 2) AS store_sales,
+       ROUND(CAST(web_cumulative AS DOUBLE), 2) AS web_cumulative,
+       ROUND(CAST(store_cumulative AS DOUBLE), 2) AS store_cumulative
+FROM
+  (SELECT item_sk, d_date, web_sales, store_sales,
+          MAX(web_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS web_cumulative,
+          MAX(store_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS store_cumulative
+   FROM
+     (SELECT CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk
+                  ELSE store.item_sk END AS item_sk,
+             CASE WHEN web.d_date IS NOT NULL THEN web.d_date
+                  ELSE store.d_date END AS d_date,
+             web.cume_sales AS web_sales,
+             store.cume_sales AS store_sales
+      FROM web_v1 web
+      FULL OUTER JOIN store_v1 store
+        ON (web.item_sk = store.item_sk AND web.d_date = store.d_date)) x) y
+WHERE web_cumulative > store_cumulative
+ORDER BY item_sk NULLS FIRST, d_date NULLS FIRST
+LIMIT 100
+""")
+
+# q57 — catalog/call-center monthly deviation (q47's catalog twin, 57.sql)
+_tpcds("tpcds_q57", """
+WITH v1 AS
+  (SELECT i_category, i_brand, cc_name, d_year, d_moy,
+          SUM(cs_sales_price) AS sum_sales,
+          AVG(SUM(cs_sales_price)) OVER (PARTITION BY i_category, i_brand,
+              cc_name, d_year) AS avg_monthly_sales,
+          RANK() OVER (PARTITION BY i_category, i_brand, cc_name
+              ORDER BY d_year, d_moy) AS rn
+   FROM {item} item, {catalog_sales} catalog_sales, {date_dim} date_dim,
+        {call_center} call_center
+   WHERE cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+     AND cc_call_center_sk = cs_call_center_sk
+     AND (d_year = 1999 OR (d_year = 1998 AND d_moy = 12)
+          OR (d_year = 2000 AND d_moy = 1))
+   GROUP BY i_category, i_brand, cc_name, d_year, d_moy),
+v2 AS
+  (SELECT v1.i_category, v1.i_brand, v1.cc_name, v1.d_year, v1.d_moy,
+          v1.avg_monthly_sales, v1.sum_sales,
+          v1_lag.sum_sales AS psum, v1_lead.sum_sales AS nsum
+   FROM v1, v1 v1_lag, v1 v1_lead
+   WHERE v1.i_category = v1_lag.i_category
+     AND v1.i_category = v1_lead.i_category
+     AND v1.i_brand = v1_lag.i_brand AND v1.i_brand = v1_lead.i_brand
+     AND v1.cc_name = v1_lag.cc_name AND v1.cc_name = v1_lead.cc_name
+     AND v1.rn = v1_lag.rn + 1 AND v1.rn = v1_lead.rn - 1)
+SELECT i_category, i_brand, cc_name, d_year, d_moy,
+       CAST(ROUND(CAST(avg_monthly_sales AS DECIMAL(20,6)), 2) AS DOUBLE)
+           AS avg_monthly_sales,
+       ROUND(CAST(sum_sales AS DOUBLE), 2) AS sum_sales,
+       ROUND(CAST(psum AS DOUBLE), 2) AS psum,
+       ROUND(CAST(nsum AS DOUBLE), 2) AS nsum
+FROM v2
+WHERE d_year = 1999 AND avg_monthly_sales > 0
+  AND CASE WHEN avg_monthly_sales > 0
+           THEN ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales
+           ELSE NULL END > 0.1
+ORDER BY ROUND(CAST(sum_sales - avg_monthly_sales AS DOUBLE), 2),
+         1, 2, 3, 4, 5, 6, 7, 8, 9
+LIMIT 100
+""")
+
+# q59 — store weekly sales year-over-year ratios (59.sql)
+_tpcds("tpcds_q59", """
+WITH wss AS
+  (SELECT d_week_seq, ss_store_sk,
+          SUM(CASE WHEN d_day_name = 'Sunday' THEN ss_sales_price END) AS sun_sales,
+          SUM(CASE WHEN d_day_name = 'Monday' THEN ss_sales_price END) AS mon_sales,
+          SUM(CASE WHEN d_day_name = 'Tuesday' THEN ss_sales_price END) AS tue_sales,
+          SUM(CASE WHEN d_day_name = 'Wednesday' THEN ss_sales_price END) AS wed_sales,
+          SUM(CASE WHEN d_day_name = 'Thursday' THEN ss_sales_price END) AS thu_sales,
+          SUM(CASE WHEN d_day_name = 'Friday' THEN ss_sales_price END) AS fri_sales,
+          SUM(CASE WHEN d_day_name = 'Saturday' THEN ss_sales_price END) AS sat_sales
+   FROM {store_sales} store_sales, {date_dim} date_dim
+   WHERE d_date_sk = ss_sold_date_sk
+   GROUP BY d_week_seq, ss_store_sk)
+SELECT s_store_name1, s_store_id1, d_week_seq1,
+       ROUND(CAST(sun_sales1 AS DOUBLE) / CAST(sun_sales2 AS DOUBLE), 4) AS sun_sales_ratio,
+       ROUND(CAST(mon_sales1 AS DOUBLE) / CAST(mon_sales2 AS DOUBLE), 4) AS mon_sales_ratio,
+       ROUND(CAST(tue_sales1 AS DOUBLE) / CAST(tue_sales2 AS DOUBLE), 4) AS tue_sales_ratio,
+       ROUND(CAST(wed_sales1 AS DOUBLE) / CAST(wed_sales2 AS DOUBLE), 4) AS wed_sales_ratio,
+       ROUND(CAST(thu_sales1 AS DOUBLE) / CAST(thu_sales2 AS DOUBLE), 4) AS thu_sales_ratio,
+       ROUND(CAST(fri_sales1 AS DOUBLE) / CAST(fri_sales2 AS DOUBLE), 4) AS fri_sales_ratio,
+       ROUND(CAST(sat_sales1 AS DOUBLE) / CAST(sat_sales2 AS DOUBLE), 4) AS sat_sales_ratio
+FROM
+  (SELECT s_store_name AS s_store_name1, wss.d_week_seq AS d_week_seq1,
+          s_store_id AS s_store_id1, sun_sales AS sun_sales1,
+          mon_sales AS mon_sales1, tue_sales AS tue_sales1,
+          wed_sales AS wed_sales1, thu_sales AS thu_sales1,
+          fri_sales AS fri_sales1, sat_sales AS sat_sales1
+   FROM wss, {store} store, {date_dim} d
+   WHERE d.d_week_seq = wss.d_week_seq AND ss_store_sk = s_store_sk
+     AND d_month_seq BETWEEN 1212 AND 1223) y,
+  (SELECT s_store_name AS s_store_name2, wss.d_week_seq AS d_week_seq2,
+          s_store_id AS s_store_id2, sun_sales AS sun_sales2,
+          mon_sales AS mon_sales2, tue_sales AS tue_sales2,
+          wed_sales AS wed_sales2, thu_sales AS thu_sales2,
+          fri_sales AS fri_sales2, sat_sales AS sat_sales2
+   FROM wss, {store} store, {date_dim} d
+   WHERE d.d_week_seq = wss.d_week_seq AND ss_store_sk = s_store_sk
+     AND d_month_seq BETWEEN 1224 AND 1235) x
+WHERE s_store_id1 = s_store_id2 AND d_week_seq1 = d_week_seq2 - 52
+ORDER BY s_store_name1 NULLS FIRST, s_store_id1 NULLS FIRST,
+         d_week_seq1 NULLS FIRST
+LIMIT 100
+""")
+
+# q62 — web shipping-latency buckets by warehouse/mode/site (62.sql)
+_tpcds("tpcds_q62", """
+SELECT w_substr, sm_type, web_name,
+       SUM(CASE WHEN ws_ship_date_sk - ws_sold_date_sk <= 30
+                THEN 1 ELSE 0 END) AS d30,
+       SUM(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 30
+                 AND ws_ship_date_sk - ws_sold_date_sk <= 60
+                THEN 1 ELSE 0 END) AS d31_60,
+       SUM(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 60
+                 AND ws_ship_date_sk - ws_sold_date_sk <= 90
+                THEN 1 ELSE 0 END) AS d61_90,
+       SUM(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 90
+                 AND ws_ship_date_sk - ws_sold_date_sk <= 120
+                THEN 1 ELSE 0 END) AS d91_120,
+       SUM(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 120
+                THEN 1 ELSE 0 END) AS d120_plus
+FROM {web_sales} web_sales,
+     (SELECT SUBSTRING(w_warehouse_name, 1, 20) AS w_substr, *
+      FROM {warehouse} warehouse) sq1,
+     {ship_mode} ship_mode, {web_site} web_site, {date_dim} date_dim
+WHERE d_month_seq BETWEEN 1200 AND 1211
+  AND ws_ship_date_sk = d_date_sk
+  AND ws_warehouse_sk = w_warehouse_sk
+  AND ws_ship_mode_sk = sm_ship_mode_sk
+  AND ws_web_site_sk = web_site_sk
+GROUP BY w_substr, sm_type, web_name
+ORDER BY w_substr NULLS FIRST, sm_type NULLS FIRST, web_name NULLS FIRST
+LIMIT 100
+""")
+
+
+# q69 — demographic profile of store-only customers (69.sql)
+_tpcds("tpcds_q69", """
+SELECT cd_gender, cd_marital_status, cd_education_status, COUNT(*) AS cnt1,
+       cd_purchase_estimate, COUNT(*) AS cnt2, cd_credit_rating,
+       COUNT(*) AS cnt3
+FROM {customer} c, {customer_address} ca,
+     {customer_demographics} customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND ca_state IN ('KY', 'GA', 'NC')
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS (SELECT * FROM {store_sales} store_sales, {date_dim} date_dim
+              WHERE c.c_customer_sk = ss_customer_sk
+                AND ss_sold_date_sk = d_date_sk
+                AND d_year = 2001 AND d_moy BETWEEN 4 AND 6)
+  AND NOT EXISTS (SELECT * FROM {web_sales} web_sales, {date_dim} date_dim
+                  WHERE c.c_customer_sk = ws_bill_customer_sk
+                    AND ws_sold_date_sk = d_date_sk
+                    AND d_year = 2001 AND d_moy BETWEEN 4 AND 6)
+  AND NOT EXISTS (SELECT * FROM {catalog_sales} catalog_sales,
+                       {date_dim} date_dim
+                  WHERE c.c_customer_sk = cs_ship_customer_sk
+                    AND cs_sold_date_sk = d_date_sk
+                    AND d_year = 2001 AND d_moy BETWEEN 4 AND 6)
+GROUP BY cd_gender, cd_marital_status, cd_education_status,
+         cd_purchase_estimate, cd_credit_rating
+ORDER BY cd_gender, cd_marital_status, cd_education_status,
+         cd_purchase_estimate, cd_credit_rating
+LIMIT 100
+""")
+
+# q75 — all-channel net sales year-over-year decline (75.sql)
+_tpcds("tpcds_q75", """
+WITH all_sales AS
+  (SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+          SUM(sales_cnt) AS sales_cnt, SUM(sales_amt) AS sales_amt
+   FROM
+     (SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+             cs_quantity - COALESCE(cr_return_quantity, 0) AS sales_cnt,
+             cs_ext_sales_price - COALESCE(cr_return_amount, 0.0) AS sales_amt
+      FROM {catalog_sales} catalog_sales
+      JOIN {item} item ON i_item_sk = cs_item_sk
+      JOIN {date_dim} date_dim ON d_date_sk = cs_sold_date_sk
+      LEFT JOIN {catalog_returns} catalog_returns
+        ON (cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk)
+      WHERE i_category = 'category#2'
+      UNION
+      SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+             ss_quantity - COALESCE(sr_return_quantity, 0) AS sales_cnt,
+             ss_ext_sales_price - COALESCE(sr_return_amt, 0.0) AS sales_amt
+      FROM {store_sales} store_sales
+      JOIN {item} item ON i_item_sk = ss_item_sk
+      JOIN {date_dim} date_dim ON d_date_sk = ss_sold_date_sk
+      LEFT JOIN {store_returns} store_returns
+        ON (ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk)
+      WHERE i_category = 'category#2'
+      UNION
+      SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+             ws_quantity - COALESCE(wr_return_quantity, 0) AS sales_cnt,
+             ws_ext_sales_price - COALESCE(wr_return_amt, 0.0) AS sales_amt
+      FROM {web_sales} web_sales
+      JOIN {item} item ON i_item_sk = ws_item_sk
+      JOIN {date_dim} date_dim ON d_date_sk = ws_sold_date_sk
+      LEFT JOIN {web_returns} web_returns
+        ON (ws_order_number = wr_order_number AND ws_item_sk = wr_item_sk)
+      WHERE i_category = 'category#2') sales_detail
+   GROUP BY d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id)
+SELECT prev_yr.d_year AS prev_year, curr_yr.d_year AS year_,
+       curr_yr.i_brand_id, curr_yr.i_class_id, curr_yr.i_category_id,
+       curr_yr.i_manufact_id,
+       prev_yr.sales_cnt AS prev_yr_cnt, curr_yr.sales_cnt AS curr_yr_cnt,
+       curr_yr.sales_cnt - prev_yr.sales_cnt AS sales_cnt_diff,
+       ROUND(CAST(curr_yr.sales_amt - prev_yr.sales_amt AS DOUBLE), 2)
+           AS sales_amt_diff
+FROM all_sales curr_yr, all_sales prev_yr
+WHERE curr_yr.i_brand_id = prev_yr.i_brand_id
+  AND curr_yr.i_class_id = prev_yr.i_class_id
+  AND curr_yr.i_category_id = prev_yr.i_category_id
+  AND curr_yr.i_manufact_id = prev_yr.i_manufact_id
+  AND curr_yr.d_year = 2002 AND prev_yr.d_year = 2001
+  AND CAST(curr_yr.sales_cnt AS DECIMAL(17,2)) /
+      CAST(prev_yr.sales_cnt AS DECIMAL(17,2)) < 0.9
+ORDER BY sales_cnt_diff, sales_amt_diff, curr_yr.i_brand_id,
+         curr_yr.i_class_id, curr_yr.i_category_id, curr_yr.i_manufact_id
+LIMIT 100
+""")
+
+# q76 — NULL-channel-key sales census across channels (76.sql)
+_tpcds("tpcds_q76", """
+SELECT channel, col_name, d_year, d_qoy, i_category,
+       COUNT(*) AS sales_cnt,
+       ROUND(CAST(SUM(ext_sales_price) AS DOUBLE), 2) AS sales_amt
+FROM
+  (SELECT 'store' AS channel, 'ss_store_sk' AS col_name, d_year, d_qoy,
+          i_category, ss_ext_sales_price AS ext_sales_price
+   FROM {store_sales} store_sales, {item} item, {date_dim} date_dim
+   WHERE ss_store_sk IS NULL
+     AND ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+   UNION ALL
+   SELECT 'web' AS channel, 'ws_ship_customer_sk' AS col_name, d_year, d_qoy,
+          i_category, ws_ext_sales_price
+   FROM {web_sales} web_sales, {item} item, {date_dim} date_dim
+   WHERE ws_ship_customer_sk IS NULL
+     AND ws_sold_date_sk = d_date_sk AND ws_item_sk = i_item_sk
+   UNION ALL
+   SELECT 'catalog' AS channel, 'cs_ship_addr_sk' AS col_name, d_year, d_qoy,
+          i_category, cs_ext_sales_price
+   FROM {catalog_sales} catalog_sales, {item} item, {date_dim} date_dim
+   WHERE cs_ship_addr_sk IS NULL
+     AND cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk) foo
+GROUP BY channel, col_name, d_year, d_qoy, i_category
+ORDER BY channel NULLS FIRST, col_name NULLS FIRST, d_year NULLS FIRST,
+         d_qoy NULLS FIRST, i_category NULLS FIRST
+LIMIT 100
+""")
+
+# q77 — channel profit-and-returns rollup (77.sql)
+_tpcds("tpcds_q77", """
+WITH ss AS
+  (SELECT s_store_sk, SUM(ss_ext_sales_price) AS sales,
+          SUM(ss_net_profit) AS profit
+   FROM {store_sales} store_sales, {date_dim} date_dim, {store} store
+   WHERE ss_sold_date_sk = d_date_sk
+     AND d_date BETWEEN CAST('2000-08-23' AS DATE) AND CAST('2000-09-22' AS DATE)
+     AND ss_store_sk = s_store_sk
+   GROUP BY s_store_sk),
+sr AS
+  (SELECT s_store_sk, SUM(sr_return_amt) AS returns_,
+          SUM(sr_net_loss) AS profit_loss
+   FROM {store_returns} store_returns, {date_dim} date_dim, {store} store
+   WHERE sr_returned_date_sk = d_date_sk
+     AND d_date BETWEEN CAST('2000-08-23' AS DATE) AND CAST('2000-09-22' AS DATE)
+     AND sr_store_sk = s_store_sk
+   GROUP BY s_store_sk),
+cs AS
+  (SELECT cs_call_center_sk, SUM(cs_ext_sales_price) AS sales,
+          SUM(cs_net_profit) AS profit
+   FROM {catalog_sales} catalog_sales, {date_dim} date_dim
+   WHERE cs_sold_date_sk = d_date_sk
+     AND d_date BETWEEN CAST('2000-08-23' AS DATE) AND CAST('2000-09-22' AS DATE)
+   GROUP BY cs_call_center_sk),
+cr AS
+  (SELECT cr_call_center_sk, SUM(cr_return_amount) AS returns_,
+          SUM(cr_net_loss) AS profit_loss
+   FROM {catalog_returns} catalog_returns, {date_dim} date_dim
+   WHERE cr_returned_date_sk = d_date_sk
+     AND d_date BETWEEN CAST('2000-08-23' AS DATE) AND CAST('2000-09-22' AS DATE)
+   GROUP BY cr_call_center_sk),
+ws AS
+  (SELECT wp_web_page_sk, SUM(ws_ext_sales_price) AS sales,
+          SUM(ws_net_profit) AS profit
+   FROM {web_sales} web_sales, {date_dim} date_dim, {web_page} web_page
+   WHERE ws_sold_date_sk = d_date_sk
+     AND d_date BETWEEN CAST('2000-08-23' AS DATE) AND CAST('2000-09-22' AS DATE)
+     AND ws_web_page_sk = wp_web_page_sk
+   GROUP BY wp_web_page_sk),
+wr AS
+  (SELECT wp_web_page_sk, SUM(wr_return_amt) AS returns_,
+          SUM(wr_net_loss) AS profit_loss
+   FROM {web_returns} web_returns, {date_dim} date_dim, {web_page} web_page
+   WHERE wr_returned_date_sk = d_date_sk
+     AND d_date BETWEEN CAST('2000-08-23' AS DATE) AND CAST('2000-09-22' AS DATE)
+     AND wr_web_page_sk = wp_web_page_sk
+   GROUP BY wp_web_page_sk)
+SELECT channel, id,
+       ROUND(CAST(SUM(sales) AS DOUBLE), 2) AS sales,
+       ROUND(CAST(SUM(returns_) AS DOUBLE), 2) AS returns_,
+       ROUND(CAST(SUM(profit) AS DOUBLE), 2) AS profit
+FROM
+  (SELECT 'store channel' AS channel, ss.s_store_sk AS id, sales,
+          COALESCE(returns_, 0) AS returns_,
+          profit - COALESCE(profit_loss, 0) AS profit
+   FROM ss LEFT JOIN sr ON ss.s_store_sk = sr.s_store_sk
+   UNION ALL
+   SELECT 'catalog channel' AS channel, cs_call_center_sk AS id, sales,
+          returns_, profit - profit_loss AS profit
+   FROM cs, cr
+   UNION ALL
+   SELECT 'web channel' AS channel, ws.wp_web_page_sk AS id, sales,
+          COALESCE(returns_, 0) AS returns_,
+          profit - COALESCE(profit_loss, 0) AS profit
+   FROM ws LEFT JOIN wr ON ws.wp_web_page_sk = wr.wp_web_page_sk) x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST, returns_ DESC
+LIMIT 100
+""")
+
+# q80 — channel promotion report with returns netting (80.sql)
+_tpcds("tpcds_q80", """
+WITH ssr AS
+  (SELECT s_store_id AS store_id, SUM(ss_ext_sales_price) AS sales,
+          SUM(COALESCE(sr_return_amt, 0)) AS returns_,
+          SUM(ss_net_profit - COALESCE(sr_net_loss, 0)) AS profit
+   FROM {store_sales} store_sales
+   LEFT OUTER JOIN {store_returns} store_returns
+     ON (ss_item_sk = sr_item_sk AND ss_ticket_number = sr_ticket_number),
+   {date_dim} date_dim, {store} store, {item} item, {promotion} promotion
+   WHERE ss_sold_date_sk = d_date_sk
+     AND d_date BETWEEN CAST('2000-08-23' AS DATE) AND CAST('2000-09-22' AS DATE)
+     AND ss_store_sk = s_store_sk AND ss_item_sk = i_item_sk
+     AND i_current_price > 50
+     AND ss_promo_sk = p_promo_sk AND p_channel_tv = 'N'
+   GROUP BY s_store_id),
+csr AS
+  (SELECT cp_catalog_page_id AS catalog_page_id,
+          SUM(cs_ext_sales_price) AS sales,
+          SUM(COALESCE(cr_return_amount, 0)) AS returns_,
+          SUM(cs_net_profit - COALESCE(cr_net_loss, 0)) AS profit
+   FROM {catalog_sales} catalog_sales
+   LEFT OUTER JOIN {catalog_returns} catalog_returns
+     ON (cs_item_sk = cr_item_sk AND cs_order_number = cr_order_number),
+   {date_dim} date_dim, {catalog_page} catalog_page, {item} item,
+   {promotion} promotion
+   WHERE cs_sold_date_sk = d_date_sk
+     AND d_date BETWEEN CAST('2000-08-23' AS DATE) AND CAST('2000-09-22' AS DATE)
+     AND cs_catalog_page_sk = cp_catalog_page_sk AND cs_item_sk = i_item_sk
+     AND i_current_price > 50
+     AND cs_promo_sk = p_promo_sk AND p_channel_tv = 'N'
+   GROUP BY cp_catalog_page_id),
+wsr AS
+  (SELECT web_site_id, SUM(ws_ext_sales_price) AS sales,
+          SUM(COALESCE(wr_return_amt, 0)) AS returns_,
+          SUM(ws_net_profit - COALESCE(wr_net_loss, 0)) AS profit
+   FROM {web_sales} web_sales
+   LEFT OUTER JOIN {web_returns} web_returns
+     ON (ws_item_sk = wr_item_sk AND ws_order_number = wr_order_number),
+   {date_dim} date_dim, {web_site} web_site, {item} item,
+   {promotion} promotion
+   WHERE ws_sold_date_sk = d_date_sk
+     AND d_date BETWEEN CAST('2000-08-23' AS DATE) AND CAST('2000-09-22' AS DATE)
+     AND ws_web_site_sk = web_site_sk AND ws_item_sk = i_item_sk
+     AND i_current_price > 50
+     AND ws_promo_sk = p_promo_sk AND p_channel_tv = 'N'
+   GROUP BY web_site_id)
+SELECT channel, id,
+       ROUND(CAST(SUM(sales) AS DOUBLE), 2) AS sales,
+       ROUND(CAST(SUM(returns_) AS DOUBLE), 2) AS returns_,
+       ROUND(CAST(SUM(profit) AS DOUBLE), 2) AS profit
+FROM
+  (SELECT 'store channel' AS channel, 'store' || store_id AS id,
+          sales, returns_, profit
+   FROM ssr
+   UNION ALL
+   SELECT 'catalog channel' AS channel, 'catalog_page' || catalog_page_id,
+          sales, returns_, profit
+   FROM csr
+   UNION ALL
+   SELECT 'web channel' AS channel, 'web_site' || web_site_id,
+          sales, returns_, profit
+   FROM wsr) x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST, returns_ DESC
+LIMIT 100
+""")
+
+# q82 — low-stock store items in a price/manufacturer slice (82.sql)
+_tpcds("tpcds_q82", """
+SELECT i_item_id, i_item_desc, i_current_price
+FROM {item} item, {inventory} inventory, {date_dim} date_dim,
+     {store_sales} store_sales
+WHERE i_current_price BETWEEN 62 AND 62 + 30
+  AND inv_item_sk = i_item_sk
+  AND d_date_sk = inv_date_sk
+  AND d_date BETWEEN CAST('2000-05-25' AS DATE) AND CAST('2000-07-24' AS DATE)
+  AND i_manufact_id IN (129, 270, 421, 57)
+  AND inv_quantity_on_hand BETWEEN 100 AND 500
+  AND ss_item_sk = i_item_sk
+GROUP BY i_item_id, i_item_desc, i_current_price
+ORDER BY i_item_id, i_item_desc, i_current_price
+LIMIT 100
+""")
+
+# q84 — income-band customer lookup through returns demographics (84.sql)
+_tpcds("tpcds_q84", """
+SELECT c_customer_id AS customer_id,
+       COALESCE(c_last_name, '') || ', ' || COALESCE(c_first_name, '')
+           AS customername
+FROM {customer} customer, {customer_address} customer_address,
+     {customer_demographics} customer_demographics,
+     {household_demographics} household_demographics,
+     {income_band} income_band, {store_returns} store_returns
+WHERE ca_city = 'Oakland'
+  AND c_current_addr_sk = ca_address_sk
+  AND ib_lower_bound >= 38128 AND ib_upper_bound <= 38128 + 50000
+  AND ib_income_band_sk = hd_income_band_sk
+  AND cd_demo_sk = c_current_cdemo_sk
+  AND hd_demo_sk = c_current_hdemo_sk
+  AND sr_cdemo_sk = cd_demo_sk
+ORDER BY c_customer_id NULLS FIRST, customername NULLS FIRST
+LIMIT 100
+""")
+
+# q86 — web rollup with grouping-rank window (86.sql)
+_tpcds("tpcds_q86", """
+SELECT ROUND(CAST(SUM(ws_net_paid) AS DOUBLE), 2) AS total_sum,
+       i_category, i_class,
+       GROUPING(i_category) + GROUPING(i_class) AS lochierarchy,
+       RANK() OVER (PARTITION BY GROUPING(i_category) + GROUPING(i_class),
+                    CASE WHEN GROUPING(i_class) = 0 THEN i_category END
+                    ORDER BY SUM(ws_net_paid) DESC) AS rank_within_parent
+FROM {web_sales} web_sales, {date_dim} d1, {item} item
+WHERE d1.d_month_seq BETWEEN 1200 AND 1211
+  AND d1.d_date_sk = ws_sold_date_sk
+  AND i_item_sk = ws_item_sk
+GROUP BY ROLLUP (i_category, i_class)
+ORDER BY lochierarchy DESC NULLS FIRST,
+         CASE WHEN lochierarchy = 0 THEN i_category END NULLS FIRST,
+         rank_within_parent NULLS FIRST, i_category NULLS FIRST,
+         i_class NULLS FIRST
+LIMIT 100
+""")
+
+# q90 — web AM/PM sales ratio (90.sql)
+_tpcds("tpcds_q90", """
+SELECT ROUND(CASE WHEN pmc = 0 THEN NULL
+            ELSE CAST(amc AS DOUBLE) / CAST(pmc AS DOUBLE) END, 4)
+           AS am_pm_ratio
+FROM
+  (SELECT COUNT(*) AS amc
+   FROM {web_sales} web_sales, {household_demographics} household_demographics,
+        {time_dim} time_dim, {web_page} web_page
+   WHERE ws_sold_time_sk = time_dim.t_time_sk
+     AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+     AND ws_web_page_sk = web_page.wp_web_page_sk
+     AND time_dim.t_hour BETWEEN 8 AND 9
+     AND household_demographics.hd_dep_count = 6
+     AND web_page.wp_char_count BETWEEN 5000 AND 5200) at_,
+  (SELECT COUNT(*) AS pmc
+   FROM {web_sales} web_sales, {household_demographics} household_demographics,
+        {time_dim} time_dim, {web_page} web_page
+   WHERE ws_sold_time_sk = time_dim.t_time_sk
+     AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+     AND ws_web_page_sk = web_page.wp_web_page_sk
+     AND time_dim.t_hour BETWEEN 19 AND 20
+     AND household_demographics.hd_dep_count = 6
+     AND web_page.wp_char_count BETWEEN 5000 AND 5200) pt
+ORDER BY am_pm_ratio
+LIMIT 100
+""")
+
+# q94 — web orders shipped from multiple warehouses, never returned (94.sql)
+_tpcds("tpcds_q94", """
+SELECT COUNT(DISTINCT ws_order_number) AS order_cnt,
+       ROUND(CAST(SUM(ws_ext_ship_cost) AS DOUBLE), 2) AS total_shipping_cost,
+       ROUND(CAST(SUM(ws_net_profit) AS DOUBLE), 2) AS total_net_profit
+FROM {web_sales} ws1, {date_dim} date_dim,
+     {customer_address} customer_address, {web_site} web_site
+WHERE d_date BETWEEN '1999-02-01' AND CAST('1999-04-02' AS DATE)
+  AND ws1.ws_ship_date_sk = d_date_sk
+  AND ws1.ws_ship_addr_sk = ca_address_sk
+  AND ca_state = 'VA'
+  AND ws1.ws_web_site_sk = web_site_sk
+  AND web_company_name = 'pri'
+  AND EXISTS (SELECT * FROM {web_sales} ws2
+              WHERE ws1.ws_order_number = ws2.ws_order_number
+                AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+  AND NOT EXISTS (SELECT * FROM {web_returns} wr1
+                  WHERE ws1.ws_order_number = wr1.wr_order_number)
+""")
+
+# q95 — web orders shipped from multiple warehouses AND returned (95.sql)
+_tpcds("tpcds_q95", """
+WITH ws_wh AS
+  (SELECT ws1.ws_order_number, ws1.ws_warehouse_sk AS wh1,
+          ws2.ws_warehouse_sk AS wh2
+   FROM {web_sales} ws1, {web_sales} ws2
+   WHERE ws1.ws_order_number = ws2.ws_order_number
+     AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+SELECT COUNT(DISTINCT ws_order_number) AS order_cnt,
+       ROUND(CAST(SUM(ws_ext_ship_cost) AS DOUBLE), 2) AS total_shipping_cost,
+       ROUND(CAST(SUM(ws_net_profit) AS DOUBLE), 2) AS total_net_profit
+FROM {web_sales} ws1, {date_dim} date_dim,
+     {customer_address} customer_address, {web_site} web_site
+WHERE d_date BETWEEN '1999-02-01' AND CAST('1999-04-02' AS DATE)
+  AND ws1.ws_ship_date_sk = d_date_sk
+  AND ws1.ws_ship_addr_sk = ca_address_sk
+  AND ca_state = 'VA'
+  AND ws1.ws_web_site_sk = web_site_sk
+  AND web_company_name = 'pri'
+  AND ws1.ws_order_number IN (SELECT ws_order_number FROM ws_wh)
+  AND ws1.ws_order_number IN
+    (SELECT wr_order_number FROM {web_returns} web_returns, ws_wh
+     WHERE wr_order_number = ws_wh.ws_order_number)
+""")
+
+# q99 — catalog shipping-latency buckets by warehouse/mode/call-center
+# (99.sql)
+_tpcds("tpcds_q99", """
+SELECT w_substr, sm_type, cc_name,
+       SUM(CASE WHEN cs_ship_date_sk - cs_sold_date_sk <= 30
+                THEN 1 ELSE 0 END) AS d30,
+       SUM(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 30
+                 AND cs_ship_date_sk - cs_sold_date_sk <= 60
+                THEN 1 ELSE 0 END) AS d31_60,
+       SUM(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 60
+                 AND cs_ship_date_sk - cs_sold_date_sk <= 90
+                THEN 1 ELSE 0 END) AS d61_90,
+       SUM(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 90
+                 AND cs_ship_date_sk - cs_sold_date_sk <= 120
+                THEN 1 ELSE 0 END) AS d91_120,
+       SUM(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 120
+                THEN 1 ELSE 0 END) AS d120_plus
+FROM {catalog_sales} catalog_sales,
+     (SELECT SUBSTRING(w_warehouse_name, 1, 20) AS w_substr, *
+      FROM {warehouse} warehouse) sq1,
+     {ship_mode} ship_mode, {call_center} call_center, {date_dim} date_dim
+WHERE d_month_seq BETWEEN 1200 AND 1211
+  AND cs_ship_date_sk = d_date_sk
+  AND cs_warehouse_sk = w_warehouse_sk
+  AND cs_ship_mode_sk = sm_ship_mode_sk
+  AND cs_call_center_sk = cc_call_center_sk
+GROUP BY w_substr, sm_type, cc_name
+ORDER BY w_substr NULLS FIRST, sm_type NULLS FIRST, cc_name NULLS FIRST
+LIMIT 100
+""")
+
+
+# q5 — store/catalog/web sales-and-returns rollup over a two-week window
+# (05.sql)
+_tpcds("tpcds_q05", """
+WITH ssr AS
+  (SELECT s_store_id, SUM(sales_price) AS sales, SUM(profit) AS profit,
+          SUM(return_amt) AS returns_, SUM(net_loss) AS profit_loss
+   FROM
+     (SELECT ss_store_sk AS store_sk, ss_sold_date_sk AS date_sk,
+             ss_ext_sales_price AS sales_price, ss_net_profit AS profit,
+             CAST(0 AS DECIMAL(7,2)) AS return_amt,
+             CAST(0 AS DECIMAL(7,2)) AS net_loss
+      FROM {store_sales} store_sales
+      UNION ALL
+      SELECT sr_store_sk, sr_returned_date_sk, CAST(0 AS DECIMAL(7,2)),
+             CAST(0 AS DECIMAL(7,2)), sr_return_amt, sr_net_loss
+      FROM {store_returns} store_returns) salesreturns,
+     {date_dim} date_dim, {store} store
+   WHERE date_sk = d_date_sk
+     AND d_date BETWEEN CAST('2000-08-23' AS DATE) AND CAST('2000-09-06' AS DATE)
+     AND store_sk = s_store_sk
+   GROUP BY s_store_id),
+csr AS
+  (SELECT cp_catalog_page_id, SUM(sales_price) AS sales,
+          SUM(profit) AS profit, SUM(return_amt) AS returns_,
+          SUM(net_loss) AS profit_loss
+   FROM
+     (SELECT cs_catalog_page_sk AS page_sk, cs_sold_date_sk AS date_sk,
+             cs_ext_sales_price AS sales_price, cs_net_profit AS profit,
+             CAST(0 AS DECIMAL(7,2)) AS return_amt,
+             CAST(0 AS DECIMAL(7,2)) AS net_loss
+      FROM {catalog_sales} catalog_sales
+      UNION ALL
+      SELECT cr_catalog_page_sk, cr_returned_date_sk, CAST(0 AS DECIMAL(7,2)),
+             CAST(0 AS DECIMAL(7,2)), cr_return_amount, cr_net_loss
+      FROM {catalog_returns} catalog_returns) salesreturns,
+     {date_dim} date_dim, {catalog_page} catalog_page
+   WHERE date_sk = d_date_sk
+     AND d_date BETWEEN CAST('2000-08-23' AS DATE) AND CAST('2000-09-06' AS DATE)
+     AND page_sk = cp_catalog_page_sk
+   GROUP BY cp_catalog_page_id),
+wsr AS
+  (SELECT web_site_id, SUM(sales_price) AS sales, SUM(profit) AS profit,
+          SUM(return_amt) AS returns_, SUM(net_loss) AS profit_loss
+   FROM
+     (SELECT ws_web_site_sk AS wsr_web_site_sk, ws_sold_date_sk AS date_sk,
+             ws_ext_sales_price AS sales_price, ws_net_profit AS profit,
+             CAST(0 AS DECIMAL(7,2)) AS return_amt,
+             CAST(0 AS DECIMAL(7,2)) AS net_loss
+      FROM {web_sales} web_sales
+      UNION ALL
+      SELECT ws_web_site_sk, wr_returned_date_sk, CAST(0 AS DECIMAL(7,2)),
+             CAST(0 AS DECIMAL(7,2)), wr_return_amt, wr_net_loss
+      FROM {web_returns} web_returns
+      LEFT OUTER JOIN {web_sales} web_sales
+        ON (wr_item_sk = ws_item_sk
+            AND wr_order_number = ws_order_number)) salesreturns,
+     {date_dim} date_dim, {web_site} web_site
+   WHERE date_sk = d_date_sk
+     AND d_date BETWEEN CAST('2000-08-23' AS DATE) AND CAST('2000-09-06' AS DATE)
+     AND wsr_web_site_sk = web_site_sk
+   GROUP BY web_site_id)
+SELECT channel, id,
+       ROUND(CAST(SUM(sales) AS DOUBLE), 2) AS sales,
+       ROUND(CAST(SUM(returns_) AS DOUBLE), 2) AS returns_,
+       ROUND(CAST(SUM(profit) AS DOUBLE), 2) AS profit
+FROM
+  (SELECT 'store channel' AS channel, 'store' || s_store_id AS id,
+          sales, returns_, profit - profit_loss AS profit
+   FROM ssr
+   UNION ALL
+   SELECT 'catalog channel' AS channel, 'catalog_page' || cp_catalog_page_id,
+          sales, returns_, profit - profit_loss AS profit
+   FROM csr
+   UNION ALL
+   SELECT 'web channel' AS channel, 'web_site' || web_site_id,
+          sales, returns_, profit - profit_loss AS profit
+   FROM wsr) x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST
+LIMIT 100
+""")
+
+# q66 — warehouse monthly sales pivot, web+catalog, carrier slice (66.sql)
+_tpcds("tpcds_q66", """
+SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+       w_country, ship_carriers, year_,
+       ROUND(CAST(SUM(jan_sales) AS DOUBLE), 2) AS jan_sales,
+       ROUND(CAST(SUM(feb_sales) AS DOUBLE), 2) AS feb_sales,
+       ROUND(CAST(SUM(mar_sales) AS DOUBLE), 2) AS mar_sales,
+       ROUND(CAST(SUM(apr_sales) AS DOUBLE), 2) AS apr_sales,
+       ROUND(CAST(SUM(may_sales) AS DOUBLE), 2) AS may_sales,
+       ROUND(CAST(SUM(jun_sales) AS DOUBLE), 2) AS jun_sales,
+       ROUND(CAST(SUM(jul_sales) AS DOUBLE), 2) AS jul_sales,
+       ROUND(CAST(SUM(aug_sales) AS DOUBLE), 2) AS aug_sales,
+       ROUND(CAST(SUM(sep_sales) AS DOUBLE), 2) AS sep_sales,
+       ROUND(CAST(SUM(oct_sales) AS DOUBLE), 2) AS oct_sales,
+       ROUND(CAST(SUM(nov_sales) AS DOUBLE), 2) AS nov_sales,
+       ROUND(CAST(SUM(dec_sales) AS DOUBLE), 2) AS dec_sales,
+       ROUND(CAST(SUM(jan_sales) AS DOUBLE) / w_warehouse_sq_ft, 4)
+           AS jan_sales_per_sq_foot,
+       ROUND(CAST(SUM(jun_sales) AS DOUBLE) / w_warehouse_sq_ft, 4)
+           AS jun_sales_per_sq_foot,
+       ROUND(CAST(SUM(dec_sales) AS DOUBLE) / w_warehouse_sq_ft, 4)
+           AS dec_sales_per_sq_foot,
+       ROUND(CAST(SUM(jan_net) AS DOUBLE), 2) AS jan_net,
+       ROUND(CAST(SUM(jun_net) AS DOUBLE), 2) AS jun_net,
+       ROUND(CAST(SUM(dec_net) AS DOUBLE), 2) AS dec_net
+FROM
+  (SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+          w_country, 'DHL,UPS' AS ship_carriers, d_year AS year_,
+          SUM(CASE WHEN d_moy = 1 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS jan_sales,
+          SUM(CASE WHEN d_moy = 2 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS feb_sales,
+          SUM(CASE WHEN d_moy = 3 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS mar_sales,
+          SUM(CASE WHEN d_moy = 4 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS apr_sales,
+          SUM(CASE WHEN d_moy = 5 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS may_sales,
+          SUM(CASE WHEN d_moy = 6 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS jun_sales,
+          SUM(CASE WHEN d_moy = 7 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS jul_sales,
+          SUM(CASE WHEN d_moy = 8 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS aug_sales,
+          SUM(CASE WHEN d_moy = 9 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS sep_sales,
+          SUM(CASE WHEN d_moy = 10 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS oct_sales,
+          SUM(CASE WHEN d_moy = 11 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS nov_sales,
+          SUM(CASE WHEN d_moy = 12 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS dec_sales,
+          SUM(CASE WHEN d_moy = 1 THEN ws_net_paid * ws_quantity ELSE 0 END) AS jan_net,
+          SUM(CASE WHEN d_moy = 6 THEN ws_net_paid * ws_quantity ELSE 0 END) AS jun_net,
+          SUM(CASE WHEN d_moy = 12 THEN ws_net_paid * ws_quantity ELSE 0 END) AS dec_net
+   FROM {web_sales} web_sales, {warehouse} warehouse, {date_dim} date_dim,
+        {time_dim} time_dim, {ship_mode} ship_mode
+   WHERE ws_warehouse_sk = w_warehouse_sk AND ws_sold_date_sk = d_date_sk
+     AND ws_sold_time_sk = t_time_sk AND ws_ship_mode_sk = sm_ship_mode_sk
+     AND d_year = 2001 AND t_time BETWEEN 30838 AND 30838 + 28800
+     AND sm_carrier IN ('DHL', 'UPS')
+   GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+            w_country, d_year
+   UNION ALL
+   SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+          w_country, 'DHL,UPS' AS ship_carriers, d_year AS year_,
+          SUM(CASE WHEN d_moy = 1 THEN cs_sales_price * cs_quantity ELSE 0 END) AS jan_sales,
+          SUM(CASE WHEN d_moy = 2 THEN cs_sales_price * cs_quantity ELSE 0 END) AS feb_sales,
+          SUM(CASE WHEN d_moy = 3 THEN cs_sales_price * cs_quantity ELSE 0 END) AS mar_sales,
+          SUM(CASE WHEN d_moy = 4 THEN cs_sales_price * cs_quantity ELSE 0 END) AS apr_sales,
+          SUM(CASE WHEN d_moy = 5 THEN cs_sales_price * cs_quantity ELSE 0 END) AS may_sales,
+          SUM(CASE WHEN d_moy = 6 THEN cs_sales_price * cs_quantity ELSE 0 END) AS jun_sales,
+          SUM(CASE WHEN d_moy = 7 THEN cs_sales_price * cs_quantity ELSE 0 END) AS jul_sales,
+          SUM(CASE WHEN d_moy = 8 THEN cs_sales_price * cs_quantity ELSE 0 END) AS aug_sales,
+          SUM(CASE WHEN d_moy = 9 THEN cs_sales_price * cs_quantity ELSE 0 END) AS sep_sales,
+          SUM(CASE WHEN d_moy = 10 THEN cs_sales_price * cs_quantity ELSE 0 END) AS oct_sales,
+          SUM(CASE WHEN d_moy = 11 THEN cs_sales_price * cs_quantity ELSE 0 END) AS nov_sales,
+          SUM(CASE WHEN d_moy = 12 THEN cs_sales_price * cs_quantity ELSE 0 END) AS dec_sales,
+          SUM(CASE WHEN d_moy = 1 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS jan_net,
+          SUM(CASE WHEN d_moy = 6 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS jun_net,
+          SUM(CASE WHEN d_moy = 12 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS dec_net
+   FROM {catalog_sales} catalog_sales, {warehouse} warehouse,
+        {date_dim} date_dim, {time_dim} time_dim, {ship_mode} ship_mode
+   WHERE cs_warehouse_sk = w_warehouse_sk AND cs_sold_date_sk = d_date_sk
+     AND cs_sold_time_sk = t_time_sk AND cs_ship_mode_sk = sm_ship_mode_sk
+     AND d_year = 2001 AND t_time BETWEEN 30838 AND 30838 + 28800
+     AND sm_carrier IN ('DHL', 'UPS')
+   GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+            w_country, d_year) x
+GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+         w_country, ship_carriers, year_
+ORDER BY w_warehouse_name NULLS FIRST
+LIMIT 100
 """)

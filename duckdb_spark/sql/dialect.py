@@ -3414,6 +3414,10 @@ def _normalize_null_order(toks: list[str]) -> list[str]:
                     _close(last_code + 1)
                     break
                 depth -= 1
+                if depth == 0:
+                    # the call/paren group just closed is the term atom;
+                    # NULLS insertion must land after it, never inside
+                    last_code = k
             elif depth == 0 and t2 == ",":
                 _close(last_code + 1)
                 k += 2  # account for the inserted token
@@ -3439,7 +3443,7 @@ def _normalize_null_order(toks: list[str]) -> list[str]:
                 ):
                     has_nulls = True
                 last_code = k
-            elif not t2.isspace():
+            elif depth == 0 and not t2.isspace():
                 last_code = k
             k += 1
         else:
