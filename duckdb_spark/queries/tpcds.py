@@ -34,12 +34,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 from duckdb_spark.queries import register
 
-# v4 (round 6): the full-channel schema for the 34→67 query expansion —
-# web_sales/web_returns/catalog_returns chains (FK-aligned order numbers),
-# inventory+warehouse, ship_mode/call_center/web_page/web_site/income_band/
-# catalog_page dims, d_week_seq, discount/ship-cost columns, and NULL
-# cycles on the q76 channel keys. New path so stale fixtures regenerate.
-TPCDS_DIR = os.environ.get("SPARK_GRAFT_TPCDS_DIR", "/tmp/duckdb_spark_tpcds_v4")
+# v5 (round 6): the all-99-query schema — v4's full-channel tables plus
+# s_market_id, shared 300-value zip pool (s_zip ⊆ ca_zip for q24/q8),
+# customer first-sale/ship dates (q64), address street/gmt/location columns
+# (q81/q33), cd dependent-count columns (q10/q35), t_meal_time (q71),
+# wr refund-side keys + wr_fee (q85), cr reversed-charge/store-credit/
+# inc-tax amounts (q64/q81), an ss_addr_sk NULL cycle (q44), and dsdgen's
+# weekly per-(item,warehouse) inventory grid (q39's coefficient of
+# variation needs >=2 observations per month). New path so stale fixtures
+# regenerate.
+TPCDS_DIR = os.environ.get("SPARK_GRAFT_TPCDS_DIR", "/tmp/duckdb_spark_tpcds_v5")
 
 TABLES = [
     "date_dim", "time_dim", "item", "store", "customer", "customer_address",
@@ -70,7 +74,12 @@ FROM range(1826) t(i);
 
 CREATE OR REPLACE TABLE time_dim AS
 SELECT i AS t_time_sk, i AS t_time, (i // 3600)::INT AS t_hour,
-       ((i % 3600) // 60)::INT AS t_minute, (i % 60)::INT AS t_second
+       ((i % 3600) // 60)::INT AS t_minute, (i % 60)::INT AS t_second,
+       CASE WHEN i // 3600 BETWEEN 6 AND 8 THEN 'breakfast'
+            WHEN i // 3600 BETWEEN 11 AND 13 THEN 'lunch'
+            WHEN i // 3600 BETWEEN 17 AND 19 THEN 'dinner'
+            ELSE NULL END AS t_meal_time,
+       CASE WHEN i < 43200 THEN 'AM' ELSE 'PM' END AS t_am_pm
 FROM range(86400) t(i);
 
 CREATE OR REPLACE TABLE item AS
@@ -105,7 +114,10 @@ SELECT i + 1 AS s_store_sk,
        ['ese', 'ose', 'ation', 'bar'][1 + i % 4] AS s_store_name,
        ['Fairview', 'Midway', 'Plainview', 'Centerville'][1 + i % 4] AS s_city,
        ['TN', 'KY', 'GA'][1 + i % 3] AS s_state,
-       lpad((38000 + i * 701)::VARCHAR, 5, '0') AS s_zip,
+       -- zips drawn from the same 300-value pool as customer_address so
+       -- q24's s_zip = ca_zip equi-join is non-empty by construction
+       lpad((10000 + ((i * 37) % 300) * 301)::VARCHAR, 5, '0') AS s_zip,
+       1 + i % 10 AS s_market_id,
        'county#' || (1 + i % 5) AS s_county,
        1 + i % 2 AS s_company_id,
        'company#' || (1 + i % 2) AS s_company_name,
@@ -137,7 +149,9 @@ SELECT i + 1 AS c_customer_sk,
         'FRANCE','INDIA'][1 + (i * 11) % 8] AS c_birth_country,
        'login' || (i + 1) AS c_login,
        'user' || (i + 1) || '@example.com' AS c_email_address,
-       1 + (i * 11) % 1826 AS c_last_review_date_sk
+       1 + (i * 11) % 1826 AS c_last_review_date_sk,
+       1 + (i * 17) % 1826 AS c_first_sales_date_sk,
+       1 + (i * 19) % 1826 AS c_first_shipto_date_sk
 FROM range(5000) t(i);
 
 CREATE OR REPLACE TABLE customer_address AS
@@ -148,8 +162,19 @@ SELECT i + 1 AS ca_address_sk,
         'Friendship','Glendale'][1 + (i * 17) % 20] AS ca_city,
        'county#' || (1 + i % 30) AS ca_county,
        ['TN','KY','GA','AL','VA','NC','SC','OH'][1 + (i * 3) % 8] AS ca_state,
-       lpad((10000 + (i * 37) % 90000)::VARCHAR, 5, '0') AS ca_zip,
-       'United States' AS ca_country
+       -- 300-value zip pool (~17 addresses per zip) so q8's HAVING
+       -- count(*) > 10 preferred-customer zip census is non-trivial and
+       -- q24's s_zip = ca_zip join has matches
+       lpad((10000 + (i % 300) * 301)::VARCHAR, 5, '0') AS ca_zip,
+       'United States' AS ca_country,
+       (100 + i * 7)::VARCHAR AS ca_street_number,
+       ['Main','Oak','Elm','Park','Cedar','Maple'][1 + (i * 7) % 6]
+           AS ca_street_name,
+       ['St','Ave','Blvd','Ln'][1 + (i * 3) % 4] AS ca_street_type,
+       'Suite ' || (10 * (1 + i % 9)) AS ca_suite_number,
+       [-5, -6, -7][1 + i % 3] AS ca_gmt_offset,
+       ['condo','apartment','single family'][1 + (i * 5) % 3]
+           AS ca_location_type
 FROM range(5000) t(i);
 
 CREATE OR REPLACE TABLE customer_demographics AS
@@ -160,7 +185,9 @@ SELECT i + 1 AS cd_demo_sk,
         'Advanced Degree', 'Unknown'][1 + (i // 10) % 7] AS cd_education_status,
        500 * (1 + i % 20) AS cd_purchase_estimate,
        ['Good', 'Low Risk', 'High Risk', 'Unknown'][1 + i % 4] AS cd_credit_rating,
-       (i // 70) % 4 AS cd_dep_count
+       (i // 70) % 4 AS cd_dep_count,
+       (i // 35) % 5 AS cd_dep_employed_count,
+       (i // 20) % 3 AS cd_dep_college_count
 FROM range(280) t(i);
 
 CREATE OR REPLACE TABLE household_demographics AS
@@ -188,7 +215,10 @@ SELECT 1 + (i * 37) % 1826 AS ss_sold_date_sk,
        1 + (i * 7) % 5000 AS ss_customer_sk,
        1 + (i * 11) % 280 AS ss_cdemo_sk,
        1 + (i * 17) % 200 AS ss_hdemo_sk,
-       1 + (i * 23) % 5000 AS ss_addr_sk,
+       -- NULL cycle: q44's baseline scalar subquery averages the
+       -- missing-address slice
+       CASE WHEN i % 103 = 0 THEN NULL
+            ELSE 1 + (i * 23) % 5000 END AS ss_addr_sk,
        -- NULL cycle: q76 aggregates the no-store channel slice
        CASE WHEN i % 101 = 0 THEN NULL ELSE 1 + i % 12 END AS ss_store_sk,
        1 + (i * 5) % 30 AS ss_promo_sk,
@@ -247,8 +277,10 @@ SELECT LEAST(1826, base_date + 60) AS cs_sold_date_sk,
        LEAST(1826, base_date + 62 + (it + cu) % 58) AS cs_ship_date_sk,
        it AS cs_item_sk,
        cu AS cs_bill_customer_sk,
-       1 + (it * 11 + cu) % 280 AS cs_bill_cdemo_sk,
-       1 + (it * 17 + cu) % 200 AS cs_bill_hdemo_sk,
+       -- it + cu is always even (both arms derive them from the same i),
+       -- so mix in it//2 to reach both parities of the demo keys
+       1 + (it * 11 + cu + it // 2) % 280 AS cs_bill_cdemo_sk,
+       1 + (it * 17 + cu + cu // 2) % 200 AS cs_bill_hdemo_sk,
        1 + (it * 23 + cu) % 5000 AS cs_bill_addr_sk,
        CASE WHEN (it + cu) % 97 = 0 THEN NULL
             ELSE 1 + (it * 29 + cu * 3) % 5000 END AS cs_ship_addr_sk,
@@ -269,6 +301,12 @@ SELECT LEAST(1826, base_date + 60) AS cs_sold_date_sk,
             AS DECIMAL(7,2)) AS cs_coupon_amt,
        CAST(1 + ((it * 4507 + cu) % 900000) / 100.0
             AS DECIMAL(7,2)) AS cs_ext_sales_price,
+       CAST(1 + ((it * 5309 + cu * 3) % 990000) / 100.0
+            AS DECIMAL(7,2)) AS cs_ext_list_price,
+       CAST(1 + ((it * 3109 + cu) % 9000) / 100.0
+            AS DECIMAL(7,2)) AS cs_wholesale_cost,
+       CAST(1 + ((it * 4001 + cu * 7) % 800000) / 100.0
+            AS DECIMAL(7,2)) AS cs_ext_wholesale_cost,
        CAST(((it * 5077 + cu * 7) % 50000) / 100.0
             AS DECIMAL(7,2)) AS cs_ext_discount_amt,
        CAST(((it * 3313 + cu * 11) % 30000) / 100.0
@@ -296,6 +334,12 @@ SELECT cs_item_sk AS cr_item_sk,
             AS DECIMAL(7,2)) AS cr_net_loss,
        CAST(((cs_item_sk * 61 + cs_order_number * 7) % 30000) / 100.0
             AS DECIMAL(7,2)) AS cr_refunded_cash,
+       CAST(((cs_item_sk * 43 + cs_order_number * 11) % 20000) / 100.0
+            AS DECIMAL(7,2)) AS cr_reversed_charge,
+       CAST(((cs_item_sk * 53 + cs_order_number * 13) % 15000) / 100.0
+            AS DECIMAL(7,2)) AS cr_store_credit,
+       CAST(1 + ((cs_item_sk * 137 + cs_order_number * 19) % 55000) / 100.0
+            AS DECIMAL(7,2)) AS cr_return_amt_inc_tax,
        1 + (cs_item_sk * 7 + cs_order_number * 3) % 35 AS cr_reason_sk
 FROM catalog_sales
 WHERE (cs_item_sk + cs_order_number) % 11 = 0;
@@ -323,6 +367,8 @@ SELECT 1 + (i * 43) % 1826 AS ws_sold_date_sk,
        CAST(1 + (i * 6101 % 8000) / 100.0 AS DECIMAL(7,2)) AS ws_sales_price,
        CAST(1 + (i * 4507 % 900000) / 100.0 AS DECIMAL(7,2)) AS ws_ext_sales_price,
        CAST(1 + (i * 5309 % 990000) / 100.0 AS DECIMAL(7,2)) AS ws_ext_list_price,
+       CAST(1 + (i * 3109 % 9000) / 100.0 AS DECIMAL(7,2)) AS ws_wholesale_cost,
+       CAST(1 + (i * 4001 % 800000) / 100.0 AS DECIMAL(7,2)) AS ws_ext_wholesale_cost,
        CAST((i * 5077 % 50000) / 100.0 AS DECIMAL(7,2)) AS ws_ext_discount_amt,
        CAST((i * 3313 % 30000) / 100.0 AS DECIMAL(7,2)) AS ws_ext_ship_cost,
        CAST(1 + (i * 6983 % 900000) / 100.0 AS DECIMAL(7,2)) AS ws_net_paid,
@@ -343,16 +389,28 @@ SELECT ws_item_sk AS wr_item_sk,
             AS DECIMAL(7,2)) AS wr_net_loss,
        CAST(((ws_item_sk * 61 + ws_order_number * 7) % 30000) / 100.0
             AS DECIMAL(7,2)) AS wr_refunded_cash,
+       CAST(((ws_item_sk * 41 + ws_order_number * 5) % 10000) / 100.0
+            AS DECIMAL(7,2)) AS wr_fee,
+       1 + (ws_item_sk * 11 + ws_order_number) % 280 AS wr_refunded_cdemo_sk,
+       ws_bill_cdemo_sk AS wr_returning_cdemo_sk,
+       ws_bill_addr_sk AS wr_refunded_addr_sk,
        1 + (ws_item_sk * 7 + ws_order_number * 3) % 35 AS wr_reason_sk
 FROM web_sales
 WHERE (ws_item_sk * 13 + ws_order_number) % 11 = 0;
 
 CREATE OR REPLACE TABLE inventory AS
-SELECT 1 + (i * 7) % 1826 AS inv_date_sk,
-       1 + (i * 13) % 2000 AS inv_item_sk,
-       1 + i % 5 AS inv_warehouse_sk,
-       (i * 17) % 1000 AS inv_quantity_on_hand
-FROM range(200000) t(i);
+-- dsdgen shape: a weekly snapshot for EVERY (item, warehouse) pair, so
+-- per-month per-(w,i) groups have ~4 observations (q39's stddev/mean
+-- coefficient-of-variation needs >=2 rows per group to be non-degenerate)
+SELECT 1 + wk * 7 AS inv_date_sk,
+       1 + it AS inv_item_sk,
+       1 + wh AS inv_warehouse_sk,
+       -- the it*wk cross-term varies the weekly pattern per item; without
+       -- it every item sees the same shifted sequence and q39's
+       -- cov > 1 month-pair join is empty for number-theoretic reasons
+       ((it * 7907 + wh * 251 + wk * 463 + (it * wk) % 997) % 1009) % 1000
+           AS inv_quantity_on_hand
+FROM range(2000) t1(it), range(5) t2(wh), range(261) t3(wk);
 
 CREATE OR REPLACE TABLE warehouse AS
 SELECT i + 1 AS w_warehouse_sk,
@@ -440,7 +498,6 @@ def ensure_fixture(mult: int = 1) -> str:
         .replace("range(120000)", f"range({120000 * mult})")
         .replace("range(60000)", f"range({60000 * mult})")
         .replace("range(80000)", f"range({80000 * mult})")
-        .replace("range(200000)", f"range({200000 * mult})")
     )
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
@@ -466,7 +523,27 @@ def _spark_run(spark: SparkSession, sql: str, sf_dir: str = "") -> DataFrame:
     return spark.sql(translate(sql.format(**{t: t for t in TABLES})))
 
 
+_AVGR = None
+
+
+def _expand_avgr(sql: str) -> str:
+    """AVGR(col) — engine-independent rounded average. Double division is
+    bit-identical IEEE in both engines; pinning it to DECIMAL(20,6) before
+    the 2-decimal ROUND removes the half-point edge where one engine's
+    round(double, 2) sees x.xx49999... and the other x.xx5 (tpcds_q26)."""
+    import re
+
+    return re.sub(
+        r"AVGR\(([^()]*)\)",
+        r"CAST(ROUND(CAST(CAST(SUM(\1) AS DOUBLE) / COUNT(\1)"
+        r" AS DECIMAL(20,6)), 2) AS DOUBLE)",
+        sql,
+    )
+
+
 def _tpcds(name: str, sql: str):
+    sql = _expand_avgr(sql)
+
     @register(name, oracle=_oracle(sql))
     def q(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
         """TPC-DS over the deterministic fixture (fact tables scale with
@@ -493,10 +570,10 @@ LIMIT 100
 # q7 — 4-dim star with demographic/promo filters (07.sql)
 _tpcds("tpcds_q07", """
 SELECT i_item_id,
-       ROUND(CAST(SUM(ss_quantity) AS DOUBLE) / COUNT(ss_quantity), 2) AS agg1,
-       ROUND(CAST(SUM(ss_list_price) AS DOUBLE) / COUNT(ss_list_price), 2) AS agg2,
-       ROUND(CAST(SUM(ss_coupon_amt) AS DOUBLE) / COUNT(ss_coupon_amt), 2) AS agg3,
-       ROUND(CAST(SUM(ss_sales_price) AS DOUBLE) / COUNT(ss_sales_price), 2) AS agg4
+       AVGR(ss_quantity) AS agg1,
+       AVGR(ss_list_price) AS agg2,
+       AVGR(ss_coupon_amt) AS agg3,
+       AVGR(ss_sales_price) AS agg4
 FROM {store_sales} store_sales, {customer_demographics} customer_demographics,
      {date_dim} date_dim, {item} item, {promotion} promotion
 WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
@@ -549,10 +626,10 @@ LIMIT 100
 # q26 — catalog-side demographic star (26.sql)
 _tpcds("tpcds_q26", """
 SELECT i_item_id,
-       ROUND(CAST(SUM(cs_quantity) AS DOUBLE) / COUNT(cs_quantity), 2) AS agg1,
-       ROUND(CAST(SUM(cs_list_price) AS DOUBLE) / COUNT(cs_list_price), 2) AS agg2,
-       ROUND(CAST(SUM(cs_coupon_amt) AS DOUBLE) / COUNT(cs_coupon_amt), 2) AS agg3,
-       ROUND(CAST(SUM(cs_sales_price) AS DOUBLE) / COUNT(cs_sales_price), 2) AS agg4
+       AVGR(cs_quantity) AS agg1,
+       AVGR(cs_list_price) AS agg2,
+       AVGR(cs_coupon_amt) AS agg3,
+       AVGR(cs_sales_price) AS agg4
 FROM {catalog_sales} catalog_sales, {customer_demographics} customer_demographics,
      {date_dim} date_dim, {item} item, {promotion} promotion
 WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
@@ -653,7 +730,7 @@ FROM {catalog_sales} catalog_sales, {customer} customer,
      {customer_address} customer_address, {date_dim} date_dim
 WHERE cs_bill_customer_sk = c_customer_sk
   AND c_current_addr_sk = ca_address_sk
-  AND (SUBSTRING(ca_zip, 1, 5) IN ('10037', '10074', '10111', '23456')
+  AND (SUBSTRING(ca_zip, 1, 5) IN ('10301', '10602', '13311', '23545')
        OR ca_state IN ('GA', 'VA', 'NC')
        OR cs_sales_price > 50)
   AND cs_sold_date_sk = d_date_sk
@@ -1229,19 +1306,19 @@ LIMIT 100
 _tpcds("tpcds_q50", """
 SELECT s_store_name, s_company_id, s_street_number, s_street_name,
        s_street_type, s_suite_number, s_city, s_county, s_state, s_zip,
-       SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk <= 30)
-                THEN 1 ELSE 0 END) AS d30,
-       SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 30)
+       CAST(SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk <= 30)
+                THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+       CAST(SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 30)
                 AND (sr_returned_date_sk - ss_sold_date_sk <= 60)
-                THEN 1 ELSE 0 END) AS d31_60,
-       SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 60)
+                THEN 1 ELSE 0 END) AS BIGINT) AS d31_60,
+       CAST(SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 60)
                 AND (sr_returned_date_sk - ss_sold_date_sk <= 90)
-                THEN 1 ELSE 0 END) AS d61_90,
-       SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 90)
+                THEN 1 ELSE 0 END) AS BIGINT) AS d61_90,
+       CAST(SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 90)
                 AND (sr_returned_date_sk - ss_sold_date_sk <= 120)
-                THEN 1 ELSE 0 END) AS d91_120,
-       SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 120)
-                THEN 1 ELSE 0 END) AS d_over_120
+                THEN 1 ELSE 0 END) AS BIGINT) AS d91_120,
+       CAST(SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 120)
+                THEN 1 ELSE 0 END) AS BIGINT) AS d_over_120
 FROM {store_sales} store_sales, {store_returns} store_returns,
      {store} store, {date_dim} d1, {date_dim} d2
 WHERE d2.d_year = 2001
@@ -1416,7 +1493,7 @@ WITH wscs AS
          FROM {catalog_sales} catalog_sales) sq1),
 wswscs AS
   (SELECT d_week_seq,
-          SUM(CASE WHEN d_day_name = 'Sunday' THEN sales_price END) AS sun_sales,
+          CAST(SUM(CASE WHEN d_day_name = 'Sunday' THEN sales_price END) AS sun_sales,
           SUM(CASE WHEN d_day_name = 'Monday' THEN sales_price END) AS mon_sales,
           SUM(CASE WHEN d_day_name = 'Tuesday' THEN sales_price END) AS tue_sales,
           SUM(CASE WHEN d_day_name = 'Wednesday' THEN sales_price END) AS wed_sales,
@@ -1557,10 +1634,14 @@ LIMIT 100
 _tpcds("tpcds_q21", """
 SELECT * FROM
   (SELECT w_warehouse_name, i_item_id,
-          SUM(CASE WHEN CAST(d_date AS DATE) < CAST('2000-03-11' AS DATE)
-                   THEN inv_quantity_on_hand ELSE 0 END) AS inv_before,
-          SUM(CASE WHEN CAST(d_date AS DATE) >= CAST('2000-03-11' AS DATE)
-                   THEN inv_quantity_on_hand ELSE 0 END) AS inv_after
+          CAST(SUM(CASE WHEN CAST(d_date AS DATE)
+                            < CAST('2000-03-11' AS DATE)
+                   THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT)
+              AS inv_before,
+          CAST(SUM(CASE WHEN CAST(d_date AS DATE)
+                            >= CAST('2000-03-11' AS DATE)
+                   THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT)
+              AS inv_after
    FROM {inventory} inventory, {warehouse} warehouse, {item} item,
         {date_dim} date_dim
    WHERE i_current_price BETWEEN 0.99 AND 1.49
@@ -1718,8 +1799,8 @@ FROM {web_sales} web_sales, {customer} customer,
 WHERE ws_bill_customer_sk = c_customer_sk
   AND c_current_addr_sk = ca_address_sk
   AND ws_item_sk = i_item_sk
-  AND (SUBSTRING(ca_zip, 1, 5) IN ('85669', '86197', '88274', '83405',
-                                   '86475', '85392', '85460', '80348', '81792')
+  AND (SUBSTRING(ca_zip, 1, 5) IN ('85250', '85551', '85852', '86153',
+                                   '86454', '80133', '81036', '88260', '83745')
        OR i_item_id IN (SELECT i_item_id FROM {item} item
                         WHERE i_item_sk IN (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)))
   AND ws_sold_date_sk = d_date_sk
@@ -1944,19 +2025,19 @@ LIMIT 100
 # q62 — web shipping-latency buckets by warehouse/mode/site (62.sql)
 _tpcds("tpcds_q62", """
 SELECT w_substr, sm_type, web_name,
-       SUM(CASE WHEN ws_ship_date_sk - ws_sold_date_sk <= 30
-                THEN 1 ELSE 0 END) AS d30,
-       SUM(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 30
+       CAST(SUM(CASE WHEN ws_ship_date_sk - ws_sold_date_sk <= 30
+                THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+       CAST(SUM(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 30
                  AND ws_ship_date_sk - ws_sold_date_sk <= 60
-                THEN 1 ELSE 0 END) AS d31_60,
-       SUM(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 60
+                THEN 1 ELSE 0 END) AS BIGINT) AS d31_60,
+       CAST(SUM(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 60
                  AND ws_ship_date_sk - ws_sold_date_sk <= 90
-                THEN 1 ELSE 0 END) AS d61_90,
-       SUM(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 90
+                THEN 1 ELSE 0 END) AS BIGINT) AS d61_90,
+       CAST(SUM(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 90
                  AND ws_ship_date_sk - ws_sold_date_sk <= 120
-                THEN 1 ELSE 0 END) AS d91_120,
-       SUM(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 120
-                THEN 1 ELSE 0 END) AS d120_plus
+                THEN 1 ELSE 0 END) AS BIGINT) AS d91_120,
+       CAST(SUM(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 120
+                THEN 1 ELSE 0 END) AS BIGINT) AS d120_plus
 FROM {web_sales} web_sales,
      (SELECT SUBSTRING(w_warehouse_name, 1, 20) AS w_substr, *
       FROM {warehouse} warehouse) sq1,
@@ -2041,8 +2122,10 @@ WITH all_sales AS
 SELECT prev_yr.d_year AS prev_year, curr_yr.d_year AS year_,
        curr_yr.i_brand_id, curr_yr.i_class_id, curr_yr.i_category_id,
        curr_yr.i_manufact_id,
-       prev_yr.sales_cnt AS prev_yr_cnt, curr_yr.sales_cnt AS curr_yr_cnt,
-       curr_yr.sales_cnt - prev_yr.sales_cnt AS sales_cnt_diff,
+       CAST(prev_yr.sales_cnt AS BIGINT) AS prev_yr_cnt,
+       CAST(curr_yr.sales_cnt AS BIGINT) AS curr_yr_cnt,
+       CAST(curr_yr.sales_cnt - prev_yr.sales_cnt AS BIGINT)
+           AS sales_cnt_diff,
        ROUND(CAST(curr_yr.sales_amt - prev_yr.sales_amt AS DOUBLE), 2)
            AS sales_amt_diff
 FROM all_sales curr_yr, all_sales prev_yr
@@ -2360,19 +2443,19 @@ WHERE d_date BETWEEN '1999-02-01' AND CAST('1999-04-02' AS DATE)
 # (99.sql)
 _tpcds("tpcds_q99", """
 SELECT w_substr, sm_type, cc_name,
-       SUM(CASE WHEN cs_ship_date_sk - cs_sold_date_sk <= 30
-                THEN 1 ELSE 0 END) AS d30,
-       SUM(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 30
+       CAST(SUM(CASE WHEN cs_ship_date_sk - cs_sold_date_sk <= 30
+                THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+       CAST(SUM(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 30
                  AND cs_ship_date_sk - cs_sold_date_sk <= 60
-                THEN 1 ELSE 0 END) AS d31_60,
-       SUM(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 60
+                THEN 1 ELSE 0 END) AS BIGINT) AS d31_60,
+       CAST(SUM(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 60
                  AND cs_ship_date_sk - cs_sold_date_sk <= 90
-                THEN 1 ELSE 0 END) AS d61_90,
-       SUM(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 90
+                THEN 1 ELSE 0 END) AS BIGINT) AS d61_90,
+       CAST(SUM(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 90
                  AND cs_ship_date_sk - cs_sold_date_sk <= 120
-                THEN 1 ELSE 0 END) AS d91_120,
-       SUM(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 120
-                THEN 1 ELSE 0 END) AS d120_plus
+                THEN 1 ELSE 0 END) AS BIGINT) AS d91_120,
+       CAST(SUM(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 120
+                THEN 1 ELSE 0 END) AS BIGINT) AS d120_plus
 FROM {catalog_sales} catalog_sales,
      (SELECT SUBSTRING(w_warehouse_name, 1, 20) AS w_substr, *
       FROM {warehouse} warehouse) sq1,
@@ -2550,5 +2633,1369 @@ FROM
 GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
          w_country, ship_carriers, year_
 ORDER BY w_warehouse_name NULLS FIRST
+LIMIT 100
+""")
+
+
+# ---- round-6 expansion: the remaining 33 queries (66 -> all 99).
+# Constants adapted to the fixture's value cycles per the module header;
+# every aggregate aliased + rounded through DOUBLE/DECIMAL(20,6) so the
+# driver's value-hash compares engine-independent numbers; ORDER BY lists
+# extended to a total order wherever the reference's isn't (LIMIT safety).
+
+# q4 — three-channel year-over-year customer growth (04.sql)
+_tpcds("tpcds_q04", """
+WITH year_total AS
+  (SELECT c_customer_id customer_id, c_first_name customer_first_name,
+          c_last_name customer_last_name,
+          c_preferred_cust_flag customer_preferred_cust_flag,
+          c_birth_country customer_birth_country, c_login customer_login,
+          c_email_address customer_email_address, d_year dyear,
+          SUM(((ss_ext_list_price - ss_ext_wholesale_cost
+                - ss_ext_discount_amt) + ss_ext_sales_price) / 2) year_total,
+          's' sale_type
+   FROM {customer} customer, {store_sales} store_sales, {date_dim} date_dim
+   WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+   GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+            c_birth_country, c_login, c_email_address, d_year
+   UNION ALL
+   SELECT c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+          c_birth_country, c_login, c_email_address, d_year,
+          SUM(((cs_ext_list_price - cs_ext_wholesale_cost
+                - cs_ext_discount_amt) + cs_ext_sales_price) / 2),
+          'c' sale_type
+   FROM {customer} customer, {catalog_sales} catalog_sales,
+        {date_dim} date_dim
+   WHERE c_customer_sk = cs_bill_customer_sk AND cs_sold_date_sk = d_date_sk
+   GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+            c_birth_country, c_login, c_email_address, d_year
+   UNION ALL
+   SELECT c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+          c_birth_country, c_login, c_email_address, d_year,
+          SUM(((ws_ext_list_price - ws_ext_wholesale_cost
+                - ws_ext_discount_amt) + ws_ext_sales_price) / 2),
+          'w' sale_type
+   FROM {customer} customer, {web_sales} web_sales, {date_dim} date_dim
+   WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+   GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+            c_birth_country, c_login, c_email_address, d_year)
+SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name,
+       t_s_secyear.customer_preferred_cust_flag
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_c_firstyear, year_total t_c_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_c_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_c_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.sale_type = 's' AND t_c_firstyear.sale_type = 'c'
+  AND t_w_firstyear.sale_type = 'w' AND t_s_secyear.sale_type = 's'
+  AND t_c_secyear.sale_type = 'c' AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.dyear = 2001 AND t_s_secyear.dyear = 2001 + 1
+  AND t_c_firstyear.dyear = 2001 AND t_c_secyear.dyear = 2001 + 1
+  AND t_w_firstyear.dyear = 2001 AND t_w_secyear.dyear = 2001 + 1
+  AND t_s_firstyear.year_total > 0 AND t_c_firstyear.year_total > 0
+  AND t_w_firstyear.year_total > 0
+  AND CASE WHEN t_c_firstyear.year_total > 0
+           THEN t_c_secyear.year_total / t_c_firstyear.year_total
+           ELSE NULL END
+      > CASE WHEN t_s_firstyear.year_total > 0
+             THEN t_s_secyear.year_total / t_s_firstyear.year_total
+             ELSE NULL END
+  AND CASE WHEN t_c_firstyear.year_total > 0
+           THEN t_c_secyear.year_total / t_c_firstyear.year_total
+           ELSE NULL END
+      > CASE WHEN t_w_firstyear.year_total > 0
+             THEN t_w_secyear.year_total / t_w_firstyear.year_total
+             ELSE NULL END
+ORDER BY t_s_secyear.customer_id NULLS FIRST,
+         t_s_secyear.customer_first_name NULLS FIRST,
+         t_s_secyear.customer_last_name NULLS FIRST,
+         t_s_secyear.customer_preferred_cust_flag NULLS FIRST
+LIMIT 100
+""")
+
+# q8 — store profit for zips with >10 preferred customers (08.sql; zip
+# list drawn from the fixture's 300-value pool)
+_tpcds("tpcds_q08", """
+SELECT s_store_name, ROUND(CAST(SUM(ss_net_profit) AS DOUBLE), 2) AS profit
+FROM {store_sales} store_sales, {date_dim} date_dim, {store} store,
+  (SELECT ca_zip
+   FROM (SELECT SUBSTRING(ca_zip, 1, 5) ca_zip
+         FROM {customer_address} customer_address
+         WHERE SUBSTRING(ca_zip, 1, 5) IN
+             ('10000', '10301', '10602', '10903', '11204', '11505', '11806',
+              '12107', '12408', '12709', '13010', '13311', '13612', '13913',
+              '14214', '14515', '14816', '15117', '15418', '15719', '16020',
+              '16321', '16622', '16923', '17224', '17525', '17826', '18127',
+              '18428', '18729', '19030', '19331', '19632', '19933', '20234',
+              '20535', '20836', '21137', '21438', '21739', '22040', '22341',
+              '22642', '22943', '23244', '23545', '23846', '24147', '24448',
+              '24749')
+         INTERSECT
+         SELECT ca_zip
+         FROM (SELECT SUBSTRING(ca_zip, 1, 5) ca_zip, COUNT(*) cnt
+               FROM {customer_address} customer_address, {customer} customer
+               WHERE ca_address_sk = c_current_addr_sk
+                 AND c_preferred_cust_flag = 'Y'
+               GROUP BY ca_zip
+               HAVING COUNT(*) > 10) A1) A2) V1
+WHERE ss_store_sk = s_store_sk AND ss_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 1998
+  AND (SUBSTRING(s_zip, 1, 2) = SUBSTRING(V1.ca_zip, 1, 2))
+GROUP BY s_store_name
+ORDER BY s_store_name
+LIMIT 100
+""")
+
+# q10 — demographic census of active multi-channel customers (10.sql)
+_tpcds("tpcds_q10", """
+SELECT cd_gender, cd_marital_status, cd_education_status, COUNT(*) cnt1,
+       cd_purchase_estimate, COUNT(*) cnt2, cd_credit_rating, COUNT(*) cnt3,
+       cd_dep_count, COUNT(*) cnt4, cd_dep_employed_count, COUNT(*) cnt5,
+       cd_dep_college_count, COUNT(*) cnt6
+FROM {customer} c, {customer_address} ca,
+     {customer_demographics} customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND ca_county IN ('county#1', 'county#2', 'county#5', 'county#8',
+                    'county#13')
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS (SELECT * FROM {store_sales} store_sales, {date_dim} date_dim
+              WHERE c.c_customer_sk = ss_customer_sk
+                AND ss_sold_date_sk = d_date_sk AND d_year = 2002
+                AND d_moy BETWEEN 1 AND 1 + 3)
+  AND (EXISTS (SELECT * FROM {web_sales} web_sales, {date_dim} date_dim
+               WHERE c.c_customer_sk = ws_bill_customer_sk
+                 AND ws_sold_date_sk = d_date_sk AND d_year = 2002
+                 AND d_moy BETWEEN 1 AND 1 + 3)
+       OR EXISTS (SELECT * FROM {catalog_sales} catalog_sales,
+                       {date_dim} date_dim
+                  WHERE c.c_customer_sk = cs_ship_customer_sk
+                    AND cs_sold_date_sk = d_date_sk AND d_year = 2002
+                    AND d_moy BETWEEN 1 AND 1 + 3))
+GROUP BY cd_gender, cd_marital_status, cd_education_status,
+         cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+ORDER BY cd_gender, cd_marital_status, cd_education_status,
+         cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+LIMIT 100
+""")
+
+# q11 — store/web year-over-year growth (11.sql)
+_tpcds("tpcds_q11", """
+WITH year_total AS
+  (SELECT c_customer_id customer_id, c_first_name customer_first_name,
+          c_last_name customer_last_name,
+          c_preferred_cust_flag customer_preferred_cust_flag,
+          c_birth_country customer_birth_country, c_login customer_login,
+          c_email_address customer_email_address, d_year dyear,
+          SUM(ss_ext_list_price - ss_ext_discount_amt) year_total,
+          's' sale_type
+   FROM {customer} customer, {store_sales} store_sales, {date_dim} date_dim
+   WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+   GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+            c_birth_country, c_login, c_email_address, d_year
+   UNION ALL
+   SELECT c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+          c_birth_country, c_login, c_email_address, d_year,
+          SUM(ws_ext_list_price - ws_ext_discount_amt), 'w' sale_type
+   FROM {customer} customer, {web_sales} web_sales, {date_dim} date_dim
+   WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+   GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+            c_birth_country, c_login, c_email_address, d_year)
+SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name,
+       t_s_secyear.customer_preferred_cust_flag
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.sale_type = 's' AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's' AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.dyear = 2001 AND t_s_secyear.dyear = 2001 + 1
+  AND t_w_firstyear.dyear = 2001 AND t_w_secyear.dyear = 2001 + 1
+  AND t_s_firstyear.year_total > 0 AND t_w_firstyear.year_total > 0
+  AND CASE WHEN t_w_firstyear.year_total > 0
+           THEN (t_w_secyear.year_total * 1.0000) / t_w_firstyear.year_total
+           ELSE 0.0 END
+      > CASE WHEN t_s_firstyear.year_total > 0
+             THEN (t_s_secyear.year_total * 1.0000) / t_s_firstyear.year_total
+             ELSE 0.0 END
+ORDER BY t_s_secyear.customer_id NULLS FIRST,
+         t_s_secyear.customer_first_name NULLS FIRST,
+         t_s_secyear.customer_last_name NULLS FIRST,
+         t_s_secyear.customer_preferred_cust_flag NULLS FIRST
+LIMIT 100
+""")
+
+# q14 (part 1) — cross-channel item intersection vs average sales (14.sql)
+_tpcds("tpcds_q14", """
+WITH cross_items AS
+  (SELECT i_item_sk ss_item_sk
+   FROM {item} item,
+     (SELECT iss.i_brand_id brand_id, iss.i_class_id class_id,
+             iss.i_category_id category_id
+      FROM {store_sales} store_sales, {item} iss, {date_dim} d1
+      WHERE ss_item_sk = iss.i_item_sk AND ss_sold_date_sk = d1.d_date_sk
+        AND d1.d_year BETWEEN 1999 AND 1999 + 2
+      INTERSECT
+      SELECT ics.i_brand_id, ics.i_class_id, ics.i_category_id
+      FROM {catalog_sales} catalog_sales, {item} ics, {date_dim} d2
+      WHERE cs_item_sk = ics.i_item_sk AND cs_sold_date_sk = d2.d_date_sk
+        AND d2.d_year BETWEEN 1999 AND 1999 + 2
+      INTERSECT
+      SELECT iws.i_brand_id, iws.i_class_id, iws.i_category_id
+      FROM {web_sales} web_sales, {item} iws, {date_dim} d3
+      WHERE ws_item_sk = iws.i_item_sk AND ws_sold_date_sk = d3.d_date_sk
+        AND d3.d_year BETWEEN 1999 AND 1999 + 2) sq1
+   WHERE i_brand_id = brand_id AND i_class_id = class_id
+     AND i_category_id = category_id),
+avg_sales AS
+  (SELECT AVG(quantity * list_price) average_sales
+   FROM (SELECT ss_quantity quantity, ss_list_price list_price
+         FROM {store_sales} store_sales, {date_dim} date_dim
+         WHERE ss_sold_date_sk = d_date_sk
+           AND d_year BETWEEN 1999 AND 1999 + 2
+         UNION ALL
+         SELECT cs_quantity, cs_list_price
+         FROM {catalog_sales} catalog_sales, {date_dim} date_dim
+         WHERE cs_sold_date_sk = d_date_sk
+           AND d_year BETWEEN 1999 AND 1999 + 2
+         UNION ALL
+         SELECT ws_quantity, ws_list_price
+         FROM {web_sales} web_sales, {date_dim} date_dim
+         WHERE ws_sold_date_sk = d_date_sk
+           AND d_year BETWEEN 1999 AND 1999 + 2) sq2)
+SELECT channel, i_brand_id, i_class_id, i_category_id,
+       ROUND(CAST(SUM(sales) AS DOUBLE), 2) AS sum_sales,
+       CAST(SUM(number_sales) AS BIGINT) AS sum_number_sales
+FROM (SELECT 'store' channel, i_brand_id, i_class_id, i_category_id,
+             SUM(ss_quantity * ss_list_price) sales,
+             COUNT(*) number_sales
+      FROM {store_sales} store_sales, {item} item, {date_dim} date_dim
+      WHERE ss_item_sk IN (SELECT ss_item_sk FROM cross_items)
+        AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+        AND d_year = 1999 + 2 AND d_moy = 11
+      GROUP BY i_brand_id, i_class_id, i_category_id
+      HAVING SUM(ss_quantity * ss_list_price) >
+          (SELECT average_sales FROM avg_sales)
+      UNION ALL
+      SELECT 'catalog' channel, i_brand_id, i_class_id, i_category_id,
+             SUM(cs_quantity * cs_list_price) sales, COUNT(*) number_sales
+      FROM {catalog_sales} catalog_sales, {item} item, {date_dim} date_dim
+      WHERE cs_item_sk IN (SELECT ss_item_sk FROM cross_items)
+        AND cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+        AND d_year = 1999 + 2 AND d_moy = 11
+      GROUP BY i_brand_id, i_class_id, i_category_id
+      HAVING SUM(cs_quantity * cs_list_price) >
+          (SELECT average_sales FROM avg_sales)
+      UNION ALL
+      SELECT 'web' channel, i_brand_id, i_class_id, i_category_id,
+             SUM(ws_quantity * ws_list_price) sales, COUNT(*) number_sales
+      FROM {web_sales} web_sales, {item} item, {date_dim} date_dim
+      WHERE ws_item_sk IN (SELECT ss_item_sk FROM cross_items)
+        AND ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+        AND d_year = 1999 + 2 AND d_moy = 11
+      GROUP BY i_brand_id, i_class_id, i_category_id
+      HAVING SUM(ws_quantity * ws_list_price) >
+          (SELECT average_sales FROM avg_sales)) y
+GROUP BY ROLLUP (channel, i_brand_id, i_class_id, i_category_id)
+ORDER BY channel NULLS FIRST, i_brand_id NULLS FIRST,
+         i_class_id NULLS FIRST, i_category_id NULLS FIRST
+LIMIT 100
+""")
+
+# q18 — catalog demographics rollup over country/state/county (18.sql)
+_tpcds("tpcds_q18", """
+SELECT i_item_id, ca_country, ca_state, ca_county,
+       AVGR(cs_quantity) AS agg1,
+       AVGR(cs_list_price) AS agg2,
+       AVGR(cs_coupon_amt) AS agg3,
+       AVGR(cs_sales_price) AS agg4,
+       AVGR(cs_net_profit) AS agg5,
+       AVGR(c_birth_year) AS agg6,
+       AVGR(cd1.cd_dep_count) AS agg7
+FROM {catalog_sales} catalog_sales, {customer_demographics} cd1,
+     {customer_demographics} cd2, {customer} customer,
+     {customer_address} customer_address, {date_dim} date_dim, {item} item
+WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+  AND cs_bill_cdemo_sk = cd1.cd_demo_sk
+  AND cs_bill_customer_sk = c_customer_sk
+  AND cd1.cd_gender = 'F' AND cd1.cd_education_status = 'Unknown'
+  AND c_current_cdemo_sk = cd2.cd_demo_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND c_birth_month IN (1, 6, 8, 9, 12, 2)
+  AND d_year = 1998
+  AND ca_state IN ('TN', 'KY', 'GA', 'AL', 'VA', 'NC')
+GROUP BY ROLLUP (i_item_id, ca_country, ca_state, ca_county)
+ORDER BY ca_country NULLS FIRST, ca_state NULLS FIRST,
+         ca_county NULLS FIRST, i_item_id NULLS FIRST,
+         GROUPING(ca_country) NULLS FIRST, GROUPING(ca_state) NULLS FIRST,
+         GROUPING(ca_county) NULLS FIRST
+LIMIT 100
+""")
+
+# q22 — inventory quantity-on-hand rollup (22.sql)
+_tpcds("tpcds_q22", """
+SELECT i_product_name, i_brand, i_class, i_category,
+       CAST(ROUND(CAST(AVG(inv_quantity_on_hand) AS DECIMAL(20,6)), 2)
+            AS DOUBLE) AS qoh
+FROM {inventory} inventory, {date_dim} date_dim, {item} item
+WHERE inv_date_sk = d_date_sk AND inv_item_sk = i_item_sk
+  AND d_month_seq BETWEEN 1200 AND 1200 + 11
+GROUP BY ROLLUP(i_product_name, i_brand, i_class, i_category)
+ORDER BY qoh NULLS FIRST, i_product_name NULLS FIRST, i_brand NULLS FIRST,
+         i_class NULLS FIRST, i_category NULLS FIRST
+LIMIT 100
+""")
+
+# q23 (part 1) — best store customers buying frequent items (23.sql;
+# the fixture's (item, day) pairs are unique by construction, so the
+# frequency threshold adapts from > 4 to > 0 — the shape is unchanged)
+_tpcds("tpcds_q23", """
+WITH frequent_ss_items AS
+  (SELECT itemdesc, i_item_sk item_sk, d_date solddate, COUNT(*) cnt
+   FROM {store_sales} store_sales, {date_dim} date_dim,
+     (SELECT SUBSTRING(i_item_desc, 1, 30) itemdesc, * FROM {item} item) sq1
+   WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+     AND d_year IN (1999, 2000, 2001, 2002)
+   GROUP BY itemdesc, i_item_sk, d_date
+   HAVING COUNT(*) > 0),
+max_store_sales AS
+  (SELECT MAX(csales) tpcds_cmax
+   FROM (SELECT c_customer_sk, SUM(ss_quantity * ss_sales_price) csales
+         FROM {store_sales} store_sales, {customer} customer,
+              {date_dim} date_dim
+         WHERE ss_customer_sk = c_customer_sk
+           AND ss_sold_date_sk = d_date_sk
+           AND d_year IN (1999, 2000, 2001, 2002)
+         GROUP BY c_customer_sk) sq2),
+best_ss_customer AS
+  (SELECT c_customer_sk, SUM(ss_quantity * ss_sales_price) ssales
+   FROM {store_sales} store_sales, {customer} customer,
+        max_store_sales
+   WHERE ss_customer_sk = c_customer_sk
+   GROUP BY c_customer_sk
+   HAVING SUM(ss_quantity * ss_sales_price) > (50 / 100.0) * MAX(tpcds_cmax))
+SELECT c_last_name, c_first_name,
+       ROUND(CAST(sales AS DOUBLE), 2) AS sales
+FROM (SELECT c_last_name, c_first_name,
+             SUM(cs_quantity * cs_list_price) sales
+      FROM {catalog_sales} catalog_sales, {customer} customer,
+           {date_dim} date_dim, best_ss_customer
+      WHERE d_year = 2000 AND d_moy = 2
+        AND cs_sold_date_sk = d_date_sk
+        AND cs_bill_customer_sk = best_ss_customer.c_customer_sk
+        AND cs_bill_customer_sk = customer.c_customer_sk
+        AND cs_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+      GROUP BY c_last_name, c_first_name
+      UNION ALL
+      SELECT c_last_name, c_first_name,
+             SUM(ws_quantity * ws_list_price) sales
+      FROM {web_sales} web_sales, {customer} customer,
+           {date_dim} date_dim, best_ss_customer
+      WHERE d_year = 2000 AND d_moy = 2
+        AND ws_bill_customer_sk = best_ss_customer.c_customer_sk
+        AND ws_sold_date_sk = d_date_sk
+        AND ws_bill_customer_sk = customer.c_customer_sk
+        AND ws_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+      GROUP BY c_last_name, c_first_name) sq3
+ORDER BY c_last_name NULLS FIRST, c_first_name NULLS FIRST,
+         sales NULLS FIRST
+LIMIT 100
+""")
+
+# q24 (part 1) — store-return customers by color, zip-matched stores
+# (24.sql; i_color adapted to the fixture palette)
+_tpcds("tpcds_q24", """
+WITH ssales AS
+  (SELECT c_last_name, c_first_name, s_store_name, ca_state, s_state,
+          i_color, i_current_price, i_manager_id, i_units, i_size,
+          SUM(ss_net_paid) netpaid
+   FROM {store_sales} store_sales, {store_returns} store_returns,
+        {store} store, {item} item, {customer} customer,
+        {customer_address} customer_address
+   WHERE ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk
+     AND ss_customer_sk = c_customer_sk AND ss_item_sk = i_item_sk
+     AND ss_store_sk = s_store_sk AND c_current_addr_sk = ca_address_sk
+     AND c_birth_country <> UPPER(ca_country) AND s_zip = ca_zip
+     AND s_market_id = 8
+   GROUP BY c_last_name, c_first_name, s_store_name, ca_state, s_state,
+            i_color, i_current_price, i_manager_id, i_units, i_size)
+SELECT c_last_name, c_first_name, s_store_name,
+       ROUND(CAST(SUM(netpaid) AS DOUBLE), 2) AS paid
+FROM ssales
+WHERE i_color = 'powder'
+GROUP BY c_last_name, c_first_name, s_store_name
+HAVING SUM(netpaid) > (SELECT 0.05 * AVG(netpaid) FROM ssales)
+ORDER BY c_last_name, c_first_name, s_store_name
+""")
+
+# q33 — manufacturer sales across three channels for one category (33.sql)
+_tpcds("tpcds_q33", """
+WITH ss AS
+  (SELECT i_manufact_id, SUM(ss_ext_sales_price) total_sales
+   FROM {store_sales} store_sales, {date_dim} date_dim,
+        {customer_address} customer_address, {item} item
+   WHERE i_manufact_id IN (SELECT i_manufact_id FROM {item} item
+                           WHERE i_category IN ('category#3'))
+     AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+     AND d_year = 1998 AND d_moy = 5 AND ss_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_manufact_id),
+cs AS
+  (SELECT i_manufact_id, SUM(cs_ext_sales_price) total_sales
+   FROM {catalog_sales} catalog_sales, {date_dim} date_dim,
+        {customer_address} customer_address, {item} item
+   WHERE i_manufact_id IN (SELECT i_manufact_id FROM {item} item
+                           WHERE i_category IN ('category#3'))
+     AND cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+     AND d_year = 1998 AND d_moy = 5 AND cs_bill_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_manufact_id),
+ws AS
+  (SELECT i_manufact_id, SUM(ws_ext_sales_price) total_sales
+   FROM {web_sales} web_sales, {date_dim} date_dim,
+        {customer_address} customer_address, {item} item
+   WHERE i_manufact_id IN (SELECT i_manufact_id FROM {item} item
+                           WHERE i_category IN ('category#3'))
+     AND ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+     AND d_year = 1998 AND d_moy = 5 AND ws_bill_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_manufact_id)
+SELECT i_manufact_id,
+       ROUND(CAST(SUM(total_sales) AS DOUBLE), 2) AS total_sales
+FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs
+      UNION ALL SELECT * FROM ws) tmp1
+GROUP BY i_manufact_id
+ORDER BY total_sales, i_manufact_id
+LIMIT 100
+""")
+
+# q35 — demographic census with min/max/avg dependents (35.sql)
+_tpcds("tpcds_q35", """
+SELECT ca_state, cd_gender, cd_marital_status, cd_dep_count,
+       COUNT(*) cnt1, MIN(cd_dep_count) min1, MAX(cd_dep_count) max1,
+       AVGR(cd_dep_count) AS avg1,
+       cd_dep_employed_count,
+       COUNT(*) cnt2, MIN(cd_dep_employed_count) min2,
+       MAX(cd_dep_employed_count) max2,
+       AVGR(cd_dep_employed_count) AS avg2,
+       cd_dep_college_count,
+       COUNT(*) cnt3, MIN(cd_dep_college_count) min3,
+       MAX(cd_dep_college_count) max3,
+       AVGR(cd_dep_college_count) AS avg3
+FROM {customer} c, {customer_address} ca,
+     {customer_demographics} customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS (SELECT * FROM {store_sales} store_sales, {date_dim} date_dim
+              WHERE c.c_customer_sk = ss_customer_sk
+                AND ss_sold_date_sk = d_date_sk AND d_year = 2002
+                AND d_qoy < 4)
+  AND (EXISTS (SELECT * FROM {web_sales} web_sales, {date_dim} date_dim
+               WHERE c.c_customer_sk = ws_bill_customer_sk
+                 AND ws_sold_date_sk = d_date_sk AND d_year = 2002
+                 AND d_qoy < 4)
+       OR EXISTS (SELECT * FROM {catalog_sales} catalog_sales,
+                       {date_dim} date_dim
+                  WHERE c.c_customer_sk = cs_ship_customer_sk
+                    AND cs_sold_date_sk = d_date_sk AND d_year = 2002
+                    AND d_qoy < 4))
+GROUP BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+ORDER BY ca_state NULLS FIRST, cd_gender NULLS FIRST,
+         cd_marital_status NULLS FIRST, cd_dep_count NULLS FIRST,
+         cd_dep_employed_count NULLS FIRST, cd_dep_college_count NULLS FIRST
+LIMIT 100
+""")
+
+# q38 — customers active in all three channels (38.sql)
+_tpcds("tpcds_q38", """
+SELECT COUNT(*) AS cnt
+FROM (SELECT DISTINCT c_last_name, c_first_name, d_date
+      FROM {store_sales} store_sales, {date_dim} date_dim,
+           {customer} customer
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_customer_sk = customer.c_customer_sk
+        AND d_month_seq BETWEEN 1200 AND 1200 + 11
+      INTERSECT
+      SELECT DISTINCT c_last_name, c_first_name, d_date
+      FROM {catalog_sales} catalog_sales, {date_dim} date_dim,
+           {customer} customer
+      WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+        AND catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+        AND d_month_seq BETWEEN 1200 AND 1200 + 11
+      INTERSECT
+      SELECT DISTINCT c_last_name, c_first_name, d_date
+      FROM {web_sales} web_sales, {date_dim} date_dim, {customer} customer
+      WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+        AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
+        AND d_month_seq BETWEEN 1200 AND 1200 + 11) hot_cust
+LIMIT 100
+""")
+
+# q39 (part 1) — inventory coefficient-of-variation month pairs (39.sql)
+_tpcds("tpcds_q39", """
+WITH inv AS
+  (SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy, stdev, mean,
+          CASE mean WHEN 0 THEN NULL ELSE stdev / mean END cov
+   FROM (SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy,
+                STDDEV_SAMP(inv_quantity_on_hand) * 1.000 stdev,
+                AVG(inv_quantity_on_hand) mean
+         FROM {inventory} inventory, {item} item, {warehouse} warehouse,
+              {date_dim} date_dim
+         WHERE inv_item_sk = i_item_sk
+           AND inv_warehouse_sk = w_warehouse_sk
+           AND inv_date_sk = d_date_sk AND d_year = 2001
+         GROUP BY w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy) foo
+   WHERE CASE mean WHEN 0 THEN 0 ELSE stdev / mean END > 1)
+SELECT inv1.w_warehouse_sk wsk1, inv1.i_item_sk isk1, inv1.d_moy dmoy1,
+       CAST(ROUND(CAST(inv1.mean AS DECIMAL(20,6)), 3) AS DOUBLE) mean1,
+       CAST(ROUND(CAST(inv1.cov AS DECIMAL(20,6)), 3) AS DOUBLE) cov1,
+       inv2.w_warehouse_sk AS wsk2, inv2.i_item_sk AS isk2,
+       inv2.d_moy AS dmoy2,
+       CAST(ROUND(CAST(inv2.mean AS DECIMAL(20,6)), 3) AS DOUBLE) AS mean2,
+       CAST(ROUND(CAST(inv2.cov AS DECIMAL(20,6)), 3) AS DOUBLE) AS cov2
+FROM inv inv1, inv inv2
+WHERE inv1.i_item_sk = inv2.i_item_sk
+  AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
+  AND inv1.d_moy = 1 AND inv2.d_moy = 1 + 1
+ORDER BY inv1.w_warehouse_sk NULLS FIRST, inv1.i_item_sk NULLS FIRST,
+         inv1.d_moy NULLS FIRST, mean1 NULLS FIRST, cov1 NULLS FIRST,
+         inv2.d_moy NULLS FIRST, mean2 NULLS FIRST, cov2 NULLS FIRST
+""")
+
+# q44 — best/worst performing items by store profit rank (44.sql)
+_tpcds("tpcds_q44", """
+SELECT asceding.rnk, i1.i_product_name best_performing,
+       i2.i_product_name worst_performing
+FROM (SELECT * FROM (SELECT item_sk, RANK() OVER (ORDER BY rank_col ASC,
+                         item_sk ASC) rnk
+                     FROM (SELECT ss_item_sk item_sk,
+                                  AVG(ss_net_profit) rank_col
+                           FROM {store_sales} ss1 WHERE ss_store_sk = 4
+                           GROUP BY ss_item_sk
+                           HAVING AVG(ss_net_profit) > 0.9 *
+                               (SELECT AVG(ss_net_profit) rank_col
+                                FROM {store_sales} store_sales
+                                WHERE ss_store_sk = 4
+                                  AND ss_addr_sk IS NULL
+                                GROUP BY ss_store_sk)) V1) V11
+      WHERE rnk < 11) asceding,
+     (SELECT * FROM (SELECT item_sk, RANK() OVER (ORDER BY rank_col DESC,
+                         item_sk ASC) rnk
+                     FROM (SELECT ss_item_sk item_sk,
+                                  AVG(ss_net_profit) rank_col
+                           FROM {store_sales} ss1 WHERE ss_store_sk = 4
+                           GROUP BY ss_item_sk
+                           HAVING AVG(ss_net_profit) > 0.9 *
+                               (SELECT AVG(ss_net_profit) rank_col
+                                FROM {store_sales} store_sales
+                                WHERE ss_store_sk = 4
+                                  AND ss_addr_sk IS NULL
+                                GROUP BY ss_store_sk)) V2) V21
+      WHERE rnk < 11) descending,
+     {item} i1, {item} i2
+WHERE asceding.rnk = descending.rnk
+  AND i1.i_item_sk = asceding.item_sk
+  AND i2.i_item_sk = descending.item_sk
+ORDER BY asceding.rnk, i1.i_product_name DESC, i2.i_product_name DESC
+LIMIT 100
+""")
+
+# q49 — worst return ratios by channel (49.sql; the 10000-amount floor
+# adapted to the fixture's 1..501 return-amount range)
+_tpcds("tpcds_q49", """
+SELECT channel, item, return_ratio, return_rank, currency_rank
+FROM
+  (SELECT 'web' AS channel, web.item, web.return_ratio, web.return_rank,
+          web.currency_rank
+   FROM (SELECT item, return_ratio, currency_ratio,
+                RANK() OVER (ORDER BY return_ratio, item) AS return_rank,
+                RANK() OVER (ORDER BY currency_ratio, item) AS currency_rank
+         FROM (SELECT ws.ws_item_sk AS item,
+                      ROUND(CAST(SUM(COALESCE(wr.wr_return_quantity, 0))
+                                 AS DOUBLE)
+                            / CAST(SUM(COALESCE(ws.ws_quantity, 0))
+                                   AS DOUBLE), 6) AS return_ratio,
+                      ROUND(CAST(SUM(COALESCE(wr.wr_return_amt, 0))
+                                 AS DOUBLE)
+                            / CAST(SUM(COALESCE(ws.ws_net_paid, 0))
+                                   AS DOUBLE), 6) AS currency_ratio
+               FROM {web_sales} ws
+               LEFT OUTER JOIN {web_returns} wr
+                 ON (ws.ws_order_number = wr.wr_order_number
+                     AND ws.ws_item_sk = wr.wr_item_sk),
+                    {date_dim} date_dim
+               WHERE wr.wr_return_amt > 100 AND ws.ws_net_profit > 1
+                 AND ws.ws_net_paid > 0 AND ws.ws_quantity > 0
+                 AND ws_sold_date_sk = d_date_sk AND d_year = 2001
+                 AND d_moy = 12
+               GROUP BY ws.ws_item_sk) in_web) web
+   WHERE (web.return_rank <= 10 OR web.currency_rank <= 10)
+   UNION
+   SELECT 'catalog' AS channel, catalog.item, catalog.return_ratio,
+          catalog.return_rank, catalog.currency_rank
+   FROM (SELECT item, return_ratio, currency_ratio,
+                RANK() OVER (ORDER BY return_ratio, item) AS return_rank,
+                RANK() OVER (ORDER BY currency_ratio, item) AS currency_rank
+         FROM (SELECT cs.cs_item_sk AS item,
+                      ROUND(CAST(SUM(COALESCE(cr.cr_return_quantity, 0))
+                                 AS DOUBLE)
+                            / CAST(SUM(COALESCE(cs.cs_quantity, 0))
+                                   AS DOUBLE), 6) AS return_ratio,
+                      ROUND(CAST(SUM(COALESCE(cr.cr_return_amount, 0))
+                                 AS DOUBLE)
+                            / CAST(SUM(COALESCE(cs.cs_net_paid, 0))
+                                   AS DOUBLE), 6) AS currency_ratio
+               FROM {catalog_sales} cs
+               LEFT OUTER JOIN {catalog_returns} cr
+                 ON (cs.cs_order_number = cr.cr_order_number
+                     AND cs.cs_item_sk = cr.cr_item_sk),
+                    {date_dim} date_dim
+               WHERE cr.cr_return_amount > 100 AND cs.cs_net_profit > 1
+                 AND cs.cs_net_paid > 0 AND cs.cs_quantity > 0
+                 AND cs_sold_date_sk = d_date_sk AND d_year = 2001
+                 AND d_moy = 12
+               GROUP BY cs.cs_item_sk) in_cat) catalog
+   WHERE (catalog.return_rank <= 10 OR catalog.currency_rank <= 10)
+   UNION
+   SELECT 'store' AS channel, store.item, store.return_ratio,
+          store.return_rank, store.currency_rank
+   FROM (SELECT item, return_ratio, currency_ratio,
+                RANK() OVER (ORDER BY return_ratio, item) AS return_rank,
+                RANK() OVER (ORDER BY currency_ratio, item) AS currency_rank
+         FROM (SELECT sts.ss_item_sk AS item,
+                      ROUND(CAST(SUM(COALESCE(sr.sr_return_quantity, 0))
+                                 AS DOUBLE)
+                            / CAST(SUM(COALESCE(sts.ss_quantity, 0))
+                                   AS DOUBLE), 6) AS return_ratio,
+                      ROUND(CAST(SUM(COALESCE(sr.sr_return_amt, 0))
+                                 AS DOUBLE)
+                            / CAST(SUM(COALESCE(sts.ss_net_paid, 0))
+                                   AS DOUBLE), 6) AS currency_ratio
+               FROM {store_sales} sts
+               LEFT OUTER JOIN {store_returns} sr
+                 ON (sts.ss_ticket_number = sr.sr_ticket_number
+                     AND sts.ss_item_sk = sr.sr_item_sk),
+                    {date_dim} date_dim
+               WHERE sr.sr_return_amt > 100 AND sts.ss_net_profit > 1
+                 AND sts.ss_net_paid > 0 AND sts.ss_quantity > 0
+                 AND ss_sold_date_sk = d_date_sk AND d_year = 2001
+                 AND d_moy = 12
+               GROUP BY sts.ss_item_sk) in_store) store
+   WHERE (store.return_rank <= 10 OR store.currency_rank <= 10)) sq1
+ORDER BY 1 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 2 NULLS FIRST
+LIMIT 100
+""")
+
+# q54 — revenue segments of cross-channel category buyers (54.sql)
+_tpcds("tpcds_q54", """
+WITH my_customers AS
+  (SELECT DISTINCT c_customer_sk, c_current_addr_sk
+   FROM (SELECT cs_sold_date_sk sold_date_sk,
+                cs_bill_customer_sk customer_sk, cs_item_sk item_sk
+         FROM {catalog_sales} catalog_sales
+         UNION ALL
+         SELECT ws_sold_date_sk, ws_bill_customer_sk, ws_item_sk
+         FROM {web_sales} web_sales) cs_or_ws_sales,
+        {item} item, {date_dim} date_dim, {customer} customer
+   WHERE sold_date_sk = d_date_sk AND item_sk = i_item_sk
+     AND i_category = 'category#2' AND i_class = 'class#5'
+     AND c_customer_sk = cs_or_ws_sales.customer_sk
+     AND d_moy = 12 AND d_year = 1998),
+my_revenue AS
+  (SELECT c_customer_sk, SUM(ss_ext_sales_price) AS revenue
+   FROM my_customers, {store_sales} store_sales,
+        {customer_address} customer_address, {store} store,
+        {date_dim} date_dim
+   WHERE c_current_addr_sk = ca_address_sk AND ca_county = s_county
+     AND ca_state = s_state AND ss_sold_date_sk = d_date_sk
+     AND c_customer_sk = ss_customer_sk
+     AND d_month_seq BETWEEN (SELECT DISTINCT d_month_seq + 1
+                              FROM {date_dim} date_dim
+                              WHERE d_year = 1998 AND d_moy = 12)
+                         AND (SELECT DISTINCT d_month_seq + 3
+                              FROM {date_dim} date_dim
+                              WHERE d_year = 1998 AND d_moy = 12)
+   GROUP BY c_customer_sk),
+segments AS
+  (SELECT CAST(ROUND(revenue / 50) AS INT) AS segment FROM my_revenue)
+SELECT segment, COUNT(*) AS num_customers, segment * 50 AS segment_base
+FROM segments
+GROUP BY segment
+ORDER BY segment NULLS FIRST, num_customers NULLS FIRST, segment_base
+LIMIT 100
+""")
+
+# q56 — item sales across three channels by color slice (56.sql; colors
+# from the fixture palette)
+_tpcds("tpcds_q56", """
+WITH ss AS
+  (SELECT i_item_id, SUM(ss_ext_sales_price) total_sales
+   FROM {store_sales} store_sales, {date_dim} date_dim,
+        {customer_address} customer_address, {item} item
+   WHERE i_item_id IN (SELECT i_item_id FROM {item} item
+                       WHERE i_color IN ('powder', 'khaki', 'brown'))
+     AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+     AND d_year = 2001 AND d_moy = 2 AND ss_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_item_id),
+cs AS
+  (SELECT i_item_id, SUM(cs_ext_sales_price) total_sales
+   FROM {catalog_sales} catalog_sales, {date_dim} date_dim,
+        {customer_address} customer_address, {item} item
+   WHERE i_item_id IN (SELECT i_item_id FROM {item} item
+                       WHERE i_color IN ('powder', 'khaki', 'brown'))
+     AND cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+     AND d_year = 2001 AND d_moy = 2 AND cs_bill_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_item_id),
+ws AS
+  (SELECT i_item_id, SUM(ws_ext_sales_price) total_sales
+   FROM {web_sales} web_sales, {date_dim} date_dim,
+        {customer_address} customer_address, {item} item
+   WHERE i_item_id IN (SELECT i_item_id FROM {item} item
+                       WHERE i_color IN ('powder', 'khaki', 'brown'))
+     AND ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+     AND d_year = 2001 AND d_moy = 2 AND ws_bill_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_item_id)
+SELECT i_item_id, ROUND(CAST(SUM(total_sales) AS DOUBLE), 2) AS total_sales
+FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs
+      UNION ALL SELECT * FROM ws) tmp1
+GROUP BY i_item_id
+ORDER BY total_sales NULLS FIRST, i_item_id NULLS FIRST
+LIMIT 100
+""")
+
+# q58 — items with balanced revenue across all three channels in one
+# week (58.sql)
+_tpcds("tpcds_q58", """
+WITH ss_items AS
+  (SELECT i_item_id item_id, SUM(ss_ext_sales_price) ss_item_rev
+   FROM {store_sales} store_sales, {item} item, {date_dim} date_dim
+   WHERE ss_item_sk = i_item_sk
+     AND d_date IN (SELECT d_date FROM {date_dim} date_dim
+                    WHERE d_week_seq = (SELECT d_week_seq
+                                        FROM {date_dim} date_dim
+                                        WHERE d_date = '2000-01-03'))
+     AND ss_sold_date_sk = d_date_sk
+   GROUP BY i_item_id),
+cs_items AS
+  (SELECT i_item_id item_id, SUM(cs_ext_sales_price) cs_item_rev
+   FROM {catalog_sales} catalog_sales, {item} item, {date_dim} date_dim
+   WHERE cs_item_sk = i_item_sk
+     AND d_date IN (SELECT d_date FROM {date_dim} date_dim
+                    WHERE d_week_seq = (SELECT d_week_seq
+                                        FROM {date_dim} date_dim
+                                        WHERE d_date = '2000-01-03'))
+     AND cs_sold_date_sk = d_date_sk
+   GROUP BY i_item_id),
+ws_items AS
+  (SELECT i_item_id item_id, SUM(ws_ext_sales_price) ws_item_rev
+   FROM {web_sales} web_sales, {item} item, {date_dim} date_dim
+   WHERE ws_item_sk = i_item_sk
+     AND d_date IN (SELECT d_date FROM {date_dim} date_dim
+                    WHERE d_week_seq = (SELECT d_week_seq
+                                        FROM {date_dim} date_dim
+                                        WHERE d_date = '2000-01-03'))
+     AND ws_sold_date_sk = d_date_sk
+   GROUP BY i_item_id)
+SELECT ss_items.item_id,
+       ROUND(CAST(ss_item_rev AS DOUBLE), 2) AS ss_item_rev,
+       ROUND(CAST(ss_item_rev AS DOUBLE)
+             / CAST((ss_item_rev + cs_item_rev + ws_item_rev) / 3
+                    AS DOUBLE) * 100, 4) AS ss_dev,
+       ROUND(CAST(cs_item_rev AS DOUBLE), 2) AS cs_item_rev,
+       ROUND(CAST(cs_item_rev AS DOUBLE)
+             / CAST((ss_item_rev + cs_item_rev + ws_item_rev) / 3
+                    AS DOUBLE) * 100, 4) AS cs_dev,
+       ROUND(CAST(ws_item_rev AS DOUBLE), 2) AS ws_item_rev,
+       ROUND(CAST(ws_item_rev AS DOUBLE)
+             / CAST((ss_item_rev + cs_item_rev + ws_item_rev) / 3
+                    AS DOUBLE) * 100, 4) AS ws_dev,
+       ROUND(CAST((ss_item_rev + cs_item_rev + ws_item_rev) / 3
+                  AS DOUBLE), 2) AS average
+FROM ss_items, cs_items, ws_items
+WHERE ss_items.item_id = cs_items.item_id
+  AND ss_items.item_id = ws_items.item_id
+  AND ss_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
+  AND ss_item_rev BETWEEN 0.9 * ws_item_rev AND 1.1 * ws_item_rev
+  AND cs_item_rev BETWEEN 0.9 * ss_item_rev AND 1.1 * ss_item_rev
+  AND cs_item_rev BETWEEN 0.9 * ws_item_rev AND 1.1 * ws_item_rev
+  AND ws_item_rev BETWEEN 0.9 * ss_item_rev AND 1.1 * ss_item_rev
+  AND ws_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
+ORDER BY ss_items.item_id NULLS FIRST, ss_item_rev NULLS FIRST
+LIMIT 100
+""")
+
+# q60 — item sales across three channels for one category (60.sql)
+_tpcds("tpcds_q60", """
+WITH ss AS
+  (SELECT i_item_id, SUM(ss_ext_sales_price) total_sales
+   FROM {store_sales} store_sales, {date_dim} date_dim,
+        {customer_address} customer_address, {item} item
+   WHERE i_item_id IN (SELECT i_item_id FROM {item} item
+                       WHERE i_category = 'category#5')
+     AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+     AND d_year = 1998 AND d_moy = 9 AND ss_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_item_id),
+cs AS
+  (SELECT i_item_id, SUM(cs_ext_sales_price) total_sales
+   FROM {catalog_sales} catalog_sales, {date_dim} date_dim,
+        {customer_address} customer_address, {item} item
+   WHERE i_item_id IN (SELECT i_item_id FROM {item} item
+                       WHERE i_category = 'category#5')
+     AND cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+     AND d_year = 1998 AND d_moy = 9 AND cs_bill_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_item_id),
+ws AS
+  (SELECT i_item_id, SUM(ws_ext_sales_price) total_sales
+   FROM {web_sales} web_sales, {date_dim} date_dim,
+        {customer_address} customer_address, {item} item
+   WHERE i_item_id IN (SELECT i_item_id FROM {item} item
+                       WHERE i_category = 'category#5')
+     AND ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+     AND d_year = 1998 AND d_moy = 9 AND ws_bill_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_item_id)
+SELECT i_item_id, ROUND(CAST(SUM(total_sales) AS DOUBLE), 2) AS total_sales
+FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs
+      UNION ALL SELECT * FROM ws) tmp1
+GROUP BY i_item_id
+ORDER BY i_item_id, total_sales
+LIMIT 100
+""")
+
+# q64 — repeat-purchase store/customer address cross-year join (64.sql;
+# colors/prices from the fixture cycles)
+_tpcds("tpcds_q64", """
+WITH cs_ui AS
+  (SELECT cs_item_sk,
+          SUM(cs_ext_list_price) AS sale,
+          SUM(cr_refunded_cash + cr_reversed_charge + cr_store_credit)
+              AS refund
+   FROM {catalog_sales} catalog_sales, {catalog_returns} catalog_returns
+   WHERE cs_item_sk = cr_item_sk AND cs_order_number = cr_order_number
+   GROUP BY cs_item_sk
+   HAVING SUM(cs_ext_list_price) >
+       2 * SUM(cr_refunded_cash + cr_reversed_charge + cr_store_credit)),
+cross_sales AS
+  (SELECT i_product_name product_name, i_item_sk item_sk,
+          s_store_name store_name, s_zip store_zip,
+          ad1.ca_street_number b_street_number,
+          ad1.ca_street_name b_street_name, ad1.ca_city b_city,
+          ad1.ca_zip b_zip, ad2.ca_street_number c_street_number,
+          ad2.ca_street_name c_street_name, ad2.ca_city c_city,
+          ad2.ca_zip c_zip, d1.d_year AS syear, d2.d_year AS fsyear,
+          d3.d_year s2year, COUNT(*) cnt,
+          SUM(ss_wholesale_cost) s1, SUM(ss_list_price) s2,
+          SUM(ss_coupon_amt) s3
+   FROM {store_sales} store_sales, {store_returns} store_returns, cs_ui,
+        {date_dim} d1, {date_dim} d2, {date_dim} d3, {store} store,
+        {customer} customer, {customer_demographics} cd1,
+        {customer_demographics} cd2, {promotion} promotion,
+        {household_demographics} hd1, {household_demographics} hd2,
+        {customer_address} ad1, {customer_address} ad2,
+        {income_band} ib1, {income_band} ib2, {item} item
+   WHERE ss_store_sk = s_store_sk AND ss_sold_date_sk = d1.d_date_sk
+     AND ss_customer_sk = c_customer_sk AND ss_cdemo_sk = cd1.cd_demo_sk
+     AND ss_hdemo_sk = hd1.hd_demo_sk AND ss_addr_sk = ad1.ca_address_sk
+     AND ss_item_sk = i_item_sk AND ss_item_sk = sr_item_sk
+     AND ss_ticket_number = sr_ticket_number
+     AND ss_item_sk = cs_ui.cs_item_sk
+     AND c_current_cdemo_sk = cd2.cd_demo_sk
+     AND c_current_hdemo_sk = hd2.hd_demo_sk
+     AND c_current_addr_sk = ad2.ca_address_sk
+     AND c_first_sales_date_sk = d2.d_date_sk
+     AND c_first_shipto_date_sk = d3.d_date_sk
+     AND ss_promo_sk = p_promo_sk
+     AND hd1.hd_income_band_sk = ib1.ib_income_band_sk
+     AND hd2.hd_income_band_sk = ib2.ib_income_band_sk
+     AND cd1.cd_marital_status <> cd2.cd_marital_status
+     AND i_color IN ('powder', 'khaki', 'brown', 'honeydew', 'floral',
+                     'deep')
+     AND i_current_price BETWEEN 10 AND 10 + 40
+     AND i_current_price BETWEEN 10 + 1 AND 10 + 45
+   GROUP BY i_product_name, i_item_sk, s_store_name, s_zip,
+            ad1.ca_street_number, ad1.ca_street_name, ad1.ca_city,
+            ad1.ca_zip, ad2.ca_street_number, ad2.ca_street_name,
+            ad2.ca_city, ad2.ca_zip, d1.d_year, d2.d_year, d3.d_year)
+SELECT cs1.product_name, cs1.store_name, cs1.store_zip,
+       cs1.b_street_number, cs1.b_street_name, cs1.b_city, cs1.b_zip,
+       cs1.c_street_number, cs1.c_street_name, cs1.c_city, cs1.c_zip,
+       cs1.syear cs1syear, cs1.cnt cs1cnt,
+       ROUND(CAST(cs1.s1 AS DOUBLE), 2) AS s11,
+       ROUND(CAST(cs1.s2 AS DOUBLE), 2) AS s21,
+       ROUND(CAST(cs1.s3 AS DOUBLE), 2) AS s31,
+       ROUND(CAST(cs2.s1 AS DOUBLE), 2) AS s12,
+       ROUND(CAST(cs2.s2 AS DOUBLE), 2) AS s22,
+       ROUND(CAST(cs2.s3 AS DOUBLE), 2) AS s32,
+       cs2.syear AS syear2, cs2.cnt AS cnt2
+FROM cross_sales cs1, cross_sales cs2
+WHERE cs1.item_sk = cs2.item_sk AND cs1.syear = 1999
+  AND cs2.syear = 1999 + 1 AND cs2.cnt <= cs1.cnt
+  AND cs1.store_name = cs2.store_name AND cs1.store_zip = cs2.store_zip
+ORDER BY cs1.product_name, cs1.store_name, cnt2, s11, s12
+""")
+
+# q67 — top items per category over a full rollup (67.sql)
+_tpcds("tpcds_q67", """
+SELECT *
+FROM (SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+             d_moy, s_store_id, sumsales,
+             RANK() OVER (PARTITION BY i_category
+                          ORDER BY sumsales DESC, i_class NULLS FIRST,
+                                   i_brand NULLS FIRST,
+                                   i_product_name NULLS FIRST,
+                                   d_year NULLS FIRST, d_qoy NULLS FIRST,
+                                   d_moy NULLS FIRST,
+                                   s_store_id NULLS FIRST) rk
+      FROM (SELECT i_category, i_class, i_brand, i_product_name, d_year,
+                   d_qoy, d_moy, s_store_id,
+                   ROUND(CAST(SUM(COALESCE(ss_sales_price * ss_quantity,
+                                           0)) AS DOUBLE), 2) sumsales
+            FROM {store_sales} store_sales, {date_dim} date_dim,
+                 {store} store, {item} item
+            WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+              AND ss_store_sk = s_store_sk
+              AND d_month_seq BETWEEN 1200 AND 1200 + 11
+            GROUP BY ROLLUP(i_category, i_class, i_brand, i_product_name,
+                            d_year, d_qoy, d_moy, s_store_id)) dw1) dw2
+WHERE rk <= 100
+ORDER BY i_category NULLS FIRST, i_class NULLS FIRST, i_brand NULLS FIRST,
+         i_product_name NULLS FIRST, d_year NULLS FIRST, d_qoy NULLS FIRST,
+         d_moy NULLS FIRST, s_store_id NULLS FIRST, sumsales NULLS FIRST,
+         rk NULLS FIRST
+LIMIT 100
+""")
+
+# q70 — state/county profit rollup ranked within hierarchy (70.sql)
+_tpcds("tpcds_q70", """
+SELECT ROUND(CAST(SUM(ss_net_profit) AS DOUBLE), 2) AS total_sum,
+       s_state, s_county,
+       GROUPING(s_state) + GROUPING(s_county) AS lochierarchy,
+       RANK() OVER (PARTITION BY GROUPING(s_state) + GROUPING(s_county),
+                        CASE WHEN GROUPING(s_county) = 0 THEN s_state END
+                    ORDER BY SUM(ss_net_profit) DESC,
+                             s_state NULLS FIRST, s_county NULLS FIRST)
+           AS rank_within_parent
+FROM {store_sales} store_sales, {date_dim} d1, {store} store
+WHERE d1.d_month_seq BETWEEN 1200 AND 1200 + 11
+  AND d1.d_date_sk = ss_sold_date_sk AND s_store_sk = ss_store_sk
+  AND s_state IN
+      (SELECT s_state
+       FROM (SELECT s_state AS s_state,
+                    RANK() OVER (PARTITION BY s_state
+                                 ORDER BY SUM(ss_net_profit) DESC) AS ranking
+             FROM {store_sales} store_sales, {store} store,
+                  {date_dim} date_dim
+             WHERE d_month_seq BETWEEN 1200 AND 1200 + 11
+               AND d_date_sk = ss_sold_date_sk AND s_store_sk = ss_store_sk
+             GROUP BY s_state) tmp1
+       WHERE ranking <= 5)
+GROUP BY ROLLUP(s_state, s_county)
+ORDER BY lochierarchy DESC,
+         CASE WHEN GROUPING(s_state) + GROUPING(s_county) = 0
+              THEN s_state END NULLS FIRST,
+         rank_within_parent, s_state NULLS FIRST, s_county NULLS FIRST
+LIMIT 100
+""")
+
+# q71 — brand sales by breakfast/dinner hour across channels (71.sql)
+_tpcds("tpcds_q71", """
+SELECT i_brand_id brand_id, i_brand brand, t_hour, t_minute,
+       ROUND(CAST(SUM(ext_price) AS DOUBLE), 2) AS ext_price
+FROM {item} item,
+     (SELECT ws_ext_sales_price AS ext_price,
+             ws_sold_date_sk AS sold_date_sk, ws_item_sk AS sold_item_sk,
+             ws_sold_time_sk AS time_sk
+      FROM {web_sales} web_sales, {date_dim} date_dim
+      WHERE d_date_sk = ws_sold_date_sk AND d_moy = 11 AND d_year = 1999
+      UNION ALL
+      SELECT cs_ext_sales_price, cs_sold_date_sk, cs_item_sk,
+             cs_sold_time_sk
+      FROM {catalog_sales} catalog_sales, {date_dim} date_dim
+      WHERE d_date_sk = cs_sold_date_sk AND d_moy = 11 AND d_year = 1999
+      UNION ALL
+      SELECT ss_ext_sales_price, ss_sold_date_sk, ss_item_sk,
+             ss_sold_time_sk
+      FROM {store_sales} store_sales, {date_dim} date_dim
+      WHERE d_date_sk = ss_sold_date_sk AND d_moy = 11
+        AND d_year = 1999) tmp,
+     {time_dim} time_dim
+WHERE sold_item_sk = i_item_sk AND i_manager_id = 1
+  AND time_sk = t_time_sk
+  AND (t_meal_time = 'breakfast' OR t_meal_time = 'dinner')
+GROUP BY i_brand, i_brand_id, t_hour, t_minute
+ORDER BY ext_price DESC NULLS FIRST, i_brand_id NULLS FIRST,
+         t_hour NULLS FIRST, t_minute NULLS FIRST
+""")
+
+# q72 — catalog orders short on inventory by demographic slice (72.sql)
+_tpcds("tpcds_q72", """
+SELECT i_item_desc, w_warehouse_name, d1.d_week_seq,
+       CAST(SUM(CASE WHEN p_promo_sk IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) no_promo,
+       CAST(SUM(CASE WHEN p_promo_sk IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) promo,
+       COUNT(*) total_cnt
+FROM {catalog_sales} catalog_sales
+JOIN {inventory} inventory ON (cs_item_sk = inv_item_sk)
+JOIN {warehouse} warehouse ON (w_warehouse_sk = inv_warehouse_sk)
+JOIN {item} item ON (i_item_sk = cs_item_sk)
+JOIN {customer_demographics} customer_demographics
+  ON (cs_bill_cdemo_sk = cd_demo_sk)
+JOIN {household_demographics} household_demographics
+  ON (cs_bill_hdemo_sk = hd_demo_sk)
+JOIN {date_dim} d1 ON (cs_sold_date_sk = d1.d_date_sk)
+JOIN {date_dim} d2 ON (inv_date_sk = d2.d_date_sk)
+JOIN {date_dim} d3 ON (cs_ship_date_sk = d3.d_date_sk)
+LEFT OUTER JOIN {promotion} promotion ON (cs_promo_sk = p_promo_sk)
+LEFT OUTER JOIN {catalog_returns} catalog_returns
+  ON (cr_item_sk = cs_item_sk AND cr_order_number = cs_order_number)
+WHERE d1.d_week_seq = d2.d_week_seq
+  AND inv_quantity_on_hand < cs_quantity
+  AND d3.d_date > d1.d_date + INTERVAL 5 DAY
+  AND hd_buy_potential = '>10000' AND d1.d_year = 1999
+  AND cd_marital_status = 'D'
+GROUP BY i_item_desc, w_warehouse_name, d1.d_week_seq
+ORDER BY total_cnt DESC NULLS FIRST, i_item_desc NULLS FIRST,
+         w_warehouse_name NULLS FIRST, d1.d_week_seq NULLS FIRST
+LIMIT 100
+""")
+
+# q74 — store/web net-paid year-over-year growth (74.sql)
+_tpcds("tpcds_q74", """
+WITH year_total AS
+  (SELECT c_customer_id customer_id, c_first_name customer_first_name,
+          c_last_name customer_last_name, d_year AS year_,
+          SUM(ss_net_paid) year_total, 's' sale_type
+   FROM {customer} customer, {store_sales} store_sales, {date_dim} date_dim
+   WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+     AND d_year IN (2001, 2001 + 1)
+   GROUP BY c_customer_id, c_first_name, c_last_name, d_year
+   UNION ALL
+   SELECT c_customer_id, c_first_name, c_last_name, d_year,
+          SUM(ws_net_paid), 'w' sale_type
+   FROM {customer} customer, {web_sales} web_sales, {date_dim} date_dim
+   WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+     AND d_year IN (2001, 2001 + 1)
+   GROUP BY c_customer_id, c_first_name, c_last_name, d_year)
+SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.sale_type = 's' AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's' AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.year_ = 2001 AND t_s_secyear.year_ = 2001 + 1
+  AND t_w_firstyear.year_ = 2001 AND t_w_secyear.year_ = 2001 + 1
+  AND t_s_firstyear.year_total > 0 AND t_w_firstyear.year_total > 0
+  AND CASE WHEN t_w_firstyear.year_total > 0
+           THEN t_w_secyear.year_total / t_w_firstyear.year_total
+           ELSE NULL END
+      > CASE WHEN t_s_firstyear.year_total > 0
+             THEN t_s_secyear.year_total / t_s_firstyear.year_total
+             ELSE NULL END
+ORDER BY 1 NULLS FIRST
+LIMIT 100
+""")
+
+# q78 — store sales with no returns vs other channels (78.sql)
+_tpcds("tpcds_q78", """
+WITH ws AS
+  (SELECT d_year AS ws_sold_year, ws_item_sk,
+          ws_bill_customer_sk ws_customer_sk,
+          SUM(ws_quantity) ws_qty, SUM(ws_wholesale_cost) ws_wc,
+          SUM(ws_sales_price) ws_sp
+   FROM {web_sales} web_sales
+   LEFT JOIN {web_returns} web_returns
+     ON wr_order_number = ws_order_number AND ws_item_sk = wr_item_sk
+   JOIN {date_dim} date_dim ON ws_sold_date_sk = d_date_sk
+   WHERE wr_order_number IS NULL
+   GROUP BY d_year, ws_item_sk, ws_bill_customer_sk),
+cs AS
+  (SELECT d_year AS cs_sold_year, cs_item_sk,
+          cs_bill_customer_sk cs_customer_sk,
+          SUM(cs_quantity) cs_qty, SUM(cs_wholesale_cost) cs_wc,
+          SUM(cs_sales_price) cs_sp
+   FROM {catalog_sales} catalog_sales
+   LEFT JOIN {catalog_returns} catalog_returns
+     ON cr_order_number = cs_order_number AND cs_item_sk = cr_item_sk
+   JOIN {date_dim} date_dim ON cs_sold_date_sk = d_date_sk
+   WHERE cr_order_number IS NULL
+   GROUP BY d_year, cs_item_sk, cs_bill_customer_sk),
+ss AS
+  (SELECT d_year AS ss_sold_year, ss_item_sk, ss_customer_sk,
+          SUM(ss_quantity) ss_qty, SUM(ss_wholesale_cost) ss_wc,
+          SUM(ss_sales_price) ss_sp
+   FROM {store_sales} store_sales
+   LEFT JOIN {store_returns} store_returns
+     ON sr_ticket_number = ss_ticket_number AND ss_item_sk = sr_item_sk
+   JOIN {date_dim} date_dim ON ss_sold_date_sk = d_date_sk
+   WHERE sr_ticket_number IS NULL
+   GROUP BY d_year, ss_item_sk, ss_customer_sk)
+SELECT ss_sold_year, ss_item_sk, ss_customer_sk,
+       ROUND(CAST(ss_qty AS DOUBLE)
+             / (COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0)), 2) ratio,
+       CAST(ss_qty AS BIGINT) store_qty,
+       ROUND(CAST(ss_wc AS DOUBLE), 2) AS store_wholesale_cost,
+       ROUND(CAST(ss_sp AS DOUBLE), 2) AS store_sales_price,
+       CAST(COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0) AS BIGINT)
+           other_chan_qty,
+       ROUND(CAST(COALESCE(ws_wc, 0) + COALESCE(cs_wc, 0) AS DOUBLE), 2)
+           AS other_chan_wholesale_cost,
+       ROUND(CAST(COALESCE(ws_sp, 0) + COALESCE(cs_sp, 0) AS DOUBLE), 2)
+           AS other_chan_sales_price
+FROM ss
+LEFT JOIN ws ON (ws_sold_year = ss_sold_year AND ws_item_sk = ss_item_sk
+                 AND ws_customer_sk = ss_customer_sk)
+LEFT JOIN cs ON (cs_sold_year = ss_sold_year AND cs_item_sk = ss_item_sk
+                 AND cs_customer_sk = ss_customer_sk)
+WHERE (COALESCE(ws_qty, 0) > 0 OR COALESCE(cs_qty, 0) > 0)
+  AND ss_sold_year = 2000
+ORDER BY ss_sold_year, ss_item_sk, ss_customer_sk, ss_qty DESC,
+         ss_wc DESC, ss_sp DESC, other_chan_qty,
+         other_chan_wholesale_cost, other_chan_sales_price, ratio
+LIMIT 100
+""")
+
+# q81 — catalog returners above 1.2x their state average (81.sql)
+_tpcds("tpcds_q81", """
+WITH customer_total_return AS
+  (SELECT cr_returning_customer_sk AS ctr_customer_sk,
+          ca_state AS ctr_state,
+          SUM(cr_return_amt_inc_tax) AS ctr_total_return
+   FROM {catalog_returns} catalog_returns, {date_dim} date_dim,
+        {customer_address} customer_address
+   WHERE cr_returned_date_sk = d_date_sk AND d_year = 2000
+     AND cr_returning_addr_sk = ca_address_sk
+   GROUP BY cr_returning_customer_sk, ca_state)
+SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
+       ca_street_number, ca_street_name, ca_street_type, ca_suite_number,
+       ca_city, ca_county, ca_state, ca_zip, ca_country, ca_gmt_offset,
+       ca_location_type,
+       ROUND(CAST(ctr_total_return AS DOUBLE), 2) AS ctr_total_return
+FROM customer_total_return ctr1, {customer_address} customer_address,
+     {customer} customer
+WHERE ctr1.ctr_total_return >
+    (SELECT AVG(ctr_total_return) * 1.2 FROM customer_total_return ctr2
+     WHERE ctr1.ctr_state = ctr2.ctr_state)
+  AND ca_address_sk = c_current_addr_sk AND ca_state = 'GA'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id, c_salutation, c_first_name, c_last_name,
+         ca_street_number, ca_street_name, ca_street_type, ca_suite_number,
+         ca_city, ca_county, ca_state, ca_zip, ca_country, ca_gmt_offset,
+         ca_location_type, ctr_total_return
+LIMIT 100
+""")
+
+# q83 — return quantities across channels for three weeks (83.sql)
+_tpcds("tpcds_q83", """
+WITH sr_items AS
+  (SELECT i_item_id item_id, SUM(sr_return_quantity) sr_item_qty
+   FROM {store_returns} store_returns, {item} item, {date_dim} date_dim
+   WHERE sr_item_sk = i_item_sk
+     AND d_date IN (SELECT d_date FROM {date_dim} date_dim
+                    WHERE d_week_seq IN
+                        (SELECT d_week_seq FROM {date_dim} date_dim
+                         WHERE d_date IN ('2000-06-30', '2000-09-27',
+                                          '2000-11-17')))
+     AND sr_returned_date_sk = d_date_sk
+   GROUP BY i_item_id),
+cr_items AS
+  (SELECT i_item_id item_id, SUM(cr_return_quantity) cr_item_qty
+   FROM {catalog_returns} catalog_returns, {item} item, {date_dim} date_dim
+   WHERE cr_item_sk = i_item_sk
+     AND d_date IN (SELECT d_date FROM {date_dim} date_dim
+                    WHERE d_week_seq IN
+                        (SELECT d_week_seq FROM {date_dim} date_dim
+                         WHERE d_date IN ('2000-06-30', '2000-09-27',
+                                          '2000-11-17')))
+     AND cr_returned_date_sk = d_date_sk
+   GROUP BY i_item_id),
+wr_items AS
+  (SELECT i_item_id item_id, SUM(wr_return_quantity) wr_item_qty
+   FROM {web_returns} web_returns, {item} item, {date_dim} date_dim
+   WHERE wr_item_sk = i_item_sk
+     AND d_date IN (SELECT d_date FROM {date_dim} date_dim
+                    WHERE d_week_seq IN
+                        (SELECT d_week_seq FROM {date_dim} date_dim
+                         WHERE d_date IN ('2000-06-30', '2000-09-27',
+                                          '2000-11-17')))
+     AND wr_returned_date_sk = d_date_sk
+   GROUP BY i_item_id)
+SELECT sr_items.item_id, CAST(sr_item_qty AS BIGINT) AS sr_item_qty,
+       ROUND(CAST(sr_item_qty AS DOUBLE)
+             / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100, 4)
+           sr_dev,
+       CAST(cr_item_qty AS BIGINT) AS cr_item_qty,
+       ROUND(CAST(cr_item_qty AS DOUBLE)
+             / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100, 4)
+           cr_dev,
+       CAST(wr_item_qty AS BIGINT) AS wr_item_qty,
+       ROUND(CAST(wr_item_qty AS DOUBLE)
+             / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100, 4)
+           wr_dev,
+       ROUND(CAST(sr_item_qty + cr_item_qty + wr_item_qty AS DOUBLE)
+             / 3.0, 4) average
+FROM sr_items, cr_items, wr_items
+WHERE sr_items.item_id = cr_items.item_id
+  AND sr_items.item_id = wr_items.item_id
+ORDER BY sr_items.item_id NULLS FIRST, sr_item_qty NULLS FIRST
+LIMIT 100
+""")
+
+# q85 — web-return reasons by demographic/address bands (85.sql;
+# price/profit bands adapted to the fixture's value ranges)
+_tpcds("tpcds_q85", """
+SELECT SUBSTRING(r_reason_desc, 1, 20) AS reason,
+       AVGR(ws_quantity) AS avg1,
+       AVGR(wr_refunded_cash) AS avg2,
+       AVGR(wr_fee) AS avg3
+FROM {web_sales} web_sales, {web_returns} web_returns,
+     {web_page} web_page, {customer_demographics} cd1,
+     {customer_demographics} cd2, {customer_address} customer_address,
+     {date_dim} date_dim, {reason} reason
+WHERE ws_web_page_sk = wp_web_page_sk AND ws_item_sk = wr_item_sk
+  AND ws_order_number = wr_order_number AND ws_sold_date_sk = d_date_sk
+  AND d_year = 2000 AND cd1.cd_demo_sk = wr_refunded_cdemo_sk
+  AND cd2.cd_demo_sk = wr_returning_cdemo_sk
+  AND ca_address_sk = wr_refunded_addr_sk AND r_reason_sk = wr_reason_sk
+  AND ((cd1.cd_marital_status = 'M'
+        AND cd1.cd_marital_status = cd2.cd_marital_status
+        AND cd1.cd_education_status = 'Advanced Degree'
+        AND cd1.cd_education_status = cd2.cd_education_status
+        AND ws_sales_price BETWEEN 30.00 AND 80.00)
+       OR (cd1.cd_marital_status = 'S'
+           AND cd1.cd_marital_status = cd2.cd_marital_status
+           AND cd1.cd_education_status = 'College'
+           AND cd1.cd_education_status = cd2.cd_education_status
+           AND ws_sales_price BETWEEN 1.00 AND 50.00)
+       OR (cd1.cd_marital_status = 'W'
+           AND cd1.cd_marital_status = cd2.cd_marital_status
+           AND cd1.cd_education_status = '2 yr Degree'
+           AND cd1.cd_education_status = cd2.cd_education_status
+           AND ws_sales_price BETWEEN 40.00 AND 81.00))
+  AND ((ca_country = 'United States' AND ca_state IN ('TN', 'KY', 'GA')
+        AND ws_net_profit BETWEEN 0 AND 50)
+       OR (ca_country = 'United States' AND ca_state IN ('AL', 'VA', 'NC')
+           AND ws_net_profit BETWEEN 25 AND 75)
+       OR (ca_country = 'United States' AND ca_state IN ('SC', 'OH', 'TN')
+           AND ws_net_profit BETWEEN -50 AND 25))
+GROUP BY r_reason_desc
+ORDER BY reason, avg1, avg2, avg3
+LIMIT 100
+""")
+
+# q87 — store-only customers via chained EXCEPT (87.sql)
+_tpcds("tpcds_q87", """
+SELECT COUNT(*) AS cnt
+FROM ((SELECT DISTINCT c_last_name, c_first_name, d_date
+       FROM {store_sales} store_sales, {date_dim} date_dim,
+            {customer} customer
+       WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+         AND store_sales.ss_customer_sk = customer.c_customer_sk
+         AND d_month_seq BETWEEN 1200 AND 1200 + 11)
+      EXCEPT
+      (SELECT DISTINCT c_last_name, c_first_name, d_date
+       FROM {catalog_sales} catalog_sales, {date_dim} date_dim,
+            {customer} customer
+       WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+         AND catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+         AND d_month_seq BETWEEN 1200 AND 1200 + 11)
+      EXCEPT
+      (SELECT DISTINCT c_last_name, c_first_name, d_date
+       FROM {web_sales} web_sales, {date_dim} date_dim,
+            {customer} customer
+       WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+         AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
+         AND d_month_seq BETWEEN 1200 AND 1200 + 11)) cool_cust
+""")
+
+# q91 — call-center losses by demographic slice (91.sql; buy-potential
+# pattern adapted to the fixture's value cycle)
+_tpcds("tpcds_q91", """
+SELECT cc_call_center_id call_center, cc_name call_center_name,
+       cc_manager manager,
+       ROUND(CAST(SUM(cr_net_loss) AS DOUBLE), 2) AS returns_loss
+FROM {call_center} call_center, {catalog_returns} catalog_returns,
+     {date_dim} date_dim, {customer} customer,
+     {customer_address} customer_address,
+     {customer_demographics} customer_demographics,
+     {household_demographics} household_demographics
+WHERE cr_call_center_sk = cc_call_center_sk
+  AND cr_returned_date_sk = d_date_sk
+  AND cr_returning_customer_sk = c_customer_sk
+  AND cd_demo_sk = c_current_cdemo_sk
+  AND hd_demo_sk = c_current_hdemo_sk
+  AND ca_address_sk = c_current_addr_sk
+  AND d_year = 1998 AND d_moy = 11
+  AND ((cd_marital_status = 'M' AND cd_education_status = 'Unknown')
+       OR (cd_marital_status = 'W'
+           AND cd_education_status = 'Advanced Degree'))
+  AND hd_buy_potential LIKE '>10000%'
+  AND ca_gmt_offset = -7
+GROUP BY cc_call_center_id, cc_name, cc_manager, cd_marital_status,
+         cd_education_status
+ORDER BY returns_loss DESC, call_center, cd_marital_status,
+         cd_education_status
+""")
+
+# q92 — web sales with excess discount vs 1.3x item average (92.sql)
+_tpcds("tpcds_q92", """
+SELECT ROUND(CAST(SUM(ws_ext_discount_amt) AS DOUBLE), 2)
+           AS excess_discount_amount
+FROM {web_sales} web_sales, {item} item, {date_dim} date_dim
+WHERE i_manufact_id = 350 AND i_item_sk = ws_item_sk
+  AND d_date BETWEEN '2000-01-27' AND CAST('2000-04-26' AS DATE)
+  AND d_date_sk = ws_sold_date_sk
+  AND ws_ext_discount_amt >
+      (SELECT 1.3 * AVG(ws_ext_discount_amt)
+       FROM {web_sales} web_sales, {date_dim} date_dim
+       WHERE ws_item_sk = i_item_sk
+         AND d_date BETWEEN '2000-01-27' AND CAST('2000-04-26' AS DATE)
+         AND d_date_sk = ws_sold_date_sk)
+ORDER BY excess_discount_amount
+LIMIT 100
+""")
+
+# q97 — store/catalog purchase overlap census (97.sql)
+_tpcds("tpcds_q97", """
+WITH ssci AS
+  (SELECT ss_customer_sk customer_sk, ss_item_sk item_sk
+   FROM {store_sales} store_sales, {date_dim} date_dim
+   WHERE ss_sold_date_sk = d_date_sk
+     AND d_month_seq BETWEEN 1200 AND 1200 + 11
+   GROUP BY ss_customer_sk, ss_item_sk),
+csci AS
+  (SELECT cs_bill_customer_sk customer_sk, cs_item_sk item_sk
+   FROM {catalog_sales} catalog_sales, {date_dim} date_dim
+   WHERE cs_sold_date_sk = d_date_sk
+     AND d_month_seq BETWEEN 1200 AND 1200 + 11
+   GROUP BY cs_bill_customer_sk, cs_item_sk)
+SELECT CAST(SUM(CASE WHEN ssci.customer_sk IS NOT NULL
+                 AND csci.customer_sk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           store_only,
+       CAST(SUM(CASE WHEN ssci.customer_sk IS NULL
+                 AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) catalog_only,
+       CAST(SUM(CASE WHEN ssci.customer_sk IS NOT NULL
+                 AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) store_and_catalog
+FROM ssci
+FULL OUTER JOIN csci ON (ssci.customer_sk = csci.customer_sk
+                         AND ssci.item_sk = csci.item_sk)
 LIMIT 100
 """)

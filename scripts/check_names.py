@@ -1,14 +1,8 @@
 #!/usr/bin/env python
-"""Driver-faithful contract check.
+"""Driver-faithful contract check for SPECIFIC query names (same compare
+as scripts/check_contract.py, but takes names instead of first-N).
 
-Replicates the grading driver's correctness gate more strictly than
-tests/test_queries.py: Spark results via toPandas(), oracle via
-duckdb .df(), columns sorted by name, rows sorted, and values compared
-DTYPE-SENSITIVELY (an int64 column vs a float64 column fails even when
-numerically equal — that is exactly the HUGEINT/float64 failure mode the
-fetchall-based suite can't see; see CORRECTNESS_r01 dedup_simhash).
-
-Usage: python scripts/check_contract.py [sf_dir] [first_n]
+Usage: python scripts/check_names.py name1 name2 ... [--sf=/root/testdata/sf0.01]
 """
 
 from __future__ import annotations
@@ -18,46 +12,21 @@ import sys
 import time
 
 import duckdb
-import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 and __name__ == "__main__" else "/root/testdata/sf0.01"
-FIRST_N = int(sys.argv[2]) if len(sys.argv) > 2 and __name__ == "__main__" else 50
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-
-
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    if len(df):
-        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
-    return df
-
-
-def cells_equal(a, b) -> bool:
-    if pd.isna(a) and pd.isna(b):
-        return True
-    # Spark DATE → datetime.date object; DuckDB DATE → Timestamp at midnight.
-    # The grading driver treats these as equal (r01 fn_date_batch was green
-    # with DATE columns), so normalize before comparing.
-    import datetime
-
-    if isinstance(a, datetime.date) or isinstance(b, datetime.date):
-        def _d(x):
-            if isinstance(x, pd.Timestamp):
-                return x.date() if x == x.normalize() else x
-            return x
-        a, b = _d(a), _d(b)
-        return a == b
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            return abs(float(a) - float(b)) <= 1e-9 * max(1.0, abs(float(a)))
-        except (TypeError, ValueError):
-            return False
-    return a == b
+from check_contract import TABLES, canon, cells_equal  # noqa: E402
 
 
 def main() -> None:
+    sf_dir = "/root/testdata/sf0.01"
+    names = []
+    for a in sys.argv[1:]:
+        if a.startswith("--sf="):
+            sf_dir = a.split("=", 1)[1]
+        else:
+            names.append(a)
+
     from pyspark.sql import SparkSession
 
     spark = (
@@ -70,23 +39,24 @@ def main() -> None:
 
     con = duckdb.connect()
     for t in TABLES:
+        sub = "/*.parquet" if os.path.isdir(f"{sf_dir}/{t}.parquet") else ""
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet{'/*.parquet' if os.path.isdir(f'{SF_DIR}/{t}.parquet') else ''}')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet{sub}')"
         )
     qs, osql = E.queries(), E.oracle_sql()
-    names = list(qs)[:FIRST_N]
     bad = []
     for name in names:
         t0 = time.time()
         try:
-            s = canon(qs[name](spark, SF_DIR).toPandas())
+            s = canon(qs[name](spark, sf_dir).toPandas())
             if name not in osql:
                 print(f"{name:28s} rows_only rows={len(s)} ({time.time()-t0:.1f}s)")
                 continue
             o = canon(con.execute(osql[name]).df())
         except Exception as e:  # noqa: BLE001
             bad.append(name)
-            print(f"{name:28s} ERROR {str(e).splitlines()[-1][:120]}")
+            msg = str(e).splitlines()
+            print(f"{name:28s} ERROR {' | '.join(m[:160] for m in msg[:3])}")
             continue
         status = []
         if list(s.columns) != [c.lower() for c in o.columns] and list(s.columns) != list(o.columns):
