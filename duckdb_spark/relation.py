@@ -261,6 +261,9 @@ class Connection:
 
         self.macros = MacroRegistry()
         self.prepared = PreparedStatements()
+        from duckdb_spark.managed import ManagedTables
+
+        self.managed = ManagedTables(self.spark)
         from duckdb_spark.operators.udtf import register_builtin_udtfs
 
         register_builtin_udtfs(self.spark)
@@ -288,6 +291,12 @@ class Connection:
         if self.macros.handle_ddl(query):
             return None
         query = self.macros.expand(query)
+        # Writable managed tables: CREATE TABLE / INSERT / UPDATE / DELETE
+        # against external parquet tables (duckdb_spark.managed; reference
+        # physical_insert.cpp). False = not a managed-table statement.
+        handled = self.managed.handle(self, query)
+        if handled is not False:
+            return handled
         # LIMIT n% (reference physical_limit_percent.cpp): no Spark SQL
         # spelling — strip it and apply the two-pass relation operator
         m = re.match(

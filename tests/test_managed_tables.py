@@ -1,0 +1,96 @@
+"""Writable managed tables through Connection.sql (duckdb_spark/managed.py;
+reference physical_insert.cpp / physical_delete.cpp / physical_update.cpp).
+
+INSERT must be a native executor-side file append (no driver rows);
+UPDATE/DELETE are copy-on-write version rewrites — asserted behaviorally:
+results stay correct across interleaved mutations and reads.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import duckdb_spark
+
+
+@pytest.fixture(scope="module")
+def con(spark):
+    return duckdb_spark.Connection(spark)
+
+
+def test_create_insert_select(con):
+    con.sql("DROP TABLE IF EXISTS mt1")
+    con.sql("CREATE TABLE mt1 (a INTEGER, b VARCHAR)")
+    assert con.sql("SELECT COUNT(*) AS n FROM mt1").df().collect()[0].n == 0
+    r = con.sql("INSERT INTO mt1 VALUES (1, 'x'), (2, 'y'), (3, NULL)")
+    assert r.df().collect()[0].Count == 3
+    rows = con.sql("SELECT * FROM mt1 ORDER BY a").df().collect()
+    assert [(x.a, x.b) for x in rows] == [(1, "x"), (2, "y"), (3, None)]
+
+
+def test_insert_column_list_and_returning(con):
+    r = con.sql(
+        "INSERT INTO mt1 (b, a) VALUES ('w', 9) RETURNING a + 1 AS a1, b"
+    ).df().collect()
+    assert (r[0].a1, r[0].b) == (10, "w")
+    assert con.sql("SELECT COUNT(*) AS n FROM mt1").df().collect()[0].n == 4
+
+
+def test_insert_from_select(con):
+    con.sql("INSERT INTO mt1 SELECT a + 100, upper(b) FROM mt1 WHERE a <= 2")
+    rows = con.sql(
+        "SELECT a, b FROM mt1 WHERE a > 100 ORDER BY a").df().collect()
+    assert [(x.a, x.b) for x in rows] == [(101, "X"), (102, "Y")]
+
+
+def test_update_where(con):
+    r = con.sql("UPDATE mt1 SET b = 'z' WHERE a = 2").df().collect()
+    assert r[0].Count == 1
+    assert con.sql(
+        "SELECT b FROM mt1 WHERE a = 2").df().collect()[0].b == "z"
+    # untouched rows survive the copy-on-write rewrite
+    assert con.sql(
+        "SELECT b FROM mt1 WHERE a = 1").df().collect()[0].b == "x"
+
+
+def test_update_expression_multi_column(con):
+    con.sql("UPDATE mt1 SET a = a * 2, b = b || '!' WHERE a > 100")
+    rows = con.sql(
+        "SELECT a, b FROM mt1 WHERE a > 150 ORDER BY a").df().collect()
+    assert [(x.a, x.b) for x in rows] == [(202, "X!"), (204, "Y!")]
+
+
+def test_delete_where_and_counts(con):
+    before = con.sql("SELECT COUNT(*) AS n FROM mt1").df().collect()[0].n
+    r = con.sql("DELETE FROM mt1 WHERE a > 150").df().collect()
+    assert r[0].Count == 2
+    after = con.sql("SELECT COUNT(*) AS n FROM mt1").df().collect()[0].n
+    assert after == before - 2
+
+
+def test_ctas_and_drop(con):
+    con.sql("DROP TABLE IF EXISTS mt2")
+    con.sql("CREATE TABLE mt2 AS SELECT a * 10 AS a10 FROM mt1 WHERE a <= 3")
+    vals = sorted(
+        x.a10 for x in con.sql("SELECT a10 FROM mt2").df().collect())
+    assert vals == [10, 20, 30]
+    con.sql("DROP TABLE mt2")
+    con.sql("DROP TABLE IF EXISTS mt2")  # idempotent
+
+
+def test_truncate(con):
+    con.sql("TRUNCATE mt1")
+    assert con.sql("SELECT COUNT(*) AS n FROM mt1").df().collect()[0].n == 0
+    # still writable after truncate
+    con.sql("INSERT INTO mt1 VALUES (5, 'v')")
+    assert con.sql("SELECT COUNT(*) AS n FROM mt1").df().collect()[0].n == 1
+    con.sql("DROP TABLE mt1")
+
+
+def test_create_duplicate_raises(con):
+    con.sql("DROP TABLE IF EXISTS mt3")
+    con.sql("CREATE TABLE mt3 (x INTEGER)")
+    with pytest.raises(Exception, match="already exists"):
+        con.sql("CREATE TABLE mt3 (x INTEGER)")
+    con.sql("CREATE TABLE IF NOT EXISTS mt3 (x INTEGER)")  # no raise
+    con.sql("DROP TABLE mt3")
