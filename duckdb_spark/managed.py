@@ -52,6 +52,16 @@ _UPDATE_RE = re.compile(
 _TRUNCATE_RE = re.compile(
     r"(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.\"]+)\s*;?\s*$"
 )
+_MERGE_RE = re.compile(
+    r"(?is)^\s*MERGE\s+INTO\s+([\w.\"]+)(?:\s+(?:AS\s+)?(\w+))?\s+"
+    r"USING\s+(.+?)(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.+?)\s*"
+    r"((?:WHEN\s+(?:NOT\s+)?MATCHED\b.*?)+)\s*;?\s*$"
+)
+_WHEN_RE = re.compile(
+    r"(?is)WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.+?))?\s*THEN\s+"
+    r"(UPDATE\s+SET\s+.+?|DELETE|INSERT\s*(?:\*|\([^)]*\)\s*VALUES\s*\(.+?\)"
+    r"|VALUES\s*\(.+?\))?)\s*(?=WHEN\s+(?:NOT\s+)?MATCHED|$)"
+)
 
 
 def _flat(name: str) -> str:
@@ -144,7 +154,104 @@ class ManagedTables:
         m = _UPDATE_RE.match(query)
         if m and _flat(m.group(1)) in self.tables:
             return self._update(con, m)
+        m = _MERGE_RE.match(query)
+        if m and _flat(m.group(1)) in self.tables:
+            return self._merge(con, m)
         return False
+
+    def _merge(self, con, m: re.Match):
+        """MERGE INTO target USING source ON cond WHEN ... — post-image via
+        operators/dml.merge_into's three-branch plan (anti ∪ updated ∪
+        inserts; one shuffle on the join keys), then a copy-on-write
+        rewrite. Reference src/execution/operator/persistent/
+        physical_merge_into.cpp."""
+        from duckdb_spark.sql.dialect import translate
+
+        name = _flat(m.group(1))
+        t_alias = m.group(2) or name
+        schema, _ = self.tables[name]
+        src_sql = m.group(3).strip()
+        s_alias = m.group(4) or "__src"
+        if src_sql.startswith("("):
+            src = con.sql(src_sql[1:src_sql.rfind(")")]).df()
+        else:
+            src = self.spark.table(_flat(src_sql))
+        cond = m.group(5)
+        tcols = [f.name for f in schema.fields]
+
+        t = self.spark.table(name).alias(t_alias)
+        s = src.alias(s_alias)
+        on = F.expr(cond)
+        matched = t.join(s, on, "inner")
+        unmatched = t.join(s, on, "left_anti").select(
+            *[F.col(c) for c in tcols])
+        inserts_src = s.join(t, on, "left_anti")
+
+        matched_out = None
+        insert_out = None
+        n_affected = 0
+        for w in _WHEN_RE.finditer(m.group(6)):
+            is_not, wcond, action = bool(w.group(1)), w.group(2), w.group(3)
+            if not is_not:
+                n_affected += (matched.filter(F.expr(wcond)).count()
+                               if wcond else matched.count())
+                if re.match(r"(?is)^DELETE$", action.strip()):
+                    keep = matched.filter(~F.coalesce(
+                        F.expr(wcond), F.lit(False))) if wcond \
+                        else matched.limit(0)
+                    matched_out = keep.select(
+                        *[F.col(f"{t_alias}.{c}").alias(c) for c in tcols])
+                else:
+                    sets = {}
+                    body = re.sub(r"(?is)^UPDATE\s+SET\s+", "",
+                                  action.strip())
+                    for part in _split_coldefs(body):
+                        sm = re.match(r'(?s)^\s*("([^"]+)"|\w+)\s*=\s*(.*)$',
+                                      part)
+                        sets[(sm.group(2) or sm.group(1)).lower()] = \
+                            sm.group(3).strip()
+                    upd = matched.filter(F.expr(wcond)) if wcond else matched
+                    rest = matched.filter(~F.coalesce(
+                        F.expr(wcond), F.lit(False))) if wcond \
+                        else matched.limit(0)
+                    matched_out = upd.select(*[
+                        (F.expr(sets[c.lower()]) if c.lower() in sets
+                         else F.col(f"{t_alias}.{c}")).cast(
+                             dict(t.dtypes)[c]).alias(c)
+                        for c in tcols
+                    ]).unionByName(rest.select(
+                        *[F.col(f"{t_alias}.{c}").alias(c) for c in tcols]))
+            else:
+                act = action.strip() if action else "INSERT *"
+                vm = re.match(
+                    r"(?is)^INSERT\s*(?:\(([^)]*)\))?\s*VALUES\s*\((.+)\)$",
+                    act)
+                if vm:
+                    cols = ([c.strip().strip('"') for c in
+                             vm.group(1).split(",")] if vm.group(1)
+                            else tcols)
+                    vals = _split_coldefs(vm.group(2))
+                    vmap = dict(zip([c.lower() for c in cols], vals))
+                    insert_out = inserts_src.select(*[
+                        (F.expr(vmap[c.lower()]) if c.lower() in vmap
+                         else F.lit(None)).cast(dict(t.dtypes)[c]).alias(c)
+                        for c in tcols
+                    ])
+                else:  # INSERT *
+                    insert_out = inserts_src.select(*[
+                        (F.col(c) if c in inserts_src.columns
+                         else F.lit(None)).cast(dict(t.dtypes)[c]).alias(c)
+                        for c in tcols
+                    ])
+        if matched_out is None:
+            matched_out = matched.select(
+                *[F.col(f"{t_alias}.{c}").alias(c) for c in tcols])
+        out = unmatched.unionByName(matched_out)
+        if insert_out is not None:
+            n_affected += insert_out.count()
+            out = out.unionByName(insert_out)
+        self._rewrite(name, out)
+        return self._count(n_affected)
 
     def _create(self, con, m: re.Match):
         replace, if_not_exists = bool(m.group(1)), bool(m.group(2))

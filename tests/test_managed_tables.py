@@ -94,3 +94,31 @@ def test_create_duplicate_raises(con):
         con.sql("CREATE TABLE mt3 (x INTEGER)")
     con.sql("CREATE TABLE IF NOT EXISTS mt3 (x INTEGER)")  # no raise
     con.sql("DROP TABLE mt3")
+
+
+def test_merge_into_sql(con):
+    con.sql("DROP TABLE IF EXISTS mtgt")
+    con.sql("DROP TABLE IF EXISTS msrc")
+    con.sql("CREATE TABLE mtgt (k INTEGER, v VARCHAR)")
+    con.sql("INSERT INTO mtgt VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    con.sql("CREATE TABLE msrc AS SELECT * FROM "
+            "(VALUES (2, 'B'), (3, 'C'), (4, 'D')) AS t(k, v)")
+    r = con.sql(
+        "MERGE INTO mtgt USING msrc s ON mtgt.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.v)"
+    ).df().collect()
+    assert r[0].Count == 3  # 2 updates + 1 insert
+    rows = sorted((x.k, x.v) for x in
+                  con.sql("SELECT * FROM mtgt").df().collect())
+    assert rows == [(1, "a"), (2, "B"), (3, "C"), (4, "D")]
+    r2 = con.sql(
+        "MERGE INTO mtgt USING msrc s ON mtgt.k = s.k "
+        "WHEN MATCHED AND s.k = 2 THEN DELETE"
+    ).df().collect()
+    assert r2[0].Count == 1
+    rows = sorted((x.k, x.v) for x in
+                  con.sql("SELECT * FROM mtgt").df().collect())
+    assert rows == [(1, "a"), (3, "C"), (4, "D")]
+    con.sql("DROP TABLE mtgt")
+    con.sql("DROP TABLE msrc")
