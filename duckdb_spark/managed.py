@@ -42,12 +42,10 @@ _INSERT_RE = re.compile(
     r"(?is)^\s*INSERT\s+INTO\s+([\w.\"]+)\s*(\([^)]*\))?\s*(.*?)\s*;?\s*$"
 )
 _DELETE_RE = re.compile(
-    r"(?is)^\s*DELETE\s+FROM\s+([\w.\"]+)"
-    r"(?:\s+WHERE\s+(.*?))?(?:\s+RETURNING\s+(.+?))?\s*;?\s*$"
+    r"(?is)^\s*DELETE\s+FROM\s+([\w.\"]+)\s*(.*?)\s*;?\s*$"
 )
 _UPDATE_RE = re.compile(
-    r"(?is)^\s*UPDATE\s+([\w.\"]+)\s+SET\s+(.*?)"
-    r"(?:\s+WHERE\s+(.*?))?(?:\s+RETURNING\s+(.+?))?\s*;?\s*$"
+    r"(?is)^\s*UPDATE\s+([\w.\"]+)\s+SET\s+(.*?)\s*;?\s*$"
 )
 _TRUNCATE_RE = re.compile(
     r"(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.\"]+)\s*;?\s*$"
@@ -68,15 +66,44 @@ def _flat(name: str) -> str:
     return name.strip().strip('"').split(".")[-1].lower()
 
 
-def _split_coldefs(body: str) -> list[str]:
-    """Split a column-definition list on top-level commas."""
-    parts, depth, cur = [], 0, []
-    for ch in body:
-        if ch == "(":
+def _scan_top_level(body: str):
+    """Yield (index, char, depth, in_string) for each char, tracking paren
+    depth and quoted regions ('' strings with doubled-quote escapes, ""
+    identifiers). Top level = depth 0 and not inside a quote."""
+    depth = 0
+    quote = None  # None | "'" | '"'
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if quote:
+            if ch == quote:
+                if i + 1 < n and body[i + 1] == quote:  # escaped '' / ""
+                    yield i, ch, depth, True
+                    yield i + 1, body[i + 1], depth, True
+                    i += 2
+                    continue
+                quote = None
+                yield i, ch, depth, True
+                i += 1
+                continue
+            yield i, ch, depth, True
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
-        if ch == "," and depth == 0:
+        yield i, ch, depth, False
+        i += 1
+
+
+def _split_coldefs(body: str) -> list[str]:
+    """Split a column-definition list on top-level commas (quote-aware)."""
+    parts, cur = [], []
+    for _, ch, depth, in_str in _scan_top_level(body):
+        if ch == "," and depth == 0 and not in_str:
             parts.append("".join(cur).strip())
             cur = []
         else:
@@ -84,6 +111,48 @@ def _split_coldefs(body: str) -> list[str]:
     if cur and "".join(cur).strip():
         parts.append("".join(cur).strip())
     return parts
+
+
+def _find_top_keyword(body: str, keyword: str) -> int:
+    """Index of the first top-level, word-bounded, case-insensitive
+    occurrence of `keyword` outside strings/parens; -1 if none. Guards
+    against WHERE/RETURNING inside string literals or subqueries
+    (ADVICE r06: UPDATE t SET note = 'see where clause')."""
+    kw = keyword.lower()
+    klen = len(kw)
+    lower = body.lower()
+    for i, ch, depth, in_str in _scan_top_level(body):
+        if depth != 0 or in_str:
+            continue
+        if lower.startswith(kw, i):
+            before_ok = i == 0 or not (body[i - 1].isalnum()
+                                       or body[i - 1] == "_")
+            j = i + klen
+            after_ok = j >= len(body) or not (body[j].isalnum()
+                                              or body[j] == "_")
+            if before_ok and after_ok:
+                return i
+    return -1
+
+
+def _split_clauses(body: str, keywords: list[str]):
+    """Split `body` into a head plus {keyword: text} for each top-level
+    keyword, in the order given (each keyword's text runs to the next
+    found keyword). Keywords must appear in order if at all."""
+    found = []
+    pos = 0
+    for kw in keywords:
+        idx = _find_top_keyword(body[pos:], kw)
+        if idx >= 0:
+            found.append((kw, pos + idx))
+            pos = pos + idx + len(kw)
+    out = {}
+    head_end = found[0][1] if found else len(body)
+    out["__head"] = body[:head_end].strip()
+    for k, (kw, start) in enumerate(found):
+        end = found[k + 1][1] if k + 1 < len(found) else len(body)
+        out[kw] = body[start + len(kw):end].strip()
+    return out
 
 
 class ManagedTables:
@@ -133,9 +202,10 @@ class ManagedTables:
         if m:
             name = _flat(m.group(2))
             if name not in self.tables:
-                if m.group(1):
-                    return None
-                return False  # let view/other DROP paths run
+                # Not ours — even with IF EXISTS, fall through so plain
+                # Spark catalog tables / temp views still get dropped
+                # (ADVICE r06: returning None here silently no-opped them).
+                return False
             self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
             del self.tables[name]
             return None
@@ -187,70 +257,94 @@ class ManagedTables:
             *[F.col(c) for c in tcols])
         inserts_src = s.join(t, on, "left_anti")
 
-        matched_out = None
-        insert_out = None
-        n_affected = 0
+        # First-match-wins per row (reference physical_merge_into.cpp): tag
+        # every matched row with the index of the first WHEN MATCHED clause
+        # whose condition holds (NULL = untouched passthrough), then derive
+        # each clause's output AND the affected-row count from the tagged
+        # frame — one join execution, no per-clause re-joins (ADVICE r06).
+        matched_clauses = []  # (wcond | None, action)
+        insert_clause = None
         for w in _WHEN_RE.finditer(m.group(6)):
             is_not, wcond, action = bool(w.group(1)), w.group(2), w.group(3)
             if not is_not:
-                n_affected += (matched.filter(F.expr(wcond)).count()
-                               if wcond else matched.count())
-                if re.match(r"(?is)^DELETE$", action.strip()):
-                    keep = matched.filter(~F.coalesce(
-                        F.expr(wcond), F.lit(False))) if wcond \
-                        else matched.limit(0)
-                    matched_out = keep.select(
-                        *[F.col(f"{t_alias}.{c}").alias(c) for c in tcols])
-                else:
-                    sets = {}
-                    body = re.sub(r"(?is)^UPDATE\s+SET\s+", "",
-                                  action.strip())
-                    for part in _split_coldefs(body):
-                        sm = re.match(r'(?s)^\s*("([^"]+)"|\w+)\s*=\s*(.*)$',
-                                      part)
-                        sets[(sm.group(2) or sm.group(1)).lower()] = \
-                            sm.group(3).strip()
-                    upd = matched.filter(F.expr(wcond)) if wcond else matched
-                    rest = matched.filter(~F.coalesce(
-                        F.expr(wcond), F.lit(False))) if wcond \
-                        else matched.limit(0)
-                    matched_out = upd.select(*[
-                        (F.expr(sets[c.lower()]) if c.lower() in sets
-                         else F.col(f"{t_alias}.{c}")).cast(
-                             dict(t.dtypes)[c]).alias(c)
-                        for c in tcols
-                    ]).unionByName(rest.select(
-                        *[F.col(f"{t_alias}.{c}").alias(c) for c in tcols]))
+                matched_clauses.append((wcond, action))
             else:
-                act = action.strip() if action else "INSERT *"
-                vm = re.match(
-                    r"(?is)^INSERT\s*(?:\(([^)]*)\))?\s*VALUES\s*\((.+)\)$",
-                    act)
-                if vm:
-                    cols = ([c.strip().strip('"') for c in
-                             vm.group(1).split(",")] if vm.group(1)
-                            else tcols)
-                    vals = _split_coldefs(vm.group(2))
-                    vmap = dict(zip([c.lower() for c in cols], vals))
-                    insert_out = inserts_src.select(*[
-                        (F.expr(vmap[c.lower()]) if c.lower() in vmap
-                         else F.lit(None)).cast(dict(t.dtypes)[c]).alias(c)
-                        for c in tcols
-                    ])
-                else:  # INSERT *
-                    insert_out = inserts_src.select(*[
-                        (F.col(c) if c in inserts_src.columns
-                         else F.lit(None)).cast(dict(t.dtypes)[c]).alias(c)
-                        for c in tcols
-                    ])
+                insert_clause = (wcond, action)
+
+        matched_out = None
+        n_matched = 0
+        if matched_clauses:
+            tag = None
+            for i, (wcond, _) in enumerate(matched_clauses):
+                cond = (F.coalesce(F.expr(wcond), F.lit(False)) if wcond
+                        else F.lit(True))
+                tag = F.when(cond, F.lit(i)) if tag is None \
+                    else tag.when(cond, F.lit(i))
+            tagged = matched.withColumn("__clause", tag).persist()
+            n_matched = tagged.filter(F.col("__clause").isNotNull()).count()
+            branches = [tagged.filter(F.col("__clause").isNull()).select(
+                *[F.col(f"{t_alias}.{c}").alias(c) for c in tcols])]
+            for i, (_, action) in enumerate(matched_clauses):
+                rows = tagged.filter(F.col("__clause") == i)
+                if re.match(r"(?is)^DELETE$", action.strip()):
+                    continue  # consumed: emit nothing
+                sets = {}
+                body = re.sub(r"(?is)^UPDATE\s+SET\s+", "", action.strip())
+                for part in _split_coldefs(body):
+                    sm = re.match(r'(?s)^\s*("([^"]+)"|\w+)\s*=\s*(.*)$',
+                                  part)
+                    sets[(sm.group(2) or sm.group(1)).lower()] = \
+                        sm.group(3).strip()
+                branches.append(rows.select(*[
+                    (F.expr(sets[c.lower()]) if c.lower() in sets
+                     else F.col(f"{t_alias}.{c}")).cast(
+                         dict(t.dtypes)[c]).alias(c)
+                    for c in tcols
+                ]))
+            matched_out = branches[0]
+            for b in branches[1:]:
+                matched_out = matched_out.unionByName(b)
+
+        insert_out = None
+        if insert_clause is not None:
+            wcond, action = insert_clause
+            src_rows = (inserts_src.filter(F.coalesce(
+                F.expr(wcond), F.lit(False))) if wcond else inserts_src)
+            act = action.strip() if action else "INSERT *"
+            vm = re.match(
+                r"(?is)^INSERT\s*(?:\(([^)]*)\))?\s*VALUES\s*\((.+)\)$",
+                act)
+            if vm:
+                cols = ([c.strip().strip('"') for c in
+                         vm.group(1).split(",")] if vm.group(1)
+                        else tcols)
+                vals = _split_coldefs(vm.group(2))
+                vmap = dict(zip([c.lower() for c in cols], vals))
+                insert_out = src_rows.select(*[
+                    (F.expr(vmap[c.lower()]) if c.lower() in vmap
+                     else F.lit(None)).cast(dict(t.dtypes)[c]).alias(c)
+                    for c in tcols
+                ])
+            else:  # INSERT *
+                insert_out = src_rows.select(*[
+                    (F.col(c) if c in src_rows.columns
+                     else F.lit(None)).cast(dict(t.dtypes)[c]).alias(c)
+                    for c in tcols
+                ])
         if matched_out is None:
             matched_out = matched.select(
                 *[F.col(f"{t_alias}.{c}").alias(c) for c in tcols])
         out = unmatched.unionByName(matched_out)
+        n_affected = n_matched
         if insert_out is not None:
+            insert_out = insert_out.persist()
             n_affected += insert_out.count()
             out = out.unionByName(insert_out)
         self._rewrite(name, out)
+        if insert_out is not None:
+            insert_out.unpersist()
+        if matched_clauses:
+            tagged.unpersist()
         return self._count(n_affected)
 
     def _create(self, con, m: re.Match):
@@ -310,9 +404,10 @@ class ManagedTables:
         )
         src_sql = m.group(3).strip()
         ret = None
-        rm = re.search(r"(?is)\bRETURNING\s+(.+)$", src_sql)
-        if rm:
-            ret, src_sql = rm.group(1).strip(), src_sql[: rm.start()].strip()
+        ridx = _find_top_keyword(src_sql, "RETURNING")
+        if ridx >= 0:
+            ret = src_sql[ridx + len("RETURNING"):].rstrip("; \t\n").strip()
+            src_sql = src_sql[:ridx].strip()
         src = con.sql(
             src_sql if not src_sql.upper().startswith("VALUES")
             else "SELECT * FROM (" + src_sql + "\n)"
@@ -327,38 +422,51 @@ class ManagedTables:
              else F.lit(None).cast(f.dataType)).alias(f.name)
             for f in schema.fields
         ])
-        # Native executor-parallel file append — never a collect.
-        aligned.write.mode("append").insertInto(name)
-        self.spark.catalog.refreshTable(name)
+        # Materialize the count (and RETURNING rows) BEFORE the append:
+        # `aligned` is a lazy plan that may read the target table itself
+        # (INSERT INTO t SELECT ... FROM t), so evaluating it after the
+        # write would re-scan the newly appended files (ADVICE r06).
+        aligned = aligned.persist()
+        n = aligned.count()
+        ret_rows = ret_schema = None
         if ret:
             from duckdb_spark.sql.dialect import translate
 
             aligned.createOrReplaceTempView("__managed_returning")
-            return Relation(self.spark.sql(translate(
-                f"SELECT {ret} FROM __managed_returning")))
-        return self._count(aligned.count())
+            r = self.spark.sql(translate(
+                f"SELECT {ret} FROM __managed_returning"))
+            ret_rows, ret_schema = r.collect(), r.schema
+        # Native executor-parallel file append — never a collect.
+        aligned.write.mode("append").insertInto(name)
+        aligned.unpersist()
+        self.spark.catalog.refreshTable(name)
+        if ret:
+            return Relation(self.spark.createDataFrame(ret_rows, ret_schema))
+        return self._count(n)
 
     def _delete(self, con, m: re.Match):
         from duckdb_spark.relation import Relation
         from duckdb_spark.sql.dialect import translate
 
         name = _flat(m.group(1))
+        cl = _split_clauses(m.group(2) or "", ["WHERE", "RETURNING"])
+        where, ret = cl.get("WHERE"), cl.get("RETURNING")
         before = self.spark.table(name).count()
-        if m.group(2):
+        if where:
             keep = self.spark.sql(translate(
                 f"SELECT * FROM {name} "
-                f"WHERE NOT COALESCE(({m.group(2)}), FALSE)"))
+                f"WHERE NOT COALESCE(({where}), FALSE)"))
             removed = None
-            if m.group(3):
+            if ret:
                 removed = self.spark.sql(translate(
-                    f"SELECT {m.group(3)} FROM {name} "
-                    f"WHERE COALESCE(({m.group(2)}), FALSE)")).collect()
+                    f"SELECT {ret} FROM {name} "
+                    f"WHERE COALESCE(({where}), FALSE)")).collect()
             self._rewrite(name, keep)
             after = self.spark.table(name).count()
-            if m.group(3):
+            if ret:
                 return Relation(self.spark.createDataFrame(
                     removed, self.spark.sql(translate(
-                        f"SELECT {m.group(3)} FROM {name}")).schema))
+                        f"SELECT {ret} FROM {name}")).schema))
             return self._count(before - after)
         schema, version = self.tables[name]
         self._point(name, schema, version + 1)
@@ -370,13 +478,15 @@ class ManagedTables:
 
         name = _flat(m.group(1))
         schema, _ = self.tables[name]
+        cl = _split_clauses(m.group(2), ["WHERE", "RETURNING"])
+        set_body, where, ret = cl["__head"], cl.get("WHERE"), cl.get("RETURNING")
         sets = {}
-        for part in _split_coldefs(m.group(2)):
+        for part in _split_coldefs(set_body):
             sm = re.match(r'(?s)^\s*("([^"]+)"|\w+)\s*=\s*(.*)$', part)
             if not sm:
                 raise ValueError(f"unparseable SET clause {part!r}")
             sets[(sm.group(2) or sm.group(1)).lower()] = sm.group(3).strip()
-        cond = m.group(3) or "TRUE"
+        cond = where or "TRUE"
         proj = ", ".join(
             f"CASE WHEN COALESCE(({cond}), FALSE) THEN ({sets[f.name.lower()]}) "
             f"ELSE `{f.name}` END AS `{f.name}`"
@@ -388,20 +498,20 @@ class ManagedTables:
             f"SELECT COUNT(*) FROM {name} "
             f"WHERE COALESCE(({cond}), FALSE)")).collect()[0][0]
         ret_rows = None
-        if m.group(4):
+        if ret:
             ret_rows = self.spark.sql(translate(
-                f"SELECT {m.group(4)} FROM (SELECT {proj} FROM {name} "
+                f"SELECT {ret} FROM (SELECT {proj} FROM {name} "
                 f"WHERE COALESCE(({cond}), FALSE))")).collect()
         self._rewrite(name, updated.select(*[f.name for f in schema.fields])
                       .selectExpr(*[
                           f"CAST(`{f.name}` AS {f.dataType.simpleString()}) "
                           f"AS `{f.name}`" for f in schema.fields]))
-        if m.group(4):
+        if ret:
             from duckdb_spark.relation import Relation as R
 
             return R(self.spark.createDataFrame(
                 ret_rows, self.spark.sql(translate(
-                    f"SELECT {m.group(4)} FROM {name} WHERE 1=0")).schema))
+                    f"SELECT {ret} FROM {name} WHERE 1=0")).schema))
         return self._count(n)
 
     def _count(self, n: int):

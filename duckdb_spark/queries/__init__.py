@@ -44,29 +44,28 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness gate hard-checks the FIRST 50 registered queries.
-# ROUND-6 ROTATION (VERDICT r05 item 1): the 38 queries that have NEVER had
-# a driver CORRECTNESS row (23 ClickBench + 15 TPC-DS that landed after the
-# r05 window was pinned), plus sketch_lttb (new recursive-CTE oracle — its
-# only prior driver row is a r03 FAIL), plus the 11 stalest queries whose
-# latest green row is r01/r02. Every other registered query keeps its
-# r03/r05 green row and is re-verified every session by
-# tests/test_queries.py, which runs the identical differential at sf0.001.
+# ROUND-7 ROTATION (VERDICT r06 item 1d): 50 of the 65 round-6 TPC-DS
+# queries that have NEVER had a driver CORRECTNESS row, leading with the
+# three that shipped broken in r06 — tpcds_q02 (unparseable SQL, fixed),
+# tpcds_q65 / tpcds_q98 (driver hash fails from unpinned double rounding,
+# now pinned through the AVGR DECIMAL(20,6) pattern). The 15 remaining
+# never-checked queries (q69..q99 tail) rotate in next round; every other
+# registered query keeps its prior green row and is re-verified every
+# session by tests/test_queries.py (identical differential at sf0.001).
 PRIORITY: list[str] = [
-    # never driver-checked: ClickBench beyond the r05 slice (23)
-    "cb_q10", "cb_q11", "cb_q13", "cb_q14", "cb_q15", "cb_q17", "cb_q19",
-    "cb_q22", "cb_q24", "cb_q26", "cb_q27", "cb_q29", "cb_q30", "cb_q31",
-    "cb_q33", "cb_q34", "cb_q35", "cb_q36", "cb_q37", "cb_q38", "cb_q39",
-    "cb_q41", "cb_q42",
-    # never driver-checked: TPC-DS beyond the r05 slice (15)
-    "tpcds_q06", "tpcds_q13", "tpcds_q17", "tpcds_q27", "tpcds_q28",
-    "tpcds_q36", "tpcds_q41", "tpcds_q43", "tpcds_q50", "tpcds_q52",
-    "tpcds_q53", "tpcds_q63", "tpcds_q65", "tpcds_q93", "tpcds_q98",
-    # first oracle-backed driver row (r03 row was a FAIL) (1)
-    "sketch_lttb",
-    # stalest: latest green row is r01/r02 (11)
-    "tpch_q02", "tpch_q21", "win_frames", "win_topk_per_group",
-    "dedup_exact", "dedup_minhash_sig", "dedup_simhash", "sim_lsh_topk",
-    "text_token_stats", "stream_windowed_counts", "ev_timeseries",
+    # broken in r06, fixed this round — must lead the window
+    "tpcds_q02", "tpcds_q65", "tpcds_q98",
+    # never driver-checked round-6 TPC-DS expansion (47 of the 64 others)
+    "tpcds_q04", "tpcds_q05", "tpcds_q08", "tpcds_q09", "tpcds_q10",
+    "tpcds_q11", "tpcds_q12", "tpcds_q14", "tpcds_q16", "tpcds_q18",
+    "tpcds_q20", "tpcds_q21", "tpcds_q22", "tpcds_q23", "tpcds_q24",
+    "tpcds_q30", "tpcds_q31", "tpcds_q32", "tpcds_q33", "tpcds_q35",
+    "tpcds_q37", "tpcds_q38", "tpcds_q39", "tpcds_q40", "tpcds_q44",
+    "tpcds_q45", "tpcds_q46", "tpcds_q47", "tpcds_q49", "tpcds_q51",
+    "tpcds_q54", "tpcds_q56", "tpcds_q57", "tpcds_q58", "tpcds_q59",
+    "tpcds_q60", "tpcds_q62", "tpcds_q64", "tpcds_q66", "tpcds_q67",
+    "tpcds_q69", "tpcds_q70", "tpcds_q71", "tpcds_q72", "tpcds_q74",
+    "tpcds_q75", "tpcds_q76",
 ]
 
 

@@ -1414,7 +1414,7 @@ _tpcds("tpcds_q65", """
 SELECT s_store_name, i_item_desc, sc.revenue, i_current_price,
        i_wholesale_cost, i_brand
 FROM {store} store, {item} item,
-  (SELECT ss_store_sk, ROUND(CAST(AVG(revenue) AS DOUBLE), 2) AS ave
+  (SELECT ss_store_sk, AVGR(revenue) AS ave
    FROM
      (SELECT ss_store_sk, ss_item_sk,
              ROUND(CAST(SUM(ss_sales_price) AS DOUBLE), 2) AS revenue
@@ -1464,9 +1464,11 @@ LIMIT 100
 _tpcds("tpcds_q98", """
 SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
        ROUND(CAST(SUM(ss_ext_sales_price) AS DOUBLE), 2) AS itemrevenue,
-       ROUND(CAST(SUM(ss_ext_sales_price) * 100.0000 /
-             SUM(SUM(ss_ext_sales_price)) OVER (PARTITION BY i_class)
-             AS DOUBLE), 4) AS revenueratio
+       CAST(ROUND(CAST(
+             CAST(SUM(ss_ext_sales_price) AS DOUBLE) * 100.0 /
+             CAST(SUM(SUM(ss_ext_sales_price)) OVER (PARTITION BY i_class)
+                  AS DOUBLE)
+             AS DECIMAL(20,8)), 4) AS DOUBLE) AS revenueratio
 FROM {store_sales} store_sales, {item} item, {date_dim} date_dim
 WHERE ss_item_sk = i_item_sk
   AND i_category IN ('category#4', 'category#5', 'category#6')
@@ -1493,7 +1495,7 @@ WITH wscs AS
          FROM {catalog_sales} catalog_sales) sq1),
 wswscs AS
   (SELECT d_week_seq,
-          CAST(SUM(CASE WHEN d_day_name = 'Sunday' THEN sales_price END) AS sun_sales,
+          SUM(CASE WHEN d_day_name = 'Sunday' THEN sales_price END) AS sun_sales,
           SUM(CASE WHEN d_day_name = 'Monday' THEN sales_price END) AS mon_sales,
           SUM(CASE WHEN d_day_name = 'Tuesday' THEN sales_price END) AS tue_sales,
           SUM(CASE WHEN d_day_name = 'Wednesday' THEN sales_price END) AS wed_sales,

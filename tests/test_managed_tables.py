@@ -122,3 +122,75 @@ def test_merge_into_sql(con):
     assert rows == [(1, "a"), (3, "C"), (4, "D")]
     con.sql("DROP TABLE mtgt")
     con.sql("DROP TABLE msrc")
+
+
+def test_merge_multiple_matched_clauses(con):
+    """First matching WHEN MATCHED clause wins per row; later clauses see
+    only not-yet-consumed rows; counts don't double-count (ADVICE r06)."""
+    con.sql("DROP TABLE IF EXISTS mm_t")
+    con.sql("DROP TABLE IF EXISTS mm_s")
+    con.sql("CREATE TABLE mm_t (k INTEGER, v INTEGER)")
+    con.sql("INSERT INTO mm_t VALUES (1, 10), (2, 20), (3, 30), (4, 40)")
+    con.sql("CREATE TABLE mm_s AS SELECT * FROM "
+            "(VALUES (1), (2), (3), (5)) AS t(k)")
+    r = con.sql(
+        "MERGE INTO mm_t USING mm_s s ON mm_t.k = s.k "
+        "WHEN MATCHED AND mm_t.v < 15 THEN DELETE "
+        "WHEN MATCHED AND mm_t.v < 25 THEN UPDATE SET v = v + 1 "
+        "WHEN MATCHED THEN UPDATE SET v = 0 "
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.k, -1)"
+    ).df().collect()
+    # k=1 deleted, k=2 updated to 21, k=3 updated to 0, k=5 inserted
+    assert r[0].Count == 4
+    rows = sorted((x.k, x.v) for x in
+                  con.sql("SELECT * FROM mm_t").df().collect())
+    assert rows == [(2, 21), (3, 0), (4, 40), (5, -1)]
+    con.sql("DROP TABLE mm_t")
+    con.sql("DROP TABLE mm_s")
+
+
+def test_insert_self_referential(con):
+    """INSERT INTO t SELECT ... FROM t must count/return the pre-append
+    source, not re-scan the table including the new files (ADVICE r06)."""
+    con.sql("DROP TABLE IF EXISTS sr_t")
+    con.sql("CREATE TABLE sr_t (a INTEGER)")
+    con.sql("INSERT INTO sr_t VALUES (1), (2), (3)")
+    r = con.sql("INSERT INTO sr_t SELECT a + 10 FROM sr_t").df().collect()
+    assert r[0].Count == 3  # not 6
+    assert con.sql(
+        "SELECT COUNT(*) AS n FROM sr_t").df().collect()[0].n == 6
+    r2 = con.sql(
+        "INSERT INTO sr_t SELECT a + 100 FROM sr_t WHERE a <= 2 "
+        "RETURNING a").df().collect()
+    assert sorted(x.a for x in r2) == [101, 102]
+    con.sql("DROP TABLE sr_t")
+
+
+def test_drop_if_exists_falls_through_to_views(con, spark):
+    """DROP TABLE IF EXISTS on a non-managed temp view must still drop it
+    (ADVICE r06: the managed layer used to swallow the statement)."""
+    spark.range(3).createOrReplaceTempView("dv_view")
+    con.sql("DROP TABLE IF EXISTS dv_view")
+    assert not any(t.name == "dv_view"
+                   for t in spark.catalog.listTables())
+    # and a genuinely missing name stays a no-op
+    con.sql("DROP TABLE IF EXISTS definitely_not_a_table_xyz")
+
+
+def test_keywords_inside_string_literals(con):
+    """WHERE/RETURNING inside string literals or subqueries must not split
+    the statement (ADVICE r06)."""
+    con.sql("DROP TABLE IF EXISTS kw_t")
+    con.sql("CREATE TABLE kw_t (a INTEGER, note VARCHAR)")
+    con.sql("INSERT INTO kw_t VALUES (1, 'x'), (2, 'y')")
+    con.sql("UPDATE kw_t SET note = 'see where clause' WHERE a = 1")
+    assert con.sql("SELECT note FROM kw_t WHERE a = 1").df() \
+        .collect()[0].note == "see where clause"
+    con.sql("UPDATE kw_t SET a = (SELECT max(a) FROM kw_t WHERE a < 10) + 5 "
+            "WHERE a = 2")
+    assert con.sql("SELECT a FROM kw_t WHERE note = 'y'").df() \
+        .collect()[0].a == 7
+    r = con.sql("DELETE FROM kw_t WHERE note = 'see where clause' "
+                "RETURNING a").df().collect()
+    assert [x.a for x in r] == [1]
+    con.sql("DROP TABLE kw_t")

@@ -28,3 +28,16 @@ def test_query_runs(spark, name):
     df = q.QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_every_oracle_parses(oracle):
+    """Cheap syntactic gate: every registered oracle must at least be
+    parseable by DuckDB (EXPLAIN, no execution). Guards against committing
+    a query that was never run (tpcds_q02, round 6)."""
+    bad = []
+    for name, sql in q.ORACLE.items():
+        try:
+            oracle.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # noqa: BLE001
+            bad.append(f"{name}: {type(e).__name__}: {e}")
+    assert not bad, "\n".join(bad)
