@@ -66,15 +66,24 @@ def ensure_sf1() -> str | None:
         return None
 
 
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
 def run_pass(spark, q, names: list[str], sf_dir: str) -> dict[str, float]:
     import gc
+    import statistics
 
     timings: dict[str, float] = {}
     for name in names:
         q.QUERIES[name](spark, sf_dir).collect()  # warmup run
-        t0 = time.perf_counter()
-        q.QUERIES[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # Median of >=3 timed runs: the committed r06 numbers were single
+        # runs and 2-7x off a clean re-run (VERDICT r06 wrong-item 3).
+        samples = []
+        for _ in range(max(1, RUNS)):
+            t0 = time.perf_counter()
+            q.QUERIES[name](spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
         # Drop references to checkpointed RDDs (minhash/sessionization use
         # eager localCheckpoint) so the ContextCleaner frees their blocks —
         # otherwise they accumulate across queries and later queries degrade
@@ -123,6 +132,14 @@ def main() -> None:
                 "value": round(sum(sf1_timings.values()), 3),
                 "queries": sf1_timings,
             }
+            # sf0.1 wall-time above sf1 means the smaller pass was
+            # contaminated (GC, eviction, host noise) — flag it rather
+            # than publishing it silently (VERDICT r06 wrong-item 3).
+            if result["value"] > result["sf1"]["value"]:
+                result["note"] = (
+                    "sf0.1 total exceeds sf1 total: sf0.1 pass likely "
+                    "contaminated; trust sf1"
+                )
         except Exception as e:  # noqa: BLE001
             print(f"sf1 pass failed: {e}", file=sys.stderr)
 

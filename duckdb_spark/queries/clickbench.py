@@ -130,12 +130,20 @@ def ensure_fixture(mult: int = 1) -> str:
     return out_dir
 
 
+# Re-register the hits view only when the session or fixture dir changes
+# (VERDICT r06 wrong-item 4: per-call registration charged schema-read
+# driver time to every timed query).
+_BOUND: dict[int, str] = {}
+
+
 def _spark_run(spark: SparkSession, sql: str, sf_dir: str = "") -> DataFrame:
     from duckdb_spark.queries import bench_scale_mult
     from duckdb_spark.sql.dialect import translate
 
     d = ensure_fixture(bench_scale_mult(sf_dir))
-    spark.read.parquet(f"{d}/hits.parquet").createOrReplaceTempView("hits")
+    if _BOUND.get(id(spark)) != d:
+        spark.read.parquet(f"{d}/hits.parquet").createOrReplaceTempView("hits")
+        _BOUND[id(spark)] = d
     return spark.sql(translate(sql.format(hits="hits")))
 
 
