@@ -150,6 +150,326 @@ def _rewrite_groups_frames(toks: list[str]) -> list[str]:
     return out
 
 
+_EXCLUDE_NOT_SUPPORTED = {"LEAD", "LAG", "FILL"}
+_EXCLUDE_RANKING = {
+    "ROW_NUMBER", "RANK", "DENSE_RANK", "PERCENT_RANK", "CUME_DIST", "NTILE",
+}
+
+
+def _find_exclude_in_spec(spec: list[str]):
+    """Top-level EXCLUDE clause of a window-spec token list →
+    (start, mode, end) with mode in {'NO OTHERS','CURRENT ROW','GROUP',
+    'TIES'}; None when absent."""
+    e = _top_level_index(spec, 0, len(spec), "EXCLUDE")
+    if e < 0:
+        return None
+    m1 = _next_code(spec, e + 1)
+    w1 = spec[m1].upper() if m1 < len(spec) else ""
+    if w1 in ("NO", "CURRENT"):
+        m2 = _next_code(spec, m1 + 1)
+        w2 = spec[m2].upper() if m2 < len(spec) else ""
+        if w1 == "NO" and w2 in ("OTHERS", "OTHER"):
+            return (e, "NO OTHERS", m2 + 1)
+        if w1 == "CURRENT" and w2 == "ROW":
+            return (e, "CURRENT ROW", m2 + 1)
+        return None
+    if w1 in ("GROUP", "TIES"):
+        return (e, w1, m1 + 1)
+    return None
+
+
+def _match_paren_rev(toks: list[str], j: int) -> int:
+    """toks[j] == ')' → index of its matching '(' (or -1)."""
+    depth = 0
+    for k in range(j, -1, -1):
+        if toks[k] == ")":
+            depth += 1
+        elif toks[k] == "(":
+            depth -= 1
+            if depth == 0:
+                return k
+    return -1
+
+
+def _prev_code(toks: list[str], i: int) -> int:
+    while i >= 0 and (toks[i].isspace() or toks[i].startswith("--")):
+        i -= 1
+    return i
+
+
+def _inline_named_windows(toks: list[str]) -> list[str]:
+    """Inline `WINDOW w AS (spec)` definitions into their `OVER w` use
+    sites and drop the WINDOW clause — only called when some spec carries
+    an EXCLUDE modifier, whose rewrite is per-use-site."""
+    w = _top_level_index(toks, 0, len(toks), "WINDOW")
+    if w < 0:
+        return toks
+    defs: dict[str, list[str]] = {}
+    i = _next_code(toks, w + 1)
+    end = w
+    while i < len(toks):
+        name = toks[i]
+        a = _next_code(toks, i + 1)
+        if a >= len(toks) or not _is_word(toks[a], "AS"):
+            break
+        op = _next_code(toks, a + 1)
+        if op >= len(toks) or toks[op] != "(":
+            break
+        oc = _match_paren(toks, op)
+        if oc < 0:
+            break
+        defs[name.lower()] = toks[op + 1:oc]
+        end = oc + 1
+        c = _next_code(toks, oc + 1)
+        if c < len(toks) and toks[c] == ",":
+            i = _next_code(toks, c + 1)
+            continue
+        break
+    if not defs or not any(
+        _find_exclude_in_spec(s) for s in defs.values()
+    ):
+        return toks
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if w <= i < end:  # excise the WINDOW clause
+            i += 1
+            continue
+        if _is_word(toks[i], "OVER"):
+            n = _next_code(toks, i + 1)
+            if n < len(toks) and toks[n].lower() in defs:
+                out.append("OVER")
+                out.append(" ")
+                out.append("(")
+                out.extend(defs[toks[n].lower()])
+                out.append(")")
+                i = n + 1
+                continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
+def _rewrite_exclude_frames(toks: list[str]) -> list[str]:
+    """EXCLUDE window-frame modifier in SQL text (reference
+    window_expression.hpp:18-30 WindowExcludeMode; SURVEY §2.5). Spark has
+    no EXCLUDE syntax. Strategy per use site `fn(args) OVER (spec EXCLUDE
+    mode)`:
+
+    - EXCLUDE NO OTHERS            → drop the modifier (no-op).
+    - ranking fns (row_number, …)  → drop modifier AND frame (both are
+      ignored by ranking functions; Spark rejects explicit frames there).
+    - lead/lag/fill                → Binder Error (reference parity).
+    - aggregates / value fns       → collect the frame into an array of
+      (row_number, dense_rank, value) structs via collect_list OVER the
+      same frame, filter out the excluded rows with a lambda against the
+      current row's helper columns, and re-aggregate with array
+      higher-order functions. Helper columns are added by wrapping the
+      FROM segment, like the GROUPS rewrite above. One window pass, no
+      extra shuffle; O(frame) list per row, which matches the reference's
+      own per-frame exclusion scan (window_aggregator.cpp).
+    """
+    if not any(_is_word(t, "EXCLUDE") for t in toks):
+        return toks
+    toks = _inline_named_windows(toks)
+    out = list(toks)
+    keys: dict[tuple[str, str], tuple[str, str]] = {}
+    need_wrap = False
+    i = 0
+    while i < len(out):
+        if not _is_word(out[i], "OVER"):
+            i += 1
+            continue
+        op = _next_code(out, i + 1)
+        if op >= len(out) or out[op] != "(":
+            i += 1
+            continue
+        oc = _match_paren(out, op)
+        if oc < 0:
+            i += 1
+            continue
+        spec = out[op + 1:oc]
+        exc = _find_exclude_in_spec(spec)
+        if exc is None:
+            i = oc + 1
+            continue
+        e_idx, mode, e_end = exc
+        # locate `fn ( args ) [FILTER ( WHERE f )]` before OVER
+        j = _prev_code(out, i - 1)
+        filt_cond = None
+        fn_idx = -1
+        args: list[str] = []
+        if j >= 0 and out[j] == ")":
+            po = _match_paren_rev(out, j)
+            k = _prev_code(out, po - 1)
+            if k >= 0 and _is_word(out[k], "FILTER"):
+                grp = out[po + 1:j]
+                wh = _top_level_index(grp, 0, len(grp), "WHERE")
+                filt_cond = "".join(grp[wh + 1:]).strip() if wh >= 0 \
+                    else "".join(grp).strip()
+                j2 = _prev_code(out, k - 1)
+                if j2 >= 0 and out[j2] == ")":
+                    po2 = _match_paren_rev(out, j2)
+                    args = out[po2 + 1:j2]
+                    fn_idx = _prev_code(out, po2 - 1)
+            else:
+                args = out[po + 1:j]
+                fn_idx = _prev_code(out, po - 1)
+        fn = out[fn_idx].upper() if fn_idx >= 0 and re.match(
+            r"^[A-Za-z_]", out[fn_idx]) else ""
+        if mode == "NO OTHERS" or fn in _EXCLUDE_RANKING:
+            fr = len(spec)
+            for wd in ("ROWS", "RANGE", "GROUPS"):
+                x = _top_level_index(spec, 0, len(spec), wd)
+                if x >= 0:
+                    fr = min(fr, x)
+            if fn in _EXCLUDE_RANKING:
+                # ranking fns ignore frames; Spark rejects explicit ones
+                out[op + 1:oc] = spec[:min(fr, e_idx)]
+            else:  # NO OTHERS on an aggregate: modifier is a no-op
+                out[op + 1:oc] = spec[:e_idx] + spec[e_end:]
+            i = op + 1
+            continue
+        if fn in _EXCLUDE_NOT_SUPPORTED or not fn:
+            raise ValueError(
+                "Binder Error: EXCLUDE is not supported for the window "
+                f"function \"{fn.lower() or '?'}\""
+            )
+        # ---- general exclusion via frame collection ----
+        pp = _top_level_index(spec, 0, len(spec), "PARTITION")
+        oo = _top_level_index(spec, 0, len(spec), "ORDER")
+        fr = -1
+        for wd in ("ROWS", "RANGE"):
+            x = _top_level_index(spec, 0, len(spec), wd)
+            if x >= 0:
+                fr = x if fr < 0 else min(fr, x)
+        part = "".join(
+            spec[_next_code(spec, pp + 1) + 1:
+                 oo if oo >= 0 else (fr if fr >= 0 else e_idx)]
+        ).strip() if pp >= 0 else ""
+        order = "".join(
+            spec[_next_code(spec, oo + 1) + 1:fr if fr >= 0 else e_idx]
+        ).strip() if oo >= 0 else ""
+        frame = "".join(spec[fr:e_idx]).strip() if fr >= 0 else ""
+        k = (part, order)
+        if k not in keys:
+            n = len(keys)
+            keys[k] = (f"__xrn{n}", f"__xdr{n}")
+        rn, dr = keys[k]
+        base_win = (
+            (f"PARTITION BY {part} " if part else "")
+            + (f"ORDER BY {order} " if order else "")
+            + frame
+        ).strip()
+        keep = {
+            "CURRENT ROW": f"__e.r <> {rn}",
+            "GROUP": f"__e.d <> {dr}",
+            "TIES": f"(__e.d <> {dr} OR __e.r = {rn})",
+        }[mode]
+        # args: first expr, optional extra args, optional inner ORDER BY
+        io = _top_level_index(args, 0, len(args), "ORDER")
+        inner_order = None
+        if io >= 0:
+            inner_order = "".join(
+                args[_next_code(args, io + 1) + 1:]).strip()
+            args = args[:io]
+        arg_parts, depth, cur = [], 0, []
+        for t in args:
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            if t == "," and depth == 0:
+                arg_parts.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(t)
+        if "".join(cur).strip():
+            arg_parts.append("".join(cur).strip())
+        arg0 = arg_parts[0] if arg_parts else "*"
+        star = arg0 == "*"
+        fcond = (f"COALESCE(CAST(({filt_cond}) AS BOOLEAN), false)"
+                 if filt_cond else "true")
+        kfield = f", 'k', ({inner_order.split()[0] if inner_order else '0'})"
+        if inner_order:
+            ik = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", inner_order).strip()
+            ik = re.sub(r"(?i)\s+NULLS\s+(FIRST|LAST)$", "", ik).strip()
+            kfield = f", 'k', ({ik})"
+        struct = (
+            f"named_struct('r', {rn}, 'd', {dr}, "
+            f"'v', ({'1' if star else arg0}), 'f', {fcond}{kfield})"
+        )
+        farr = (
+            f"filter(collect_list({struct}) OVER ({base_win}), "
+            f"__e -> ({keep}) AND __e.f)"
+        )
+        if inner_order:
+            desc = bool(re.search(r"(?i)\bDESC\s*(NULLS\s+\w+\s*)?$",
+                                  inner_order))
+            lo, hi = ("1", "-1") if desc else ("-1", "1")
+            farr = (
+                f"array_sort({farr}, (l, r) -> CASE "
+                f"WHEN l.k IS NULL AND r.k IS NULL THEN 0 "
+                f"WHEN l.k IS NULL THEN 1 WHEN r.k IS NULL THEN -1 "
+                f"WHEN l.k < r.k THEN {lo} WHEN l.k > r.k THEN {hi} "
+                f"ELSE 0 END)"
+            )
+        va = f"transform(filter({farr}, __e -> __e.v IS NOT NULL), __e -> __e.v)"
+        vall = f"transform({farr}, __e -> __e.v)"
+        if fn == "COUNT":
+            expr = f"size({farr})" if star else f"size({va})"
+        elif fn == "SUM":
+            expr = (f"aggregate({va}, try_element_at({va}, 1) - "
+                    f"try_element_at({va}, 1), (__a, __x) -> __a + __x)")
+        elif fn == "MIN":
+            expr = f"array_min({va})"
+        elif fn == "MAX":
+            expr = f"array_max({va})"
+        elif fn == "AVG":
+            expr = (f"CAST(aggregate({va}, CAST(try_element_at({va}, 1) - "
+                    f"try_element_at({va}, 1) AS DOUBLE), "
+                    f"(__a, __x) -> __a + __x) / size({va}) AS DOUBLE)")
+        elif fn in ("FIRST_VALUE", "FIRST", "ANY_VALUE"):
+            expr = f"try_element_at({vall}, 1)"
+        elif fn in ("LAST_VALUE", "LAST"):
+            expr = (f"CASE WHEN size({vall}) = 0 THEN NULL "
+                    f"ELSE element_at({vall}, size({vall})) END")
+        elif fn == "NTH_VALUE":
+            nth = arg_parts[1] if len(arg_parts) > 1 else "1"
+            expr = (f"CASE WHEN CAST({nth} AS INT) < 1 THEN NULL "
+                    f"ELSE try_element_at({vall}, CAST({nth} AS INT)) END")
+        else:
+            raise ValueError(
+                "Binder Error: EXCLUDE is not supported for the window "
+                f"function \"{fn.lower()}\""
+            )
+        out[fn_idx:oc + 1] = _tokens(f"({expr})")
+        need_wrap = True
+        i = fn_idx + 1
+    if not need_wrap:
+        return out
+    # wrap the FROM segment with the helper row_number/dense_rank columns
+    sel = _top_level_index(out, 0, len(out), "SELECT")
+    frm = _top_level_index(out, sel + 1, len(out), "FROM")
+    if frm < 0 or _top_level_index(out, frm, len(out), "GROUP") >= 0:
+        return toks  # unsupported shape: leave original (will error)
+    end = len(out)
+    for stop in ("HAVING", "QUALIFY", "WINDOW", "ORDER", "LIMIT", "OFFSET"):
+        p = _top_level_index(out, frm + 1, len(out), stop)
+        if p >= 0:
+            end = min(end, p)
+    src = "".join(out[_next_code(out, frm + 1):end]).strip().rstrip(";")
+    helpers = ", ".join(
+        f"row_number() OVER ({'PARTITION BY ' + p + ' ' if p else ''}"
+        f"ORDER BY {o or '1'}) AS {rn}, "
+        f"dense_rank() OVER ({'PARTITION BY ' + p + ' ' if p else ''}"
+        f"ORDER BY {o or '1'}) AS {dr}"
+        for (p, o), (rn, dr) in keys.items()
+    )
+    out[frm:end] = _tokens(f"FROM (SELECT *, {helpers} FROM {src}) __xrt ")
+    return out
+
+
 def _rewrite_exclude(toks: list[str]) -> list[str]:
     """EXCLUDE → EXCEPT when it follows `*` (star expression modifier)."""
     out = list(toks)
@@ -6593,6 +6913,7 @@ def translate(sql: str) -> str:
             if _p >= 0 and toks[_p] == ",":
                 toks[_p] = " "
     toks = _rewrite_groups_frames(toks)
+    toks = _rewrite_exclude_frames(toks)
     toks = _rewrite_exclude(toks)
     toks = _rewrite_floordiv(toks)
     toks = _fold_null_cast_chains(toks)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -56,9 +57,12 @@ def main() -> None:
         for base, scaled in subs.items():
             sql = sql.replace(base + "/", scaled + "/")
         con.execute(sql).fetchall()  # warmup
-        t0 = time.perf_counter()
-        con.execute(sql).fetchall()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(3):  # median of 3, matching bench.py's protocol
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
