@@ -3317,7 +3317,11 @@ WITH my_customers AS
          FROM {web_sales} web_sales) cs_or_ws_sales,
         {item} item, {date_dim} date_dim, {customer} customer
    WHERE sold_date_sk = d_date_sk AND item_sk = i_item_sk
-     AND i_category = 'category#2' AND i_class = 'class#5'
+     -- reference also constrains i_class; the fixture's class#5-in-
+     -- category#2 customers never shop at a county/state-matched store,
+     -- which empties the differential — category alone keeps the
+     -- cross-channel + geo-correlated shape AND non-empty results
+     AND i_category = 'category#2'
      AND c_customer_sk = cs_or_ws_sales.customer_sk
      AND d_moy = 12 AND d_year = 1998),
 my_revenue AS
@@ -3436,12 +3440,15 @@ SELECT ss_items.item_id,
 FROM ss_items, cs_items, ws_items
 WHERE ss_items.item_id = cs_items.item_id
   AND ss_items.item_id = ws_items.item_id
-  AND ss_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
-  AND ss_item_rev BETWEEN 0.9 * ws_item_rev AND 1.1 * ws_item_rev
-  AND cs_item_rev BETWEEN 0.9 * ss_item_rev AND 1.1 * ss_item_rev
-  AND cs_item_rev BETWEEN 0.9 * ws_item_rev AND 1.1 * ws_item_rev
-  AND ws_item_rev BETWEEN 0.9 * ss_item_rev AND 1.1 * ss_item_rev
-  AND ws_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
+  -- reference band is 0.9..1.1; the fixture's channel revenues differ by
+  -- up to 20x (measured 0.08..2.3 ss/cs), so that band is always empty —
+  -- 0.05..3 keeps the six-way band-join shape AND a non-empty differential
+  AND ss_item_rev BETWEEN 0.05 * cs_item_rev AND 3 * cs_item_rev
+  AND ss_item_rev BETWEEN 0.05 * ws_item_rev AND 3 * ws_item_rev
+  AND cs_item_rev BETWEEN 0.05 * ss_item_rev AND 3 * ss_item_rev
+  AND cs_item_rev BETWEEN 0.05 * ws_item_rev AND 3 * ws_item_rev
+  AND ws_item_rev BETWEEN 0.05 * ss_item_rev AND 3 * ss_item_rev
+  AND ws_item_rev BETWEEN 0.05 * cs_item_rev AND 3 * cs_item_rev
 ORDER BY ss_items.item_id NULLS FIRST, ss_item_rev NULLS FIRST
 LIMIT 100
 """)

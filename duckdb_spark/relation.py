@@ -297,6 +297,86 @@ class Connection:
         handled = self.managed.handle(self, query)
         if handled is not False:
             return handled
+        # CREATE RECURSIVE VIEW v (cols) AS body — sugar for a view over
+        # WITH RECURSIVE (reference parser/statement/create_statement.cpp);
+        # materialized at creation via the recursive-CTE driver loop.
+        m = re.match(
+            r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?RECURSIVE\s+VIEW\s+"
+            r"([\w\"]+)\s*(?:\(([^)]*)\))?\s*AS\s+(.*?);?\s*$",
+            query,
+        )
+        if m:
+            name = m.group(1).strip('"')
+            cols = f"({m.group(2)})" if m.group(2) else ""
+            df = self.sql(
+                f"WITH RECURSIVE {name} {cols} AS ({m.group(3)}) "
+                f"SELECT * FROM {name}"
+            ).df()
+            df.createOrReplaceTempView(name)
+            return None
+        # COPY (query) TO 'path' [(FORMAT x, PARTITION_BY (...))] — SQL
+        # spelling of io/writers.copy_to (reference
+        # physical_copy_to_file.cpp); returns the row count like the
+        # reference's COPY result
+        m = re.match(
+            r"(?is)^\s*COPY\s+(\(.*\)|[\w\".]+)\s+TO\s+'([^']+)'\s*"
+            r"(?:\((.*)\))?\s*;?\s*$",
+            query,
+        )
+        if m:
+            from duckdb_spark.io.writers import copy_to
+
+            src, path, opts = m.group(1), m.group(2), m.group(3) or ""
+            df = (self.sql(src[1:-1]).df() if src.startswith("(")
+                  else self.sql(f"SELECT * FROM {src}").df())
+            fm = re.search(r"(?i)\bFORMAT\s+'?(\w+)'?", opts)
+            fmt = (fm.group(1) if fm
+                   else {"csv": "csv", "json": "json", "ndjson": "json"}.get(
+                       path.rsplit(".", 1)[-1].lower(), "parquet"))
+            pm = re.search(r"(?i)\bPARTITION_BY\s*\(([^)]*)\)", opts)
+            part = ([c.strip().strip('"') for c in pm.group(1).split(",")]
+                    if pm else None)
+            n = df.count()
+            copy_to(df, path, format=fmt, partition_by=part)
+            return Relation(self.spark.createDataFrame(
+                [(n,)], "Count: bigint"))
+        # DESCRIBE / SUMMARIZE of a CTE in FROM position:
+        # `WITH c AS (...) FROM (DESCRIBE TABLE c)` (cte_describe.test)
+        m = re.match(
+            r"(?is)^\s*WITH\s+([\w\"]+)\s+AS\s*\((.*)\)\s*FROM\s*\(\s*"
+            r"(DESCRIBE|SUMMARIZE)\s+TABLE\s+([\w\"]+)\s*\)\s*;?\s*$",
+            query,
+        )
+        if m and m.group(1).strip('"').lower() == \
+                m.group(4).strip('"').lower():
+            query = f"{m.group(3)} {m.group(2)}"
+        # DESCRIBE / SUMMARIZE statements (reference bind_describe.cpp /
+        # bind_summarize.cpp): schema rows / per-column stats
+        m = re.match(r"(?is)^\s*(DESCRIBE|SUMMARIZE)\s+(.+?);?\s*$", query)
+        if m and not re.match(r"(?is)^\s*DESCRIBE\s+(HISTORY|DETAIL)\b",
+                              query):
+            kw, rest = m.group(1).upper(), m.group(2).strip()
+            rest = re.sub(r"(?is)^TABLE\s+", "", rest)
+            if re.match(r"(?is)^(SELECT|WITH|FROM|VALUES)\b", rest):
+                df = self.sql(rest).df()
+            else:
+                df = self.sql(f"SELECT * FROM {rest}").df()
+            if kw == "SUMMARIZE":
+                from duckdb_spark.operators.sketch import summarize
+
+                return Relation(summarize(df))
+            from duckdb_spark.types import spark_type_to_duckdb
+
+            rows = [
+                (f.name, spark_type_to_duckdb(f.dataType),
+                 "YES" if f.nullable else "NO", None, None, None)
+                for f in df.schema.fields
+            ]
+            return Relation(self.spark.createDataFrame(
+                rows,
+                "column_name string, column_type string, `null` string, "
+                "key string, `default` string, extra string",
+            ))
         # LIMIT n% (reference physical_limit_percent.cpp): no Spark SQL
         # spelling — strip it and apply the two-pass relation operator
         m = re.match(
@@ -376,6 +456,7 @@ class Connection:
                 query = strip_unused_ctes(query)
             except Exception:
                 pass
+        query = self._rewrite_string_tables(query)
         query = self._bind_sql_tvfs(query)
         # positional column references `#N` (reference positional_reference
         # binder): resolve against the FROM relation's schema at bind time
@@ -531,6 +612,65 @@ class Connection:
         "read_text", "read_blob",
     )
     _tvf_seq = 0
+
+    def _rewrite_string_tables(self, query: str) -> str:
+        """DuckDB replacement scans in SQL text: a string literal in table
+        position reads the file (`FROM 'x.parquet'`), and a CTE may be
+        NAMED by a string, shadowing the file everywhere except inside its
+        own definition (reference replacement_scan.cpp;
+        cte_with_replacement_scan.test)."""
+        if not re.search(r"(?is)\b(FROM|JOIN|WITH)\s*'", query):
+            return query
+        from duckdb_spark.sql.dialect import (
+            _is_word,
+            _match_paren,
+            _next_code,
+            _tokens,
+        )
+
+        toks = _tokens(query)
+        defs = []  # (literal, def_idx, body_lo, body_hi)
+        for i, t in enumerate(toks):
+            if not (t.startswith("'") and t.endswith("'") and len(t) > 1):
+                continue
+            p = i - 1
+            while p >= 0 and toks[p].isspace():
+                p -= 1
+            if p < 0 or not (_is_word(toks[p], "WITH") or toks[p] == ","):
+                continue
+            j = _next_code(toks, i + 1)
+            if j >= len(toks) or not _is_word(toks[j], "AS"):
+                continue
+            op = _next_code(toks, j + 1)
+            if op >= len(toks) or toks[op] != "(":
+                continue
+            oc = _match_paren(toks, op)
+            if oc > 0:
+                defs.append((t, i, op, oc))
+        names = {d[0] for d in defs}
+        readers = {"parquet": "read_parquet", "csv": "read_csv",
+                   "json": "read_json", "ndjson": "read_json"}
+        out = list(toks)
+        for i, t in enumerate(out):
+            if not (t.startswith("'") and t.endswith("'") and len(t) > 1):
+                continue
+            if any(d[1] == i for d in defs):
+                out[i] = "`" + t[1:-1] + "`"
+                continue
+            p = i - 1
+            while p >= 0 and out[p].isspace():
+                p -= 1
+            if p < 0 or not (_is_word(out[p], "FROM")
+                             or _is_word(out[p], "JOIN") or out[p] == ","):
+                continue
+            in_own_body = any(d[0] == t and d[2] < i < d[3] for d in defs)
+            if t in names and not in_own_body:
+                out[i] = "`" + t[1:-1] + "`"
+                continue
+            ext = t[1:-1].rsplit(".", 1)[-1].lower()
+            if ext in readers:
+                out[i] = f"{readers[ext]}({t})"
+        return "".join(out)
 
     def _bind_sql_tvfs(self, query: str) -> str:
         """Engine-level table functions in SQL text (`FROM

@@ -366,7 +366,12 @@ def _rewrite_exclude_frames(toks: list[str]) -> list[str]:
             "GROUP": f"__e.d <> {dr}",
             "TIES": f"(__e.d <> {dr} OR __e.r = {rn})",
         }[mode]
-        # args: first expr, optional extra args, optional inner ORDER BY
+        # args: optional DISTINCT, first expr, optional extra args,
+        # optional inner ORDER BY
+        d0 = _next_code(args, 0)
+        distinct = d0 < len(args) and _is_word(args[d0], "DISTINCT")
+        if distinct:
+            args = args[d0 + 1:]
         io = _top_level_index(args, 0, len(args), "ORDER")
         inner_order = None
         if io >= 0:
@@ -415,6 +420,8 @@ def _rewrite_exclude_frames(toks: list[str]) -> list[str]:
                 f"ELSE 0 END)"
             )
         va = f"transform(filter({farr}, __e -> __e.v IS NOT NULL), __e -> __e.v)"
+        if distinct:
+            va = f"array_distinct({va})"
         vall = f"transform({farr}, __e -> __e.v)"
         if fn == "COUNT":
             expr = f"size({farr})" if star else f"size({va})"
@@ -467,6 +474,441 @@ def _rewrite_exclude_frames(toks: list[str]) -> list[str]:
         for (p, o), (rn, dr) in keys.items()
     )
     out[frm:end] = _tokens(f"FROM (SELECT *, {helpers} FROM {src}) __xrt ")
+    return out
+
+
+def _has_bare_unnest(toks: list[str]) -> bool:
+    """True when UNNEST appears outside any (SELECT …) subquery — illegal
+    in frame bounds / offsets / window FILTERs (reference binder error
+    'UNNEST not supported here')."""
+    depth_stack: list[bool] = []  # is this paren a subquery?
+    for i, t in enumerate(toks):
+        if t == "(":
+            n = _next_code(toks, i + 1)
+            depth_stack.append(
+                n < len(toks) and _is_word(toks[n], "SELECT"))
+        elif t == ")":
+            if depth_stack:
+                depth_stack.pop()
+        elif _is_word(t, "UNNEST") and not any(depth_stack):
+            return True
+    return False
+
+
+def _try_const_eval(text: str):
+    """Evaluate a (sub)expression expected to be row-independent via the
+    active SparkSession; returns the scalar or None."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return None
+    try:
+        return spark.sql(translate(f"SELECT ({text})")).collect()[0][0]
+    except Exception:  # noqa: BLE001 — column refs etc.: not constant
+        return None
+
+
+def _rewrite_frame_bound_exprs(toks: list[str]) -> list[str]:
+    """Non-literal window frame bounds (reference
+    src/function/window/window_boundaries_state.cpp: START_EXPR/END_EXPR
+    are full expressions; SURVEY §2.5). Spark's parser only accepts
+    literals. Three cases:
+
+    - UNNEST outside a subquery in a bound, a lead/lag offset/default, or
+      a window FILTER → Binder Error 'UNNEST not supported here'
+      (reference parity, test_window_unnest_error.test).
+    - row-independent expression (scalar subquery, constant arithmetic) →
+      evaluated once via the active session and substituted as a literal.
+      Also applied to non-literal lead/lag offset/default args.
+    - row-DEPENDENT bound (e.g. `mod(b, 11) PRECEDING`) → the frame is
+      materialized per row: collect (row_number, value) structs over the
+      unbounded partition frame once per partition, then each row filters
+      to `__xrn - start .. __xrn + end` with array HOFs. O(partition) per
+      row — matches the reference's per-row boundary search cost class;
+      supported for SUM/AVG/COUNT/MIN/MAX.
+    """
+    if not any(_is_word(t, "OVER") for t in toks):
+        return toks
+    out = list(toks)
+    keys: dict[tuple[str, str], str] = {}
+    need_wrap = False
+    i = 0
+    while i < len(out):
+        # lead/lag offset & default folding / UNNEST check / row-varying
+        # offsets (reference window_value_function.cpp: LEAD/LAG offsets
+        # are full expressions evaluated per row)
+        if _is_word(out[i], "LEAD") or _is_word(out[i], "LAG"):
+            is_lag = _is_word(out[i], "LAG")
+            j = _next_code(out, i + 1)
+            if j < len(out) and out[j] == "(":
+                jc = _match_paren(out, j)
+                ov = _next_code(out, jc + 1) if jc > 0 else -1
+                is_win = ov >= 0 and ov < len(out) and \
+                    _is_word(out[ov], "OVER")
+                if is_win:
+                    body = out[j + 1:jc]
+                    if _has_bare_unnest(body):
+                        raise ValueError(
+                            "Binder Error: UNNEST not supported here")
+                    # ordered-argument form `lead(x, o, d ORDER BY …)`:
+                    # the inner ORDER BY is handled by the ordered-window
+                    # pass — split args only up to it
+                    io2 = _top_level_index(body, 0, len(body), "ORDER")
+                    if io2 >= 0:
+                        body = body[:io2]
+                    parts, depth, cur, spans = [], 0, [], []
+                    st = 0
+                    for k2, t2 in enumerate(body):
+                        if t2 == "(":
+                            depth += 1
+                        elif t2 == ")":
+                            depth -= 1
+                        if t2 == "," and depth == 0:
+                            parts.append("".join(cur).strip())
+                            spans.append((st, k2))
+                            cur, st = [], k2 + 1
+                        else:
+                            cur.append(t2)
+                    parts.append("".join(cur).strip())
+                    spans.append((st, len(body)))
+                    if len(parts) > 3:
+                        raise ValueError(
+                            "Binder Error: No function matches the given "
+                            "name and argument types")
+                    changed_args = False
+                    var_offset = False
+                    for ai in range(len(parts) - 1, 0, -1):
+                        p = parts[ai]
+                        if re.fullmatch(r"-?\s*\d+|NULL", p, re.I):
+                            continue
+                        v = _try_const_eval(p)
+                        if v is not None:
+                            lo, hi = spans[ai]
+                            body[lo:hi] = [" ", repr(v)
+                                           if not isinstance(v, str)
+                                           else "'" + v.replace("'", "''")
+                                           + "'", " "]
+                            changed_args = True
+                        elif ai == 1:
+                            var_offset = True
+                    if var_offset and len(parts) >= 2:
+                        # per-row offset: look up the target row by its
+                        # row_number in the collected partition
+                        op2 = _next_code(out, ov + 1)
+                        oc2 = _match_paren(out, op2) if (
+                            op2 < len(out) and out[op2] == "(") else -1
+                        if oc2 > 0:
+                            spec2 = out[op2 + 1:oc2]
+                            pp = _top_level_index(
+                                spec2, 0, len(spec2), "PARTITION")
+                            oo = _top_level_index(
+                                spec2, 0, len(spec2), "ORDER")
+                            if oo >= 0:
+                                fr2 = len(spec2)
+                                for wd in ("ROWS", "RANGE"):
+                                    x = _top_level_index(
+                                        spec2, 0, len(spec2), wd)
+                                    if x >= 0:
+                                        fr2 = min(fr2, x)
+                                part = "".join(
+                                    spec2[_next_code(spec2, pp + 1) + 1:oo]
+                                ).strip() if pp >= 0 else ""
+                                order = "".join(
+                                    spec2[_next_code(spec2, oo + 1) + 1:fr2]
+                                ).strip()
+                                k = (part, order)
+                                if k not in keys:
+                                    keys[k] = f"__fbr{len(keys)}"
+                                rn = keys[k]
+                                sign = "-" if is_lag else "+"
+                                target = f"{rn} {sign} ({parts[1]})"
+                                dflt = parts[2] if len(parts) > 2 else "NULL"
+                                base = (
+                                    (f"PARTITION BY {part} " if part else "")
+                                    + f"ORDER BY {order} ROWS BETWEEN "
+                                    "UNBOUNDED PRECEDING AND UNBOUNDED "
+                                    "FOLLOWING"
+                                )
+                                flt = (
+                                    f"filter(collect_list(named_struct("
+                                    f"'r', {rn}, 'v', ({parts[0]}))) OVER "
+                                    f"({base}), __e -> __e.r = ({target}))"
+                                )
+                                expr = (
+                                    f"CASE WHEN size({flt}) = 0 THEN "
+                                    f"({dflt}) ELSE try_element_at("
+                                    f"transform({flt}, __e -> __e.v), 1) "
+                                    f"END"
+                                )
+                                out[i:oc2 + 1] = _tokens(f"({expr})")
+                                need_wrap = True
+                                continue
+                    if changed_args:
+                        out[j + 1:j + 1 + (io2 if io2 >= 0 else jc - j - 1)] \
+                            = body
+        if not _is_word(out[i], "OVER"):
+            i += 1
+            continue
+        op = _next_code(out, i + 1)
+        if op >= len(out) or out[op] != "(":
+            i += 1
+            continue
+        oc = _match_paren(out, op)
+        if oc < 0:
+            i += 1
+            continue
+        spec = out[op + 1:oc]
+        fr = -1
+        for wd in ("ROWS", "RANGE"):
+            x = _top_level_index(spec, 0, len(spec), wd)
+            if x >= 0:
+                fr = x if fr < 0 else min(fr, x)
+        if fr < 0:
+            i = oc + 1
+            continue
+        # parse bounds: [BETWEEN] b1 [AND b2] — split at top-level AND
+        # first (CURRENT ROW / UNBOUNDED bounds carry no P/F keyword)
+        b = _next_code(spec, fr + 1)
+        two = b < len(spec) and _is_word(spec[b], "BETWEEN")
+        start = _next_code(spec, b + 1) if two else b
+        if two:
+            a = _top_level_index(spec, start, len(spec), "AND")
+            if a < 0:
+                i = oc + 1
+                continue
+            raw = [(start, a), (_next_code(spec, a + 1), len(spec))]
+        else:
+            raw = [(start, len(spec))]
+        bounds: list[tuple[int, int, str]] = []  # expr span + bound kind
+        for lo0, hi0 in raw:
+            stops = [p for wd in ("PRECEDING", "FOLLOWING")
+                     for p in (_top_level_index(spec, lo0, hi0, wd),)
+                     if 0 <= p]
+            if stops:
+                p1 = min(stops)
+                bounds.append((lo0, p1, spec[p1].upper()))
+            else:  # CURRENT ROW / malformed: literal, leave untouched
+                bounds.append((lo0, lo0, "CURRENT"))
+        variable: list[tuple[str, str]] = []
+        folded = False
+        for lo, hi, kind in reversed(bounds):
+            expr_toks = spec[lo:hi]
+            text = "".join(expr_toks).strip()
+            if re.fullmatch(
+                r"(?is)\d+|UNBOUNDED|CURRENT\s*|INTERVAL\s+.*|'[^']*'"
+                r"(?:\s*(?:::\s*\w+|DAY|DAYS|HOUR|HOURS|MINUTE|MINUTES|"
+                r"SECOND|SECONDS|MONTH|MONTHS|YEAR|YEARS))?", text,
+            ) or not text:
+                variable.insert(0, (text, kind))
+                continue
+            if _has_bare_unnest(expr_toks):
+                raise ValueError("Binder Error: UNNEST not supported here")
+            v = _try_const_eval(text)
+            if v is not None and not isinstance(v, str):
+                spec[lo:hi] = [str(v), " "]
+                folded = True
+                variable.insert(0, (str(v), kind))
+            else:
+                variable.insert(0, ("__VAR__" + text, kind))
+        if folded:
+            out[op + 1:oc] = spec
+            oc = _match_paren(out, op)
+            spec = out[op + 1:oc]
+        if not any(t.startswith("__VAR__") for t, _ in variable):
+            i = oc + 1
+            continue
+        # ---- row-dependent bound: materialize the frame per row ----
+        j = _prev_code(out, i - 1)
+        fn_idx = -1
+        args: list[str] = []
+        if j >= 0 and out[j] == ")":
+            po = _match_paren_rev(out, j)
+            args = out[po + 1:j]
+            fn_idx = _prev_code(out, po - 1)
+        fn = out[fn_idx].upper() if fn_idx >= 0 and re.match(
+            r"^[A-Za-z_]", out[fn_idx]) else ""
+        if fn not in ("SUM", "AVG", "COUNT", "MIN", "MAX"):
+            i = oc + 1
+            continue  # leave: Spark raises 'must be a literal'
+        pp = _top_level_index(spec, 0, len(spec), "PARTITION")
+        oo = _top_level_index(spec, 0, len(spec), "ORDER")
+        fr = _top_level_index(spec, 0, len(spec), "ROWS")
+        if fr < 0 or oo < 0:
+            i = oc + 1
+            continue  # only ROWS with ORDER BY: offsets are row positions
+        part = "".join(
+            spec[_next_code(spec, pp + 1) + 1:oo]).strip() if pp >= 0 else ""
+        order = "".join(spec[_next_code(spec, oo + 1) + 1:fr]).strip()
+        k = (part, order)
+        if k not in keys:
+            keys[k] = f"__fbr{len(keys)}"
+        rn = keys[k]
+        conds = []
+        for bi, (text, kind) in enumerate(variable):
+            e = text[7:] if text.startswith("__VAR__") else text
+            if e.strip().upper() == "UNBOUNDED":
+                continue  # no constraint on this side
+            if kind == "CURRENT" or not e.strip():
+                edge = rn
+            else:
+                sign = "-" if kind == "PRECEDING" else "+"
+                edge = f"{rn} {sign} ({e})"
+            conds.append(f"__e.r >= {edge}" if bi == 0
+                         else f"__e.r <= {edge}")
+        if len(variable) == 1:  # `ROWS n PRECEDING`: frame ends at current
+            conds.append(f"__e.r <= {rn}")
+        keep = " AND ".join(conds) or "true"
+        arg0 = "".join(args).strip() or "1"
+        star = arg0 == "*"
+        base = (
+            (f"PARTITION BY {part} " if part else "")
+            + f"ORDER BY {order} ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "UNBOUNDED FOLLOWING"
+        )
+        lst = (f"filter(collect_list(named_struct('r', {rn}, 'v', "
+               f"({'1' if star else arg0}))) OVER ({base}), "
+               f"__e -> {keep})")
+        va = (f"transform(filter({lst}, __e -> __e.v IS NOT NULL), "
+              f"__e -> __e.v)")
+        if fn == "COUNT":
+            expr = f"size({lst})" if star else f"size({va})"
+        elif fn == "SUM":
+            expr = (f"aggregate({va}, try_element_at({va}, 1) - "
+                    f"try_element_at({va}, 1), (__a, __x) -> __a + __x)")
+        elif fn == "AVG":
+            expr = (f"CAST(aggregate({va}, CAST(try_element_at({va}, 1) - "
+                    f"try_element_at({va}, 1) AS DOUBLE), "
+                    f"(__a, __x) -> __a + __x) / size({va}) AS DOUBLE)")
+        elif fn == "MIN":
+            expr = f"array_min({va})"
+        else:
+            expr = f"array_max({va})"
+        out[fn_idx:oc + 1] = _tokens(f"({expr})")
+        need_wrap = True
+        i = fn_idx + 1
+    if not need_wrap:
+        return out
+    sel = _top_level_index(out, 0, len(out), "SELECT")
+    frm = _top_level_index(out, sel + 1, len(out), "FROM")
+    if frm < 0 or _top_level_index(out, frm, len(out), "GROUP") >= 0:
+        return toks
+    end = len(out)
+    for stop in ("HAVING", "QUALIFY", "WINDOW", "ORDER", "LIMIT", "OFFSET"):
+        p = _top_level_index(out, frm + 1, len(out), stop)
+        if p >= 0:
+            end = min(end, p)
+    src = "".join(out[_next_code(out, frm + 1):end]).strip().rstrip(";")
+    helpers = ", ".join(
+        f"row_number() OVER ({'PARTITION BY ' + p + ' ' if p else ''}"
+        f"ORDER BY {o}) AS {rn}"
+        for (p, o), rn in keys.items()
+    )
+    out[frm:end] = _tokens(f"FROM (SELECT *, {helpers} FROM {src}) __fbt ")
+    return out
+
+
+_FRAME_INSENSITIVE_WINFNS = {
+    "LEAD", "LAG", "ROW_NUMBER", "RANK", "DENSE_RANK", "PERCENT_RANK",
+    "CUME_DIST", "NTILE",
+}
+
+
+def _strip_ignored_frames(toks: list[str]) -> list[str]:
+    """DuckDB accepts (and ignores) explicit frames on ranking/offset
+    window functions; Spark rejects them ("must match the required
+    frame"). Strip the frame clause at those use sites."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if not _is_word(out[i], "OVER"):
+            i += 1
+            continue
+        op = _next_code(out, i + 1)
+        if op >= len(out) or out[op] != "(":
+            i += 1
+            continue
+        oc = _match_paren(out, op)
+        if oc < 0:
+            i += 1
+            continue
+        j = _prev_code(out, i - 1)
+        if j < 0 or out[j] != ")":
+            i = oc + 1
+            continue
+        po = _match_paren_rev(out, j)
+        fn_idx = _prev_code(out, po - 1)
+        fn = out[fn_idx].upper() if fn_idx >= 0 and re.match(
+            r"^[A-Za-z_]", out[fn_idx]) else ""
+        if fn not in _FRAME_INSENSITIVE_WINFNS:
+            i = oc + 1
+            continue
+        spec = out[op + 1:oc]
+        fr = len(spec)
+        for wd in ("ROWS", "RANGE", "GROUPS"):
+            x = _top_level_index(spec, 0, len(spec), wd)
+            if x >= 0:
+                fr = min(fr, x)
+        if fr < len(spec):
+            out[op + 1:oc] = spec[:fr]
+        i = op + 1
+    return out
+
+
+_INT_CAST_TYPES = {"TINYINT", "SMALLINT", "INT", "INTEGER", "BIGINT", "LONG"}
+_DOUBLE_FNS = {"PERCENT_RANK", "CUME_DIST", "AVG", "RANDOM", "ROUND"}
+
+
+def _rewrite_float_int_casts(toks: list[str]) -> list[str]:
+    """DuckDB CAST(DOUBLE → integer) ROUNDS (half-to-even, rint); Spark
+    truncates (reference src/common/operator/cast_operators.cpp
+    NumericTryCast via std::nearbyint). Rewriting every int cast would
+    risk precision loss on int64-valued expressions (rint goes through
+    DOUBLE, exact only to 2^53), so only casts whose operand is visibly
+    fractional — a top-level `*` or `/`, or a double-returning function
+    (percent_rank, cume_dist, avg, …) — get the rint treatment."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if not _is_word(out[i], "CAST"):
+            i += 1
+            continue
+        op = _next_code(out, i + 1)
+        if op >= len(out) or out[op] != "(":
+            i += 1
+            continue
+        oc = _match_paren(out, op)
+        if oc < 0:
+            i += 1
+            continue
+        inner = out[op + 1:oc]
+        a = _top_level_index(inner, 0, len(inner), "AS")
+        if a < 0:
+            i = op + 1
+            continue
+        ty = "".join(inner[_next_code(inner, a + 1):]).strip().upper()
+        if ty not in _INT_CAST_TYPES:
+            i = op + 1
+            continue
+        expr = inner[:a]
+        frac = False
+        depth = 0
+        for t in expr:
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and t in ("*", "/"):
+                frac = True
+            elif re.match(r"^[A-Za-z_]", t) and t.upper() in _DOUBLE_FNS:
+                frac = True
+        if not frac:
+            i = op + 1
+            continue
+        etext = "".join(expr).strip()
+        out[op + 1:a + op + 1] = _tokens(
+            f"rint(CAST(({etext}) AS DOUBLE)) ")
+        i = op + 1
     return out
 
 
@@ -1413,16 +1855,41 @@ def _prev_code(toks: list[str], i: int) -> int:
     return i
 
 
+_DISTINCT_WINDOW_FNS = {
+    "COUNT", "SUM", "AVG", "MIN", "MAX", "LIST", "ARRAY_AGG",
+    "STRING_AGG", "MEDIAN",
+}
+
+
 def _rewrite_distinct_window(toks: list[str]) -> list[str]:
-    """`count(DISTINCT x) OVER (partition-only spec)` → `size(collect_set(x)
-    OVER (...))`. Spark rejects DISTINCT window aggregates; over an
-    unordered/unframed window the distinct count is the partition-wide set
-    size, which collect_set computes exactly (and mergeably) at scale.
-    Ordered/framed specs are left untouched (still an error)."""
+    """DISTINCT window aggregates (reference
+    src/function/window/window_distinct_aggregator.cpp; SURVEY §2.5).
+    Spark rejects `agg(DISTINCT x) OVER (...)` outright; the frame's
+    distinct multiset is exactly `array_distinct(collect_list(x) OVER
+    (same spec))` — frame-ordered, first-occurrence dedup, NULLs dropped
+    (DISTINCT aggregates ignore NULLs) — so every supported aggregate
+    becomes an array expression over that:
+
+        COUNT      → size(dset)
+        SUM / AVG  → aggregate(dset, …) [/ size]
+        MIN / MAX  → DISTINCT dropped (no-op for extrema)
+        LIST       → dset (inner ORDER BY → array_sort / reverse)
+        STRING_AGG → array_join(dset, sep) (first-seen order, like the
+                     reference's naive fallback)
+        MEDIAN     → lower-middle of array_sort(dset) (quantile_disc
+                     semantics; exact for odd counts and non-numerics)
+
+    A FILTER clause folds into the collected expression as CASE WHEN.
+    One window pass, frame-size state per row — the same cost class as
+    the reference's distinct tree. Scale note: the dset is bounded by the
+    frame, not the partition, except for unframed specs where it is the
+    per-partition distinct set (same as any exact distinct)."""
     out = list(toks)
     i = 0
     while i < len(out):
-        if not _is_word(out[i], "COUNT"):
+        fn = out[i].upper() if out[i] and re.match(r"^[A-Za-z_]", out[i]) \
+            else ""
+        if fn not in _DISTINCT_WINDOW_FNS:
             i += 1
             continue
         j = _next_code(out, i + 1)
@@ -1434,8 +1901,24 @@ def _rewrite_distinct_window(toks: list[str]) -> list[str]:
             i += 1
             continue
         close = _match_paren(out, j)
-        ov = _next_code(out, close + 1) if close > 0 else -1
-        if ov < 0 or ov >= len(out) or not _is_word(out[ov], "OVER"):
+        if close < 0:
+            i += 1
+            continue
+        # optional FILTER (WHERE f) between the args and OVER
+        ov = _next_code(out, close + 1)
+        filt = None
+        end_tok = close
+        if ov < len(out) and _is_word(out[ov], "FILTER"):
+            fo = _next_code(out, ov + 1)
+            if fo < len(out) and out[fo] == "(":
+                fc = _match_paren(out, fo)
+                grp = out[fo + 1:fc]
+                wh = _top_level_index(grp, 0, len(grp), "WHERE")
+                filt = "".join(grp[wh + 1:]).strip() if wh >= 0 \
+                    else "".join(grp).strip()
+                end_tok = fc
+                ov = _next_code(out, fc + 1)
+        if ov >= len(out) or not _is_word(out[ov], "OVER"):
             i += 1
             continue
         op = _next_code(out, ov + 1)
@@ -1443,13 +1926,61 @@ def _rewrite_distinct_window(toks: list[str]) -> list[str]:
             i += 1
             continue
         oc = _match_paren(out, op)
-        spec = "".join(out[op + 1:oc]).upper()
-        if re.search(r"\bORDER\b|\bROWS\b|\bRANGE\b|\bGROUPS\b", spec):
+        if oc < 0:
             i += 1
             continue
-        arg = "".join(out[_next_code(out, d + 1):close])
-        over = "".join(out[ov:oc + 1])
-        out[i:oc + 1] = [f"size(collect_set({arg}) {over})"]
+        spec = "".join(out[op + 1:oc]).strip()
+        body = out[_next_code(out, d + 1):close]
+        io = _top_level_index(body, 0, len(body), "ORDER")
+        inner_order = None
+        if io >= 0:
+            inner_order = "".join(body[_next_code(body, io + 1) + 1:]).strip()
+            body = body[:io]
+        parts, depth, cur = [], 0, []
+        for t in body:
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            if t == "," and depth == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(t)
+        if "".join(cur).strip():
+            parts.append("".join(cur).strip())
+        arg = parts[0] if parts else "1"
+        if filt:
+            arg = f"CASE WHEN ({filt}) THEN ({arg}) END"
+        if fn in ("MIN", "MAX"):
+            out[i:oc + 1] = _tokens(
+                f"{fn.lower()}({arg}) OVER ({spec})")
+            i += 1
+            continue
+        dset = f"array_distinct(collect_list({arg}) OVER ({spec}))"
+        sort = f"array_sort({dset})"
+        if inner_order and re.search(r"(?i)\bDESC\b", inner_order):
+            sort = f"reverse({sort})"
+        if fn == "COUNT":
+            expr = f"size({dset})"
+        elif fn == "SUM":
+            expr = (f"aggregate({dset}, try_element_at({dset}, 1) - "
+                    f"try_element_at({dset}, 1), (__a, __x) -> __a + __x)")
+        elif fn == "AVG":
+            expr = (f"CAST(aggregate({dset}, CAST(try_element_at({dset}, 1)"
+                    f" - try_element_at({dset}, 1) AS DOUBLE), "
+                    f"(__a, __x) -> __a + __x) / size({dset}) AS DOUBLE)")
+        elif fn in ("LIST", "ARRAY_AGG"):
+            expr = sort if inner_order else dset
+        elif fn == "STRING_AGG":
+            sep = parts[1] if len(parts) > 1 else "','"
+            src = sort if inner_order else dset
+            expr = f"array_join({src}, {sep})"
+        else:  # MEDIAN: quantile_disc(0.5) lower-middle of the sorted set
+            expr = (f"CASE WHEN size({dset}) = 0 THEN NULL "
+                    f"ELSE element_at(array_sort({dset}), "
+                    f"CAST((size({dset}) + 1) / 2 AS INT)) END")
+        out[i:oc + 1] = _tokens(f"({expr})")
         i += 1
     return out
 
@@ -1499,7 +2030,14 @@ def _rewrite_orderless_over(toks: list[str]) -> list[str]:
             m -= 1
         if m >= 0 and out[m].lower() in _NEED_ORDER_WINFNS:
             body = "".join(out[j + 1:close]).strip()
-            out[close:close] = [(" " if body else "") + "ORDER BY 1"]
+            # insert BEFORE any frame clause — `ROWS … ORDER BY 1` is a
+            # parse error; the ORDER BY must precede ROWS/RANGE
+            ins = close
+            for wd in ("ROWS", "RANGE", "GROUPS"):
+                p2 = _top_level_index(out, j + 1, close, wd)
+                if p2 >= 0:
+                    ins = min(ins, p2)
+            out[ins:ins] = [(" " if body else "") + "ORDER BY 1 "]
         i = j
     return out
 
@@ -3140,9 +3678,9 @@ def _rewrite_colon_alias(toks: list[str]) -> list[str]:
                 e = k + 1
                 while e < len(out):
                     t2 = out[e]
-                    if t2 == "(":
+                    if t2 in ("(", "{", "["):
                         depth += 1
-                    elif t2 == ")":
+                    elif t2 in (")", "}", "]"):
                         if depth == 0:
                             break
                         depth -= 1
@@ -3162,9 +3700,9 @@ def _rewrite_colon_alias(toks: list[str]) -> list[str]:
             depth = 0
             while j < len(out):
                 t2 = out[j]
-                if t2 == "(":
+                if t2 in ("(", "{", "["):
                     depth += 1
-                elif t2 == ")":
+                elif t2 in (")", "}", "]"):
                     if depth == 0:
                         break
                     depth -= 1
@@ -3279,6 +3817,17 @@ def _pad_table_col_aliases(toks: list[str]) -> list[str]:
                 lo -= 1
             if lo >= 0:
                 src_names = _names_from_select(lo + 1, q)
+                if src_names is None:
+                    # (VALUES (…), …) alias(partial): arity from the first
+                    # row tuple; DuckDB keeps colN names for the remainder
+                    v = _next_code(out, lo + 1)
+                    if v < q and _is_word(out[v], "VALUES"):
+                        r0 = _next_code(out, v + 1)
+                        if r0 < q and out[r0] == "(":
+                            rc = _match_paren(out, r0)
+                            if 0 < rc <= q:
+                                n = len(_split_top_args(out[r0 + 1:rc]))
+                                src_names = [f"col{k}" for k in range(n)]
         if src_names and len(cols) < len(src_names):
             padded = cols + src_names[len(cols):]
             out[p + 1:pc] = [", ".join(padded)]
@@ -6914,12 +7463,15 @@ def translate(sql: str) -> str:
                 toks[_p] = " "
     toks = _rewrite_groups_frames(toks)
     toks = _rewrite_exclude_frames(toks)
+    toks = _rewrite_frame_bound_exprs(toks)
+    toks = _strip_ignored_frames(toks)
     toks = _rewrite_exclude(toks)
     toks = _rewrite_floordiv(toks)
     toks = _fold_null_cast_chains(toks)
     toks = _fold_const_string_int_casts(toks)
     toks = _rewrite_pg_cast(toks)
     toks = _rewrite_cast_types(toks)
+    toks = _rewrite_float_int_casts(toks)
     toks = _rewrite_brackets(toks)
     toks = _rewrite_struct_literals(toks)
     toks = _rewrite_division(toks)

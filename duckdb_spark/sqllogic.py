@@ -183,7 +183,20 @@ def _expand_includes(lines: list[tuple[int, str]]) -> list[tuple[int, str]]:
 
 
 def parse_file(path: str) -> list[Record]:
-    raw = open(path, encoding="utf-8").read().splitlines()
+    text = open(path, encoding="utf-8").read()
+    if "TEST_DIR" in text:
+        # per-file scratch dir for '{TEST_DIR}'/__TEST_DIR__ placeholders
+        # (reference test runner substitutes its own temp dir)
+        import hashlib as _h
+        import tempfile as _t
+
+        d = os.path.join(
+            _t.gettempdir(),
+            "duckdb_spark_sl_" + _h.md5(path.encode()).hexdigest()[:10],
+        )
+        os.makedirs(d, exist_ok=True)
+        text = text.replace("{TEST_DIR}", d).replace("__TEST_DIR__", d)
+    raw = text.splitlines()
     lines = [(n + 1, l.rstrip("\n")) for n, l in enumerate(raw)]
     lines = _expand_includes(lines)
     lines = expand_loops(lines)
@@ -999,7 +1012,11 @@ def run_file(
             )
         # ---- compare query result (reference result_helper.cpp) ----
         ncols = len(rec.types)
-        if rows and len(rows[0]) != ncols:
+        if rows and len(rows[0]) != ncols and not (
+            rec.label is not None and not rec.expected
+        ):
+            # label-only queries compare row-major value streams across
+            # uses (reference runner); declared arity is not enforced
             return FileResult(
                 rel, "fail",
                 f"line {rec.line}: column count {len(rows[0])} != {ncols}", n)
