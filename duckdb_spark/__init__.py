@@ -16,6 +16,7 @@ Entry points:
     rel.filter("l_quantity < 24").aggregate("sum(l_extendedprice)").df()
 """
 
+import duckdb_spark.types  # noqa: F401 — applies the interval collection patch
 from duckdb_spark.session import get_spark, stop_spark
 from duckdb_spark.catalog import TPCH_TABLES, load_tables, register_views
 from duckdb_spark.relation import Connection, Relation, connect

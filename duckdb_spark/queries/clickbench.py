@@ -85,7 +85,11 @@ SELECT
     (CASE WHEN i % 7 = 0 THEN 1 ELSE 0 END)::SMALLINT AS IsRefresh,
     ([-1, 0, 1, 6, 3, 2, 8, -1, 6, 5][1 + i % 10])::SMALLINT AS TraficSourceID,
     CASE WHEN i % 3 = 0 THEN 3594120000172545465
-         ELSE (i * 104729) * 1000003 END AS RefererHash,
+         -- modulo before the second multiply: at mult=1000 (200M rows)
+         -- the raw product overflows INT64; the wrap point (9e12) is
+         -- above any i the <=x100 fixtures reach, so their values are
+         -- byte-identical to the pre-fix generator
+         ELSE ((i * 104729) % 9000000000000) * 1000003 END AS RefererHash,
     (i * 2654435761) % 2000 AS URLHash,
     (1000 + (i % 25) * 40)::SMALLINT AS ResolutionWidth,
     ((i * 11) % 8)::SMALLINT AS MobilePhone,

@@ -726,6 +726,15 @@ class SLSession:
                     break
                 body = body[1:-1].strip()
             df = self.con.sql(body).df()
+            if any("interval year" in f.dataType.simpleString()
+                   for f in df.schema.fields):
+                # year-month interval values cannot round-trip Python →
+                # JVM in this Spark build (collect works via the types.py
+                # patch; createDataFrame nulls them) — keep such tables as
+                # lazy views instead of driver-side row stores
+                df.coalesce(1).createOrReplaceTempView(name)
+                self.views.add(name)
+                return None
             self._register(name, df.schema, df.collect())
             return None
         m = _CREATE_VIEW_RE.match(sql)

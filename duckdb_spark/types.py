@@ -13,6 +13,52 @@ import re
 
 from pyspark.sql import types as T
 
+
+class YMInterval(int):
+    """A collected YEAR-MONTH interval: an int month count (so Arrow /
+    toInternal round trips preserve the value) that PRINTS DuckDB-style
+    (reference src/common/types/interval.cpp Interval::ToString)."""
+
+    def __str__(self):
+        months = int(self)
+        sign = "-" if months < 0 else ""
+        y, m = divmod(abs(months), 12)
+        parts = []
+        if y:
+            parts.append(f"{sign}{y} year" + ("s" if y != 1 else ""))
+        if m or not y:
+            parts.append(f"{sign}{m} month" + ("s" if m != 1 else ""))
+        return " ".join(parts)
+
+    __repr__ = __str__
+
+
+def _ym_interval_fromInternal(self, months):
+    """PySpark leaves YearMonthIntervalType.fromInternal unimplemented, so
+    collecting any `INTERVAL '1 year'` value raises. The internal value is
+    a month count."""
+    if months is None:
+        return None
+    return YMInterval(months)
+
+
+def _ym_interval_toInternal(self, obj):
+    if obj is None:
+        return None
+    if isinstance(obj, int):
+        return int(obj)  # plain int: YMInterval must not reach the pickler
+    months = 0
+    for n, unit in re.findall(r"(-?\d+)\s*(year|month)", str(obj)):
+        months += int(n) * (12 if unit == "year" else 1)
+    return months
+
+
+T.YearMonthIntervalType.fromInternal = _ym_interval_fromInternal
+T.YearMonthIntervalType.toInternal = _ym_interval_toInternal
+T.YearMonthIntervalType.needConversion = lambda self: True
+# createDataFrame type verifier compares exact types — list every spelling
+T._acceptable_types[T.YearMonthIntervalType] = (str, int, YMInterval)
+
 # Simple name → Spark type (emulations noted; SURVEY §1.2 table).
 _SIMPLE: dict[str, T.DataType] = {
     "BOOLEAN": T.BooleanType(),
