@@ -912,6 +912,114 @@ def _rewrite_float_int_casts(toks: list[str]) -> list[str]:
     return out
 
 
+def _values_row_ranges(toks: list[str]) -> list[tuple[int, int]]:
+    """Paren spans of every VALUES row constructor in the token list."""
+    ranges = []
+    i = 0
+    while i < len(toks):
+        if _is_word(toks[i], "VALUES"):
+            j = _next_code(toks, i + 1)
+            while j < len(toks) and toks[j] == "(":
+                oc = _match_paren(toks, j)
+                if oc < 0:
+                    break
+                ranges.append((j, oc))
+                k = _next_code(toks, oc + 1)
+                if k < len(toks) and toks[k] == ",":
+                    j = _next_code(toks, k + 1)
+                else:
+                    break
+        i += 1
+    return ranges
+
+
+def _split_arg_spans(toks: list[str], lo: int, hi: int):
+    """[(start, end), …] spans of top-level comma-separated items in
+    toks[lo:hi]."""
+    spans, depth, st = [], 0, lo
+    for k in range(lo, hi):
+        t = toks[k]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif t == "," and depth == 0:
+            spans.append((st, k))
+            st = k + 1
+    spans.append((st, hi))
+    return spans
+
+
+def _rewrite_values_structs(toks: list[str]) -> list[str]:
+    """Struct values inside VALUES rows. Spark's inline-table parser
+    treats `struct(a, b)` (and DuckDB's bare tuple `(a, b)`) inside a
+    VALUES row as a nested ROW constructor and miscounts the row arity —
+    rewrite both spellings to named_struct, which stays a scalar
+    (reference: DuckDB ROW(...)/tuple literals insert into STRUCT columns
+    by position; Spark's struct-to-struct cast is positional too)."""
+    if not any(_is_word(t, "VALUES") for t in toks):
+        return toks
+    out = list(toks)
+    changed = True
+    while changed:
+        changed = False
+        ranges = _values_row_ranges(out)
+        if not ranges:
+            return out
+        for i in range(len(out) - 1, -1, -1):
+            in_row = any(lo < i < hi for lo, hi in ranges)
+            if not in_row:
+                continue
+            # struct( anywhere inside a row
+            if _is_word(out[i], "STRUCT"):
+                op = _next_code(out, i + 1)
+                if op >= len(out) or out[op] != "(":
+                    continue
+                oc = _match_paren(out, op)
+                if oc < 0:
+                    continue
+                if any(_is_word(t, "STRUCT") for t in out[op + 1:oc]):
+                    continue  # innermost first; outer caught next sweep
+                args = ["".join(out[a:b]).strip()
+                        for a, b in _split_arg_spans(out, op + 1, oc)]
+                repl = "named_struct(" + ", ".join(
+                    f"'col{k + 1}', ({a})" for k, a in enumerate(args)
+                    if a) + ")"
+                out[i:oc + 1] = _tokens(repl)
+                changed = True
+                break
+            # bare tuple item: `(` whose prev code token is the row `(`
+            # or a row-level `,`, containing a top-level comma
+            if out[i] == "(":
+                p = _prev_code(out, i - 1)
+                row = next(((lo, hi) for lo, hi in ranges
+                            if lo < i < hi), None)
+                if row is None or p < 0:
+                    continue
+                items = _split_arg_spans(out, row[0] + 1, row[1])
+                if not any(_next_code(out, a) == i for a, b in items):
+                    continue  # not at item start: function args etc.
+                oc = _match_paren(out, i)
+                if oc < 0:
+                    continue
+                inner_first = _next_code(out, i + 1)
+                if inner_first < len(out) and                         _is_word(out[inner_first], "SELECT"):
+                    continue
+                spans = _split_arg_spans(out, i + 1, oc)
+                if len(spans) < 2:
+                    continue
+                if any(_is_word(t, "STRUCT") for t in out[i + 1:oc]):
+                    continue
+                args = ["".join(out[a:b]).strip() for a, b in spans]
+                repl = "named_struct(" + ", ".join(
+                    f"'col{k + 1}', ({a})" for k, a in enumerate(args)
+                    if a) + ")"
+                out[i:oc + 1] = _tokens(repl)
+                changed = True
+                break
+    return out
+
+
 def _rewrite_exclude(toks: list[str]) -> list[str]:
     """EXCLUDE → EXCEPT when it follows `*` (star expression modifier)."""
     out = list(toks)
@@ -7498,6 +7606,7 @@ def translate(sql: str) -> str:
     toks = _rewrite_order_by_all(toks)
     toks = _normalize_null_order(toks)
     toks = _rewrite_calls(toks)
+    toks = _rewrite_values_structs(toks)
     out = "".join(toks)
     out = _rewrite_distinct_orderby(out)
     out = _rewrite_distinct_on(out)
