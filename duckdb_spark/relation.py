@@ -458,6 +458,32 @@ class Connection:
                 pass
         query = self._rewrite_string_tables(query)
         query = self._bind_sql_tvfs(query)
+        # UNNEST of a STRUCT column expands to one column per field
+        # (reference bind_unnest.cpp struct unnest); Spark's explode only
+        # takes arrays/maps, but `col.*` is the exact equivalent. Resolve
+        # the FROM schema to tell structs from arrays.
+        if re.search(r"(?is)\bUNNEST\s*\(\s*[A-Za-z_\"]", query):
+            m = re.search(
+                r"(?is)\bFROM\s+(.*?)(?:\bWHERE\b|\bGROUP\b|\bORDER\b"
+                r"|\bLIMIT\b|\bUNION\b|\bEXCEPT\b|\bINTERSECT\b|;|$)", query,
+            )
+            if m and m.group(1).count("(") == m.group(1).count(")"):
+                try:
+                    sch = self.sql(
+                        f"SELECT * FROM {m.group(1)} LIMIT 0").df().schema
+                    structs = {f.name.lower() for f in sch.fields
+                               if f.dataType.typeName() == "struct"}
+
+                    def _su(mm: re.Match) -> str:
+                        arg = mm.group(1).strip()
+                        base = arg.split(".")[-1].strip('"').lower()
+                        return f"{arg}.*" if base in structs else mm.group(0)
+
+                    query = re.sub(
+                        r"(?is)\bUNNEST\s*\(\s*([A-Za-z_][\w.]*|\"[^\"]+\")"
+                        r"\s*\)", _su, query)
+                except Exception:  # noqa: BLE001 — fall through untouched
+                    pass
         # positional column references `#N` (reference positional_reference
         # binder): resolve against the FROM relation's schema at bind time
         if re.search(r"#\d+", query):

@@ -1020,6 +1020,60 @@ def _rewrite_values_structs(toks: list[str]) -> list[str]:
     return out
 
 
+def _iter_depth(toks: list[str]):
+    depth = 0
+    for t in toks:
+        if t == "(":
+            depth += 1
+            yield t, depth
+            continue
+        if t == ")":
+            yield t, depth
+            depth -= 1
+            continue
+        yield t, depth
+
+
+def _rewrite_ntile_null(toks: list[str]) -> list[str]:
+    """NTILE(NULL) OVER (...) → typed NULL (reference window_executor.cpp:
+    a NULL bucket count yields NULL for every row; Spark rejects the
+    argument outright)."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if not _is_word(out[i], "NTILE"):
+            i += 1
+            continue
+        op = _next_code(out, i + 1)
+        if op >= len(out) or out[op] != "(":
+            i += 1
+            continue
+        oc = _match_paren(out, op)
+        arg = "".join(out[op + 1:oc]).strip().upper() if oc > 0 else ""
+        if oc > 0 and (not arg or "," in [
+            t for t, d in _iter_depth(out[op + 1:oc]) if d == 0
+        ]):
+            # NTILE() / NTILE(a, b, …): reference binder rejects any
+            # arity but 1
+            raise ValueError(
+                "Binder Error: No function matches the given name and "
+                "argument types 'ntile'")
+        if arg != "NULL":
+            i = op + 1
+            continue
+        ov = _next_code(out, oc + 1)
+        end = oc
+        if ov < len(out) and _is_word(out[ov], "OVER"):
+            op2 = _next_code(out, ov + 1)
+            if op2 < len(out) and out[op2] == "(":
+                oc2 = _match_paren(out, op2)
+                if oc2 > 0:
+                    end = oc2
+        out[i:end + 1] = _tokens("CAST(NULL AS BIGINT)")
+        i += 1
+    return out
+
+
 def _rewrite_exclude(toks: list[str]) -> list[str]:
     """EXCLUDE → EXCEPT when it follows `*` (star expression modifier)."""
     out = list(toks)
@@ -7573,6 +7627,7 @@ def translate(sql: str) -> str:
     toks = _rewrite_exclude_frames(toks)
     toks = _rewrite_frame_bound_exprs(toks)
     toks = _strip_ignored_frames(toks)
+    toks = _rewrite_ntile_null(toks)
     toks = _rewrite_exclude(toks)
     toks = _rewrite_floordiv(toks)
     toks = _fold_null_cast_chains(toks)
