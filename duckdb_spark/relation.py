@@ -551,13 +551,33 @@ class Connection:
                 v = self.sql(
                     f"{pre} SELECT CAST({expr} AS DOUBLE)"
                 ).df().collect()[0][0]
-                return 0 if v is None else int(v)
+                # NULL (or empty-subquery) limit = no limit at all
+                # (reference physical_limit.cpp NULL handling)
+                return None if v is None else int(v)
 
             base = self.sql(m.group(1))
             df = base.df()
             if m.group(3):
-                df = df.offset(_ev(m.group(3)))
-            return Relation(df.limit(_ev(m.group(2))))
+                off = _ev(m.group(3))
+                if off:
+                    df = df.offset(off)
+            lim = _ev(m.group(2))
+            return Relation(df if lim is None else df.limit(lim))
+        # OFFSET-only with a non-literal expression (OFFSET RANDOM(),
+        # OFFSET (SELECT …)): Spark wants foldable integers — evaluate
+        # driver-side like the LIMIT path above
+        m = re.match(
+            rf"(?is)^(.*)\bOFFSET\s+({_lim_alt})\s*;?\s*$", query,
+        )
+        if m and not re.fullmatch(r"\d+", m.group(2).strip()) and \
+                m.group(1).count("(") == m.group(1).count(")") and \
+                not re.search(r"(?is)\bLIMIT\b[^()]*$", m.group(1)):
+            expr = re.sub(r"::\s*\w+\s*$", "", m.group(2).strip()).strip()
+            v = self.sql(
+                f"SELECT CAST({expr} AS DOUBLE)").df().collect()[0][0]
+            return Relation(
+                self.sql(m.group(1)).df().offset(
+                    0 if v is None else int(v)))
         ubn = split_union_by_name(query)
         if ubn:
             branches, ops, tail = ubn
@@ -609,6 +629,39 @@ class Connection:
                     return Relation(self.spark.sql(translate(query)))
                 finally:
                     set_session_setting("__window_alias", "")
+            # DuckDB sums BOOLEANs (count of TRUE, hugeint); Spark rejects
+            # them. Retry with the offending sum argument cast to INT —
+            # the failing expression text comes from the analyzer error.
+            bm = re.search(
+                r'Cannot resolve "sum\((.+?)\)" due to data type mismatch',
+                msg,
+            )
+            if bm and '"BOOLEAN"' in msg:
+                arg = re.escape(bm.group(1)).replace(r"\ ", r"\s*")
+                new_q = re.sub(
+                    rf"(?is)\bsum\s*\(\s*{arg}\s*\)",
+                    f"sum(CAST({bm.group(1)} AS INT))",
+                    query,
+                )
+                if new_q != query:
+                    return Relation(self.spark.sql(translate(new_q)))
+            # DuckDB averages DATE/TIMESTAMP values (returns timestamp);
+            # Spark rejects them. Retry through epoch micros.
+            am = re.search(
+                r'Cannot resolve "avg\((.+?)\)" due to data type mismatch',
+                msg,
+            )
+            if am and ('"DATE"' in msg or '"TIMESTAMP"' in msg):
+                arg = re.escape(am.group(1)).replace(r"\ ", r"\s*")
+                a = am.group(1)
+                new_q = re.sub(
+                    rf"(?is)\bavg\s*\(\s*{arg}\s*\)",
+                    f"timestamp_micros(CAST(avg(unix_micros(CAST(({a}) AS "
+                    f"TIMESTAMP_LTZ))) AS BIGINT))",
+                    query,
+                )
+                if new_q != query:
+                    return Relation(self.spark.sql(translate(new_q)))
             # DuckDB resolves SELECT-list aliases in WHERE/HAVING/QUALIFY;
             # Spark doesn't. Retry with the definitions inlined there.
             if "UNRESOLVED_COLUMN" in msg:

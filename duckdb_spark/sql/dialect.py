@@ -6427,7 +6427,7 @@ def _agg_macro_windowed(name: str, args: list[str], over: str) -> str | None:
             f"element_at({s2}, cast({nn} div 2 + 1 as int))) / 2)"
         )
         return let(lst, f"if({nn} = 0, cast(null as double), {med2})")
-    if name == "quantile_disc" and n == 2:
+    if name in ("quantile_disc", "quantile") and n == 2:
         lst = f"collect_list({args[0]}) {over}"
         q = args[1]
         arr = "array_sort(__l)"
@@ -6439,7 +6439,7 @@ def _agg_macro_windowed(name: str, args: list[str], over: str) -> str | None:
 
 _WINDOWED_MACROS = {
     "sem", "entropy", "weighted_avg", "wavg", "fsum", "sumkahan",
-    "kahan_sum", "favg", "product", "mad", "quantile_disc",
+    "kahan_sum", "favg", "product", "mad", "quantile_disc", "quantile",
     "skewness", "kurtosis", "mode",
 }
 _FIRST_LAST = {"first", "last", "any_value", "arbitrary"}
@@ -7463,6 +7463,12 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
             out[i] = "listagg"
             if not _has_top_level_comma(out[j + 1:close]):
                 out[close:close] = [", ','"]
+            else:
+                # NULL separator → NULL result (reference string_agg.cpp);
+                # Spark's listagg treats a NULL separator as empty
+                args2 = _split_top_args(out[j + 1:close])
+                if len(args2) == 2 and args2[1].strip().upper() == "NULL":
+                    out[i:close + 1] = ["CAST(NULL AS STRING)"]
         i = j
     return out
 

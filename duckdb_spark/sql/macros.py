@@ -163,7 +163,16 @@ class MacroRegistry:
             fn, name = m.group(1).lower(), m.group(2)
             if name.lower() not in self._sequences:
                 return m.group(0)
-            if fn == "nextval" and re.search(r"(?i)\bFROM\b", sql):
+            # nextval in LIMIT/OFFSET is statement-scalar (evaluated once,
+            # reference physical_limit.cpp) — only row-context uses are
+            # per-row volatile
+            lim = None
+            for lm in re.finditer(r"(?i)\b(LIMIT|OFFSET)\b", sql):
+                if lim is None or lm.start() < lim:
+                    lim = lm.start()
+            in_limit = lim is not None and m.start() > lim
+            if fn == "nextval" and not in_limit and \
+                    re.search(r"(?i)\bFROM\b", sql):
                 # Reference nextval is per-row volatile
                 # (sequence_catalog_entry.cpp); a textual constant would give
                 # every row the same value. Refuse rather than silently
