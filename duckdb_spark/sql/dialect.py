@@ -4021,6 +4021,12 @@ def _pad_table_col_aliases(toks: list[str]) -> list[str]:
 
     def _names_from_select(lo: int, hi: int) -> list[str] | None:
         k = _next_code(out, lo)
+        if k < hi and _is_word(out[k], "WITH"):
+            # skip the CTE list: the body's outer SELECT is the first
+            # top-level SELECT after the (parenthesized) definitions
+            sel_at = _top_level_index(out, k + 1, hi, "SELECT")
+            if sel_at >= 0:
+                k = sel_at
         if k >= hi or not _is_word(out[k], "SELECT"):
             return None
         f = _top_level_index(out, k + 1, hi, "FROM")
