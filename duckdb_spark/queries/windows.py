@@ -461,3 +461,86 @@ def win_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_custkey", "o_orderkey", "grp_cnt", F.round("grp_rev", 2).alias("grp_rev")
     ).orderBy("o_orderkey")
+
+
+_EXCL_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROUND(CAST(SUM(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+           EXCLUDE CURRENT ROW) AS DECIMAL(24,6)), 2) AS DOUBLE) AS s_cur,
+       COUNT(*) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           EXCLUDE GROUP) AS c_grp,
+       CAST(MAX(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           EXCLUDE TIES) AS DOUBLE) AS m_ties
+FROM orders WHERE o_custkey % 40 = 1
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register("win_exclude_frames", oracle=_EXCL_SQL)
+def win_exclude_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCLUDE CURRENT ROW / GROUP / TIES frame modifiers in SQL text
+    (reference window_expression.hpp WindowExcludeMode; SURVEY §2.5) —
+    the collect-frame + array-HOF rewrite in sql/dialect.py. One window
+    pass per spec; exclusion filtering is per-row JVM lambdas, no extra
+    shuffle beyond the partition hash."""
+    from duckdb_spark.sql.dialect import translate
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(translate(_EXCL_SQL))
+
+
+_WDIST_SQL = """
+SELECT o_orderkey,
+       COUNT(DISTINCT o_orderpriority) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderkey
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS c_pri,
+       CAST(SUM(DISTINCT o_orderkey % 7) OVER (
+           PARTITION BY o_custkey) AS BIGINT) AS s_mod
+FROM orders WHERE o_custkey % 40 = 1
+ORDER BY o_orderkey
+"""
+
+
+@register("win_distinct_agg", oracle=_WDIST_SQL)
+def win_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT window aggregates over framed and partition-only specs
+    (reference window_distinct_aggregator.cpp; SURVEY §2.5) — the
+    array_distinct(collect_list() OVER) rewrite. Frame-bounded distinct
+    state per row, exactly the reference's cost class."""
+    from duckdb_spark.sql.dialect import translate
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(translate(_WDIST_SQL))
+
+
+_WVARB_SQL = """
+SELECT o_orderkey,
+       CAST(ROUND(CAST(AVG(o_totalprice) OVER (
+           ORDER BY o_orderkey
+           ROWS BETWEEN o_orderkey % 3 PRECEDING AND 2 FOLLOWING
+       ) AS DECIMAL(24,6)), 2) AS DOUBLE) AS a
+FROM orders WHERE o_custkey % 100 = 1
+ORDER BY o_orderkey
+"""
+
+
+@register("win_variable_bounds", oracle=_WVARB_SQL)
+def win_variable_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-dependent window frame bounds (reference
+    window_boundaries_state.cpp START_EXPR/END_EXPR; SURVEY §2.5) — the
+    per-row frame materialization rewrite. O(partition) per row, matching
+    the reference's boundary search; the WHERE keeps the single ordered
+    partition small at every SF."""
+    from duckdb_spark.sql.dialect import translate
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(translate(_WVARB_SQL))
