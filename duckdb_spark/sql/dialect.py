@@ -843,6 +843,12 @@ def _strip_ignored_frames(toks: list[str]) -> list[str]:
         if fn not in _FRAME_INSENSITIVE_WINFNS:
             i = oc + 1
             continue
+        if _top_level_index(out, po + 1, j, "ORDER") >= 0:
+            # ordered-argument variant (lead(x ORDER BY k) OVER …):
+            # evaluates over the FRAME (reference window ordered-argument
+            # path) — keep it for the ordered-window rewrite
+            i = oc + 1
+            continue
         spec = out[op + 1:oc]
         fr = len(spec)
         for wd in ("ROWS", "RANGE", "GROUPS"):
