@@ -6415,6 +6415,15 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
         return _macro_unnest(args)
     if name == "count_star" and n == 0:
         return "count(*)"
+    if name in ("corr", "regr_slope") and n == 2:
+        # degenerate inputs (one pair / zero variance) are NaN in the
+        # reference (corr.cpp / regr_slope.cpp); Spark yields NULL there,
+        # and NULL only when no non-NULL pair exists
+        pairs = (f"count(CASE WHEN ({args[0]}) IS NOT NULL AND "
+                 f"({args[1]}) IS NOT NULL THEN 1 END)")
+        return (f"(CASE WHEN {pairs} > 0 THEN coalesce("
+                f"{name}({args[0]}, {args[1]}), CAST('NaN' AS DOUBLE)) "
+                f"END)")
     if name == "json" and n == 1:
         # json(x) parses/normalizes; the values we compare are already
         # minified, so the identity read is exact for this surface
@@ -6443,6 +6452,7 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
 
 _MACRO_NAMES = {
     "count_star", "signbit", "json",
+    "corr", "regr_slope",
     "product", "histogram", "histogram_exact", "bitstring_agg",
     "min", "max", "arg_min", "arg_max", "min_by", "max_by", "equi_width_bins",
     "range", "generate_series", "approx_top_k", "mad", "struct_pack",
@@ -7592,9 +7602,16 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
             if not _has_top_level_comma(out[j + 1:close]):
                 out[close:close] = [", ','"]
             else:
+                args2 = _split_top_args(out[j + 1:close])
+                if len(args2) == 2 and re.fullmatch(
+                    r"-?[\d.]+", args2[0].strip()
+                ):
+                    # numerics are not auto-cast (reference binder)
+                    raise ValueError(
+                        "Binder Error: No function matches the given name "
+                        "and argument types 'string_agg(INTEGER, INTEGER)'")
                 # NULL separator → NULL result (reference string_agg.cpp);
                 # Spark's listagg treats a NULL separator as empty
-                args2 = _split_top_args(out[j + 1:close])
                 if len(args2) == 2 and args2[1].strip().upper() == "NULL":
                     out[i:close + 1] = ["CAST(NULL AS STRING)"]
         i = j
