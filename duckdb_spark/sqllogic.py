@@ -184,6 +184,10 @@ def _expand_includes(lines: list[tuple[int, str]]) -> list[tuple[int, str]]:
 
 def parse_file(path: str) -> list[Record]:
     text = open(path, encoding="utf-8").read()
+    if "DATA_DIR" in text:
+        # reference-repo data files (reference test runner's data dir)
+        root = os.path.abspath(path).split(os.sep + "test" + os.sep)[0]
+        text = text.replace("{DATA_DIR}", os.path.join(root, "data"))
     if "TEST_DIR" in text:
         # per-file scratch dir for '{TEST_DIR}'/__TEST_DIR__ placeholders
         # (reference test runner substitutes its own temp dir)
@@ -469,7 +473,7 @@ _CREATE_VIEW_RE = re.compile(
 )
 _NOOP_RE = re.compile(
     r"(?is)^\s*(pragma|set\b|reset\b|analyze|vacuum|checkpoint|begin|commit|"
-    r"abort|rollback|call\s+enable|explain|"
+    r"abort|rollback|call\s+(?:enable|disable)|explain|"
     # indexes/constraints don't change results on the temp-view store —
     # uniqueness/ART indexing is a physical concern (reference
     # src/execution/index/); accepted as no-ops

@@ -122,21 +122,34 @@ def main() -> None:
     for reason, n in hist.most_common(30):
         print(f"{n:4d}  {reason}")
 
+    files_out = {r.path: {"status": r.status, "reason": r.reason}
+                 for r in results}
+    if "--merge" in sys.argv and os.path.exists("SQLLOGIC.json"):
+        # update only the rows this invocation ran — lets targeted
+        # re-runs refresh their files without a full-corpus pass
+        prev = json.load(open("SQLLOGIC.json"))["files"]
+        prev.update(files_out)
+        files_out = prev
+        counts = Counter(v["status"] for v in files_out.values())
+        print(f"== merged scoreboard: {counts['pass']} pass / "
+              f"{counts['fail']} fail / {counts['skip']} skip of "
+              f"{len(files_out)}")
     out = {
-        "total": len(results), "pass": counts["pass"], "fail": counts["fail"],
-        "skip": counts["skip"],
-        "files": {r.path: {"status": r.status, "reason": r.reason} for r in results},
+        "total": len(files_out), "pass": counts["pass"],
+        "fail": counts["fail"], "skip": counts["skip"],
+        "files": files_out,
     }
     json.dump(out, open("SQLLOGIC.json", "w"), indent=1)
     with open("SQLLOGIC.md", "w") as fh:
         fh.write("# SQLLOGIC — reference sqllogictest corpus vs this engine\n\n")
         fh.write(f"Generated by scripts/run_sqllogic.py over {REF}\n\n")
         fh.write(f"**{counts['pass']} pass / {counts['fail']} fail / "
-                 f"{counts['skip']} skip** of {len(results)} files\n\n")
+                 f"{counts['skip']} skip** of {len(files_out)} files\n\n")
         fh.write("| file | status | reason |\n|---|---|---|\n")
-        for r in results:
-            reason = r.reason[:140].replace("|", "/")
-            fh.write(f"| {r.path} | {r.status} | {reason} |\n")
+        for path in sorted(files_out):
+            v = files_out[path]
+            reason = v["reason"][:140].replace("|", "/")
+            fh.write(f"| {path} | {v['status']} | {reason} |\n")
     print("wrote SQLLOGIC.json / SQLLOGIC.md")
 
 
