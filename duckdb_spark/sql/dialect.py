@@ -1181,6 +1181,75 @@ def _rewrite_empty_frames(toks: list[str]) -> list[str]:
     return out
 
 
+def _rewrite_values_coerce(toks: list[str]) -> list[str]:
+    """VALUES row type coercion (reference inline-table binder: all rows
+    coerce to a common type). Spark's inline-table parser rejects a
+    column mixing CAST(x AS T) with bare literals — propagate the first
+    explicit per-position cast onto bare literal values in other rows."""
+    if not any(_is_word(t, "VALUES") for t in toks):
+        return toks
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if not _is_word(out[i], "VALUES"):
+            i += 1
+            continue
+        # collect this list's row spans
+        rows = []
+        j = _next_code(out, i + 1)
+        while j < len(out) and out[j] == "(":
+            oc = _match_paren(out, j)
+            if oc < 0:
+                break
+            rows.append((j, oc))
+            k = _next_code(out, oc + 1)
+            if k < len(out) and out[k] == ",":
+                j = _next_code(out, k + 1)
+            else:
+                break
+        if len(rows) < 2:
+            i = (rows[-1][1] + 1) if rows else i + 1
+            continue
+        items = [_split_arg_spans(out, r0 + 1, r1) for r0, r1 in rows]
+        ncols = len(items[0])
+        if any(len(it) != ncols for it in items):
+            i = rows[-1][1] + 1
+            continue
+        types: list[str | None] = []
+        for c in range(ncols):
+            ty = None
+            for it in items:
+                a, b = it[c]
+                m = re.match(
+                    r"(?is)^\s*CAST\s*\(.*\s+AS\s+([A-Za-z_]\w*"
+                    r"(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*\)\s*$",
+                    "".join(out[a:b]),
+                )
+                if m:
+                    ty = m.group(1)
+                    break
+            types.append(ty)
+        if not any(types):
+            i = rows[-1][1] + 1
+            continue
+        # rewrite bare literals right-to-left so spans stay valid
+        edits = []
+        for ri, it in enumerate(items):
+            for c in range(ncols):
+                if types[c] is None:
+                    continue
+                a, b = it[c]
+                text = "".join(out[a:b]).strip()
+                if re.fullmatch(
+                    r"(?is)'(?:[^']|'')*'|-?[\d.]+(?:e-?\d+)?|NULL", text
+                ):
+                    edits.append((a, b, f" CAST({text} AS {types[c]})"))
+        for a, b, repl in sorted(edits, reverse=True):
+            out[a:b] = [repl]
+        i += 1
+    return out
+
+
 def _rewrite_exclude(toks: list[str]) -> list[str]:
     """EXCLUDE → EXCEPT when it follows `*` (star expression modifier)."""
     out = list(toks)
@@ -7814,6 +7883,7 @@ def translate(sql: str) -> str:
     toks = _normalize_null_order(toks)
     toks = _rewrite_calls(toks)
     toks = _rewrite_values_structs(toks)
+    toks = _rewrite_values_coerce(toks)
     out = "".join(toks)
     out = _rewrite_distinct_orderby(out)
     out = _rewrite_distinct_on(out)

@@ -184,10 +184,12 @@ def _expand_includes(lines: list[tuple[int, str]]) -> list[tuple[int, str]]:
 
 def parse_file(path: str) -> list[Record]:
     text = open(path, encoding="utf-8").read()
-    if "DATA_DIR" in text:
-        # reference-repo data files (reference test runner's data dir)
+    if "DATA_DIR" in text or "'test/" in text:
+        # reference-repo data files: the reference runner resolves
+        # {DATA_DIR} and repo-relative 'test/...' paths against its root
         root = os.path.abspath(path).split(os.sep + "test" + os.sep)[0]
         text = text.replace("{DATA_DIR}", os.path.join(root, "data"))
+        text = text.replace("'test/", f"'{root}/test/")
     if "TEST_DIR" in text:
         # per-file scratch dir for '{TEST_DIR}'/__TEST_DIR__ placeholders
         # (reference test runner substitutes its own temp dir)
@@ -473,7 +475,7 @@ _CREATE_VIEW_RE = re.compile(
 )
 _NOOP_RE = re.compile(
     r"(?is)^\s*(pragma|set\b|reset\b|analyze|vacuum|checkpoint|begin|commit|"
-    r"abort|rollback|call\s+(?:enable|disable)|explain|"
+    r"abort|rollback|call\s+(?:enable|disable|truncate)|explain|"
     # indexes/constraints don't change results on the temp-view store —
     # uniqueness/ART indexing is a physical concern (reference
     # src/execution/index/); accepted as no-ops
