@@ -1250,6 +1250,94 @@ def _rewrite_values_coerce(toks: list[str]) -> list[str]:
     return out
 
 
+def _split_struct_fields(ty: str) -> list[tuple[str, str]] | None:
+    """'b:int,a:array<int>' → [("b","int"), ("a","array<int>")], tracking
+    <> and () nesting; None when the shape is unexpected."""
+    parts, depth, cur = [], 0, []
+    for ch in ty:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    out = []
+    for pt in parts:
+        name, sep, t = pt.partition(":")
+        if not sep:
+            return None
+        out.append((name.strip().strip("`"), t.strip()))
+    return out
+
+
+def _rewrite_named_struct_casts(toks: list[str]) -> list[str]:
+    """CAST of a VISIBLE struct literal to a STRUCT type binds fields BY
+    NAME with reordering (reference struct_cast.cpp); Spark's struct cast
+    is positional. Rebuild the literal in target order with per-field
+    casts. Fixpoint loop handles nested literals."""
+    joined = "".join(toks)
+    if not re.search(r"(?i)\bCAST\s*\(\s*named_struct\b", joined):
+        return toks
+    # earlier passes splice multi-token replacements in as single strings;
+    # re-tokenize so the scan sees real token boundaries
+    out = _tokens(joined)
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(out)):
+            if not _is_word(out[i], "CAST"):
+                continue
+            op = _next_code(out, i + 1)
+            if op >= len(out) or out[op] != "(":
+                continue
+            oc = _match_paren(out, op)
+            if oc < 0:
+                continue
+            ns = _next_code(out, op + 1)
+            if ns >= len(out) or not _is_word(out[ns], "NAMED_STRUCT"):
+                continue
+            nsp = _next_code(out, ns + 1)
+            if nsp >= len(out) or out[nsp] != "(":
+                continue
+            nsc = _match_paren(out, nsp)
+            a = _top_level_index(out, nsc + 1, oc, "AS")
+            if nsc < 0 or a < 0 or _next_code(out, nsc + 1) != a:
+                continue  # cast arg is more than the bare literal
+            ty = "".join(out[_next_code(out, a + 1):oc]).strip()
+            m = re.match(r"(?is)^struct\s*<(.*)>$", ty)
+            if not m:
+                continue
+            fields = _split_struct_fields(m.group(1))
+            if not fields:
+                continue
+            kvs = _split_top_args(out[nsp + 1:nsc])
+            if len(kvs) % 2 != 0:
+                continue
+            vals = {}
+            ok = True
+            for k2 in range(0, len(kvs), 2):
+                km = re.fullmatch(r"\s*'([^']*)'\s*", kvs[k2])
+                if not km:
+                    ok = False
+                    break
+                vals[km.group(1).lower()] = kvs[k2 + 1]
+            if not ok:
+                continue
+            # target-driven mapping: unmatched target fields become NULL,
+            # extra source fields are dropped (struct_cast.cpp)
+            repl = "named_struct(" + ", ".join(
+                f"'{n}', CAST(({vals.get(n.lower(), 'NULL')}) AS {t})"
+                for n, t in fields) + ")"
+            out[i:oc + 1] = _tokens(repl)
+            changed = True
+            break
+    return out
+
+
 def _rewrite_exclude(toks: list[str]) -> list[str]:
     """EXCLUDE → EXCEPT when it follows `*` (star expression modifier)."""
     out = list(toks)
@@ -7884,6 +7972,7 @@ def translate(sql: str) -> str:
     toks = _rewrite_calls(toks)
     toks = _rewrite_values_structs(toks)
     toks = _rewrite_values_coerce(toks)
+    toks = _rewrite_named_struct_casts(toks)
     out = "".join(toks)
     out = _rewrite_distinct_orderby(out)
     out = _rewrite_distinct_on(out)
