@@ -1338,6 +1338,83 @@ def _rewrite_named_struct_casts(toks: list[str]) -> list[str]:
     return out
 
 
+_CONCAT_STOP = {
+    ",", ";", "=", "<", ">", "<=", ">=", "<>", "!=", "AND", "OR", "NOT",
+    "WHERE", "SELECT", "FROM", "AS", "WHEN", "THEN", "ELSE", "END", "IN",
+    "IS", "BETWEEN", "LIKE", "ILIKE", "ORDER", "GROUP", "BY", "LIMIT",
+    "CASE", "HAVING", "ON", "JOIN", "UNION", "EXCEPT", "INTERSECT",
+    "VALUES", "DESC", "ASC", "NULLS",
+}
+
+
+def _rewrite_concat_null(toks: list[str]) -> list[str]:
+    """`x || NULL` is NULL for every operand type in the reference
+    (including LIST — verified against the oracle); Spark's concat over an
+    untyped NULL fails analysis for arrays. Fold chains containing a bare
+    NULL operand to a NULL typed like the remaining chain."""
+    if "||" not in toks:
+        return toks
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if out[i] != "||":
+            i += 1
+            continue
+        # chain span at this depth: expand to stop tokens / depth exits
+        lo = i
+        depth = 0
+        while lo > 0:
+            t = out[lo - 1]
+            if t == ")":
+                depth += 1
+            elif t == "(":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and t.upper() in _CONCAT_STOP:
+                break
+            lo -= 1
+        hi = i
+        depth = 0
+        while hi < len(out) - 1:
+            t = out[hi + 1]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and t.upper() in _CONCAT_STOP:
+                break
+            hi += 1
+        span = out[lo:hi + 1]
+        pieces, depth, cur = [], 0, []
+        for t in span:
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            if t == "||" and depth == 0:
+                pieces.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(t)
+        pieces.append("".join(cur).strip())
+        if len(pieces) < 2 or not any(
+            p.upper() == "NULL" for p in pieces
+        ):
+            i = hi + 1
+            continue
+        keep = [p for p in pieces if p.upper() != "NULL"]
+        if not keep:
+            repl = " NULL "
+        else:
+            repl = f" (CASE WHEN 1 = 0 THEN {' || '.join(keep)} END) "
+        out[lo:hi + 1] = _tokens(repl)
+        i = lo + 1
+    return out
+
+
 def _rewrite_exclude(toks: list[str]) -> list[str]:
     """EXCLUDE → EXCEPT when it follows `*` (star expression modifier)."""
     out = list(toks)
@@ -1349,6 +1426,39 @@ def _rewrite_exclude(toks: list[str]) -> list[str]:
             if j >= 0 and out[j] == "*":
                 out[i] = "EXCEPT"
     return out
+
+
+def _rewrite_regex_op(toks: list[str]) -> list[str]:
+    """Infix `~` is the reference's regex-match operator (PostgreSQL
+    heritage; `!~` negated); prefix `~` stays bitwise NOT. Spark spelling
+    is RLIKE."""
+    out = list(toks)
+    for i, t in enumerate(out):
+        if t != "~":
+            continue
+        p = _prev_code(out, i - 1)
+        neg = p >= 0 and out[p] == "!"
+        if neg:
+            p = _prev_code(out, p - 1)
+        if p < 0:
+            continue
+        pt = out[p]
+        infix = pt in (")", "]") or re.match(r"^['\"\d]", pt) or (
+            re.match(r"^[A-Za-z_]", pt)
+            and pt.upper() not in _NONFN_WORDS_UP
+        )
+        if infix:
+            if neg:
+                out[_prev_code(out, i - 1)] = " "
+            out[i] = " NOT RLIKE " if neg else " RLIKE "
+    return out
+
+
+_NONFN_WORDS_UP = {
+    "SELECT", "WHERE", "AND", "OR", "NOT", "THEN", "ELSE", "WHEN", "CASE",
+    "IN", "IS", "LIKE", "BETWEEN", "FROM", "BY", "ON", "AS", "END",
+    "HAVING", "RETURN", "RETURNS",
+}
 
 
 def _rewrite_floordiv(toks: list[str]) -> list[str]:
@@ -6581,6 +6691,20 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
         return (f"(CASE WHEN {pairs} > 0 THEN coalesce("
                 f"{name}({args[0]}, {args[1]}), CAST('NaN' AS DOUBLE)) "
                 f"END)")
+    if name in ("concat", "list_concat", "array_concat") and n >= 1:
+        # the reference's concat FUNCTION skips NULL arguments (concat.cpp;
+        # the || operator propagates them instead) — drop literal NULLs,
+        # the only ones visible at text level
+        keep = [a for a in args
+                if a.strip().upper() != "NULL"
+                and not re.match(r"(?is)^CAST\s*\(\s*NULL\s+AS\s",
+                                 a.strip())]
+        if len(keep) != n or name != "concat":
+            # all-NULL args: concat() is '' but list_concat is NULL
+            # (duckdb-fuzzer #4296)
+            return "concat(" + ", ".join(keep) + ")" if keep else (
+                "''" if name == "concat" else "NULL")
+        return None
     if name == "json" and n == 1:
         # json(x) parses/normalizes; the values we compare are already
         # minified, so the identity read is exact for this surface
@@ -6608,7 +6732,8 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
 
 
 _MACRO_NAMES = {
-    "count_star", "signbit", "json",
+    "count_star", "signbit", "json", "concat", "list_concat",
+    "array_concat",
     "corr", "regr_slope",
     "product", "histogram", "histogram_exact", "bitstring_agg",
     "min", "max", "arg_min", "arg_max", "min_by", "max_by", "equi_width_bins",
@@ -7939,6 +8064,7 @@ def translate(sql: str) -> str:
     toks = _rewrite_ntile_null(toks)
     toks = _rewrite_exclude(toks)
     toks = _rewrite_floordiv(toks)
+    toks = _rewrite_regex_op(toks)
     toks = _fold_null_cast_chains(toks)
     toks = _fold_const_string_int_casts(toks)
     toks = _rewrite_pg_cast(toks)
@@ -7972,6 +8098,7 @@ def translate(sql: str) -> str:
     toks = _rewrite_calls(toks)
     toks = _rewrite_values_structs(toks)
     toks = _rewrite_values_coerce(toks)
+    toks = _rewrite_concat_null(toks)
     toks = _rewrite_named_struct_casts(toks)
     out = "".join(toks)
     out = _rewrite_distinct_orderby(out)
