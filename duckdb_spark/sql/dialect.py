@@ -6705,6 +6705,10 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
             return "concat(" + ", ".join(keep) + ")" if keep else (
                 "''" if name == "concat" else "NULL")
         return None
+    if name == "map" and n == 2:
+        # MAP(keys, values) builds from two lists (reference map.cpp);
+        # Spark's two-arg map() would make a single entry instead
+        return f"map_from_arrays({args[0]}, {args[1]})"
     if name == "json" and n == 1:
         # json(x) parses/normalizes; the values we compare are already
         # minified, so the identity read is exact for this surface
@@ -6733,7 +6737,7 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
 
 _MACRO_NAMES = {
     "count_star", "signbit", "json", "concat", "list_concat",
-    "array_concat",
+    "array_concat", "map",
     "corr", "regr_slope",
     "product", "histogram", "histogram_exact", "bitstring_agg",
     "min", "max", "arg_min", "arg_max", "min_by", "max_by", "equi_width_bins",

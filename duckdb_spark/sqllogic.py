@@ -972,7 +972,22 @@ def run_file(
 
                     def _map_str(f):
                         # DuckDB quotes temporal keys/values, not strings
-                        def _side(expr, dt):
+                        def _side(expr, dt, depth=1):
+                            if isinstance(dt, _T.MapType):
+                                # nested map values: Spark's string cast
+                                # renders '{k -> v}' — rebuild DuckDB-style
+                                var = f"e{depth}"
+                                k2 = _side(f"{var}.key", dt.keyType,
+                                           depth + 1)
+                                v2 = _side(f"{var}.value", dt.valueType,
+                                           depth + 1)
+                                return (
+                                    f"concat('{{', array_join(transform("
+                                    f"map_entries({expr}), {var} -> "
+                                    f"concat({k2}, '=', "
+                                    f"coalesce({v2}, 'NULL'))), ', '), "
+                                    f"'}}')"
+                                )
                             s = f"cast({expr} as string)"
                             if isinstance(
                                 dt, (_T.DateType, _T.TimestampType,
