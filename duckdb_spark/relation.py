@@ -485,8 +485,47 @@ class Connection:
                 except Exception:  # noqa: BLE001 — fall through untouched
                     pass
         # positional column references `#N` (reference positional_reference
-        # binder): resolve against the FROM relation's schema at bind time
-        if re.search(r"#\d+", query):
+        # binder): resolve against the FROM relation's schema at bind time.
+        # Not for set-op statements — there #N appears in the trailing
+        # ORDER BY and binds the union OUTPUT (the dialect layer rewrites
+        # those to ordinals)
+        if re.search(r"#\d+", query) and not re.search(
+            r"(?is)\b(UNION|EXCEPT|INTERSECT)\b", query,
+        ):
+            # `#N` binds only the innermost SELECT's own FROM (reference
+            # positional_reference binder): a subquery scope without a
+            # FROM cannot see the outer relation — error, not outer bind
+            from duckdb_spark.sql.dialect import _tokens as _tk
+
+            _toks = _tk(query)
+            _stack = [0]
+            _next_id = 1
+            _info: dict[int, list[bool]] = {0: [False, False]}
+            _hash_scopes: list[int] = []
+            _parent = {0: 0}
+            for _t in _toks:
+                if _t == "(":
+                    _parent[_next_id] = _stack[-1]
+                    _info[_next_id] = [False, False]
+                    _stack.append(_next_id)
+                    _next_id += 1
+                elif _t == ")":
+                    if len(_stack) > 1:
+                        _stack.pop()
+                elif re.match(r"^[A-Za-z_]", _t):
+                    if _t.upper() == "SELECT":
+                        _info[_stack[-1]][0] = True
+                    elif _t.upper() == "FROM":
+                        _info[_stack[-1]][1] = True
+                elif _t == "#":
+                    _hash_scopes.append(_stack[-1])
+            for _sid in _hash_scopes:
+                while _sid != 0 and not _info[_sid][0]:
+                    _sid = _parent[_sid]
+                if _info[_sid][0] and not _info[_sid][1]:
+                    raise ValueError(
+                        "Binder Error: Positional reference is out of range"
+                    )
             m = re.search(
                 r"(?is)\bFROM\s+(.*?)(?:\bWHERE\b|\bGROUP\b|\bORDER\b"
                 r"|\bLIMIT\b|;|$)", query,
@@ -496,13 +535,41 @@ class Connection:
                     cols = self.sql(
                         f"SELECT * FROM {m.group(1)} LIMIT 0"
                     ).df().columns
-                    query = re.sub(
-                        r"#(\d+)",
-                        lambda g: f"`{cols[int(g.group(1)) - 1]}`"
-                        if 0 < int(g.group(1)) <= len(cols)
-                        else g.group(0),
-                        query,
-                    )
+                    if len(set(c.lower() for c in cols)) == len(cols):
+                        query = re.sub(
+                            r"#(\d+)",
+                            lambda g: f"`{cols[int(g.group(1)) - 1]}`"
+                            if 0 < int(g.group(1)) <= len(cols)
+                            else g.group(0),
+                            query,
+                        )
+                    else:
+                        # duplicate FROM column names (`FROM range(1) a,
+                        # range(1) b`): name-based rewrite would be
+                        # ambiguous — publish positional alias columns
+                        base = self.sql(
+                            f"SELECT * FROM {m.group(1)}").df()
+                        from pyspark.sql import functions as _F
+
+                        renamed = base.toDF(
+                            *[f"__pos_{i + 1}" for i in range(len(cols))])
+                        lowers = [c.lower() for c in cols]
+                        aug = renamed.select(
+                            "*",
+                            *[_F.col(f"__pos_{i + 1}").alias(cols[i])
+                              for i in range(len(cols))
+                              if lowers.count(lowers[i]) == 1],
+                        )
+                        aug.createOrReplaceTempView("__positional_from")
+                        query = (query[:m.start(1)] + " __positional_from "
+                                 + query[m.end(1):])
+                        query = re.sub(
+                            r"#(\d+)",
+                            lambda g: f"__pos_{g.group(1)}"
+                            if 0 < int(g.group(1)) <= len(cols)
+                            else g.group(0),
+                            query,
+                        )
                 except Exception:
                     pass
         rec = split_recursive_cte(query)
@@ -581,14 +648,97 @@ class Connection:
         ubn = split_union_by_name(query)
         if ubn:
             branches, ops, tail = ubn
-            df = self.spark.sql(translate(branches[0]))
+
+            def _branch_df(b: str):
+                # a parenthesized branch may hold its own UNION BY NAME
+                if re.search(r"(?is)\bBY\s+NAME\b", b):
+                    from duckdb_spark.sql.dialect import (
+                        _match_paren,
+                        _next_code,
+                        _tokens,
+                    )
+
+                    bt = _tokens(b)
+                    k = _next_code(bt, 0)
+                    while k < len(bt) and bt[k] == "(":
+                        c = _match_paren(bt, k)
+                        if c < 0 or _next_code(bt, c + 1) < len(bt):
+                            break
+                        b = "".join(bt[k + 1:c])
+                        bt = _tokens(b)
+                        k = _next_code(bt, 0)
+                    return self.sql(b).df()
+                return self.spark.sql(translate(b))
+
+            df = _branch_df(branches[0])
             for branch, op in zip(branches[1:], ops):
-                df = df.unionByName(self.spark.sql(translate(branch)), allowMissingColumns=True)
-                if op == "UNION":
-                    df = df.distinct()
+                rhs = _branch_df(branch)
+                if op.endswith("BY NAME") and op.startswith("UNION"):
+                    df = df.unionByName(rhs, allowMissingColumns=True)
+                    if " ALL" not in op:
+                        df = df.distinct()
+                elif op.endswith("BY NAME"):
+                    # EXCEPT/INTERSECT BY NAME: align rhs to lhs by name
+                    from pyspark.sql import functions as F
+
+                    rl = {c.lower(): c for c in rhs.columns}
+                    rhs2 = rhs.select(*[
+                        rhs[rl[c.lower()]].alias(c) if c.lower() in rl
+                        else F.lit(None).alias(c) for c in df.columns
+                    ])
+                    if op.startswith("EXCEPT"):
+                        df = df.exceptAll(rhs2) if " ALL" in op \
+                            else df.subtract(rhs2)
+                    else:
+                        df = df.intersectAll(rhs2) if " ALL" in op \
+                            else df.intersect(rhs2)
+                elif op == "UNION":
+                    df = df.union(rhs).distinct()
+                elif op == "UNION ALL":
+                    df = df.union(rhs)
+                elif op == "EXCEPT":
+                    df = df.subtract(rhs)
+                elif op == "EXCEPT ALL":
+                    df = df.exceptAll(rhs)
+                elif op == "INTERSECT":
+                    df = df.intersect(rhs)
+                else:  # INTERSECT ALL
+                    df = df.intersectAll(rhs)
             if tail:
+                # DuckDB accepts table-qualified branch columns in the
+                # trailing ORDER BY (ORDER BY t1.x after UNION BY NAME);
+                # the qualifier is gone on the union output — strip it
+                cols = {c.lower() for c in df.columns}
+                # …and names from any inner set-op arm resolve to the
+                # arm's position (ORDER BY y when branch 1 is
+                # `SELECT x … UNION ALL SELECT y …`)
+                from duckdb_spark.sql.dialect import setop_alias_map
+
+                amap: dict[str, str] = {}
+                for b in branches:
+                    for nm, canon in setop_alias_map(b).items():
+                        if nm.lower() not in cols and canon.lower() in cols:
+                            amap.setdefault(nm.lower(), canon)
+
+                def _resolve(name: str) -> str | None:
+                    if name.lower() in cols:
+                        return name
+                    return amap.get(name.lower())
+
+                tail = re.sub(
+                    r"\b[A-Za-z_]\w*\.([A-Za-z_]\w*)\b",
+                    lambda m: _resolve(m.group(1)) or m.group(0),
+                    tail,
+                )
+                if amap:
+                    tail = re.sub(
+                        r"\b[A-Za-z_]\w*\b",
+                        lambda m: amap.get(m.group(0).lower(), m.group(0)),
+                        tail,
+                    )
                 df.createOrReplaceTempView("__union_by_name")
-                df = self.spark.sql(f"SELECT * FROM __union_by_name {tail}")
+                df = self.spark.sql(translate(
+                    f"SELECT * FROM __union_by_name {tail}"))
             return Relation(df)
         try:
             return Relation(self.spark.sql(translate(query)))
@@ -665,7 +815,10 @@ class Connection:
             # DuckDB resolves SELECT-list aliases in WHERE/HAVING/QUALIFY;
             # Spark doesn't. Retry with the definitions inlined there.
             if "UNRESOLVED_COLUMN" in msg:
-                from duckdb_spark.sql.dialect import set_session_setting
+                from duckdb_spark.sql.dialect import (
+                    _rewrite_setop_order_refs,
+                    set_session_setting,
+                )
 
                 set_session_setting("__select_alias", "1")
                 try:
@@ -674,6 +827,11 @@ class Connection:
                     set_session_setting("__select_alias", "")
                 if retried != translate(query):
                     return Relation(self.spark.sql(retried))
+                # set-op ORDER BY referencing another branch's output name
+                # or a table-qualified first-branch column
+                retried = _rewrite_setop_order_refs(query)
+                if retried != query:
+                    return Relation(self.spark.sql(translate(retried)))
             raise
 
     query = sql

@@ -4654,6 +4654,26 @@ def _substitute_filter_aliases(sql: str) -> str:
     aliases = _collect_select_aliases(toks)
     if not aliases:
         return sql
+    # aliases may be defined from other aliases (`a AS x, x AS y … WHERE y`,
+    # reference lateral-alias binding); expand transitively, depth-capped
+    for _ in range(4):
+        changed = False
+        for name, expr in list(aliases.items()):
+            etoks = _tokens(expr)
+            for k, et in enumerate(etoks):
+                if (re.match(r"^[A-Za-z_]\w*$", et)
+                        and et.lower() in aliases
+                        and et.lower() != name
+                        and aliases[et.lower()] != expr):
+                    n = _next_code(etoks, k + 1)
+                    if n < len(etoks) and etoks[n] == "(":
+                        continue
+                    etoks[k] = "(" + aliases[et.lower()] + ")"
+                    changed = True
+            if changed:
+                aliases[name] = "".join(etoks)
+        if not changed:
+            break
     out = list(toks)
     i = 0
     while i < len(out):
@@ -4796,11 +4816,78 @@ def _normalize_null_order(toks: list[str]) -> list[str]:
         if b >= len(out) or not _is_word(out[b], "BY"):
             i += 1
             continue
+        # owning SELECT items (for ordinal terms): nearest same-depth
+        # SELECT backwards, unless a set-op intervenes (ordinals then bind
+        # the first branch's output, which we can't rename here)
+        _owner_items: list[tuple[str, str | None]] | None | str = "unset"
+
+        def _owner() -> list[tuple[str, str | None]] | None:
+            nonlocal _owner_items
+            if _owner_items != "unset":
+                return _owner_items
+            _owner_items = None
+            d2 = 0
+            sel = -1
+            for q in range(i - 1, -1, -1):
+                tq = out[q]
+                if tq == ")":
+                    d2 += 1
+                elif tq == "(":
+                    if d2 == 0:
+                        break
+                    d2 -= 1
+                elif d2 == 0 and re.match(r"^[A-Za-z_]", tq):
+                    u = tq.upper()
+                    if u in ("UNION", "EXCEPT", "INTERSECT"):
+                        return None
+                    if u == "SELECT":
+                        sel = q
+                        break
+            if sel < 0:
+                return None
+            # a set-op BEFORE that SELECT at the same depth means the
+            # ordinal binds the first branch's output, not this one's
+            d2 = 0
+            for q in range(sel - 1, -1, -1):
+                tq = out[q]
+                if tq == ")":
+                    d2 += 1
+                elif tq == "(":
+                    if d2 == 0:
+                        break
+                    d2 -= 1
+                elif d2 == 0 and re.match(r"^[A-Za-z_]", tq) and \
+                        tq.upper() in ("UNION", "EXCEPT", "INTERSECT"):
+                    return None
+            stop = i
+            for kw in ("FROM", "WHERE", "GROUP", "HAVING", "WINDOW",
+                       "QUALIFY"):
+                w = _top_level_index(out, sel + 1, i, kw)
+                if 0 <= w < stop:
+                    stop = w
+            raw = _split_top_args(out[sel + 1:stop])
+            if raw and raw[0].strip().upper().startswith(("DISTINCT", "ALL ")):
+                return None
+            items: list[tuple[str, str | None]] = []
+            for it in raw:
+                it = it.strip()
+                if it == "*" or it.endswith(".*") or not it:
+                    items.append(("", None))
+                    continue
+                am = re.search(r"(?is)\s+AS\s+([A-Za-z_]\w*)\s*$", it)
+                if am:
+                    items.append((it[:am.start()].strip(), am.group(1)))
+                else:
+                    items.append((it, None))
+            _owner_items = items
+            return items
+
         # walk items at this depth
         k = b + 1
         depth = 0
         item_start = _next_code(out, k)
         last_code = -1
+        item_codes: list[int] = []
         desc = False
         has_nulls = False
 
@@ -4809,11 +4896,28 @@ def _normalize_null_order(toks: list[str]) -> list[str]:
             if last_code < 0 or has_nulls:
                 desc = False
                 has_nulls = False
+                item_codes.clear()
                 return
+            # bare ordinal: `N NULLS LAST` loses ordinal semantics in
+            # Spark (the literal folds away and the SORT IS DROPPED) —
+            # substitute the select item it points at, or leave it bare
+            if len(item_codes) == 1 and out[item_codes[0]].isdigit():
+                items = _owner()
+                n = int(out[item_codes[0]])
+                if items is not None and 1 <= n <= len(items) and \
+                        items[n - 1][0]:
+                    expr, alias = items[n - 1]
+                    out[item_codes[0]] = alias or "(" + expr + ")"
+                else:
+                    desc = False
+                    has_nulls = False
+                    item_codes.clear()
+                    return
             word = " NULLS FIRST " if desc else " NULLS LAST "
             out[end_at:end_at] = [word]
             desc = False
             has_nulls = False
+            item_codes.clear()
 
         k = item_start
         while k < len(out):
@@ -4829,6 +4933,7 @@ def _normalize_null_order(toks: list[str]) -> list[str]:
                     # the call/paren group just closed is the term atom;
                     # NULLS insertion must land after it, never inside
                     last_code = k
+                    item_codes.append(k)
             elif depth == 0 and t2 == ",":
                 _close(last_code + 1)
                 k += 2  # account for the inserted token
@@ -4853,9 +4958,12 @@ def _normalize_null_order(toks: list[str]) -> list[str]:
                     r"(?i)NULLS\s+(FIRST|LAST)", t2
                 ):
                     has_nulls = True
+                else:
+                    item_codes.append(k)
                 last_code = k
             elif depth == 0 and not t2.isspace():
                 last_code = k
+                item_codes.append(k)
             k += 1
         else:
             _close(last_code + 1)
@@ -7991,6 +8099,22 @@ def translate(sql: str) -> str:
     for _i, _t in enumerate(toks):
         if len(_t) >= 2 and _t[0] == '"' and _t[-1] == '"':
             toks[_i] = "`" + _t[1:-1].replace('""', '"').replace("`", "``") + "`"
+    # `#N` positional references inside ORDER BY / GROUP BY ≡ ordinals
+    # (reference positional_reference binder; FROM-schema resolution for
+    # SELECT-list #N happens upstream in Connection.sql)
+    _in_by = False
+    for _i, _t in enumerate(toks):
+        if re.match(r"^[A-Za-z_]", _t):
+            _u = _t.upper()
+            if _u == "BY":
+                _p = _prev_code(toks, _i - 1)
+                _in_by = _p >= 0 and toks[_p].upper() in ("ORDER", "GROUP")
+            elif _u not in ("ASC", "DESC", "NULLS", "FIRST", "LAST", "ALL"):
+                _in_by = False
+        elif _t == "#" and _in_by:
+            _n = _next_code(toks, _i + 1)
+            if _n < len(toks) and toks[_n].isdigit():
+                toks[_i] = ""
     toks = _rewrite_schema_refs(toks)
     if ":" in sql:
         toks = _rewrite_colon_alias(toks)
@@ -8052,6 +8176,7 @@ def translate(sql: str) -> str:
     _check_const_cast_ranges(toks)
     _check_order_by_terms(toks)
     _check_strictness(toks)
+    _check_alias_expr_strictness(toks)
     # DuckDB tolerates trailing commas (before FROM and before `)`)
     for _i, _t in enumerate(toks):
         if _t == ")" or _is_word(_t, "FROM"):
@@ -8112,11 +8237,14 @@ def translate(sql: str) -> str:
 
 
 def split_union_by_name(sql: str) -> tuple[list[str], list[str], str] | None:
-    """Detect top-level `UNION [ALL] BY NAME` (DuckDB-only; Spark has no SQL
-    spelling). Returns (branch_sqls, set_ops, trailing_clause) or None.
-    The caller unions the branches with DataFrame unionByName."""
+    """Detect top-level set-op chains involving `[UNION|EXCEPT|INTERSECT]
+    [ALL] BY NAME` (DuckDB-only; Spark has no SQL spelling) — either as a
+    top-level operator or inside a parenthesized branch. Returns
+    (branch_sqls, set_ops, trailing_clause) or None when no BY NAME is
+    involved. The caller combines the branches with DataFrame ops."""
     toks = _tokens(sql)
     idx: list[tuple[int, str]] = []
+    any_by_name = False
     depth = 0
     i = 0
     while i < len(toks):
@@ -8125,27 +8253,36 @@ def split_union_by_name(sql: str) -> tuple[list[str], list[str], str] | None:
             depth += 1
         elif t == ")":
             depth -= 1
-        elif depth == 0 and _is_word(t, "UNION"):
+        elif depth == 0 and re.match(r"^[A-Za-z_]", t) and \
+                t.upper() in ("UNION", "EXCEPT", "INTERSECT"):
             j = i + 1
             while j < len(toks) and toks[j].isspace():
                 j += 1
-            op = "UNION"
+            op = t.upper()
             if j < len(toks) and _is_word(toks[j], "ALL"):
-                op = "UNION ALL"
+                op += " ALL"
                 j += 1
                 while j < len(toks) and toks[j].isspace():
                     j += 1
+            k_end = j - 1  # last token of the operator phrase
             if j < len(toks) and _is_word(toks[j], "BY"):
                 k = j + 1
                 while k < len(toks) and toks[k].isspace():
                     k += 1
                 if k < len(toks) and _is_word(toks[k], "NAME"):
-                    idx.append((i, op))
-                    # blank out the operator tokens; branch split below
-                    for z in range(i, k + 1):
-                        toks[z] = "\x00" if z == i else ""
+                    op += " BY NAME"
+                    any_by_name = True
+                    k_end = k
+            idx.append((i, op))
+            # blank out the operator tokens; branch split below
+            for z in range(i, k_end + 1):
+                toks[z] = "\x00" if z == i else ""
+            i = k_end + 1
+            continue
         i += 1
     if not idx:
+        return None
+    if not any_by_name and not re.search(r"(?is)\bBY\s+NAME\b", sql):
         return None
     joined = "".join(t if t != "\x00" else "\x00" for t in toks)
     branches = joined.split("\x00")
@@ -8184,3 +8321,446 @@ def split_union_by_name(sql: str) -> tuple[list[str], list[str], str] | None:
                 pos += len(t)
             branches[-1] = last[:cut]
     return [b.strip() for b in branches], [op for _, op in idx], tail.strip()
+
+
+def _setop_branch_names(
+    toks: list[str], lo: int, hi: int,
+) -> tuple[list[str], list[str], set[str]]:
+    """(output column names, normalized item expressions, AS-alias names)
+    of one set-op branch (token span), best-effort. Unknown slots
+    become ''."""
+    k = _next_code(toks, lo)
+    # unwrap a fully-parenthesized branch
+    while k < hi and toks[k] == "(":
+        c = _match_paren(toks, k)
+        if c < 0:
+            break
+        rest = _next_code(toks, c + 1)
+        if rest < hi:
+            break
+        lo, hi = k + 1, c
+        k = _next_code(toks, lo)
+    sel = _top_level_index(toks, lo, hi, "SELECT")
+    if sel < 0:
+        return [], [], set()
+    f = _top_level_index(toks, sel + 1, hi, "FROM")
+    stop = f if f >= 0 else hi
+    for kw in ("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING"):
+        w = _top_level_index(toks, sel + 1, stop, kw)
+        if w >= 0:
+            stop = w
+    items = _split_top_args(toks[sel + 1:stop])
+    if items and items[0].strip().upper() in ("DISTINCT", "ALL"):
+        items[0] = items[0].strip()[len("DISTINCT"):] \
+            if items[0].strip().upper().startswith("DISTINCT") else \
+            items[0].strip()[3:]
+    names: list[str] = []
+    exprs: list[str] = []
+    as_aliases: set[str] = set()
+
+    def _norm(txt: str) -> str:
+        return re.sub(r"\s+", "", txt).lower()
+
+    for it in items:
+        it = it.strip()
+        am = re.search(r"(?is)\s+AS\s+([A-Za-z_]\w*)\s*$", it)
+        if am:
+            names.append(am.group(1).lower())
+            exprs.append(_norm(it[:am.start()]))
+            if _norm(it[:am.start()]) != am.group(1).lower():
+                as_aliases.add(am.group(1).lower())
+            continue
+        if it != "*":
+            exprs.append(_norm(it))
+        if re.fullmatch(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)*", it):
+            names.append(it.rsplit(".", 1)[-1].lower())
+        elif it == "*" and f >= 0:
+            # single FROM item with a trailing column-alias list
+            # `rel [AS] alias (c1, c2)`: names come from that list
+            got = None
+            k2 = f + 1
+            depth2 = 0
+            last_group = None
+            while k2 < hi:
+                t2 = toks[k2]
+                if t2 == "(":
+                    c2 = _match_paren(toks, k2)
+                    if c2 < 0 or c2 > hi:
+                        break
+                    p2 = _prev_code(toks, k2 - 1)
+                    if p2 > f and re.fullmatch(r"[A-Za-z_]\w*", toks[p2]) \
+                            and not _is_word(toks[p2], "AS"):
+                        last_group = (k2, c2)
+                    k2 = c2 + 1
+                    continue
+                if depth2 == 0 and t2 == ",":
+                    last_group = None
+                    break
+                k2 += 1
+            if last_group is not None:
+                cols = [c.strip().strip('`"')
+                        for c in _split_top_args(
+                            toks[last_group[0] + 1:last_group[1]])]
+                if cols and all(re.fullmatch(r"[A-Za-z_]\w*", c)
+                                for c in cols):
+                    got = [c.lower() for c in cols]
+            if got:
+                names.extend(got)
+                exprs.extend([""] * len(got))
+            else:
+                names.append("")
+                exprs.append("")
+        else:
+            names.append("")
+    return names, exprs, as_aliases
+
+
+def _rewrite_setop_order_refs(sql: str) -> str:
+    """The reference set-op binder resolves a trailing ORDER BY name
+    against the output names of EVERY branch (ordering by that column's
+    position) and accepts table-qualified spellings of branch columns
+    (src/planner/binder/query_node/bind_setop_node.cpp;
+    setops/ambiguous_order_by.test, order/test_order_by.test). Spark binds
+    only the first branch's unqualified names — rewrite to ordinals.
+    Retry-only: called on UNRESOLVED_COLUMN."""
+    toks = _tokens(sql)
+    ops: list[int] = []
+    ob = -1
+    depth = 0
+    for i, t in enumerate(toks):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and re.match(r"^[A-Za-z_]", t):
+            up = t.upper()
+            if up in ("UNION", "EXCEPT", "INTERSECT"):
+                ops.append(i)
+            elif up == "ORDER":
+                j = _next_code(toks, i + 1)
+                if j < len(toks) and _is_word(toks[j], "BY"):
+                    ob = i
+    if not ops or ob < 0 or ob < ops[-1]:
+        return sql
+    bounds = [0] + ops + [ob]
+    branch_names: list[list[str]] = []
+    branch_exprs: list[list[str]] = []
+    for bi in range(len(bounds) - 1):
+        lo = bounds[bi]
+        if bi > 0:
+            lo = _next_code(toks, lo + 1)
+            while lo < len(toks) and re.match(r"^[A-Za-z_]", toks[lo]) and \
+                    toks[lo].upper() in ("ALL", "DISTINCT", "BY", "NAME"):
+                lo = _next_code(toks, lo + 1)
+        bn, be, _ba = _setop_branch_names(toks, lo, bounds[bi + 1])
+        branch_names.append(bn)
+        branch_exprs.append(be)
+    first = branch_names[0]
+    # ORDER BY item list: from after BY to a top-level LIMIT/OFFSET or end
+    by = _next_code(toks, ob + 1)
+    end = len(toks)
+    depth = 0
+    for i in range(by + 1, len(toks)):
+        t = toks[i]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and re.match(r"^[A-Za-z_]", t) and \
+                t.upper() in ("LIMIT", "OFFSET"):
+            end = i
+            break
+    items = _split_arg_spans(toks, by + 1, end)
+    out = list(toks)
+    for lo, hi in items:
+        span = [t for t in toks[lo:hi]]
+        # trailing direction / NULLS keywords are not part of the name
+        code = [k for k in range(lo, hi)
+                if not toks[k].isspace() and toks[k] != ";"]
+        while code and re.match(r"^[A-Za-z_]", toks[code[-1]]) and \
+                toks[code[-1]].upper() in ("ASC", "DESC", "NULLS", "FIRST",
+                                           "LAST"):
+            code.pop()
+        if not code:
+            continue
+        expr_toks = [toks[k] for k in code]
+        expr = "".join(expr_toks)
+
+        def _ordinal(pos: int) -> None:
+            out[code[0]] = str(pos + 1)
+            for k in code[1:]:
+                out[k] = ""
+
+        if re.fullmatch(r"[A-Za-z_]\w*", expr):
+            name = expr.lower()
+            if name in first:
+                continue
+            for bn in branch_names[1:]:
+                if name in bn:
+                    pos = bn.index(name)
+                    if pos < len(first):
+                        _ordinal(pos)
+                    break
+        elif re.fullmatch(r"[A-Za-z_]\w*\.[A-Za-z_]\w*", expr):
+            base = expr.rsplit(".", 1)[-1].lower()
+            if base in first:
+                out[code[0]:code[-1] + 1] = [base] + \
+                    [""] * (code[-1] - code[0])
+        else:
+            # full-expression match against the branches' select items
+            # (reference binds ORDER BY expressions by equivalence); a
+            # match at DIFFERENT positions across branches is ambiguous
+            norm = re.sub(r"\s+", "", expr).lower()
+            positions = {be.index(norm) for be in branch_exprs
+                         if norm and norm in be}
+            if len(positions) > 1:
+                raise ValueError(
+                    f"Binder Error: column {expr} not found - it refers to "
+                    "different positions of the set operation branches"
+                )
+            if positions:
+                pos = positions.pop()
+                if pos < len(first):
+                    _ordinal(pos)
+    return "".join(out)
+
+
+def _scope_select_aliases(
+    toks: list[str], gi: int, const_only: bool = False,
+) -> set[str]:
+    """AS-aliases of the SELECT list owning the clause at token gi (same
+    paren depth, nearest preceding SELECT). const_only keeps only aliases
+    whose definition is a bare literal."""
+    depth = 0
+    sel = -1
+    for k in range(gi - 1, -1, -1):
+        t = toks[k]
+        if t == ")":
+            depth += 1
+        elif t == "(":
+            if depth == 0:
+                break
+            depth -= 1
+        elif depth == 0 and _is_word(t, "SELECT"):
+            sel = k
+            break
+    if sel < 0:
+        return set()
+    stop = gi
+    for kw in ("FROM", "WHERE"):
+        w = _top_level_index(toks, sel + 1, gi, kw)
+        if 0 <= w < stop:
+            stop = w
+    out: set[str] = set()
+    for it in _split_top_args(toks[sel + 1:stop]):
+        am = re.search(r"(?is)\s+AS\s+([A-Za-z_]\w*)\s*$", it.strip())
+        if am:
+            expr = re.sub(r"\s+", "", it.strip()[:am.start()]).lower()
+            if expr == am.group(1).lower():
+                continue
+            if const_only and not re.fullmatch(
+                r"-?\d+(\.\d+)?|'[^']*'|true|false|null", expr,
+            ):
+                continue
+            out.add(am.group(1).lower())
+    return out
+
+
+def _expr_has_alias_ref(toks: list[str], lo: int, hi: int,
+                        aliases: set[str]) -> bool:
+    """True if the token span contains a bare identifier (not a function
+    call, not qualified) naming one of `aliases`."""
+    for k in range(lo, hi):
+        t = toks[k]
+        if not re.fullmatch(r"[A-Za-z_]\w*", t) or t.lower() not in aliases:
+            continue
+        p = _prev_code(toks, k - 1)
+        if p >= 0 and toks[p] == ".":
+            continue
+        n = _next_code(toks, k + 1)
+        if n < hi and toks[n] == "(":
+            continue
+        return True
+    return False
+
+
+def _check_alias_expr_strictness(toks: list[str]) -> None:
+    """The reference binder rejects SELECT-list aliases used INSIDE
+    expressions (only as the root term): GROUP BY k+1 and, for set
+    operations, ORDER BY 1-k (src/planner/binder/query_node/
+    bind_select_node.cpp alias binding; aggregate/group/test_group_by.test,
+    order/test_order_by.test). Spark resolves both — raise to match."""
+    # --- GROUP BY items ---
+    i = 0
+    while i < len(toks):
+        if not _is_word(toks[i], "GROUP"):
+            i += 1
+            continue
+        j = _next_code(toks, i + 1)
+        if j >= len(toks) or not _is_word(toks[j], "BY"):
+            i += 1
+            continue
+        # columns win over aliases and we cannot see the catalog here:
+        # only constant-defined aliases (`1 AS k`) are provably not
+        # column shadows
+        aliases = _scope_select_aliases(toks, i, const_only=True)
+        if not aliases:
+            i = j + 1
+            continue
+        # clause span at this depth
+        end = len(toks)
+        depth = 0
+        for k in range(j + 1, len(toks)):
+            t = toks[k]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                if depth == 0:
+                    end = k
+                    break
+                depth -= 1
+            elif depth == 0 and re.match(r"^[A-Za-z_]", t) and t.upper() in (
+                "HAVING", "ORDER", "LIMIT", "WINDOW", "QUALIFY", "UNION",
+                "EXCEPT", "INTERSECT", "SELECT",
+            ):
+                end = k
+                break
+        for lo, hi in _split_arg_spans(toks, j + 1, end):
+            code = [k for k in range(lo, hi)
+                    if not toks[k].isspace() and toks[k] != ";"]
+            if not code:
+                continue
+            head = toks[code[0]].upper()
+            if head in ("ALL", "GROUPING", "ROLLUP", "CUBE"):
+                continue
+            expr = "".join(toks[k] for k in code)
+            if re.fullmatch(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)*|\d+", expr):
+                continue  # bare root reference / ordinal: allowed
+            if _expr_has_alias_ref(toks, lo, hi, aliases):
+                raise ValueError(
+                    "Binder Error: aliases cannot be used as part of an "
+                    "expression in the GROUP BY"
+                )
+        i = end
+    # --- set-op trailing ORDER BY items ---
+    ops = []
+    ob = -1
+    depth = 0
+    for i, t in enumerate(toks):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and re.match(r"^[A-Za-z_]", t):
+            up = t.upper()
+            if up in ("UNION", "EXCEPT", "INTERSECT"):
+                ops.append(i)
+            elif up == "ORDER":
+                j = _next_code(toks, i + 1)
+                if j < len(toks) and _is_word(toks[j], "BY"):
+                    ob = i
+    if not ops or ob < 0 or ob < ops[-1]:
+        return
+    bounds = [0] + ops + [ob]
+    aliases = set()
+    all_exprs: list[str] = []
+    for bi in range(len(bounds) - 1):
+        lo = bounds[bi]
+        if bi > 0:
+            lo = _next_code(toks, lo + 1)
+            while lo < len(toks) and re.match(r"^[A-Za-z_]", toks[lo]) and \
+                    toks[lo].upper() in ("ALL", "DISTINCT", "BY", "NAME"):
+                lo = _next_code(toks, lo + 1)
+        _bn, be, ba = _setop_branch_names(toks, lo, bounds[bi + 1])
+        aliases |= ba
+        all_exprs.extend(be)
+    if not aliases:
+        return
+    by = _next_code(toks, ob + 1)
+    end = len(toks)
+    depth = 0
+    for i in range(by + 1, len(toks)):
+        t = toks[i]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and re.match(r"^[A-Za-z_]", t) and \
+                t.upper() in ("LIMIT", "OFFSET"):
+            end = i
+            break
+    for lo, hi in _split_arg_spans(toks, by + 1, end):
+        code = [k for k in range(lo, hi)
+                if not toks[k].isspace() and toks[k] != ";"]
+        while code and re.match(r"^[A-Za-z_]", toks[code[-1]]) and \
+                toks[code[-1]].upper() in ("ASC", "DESC", "NULLS", "FIRST",
+                                           "LAST"):
+            code.pop()
+        if not code:
+            continue
+        expr = "".join(toks[k] for k in code)
+        if re.fullmatch(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)*|\d+", expr):
+            continue
+        if re.sub(r"\s+", "", expr).lower() in all_exprs:
+            continue  # matches a select item expression: allowed
+        if _expr_has_alias_ref(toks, code[0], code[-1] + 1, aliases):
+            raise ValueError(
+                f"Binder Error: Could not ORDER BY column: aliases cannot "
+                "be used as part of an expression in the ORDER BY of a "
+                "set operation"
+            )
+
+
+def setop_alias_map(sql: str) -> dict[str, str]:
+    """Map every output name reachable from any set-op arm of `sql` to the
+    FIRST arm's name at the same position (reference set-op binding: a
+    trailing ORDER BY name binds through any branch;
+    setops/test_union_by_name.test). Single-select inputs map names to
+    themselves."""
+
+    def walk(toks: list[str], lo: int, hi: int) -> tuple[list[str], dict]:
+        """(positional first-arm names, name->position) for a span."""
+        # unwrap full parenthesization
+        k = _next_code(toks, lo)
+        while k < hi and toks[k] == "(":
+            c = _match_paren(toks, k)
+            if c < 0 or _next_code(toks, c + 1) < hi:
+                break
+            lo, hi = k + 1, c
+            k = _next_code(toks, lo)
+        ops = []
+        depth = 0
+        for i in range(lo, hi):
+            t = toks[i]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and re.match(r"^[A-Za-z_]", t) and \
+                    t.upper() in ("UNION", "EXCEPT", "INTERSECT"):
+                ops.append(i)
+        if not ops:
+            bn, _be, _ba = _setop_branch_names(toks, lo, hi)
+            return bn, {nm: p for p, nm in enumerate(bn) if nm}
+        bounds = [lo] + ops + [hi]
+        first: list[str] = []
+        pos: dict[str, int] = {}
+        for bi in range(len(bounds) - 1):
+            alo = bounds[bi]
+            if bi > 0:
+                alo = _next_code(toks, alo + 1)
+                while alo < hi and re.match(r"^[A-Za-z_]", toks[alo]) and \
+                        toks[alo].upper() in ("ALL", "DISTINCT", "BY",
+                                              "NAME"):
+                    alo = _next_code(toks, alo + 1)
+            names, sub = walk(toks, alo, bounds[bi + 1])
+            if bi == 0:
+                first = names
+            for nm, p in sub.items():
+                pos.setdefault(nm, p)
+        return first, pos
+
+    toks = _tokens(sql)
+    first, pos = walk(toks, 0, len(toks))
+    return {nm: first[p] for nm, p in pos.items()
+            if p < len(first) and first[p]}

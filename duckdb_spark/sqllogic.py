@@ -860,7 +860,10 @@ class SLSession:
             # can honor e.g. order_by_non_integer_literal
             from duckdb_spark.sql.dialect import set_session_setting
 
-            set_session_setting(m.group(1), m.group(2))
+            val = m.group(2).strip().rstrip(";").strip()
+            if len(val) >= 2 and val[0] == val[-1] and val[0] in "'\"":
+                val = val[1:-1]
+            set_session_setting(m.group(1), val.lower())
             return None
         if _NOOP_RE.match(sql):
             # still reject syntactically broken PRAGMAs (unbalanced parens
