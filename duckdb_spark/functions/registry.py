@@ -220,6 +220,16 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         ),
         "epoch_ms": "CREATE OR REPLACE TEMPORARY FUNCTION epoch_ms(ts TIMESTAMP) RETURNS BIGINT RETURN unix_millis(ts)",
     }
+    # typeof() renders DuckDB type text (reference LogicalType::ToString):
+    # post-process Spark's typeof string; tiny constant strings, so a
+    # plain Python UDF is fine (not a data path)
+    try:
+        from duckdb_spark.types import duck_type_text
+
+        spark.udf.register("__ducktype", duck_type_text, "string")
+        created.append("typeof")
+    except Exception:
+        pass
     failed = []
     for name, ddl in macros.items():
         try:

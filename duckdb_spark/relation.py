@@ -236,6 +236,30 @@ def _sql_lit(v, dt) -> str:
     raise ValueError(f"not inlinable: {type(v)}")
 
 
+def _rewrite_fn_calls(query: str, fname: str, template) -> str:
+    """Replace every `fname(args)` call in raw DuckDB SQL text with
+    template(argtext) — token/paren-aware (analyzer error messages
+    normalize expressions, so error-driven retries can't regex-match the
+    original text; this locates the calls structurally)."""
+    from duckdb_spark.sql.dialect import _match_paren, _next_code, _tokens
+
+    qt = _tokens(query)
+    changed = False
+    qi = 0
+    while qi < len(qt):
+        if qt[qi].lower() == fname:
+            p = _next_code(qt, qi + 1)
+            if p < len(qt) and qt[p] == "(":
+                c = _match_paren(qt, p)
+                if c > 0:
+                    qt[qi:c + 1] = [template("".join(qt[p + 1:c]))]
+                    changed = True
+                    qi += 1
+                    continue
+        qi += 1
+    return "".join(qt) if changed else query
+
+
 def _materialize(df: DataFrame) -> DataFrame:
     """Truncate lineage between recursive-CTE rounds. localCheckpoint is
     the cheap path; Spark's rewriteStatsAndConstraints can throw
@@ -754,9 +778,16 @@ class Connection:
 
                 set_session_setting("__struct_subscript", "1")
                 try:
-                    return Relation(self.spark.sql(translate(query)))
+                    retried = translate(query)
                 finally:
                     set_session_setting("__struct_subscript", "")
+                if retried != translate(query):
+                    # fall through to the remaining handlers if the struct
+                    # reading doesn't analyze either
+                    try:
+                        return Relation(self.spark.sql(retried))
+                    except Exception:  # noqa: BLE001
+                        pass
             # DuckDB allows SELECT-list aliases inside window expressions;
             # Spark doesn't. Retry with aliases inlined into window specs
             # (retry-only: columns must win over aliases when both resolve)
@@ -809,6 +840,78 @@ class Connection:
                     f"timestamp_micros(CAST(avg(unix_micros(CAST(({a}) AS "
                     f"TIMESTAMP_LTZ))) AS BIGINT))",
                     query,
+                )
+                if new_q != query:
+                    return Relation(self.spark.sql(translate(new_q)))
+            # bit_and/bit_or/bit_xor over BIT (binary-backed '0'/'1'
+            # emulation, SURVEY §1.2): positionwise bitwise agg via
+            # base-2 conv to BIGINT and back (≤64 bits)
+            bitm = re.search(
+                r'Cannot resolve "(bit_and|bit_or|bit_xor)\((.+?)\)" due '
+                r"to data type mismatch", msg,
+            )
+            if bitm and '"BINARY"' in msg:
+                fn = bitm.group(1)
+                new_q = _rewrite_fn_calls(
+                    query, fn,
+                    lambda a: (
+                        f"lpad(conv(CAST({fn}(CAST(conv(CAST(({a}) AS "
+                        f"STRING), 2, 10) AS BIGINT)) AS BIGINT), 10, 2), "
+                        f"CAST(max(length(CAST(({a}) AS STRING))) AS INT), "
+                        f"'0')"
+                    ),
+                )
+                if new_q != query:
+                    return Relation(self.spark.sql(translate(new_q)))
+            # bit_count over the BIT emulation (binary/string of '0'/'1'):
+            # count the set positions textually
+            bcm = re.search(
+                r'Cannot resolve "bit_count\((.+?)\)" due to data type '
+                r"mismatch", msg,
+            )
+            if bcm and ('"BINARY"' in msg or '"STRING"' in msg):
+                new_q = _rewrite_fn_calls(
+                    query, "bit_count",
+                    lambda a: (f"CAST(length(regexp_replace(CAST(({a}) AS "
+                               f"STRING), '0', '')) AS INT)"),
+                )
+                if new_q != query:
+                    return Relation(self.spark.sql(translate(new_q)))
+            # lttb over TIMESTAMP x keys: the numeric axis goes through
+            # epoch micros (plain CAST(ts AS DOUBLE) fails analysis).
+            # Recurse through sql() so further retries still compose.
+            if "AS DOUBLE" in msg and ("TIMESTAMP" in msg
+                                       or "INTERVAL" in msg) and \
+                    re.search(r"(?i)\blttb\s*\(", query):
+                new_q = re.sub(r"(?i)\blttb\s*\(", "lttb_ts(", query)
+                if new_q != query:
+                    return self.sql(new_q)
+            # len()/length() over LIST values (reference: len works on
+            # lists and strings) → size()
+            lnm = re.search(
+                r'Cannot resolve "(len|length)\(', msg,
+            )
+            if lnm and '"ARRAY' in msg:
+                new_q = _rewrite_fn_calls(
+                    query, lnm.group(1), lambda a: f"size({a})",
+                )
+                if new_q != query:
+                    return Relation(self.spark.sql(translate(new_q)))
+            # median over non-numeric orderable values (LIST/STRUCT/…):
+            # the reference takes the discrete lower-middle element
+            # (reference quantile_disc 0.5 fallback)
+            medm = re.search(
+                r'Cannot resolve "median\((.+?)\)" due to data type '
+                r"mismatch", msg,
+            )
+            if medm:
+                new_q = _rewrite_fn_calls(
+                    query, "median",
+                    lambda a: (
+                        f"element_at(array_sort(collect_list({a})), "
+                        f"greatest(1, CAST(ceil(count(({a})) * 0.5) AS "
+                        f"INT)))"
+                    ),
                 )
                 if new_q != query:
                     return Relation(self.spark.sql(translate(new_q)))

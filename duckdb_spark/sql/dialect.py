@@ -5698,30 +5698,31 @@ def _rewrite_distinct_on(sql: str) -> str:
     row_number() PARTITION BY keys ORDER BY <order-minus-keys> rewrite.
     Applies at statement top level and inside parenthesized subqueries."""
     sql = re.sub(r"\s*;\s*$", "", sql)
+    # nested: rewrite every `( SELECT DISTINCT ON ...)` subquery body first
+    # (they can appear inside a top-level DISTINCT ON's select list too)
+    toks = _tokens(sql)
+    for i, t in enumerate(toks):
+        if t != "(":
+            continue
+        j = _next_code(toks, i + 1)
+        if j >= len(toks) or not _is_word(toks[j], "SELECT"):
+            continue
+        k = _next_code(toks, j + 1)
+        if k >= len(toks) or not _is_word(toks[k], "DISTINCT"):
+            continue
+        l = _next_code(toks, k + 1)
+        if l >= len(toks) or not _is_word(toks[l], "ON"):
+            continue
+        close = _match_paren(toks, i)
+        if close < 0:
+            continue
+        inner = "".join(toks[i + 1:close])
+        new = _rewrite_distinct_on(inner)
+        if new != inner:
+            toks[i + 1:close] = [new]
+            return _rewrite_distinct_on("".join(toks))
     m = re.match(r"(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(", sql)
     if not m:
-        # nested: rewrite every `( SELECT DISTINCT ON ...)` subquery body
-        toks = _tokens(sql)
-        for i, t in enumerate(toks):
-            if t != "(":
-                continue
-            j = _next_code(toks, i + 1)
-            if j >= len(toks) or not _is_word(toks[j], "SELECT"):
-                continue
-            k = _next_code(toks, j + 1)
-            if k >= len(toks) or not _is_word(toks[k], "DISTINCT"):
-                continue
-            l = _next_code(toks, k + 1)
-            if l >= len(toks) or not _is_word(toks[l], "ON"):
-                continue
-            close = _match_paren(toks, i)
-            if close < 0:
-                continue
-            inner = "".join(toks[i + 1:close])
-            new = _rewrite_distinct_on(inner)
-            if new != inner:
-                toks[i + 1:close] = [new]
-                return _rewrite_distinct_on("".join(toks))
         return sql
     toks = _tokens(sql)
     # find the ON ( ... ) span
@@ -5776,7 +5777,14 @@ def _rewrite_distinct_on(sql: str) -> str:
     tail = "".join(clauses.get(k, "") for k in ("LIMIT", "OFFSET"))
     if re.fullmatch(r"\*", sel.strip()):
         sel = "* EXCEPT (__rn)"
-    return f"SELECT {sel} FROM ({inner}) __distinct_on WHERE __rn = 1 {tail}".strip()
+    # single-table FROM: alias the wrapper with the table's visible name so
+    # table-qualified select items (integers.i) keep resolving
+    alias = "__distinct_on"
+    fm = re.match(r"(?is)^\s*FROM\s+([A-Za-z_][\w.]*)\s*$",
+                  clauses.get("FROM", ""))
+    if fm:
+        alias = fm.group(1).rsplit(".", 1)[-1]
+    return f"SELECT {sel} FROM ({inner}) {alias} WHERE __rn = 1 {tail}".strip()
 
 
 def _scope_span(sql: str, pos: int) -> tuple[int, int]:
@@ -6100,18 +6108,136 @@ def _macro_histogram_exact(x: str, elems: str) -> str:
     return f"map_from_entries({kb})"
 
 
+def _macro_lttb(x: str, y: str, n: str, o: str,
+                ts_keys: bool = False) -> str:
+    """lttb(x, y, n ORDER BY o) as one JVM-side expression (reference
+    core_functions lttb aggregate): collect the series, then a
+    deterministic sequential fold with aggregate(); transform-over-
+    single-element-array binds subexpressions once (SQL has no LET).
+    The x axis keeps its original type in the output; the double axis
+    used for the triangle geometry is normalized to the first point
+    BEFORE the double conversion, so selection is translation-invariant
+    even for epoch-nanosecond magnitudes. With ts_keys (the internal
+    lttb_ts retry spelling) x/o convert through epoch micros."""
+    if ts_keys:
+        def num(e: str) -> str:
+            return f"unix_micros(CAST(({e}) AS TIMESTAMP_LTZ))"
+    else:
+        def num(e: str) -> str:
+            return f"({e})"
+
+    pts0 = (
+        f"array_sort(collect_list(case when ({x}) is not null and "
+        f"({y}) is not null and ({o}) is not null then named_struct("
+        f"'o', {num(o)}, 'xr', {num(x)}, 'x', ({x}), "
+        # y keeps its exact type in the output (FLOAT stays FLOAT); the
+        # geometry below adds 0.0D, which is also what rejects TIMESTAMP
+        # y values at analysis like the reference's bind error (a plain
+        # CAST would happily convert)
+        f"'y', ({y})) end), "
+        f"(l, r) -> case when l.o < r.o then -1 "
+        f"when l.o > r.o then 1 else 0 end)"
+    )
+    norm = (
+        f"transform(__p0, p -> named_struct("
+        f"'xd', CAST((p.xr - element_at(__p0, 1).xr) AS DOUBLE), "
+        f"'yd', (p.y + 0.0D), 'x', p.x, 'y', p.y))"
+    )
+
+    def edge(k: str) -> str:
+        # np.linspace(1, cnt-1, n_out-1).astype(int)[k]
+        return (f"CAST(1.0D + ({k}) * (size(__pts) - 2.0D) / "
+                f"(({n}) - 2.0D) AS INT)")
+
+    # per-step bounds: lo/hi of this bucket, next bucket [nl, nh)
+    bounds = (
+        f"named_struct('lo', {edge('b')}, "
+        f"'hi', greatest({edge('b + 1')}, {edge('b')} + 1), "
+        f"'nl', {edge('b + 1')}, "
+        f"'nh', case when b + 2 <= ({n}) - 2 then {edge('b + 2')} "
+        f"else size(__pts) end)"
+    )
+    # anchor point + next-bucket averages
+    metrics = (
+        f"named_struct("
+        f"'xa', element_at(__pts, acc.a + 1).xd, "
+        f"'ya', element_at(__pts, acc.a + 1).yd, "
+        f"'ax', case when __c.nh > __c.nl then "
+        f"aggregate(slice(__pts, __c.nl + 1, __c.nh - __c.nl), 0.0D, "
+        f"(s, p) -> s + p.xd) / (__c.nh - __c.nl) "
+        f"else element_at(__pts, size(__pts)).xd end, "
+        f"'ay', case when __c.nh > __c.nl then "
+        f"aggregate(slice(__pts, __c.nl + 1, __c.nh - __c.nl), 0.0D, "
+        f"(s, p) -> s + p.yd) / (__c.nh - __c.nl) "
+        f"else element_at(__pts, size(__pts)).yd end)"
+    )
+    area = (
+        f"abs((__m.xa - __m.ax) * (element_at(__pts, i + 1).yd - __m.ya) "
+        f"- (__m.xa - element_at(__pts, i + 1).xd) * (__m.ay - __m.ya))"
+    )
+    best = (
+        f"aggregate(sequence(__c.lo, __c.hi - 1), "
+        f"named_struct('bi', __c.lo, 'ba', CAST(-1.0 AS DOUBLE)), "
+        f"(ac2, i) -> element_at(transform(array({area}), "
+        f"__ar -> case when __ar > ac2.ba then "
+        f"named_struct('bi', i, 'ba', __ar) else ac2 end), 1), "
+        f"ac2 -> ac2.bi)"
+    )
+    step = (
+        f"element_at(transform(array({bounds}), __c -> "
+        f"element_at(transform(array({metrics}), __m -> "
+        f"element_at(transform(array({best}), __b -> "
+        f"named_struct('a', __b, 's', concat(acc.s, array(__b)))"
+        f"), 1)), 1)), 1)"
+    )
+    fold = (
+        f"aggregate(sequence(0, ({n}) - 3), "
+        f"named_struct('a', 0, 's', CAST(array() AS ARRAY<INT>)), "
+        f"(acc, b) -> {step}, acc -> acc.s)"
+    )
+    body = (
+        f"case when size(__pts) = 0 then NULL "
+        f"when size(__pts) <= ({n}) then "
+        f"transform(__pts, p -> named_struct('x', p.x, 'y', p.y)) "
+        f"else transform(array_sort(array_distinct(concat(array(0), "
+        f"case when ({n}) >= 3 then {fold} else "
+        f"CAST(array() AS ARRAY<INT>) end, array(size(__pts) - 1)))), "
+        f"__i -> named_struct('x', element_at(__pts, __i + 1).x, "
+        f"'y', element_at(__pts, __i + 1).y)) end"
+    )
+    return (f"element_at(transform(array({pts0}), __p0 -> "
+            f"element_at(transform(array({norm}), __pts -> {body}), 1)"
+            f"), 1)")
+
+
 def _macro_bitstring(x: str, mn: str | None = None, mx: str | None = None) -> str:
     """'0'/'1' string with bit (x - min) set (reference bitstring_agg;
     BIT emulated as char string). 1-arg form derives bounds from the data."""
+    # values may exceed INT64 (HUGEINT input): keep bounds in DECIMAL(38,0)
+    # and only cast the OFFSET (x - min), which is bounded by the string
+    # width, down to INT
     if mn is None:
-        mn_e, mx_e = f"cast(min({x}) as int)", f"cast(max({x}) as int)"
+        mn_e, mx_e = (f"cast(min({x}) as decimal(38,0))",
+                      f"cast(max({x}) as decimal(38,0))")
     else:
-        mn_e, mx_e = f"cast(({mn}) as int)", f"cast(({mx}) as int)"
-    return (
-        f"array_join(transform(sequence(0, {mx_e} - {mn_e}), "
-        f"__i -> case when array_contains(collect_set(cast(({x}) as int)), "
-        f"cast(__i as int) + {mn_e}) then '1' else '0' end), '')"
+        mn_e, mx_e = (f"cast(({mn}) as decimal(38,0))",
+                      f"cast(({mx}) as decimal(38,0))")
+    body = (
+        f"array_join(transform(sequence(0, cast({mx_e} - {mn_e} as int)), "
+        f"__i -> case when array_contains(collect_set(cast(({x}) as "
+        f"decimal(38,0))), cast(__i as decimal(38,0)) + {mn_e}) "
+        f"then '1' else '0' end), '')"
     )
+    if mn is not None:
+        # explicit bounds: a value outside them is an error
+        # (reference bitstring_agg bind: Out of Range)
+        return (
+            f"if(max(case when cast(({x}) as decimal(38,0)) < {mn_e} or "
+            f"cast(({x}) as decimal(38,0)) > {mx_e} then 1 else 0 end) = 1, "
+            f"raise_error('Out of Range Error: Value is outside of provided "
+            f"min and max range'), {body})"
+        )
+    return body
 
 
 _LIST_AGG_NAMES = {"list_aggregate", "list_aggr", "array_aggregate", "array_aggr"}
@@ -6615,6 +6741,41 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
         return _macro_histogram_binned(args[0], args[1])
     if name == "histogram_exact" and n == 2:
         return _macro_histogram_exact(args[0], args[1])
+    if name == "typeof" and n == 1:
+        # DuckDB type spelling over Spark's typeof (reference
+        # LogicalType::ToString; __ducktype registered in functions/registry)
+        return f"__ducktype(typeof({args[0]}))"
+    if name == "make_timestamp_ns" and n == 1:
+        # TIMESTAMP_NS carried as BIGINT epoch nanos (SURVEY §1.2: Spark
+        # has no ns timestamp; the µs cast would collapse sub-µs values)
+        return f"CAST(({args[0]}) AS BIGINT)"
+    if name == "epoch_ns" and n == 1:
+        # ns for the BIGINT carrier, µs*1000 for real timestamps
+        return (f"case when typeof(({args[0]})) in ('bigint', 'int') then "
+                f"CAST(({args[0]}) AS BIGINT) else "
+                f"unix_micros(CAST(({args[0]}) AS TIMESTAMP_LTZ)) * 1000 "
+                f"end")
+    if name == "bit_length" and n == 1 and (
+        re.match(r"(?is)^\s*array_join\s*\(\s*transform\s*\(\s*sequence",
+                 args[0])
+        or re.search(r"(?is)as\s+binary\s*\)\s*$", args[0])
+    ):
+        # bit_length of a BIT value counts BITS (reference
+        # bit_functions.hpp) — our emulation stores one char per bit
+        return f"length(CAST(({args[0]}) AS STRING))"
+    if name == "get_bit" and n == 2:
+        # BIT emulation is a binary of ASCII '0'/'1' (SURVEY §1.2;
+        # reference bit_functions.hpp) — 0-indexed from the left
+        return (f"CAST(substr(CAST(({args[0]}) AS STRING), "
+                f"CAST(({args[1]}) AS INT) + 1, 1) AS INT)")
+    if name == "set_bit" and n == 3:
+        s = f"CAST(({args[0]}) AS STRING)"
+        return (f"CAST(concat(substr({s}, 1, CAST(({args[1]}) AS INT)), "
+                f"CAST(({args[2]}) AS STRING), "
+                f"substr({s}, CAST(({args[1]}) AS INT) + 2)) AS BINARY)")
+    if name == "bit_position" and n == 2:
+        return (f"instr(CAST(({args[1]}) AS STRING), "
+                f"CAST(({args[0]}) AS STRING))")
     if name == "bitstring_agg" and n == 1:
         return _macro_bitstring(args[0])
     if name == "bitstring_agg" and n == 3:
@@ -6859,6 +7020,8 @@ _MACRO_NAMES = {
     "list_extract", "array_extract", "epoch",
     "struct_contains", "struct_position", "try", "concat_ws",
     "string_split", "str_split", "string_to_array",
+    "get_bit", "set_bit", "bit_position", "bit_length",
+    "make_timestamp_ns", "epoch_ns", "typeof",
 } | _LIST_AGG_NAMES | set(_TO_INTERVAL_FNS)
 
 
@@ -7771,6 +7934,37 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
                         body = "".join(out[inner:fc]).strip()
                         filt_cond = re.sub(r"(?is)^WHERE\b", "", body).strip()
                         filt_end = fc
+            if name in ("lttb", "lttb_ts"):
+                # lttb(x, y, n ORDER BY o) (reference core_functions lttb)
+                # → one JVM-side collect_list + aggregate() fold; the
+                # lttb_ts spelling is the TIMESTAMP-keys retry
+                largs = _split_top_args(arg_toks)
+                if len(largs) == 3:
+                    nt = largs[2].strip()
+                    if re.fullmatch(r"[\d\s()+\-*/.]+", nt):
+                        nval = float(eval(nt, {"__builtins__": {}}))
+                    else:
+                        nval = _try_const_eval(nt)
+                    if nval is None:
+                        raise ValueError(
+                            "Binder Error: lttb target count must be a "
+                            "constant"
+                        )
+                    if float(nval) < 2:
+                        raise ValueError(
+                            "Binder Error: lttb target count must be at "
+                            "least 2"
+                        )
+                    okey = re.sub(
+                        r"(?i)\s+(ASC|DESC)\s*$", "",
+                        "".join(order_toks).strip(),
+                    ).strip()
+                    out[i:close + 1] = [
+                        _macro_lttb(largs[0], largs[1], largs[2], okey,
+                                    ts_keys=name == "lttb_ts")
+                    ]
+                    i += 1
+                    continue
             if name in ("arg_min", "arg_max", "min_by", "max_by"):
                 margs = _split_top_args(arg_toks)
                 if len(margs) == 3:
@@ -7834,8 +8028,8 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
                 out[close + 1:close + 1] = [f" WITHIN GROUP (ORDER BY {order})"]
                 out[i] = "listagg"
             elif name in _LIST_AGGS:
-                order = "".join(order_toks).strip()
-                arg = "".join(arg_toks).strip()
+                order = "".join(_rewrite_calls(order_toks)).strip()
+                arg = "".join(_rewrite_calls(arg_toks)).strip()
                 desc = order.upper().endswith(" DESC")
                 key = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", order).strip()
                 dm = re.match(r"(?is)^\s*DISTINCT\s+(.*)$", arg)
@@ -7864,7 +8058,7 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
                     # ordered by other key(s): comparator-sorted collect of
                     # (value, keys) structs, then project the values back
                     entries = []
-                    for part in _split_top_args(order_toks):
+                    for part in _split_top_args(_rewrite_calls(order_toks)):
                         p = part.strip()
                         nf = bool(re.search(r"(?i)\bNULLS\s+FIRST\s*$", p))
                         p = re.sub(r"(?i)\s+NULLS\s+(FIRST|LAST)\s*$", "", p).strip()
@@ -8059,6 +8253,12 @@ def translate(sql: str) -> str:
         lambda m: f"cast('{m.group(1)}' as binary)",
         sql,
     )
+    # TIMESTAMPTZ typed literals: Spark spells the instant type TIMESTAMP
+    sql = re.sub(
+        r"(?i)\b(?:TIMESTAMPTZ|TIMESTAMP\s+WITH\s+TIME\s+ZONE)\s*'([^']*)'",
+        lambda m: f"cast('{m.group(1)}' as timestamp)",
+        sql,
+    )
     # `SELECT * AS x FROM generate_series/range(...)`: DuckDB renames the
     # single output column; only these two sources have a known column name
     sql = re.sub(
@@ -8185,6 +8385,23 @@ def translate(sql: str) -> str:
                 _p -= 1
             if _p >= 0 and toks[_p] == ",":
                 toks[_p] = " "
+    # `finalize(agg(...) EXPORT_STATE)` ≡ the aggregate itself (the state
+    # round-trips; reference aggregate_state export) — strip both markers
+    _i = 0
+    while _i < len(toks):
+        if _is_word(toks[_i], "FINALIZE"):
+            _p = _next_code(toks, _i + 1)
+            if _p < len(toks) and toks[_p] == "(":
+                _c = _match_paren(toks, _p)
+                if _c > 0 and any(
+                    _is_word(toks[_k], "EXPORT_STATE")
+                    for _k in range(_p + 1, _c)
+                ):
+                    for _k in range(_p + 1, _c):
+                        if _is_word(toks[_k], "EXPORT_STATE"):
+                            toks[_k] = ""
+                    toks[_i] = ""
+        _i += 1
     toks = _rewrite_groups_frames(toks)
     toks = _rewrite_empty_frames(toks)
     toks = _rewrite_exclude_frames(toks)

@@ -243,6 +243,11 @@ def parse_file(path: str) -> list[Record]:
             continue
         if head == "require":
             feat = " ".join(tok[1:])
+            if tok[1] == "noforcestorage" and records:
+                # mid-file storage-version gate: the remainder stores
+                # native aggregate-state columns (out of scope, SURVEY
+                # §2.10) — grade the prefix
+                break
             if tok[1] not in _REQUIRE_OK:
                 raise FileSkip(f"require {feat}")
             i += 1

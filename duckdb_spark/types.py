@@ -211,3 +211,54 @@ def spark_type_to_duckdb(dt: T.DataType) -> str:
         inner = ", ".join(f'"{f.name}" {spark_type_to_duckdb(f.dataType)}' for f in dt.fields)
         return f"STRUCT({inner})"
     return dt.simpleString().upper()
+
+
+_DUCK_BASE_TYPES = {
+    "boolean": "BOOLEAN", "tinyint": "TINYINT", "smallint": "SMALLINT",
+    "int": "INTEGER", "integer": "INTEGER", "bigint": "BIGINT",
+    "float": "FLOAT", "double": "DOUBLE", "string": "VARCHAR",
+    "binary": "BLOB", "date": "DATE", "timestamp_ntz": "TIMESTAMP",
+    "timestamp": "TIMESTAMP WITH TIME ZONE", "void": '"NULL"',
+    "null": '"NULL"', "variant": "VARIANT",
+}
+
+
+def duck_type_text(s: str) -> str:
+    """Spark simpleString type text → DuckDB type text (reference
+    LogicalType::ToString; used by typeof()). Recursive descent over
+    `array<…>`, `map<…,…>`, `struct<name:…, …>`, `decimal(p,s)`."""
+    s = s.strip()
+
+    def parse(i: int) -> tuple[str, int]:
+        j = i
+        while j < len(s) and (s[j].isalnum() or s[j] in "_ "):
+            j += 1
+        name = s[i:j].strip().lower()
+        if j < len(s) and s[j] == "(":
+            k = s.index(")", j)
+            return f"{name.upper()}({s[j + 1:k]})", k + 1
+        if name == "array" and j < len(s) and s[j] == "<":
+            inner, k = parse(j + 1)
+            return inner + "[]", k + 1  # past '>'
+        if name == "map" and j < len(s) and s[j] == "<":
+            kt, k = parse(j + 1)
+            vt, k2 = parse(k + 1)  # past ','
+            return f"MAP({kt}, {vt})", k2 + 1
+        if name == "struct" and j < len(s) and s[j] == "<":
+            fields = []
+            k = j + 1
+            while s[k] != ">":
+                c = s.index(":", k)
+                fname = s[k:c].strip()
+                ftype, k = parse(c + 1)
+                fields.append(f"{fname} {ftype}")
+                if s[k] == ",":
+                    k += 1
+            return "STRUCT(" + ", ".join(fields) + ")", k + 1
+        return _DUCK_BASE_TYPES.get(name, name.upper()), j
+
+    try:
+        out, _ = parse(0)
+        return out
+    except Exception:  # malformed input: pass through
+        return s
