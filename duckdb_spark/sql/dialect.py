@@ -4905,9 +4905,16 @@ def _normalize_null_order(toks: list[str]) -> list[str]:
                 items = _owner()
                 n = int(out[item_codes[0]])
                 if items is not None and 1 <= n <= len(items) and \
-                        items[n - 1][0]:
+                        items[n - 1][0] and not (
+                            items[n - 1][1] is None
+                            and re.search(r"(?i)\bover\b", items[n - 1][0])
+                        ):  # window exprs can't be re-stated in ORDER BY
                     expr, alias = items[n - 1]
-                    out[item_codes[0]] = alias or "(" + expr + ")"
+                    # pre-expand macro calls in the substituted snippet:
+                    # it lands as ONE opaque token that the later global
+                    # _rewrite_calls pass will not descend into
+                    out[item_codes[0]] = alias or "".join(
+                        _rewrite_calls(_tokens("(" + expr + ")")))
                 else:
                     desc = False
                     has_nulls = False
