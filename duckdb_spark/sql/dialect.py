@@ -5357,6 +5357,21 @@ def _rewrite_select_unnest(toks: list[str]) -> list[str]:
     with NULL; emitted as an index transform over try_element_at so the
     padding is exact. Bare single unnests keep the plain explode path."""
     out = list(toks)
+    # recurse into parenthesized sub-SELECTs first (aligned unnests can
+    # appear inside a FROM subquery; token-LIST splice keeps later passes
+    # able to descend)
+    i = 0
+    while i < len(out):
+        if out[i] == "(":
+            j = _next_code(out, i + 1)
+            if j < len(out) and _is_word(out[j], "SELECT"):
+                c = _match_paren(out, i)
+                if c > 0:
+                    inner = out[i + 1:c]
+                    new = _rewrite_select_unnest(inner)
+                    if "".join(new) != "".join(inner):
+                        out[i + 1:c] = new
+        i += 1
     # top-level SELECT region
     si = -1
     depth = 0
@@ -8248,6 +8263,7 @@ def translate(sql: str) -> str:
     # … and inside parenthesized subqueries: `( FROM t ...`
     sql = re.sub(r"(?i)\(\s*FROM\b", "( SELECT * FROM", sql)
     sql = _fold_time_literals(sql)
+    sql = _rewrite_unnest_group_by(sql)
     # `TABLE t` ≡ `SELECT * FROM t` (reference parser TableStatement)
     sql = re.sub(
         r"(?is)^(\s*)TABLE\s+([A-Za-z_][\w.]*)\s*(;?\s*)$",
@@ -8415,6 +8431,7 @@ def translate(sql: str) -> str:
     toks = _rewrite_frame_bound_exprs(toks)
     toks = _strip_ignored_frames(toks)
     toks = _rewrite_ntile_null(toks)
+    toks = _rewrite_collate(toks)
     toks = _rewrite_exclude(toks)
     toks = _rewrite_floordiv(toks)
     toks = _rewrite_regex_op(toks)
@@ -8457,6 +8474,9 @@ def translate(sql: str) -> str:
     out = _rewrite_distinct_orderby(out)
     out = _rewrite_distinct_on(out)
     out = _rewrite_qualify(out)
+    if get_session_setting("scalar_subquery_error_on_multiple_rows") \
+            == "false":
+        out = limit_scalar_subqueries(out)
     return out
 
 
@@ -8988,3 +9008,276 @@ def setop_alias_map(sql: str) -> dict[str, str]:
     first, pos = walk(toks, 0, len(toks))
     return {nm: first[p] for nm, p in pos.items()
             if p < len(first) and first[p]}
+
+
+_COLLATION_MAP = {
+    "nocase": "UTF8_LCASE", "noaccent": "UNICODE_AI",
+    "nocase.noaccent": "UNICODE_CI_AI", "noaccent.nocase": "UNICODE_CI_AI",
+    "nfc": "UTF8_BINARY", "c": "UTF8_BINARY", "posix": "UTF8_BINARY",
+    "binary": "UTF8_BINARY",
+}
+
+
+def _rewrite_collate(toks: list[str]) -> list[str]:
+    """`expr COLLATE name` (reference ICU collations,
+    extension/icu/collation/) → Spark 4 collate(expr, '<collation>'):
+    NOCASE ≈ UTF8_LCASE, NOACCENT ≈ UNICODE_AI, ICU locale codes pass
+    through. Skipped in column DDL (type position)."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if not _is_word(out[i], "COLLATE"):
+            i += 1
+            continue
+        j = _next_code(out, i + 1)
+        if j >= len(out):
+            break
+        name = out[j].strip("'\"").lower()
+        # operand: walk back over one atom (dotted path / literal / group)
+        p = _prev_code(out, i - 1)
+        if p < 0:
+            i += 1
+            continue
+        if re.match(r"(?i)^(VARCHAR|TEXT|STRING|CHAR)$", out[p]):
+            # column DDL: `s VARCHAR COLLATE NOCASE` — drop the clause,
+            # collation enforcement is per-expression in this engine
+            out[i:j + 1] = [""]
+            continue
+        if out[p] == ")":
+            start = _match_paren_rev(out, p)
+            q = _prev_code(out, start - 1)
+            if q >= 0 and re.match(r"^[A-Za-z_]\w*$", out[q]):
+                start = q  # function call
+        else:
+            start = p
+            while True:
+                q = _prev_code(out, start - 1)
+                if q >= 0 and out[q] == ".":
+                    q2 = _prev_code(out, q - 1)
+                    if q2 >= 0:
+                        start = q2
+                        continue
+                break
+        if start < 0:
+            i += 1
+            continue
+        mapped = _COLLATION_MAP.get(name, name)
+        operand = "".join(out[start:p + 1])
+        out[start:j + 1] = [f"collate({operand}, '{mapped}')"]
+        i = start + 1
+    return out
+
+
+def limit_scalar_subqueries(sql: str) -> str:
+    """With scalar_subquery_error_on_multiple_rows=false the reference
+    returns the FIRST row of a multi-row scalar subquery instead of
+    erroring (settings.cpp). Append LIMIT 1 to expression-position
+    subqueries; table/membership positions (FROM/JOIN/IN/EXISTS) are
+    untouched. Retry-only (SCALAR_SUBQUERY_TOO_MANY_ROWS)."""
+    toks = _tokens(sql)
+    out = list(toks)
+    i = 0
+    changed = False
+    while i < len(out):
+        if out[i] != "(":
+            i += 1
+            continue
+        j = _next_code(out, i + 1)
+        if j >= len(out) or not _is_word(out[j], "SELECT"):
+            i += 1
+            continue
+        p = _prev_code(out, i - 1)
+        prev = out[p] if p >= 0 else ""
+        if re.match(r"^[A-Za-z_`\"]", prev) and prev.upper() not in (
+            "SELECT", "WHEN", "THEN", "ELSE", "AND", "OR", "NOT",
+            "WHERE", "HAVING", "BETWEEN", "RETURN", "BY",
+        ):
+            i += 1  # FROM/JOIN/IN/EXISTS/alias/function-call position
+            continue
+        if prev == ",":
+            # disambiguate FROM list vs select list: nearest enclosing
+            # clause keyword at this depth going backwards
+            clause = ""
+            d2 = 0
+            for q in range(p - 1, -1, -1):
+                tq = out[q]
+                if tq == ")":
+                    d2 += 1
+                elif tq == "(":
+                    if d2 == 0:
+                        break
+                    d2 -= 1
+                elif d2 == 0 and re.match(r"^[A-Za-z_]", tq) and \
+                        tq.upper() in ("SELECT", "FROM", "JOIN", "WHERE",
+                                       "HAVING", "GROUP", "ORDER"):
+                    clause = tq.upper()
+                    break
+            if clause in ("FROM", "JOIN"):
+                i += 1
+                continue
+        close = _match_paren(out, i)
+        if close < 0:
+            i += 1
+            continue
+        if _top_level_index(out, j + 1, close, "LIMIT") < 0:
+            out[close:close] = [" LIMIT 1 "]
+            changed = True
+            i = close + 2
+            continue
+        i = close + 1
+    return "".join(out) if changed else sql
+
+
+def _rewrite_unnest_group_by(sql: str) -> str:
+    """`SELECT …unnest(arr)… AS a, agg() … GROUP BY a|<unnest expr>`
+    (reference unnest.cpp + group binder;
+    types/list/unnest_group_by.test): the unnest expands rows BEFORE
+    grouping — push every unnest of the hit items into a derived table
+    and group over the exploded column."""
+    if not re.search(r"(?is)\bunnest\s*\(", sql) or \
+            not re.search(r"(?is)\bGROUP\s+BY\b", sql):
+        return sql
+    toks = _tokens(sql)
+    for kw in ("UNION", "EXCEPT", "INTERSECT", "WITH"):
+        if _find_top_level(toks, kw) >= 0:
+            return sql
+    clauses = _split_clauses(sql)
+    if "SELECT" not in clauses or "GROUP" not in clauses:
+        return sql
+    sel = re.sub(r"(?is)^SELECT\s*", "", clauses["SELECT"]).strip()
+    items = _split_top_args(_tokens(sel))
+
+    def extract_unnests(text: str):
+        """Replace each unnest(...) call with a placeholder; returns
+        (new_text, [(placeholder, call_text)])."""
+        t = _tokens(text)
+        calls = []
+        i = 0
+        while i < len(t):
+            if re.fullmatch(r"(?i)unnest", t[i]):
+                p = _next_code(t, i + 1)
+                if p < len(t) and t[p] == "(":
+                    c = _match_paren(t, p)
+                    if c > 0:
+                        ph = f"__ug{len(_UGB_COUNTER) + len(calls)}"
+                        calls.append((ph, "".join(t[i:c + 1])))
+                        t[i:c + 1] = [ph]
+                        i += 1
+                        continue
+            i += 1
+        return "".join(t), calls
+
+    # which items does the GROUP BY hit? by alias, ordinal, or by a key
+    # that is itself an unnest expression appearing in an item
+    gb = re.sub(r"(?is)^GROUP\s+BY\s*", "", clauses["GROUP"]).strip()
+    keys = [k.strip() for k in _split_top_args(_tokens(gb))]
+    norm_keys = {re.sub(r"\s+", "", k).lower() for k in keys}
+    aliased = {}
+    for idx, it in enumerate(items):
+        am = re.search(r"(?is)\s+AS\s+([A-Za-z_]\w*)\s*$", it.strip())
+        if am and re.search(r"(?is)\bunnest\s*\(", it):
+            aliased[idx] = am.group(1)
+    # reference binder errors for unnest keys (unnest_group_by.test)
+    for k in keys:
+        if not re.search(r"(?is)\bunnest\s*\(", k):
+            continue
+        if _COMMON_AGG_RE.search(re.sub(r"(?is)\bunnest\b", "", k)):
+            raise ValueError(
+                "Binder Error: GROUP BY clause cannot contain aggregates!")
+        if re.search(r"(?is)\bover\s*\(", k):
+            raise ValueError(
+                "Binder Error: GROUP BY clause cannot contain window "
+                "functions!")
+        if re.search(r"(?is)\bunnest\s*\(\s*\{", k):
+            raise ValueError(
+                "Binder Error: UNNEST of struct cannot be used in GROUP "
+                "BY clause")
+    if len(keys) == 1 and keys[0].upper() == "ALL" and any(
+        re.search(r"(?is)\bunnest\s*\(", it) for it in items
+    ):
+        raise ValueError(
+            "Binder Error: Cannot group on an UNNEST or UNLIST clause")
+    hits = set()
+    for idx, a in aliased.items():
+        if a.lower() in norm_keys or str(idx + 1) in norm_keys:
+            hits.add(idx)
+    # GROUP BY <unnest expr> matching an item's own unnest call
+    for idx, it in enumerate(items):
+        if idx in hits or not re.search(r"(?is)\bunnest\s*\(", it):
+            continue
+        for k in keys:
+            if re.search(r"(?is)\bunnest\s*\(", k) and \
+                    re.sub(r"\s+", "", k).lower() in \
+                    re.sub(r"\s+", "", it).lower():
+                hits.add(idx)
+    if not hits:
+        return sql
+    _UGB_COUNTER.clear()
+    inner_defs = []
+    new_items = []
+    outer_items = None  # set when non-grouped unnests re-expand on top
+    call_map = {}  # normalized call text -> placeholder
+    for idx, it in enumerate(items):
+        if idx not in hits:
+            new_items.append(it.strip())
+            continue
+        new_text, calls = extract_unnests(it.strip())
+        for ph, call in calls:
+            inner_defs.append(f"{call} AS {ph}")
+            call_map[re.sub(r"\s+", "", call).lower()] = ph
+            _UGB_COUNTER.append(ph)
+        new_items.append(new_text)
+    # an UNGROUPED unnest item expands the full list again per output
+    # row of the aggregation (reference: post-aggregate unnest)
+    if any(idx not in hits and re.search(r"(?is)\bunnest\s*\(", it)
+           for idx, it in enumerate(items)):
+        mid_items, outer_items = [], []
+        for idx, it in enumerate(items):
+            if idx not in hits and re.search(r"(?is)\bunnest\s*\(", it):
+                outer_items.append(it.strip())
+                continue
+            txt = new_items[idx]
+            am = re.search(r"(?is)\s+AS\s+([A-Za-z_]\w*)\s*$", txt)
+            alias = am.group(1) if am else f"__agg{idx}"
+            mid_items.append(txt if am else f"{txt} AS {alias}")
+            outer_items.append(alias)
+        new_items = mid_items
+    new_keys = []
+    for k in keys:
+        nk = re.sub(r"\s+", "", k).lower()
+        if nk in call_map:
+            new_keys.append(call_map[nk])
+        elif re.search(r"(?is)\bunnest\s*\(", k):
+            # unnest wrapped inside the key expression: substitute the
+            # exploded column for each matching call
+            ktext, kcalls = extract_unnests(k)
+            for ph, call in kcalls:
+                ktext = ktext.replace(
+                    ph,
+                    call_map.get(re.sub(r"\s+", "", call).lower(), call),
+                )
+            new_keys.append(ktext)
+        else:
+            new_keys.append(k)
+    frm = clauses.get("FROM", "").strip()
+    where = clauses.get("WHERE", "").strip()
+    inner = f"SELECT {', '.join(inner_defs)} {frm} {where}".strip() \
+        if not frm else \
+        f"SELECT *, {', '.join(inner_defs)} {frm} {where}".strip()
+    tail = "".join(clauses.get(k, "") for k in
+                   ("HAVING", "QUALIFY", "WINDOW", "ORDER", "LIMIT",
+                    "OFFSET"))
+    if outer_items is None:
+        return (f"SELECT {', '.join(new_items)} FROM ({inner}) "
+                f"__unnest_gb GROUP BY {', '.join(new_keys)} {tail}")
+    having = clauses.get("HAVING", "")
+    mid = (f"SELECT {', '.join(new_items)} FROM ({inner}) __unnest_gb "
+           f"GROUP BY {', '.join(new_keys)} {having}")
+    tail2 = "".join(clauses.get(k, "") for k in
+                    ("QUALIFY", "WINDOW", "ORDER", "LIMIT", "OFFSET"))
+    return (f"SELECT {', '.join(outer_items)} FROM ({mid}) __unnest_gb2 "
+            f"{tail2}")
+
+
+_UGB_COUNTER: list[str] = []
+
