@@ -317,6 +317,16 @@ def _rewrite_exclude_frames(toks: list[str]) -> list[str]:
                 fn_idx = _prev_code(out, po - 1)
         fn = out[fn_idx].upper() if fn_idx >= 0 and re.match(
             r"^[A-Za-z_]", out[fn_idx]) else ""
+        if fn in _EXCLUDE_RANKING and mode != "NO OTHERS" and any(
+            _is_word(a, "ORDER") for a in args
+        ):
+            # reference window binder: the ORDERED-argument ranking form
+            # rejects EXCLUDE (window/test_invalid_window.test); the
+            # plain form ignores the frame entirely (test_window_rows)
+            raise ValueError(
+                "Binder Error: EXCLUDE is not supported for the window "
+                "function"
+            )
         if mode == "NO OTHERS" or fn in _EXCLUDE_RANKING:
             fr = len(spec)
             for wd in ("ROWS", "RANGE", "GROUPS"):
@@ -5881,6 +5891,13 @@ def _rewrite_named_windows(sql: str) -> str:
             raise ValueError(
                 f"Binder Error: window \"{name}\" is already defined"
             )
+        # inheritance is declaration-order only: a body starting with a
+        # LATER window's name is a forward reference (binder error)
+        bm = re.match(r"(?is)\s*([A-Za-z_]\w*)\b", body)
+        if bm and bm.group(1).lower() in probe_names:
+            raise ValueError(
+                f"Binder Error: window \"{bm.group(1)}\" does not exist!"
+            )
         # strip this definition (and an optional trailing comma for multi-defs)
         rest = re.sub(r"(?s)^\s*,", " WINDOW ", sql[i:], count=1)
         sql = sql[: m.start()] + " " + rest
@@ -5911,9 +5928,37 @@ def _rewrite_named_windows(sql: str) -> str:
             parts.append((seg[st:en], False))
             pos0 = en
         def _apply(s: str) -> str:
+            # copy/extension form `OVER (w …)`: the reference binder (like
+            # Postgres) forbids copying a framed window and overriding
+            # PARTITION/ORDER (window/test_window_clause.test)
+            for cm in re.finditer(
+                rf"(?is)\bOVER\s*\(\s*{name}\b\s*([^()]*)\)", s,
+            ):
+                ext = cm.group(1).strip()
+                if re.match(r"(?is)^PARTITION\b", ext):
+                    raise ValueError(
+                        f'Binder Error: Cannot override PARTITION BY '
+                        f'clause of window "{name}"'
+                    )
+                if re.match(r"(?is)^ORDER\b", ext) and re.search(
+                    r"(?is)\bORDER\s+BY\b", body,
+                ):
+                    raise ValueError(
+                        f'Binder Error: Cannot override ORDER BY clause '
+                        f'of window "{name}"'
+                    )
+                if re.search(r"(?is)\b(ROWS|RANGE|GROUPS)\b", body):
+                    raise ValueError(
+                        f'Binder Error: cannot copy window "{name}" '
+                        f"because it has a frame clause"
+                    )
             # OVER (w <frame-extension>) → OVER (<body> <frame-extension>)
             s = re.sub(
                 rf"(?is)\bOVER\s*\(\s*{name}\b", f"OVER ({body} ", s
+            )
+            # a later named window may inherit: `w2 AS (w ROWS …)`
+            s = re.sub(
+                rf"(?is)(\bAS\s*\(\s*){name}\b", rf"\g<1>{body} ", s
             )
             # bare OVER w → OVER (<body>)
             return re.sub(rf"(?is)\bOVER\s+{name}\b", f"OVER ({body})", s)
@@ -8400,6 +8445,17 @@ def translate(sql: str) -> str:
     _check_order_by_terms(toks)
     _check_strictness(toks)
     _check_alias_expr_strictness(toks)
+    # invalid frame bounds (reference window binder): a frame cannot
+    # START at UNBOUNDED FOLLOWING or END at UNBOUNDED PRECEDING
+    _j = "".join(toks)
+    if re.search(
+        r"(?is)\b(ROWS|RANGE|GROUPS)\s+(BETWEEN\s+)?UNBOUNDED\s+FOLLOWING",
+        _j,
+    ) or re.search(r"(?is)\bAND\s+UNBOUNDED\s+PRECEDING\b", _j):
+        raise ValueError(
+            "Binder Error: Invalid window frame: frame cannot start with "
+            "UNBOUNDED FOLLOWING or end with UNBOUNDED PRECEDING"
+        )
     # DuckDB tolerates trailing commas (before FROM and before `)`)
     for _i, _t in enumerate(toks):
         if _t == ")" or _is_word(_t, "FROM"):
@@ -8771,10 +8827,12 @@ def _rewrite_setop_order_refs(sql: str) -> str:
 
 def _scope_select_aliases(
     toks: list[str], gi: int, const_only: bool = False,
+    over_only: bool = False,
 ) -> set[str]:
     """AS-aliases of the SELECT list owning the clause at token gi (same
     paren depth, nearest preceding SELECT). const_only keeps only aliases
-    whose definition is a bare literal."""
+    whose definition is a bare literal; over_only only window-function
+    definitions."""
     depth = 0
     sel = -1
     for k in range(gi - 1, -1, -1):
@@ -8798,6 +8856,9 @@ def _scope_select_aliases(
     out: set[str] = set()
     for it in _split_top_args(toks[sel + 1:stop]):
         am = re.search(r"(?is)\s+AS\s+([A-Za-z_]\w*)\s*$", it.strip())
+        if am is None and over_only:
+            # bare-alias spelling: `min(x) OVER (…) m1`
+            am = re.match(r"(?is).*\)\s+([A-Za-z_]\w*)\s*$", it.strip())
         if am:
             expr = re.sub(r"\s+", "", it.strip()[:am.start()]).lower()
             if expr == am.group(1).lower():
@@ -8805,6 +8866,8 @@ def _scope_select_aliases(
             if const_only and not re.fullmatch(
                 r"-?\d+(\.\d+)?|'[^']*'|true|false|null", expr,
             ):
+                continue
+            if over_only and not re.search(r"(?is)\bover\s*\(", it):
                 continue
             out.add(am.group(1).lower())
     return out
@@ -8846,9 +8909,12 @@ def _check_alias_expr_strictness(toks: list[str]) -> None:
             continue
         # columns win over aliases and we cannot see the catalog here:
         # only constant-defined aliases (`1 AS k`) are provably not
-        # column shadows
+        # column shadows; window-function aliases additionally may not be
+        # grouped on AT ALL (reference: GROUP BY clause cannot contain
+        # window functions — window/test_invalid_window.test)
+        over_aliases = _scope_select_aliases(toks, i, over_only=True)
         aliases = _scope_select_aliases(toks, i, const_only=True)
-        if not aliases:
+        if not aliases and not over_aliases:
             i = j + 1
             continue
         # clause span at this depth
@@ -8879,8 +8945,16 @@ def _check_alias_expr_strictness(toks: list[str]) -> None:
                 continue
             expr = "".join(toks[k] for k in code)
             if re.fullmatch(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)*|\d+", expr):
-                continue  # bare root reference / ordinal: allowed
-            if _expr_has_alias_ref(toks, lo, hi, aliases):
+                # bare root reference / ordinal: allowed — unless it
+                # names a window-function alias
+                if expr.lower() in over_aliases:
+                    raise ValueError(
+                        "Binder Error: GROUP BY clause cannot contain "
+                        "window functions!"
+                    )
+                continue
+            if _expr_has_alias_ref(toks, lo, hi, aliases) or \
+                    _expr_has_alias_ref(toks, lo, hi, over_aliases):
                 raise ValueError(
                     "Binder Error: aliases cannot be used as part of an "
                     "expression in the GROUP BY"
