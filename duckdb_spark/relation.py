@@ -596,7 +596,13 @@ class Connection:
                         )
                 except Exception:
                     pass
-        rec = split_recursive_cte(query)
+        # `recurring.<name>` (accumulated-state reference) only exists in
+        # the driver loop — Spark's native recursion can't resolve it
+        rec = split_recursive_cte(
+            query,
+            include_union_all=bool(re.search(r"(?is)\brecurring\s*\.",
+                                             query)),
+        )
         if rec is not None:
             return self._recursive_cte_sql(rec)
         # LIMIT/OFFSET with non-integer or subquery expressions: DuckDB

@@ -4675,6 +4675,9 @@ def _substitute_filter_aliases(sql: str) -> str:
                         and et.lower() in aliases
                         and et.lower() != name
                         and aliases[et.lower()] != expr):
+                    p = _prev_code(etoks, k - 1)
+                    if p >= 0 and etoks[p] == ".":
+                        continue  # qualified: a real column, not the alias
                     n = _next_code(etoks, k + 1)
                     if n < len(etoks) and etoks[n] == "(":
                         continue
@@ -4917,8 +4920,11 @@ def _normalize_null_order(toks: list[str]) -> list[str]:
                 if items is not None and 1 <= n <= len(items) and \
                         items[n - 1][0] and not (
                             items[n - 1][1] is None
-                            and re.search(r"(?i)\bover\b", items[n - 1][0])
-                        ):  # window exprs can't be re-stated in ORDER BY
+                            and re.search(
+                                r"(?i)\bover\b|\bunnest\s*\(|\bexplode",
+                                items[n - 1][0],
+                            )
+                        ):  # window/generator exprs can't re-state there
                     expr, alias = items[n - 1]
                     # pre-expand macro calls in the substituted snippet:
                     # it lands as ONE opaque token that the later global

@@ -40,6 +40,75 @@ _CREATE_SEQ_RE = re.compile(
 )
 
 
+def _has_from_in_scope(sql: str, pos: int) -> bool:
+    """True when the innermost set-op branch of the innermost paren scope
+    containing `pos` has its own FROM — nextval there is per-row volatile;
+    an anchor `SELECT 1, nextval('s')` inside a FROM-bearing statement is
+    still statement-scalar (cte/recursive_cte_column_pruning.test)."""
+    # innermost paren span containing pos (quote-aware)
+    stack: list[int] = []
+    span = (0, len(sql))
+    i = 0
+    in_q = False
+    while i < len(sql):
+        c = sql[i]
+        if c == "'":
+            in_q = not in_q
+        elif not in_q:
+            if c == "(":
+                stack.append(i)
+            elif c == ")":
+                if stack:
+                    st = stack.pop()
+                    if st < pos < i and not stack:
+                        pass  # outermost-closed spans handled below
+                    if st < pos < i:
+                        span = (st + 1, i)
+                        break
+        i += 1
+    seg = sql[span[0]:span[1]]
+    rel = pos - span[0]
+    # split at top-level set ops; keep the branch containing pos
+    parts: list[tuple[int, int]] = []
+    depth = 0
+    last = 0
+    in_q = False
+    for j, c in enumerate(seg):
+        if c == "'":
+            in_q = not in_q
+        elif not in_q:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+        if depth == 0 and not in_q and re.match(
+            r"(?i)(UNION|EXCEPT|INTERSECT)\b", seg[j:],
+        ) and (j == 0 or not (seg[j - 1].isalnum() or seg[j - 1] == "_")):
+            parts.append((last, j))
+            last = j
+    parts.append((last, len(seg)))
+    for lo, hi in parts:
+        if lo <= rel < hi:
+            seg = seg[lo:hi]
+            break
+    # FROM at depth 0 of that branch
+    depth = 0
+    in_q = False
+    for j, c in enumerate(seg):
+        if c == "'":
+            in_q = not in_q
+        elif not in_q:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and re.match(r"(?i)FROM\b", seg[j:]) and (
+                j == 0 or not (seg[j - 1].isalnum() or seg[j - 1] == "_")
+            ):
+                return True
+    return False
+
+
 def _split_args(s: str) -> list[str]:
     parts, depth, quote, start = [], 0, None, 0
     for i, ch in enumerate(s):
@@ -172,7 +241,7 @@ class MacroRegistry:
                     lim = lm.start()
             in_limit = lim is not None and m.start() > lim
             if fn == "nextval" and not in_limit and \
-                    re.search(r"(?i)\bFROM\b", sql):
+                    _has_from_in_scope(sql, m.start()):
                 # Reference nextval is per-row volatile
                 # (sequence_catalog_entry.cpp); a textual constant would give
                 # every row the same value. Refuse rather than silently
