@@ -5999,6 +5999,7 @@ _SQL_FN_RENAMES: dict[str, str] = {
     "flatten": "flatten",
     # string
     "strpos": "instr", "ucase": "upper", "lcase": "lower",
+    "unicode": "ascii", "ord": "ascii",
     "regexp_matches": "regexp_like", "regexp_full_match": "regexp_like",
     "starts_with": "startswith", "ends_with": "endswith",
     "prefix": "startswith", "suffix": "endswith",
@@ -8092,6 +8093,57 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
             if name in _STRING_AGGS:
                 order = "".join(order_toks).strip()
                 sep_needed = not _has_top_level_comma(arg_toks)
+                sargs = _split_top_args(arg_toks)
+                sdm = re.match(r"(?is)^\s*DISTINCT\s+(.*)$",
+                               sargs[0] if sargs else "")
+                # constant-literal order keys have no effect — drop them
+                okeys = [k.strip() for k in _split_top_args(
+                    _rewrite_calls(order_toks))]
+                okeys = [k for k in okeys if not re.fullmatch(
+                    r"(?is)'[^']*'(\s+(ASC|DESC))?", k)]
+                order1 = okeys[0] if len(okeys) == 1 else order
+                skey = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", order1).strip()
+                if sdm and len(okeys) == 1 and \
+                        skey != sdm.group(1).strip():
+                    # DISTINCT ordered by an expression OF the argument:
+                    # dedupe+sort via (key, value) structs
+                    val = sdm.group(1).strip()
+                    if filt_cond:
+                        val = f"case when {filt_cond} then {val} end"
+                    sep = sargs[1] if len(sargs) > 1 else "','"
+                    sdesc = order1.upper().endswith(" DESC")
+                    cs = (f"array_sort(collect_set(case when ({val}) is "
+                          f"not null then named_struct('k', {skey}, "
+                          f"'v', {val}) end), (l, r) -> case "
+                          f"when l.k < r.k then {'1' if sdesc else '-1'} "
+                          f"when l.k > r.k then {'-1' if sdesc else '1'} "
+                          f"else 0 end)")
+                    out[i:(filt_end if filt_cond else close) + 1] = [
+                        f"case when size({cs}) = 0 then NULL else "
+                        f"array_join(transform({cs}, __s -> __s.v), {sep})"
+                        f" end"
+                    ]
+                    i += 1
+                    continue
+                if sdm and skey == sdm.group(1).strip():
+                    # string_agg(DISTINCT x, sep ORDER BY x [DESC]):
+                    # Spark's listagg rejects a FILTER-wrapped or
+                    # expression input with DISTINCT+WITHIN GROUP —
+                    # sorted collect_set is exactly this semantics
+                    val = sdm.group(1).strip()
+                    if filt_cond:
+                        val = f"case when {filt_cond} then {val} end"
+                    sep = sargs[1] if len(sargs) > 1 else "','"
+                    sdesc = order1.upper().endswith(" DESC")
+                    cs = (f"sort_array(collect_set({val})"
+                          f"{', false' if sdesc else ''})")
+                    # no aggregated rows → NULL, not '' (string_agg.cpp)
+                    out[i:(filt_end if filt_cond else close) + 1] = [
+                        f"case when size({cs}) = 0 then NULL "
+                        f"else array_join({cs}, {sep}) end"
+                    ]
+                    i += 1
+                    continue
                 del out[ob:close]
                 close = _match_paren(out, j)
                 if sep_needed and name != "listagg":
@@ -8115,6 +8167,9 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
                         f"sort_array(array_distinct(collect_list({val}))"
                         f"{', false' if desc else ''})"
                     )
+                    # zero aggregated rows -> NULL, not [] (list fun)
+                    repl = (f"case when size({repl}) = 0 then NULL "
+                            f"else {repl} end")
                     out[i:(filt_end if filt_cond else close) + 1] = [repl]
                 elif dm:
                     # DISTINCT ordered by a non-argument key is a binder
@@ -8126,6 +8181,8 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
                         f"case when {filt_cond} then {arg} end"
                     )
                     repl = f"sort_array(collect_list({val}){', false' if desc else ''})"
+                    repl = (f"case when size({repl}) = 0 then NULL "
+                            f"else {repl} end")
                     out[i:(filt_end if filt_cond else close) + 1] = [repl]
                 else:
                     # ordered by other key(s): comparator-sorted collect of
