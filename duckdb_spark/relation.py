@@ -374,6 +374,19 @@ class Connection:
         if m and m.group(1).strip('"').lower() == \
                 m.group(4).strip('"').lower():
             query = f"{m.group(3)} {m.group(2)}"
+        # DESCRIBE as a general FROM-position source:
+        # `SELECT … FROM (DESCRIBE t) …` (struct_different_names.test)
+        if re.search(r"(?is)\(\s*DESCRIBE\s+[\w\"]+\s*\)", query) and \
+                not re.match(r"(?is)^\s*(DESCRIBE|SUMMARIZE)\b", query):
+            def _desc_view(dm: re.Match) -> str:
+                Connection._tvf_seq += 1
+                view = f"__describe_{Connection._tvf_seq}"
+                self.sql(f"DESCRIBE {dm.group(1)}").df() \
+                    .createOrReplaceTempView(view)
+                return f" {view} "
+            query = re.sub(
+                r"(?is)\(\s*DESCRIBE\s+([\w\"]+)\s*\)", _desc_view, query,
+            )
         # DESCRIBE / SUMMARIZE statements (reference bind_describe.cpp /
         # bind_summarize.cpp): schema rows / per-column stats
         m = re.match(r"(?is)^\s*(DESCRIBE|SUMMARIZE)\s+(.+?);?\s*$", query)

@@ -1087,6 +1087,60 @@ def _rewrite_ntile_null(toks: list[str]) -> list[str]:
                     end = oc2
         out[i:end + 1] = _tokens("CAST(NULL AS BIGINT)")
         i += 1
+    # nth_value(x, NULL) is NULL for every row (window_executor.cpp);
+    # Spark rejects a NULL offset at analysis
+    i = 0
+    while i < len(out):
+        if not _is_word(out[i], "NTH_VALUE"):
+            i += 1
+            continue
+        op = _next_code(out, i + 1)
+        if op >= len(out) or out[op] != "(":
+            i += 1
+            continue
+        oc = _match_paren(out, op)
+        if oc < 0:
+            i += 1
+            continue
+        nargs = _split_top_args(out[op + 1:oc])
+        if len(nargs) != 2:
+            i = op + 1
+            continue
+        off = nargs[1].strip()
+        if re.search(r"(?is)\b(IGNORE|RESPECT)\s+NULLS\s*$", off):
+            # the hoisting pass moves the modifier out; constant offsets
+            # then go native
+            i = op + 1
+            continue
+        is_null = off.upper() == "NULL"
+        is_neg = bool(re.fullmatch(r"-\s*\d+", off))
+        is_const = bool(re.fullmatch(r"\d+", off))
+        if not (is_null or is_neg) and is_const:
+            i = op + 1
+            continue
+        ov = _next_code(out, oc + 1)
+        end = oc
+        spec = None
+        if ov < len(out) and _is_word(out[ov], "OVER"):
+            op2 = _next_code(out, ov + 1)
+            if op2 < len(out) and out[op2] == "(":
+                oc2 = _match_paren(out, op2)
+                if oc2 > 0:
+                    end = oc2
+                    spec = "".join(out[op2 + 1:oc2])
+        if is_null or is_neg:
+            # NULL / negative offsets yield NULL for every row
+            # (window_executor.cpp); CASE keeps the value type unevaluated
+            out[i:end + 1] = _tokens(
+                f"(CASE WHEN 1 = 1 THEN NULL ELSE ({nargs[0]}) END)")
+        elif spec is not None:
+            # per-row (non-foldable) offset: index into the collected
+            # frame — Spark's nth_value wants a foldable offset
+            out[i:end + 1] = _tokens(
+                f"try_element_at(transform(collect_list(named_struct("
+                f"'v', {nargs[0]})) OVER ({spec}), __s -> __s.v), "
+                f"CAST(if(({off}) < 1, NULL, ({off})) AS INT))")
+        i += 1
     return out
 
 
@@ -1338,7 +1392,13 @@ def _rewrite_named_struct_casts(toks: list[str]) -> list[str]:
             if not ok:
                 continue
             # target-driven mapping: unmatched target fields become NULL,
-            # extra source fields are dropped (struct_cast.cpp)
+            # extra source fields are dropped — but at least one member
+            # must match (struct_cast.cpp)
+            if not any(n.lower() in vals for n, _t in fields):
+                raise ValueError(
+                    "Binder Error: STRUCT to STRUCT cast must have at "
+                    "least one matching member"
+                )
             repl = "named_struct(" + ", ".join(
                 f"'{n}', CAST(({vals.get(n.lower(), 'NULL')}) AS {t})"
                 for n, t in fields) + ")"
@@ -2555,10 +2615,16 @@ def _rewrite_orderless_over(toks: list[str]) -> list[str]:
         if close < 0 or _top_level_index(out, j + 1, close, "ORDER") >= 0:
             i = j
             continue
-        # function name: walk back over `fn ( args )`
+        # function name: walk back over `fn ( args ) [IGNORE NULLS]`
         p = i - 1
         while p >= 0 and out[p].isspace():
             p -= 1
+        if p >= 0 and re.fullmatch(
+            r"(?is)\s*(IGNORE|RESPECT)\s+NULLS\s*", out[p],
+        ):
+            p -= 1
+            while p >= 0 and out[p].isspace():
+                p -= 1
         if p < 0 or out[p] != ")":
             i = j
             continue
@@ -3447,6 +3513,34 @@ def _rewrite_table_fns(toks: list[str]) -> list[str]:
                         while pi >= 0 and (out[pi].isspace()
                                            or out[pi].startswith(("--", "/*"))):
                             pi -= 1
+                        # `[LEFT] JOIN UNNEST(x) a(c) ON TRUE` — lateral
+                        # generator join (reference lateral unnest):
+                        # LEFT keeps empty/NULL lists via OUTER explode
+                        if pi >= 0 and _is_word(out[pi], "JOIN"):
+                            jstart = pi
+                            outer = False
+                            q = _prev_code(out, pi - 1)
+                            if q >= 0 and re.match(r"^[A-Za-z_]", out[q]) \
+                                    and out[q].upper() in (
+                                        "LEFT", "INNER", "CROSS"):
+                                outer = out[q].upper() == "LEFT"
+                                jstart = q
+                            onk = _next_code(out, end + 1)
+                            cnd = _next_code(out, onk + 1) \
+                                if onk < len(out) else len(out)
+                            if onk < len(out) and _is_word(out[onk], "ON") \
+                                    and cnd < len(out) and _is_word(
+                                        out[cnd], "TRUE"):
+                                repl = (
+                                    f" LATERAL VIEW "
+                                    f"{'OUTER ' if outer else ''}"
+                                    f"explode({arg}) "
+                                    f"{alias or '__unnest_tvf'} AS "
+                                    f"{colname} "
+                                )
+                                out[jstart:cnd + 1] = _tokens(repl)
+                                i = jstart + 1
+                                continue
                         if pi >= 0 and out[pi] == ",":
                             repl = (
                                 f" LATERAL VIEW explode({arg}) "

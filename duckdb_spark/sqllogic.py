@@ -789,15 +789,41 @@ class SLSession:
             if len(src.columns) != len(cols):
                 raise ValueError("INSERT column count mismatch")
             from pyspark.sql import functions as F
+            from pyspark.sql import types as T
 
             by_name = dict(zip(cols, src.columns))
-            casted = src.select(
-                *[
-                    (F.col(by_name[f.name]).cast(f.dataType) if f.name in by_name
-                     else F.lit(None).cast(f.dataType)).alias(f.name)
-                    for f in schema.fields
-                ]
-            )
+            src_types = {f.name: f.dataType for f in src.schema.fields}
+
+            def _coerce(f):
+                if f.name not in by_name:
+                    return F.lit(None).cast(f.dataType).alias(f.name)
+                c = F.col(by_name[f.name])
+                st = src_types.get(by_name[f.name])
+                if isinstance(st, T.StructType) and \
+                        isinstance(f.dataType, T.StructType):
+                    sn = [x.name for x in st.fields]
+                    dn = [x.name for x in f.dataType.fields]
+                    if [n.lower() for n in sn] != [n.lower() for n in dn] \
+                            and sn != [f"col{i+1}" for i in range(len(sn))]:
+                        # named STRUCT → STRUCT casts bind BY NAME
+                        # (reference struct_cast.cpp); at least one
+                        # member must match
+                        low = {n.lower(): n for n in sn}
+                        if not any(d.name.lower() in low
+                                   for d in f.dataType.fields):
+                            raise ValueError(
+                                "Binder Error: STRUCT to STRUCT cast "
+                                "must have at least one matching member")
+                        return F.struct(*[
+                            (c[low[d.name.lower()]].cast(d.dataType)
+                             if d.name.lower() in low
+                             else F.lit(None).cast(d.dataType)
+                             ).alias(d.name)
+                            for d in f.dataType.fields
+                        ]).alias(f.name)
+                return c.cast(f.dataType).alias(f.name)
+
+            casted = src.select(*[_coerce(f) for f in schema.fields])
             added = casted.collect()
             self._register(name, schema, rows + added)
             if ret:

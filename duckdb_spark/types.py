@@ -208,6 +208,13 @@ def spark_type_to_duckdb(dt: T.DataType) -> str:
     if isinstance(dt, T.MapType):
         return f"MAP({spark_type_to_duckdb(dt.keyType)}, {spark_type_to_duckdb(dt.valueType)})"
     if isinstance(dt, T.StructType):
+        names = [f.name for f in dt.fields]
+        if names and names == [f"col{i + 1}" for i in range(len(names))]:
+            # ROW(…) auto-naming: an unnamed struct is a TUPLE
+            # (reference types.hpp TUPLE alias)
+            inner = ", ".join(
+                spark_type_to_duckdb(f.dataType) for f in dt.fields)
+            return f"TUPLE({inner})"
         inner = ", ".join(f'"{f.name}" {spark_type_to_duckdb(f.dataType)}' for f in dt.fields)
         return f"STRUCT({inner})"
     return dt.simpleString().upper()
