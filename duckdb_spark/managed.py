@@ -155,6 +155,32 @@ def _split_clauses(body: str, keywords: list[str]):
     return out
 
 
+def _bind_values_types(src_sql: str, dtypes: list) -> str:
+    """Wrap every bare VALUES element in a CAST to its target column type
+    so literal-consensus coercion never overrides the table schema."""
+    from duckdb_spark.sql.dialect import (
+        _split_arg_spans,
+        _tokens,
+        _values_row_ranges,
+    )
+
+    toks = _tokens(src_sql)
+    edits = []  # (lo, hi, replacement) token spans, collected then applied
+    for (rlo, rhi) in _values_row_ranges(toks):
+        spans = _split_arg_spans(toks, rlo + 1, rhi)
+        if len(spans) != len(dtypes):
+            raise ValueError("VALUES row arity != insert column count")
+        for (elo, ehi), dt in zip(spans, dtypes):
+            text = "".join(toks[elo:ehi]).strip()
+            if not text or text.upper() == "DEFAULT":
+                continue
+            edits.append(
+                (elo, ehi, f" CAST(({text}) AS {dt.simpleString()}) "))
+    for lo, hi, repl in sorted(edits, reverse=True):
+        toks[lo:hi] = [repl]
+    return "".join(toks)
+
+
 class ManagedTables:
     """Per-connection registry of external-parquet writable tables."""
 
@@ -408,10 +434,21 @@ class ManagedTables:
         if ridx >= 0:
             ret = src_sql[ridx + len("RETURNING"):].rstrip("; \t\n").strip()
             src_sql = src_sql[:ridx].strip()
-        src = con.sql(
-            src_sql if not src_sql.upper().startswith("VALUES")
-            else "SELECT * FROM (" + src_sql + "\n)"
-        ).df()
+        if src_sql.upper().startswith("VALUES"):
+            # bind VALUES elements to the TARGET column types (reference
+            # binder/statement/bind_insert.cpp: insert VALUES lists bind
+            # against the table schema, not by literal consensus — e.g.
+            # `VALUES (1, 0), ('infinity', 9)` into a VARCHAR column keeps
+            # '1' and 'infinity', never doubles)
+            try:
+                bound = _bind_values_types(
+                    src_sql,
+                    [schema[c].dataType for c in cols])
+                src = con.sql("SELECT * FROM (" + bound + "\n)").df()
+            except Exception:  # noqa: BLE001 — fall back to consensus typing
+                src = con.sql("SELECT * FROM (" + src_sql + "\n)").df()
+        else:
+            src = con.sql(src_sql).df()
         if len(src.columns) != len(cols):
             raise ValueError(
                 "Binder Error: INSERT column count mismatch"

@@ -495,6 +495,28 @@ class Connection:
                 pass
         query = self._rewrite_string_tables(query)
         query = self._bind_sql_tvfs(query)
+        # COLUMNS(...) star expressions (reference star_expression.hpp):
+        # schema-resolved replication of the enclosing list entry
+        if re.search(r"(?i)\bCOLUMNS\s*\(", query):
+            from duckdb_spark.sql.columns_expr import (
+                expand_columns,
+                from_segment,
+            )
+
+            def _src_cols() -> list:
+                seg = from_segment(query)
+                if not seg or not seg.strip():
+                    raise LookupError("no FROM segment")
+                sch = self.sql(
+                    f"SELECT * FROM {seg} LIMIT 0").df().schema
+                return [f.name for f in sch.fields]
+
+            try:
+                query = expand_columns(query, _src_cols)
+            except ValueError:
+                raise
+            except Exception:  # noqa: BLE001 — probe failed; leave untouched
+                pass
         # UNNEST of a STRUCT column expands to one column per field
         # (reference bind_unnest.cpp struct unnest); Spark's explode only
         # takes arrays/maps, but `col.*` is the exact equivalent. Resolve

@@ -519,6 +519,32 @@ def _try_const_eval(text: str):
         return None
 
 
+def _sql_scalar(v) -> str:
+    """Render a driver-side scalar as a Spark SQL literal (special floats,
+    dates, decimals — repr() is not SQL for those)."""
+    import datetime as _dt
+    import decimal as _dec
+    import math as _math
+
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if _math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if _math.isinf(v):
+            return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+        return repr(v)
+    if isinstance(v, _dec.Decimal):
+        return str(v)
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    return repr(v)
+
+
 def _rewrite_frame_bound_exprs(toks: list[str]) -> list[str]:
     """Non-literal window frame bounds (reference
     src/function/window/window_boundaries_state.cpp: START_EXPR/END_EXPR
@@ -592,13 +618,13 @@ def _rewrite_frame_bound_exprs(toks: list[str]) -> list[str]:
                         p = parts[ai]
                         if re.fullmatch(r"-?\s*\d+|NULL", p, re.I):
                             continue
+                        if _has_bare_unnest(_tokens(p)):
+                            raise ValueError(
+                                "Binder Error: UNNEST not supported here")
                         v = _try_const_eval(p)
                         if v is not None:
                             lo, hi = spans[ai]
-                            body[lo:hi] = [" ", repr(v)
-                                           if not isinstance(v, str)
-                                           else "'" + v.replace("'", "''")
-                                           + "'", " "]
+                            body[lo:hi] = [" ", _sql_scalar(v), " "]
                             changed_args = True
                         elif ai == 1:
                             var_offset = True
@@ -1222,6 +1248,12 @@ def _rewrite_empty_frames(toks: list[str]) -> list[str]:
             i = oc + 1
             continue
         io = _top_level_index(out, po + 1, j, "ORDER")
+        if fn in ("LEAD", "LAG"):
+            # offset functions ignore framing entirely (reference
+            # window_executor.cpp LeadLagExecutor) — the frame is stripped
+            # later, never folded to the empty-frame value
+            i = oc + 1
+            continue
         if fn in _EXCLUDE_RANKING:
             if io < 0:
                 i = oc + 1
@@ -1807,7 +1839,14 @@ def _rewrite_values_specials(toks: list[str]) -> list[str]:
             for k in range(j + 1, close):
                 t = out[k]
                 if _INF_LIT.match(t):
-                    hits.append(k)
+                    # only BARE elements coerce — a literal inside CAST(...)
+                    # or any wider expression keeps its own typing
+                    pk = _prev_code(out, k - 1)
+                    nk = _next_code(out, k + 1)
+                    if out[pk] in ("(", ",") and (
+                        nk >= len(out) or out[nk] in (")", ",")
+                    ):
+                        hits.append(k)
                 elif re.match(r"^[0-9.]", t):
                     has_num = True
             span_end = close
@@ -1901,6 +1940,36 @@ def _rewrite_ignore_nulls_args(toks: list[str]) -> list[str]:
             if j < len(out) and _is_word(out[j], "NULLS"):
                 k = _next_code(out, j + 1)
                 if k < len(out) and out[k] == ")":
+                    # the enclosing call must be a window VALUE function
+                    # (reference transform_function.cpp: first/last/nth_value,
+                    # lead/lag only)
+                    d = 0
+                    fn = ""
+                    for b in range(i - 1, -1, -1):
+                        if out[b] == ")":
+                            d += 1
+                        elif out[b] == "(":
+                            if d == 0:
+                                p = _prev_code(out, b - 1)
+                                if p >= 0 and re.match(r"^[A-Za-z_]", out[p]):
+                                    fn = out[p].lower()
+                                break
+                            d -= 1
+                    if fn not in ("first_value", "last_value", "nth_value",
+                                  "lead", "lag", "first", "last"):
+                        o = _next_code(out, k + 1)
+                        windowed = o < len(out) and _is_word(out[o], "OVER")
+                        if not windowed:
+                            raise ValueError(
+                                "Parser Error: RESPECT/IGNORE NULLS is not "
+                                "supported for non-window functions")
+                        if fn == "fill":
+                            raise ValueError(
+                                "Binder Error: RESPECT/IGNORE NULLS is not "
+                                "supported for the window function \"fill\"")
+                        raise ValueError(
+                            "Binder Error: RESPECT/IGNORE NULLS is not "
+                            "supported for windowed aggregates")
                     word = "IGNORE" if _is_word(out[i], "IGNORE") else "RESPECT"
                     del out[i:k]  # the ')' lands at index i
                     out[i + 1:i + 1] = [f" {word} NULLS "]
@@ -2209,6 +2278,19 @@ def _check_const_cast_ranges(toks: list[str]) -> None:
     """DuckDB errors on out-of-range constant casts (`1000::utinyint`,
     `1e308::float` — src/function/cast/numeric_casts.cpp); Spark wraps or
     saturates silently. Raise at translate time for visible literals."""
+    def _check_span_lits(lits: list[str], target: str) -> None:
+        if target in _INT_CAST_RANGES:
+            lo, hi = _INT_CAST_RANGES[target]
+            for lt in lits:
+                try:
+                    v = float(lt)
+                except ValueError:
+                    continue
+                if v < lo or v > hi:
+                    raise ValueError(
+                        f"Conversion Error: value {lt} out of range for "
+                        f"{target}")
+
     for i, t in enumerate(toks):
         if t != "::":
             continue
@@ -2217,6 +2299,50 @@ def _check_const_cast_ranges(toks: list[str]) -> None:
         if p < 0 or n >= len(toks):
             continue
         lit = toks[p]
+        if lit == "]":
+            # constant list literal cast: [1000]::utinyint[] range-checks
+            # every element (reference bound_cast: list cast per element)
+            d = 0
+            lo2 = -1
+            for b in range(p, -1, -1):
+                if toks[b] == "]":
+                    d += 1
+                elif toks[b] == "[":
+                    d -= 1
+                    if d == 0:
+                        lo2 = b
+                        break
+            if lo2 >= 0:
+                lits = [x for x in toks[lo2 + 1:p]
+                        if re.fullmatch(r"\d+(\.\d*)?", x)]
+                _check_span_lits(lits, toks[n].upper())
+            continue
+        if lit == "}":
+            # struct literal cast: {'x': 1000}::row(x tinyint)
+            d = 0
+            lo2 = -1
+            for b in range(p, -1, -1):
+                if toks[b] == "}":
+                    d += 1
+                elif toks[b] == "{":
+                    d -= 1
+                    if d == 0:
+                        lo2 = b
+                        break
+            if lo2 >= 0 and _is_word(toks[n], "ROW"):
+                close = _match_paren(toks, _next_code(toks, n + 1)) \
+                    if _next_code(toks, n + 1) < len(toks) and \
+                    toks[_next_code(toks, n + 1)] == "(" else -1
+                if close > 0:
+                    ftypes = [w.upper() for w in
+                              toks[_next_code(toks, n + 1):close]
+                              if re.fullmatch(r"[A-Za-z_]\w*", w)
+                              and w.upper() in _INT_CAST_RANGES]
+                    lits = [x for x in toks[lo2 + 1:p]
+                            if re.fullmatch(r"\d+(\.\d*)?", x)]
+                    if len(set(ftypes)) == 1 and lits:
+                        _check_span_lits(lits, ftypes[0])
+            continue
         if not re.fullmatch(r"(?i)\d+(\.\d*)?(e[+-]?\d+)?", lit):
             continue
         target = toks[n].upper()
@@ -2353,6 +2479,103 @@ def _check_strictness(toks: list[str]) -> None:
                         "Binder Error: Invalid (negative) window frame "
                         "boundary"
                     )
+        i += 1
+
+
+def _check_unnest_in_window_args(toks: list[str]) -> None:
+    """UNNEST may not appear in window-function arguments or FILTER
+    clauses (reference window/test_window_unnest_error.test)."""
+    for i, t in enumerate(toks):
+        if not _is_word(t, "OVER"):
+            continue
+        p = _prev_code(toks, i - 1)
+        hops = 0
+        while p >= 0 and toks[p] == ")" and hops < 2:
+            ao = _match_paren_rev(toks, p)
+            if ao < 0:
+                break
+            if _has_bare_unnest(toks[ao + 1:p]):
+                raise ValueError("Binder Error: UNNEST not supported here")
+            q = _prev_code(toks, ao - 1)
+            if q >= 0 and _is_word(toks[q], "FILTER"):
+                p = _prev_code(toks, q - 1)
+            elif q >= 0 and re.match(r"^[A-Za-z_]", toks[q]):
+                break
+            else:
+                p = q
+            hops += 1
+
+
+def _check_fromless_window_correlation(toks: list[str]) -> None:
+    """A FROM-less scalar subquery whose window-function ARGUMENTS reference
+    outer columns directly is rejected by the reference binder
+    (subquery/scalar/test_correlated_window.test — wrapping the reference
+    in its own scalar subquery is the supported spelling)."""
+    allow = {
+        "NULL", "TRUE", "FALSE", "CAST", "AS", "CASE", "WHEN", "THEN",
+        "ELSE", "END", "AND", "OR", "NOT", "IS", "IN", "INTERVAL",
+        "DISTINCT", "DATE", "TIMESTAMP", "TIME",
+    }
+    i = 0
+    while i < len(toks):
+        if toks[i] != "(":
+            i += 1
+            continue
+        n = _next_code(toks, i + 1)
+        if n >= len(toks) or not _is_word(toks[n], "SELECT"):
+            i += 1
+            continue
+        close = _match_paren(toks, i)
+        if close < 0:
+            i += 1
+            continue
+        depth = 0
+        has_from = False
+        for k in range(i + 1, close):
+            if toks[k] == "(":
+                depth += 1
+            elif toks[k] == ")":
+                depth -= 1
+            elif depth == 0 and _is_word(toks[k], "FROM"):
+                has_from = True
+        if has_from:
+            i += 1
+            continue
+        depth = 0
+        for k in range(i + 1, close):
+            t = toks[k]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and _is_word(t, "OVER"):
+                p = _prev_code(toks, k - 1)
+                if p < 0 or toks[p] != ")":
+                    continue
+                ao = _match_paren_rev(toks, p)
+                d2 = 0
+                subq: list[int] = []
+                for m2 in range(ao + 1, p):
+                    t2 = toks[m2]
+                    if t2 == "(":
+                        d2 += 1
+                        nn = _next_code(toks, m2 + 1)
+                        if nn < p and _is_word(toks[nn], "SELECT"):
+                            subq.append(d2)
+                    elif t2 == ")":
+                        if subq and subq[-1] == d2:
+                            subq.pop()
+                        d2 -= 1
+                    elif not subq and re.fullmatch(r"[A-Za-z_]\w*", t2):
+                        up = t2.upper()
+                        if up in allow or up in _INTERVAL_UNITS:
+                            continue
+                        nn = _next_code(toks, m2 + 1)
+                        if nn < len(toks) and toks[nn] == "(":
+                            continue  # function call
+                        raise ValueError(
+                            "Binder Error: correlated columns in window "
+                            "functions not supported")
         i += 1
 
 
@@ -2781,7 +3004,24 @@ def _rewrite_asof_right(out: list[str], i: int, j: int) -> int:
     # the single two-sided inequality (build expr side)
     bexpr = None
     strict = None
-    for part in re.split(r"(?i)\bAND\b", cond):
+    parts = re.split(r"(?i)\bAND\b", cond)
+    ineq_part = None
+    for part in parts:
+        m = re.search(r"(>=|<=|>|<)", part)
+        if not m or re.search(r"<>|!=", part):
+            continue
+        if ineq_part is None:
+            ineq_part = part
+    for part in parts:
+        if part is ineq_part:
+            continue
+        if re.search(r"(>=|<=|>|<|<>|!=)", part) or "=" not in part:
+            # reference physical_asof_join.cpp: right/full ASOF plans only
+            # support equi-keys + the ordering inequality
+            raise ValueError(
+                "Not implemented Error: Unsupported ASOF JOIN type (RIGHT) "
+                "with arbitrary predicate")
+    for part in parts:
         m = re.search(r"(>=|<=|>|<)", part)
         if not m or re.search(r"<>|!=", part):
             continue
@@ -2989,15 +3229,18 @@ def _rewrite_asof_join(toks: list[str]) -> list[str]:
                     w.upper() not in (
                         "AND", "OR", "NOT", "NULL", "TRUE", "FALSE", "CAST",
                         "AS", "INTERVAL", "DATE", "TIMESTAMP", "TIME",
-                        "YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND",
-                    )
+                    ) and w.upper() not in _INTERVAL_UNITS
                     for w in re.findall(r"[A-Za-z_]\w*", s2)
                 )
                 return has_b, other
 
             b_l, o_l = _refs(lhs)
             b_r, o_r = _refs(rhs)
-            two_sided = (b_l and o_r and not b_r) or (b_r and o_l and not b_l)
+            # the ordering predicate compares a probe-side expression to a
+            # build-side expression — a side that mixes both tables is a
+            # residual filter (reference bind_joinref.cpp ASOF validation)
+            two_sided = (b_l and not o_l and o_r and not b_r) or \
+                        (b_r and not o_r and o_l and not b_l)
             ineqs.append((part, m, two_sided))
         qualified = [x for x in ineqs if x[2]]
         if not ineqs:
@@ -8601,6 +8844,8 @@ def translate(sql: str) -> str:
     _check_const_cast_ranges(toks)
     _check_order_by_terms(toks)
     _check_strictness(toks)
+    _check_fromless_window_correlation(toks)
+    _check_unnest_in_window_args(toks)
     _check_alias_expr_strictness(toks)
     # invalid frame bounds (reference window binder): a frame cannot
     # START at UNBOUNDED FOLLOWING or END at UNBOUNDED PRECEDING

@@ -781,11 +781,23 @@ class SLSession:
                     "Binder Error: data-modifying statement must be at "
                     "the top level"
                 )
-            src = self.con.sql(
-                src_sql if not src_sql.upper().startswith("VALUES")
-                # newline before ')' so a trailing -- comment can't eat it
-                else "SELECT * FROM (" + src_sql + "\n)"
-            ).df()
+            if src_sql.upper().startswith("VALUES"):
+                # bind VALUES elements to the TARGET column types (reference
+                # bind_insert.cpp: INSERT VALUES bind against the table
+                # schema, not literal consensus)
+                from duckdb_spark.managed import _bind_values_types
+
+                try:
+                    bound = _bind_values_types(
+                        src_sql, [schema[c].dataType for c in cols])
+                    # newline before ')': a trailing -- comment can't eat it
+                    src = self.con.sql(
+                        "SELECT * FROM (" + bound + "\n)").df()
+                except Exception:  # noqa: BLE001 — consensus-typed fallback
+                    src = self.con.sql(
+                        "SELECT * FROM (" + src_sql + "\n)").df()
+            else:
+                src = self.con.sql(src_sql).df()
             if len(src.columns) != len(cols):
                 raise ValueError("INSERT column count mismatch")
             from pyspark.sql import functions as F
