@@ -91,9 +91,9 @@ def _scan_top_level(body: str):
             continue
         if ch in ("'", '"'):
             quote = ch
-        elif ch == "(":
+        elif ch in "([{":
             depth += 1
-        elif ch == ")":
+        elif ch in ")]}":
             depth -= 1
         yield i, ch, depth, False
         i += 1

@@ -517,6 +517,21 @@ class Connection:
                 raise
             except Exception:  # noqa: BLE001 — probe failed; leave untouched
                 pass
+        # USING / NATURAL join star order (reference bind_joinref.cpp):
+        # the join column appears ONCE, in the LEFT table's position;
+        # Spark hoists using-columns to the front. Rewrite `SELECT *` to
+        # the reference's explicit column order (schema-probed), and raise
+        # the reference's ambiguity error for a USING name visible twice.
+        if re.search(r"(?is)\bUSING\s*\(|\bNATURAL\s+(?:INNER\s+|LEFT\s+"
+                     r"|RIGHT\s+|FULL\s+|OUTER\s+)*JOIN\b", query):
+            try:
+                rewritten = self._reorder_using_star(query)
+            except ValueError:
+                raise
+            except Exception:  # noqa: BLE001 — unparsed shape: leave as-is
+                rewritten = None
+            if rewritten:
+                query = rewritten
         # UNNEST of a STRUCT column expands to one column per field
         # (reference bind_unnest.cpp struct unnest); Spark's explode only
         # takes arrays/maps, but `col.*` is the exact equivalent. Resolve
@@ -993,6 +1008,131 @@ class Connection:
         "read_text", "read_blob",
     )
     _tvf_seq = 0
+
+    def _reorder_using_star(self, query: str) -> str | None:
+        """`SELECT * FROM a JOIN b USING (k) …` → explicit column list in
+        the reference's order (left columns in place, right minus the join
+        keys appended; reference bind_joinref.cpp USING/NATURAL binding).
+        Returns None when the statement shape is not a plain star over a
+        linear USING/NATURAL join chain."""
+        from duckdb_spark.sql.dialect import _tokens
+
+        m = re.match(r"(?is)^\s*SELECT\s+\*\s+FROM\s+(.*)$", query)
+        if not m:
+            return None
+        toks = _tokens(m.group(1))
+        # split the join chain at top-level JOIN keywords
+        items: list[list[str]] = [[]]
+        joins: list[dict] = []  # {natural: bool, using: [cols] | None}
+        depth = 0
+        i = 0
+        stop = len(toks)
+        while i < stop:
+            t = toks[i]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and re.match(r"^[A-Za-z_]", t):
+                up = t.upper()
+                if up in ("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
+                          "QUALIFY", "WINDOW", "UNION", "EXCEPT",
+                          "INTERSECT", "OFFSET"):
+                    stop = i
+                    break
+                if up in ("NATURAL", "JOIN", "INNER", "LEFT", "RIGHT",
+                          "FULL", "OUTER", "CROSS", "SEMI", "ANTI", "ASOF"):
+                    if up in ("CROSS", "SEMI", "ANTI", "ASOF"):
+                        return None
+                    nat = up == "NATURAL"
+                    j = i
+                    while j < stop and (
+                        toks[j].isspace()
+                        or (re.match(r"^[A-Za-z_]", toks[j])
+                            and toks[j].upper() in (
+                                "NATURAL", "INNER", "LEFT", "RIGHT", "FULL",
+                                "OUTER", "JOIN"))
+                    ):
+                        if toks[j].upper() == "JOIN":
+                            break
+                        j += 1
+                    if j >= stop or toks[j].upper() != "JOIN":
+                        return None
+                    joins.append({"natural": nat, "using": None,
+                                  "kw_end": j})
+                    items.append([])
+                    i = j + 1
+                    continue
+                if up == "USING" and joins:
+                    k = i + 1
+                    while k < stop and toks[k].isspace():
+                        k += 1
+                    if k < stop and toks[k] == "(":
+                        d2 = 0
+                        close = -1
+                        for q in range(k, stop):
+                            if toks[q] == "(":
+                                d2 += 1
+                            elif toks[q] == ")":
+                                d2 -= 1
+                                if d2 == 0:
+                                    close = q
+                                    break
+                        if close > 0:
+                            joins[-1]["using"] = [
+                                c.strip().strip('"').lower()
+                                for c in "".join(toks[k + 1:close]).split(",")
+                                if c.strip()]
+                            i = close + 1
+                            continue
+                if up == "ON":
+                    return None  # mixed ON joins: Spark order already fine
+            items[-1].append(t)
+            i += 1
+        if not joins or any(j["using"] is None and not j["natural"]
+                            for j in joins):
+            return None
+        if len(items) != len(joins) + 1:
+            return None
+        tail = "".join(toks[stop:])
+
+        def probe(item_toks: list[str]) -> list[str]:
+            txt = "".join(item_toks).strip()
+            if not txt:
+                raise LookupError("empty join item")
+            df = self.sql(f"SELECT * FROM {txt} LIMIT 0").df()
+            return [f.name for f in df.schema.fields]
+
+        cols = probe(items[0])
+        for jn, item in zip(joins, items[1:]):
+            rcols = probe(item)
+            if jn["natural"]:
+                shared = [c for c in cols
+                          if c.lower() in {r.lower() for r in rcols}]
+                if not shared:
+                    raise ValueError(
+                        "Binder Error: No columns found to join on in "
+                        "NATURAL join")
+                keys = {c.lower() for c in shared}
+            else:
+                keys = set(jn["using"])
+                for k in keys:
+                    if sum(1 for c in cols if c.lower() == k) > 1:
+                        raise ValueError(
+                            f"Binder Error: Ambiguous column reference "
+                            f"\"{k}\" in USING clause")
+                    if sum(1 for c in rcols if c.lower() == k) > 1:
+                        raise ValueError(
+                            f"Binder Error: Ambiguous column reference "
+                            f"\"{k}\" in USING clause")
+            cols = cols + [c for c in rcols if c.lower() not in keys]
+        low = [c.lower() for c in cols]
+        if len(set(low)) != len(low):
+            return None  # duplicate output names: can't reference safely
+        proj = ", ".join(
+            c if re.fullmatch(r"[A-Za-z_]\w*", c)
+            else "`" + c.replace("`", "``") + "`" for c in cols)
+        return f"SELECT {proj} FROM {m.group(1)}"
 
     def _rewrite_string_tables(self, query: str) -> str:
         """DuckDB replacement scans in SQL text: a string literal in table

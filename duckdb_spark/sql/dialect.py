@@ -2579,6 +2579,119 @@ def _check_fromless_window_correlation(toks: list[str]) -> None:
         i += 1
 
 
+_FROMLESS_GUARD_PREV = {
+    "EXISTS", "IN", "SOME", "ANY", "ALL", "FROM", "JOIN", "LATERAL",
+    "ARRAY", "TABLE", "AS", "UNION", "EXCEPT", "INTERSECT", "INSERT",
+    "VALUES", "USING",
+}
+
+
+def _inline_fromless_subqueries(toks: list[str]) -> list[str]:
+    """FROM-less scalar subqueries ARE their expression in the reference
+    binder: `(SELECT 100-i1.i)` ≡ `(100-i1.i)`, `(SELECT e WHERE c)` ≡
+    `CASE WHEN c THEN e END`, and `(SELECT SUM(i))` hoists the aggregate
+    into the enclosing scope (verified against the reference: WHERE-clause
+    hoists even raise its 'cannot contain aggregates' error). Spark treats
+    them as real subqueries and rejects outer references in ORDER
+    BY / multi-level nesting — inlining sidesteps every such limit."""
+    out = list(toks)
+    for _ in range(12):
+        changed = False
+        # clause context per depth: which keyword governs this paren level
+        ctx: list[str] = ["SELECT"]
+        depth_ctx: list[str] = []
+        i = 0
+        n_t = len(out)
+        while i < n_t:
+            t = out[i]
+            if t == "(":
+                depth_ctx.append(ctx[-1])
+                ctx.append(ctx[-1])
+                nn = _next_code(out, i + 1)
+                if (
+                    nn < n_t
+                    and _is_word(out[nn], "SELECT")
+                    and ctx[-2] not in ("FROM", "JOIN", "USING")
+                ):
+                    p = _prev_code(out, i - 1)
+                    guarded = p < 0 or (
+                        re.match(r"^[A-Za-z_]", out[p])
+                        and out[p].upper() in _FROMLESS_GUARD_PREV
+                    )
+                    close = _match_paren(out, i)
+                    if close > 0:
+                        nx = _next_code(out, close + 1)
+                        if nx < n_t and re.match(r"^[A-Za-z_]", out[nx]) and \
+                                out[nx].upper() in ("UNION", "EXCEPT",
+                                                    "INTERSECT"):
+                            guarded = True
+                    if not guarded and close > 0:
+                        repl = _fromless_repl(out, nn, close)
+                        if repl is not None:
+                            out[i:close + 1] = _tokens(repl)
+                            n_t = len(out)
+                            changed = True
+                            depth_ctx.pop()
+                            ctx.pop()
+                            continue
+                i += 1
+                continue
+            if t == ")":
+                if depth_ctx:
+                    depth_ctx.pop()
+                    ctx.pop()
+                i += 1
+                continue
+            if re.match(r"^[A-Za-z_]", t):
+                up = t.upper()
+                if up in ("FROM", "JOIN", "USING"):
+                    ctx[-1] = "FROM" if up != "USING" else "USING"
+                elif up in ("SELECT", "WHERE", "HAVING", "QUALIFY", "ON",
+                            "GROUP", "ORDER", "LIMIT", "SET", "WHEN",
+                            "THEN", "ELSE", "RETURNING"):
+                    ctx[-1] = "SELECT"
+            i += 1
+        if not changed:
+            return out
+    return out
+
+
+def _fromless_repl(toks: list[str], sel: int, close: int) -> str | None:
+    """Inline text for a FROM-less `(SELECT …)` span, or None if the body
+    has clauses/extra items that make it a real subquery."""
+    depth = 0
+    where_at = -1
+    for k in range(sel + 1, close):
+        t = toks[k]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            if t == ",":
+                return None
+            if re.match(r"^[A-Za-z_]", t):
+                up = t.upper()
+                if up == "WHERE" and where_at < 0:
+                    where_at = k
+                elif up in (
+                    "FROM", "GROUP", "HAVING", "ORDER", "LIMIT", "UNION",
+                    "EXCEPT", "INTERSECT", "WINDOW", "QUALIFY", "DISTINCT",
+                    "VALUES", "OFFSET", "WITH", "OVER", "AS",
+                ):
+                    return None
+    if where_at >= 0:
+        expr = "".join(toks[sel + 1:where_at]).strip()
+        cond = "".join(toks[where_at + 1:close]).strip()
+        if not expr or not cond:
+            return None
+        return f"(CASE WHEN ({cond}) THEN ({expr}) END)"
+    expr = "".join(toks[sel + 1:close]).strip()
+    if not expr or expr == "*":
+        return None
+    return f"(({expr}))"
+
+
 def _rewrite_int_bool_context(toks: list[str]) -> list[str]:
     """Bare integer literals in boolean contexts — `a < 2 AND 0`,
     `CASE WHEN 1 THEN …` — autocast to BOOLEAN in DuckDB
@@ -8002,9 +8115,11 @@ def _rewrite_brackets(toks: list[str]) -> list[str]:
                 "__struct_subscript"
             ):
                 # retry mode: `s['field']` is a STRUCT access (DuckDB
-                # subscripts structs by name; Spark needs dot syntax)
+                # subscripts structs by name; Spark needs dot syntax).
+                # Parenthesized so a following subscript still sees a
+                # valid operand tail.
                 out.extend(_tokens(
-                    f"{operand}.`" + idx[1:-1].replace("''", "'") + "`"
+                    f"({operand}.`" + idx[1:-1].replace("''", "'") + "`)"
                 ))
             elif re.match(r"^-?[1-9]\d*$", idx) or re.match(r"(?s)^'.*'$", idx):
                 # int literal, or a string key (map subscript) — the
@@ -8846,6 +8961,7 @@ def translate(sql: str) -> str:
     _check_strictness(toks)
     _check_fromless_window_correlation(toks)
     _check_unnest_in_window_args(toks)
+    toks = _inline_fromless_subqueries(toks)
     _check_alias_expr_strictness(toks)
     # invalid frame bounds (reference window binder): a frame cannot
     # START at UNBOUNDED FOLLOWING or END at UNBOUNDED PRECEDING

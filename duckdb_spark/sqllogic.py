@@ -469,7 +469,8 @@ _INSERT_RE = re.compile(
 )
 _DELETE_RE = re.compile(r"(?is)^\s*delete\s+from\s+([\w\".]+)(?:\s+where\s+(.*))?\s*;?\s*$")
 _UPDATE_RE = re.compile(
-    r"(?is)^\s*update\s+([\w\".]+)\s+set\s+(.*?)(?:\s+where\s+(.*))?\s*;?\s*$"
+    r"(?is)^\s*update\s+([\w\".]+)\s+set\s+(.*?)"
+    r"(?:\s+from\s+(.*?))?(?:\s+where\s+(.*))?\s*;?\s*$"
 )
 _DROP_RE = re.compile(
     r"(?is)^\s*drop\s+(table|view)\s+(?:if\s+exists\s+)?([\w\".]+)\s*(?:cascade\s*)?;?\s*$"
@@ -522,10 +523,18 @@ def _split_statements(sql: str) -> list[str]:
 
 def _split_coldefs(s: str) -> list[str]:
     parts, depth, cur = [], 0, []
+    quote = None
     for ch in s:
-        if ch in "(<[":
+        if quote:
+            if ch == quote:
+                quote = None
+            cur.append(ch)
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+        elif ch in "(<[{":
             depth += 1
-        elif ch in ")>]":
+        elif ch in ")>]}":
             depth -= 1
         if ch == "," and depth == 0:
             parts.append("".join(cur).strip())
@@ -568,6 +577,10 @@ class SLSession:
         self.con = Connection(self.spark)
         self.tables: dict[str, tuple] = {}   # name -> (schema, rows)
         self.views: set[str] = set()
+        self.pkeys: dict[str, list[str]] = {}  # name -> primary-key columns
+        # BEGIN snapshot of the row store (reference transaction/rollback
+        # semantics over this runner's driver-side tables)
+        self._txn: dict[str, tuple] | None = None
 
     # -- table store ------------------------------------------------
     def _register(self, name: str, schema, rows) -> None:
@@ -610,6 +623,7 @@ class SLSession:
     def _drop(self, name: str) -> None:
         self.tables.pop(name, None)
         self.views.discard(name)
+        self.pkeys.pop(name, None)
         self.spark.catalog.dropTempView(name)
 
     def reset(self) -> None:
@@ -620,6 +634,8 @@ class SLSession:
                 pass
         self.tables.clear()
         self.views.clear()
+        self.pkeys.clear()
+        self._txn = None
         from duckdb_spark.sql.dialect import reset_session_settings
 
         reset_session_settings()
@@ -684,6 +700,24 @@ class SLSession:
                             self.spark.catalog.dropTempView(v)
                         except Exception:
                             pass
+        # BEGIN/COMMIT/ROLLBACK over the driver-side row store (reference
+        # transaction_manager rollback semantics; single-connection scope —
+        # enough for the corpus's insert-then-rollback patterns)
+        if re.match(r"(?is)^\s*(BEGIN|START)\s*(TRANSACTION)?\s*$", sql):
+            self._txn = {n: (s, list(r)) for n, (s, r) in self.tables.items()}
+            return None
+        if re.match(r"(?is)^\s*(COMMIT|END)\s*(TRANSACTION)?\s*$", sql):
+            self._txn = None
+            return None
+        if re.match(r"(?is)^\s*(ROLLBACK|ABORT)\s*(TRANSACTION)?\s*$", sql):
+            if self._txn is not None:
+                for n in list(self.tables):
+                    if n not in self._txn:
+                        self._drop(n)
+                for n, (s, r) in self._txn.items():
+                    self._register(n, s, r)
+                self._txn = None
+            return None
         m = re.match(r"(?is)^\s*CALL\s+dbgen\s*\(\s*sf\s*=\s*([0-9.]+)", sql)
         if m:
             self._dbgen(float(m.group(1)))
@@ -698,13 +732,21 @@ class SLSession:
             body = m.group(2).strip()
             body = body[1:body.rfind(")")]
             fields = []
+            pk: list[str] = []
             for coldef in _split_coldefs(body):
                 if re.match(r"(?i)^(primary|unique|check|foreign|constraint)\b", coldef):
+                    km = re.match(
+                        r"(?is)^primary\s+key\s*\(([^)]*)\)", coldef)
+                    if km:
+                        pk = [c.strip().strip('"').lower()
+                              for c in km.group(1).split(",")]
                     continue
                 mm = re.match(r'(?s)^("([^"]+)"|\S+)\s+(.*)$', coldef)
                 if mm is None:
                     raise ValueError(f"unparseable column def {coldef!r}")
                 cname = mm.group(2) or mm.group(1)
+                if re.search(r"(?i)\bprimary\s+key\b", mm.group(3)):
+                    pk.append(cname.strip('"').lower())
                 ctype = re.sub(
                     r"(?i)\s+(primary\s+key|not\s+null|unique|default\s+.*|check\s*\(.*|collate\s+\S+)",
                     "", mm.group(3)).strip()
@@ -714,6 +756,8 @@ class SLSession:
                     cname, duckdb_type_to_spark(expand_type_aliases(ctype))
                 ))
             self._register(name, T.StructType(fields), [])
+            if pk:
+                self.pkeys[name] = pk
             return None
         if m:  # CREATE TABLE ... AS
             name = _flat(m.group(1))
@@ -837,6 +881,18 @@ class SLSession:
 
             casted = src.select(*[_coerce(f) for f in schema.fields])
             added = casted.collect()
+            pk = self.pkeys.get(name)
+            idx = [i for i, f in enumerate(schema.fields)
+                   if f.name.lower() in (pk or [])]
+            if pk and idx:
+                seen = {tuple(r[i] for i in idx) for r in rows}
+                for r in added:
+                    key = tuple(r[i] for i in idx)
+                    if key in seen and None not in key:
+                        raise ValueError(
+                            f"Constraint Error: Duplicate key \"{key}\" "
+                            "violates primary key constraint")
+                    seen.add(key)
             self._register(name, schema, rows + added)
             if ret:
                 # RETURNING projects over the inserted rows (reference
@@ -878,7 +934,11 @@ class SLSession:
             for part in _split_coldefs(m.group(2)):
                 k, _, v = part.partition("=")
                 assigns[k.strip().strip('"')] = v.strip()
-            cond = m.group(3) or "TRUE"
+            cond = m.group(4) or "TRUE"
+            if m.group(3):
+                # UPDATE … FROM (reference bind_update.cpp): a row updates
+                # when ANY from-row satisfies the predicate
+                cond = f"EXISTS (SELECT 1 FROM {m.group(3)} WHERE {cond})"
             from duckdb_spark.sql.dialect import translate
 
             cnt = self.spark.sql(translate(
