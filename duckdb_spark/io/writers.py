@@ -31,6 +31,31 @@ def copy_to(
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     fmt = format.lower()
     if fmt == "csv":
+        # CSV can't hold nested columns; DuckDB writes their varchar
+        # rendering (reference physical_copy_to_file.cpp casts to text).
+        # Correctness path, not a bulk sink — the bulk format is parquet.
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        nested = [f.name for f in df.schema.fields
+                  if isinstance(f.dataType,
+                                (T.ArrayType, T.MapType, T.StructType))]
+        if nested:
+            from duckdb_spark.sql.textcast import render_duck
+
+            rend = F.udf(lambda v: None if v is None else render_duck(v),
+                         T.StringType())
+            df = df.select(*[
+                rend(F.col(f'`{c}`')).alias(c) if c in nested
+                else F.col(f'`{c}`') for c in df.columns])
+            writer = df.write.mode("overwrite" if overwrite else "error")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            if compression:
+                writer = writer.option("compression", compression)
+            if max_records_per_file:
+                writer = writer.option(
+                    "maxRecordsPerFile", str(max_records_per_file))
         writer.option("header", str(header).lower()).csv(path)
     elif fmt == "json":
         writer.json(path)

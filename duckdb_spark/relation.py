@@ -844,6 +844,51 @@ class Connection:
                         return Relation(self.spark.sql(retried))
                     except Exception:  # noqa: BLE001
                         pass
+            # string → LIST/STRUCT/MAP casts of non-literal operands have
+            # no native Spark cast; retry with the per-target-type parse
+            # UDF emission (reference string_cast.cpp runtime cast)
+            if (
+                "CAST_WITHOUT_SUGGESTION" in msg and re.search(
+                    r'cannot cast "STRING" to "(ARRAY|MAP|STRUCT)'
+                    r'|cannot cast "(ARRAY|MAP|STRUCT)[^"]*" to "STRING"',
+                    msg)
+            ) or (
+                # string operand reached the struct→MAP to_json path
+                "INVALID_JSON_SCHEMA" in msg and "to_json" in msg
+            ):
+                from duckdb_spark.sql.dialect import set_session_setting
+                from duckdb_spark.sql.textcast import (
+                    RUNTIME_CASTS,
+                    render_duck,
+                    runtime_cast_fn,
+                )
+                from duckdb_spark.types import duckdb_type_to_spark
+
+                set_session_setting("__text_cast_runtime", "1")
+                try:
+                    retried = translate(query)
+                finally:
+                    set_session_setting("__text_cast_runtime", "")
+                done = getattr(self, "_rtcast_registered", None)
+                if done is None:
+                    done = self._rtcast_registered = set()
+                if "__dkrender" not in done:
+                    self.spark.udf.register(
+                        "__dkrender",
+                        lambda v: None if v is None else render_duck(v),
+                        "string")
+                    done.add("__dkrender")
+                for name, (ducktype, is_try) in list(RUNTIME_CASTS.items()):
+                    if name in done:
+                        continue
+                    self.spark.udf.register(
+                        name, runtime_cast_fn(ducktype, is_try),
+                        duckdb_type_to_spark(ducktype))
+                    done.add(name)
+                try:
+                    return Relation(self.spark.sql(retried))
+                except Exception:  # noqa: BLE001 — next handlers may apply
+                    pass
             # DuckDB allows SELECT-list aliases inside window expressions;
             # Spark doesn't. Retry with aliases inlined into window specs
             # (retry-only: columns must win over aliases when both resolve)

@@ -1716,8 +1716,8 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
                 i += 1
             tdepth = 0
             while i < len(toks) and (
-                re.match(r"[A-Za-z_`]", toks[i]) or toks[i] in "()[]0123456789,." or toks[i].isdigit()
-                or (toks[i].isspace() and tdepth > 0)  # STRUCT(k INT, …)
+                re.match(r"[^\W\d]|`", toks[i]) or toks[i] in "()[]0123456789,." or toks[i].isdigit()
+                or tdepth > 0  # inside STRUCT(…)/MAP(…) everything is type
                 or (
                     # multi-word spellings: INT ARRAY, DOUBLE PRECISION,
                     # CHARACTER VARYING
@@ -1738,6 +1738,10 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
                 ty.append(toks[i])
                 i += 1
                 if ty and ty[-1] == ")" and tdepth <= 0:
+                    # STRUCT(...)[] / MAP(...)[]: the list suffix follows
+                    nx = _next_code(toks, i)
+                    if nx < len(toks) and toks[nx] == "[":
+                        continue
                     break
                 if tdepth <= 0 and i < len(toks) and toks[i].isspace():
                     nx = _next_code(toks, i)
@@ -1757,12 +1761,42 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
                 if folded is not None:
                     out.append(folded)
                     continue
+            if mlit:
+                from duckdb_spark.sql.textcast import fold_string_to_integer
+
+                fint = fold_string_to_integer(
+                    mlit.group(1).replace("''", "'"), rawty)
+                if fint is not None:
+                    out.append(fint)
+                    continue
+            # runtime mode (Connection.sql retry): non-literal operand →
+            # per-target-type parse/coerce UDF (reference string_cast.cpp)
+            if (
+                get_session_setting("__text_cast_runtime")
+                and re.match(
+                    r"(?is)^(.*\[\s*\d*\s*\]|STRUCT\s*\(|MAP\s*\()", rawty)
+                and not re.match(
+                    r"(?s)^\s*[{']", operand)
+                and not re.match(
+                    r"(?is)^\s*(array|named_struct|map|struct|collect_list|"
+                    r"collect_set|split|sequence|transform)\s*\(", operand)
+            ):
+                from duckdb_spark.sql.textcast import runtime_cast_name
+
+                inner_op = _runtime_cast_chain(operand)
+                name = runtime_cast_name(rawty, False)
+                out.extend(_tokens(f"{name}({inner_op})"))
+                continue
             # struct literal → MAP: `{k: v, …}::MAP(K, V)` (DuckDB
             # struct-to-map cast; Spark has no struct→map cast)
             if re.match(r"(?is)^MAP\s*\(", rawty) and re.match(
                 r"(?s)^\s*\{.*\}\s*$", operand
             ):
-                from duckdb_spark.sql.textcast import _part3, _split_top
+                from duckdb_spark.sql.textcast import (
+                    _part3,
+                    _split_top,
+                    _split_type_fields,
+                )
 
                 body = operand.strip()[1:-1].strip()
                 kvs = []
@@ -1770,7 +1804,7 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
                     # cast keys/values to the declared K/V so mixed-type
                     # struct values don't fight map()'s type unification
                     kv_m = re.match(r"(?is)^MAP\s*\((.*)\)\s*$", rawty)
-                    parts_ty = _split_top(kv_m.group(1), ",") if kv_m else []
+                    parts_ty = _split_type_fields(kv_m.group(1)) if kv_m else []
                     k_ty = _map_type(parts_ty[0]) if len(parts_ty) == 2 else "string"
                     v_ty = _map_type(parts_ty[1]) if len(parts_ty) == 2 else None
                     for part in _split_top(body, ",") if body else []:
@@ -1792,6 +1826,21 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
                 out.append(
                     f"from_json(to_json({operand}), '{target}')"
                 )
+                continue
+            if (
+                get_session_setting("__text_cast_runtime")
+                and re.match(r"(?is)^(VARCHAR|STRING|TEXT)$", rawty.strip())
+                and mlit is None
+                and not re.match(r"(?is)^\s*__dk", operand)
+            ):
+                out.extend(_tokens(f"__dkrender({operand})"))
+                continue
+            mtrunc = re.match(r"(?i)^TIMESTAMP_(MS|S)$", rawty.strip())
+            if mtrunc:
+                unit = ("MILLISECOND" if mtrunc.group(1).upper() == "MS"
+                        else "SECOND")
+                out.extend(_tokens(
+                    f"date_trunc('{unit}', CAST({operand} AS timestamp))"))
                 continue
             target = _map_type(rawty)
             # DuckDB float→int casts ROUND (half away from zero); Spark
@@ -2577,6 +2626,51 @@ def _check_fromless_window_correlation(toks: list[str]) -> None:
                             "Binder Error: correlated columns in window "
                             "functions not supported")
         i += 1
+
+
+def _strip_balanced_parens(expr: str) -> str:
+    """Remove redundant outer parens: `((x))` → `x` (only when the outer
+    pair is balanced around the whole expression)."""
+    e = expr.strip()
+    while e.startswith("(") and e.endswith(")"):
+        depth = 0
+        for i, c in enumerate(e):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0 and i < len(e) - 1:
+                    return e
+        e = e[1:-1].strip()
+    return e
+
+
+def _runtime_cast_chain(operand: str) -> str:
+    """Strip a trailing `CAST(x AS VARCHAR)` / `__dkrender(x)` wrapper so
+    the runtime cast UDF receives the ORIGINAL value (the reference's
+    value→text→value chain collapses into one render+parse)."""
+    op = _strip_balanced_parens(operand)
+    mchain = re.match(
+        r"(?is)^\s*CAST\s*\(\s*(.*)\s+AS\s+(VARCHAR|STRING|TEXT)\s*\)\s*$",
+        op)
+    if mchain:
+        return mchain.group(1)
+    mrender = re.match(r"(?is)^\s*__dkrender\s*\((.*)\)\s*$", op)
+    if mrender and _balanced(mrender.group(1)):
+        return mrender.group(1)
+    return op
+
+
+def _balanced(expr: str) -> bool:
+    depth = 0
+    for c in expr:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
 
 
 _FROMLESS_GUARD_PREV = {
@@ -7923,9 +8017,9 @@ def _map_type(ty: str) -> str:
     if head and head.group(0).upper() in ("INTERVAL", "TIME", "TIMETZ"):
         return ty  # storage emulations (types.py) would corrupt cast semantics
     try:
-        from duckdb_spark.types import duckdb_type_to_spark
+        from duckdb_spark.types import duckdb_type_to_spark, spark_ddl
 
-        return duckdb_type_to_spark(s).simpleString()
+        return spark_ddl(duckdb_type_to_spark(s))
     except Exception:
         pass
     if head and head.group(0).upper() in _TYPE_RENAMES:
@@ -7966,14 +8060,95 @@ def _rewrite_cast_types(toks: list[str]) -> list[str]:
         operand = "".join(out[p + 1:a]).strip()
         mlit = re.fullmatch(r"(?s)\s*'((?:[^']|'')*)'\s*", operand)
         if mlit and re.match(r"(?is)^(STRUCT\s*\(|MAP\s*\(|.*\[\s*\d*\s*\]$)", ty):
-            from duckdb_spark.sql.textcast import fold_string_cast
+            from duckdb_spark.sql.textcast import (
+                TextCastError,
+                fold_string_cast,
+            )
 
-            folded = fold_string_cast(mlit.group(1).replace("''", "'"), ty)
+            try:
+                folded = fold_string_cast(
+                    mlit.group(1).replace("''", "'"), ty,
+                    lenient=out[i].upper() == "TRY_CAST")
+            except TextCastError:
+                if out[i].upper() != "TRY_CAST":
+                    raise
+                folded = (  # TRY_CAST structural failure → NULL
+                    f"cast(null as {_map_type(ty)})")
             if folded is not None:
                 out[i:close + 1] = [folded]
                 i += 1
                 continue
+        if mlit:
+            from duckdb_spark.sql.textcast import (
+                TextCastError,
+                fold_string_to_integer,
+            )
+
+            try:
+                fint = fold_string_to_integer(
+                    mlit.group(1).replace("''", "'"), ty)
+            except TextCastError:
+                if out[i].upper() != "TRY_CAST":
+                    raise
+                fint = f"cast(null as {_map_type(ty)})"
+            if fint is not None:
+                out[i:close + 1] = [fint]
+                i += 1
+                continue
+        # runtime mode (Connection.sql retry after "cannot cast STRING to
+        # ARRAY/MAP/STRUCT"): non-literal string operands go through a
+        # per-target-type parse UDF (reference string_cast.cpp runtime
+        # cast). `x::VARCHAR::T` chains collapse: the UDF renders duck-
+        # style then reparses, matching the reference value→text→value.
+        if (
+            get_session_setting("__text_cast_runtime")
+            and re.match(r"(?is)^(STRUCT\s*\(|MAP\s*\(|.*\[\s*\d*\s*\]$)", ty)
+            and not re.match(
+                r"(?is)^\s*(array|named_struct|map|struct|collect_list|"
+                r"collect_set|split|sequence|transform)\s*\(", operand)
+        ):
+            from duckdb_spark.sql.textcast import runtime_cast_name
+
+            inner = _runtime_cast_chain(operand)
+            name = runtime_cast_name(ty, out[i].upper() == "TRY_CAST")
+            out[i:close + 1] = _tokens(f"{name}({inner})")
+            i += 1
+            continue
+        if (
+            get_session_setting("__text_cast_runtime")
+            and re.match(r"(?is)^(VARCHAR|STRING|TEXT)$", ty.strip())
+            and mlit is None
+            and out[i].upper() == "CAST"
+            and not re.match(r"(?is)^\s*__dk", operand)
+        ):
+            out[i:close + 1] = _tokens(f"__dkrender({operand})")
+            i += 1
+            continue
+        # TIMESTAMP_MS / TIMESTAMP_S truncate sub-unit digits (reference
+        # timestamp_t conversions); Spark has only µs timestamps
+        mtrunc = re.match(r"(?i)^TIMESTAMP_(MS|S)$", ty.strip())
+        if mtrunc:
+            unit = "MILLISECOND" if mtrunc.group(1).upper() == "MS" else "SECOND"
+            kw = out[i]
+            out[i:close + 1] = _tokens(
+                f"date_trunc('{unit}', {kw}({operand} AS timestamp))")
+            i += 1
+            continue
         mapped = _map_type(ty)
+        # DuckDB numeric→int casts ROUND half away from zero; Spark
+        # truncates (same rule as the `::` pass above)
+        if mapped.upper() in (
+            "INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT",
+        ) and re.search(
+            r"(?i)\b(log|log10|log2|ln|sqrt|cbrt|exp|pow|power|avg|mean|"
+            r"sin|cos|tan|asin|acos|atan|atan2|radians|degrees|random)\s*\(|"
+            r"\d\.\d|/", operand,
+        ):
+            kw = out[i]
+            out[i:close + 1] = _tokens(
+                f"{kw}(round({operand}) AS {mapped})")
+            i += 1
+            continue
         if ty and mapped != ty:
             out[j:close] = [mapped]
         i = p
@@ -8319,7 +8494,8 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
             argtext = "".join(out[j + 1:close]).strip()
             listy = re.search(
                 r"(?i)\[|collect_list|array|transform|slice|sequence|split|"
-                r"approx_top_k|list_sort|map_keys|map_values|flatten", argtext,
+                r"approx_top_k|list_sort|map_keys|map_values|flatten|"
+                r"__dktc_", argtext,
             )
             if not listy and re.match(r"^[A-Za-z_]\w*$", argtext):
                 full = "".join(out)

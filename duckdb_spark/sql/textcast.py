@@ -53,16 +53,32 @@ def _split_top(s: str, sep: str) -> list[str]:
             continue
         elif c in "'\"`":
             quote = c
-        elif c in "[{(":
+        elif c in "[{":
             depth += 1
-        elif c in ")}]":
+        elif c in "}]":
             depth -= 1
         elif c == sep and depth == 0:
             parts.append(s[start:i])
             start = i + 1
         i += 1
     parts.append(s[start:])
+    if depth != 0 or quote:
+        raise TextCastError(
+            f"Conversion Error: {s!r} can't be cast to the destination type "
+            f"(unbalanced brackets)")
     return parts
+
+
+_NESTED_TY = re.compile(r"(?is)^(.*\[\s*\d*\s*\]|STRUCT\s*\(|MAP\s*\()")
+
+
+def _elem(part: str, ducktype: str) -> tuple[str, bool]:
+    """Element text for a target type: scalar targets strip/unescape
+    quotes; nested targets keep the raw text (inner quotes belong to the
+    recursive parse — reference VectorStringToList keeps nesting intact)."""
+    if _NESTED_TY.match(ducktype.strip()):
+        return part.strip(), False
+    return _strip_value(part)
 
 
 def _strip_value(s: str) -> tuple[str, bool]:
@@ -125,50 +141,57 @@ _INT_TYPES = {
 _FLOAT_TYPES = {"FLOAT", "REAL", "DOUBLE", "FLOAT4", "FLOAT8"}
 
 
-def emit_value(text: str, quoted: bool, ducktype: str) -> str:
-    """One parsed element → a Spark SQL expression of the target type."""
+def emit_value(text: str, quoted: bool, ducktype: str,
+               lenient: bool = False) -> str:
+    """One parsed element → a Spark SQL expression of the target type.
+    `lenient` is TRY_CAST: scalar conversion failures become NULL
+    (reference try-cast nulls elements, not the whole list)."""
     dt = ducktype.strip()
     up = dt.upper()
     m = re.match(r"(?is)^(.*)\[\s*\d*\s*\]$", dt)
     if m:
-        return emit_list(text, quoted, m.group(1))
+        return emit_list(text, quoted, m.group(1), lenient)
     if re.match(r"(?is)^STRUCT\s*\(", dt):
-        return emit_struct(text, dt)
+        return emit_struct(text, dt, lenient)
     if re.match(r"(?is)^MAP\s*\(", dt):
-        return emit_map(text, dt)
+        return emit_map(text, dt, lenient)
     if not quoted and text.upper() == "NULL":
         return f"cast(null as {duckdb_type_to_spark(dt).simpleString()})"
+
+    def _fail(e=None):
+        if lenient:
+            return f"cast(null as {duckdb_type_to_spark(dt).simpleString()})"
+        raise TextCastError(
+            f"Conversion Error: Could not convert string {text!r} to {up}"
+        ) from e
+
     if up in ("VARCHAR", "TEXT", "STRING", "BPCHAR", "CHAR") or re.match(
         r"(?i)^VARCHAR\s*\(", dt
     ):
         return _quote_sql(text)
     if up in _INT_TYPES:
         try:
-            int(text.strip())
-        except ValueError as e:
-            raise TextCastError(
-                f"Conversion Error: Could not convert string {text!r} to {up}"
-            ) from e
-        return text.strip()
+            n = _exact_int(text.strip(), up)
+        except TextCastError as e:
+            return _fail(e)
+        return f"cast({n} as {duckdb_type_to_spark(dt).simpleString()})"
     if up in _FLOAT_TYPES or re.match(r"(?i)^(DECIMAL|NUMERIC)", dt):
         try:
             float(text.strip())
         except ValueError as e:
-            raise TextCastError(
-                f"Conversion Error: Could not convert string {text!r} to {up}"
-            ) from e
+            return _fail(e)
         return f"cast({_quote_sql(text.strip())} as {duckdb_type_to_spark(dt).simpleString()})"
     if up in ("BOOLEAN", "BOOL", "LOGICAL"):
         if text.strip().lower() in ("true", "false"):
             return text.strip().lower()
-        raise TextCastError(
-            f"Conversion Error: Could not convert string {text!r} to BOOLEAN"
-        )
+        return _fail()
     # dates/timestamps/uuid/…: delegate to a Spark cast of the text
-    return f"cast({_quote_sql(text.strip())} as {duckdb_type_to_spark(dt).simpleString()})"
+    kw = "try_cast" if lenient else "cast"
+    return f"{kw}({_quote_sql(text.strip())} as {duckdb_type_to_spark(dt).simpleString()})"
 
 
-def emit_list(text: str, quoted: bool, elemtype: str) -> str:
+def emit_list(text: str, quoted: bool, elemtype: str,
+              lenient: bool = False) -> str:
     t = text.strip()
     if not quoted and t.upper() == "NULL":
         spark = duckdb_type_to_spark(elemtype + "[]").simpleString()
@@ -181,25 +204,66 @@ def emit_list(text: str, quoted: bool, elemtype: str) -> str:
         return f"cast(array() as {spark})"
     items = []
     for part in _split_top(body, ","):
-        it, q = _strip_value(part)
-        items.append(emit_value(it, q, elemtype))
+        try:
+            it, q = _elem(part, elemtype)
+            items.append(emit_value(it, q, elemtype, lenient))
+        except TextCastError:
+            if not lenient:
+                raise
+            items.append(
+                f"cast(null as {duckdb_type_to_spark(elemtype).simpleString()})")
     return "array(" + ", ".join(items) + ")"
+
+
+def _split_type_fields(s: str) -> list[str]:
+    """Split struct-type text on top-level commas with IDENTIFIER grammar:
+    doubled quotes escape inside "..."/`...`, backslash is literal
+    (unlike value text), <>/()/[] nest."""
+    parts, depth, start, i = [], 0, 0, 0
+    while i < len(s):
+        c = s[i]
+        if c in '"`':
+            q = c
+            i += 1
+            while i < len(s):
+                if s[i] == q:
+                    if i + 1 < len(s) and s[i + 1] == q:
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c in "([<":
+            depth += 1
+        elif c in ")]>":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+        i += 1
+    parts.append(s[start:])
+    return [p for p in parts if p.strip()]
 
 
 def _struct_fields(ducktype: str) -> list[tuple[str, str]]:
     body = ducktype.strip()[ducktype.index("(") + 1:ducktype.rindex(")")]
     fields = []
-    for part in _split_top(body, ","):
+    for part in _split_type_fields(body):
         p = part.strip()
-        m = re.match(r'(?s)^("([^"]+)"|`([^`]+)`|\S+)\s+(.*)$', p)
+        m = re.match(
+            r'(?s)^(?:"((?:[^"]|"")*)"|`((?:[^`]|``)*)`|(\S+))\s+(.*)$', p)
         if not m:
             raise TextCastError(f"bad struct field {p!r}")
-        name = (m.group(2) or m.group(3) or m.group(1)).strip('"`')
+        if m.group(1) is not None:
+            name = m.group(1).replace('""', '"')
+        elif m.group(2) is not None:
+            name = m.group(2).replace("``", "`")
+        else:
+            name = m.group(3)
         fields.append((name, m.group(4).strip()))
     return fields
 
 
-def emit_struct(text: str, ducktype: str) -> str:
+def emit_struct(text: str, ducktype: str, lenient: bool = False) -> str:
     t = text.strip()
     if t.upper() == "NULL":
         return f"cast(null as {duckdb_type_to_spark(ducktype).simpleString()})"
@@ -229,8 +293,7 @@ def emit_struct(text: str, ducktype: str) -> str:
         for part in merged:
             k, _, v = _part3(part, ":")
             key, _kq = _strip_value(k)
-            vt, vq = _strip_value(v)
-            got[key.lower()] = (vt, vq)
+            got[key.lower()] = v
     # unknown keys error (missing target fields become NULL — reference
     # struct cast fills gaps but rejects extras)
     known = {f.lower() for f, _ in fields}
@@ -243,11 +306,13 @@ def emit_struct(text: str, ducktype: str) -> str:
     kvs = []
     for fname, ftype in fields:
         if fname.lower() in got:
-            vt, vq = got[fname.lower()]
-            kvs.append(f"'{fname}', " + emit_value(vt, vq, ftype))
+            vt, vq = _elem(got[fname.lower()], ftype)
+            kvs.append(_quote_sql(fname) + ", "
+                       + emit_value(vt, vq, ftype, lenient))
         else:
             kvs.append(
-                f"'{fname}', cast(null as {duckdb_type_to_spark(ftype).simpleString()})"
+                _quote_sql(fname)
+                + f", cast(null as {duckdb_type_to_spark(ftype).simpleString()})"
             )
     return "named_struct(" + ", ".join(kvs) + ")"
 
@@ -269,9 +334,9 @@ def _part3(s: str, sep: str) -> tuple[str, str, str]:
             continue
         elif c in "'\"`":
             quote = c
-        elif c in "[{(":
+        elif c in "[{":
             depth += 1
-        elif c in ")}]":
+        elif c in "}]":
             depth -= 1
         elif c == sep and depth == 0:
             return s[:i], sep, s[i + 1:]
@@ -279,7 +344,7 @@ def _part3(s: str, sep: str) -> tuple[str, str, str]:
     raise TextCastError(f"missing {sep!r} in {s!r}")
 
 
-def emit_map(text: str, ducktype: str) -> str:
+def emit_map(text: str, ducktype: str, lenient: bool = False) -> str:
     t = text.strip()
     if t.upper() == "NULL":
         return f"cast(null as {duckdb_type_to_spark(ducktype).simpleString()})"
@@ -287,7 +352,7 @@ def emit_map(text: str, ducktype: str) -> str:
         raise TextCastError(f"Conversion Error: can't cast {text!r} to MAP")
     body = t[1:-1].strip()
     m = re.match(r"(?is)^MAP\s*\((.*)\)$", ducktype.strip())
-    kt, vt = _split_top(m.group(1), ",")[:2]
+    kt, vt = _split_type_fields(m.group(1))[:2]
     if not body:
         return f"cast(map() as {duckdb_type_to_spark(ducktype).simpleString()})"
     # a comma-split segment without '=' belongs to the KEY of the next
@@ -309,21 +374,410 @@ def emit_map(text: str, ducktype: str) -> str:
     kvs = []
     for part in merged:
         k, _, v = _part3(part, "=")
-        ktext, kq = _strip_value(k)
-        vtext, vq = _strip_value(v)
-        kvs.append(emit_value(ktext, kq, kt))
-        kvs.append(emit_value(vtext, vq, vt))
+        ktext, kq = _elem(k, kt)
+        vtext, vq = _elem(v, vt)
+        kvs.append(emit_value(ktext, kq, kt, lenient))
+        kvs.append(emit_value(vtext, vq, vt, lenient))
     return "map(" + ", ".join(kvs) + ")"
 
 
-def fold_string_cast(literal_text: str, ducktype: str) -> str | None:
+def _exact_int(text: str, up: str) -> int:
+    """Numeric text -> int with DuckDB rounding (half away from zero) and
+    target-range check; exact via Decimal (doubles lose int64 extremes)."""
+    import decimal
+
+    if not re.fullmatch(r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?",
+                        text.strip()):
+        raise TextCastError(
+            f"Conversion Error: Could not convert string {text!r} to {up}")
+    try:
+        d = decimal.Decimal(text.strip())
+    except decimal.InvalidOperation as e:
+        raise TextCastError(
+            f"Conversion Error: Could not convert string {text!r} to {up}"
+        ) from e
+    n = int(d.quantize(0, rounding=decimal.ROUND_HALF_UP))
+    lo, hi = _INT_RANGES.get(up, (-2**127, 2**127 - 1))
+    if not lo <= n <= hi:
+        raise TextCastError(
+            f"Conversion Error: Could not convert string {text!r} to {up} "
+            f"(out of range)")
+    return n
+
+
+_INT_RANGES = {
+    "TINYINT": (-128, 127), "INT1": (-128, 127),
+    "SMALLINT": (-32768, 32767), "INT2": (-32768, 32767),
+    "SHORT": (-32768, 32767), "INT16": (-32768, 32767),
+    "INTEGER": (-2**31, 2**31 - 1), "INT": (-2**31, 2**31 - 1),
+    "INT4": (-2**31, 2**31 - 1), "INT32": (-2**31, 2**31 - 1),
+    "SIGNED": (-2**31, 2**31 - 1),
+    "BIGINT": (-2**63, 2**63 - 1), "INT8": (-2**63, 2**63 - 1),
+    "LONG": (-2**63, 2**63 - 1), "INT64": (-2**63, 2**63 - 1),
+    "HUGEINT": (-2**127, 2**127 - 1),
+    "UTINYINT": (0, 255), "USMALLINT": (0, 65535),
+    "UINTEGER": (0, 2**32 - 1), "UBIGINT": (0, 2**64 - 1),
+}
+
+
+def fold_string_to_integer(text: str, ducktype: str) -> str | None:
+    """Exact `'<numeric text>'::<integral>` folding: DuckDB parses the
+    integer part and rounds the fraction half away from zero (reference
+    TryCast string→integer); going through a double loses precision near
+    int64/int128 extremes, so fold with Python's exact Decimal."""
+    import decimal
+
+    up = ducktype.strip().upper()
+    if up not in _INT_RANGES:
+        return None
+    t = text.strip()
+    if not re.fullmatch(r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?", t):
+        return None  # not plain numeric text: keep the native cast
+    n = _exact_int(t, up)
+    if abs(n) >= 10**38:
+        return None  # beyond Spark's DECIMAL(38): keep the native cast
+    spark = duckdb_type_to_spark(ducktype).simpleString()
+    return f"cast({n} as {spark})"
+
+
+# ---------------------------------------------------------------- runtime
+# Non-literal string → nested-type casts can't fold at translate time; they
+# run through a per-target-type Python UDF (reference string_cast.cpp is a
+# per-row runtime cast too). The dialect emits a deterministic UDF name and
+# records it in RUNTIME_CASTS; Connection.sql registers pending names on
+# its retry path. Correctness corner only — never a scan-scale hot path.
+
+RUNTIME_CASTS: dict[str, tuple[str, bool]] = {}  # name -> (ducktype, is_try)
+
+
+def runtime_cast_name(ducktype: str, is_try: bool) -> str:
+    import hashlib
+
+    key = ("T" if is_try else "C") + ducktype.strip().upper()
+    name = "__dktc_" + hashlib.md5(key.encode()).hexdigest()[:10]
+    RUNTIME_CASTS[name] = (ducktype.strip(), is_try)
+    return name
+
+
+def render_duck(v) -> str:
+    """DuckDB Value::ToString of a collected Python value (nested values
+    quote per NeedsQuotes; reference value.cpp). Mirrors the sqllogic
+    renderer but lives here to keep import direction dialect→textcast."""
+    import datetime
+    import decimal
+
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if v != v:
+            return "nan"
+        if v in (float("inf"), float("-inf")):
+            return ("-" if v < 0 else "") + "inf"
+        if v == int(v) and abs(v) < 1e15:
+            return f"{v:.1f}"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += f".{v.microsecond:06d}".rstrip("0")
+        return s
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, list):
+        return "[" + ", ".join(_render_nested(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ", ".join(
+            f"{_render_nested(k)}={_render_nested(x)}" for k, x in v.items()
+        ) + "}"
+    if hasattr(v, "asDict"):
+        return "{" + ", ".join(
+            f"'{k}': {_render_nested(x)}" for k, x in v.asDict().items()
+        ) + "}"
+    return str(v)
+
+
+def _render_nested(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        if (
+            v == ""
+            or v.upper() == "NULL"
+            or any(c in v for c in "[]{},'\"=:\\")
+            or v[0].isspace()
+            or v[-1].isspace()
+        ):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        return v
+    import datetime
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return "'" + render_duck(v) + "'"
+    return render_duck(v)
+
+
+def parse_typed(text: str, quoted: bool, ducktype: str,
+                lenient: bool = False):
+    """One element of DuckDB cast text → a Python value Spark can convert
+    to duckdb_type_to_spark(ducktype). Raises TextCastError like the
+    reference's Conversion Error."""
+    import datetime
+    import decimal
+
+    dt = ducktype.strip()
+    up = dt.upper()
+    m = re.match(r"(?is)^(.*)\[\s*\d*\s*\]$", dt)
+    if m:
+        t = text.strip()
+        if not quoted and t.upper() == "NULL":
+            return None
+        if not (t.startswith("[") and t.endswith("]")):
+            raise TextCastError(f"Conversion Error: can't cast {text!r} to LIST")
+        body = t[1:-1].strip()
+        if not body:
+            return []
+        elems = []
+        for part in _split_top(body, ","):
+            try:
+                it, q = _elem(part, m.group(1))
+                elems.append(parse_typed(it, q, m.group(1), lenient))
+            except TextCastError:
+                if not lenient:
+                    raise
+                elems.append(None)
+        return elems
+    if re.match(r"(?is)^STRUCT\s*\(", dt):
+        t = text.strip()
+        if not quoted and t.upper() == "NULL":
+            return None
+        if not (t.startswith("{") and t.endswith("}")):
+            raise TextCastError(f"Conversion Error: can't cast {text!r} to STRUCT")
+        body = t[1:-1].strip()
+        fields = _struct_fields(dt)
+        got: dict[str, tuple[str, bool]] = {}
+        if body:
+            merged, acc = [], ""
+            for part in _split_top(body, ","):
+                acc = part if not acc else acc + "," + part
+                try:
+                    _part3(acc, ":")
+                except TextCastError:
+                    continue
+                merged.append(acc)
+                acc = ""
+            if acc.strip():
+                raise TextCastError(
+                    f"Conversion Error: {acc!r} struct entry without ':'")
+            for part in merged:
+                k, _, v = _part3(part, ":")
+                key, _kq = _strip_value(k)
+                got[key.lower()] = v
+        known = {f.lower() for f, _ in fields}
+        for key in got:
+            if key not in known:
+                raise TextCastError(
+                    f"Conversion Error: struct key {key!r} has no matching "
+                    f"field in the destination type")
+        def _field(raw, ftype):
+            try:
+                return parse_typed(*_elem(raw, ftype), ftype, lenient)
+            except TextCastError:
+                if not lenient:
+                    raise
+                return None
+
+        return {
+            fname: (_field(got[fname.lower()], ftype)
+                    if fname.lower() in got else None)
+            for fname, ftype in fields
+        }
+    mm = re.match(r"(?is)^MAP\s*\((.*)\)$", dt)
+    if mm:
+        t = text.strip()
+        if not quoted and t.upper() == "NULL":
+            return None
+        if not (t.startswith("{") and t.endswith("}")):
+            raise TextCastError(f"Conversion Error: can't cast {text!r} to MAP")
+        kt, vt = _split_type_fields(mm.group(1))[:2]
+        body = t[1:-1].strip()
+        if not body:
+            return {}
+        merged, acc = [], ""
+        for part in _split_top(body, ","):
+            acc = part if not acc else acc + "," + part
+            try:
+                _part3(acc, "=")
+            except TextCastError:
+                continue
+            merged.append(acc)
+            acc = ""
+        if acc.strip():
+            raise TextCastError(
+                f"Conversion Error: {acc!r} map entry without '='")
+        out = {}
+        for part in merged:
+            k, _, v = _part3(part, "=")
+            ktext, kq = _elem(k, kt)
+            vtext, vq = _elem(v, vt)
+            try:
+                key = parse_typed(ktext, kq, kt, lenient)
+                val = parse_typed(vtext, vq, vt, lenient)
+            except TextCastError:
+                if not lenient:
+                    raise
+                continue  # map keys can't be NULL: drop the entry
+            out[key] = val
+        return out
+    t = text.strip()
+    if not quoted and t.upper() == "NULL":
+        return None
+    if up in ("VARCHAR", "TEXT", "STRING", "BPCHAR", "CHAR") or re.match(
+        r"(?i)^VARCHAR\s*\(", dt
+    ):
+        return text
+    if up in _INT_TYPES:
+        return _exact_int(t, up)
+    if up in _FLOAT_TYPES:
+        try:
+            return float(t)
+        except ValueError as e:
+            raise TextCastError(
+                f"Conversion Error: Could not convert string {text!r} to {up}"
+            ) from e
+    if re.match(r"(?i)^(DECIMAL|NUMERIC)", dt):
+        try:
+            return decimal.Decimal(t)
+        except decimal.InvalidOperation as e:
+            raise TextCastError(
+                f"Conversion Error: Could not convert string {text!r} to "
+                f"DECIMAL") from e
+    if up in ("BOOLEAN", "BOOL", "LOGICAL"):
+        if t.lower() in ("true", "t", "1", "yes"):
+            return True
+        if t.lower() in ("false", "f", "0", "no"):
+            return False
+        raise TextCastError(
+            f"Conversion Error: Could not convert string {text!r} to BOOLEAN")
+    try:
+        if up == "DATE":
+            return datetime.date.fromisoformat(t)
+        if up.startswith("TIMESTAMP") or up == "DATETIME":
+            return datetime.datetime.fromisoformat(t)
+    except ValueError as e:
+        raise TextCastError(
+            f"Conversion Error: Could not convert string {text!r} to {up}"
+        ) from e
+    # remaining scalar types (UUID, TIME, BLOB, …): keep the text; Spark's
+    # own cast of the string column applies downstream if needed
+    return text
+
+
+def coerce_value(v, ducktype: str, lenient: bool = False):
+    """Value-level cast for non-string inputs (LIST↔LIST element casts,
+    STRUCT→STRUCT by name, STRUCT→MAP); strings parse through the duck
+    text grammar."""
+    if v is None:
+        return None
+    dt = ducktype.strip()
+    if isinstance(v, str):
+        if dt.upper() in ("VARCHAR", "TEXT", "STRING", "BPCHAR", "CHAR") \
+                or re.match(r"(?i)^VARCHAR\s*\(", dt):
+            return v  # already a string VALUE, not duck text
+        return parse_typed(v, False, dt, lenient)
+    m = re.match(r"(?is)^(.*)\[\s*\d*\s*\]$", dt)
+    if m:
+        if isinstance(v, (list, tuple)):
+            if lenient:
+                out = []
+                for x in v:
+                    try:
+                        out.append(coerce_value(x, m.group(1), True))
+                    except TextCastError:
+                        out.append(None)
+                return out
+            return [coerce_value(x, m.group(1)) for x in v]
+        raise TextCastError(
+            f"Conversion Error: can't cast {type(v).__name__} to LIST")
+    if re.match(r"(?is)^STRUCT\s*\(", dt):
+        d = v.asDict() if hasattr(v, "asDict") else v
+        if not isinstance(d, dict):
+            raise TextCastError(
+                f"Conversion Error: can't cast {type(v).__name__} to STRUCT")
+        low = {k.lower(): x for k, x in d.items()}
+        return {
+            fname: coerce_value(low.get(fname.lower()), ftype, lenient)
+            for fname, ftype in _struct_fields(dt)
+        }
+    mm = re.match(r"(?is)^MAP\s*\((.*)\)$", dt)
+    if mm:
+        d = v.asDict() if hasattr(v, "asDict") else v
+        if not isinstance(d, dict):
+            raise TextCastError(
+                f"Conversion Error: can't cast {type(v).__name__} to MAP")
+        kt, vt = _split_type_fields(mm.group(1))[:2]
+        return {
+            coerce_value(k, kt, lenient): coerce_value(x, vt, lenient)
+            for k, x in d.items()
+        }
+    # scalar: convert Python-side — Spark nulls type-mismatched UDF
+    # returns (a float for an INT field) instead of coercing
+    import decimal
+
+    up = dt.upper()
+    if up in _INT_TYPES:
+        if isinstance(v, bool):
+            return int(v)
+        if isinstance(v, float):  # DuckDB rounds half away from zero
+            return int(decimal.Decimal(v).quantize(
+                0, rounding=decimal.ROUND_HALF_UP))
+        if isinstance(v, (int, decimal.Decimal)):
+            return int(decimal.Decimal(v).quantize(
+                0, rounding=decimal.ROUND_HALF_UP))
+        raise TextCastError(
+            f"Conversion Error: can't cast {type(v).__name__} to {up}")
+    if up in _FLOAT_TYPES:
+        return float(v)
+    if re.match(r"(?i)^(DECIMAL|NUMERIC)", dt):
+        return decimal.Decimal(str(v))
+    if up in ("VARCHAR", "TEXT", "STRING", "BPCHAR", "CHAR"):
+        return render_duck(v)
+    return v  # dates/timestamps/…: Spark-convertible as-is
+
+
+def runtime_cast_fn(ducktype: str, is_try: bool):
+    """Callable for spark.udf.register: a string input parses through the
+    duck text grammar (reference string_cast.cpp); a nested input coerces
+    value-level (the `x::VARCHAR::T` chain collapses to one UDF call via
+    render_duck when the dialect strips the inner VARCHAR cast)."""
+
+    def fn(v):
+        if v is None:
+            return None
+        try:
+            return coerce_value(v, ducktype, lenient=is_try)
+        except TextCastError:
+            if is_try:
+                return None
+            raise
+
+    return fn
+
+
+def fold_string_cast(literal_text: str, ducktype: str,
+                     lenient: bool = False) -> str | None:
     """`'<literal_text>'::<ducktype>` → Spark constructor expression, or
-    None when the target isn't nested (plain casts stay native)."""
+    None when the target isn't nested (plain casts stay native).
+    `lenient` = TRY_CAST: bad elements fold to NULL."""
     dt = ducktype.strip()
     if re.match(r"(?is)^(.*)\[\s*\d*\s*\]$", dt):
-        return "(" + emit_list(literal_text, False, dt[:dt.rindex("[")]) + ")"
+        return "(" + emit_list(
+            literal_text, False, dt[:dt.rindex("[")], lenient) + ")"
     if re.match(r"(?is)^STRUCT\s*\(", dt):
-        return "(" + emit_struct(literal_text, dt) + ")"
+        return "(" + emit_struct(literal_text, dt, lenient) + ")"
     if re.match(r"(?is)^MAP\s*\(", dt):
-        return "(" + emit_map(literal_text, dt) + ")"
+        return "(" + emit_map(literal_text, dt, lenient) + ")"
     return None

@@ -350,7 +350,9 @@ def format_value(v) -> str:
         ) + "}"
     if hasattr(v, "asDict"):  # Row / struct
         d = v.asDict()
-        return "{" + ", ".join(f"'{k}': {_nested(x)}" for k, x in d.items()) + "}"
+        return "{" + ", ".join(
+            "'" + k.replace("\\", "\\\\").replace("'", "\\'")
+            + f"': {_nested(x)}" for k, x in d.items()) + "}"
     s = str(v)
     return s if s else "(empty)"
 
@@ -516,8 +518,10 @@ def _split_statements(sql: str) -> list[str]:
         else:
             cur.append(ch)
         i += 1
-    if "".join(cur).strip():
-        parts.append("".join(cur))
+    tail = "".join(cur)
+    # a trailing comment after the last ';' is not a statement
+    if tail.strip() and not re.match(r"(?s)^\s*--", tail):
+        parts.append(tail)
     return parts
 
 
@@ -1100,6 +1104,20 @@ def run_file(
                                      _T.TimestampNTZType),
                             ):
                                 return f"concat(\"'\", {s}, \"'\")"
+                            if isinstance(dt, _T.StringType):
+                                # DuckDB quotes nested strings that need it
+                                # (Value::ToString NeedsQuotes)
+                                pat = ("'" +
+                                       r'[\\[\\]{},\'"=:\\\\]' +
+                                       r"|^\\s|\\s$|^$" + "'")
+                                esc = (r"replace(replace(" + s +
+                                       r", '\\', '\\\\'), '\'', '\\\'')")
+                                return (
+                                    f"case when {s} rlike {pat} "
+                                    f"or upper({s}) = 'NULL' "
+                                    f"then concat(\"'\", {esc}, \"'\") "
+                                    f"else {s} end"
+                                )
                             if isinstance(dt, (_T.DoubleType, _T.FloatType)):
                                 # DuckDB renders inf/-inf/nan
                                 return (

@@ -170,7 +170,16 @@ def duckdb_type_to_spark(name: str) -> T.DataType:
     if m:
         fields = []
         for part in _split_fields(m.group(1)):
-            fname, ftype = part.strip().split(" ", 1)
+            p = part.strip()
+            # quoted names keep embedded spaces: "  test  " INTEGER
+            mq = re.match(
+                r'(?s)^(?:"((?:[^"]|"")*)"|`((?:[^`]|``)*)`)\s+(.*)$', p)
+            if mq:
+                fname = (mq.group(1).replace('""', '"') if mq.group(1)
+                         is not None else mq.group(2).replace("``", "`"))
+                ftype = mq.group(3)
+            else:
+                fname, ftype = p.split(" ", 1)
             fields.append(T.StructField(fname.strip('"'), duckdb_type_to_spark(ftype)))
         return T.StructType(fields)
     raise ValueError(f"unmapped DuckDB type: {name}")
@@ -269,3 +278,22 @@ def duck_type_text(s: str) -> str:
         return out
     except Exception:  # malformed input: pass through
         return s
+
+
+def spark_ddl(dtype: T.DataType) -> str:
+    """DDL text for CAST(x AS <ddl>): like simpleString() but backticks
+    field names that need quoting (spaces, punctuation) — simpleString
+    drops the quoting and the parser then mangles the name."""
+    if isinstance(dtype, T.ArrayType):
+        return f"array<{spark_ddl(dtype.elementType)}>"
+    if isinstance(dtype, T.MapType):
+        return f"map<{spark_ddl(dtype.keyType)},{spark_ddl(dtype.valueType)}>"
+    if isinstance(dtype, T.StructType):
+        parts = []
+        for f in dtype.fields:
+            n = f.name
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", n):
+                n = "`" + n.replace("`", "``") + "`"
+            parts.append(f"{n}:{spark_ddl(f.dataType)}")
+        return "struct<" + ",".join(parts) + ">"
+    return dtype.simpleString()
