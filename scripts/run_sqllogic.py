@@ -124,7 +124,9 @@ def main() -> None:
 
     files_out = {r.path: {"status": r.status, "reason": r.reason}
                  for r in results}
-    if "--merge" in sys.argv and os.path.exists("SQLLOGIC.json"):
+    # merge is the DEFAULT: a subset run must never truncate the corpus
+    # scoreboard (pass --no-merge for a from-scratch rebuild)
+    if "--no-merge" not in sys.argv and os.path.exists("SQLLOGIC.json"):
         # update only the rows this invocation ran — lets targeted
         # re-runs refresh their files without a full-corpus pass
         prev = json.load(open("SQLLOGIC.json"))["files"]
