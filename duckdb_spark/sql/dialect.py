@@ -1141,6 +1141,12 @@ def _rewrite_ntile_null(toks: list[str]) -> list[str]:
         is_null = off.upper() == "NULL"
         is_neg = bool(re.fullmatch(r"-\s*\d+", off))
         is_const = bool(re.fullmatch(r"\d+", off))
+        moff = re.fullmatch(r"'((?:[^']|'')*)'", off)
+        if moff and not re.fullmatch(r"\s*[+-]?\d+\s*", moff.group(1)):
+            # non-numeric string offset (reference: string→INT64 cast fails)
+            raise ValueError(
+                f"Conversion Error: Could not convert string "
+                f"{moff.group(1)!r} to INT64")
         if not (is_null or is_neg) and is_const:
             i = op + 1
             continue
@@ -1762,8 +1768,13 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
                     out.append(folded)
                     continue
             if mlit:
-                from duckdb_spark.sql.textcast import fold_string_to_integer
+                from duckdb_spark.sql.textcast import (
+                    check_temporal_literal,
+                    fold_string_to_integer,
+                )
 
+                check_temporal_literal(
+                    mlit.group(1).replace("''", "'"), rawty)
                 fint = fold_string_to_integer(
                     mlit.group(1).replace("''", "'"), rawty)
                 if fint is not None:
@@ -6322,9 +6333,16 @@ def _rewrite_distinct_on(sql: str) -> str:
                 end = i
                 break
     keys = "".join(toks[start + 1 : end]).strip()
+    allow_lit = get_session_setting(
+        "order_by_non_integer_literal") in ("true", "1")
     for _k in _split_top_args(_tokens(keys)):
         _k = _k.strip()
-        if re.fullmatch(r"(?i)'[^']*'|NULL|TRUE|FALSE|\d+\.\d+", _k):
+        if _k == "?":
+            raise ValueError(
+                "Binder Error: Parameter not supported in DISTINCT ON clause")
+        if not allow_lit and re.fullmatch(
+            r"(?i)'[^']*'|NULL|TRUE|FALSE|\d+\.\d+", _k
+        ):
             raise ValueError(
                 "Binder Error: DISTINCT ON non-integer literal has no effect"
             )
@@ -6339,10 +6357,17 @@ def _rewrite_distinct_on(sql: str) -> str:
         kp = kp.strip()
         if re.fullmatch(r"\d+", kp):
             idx = int(kp) - 1
-            if 0 <= idx < len(sel_items):
-                kp = re.sub(
-                    r"(?is)\s+AS\s+[A-Za-z_]\w*\s*$", "", sel_items[idx]
-                ).strip()
+            if not 0 <= idx < len(sel_items):
+                raise ValueError(
+                    f"Binder Error: ORDER term out of range - should be "
+                    f"between 1 and {len(sel_items)}")
+            kp = re.sub(
+                r"(?is)\s+AS\s+[A-Za-z_]\w*\s*$", "", sel_items[idx]
+            ).strip()
+        elif allow_lit and re.fullmatch(
+            r"(?i)'[^']*'|NULL|TRUE|FALSE|\d+\.\d+", kp
+        ):
+            continue  # constant key: no effect (reference order binder)
         mapped.append(kp)
     keys = ", ".join(mapped)
     order = re.sub(r"(?i)^ORDER\s+BY\s*", "", clauses.get("ORDER", "")).strip()
@@ -8081,10 +8106,12 @@ def _rewrite_cast_types(toks: list[str]) -> list[str]:
         if mlit:
             from duckdb_spark.sql.textcast import (
                 TextCastError,
+                check_temporal_literal,
                 fold_string_to_integer,
             )
 
             try:
+                check_temporal_literal(mlit.group(1).replace("''", "'"), ty)
                 fint = fold_string_to_integer(
                     mlit.group(1).replace("''", "'"), ty)
             except TextCastError:

@@ -398,7 +398,13 @@ class PreparedStatements:
         DDL (PREPARE/DEALLOCATE); the bound SQL string for EXECUTE."""
         m = _PREPARE_RE.match(sql)
         if m:
-            self._stmts[m.group(1).lower()] = m.group(2).strip().rstrip(";")
+            body = m.group(2).strip().rstrip(";")
+            if re.search(r"(?is)\bDISTINCT\s+ON\s*\([^)]*\?", body):
+                # reference binder rejects parameters in DISTINCT ON
+                raise ValueError(
+                    "Binder Error: Parameter not supported in DISTINCT ON "
+                    "clause")
+            self._stmts[m.group(1).lower()] = body
             return True
         m = _DEALLOC_RE.match(sql)
         if m:

@@ -420,6 +420,27 @@ _INT_RANGES = {
 }
 
 
+_DATE_TEXT = re.compile(
+    r"(?i)^\s*[+-]?\d{1,6}-\d{1,2}-\d{1,2}"      # YYYY-MM-DD prefix
+    r"([ T].*)?\s*(\(BC\))?\s*$"                  # optional time / BC tail
+    r"|^\s*(epoch|[+-]?infinity)\s*$")
+
+
+def check_temporal_literal(text: str, ducktype: str) -> None:
+    """DuckDB rejects date/timestamp text without the YYYY-MM-DD shape
+    (reference Date::TryConvertDate "expected format is (YYYY-MM-DD)");
+    Spark's non-ANSI cast silently nulls instead — raise at translate."""
+    up = ducktype.strip().upper()
+    if up == "DATE" or up.startswith("TIMESTAMP") or up == "DATETIME":
+        if text.strip().upper() == "NULL":
+            return
+        if not _DATE_TEXT.match(text):
+            kind = "date" if up == "DATE" else "timestamp"
+            raise TextCastError(
+                f"Conversion Error: {kind} field value out of range: "
+                f"\"{text}\", expected format is (YYYY-MM-DD)")
+
+
 def fold_string_to_integer(text: str, ducktype: str) -> str | None:
     """Exact `'<numeric text>'::<integral>` folding: DuckDB parses the
     integer part and rounds the fraction half away from zero (reference

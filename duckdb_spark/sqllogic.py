@@ -1098,6 +1098,21 @@ def run_file(
                                     f"coalesce({v2}, 'NULL'))), ', '), "
                                     f"'}}')"
                                 )
+                            if isinstance(dt, _T.StructType):
+                                # DuckDB renders struct values with field
+                                # names: {'i': 10}
+                                fparts = []
+                                for sf in dt.fields:
+                                    fr = _side(f"{expr}.`{sf.name}`",
+                                               sf.dataType, depth + 1)
+                                    key = sf.name.replace("\\", "\\\\") \
+                                        .replace("'", "\\'")
+                                    fparts.append(
+                                        f"concat(\"'{key}': \", "
+                                        f"coalesce({fr}, 'NULL'))")
+                                joined = ", ', ', ".join(fparts)
+                                return (f"concat('{{', {joined}, '}}')"
+                                        if fparts else "'{}'")
                             s = f"cast({expr} as string)"
                             if isinstance(
                                 dt, (_T.DateType, _T.TimestampType,
