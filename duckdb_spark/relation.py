@@ -291,6 +291,15 @@ class Connection:
         from duckdb_spark.operators.udtf import register_builtin_udtfs
 
         register_builtin_udtfs(self.spark)
+        # __dkrender is reachable from the MAIN translate pass (nested →
+        # VARCHAR casts render DuckDB-style), so register it eagerly
+        from duckdb_spark.sql.textcast import render_duck
+
+        self._rtcast_registered = {"__dkrender"}
+        self.spark.udf.register(
+            "__dkrender",
+            lambda v: None if v is None else render_duck(v),
+            "string")
 
     def sql(self, query: str, params=None) -> "Relation | None":
         """Run DuckDB-dialect SQL: macro/sequence/PREPARE DDL handled by our
@@ -1006,14 +1015,29 @@ class Connection:
                 r"mismatch", msg,
             )
             if medm:
-                new_q = _rewrite_fn_calls(
-                    query, "median",
-                    lambda a: (
-                        f"element_at(array_sort(collect_list({a})), "
-                        f"greatest(1, CAST(ceil(count(({a})) * 0.5) AS "
-                        f"INT)))"
-                    ),
-                )
+                if re.search(r'"(DATE|TIMESTAMP)', msg):
+                    # temporal median interpolates on the epoch scale and
+                    # yields a timestamp (reference quantile_cont over
+                    # temporal types)
+                    def _tmed(a: str) -> str:
+                        # to_timestamp avoids the dialect's TIMESTAMP →
+                        # TIMESTAMP_NTZ cast remap (unix_micros needs the
+                        # instant type; session TZ is UTC)
+                        return (
+                            f"cast(timestamp_micros(cast(percentile("
+                            f"unix_micros(to_timestamp(({a}))), 0.5) "
+                            f"as bigint)) as timestamp_ntz)"
+                        )
+                    new_q = _rewrite_fn_calls(query, "median", _tmed)
+                else:
+                    new_q = _rewrite_fn_calls(
+                        query, "median",
+                        lambda a: (
+                            f"element_at(array_sort(collect_list({a})), "
+                            f"greatest(1, CAST(ceil(count(({a})) * 0.5) AS "
+                            f"INT)))"
+                        ),
+                    )
                 if new_q != query:
                     return Relation(self.spark.sql(translate(new_q)))
             # DuckDB resolves SELECT-list aliases in WHERE/HAVING/QUALIFY;

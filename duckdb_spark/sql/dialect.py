@@ -1760,7 +1760,7 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
             rawty = "".join(ty).strip()
             # constant string → nested type: fold into constructors
             mlit = re.fullmatch(r"(?s)\s*'((?:[^']|'')*)'\s*", operand)
-            if mlit and re.match(r"(?is)^(.*\[\s*\d*\s*\]|STRUCT\s*\(|MAP\s*\()", rawty):
+            if mlit and re.match(r"(?is)^(.*\[\s*\d*\s*\]|STRUCT\s*\(|MAP\s*\(|TUPLE\s*\()", rawty):
                 from duckdb_spark.sql.textcast import fold_string_cast
 
                 folded = fold_string_cast(mlit.group(1).replace("''", "'"), rawty)
@@ -1785,7 +1785,7 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
             if (
                 get_session_setting("__text_cast_runtime")
                 and re.match(
-                    r"(?is)^(.*\[\s*\d*\s*\]|STRUCT\s*\(|MAP\s*\()", rawty)
+                    r"(?is)^(.*\[\s*\d*\s*\]|STRUCT\s*\(|MAP\s*\(|TUPLE\s*\()", rawty)
                 and not re.match(
                     r"(?s)^\s*[{']", operand)
                 and not re.match(
@@ -1839,10 +1839,11 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
                 )
                 continue
             if (
-                get_session_setting("__text_cast_runtime")
-                and re.match(r"(?is)^(VARCHAR|STRING|TEXT)$", rawty.strip())
+                re.match(r"(?is)^(VARCHAR|STRING|TEXT)$", rawty.strip())
                 and mlit is None
                 and not re.match(r"(?is)^\s*__dk", operand)
+                and (get_session_setting("__text_cast_runtime")
+                     or _NESTED_HINT_RE.search(operand))
             ):
                 out.extend(_tokens(f"__dkrender({operand})"))
                 continue
@@ -2656,6 +2657,18 @@ def _strip_balanced_parens(expr: str) -> str:
     return e
 
 
+# Operand text that syntactically produces a nested value (list / struct /
+# map constructors, collectors, or a bracket literal). Casting these to
+# VARCHAR must render DuckDB-style ({'k': v}, [1, 2], {k=v}) — Spark's
+# native struct→string cast drops field names (reference
+# src/function/cast/string_cast.cpp value→text rendering).
+_NESTED_HINT_RE = re.compile(
+    r"(?is)\b(named_struct|struct|map|array|collect_list|collect_set|"
+    r"sort_array|array_distinct|transform|split|sequence|map_from_arrays|"
+    r"from_json|slice|flatten|map_from_entries|arrays_zip|histogram|"
+    r"array_agg|list_value|row)\s*\(|[\[{]")
+
+
 def _runtime_cast_chain(operand: str) -> str:
     """Strip a trailing `CAST(x AS VARCHAR)` / `__dkrender(x)` wrapper so
     the runtime cast UDF receives the ORIGINAL value (the reference's
@@ -2710,8 +2723,15 @@ def _inline_fromless_subqueries(toks: list[str]) -> list[str]:
         while i < n_t:
             t = out[i]
             if t == "(":
-                depth_ctx.append(ctx[-1])
-                ctx.append(ctx[-1])
+                base = ctx[-1]
+                pfn = _prev_code(out, i - 1)
+                if pfn >= 0 and re.match(r"^[A-Za-z_`\"]", out[pfn]) and \
+                        out[pfn].upper() not in _FROMLESS_GUARD_PREV:
+                    # function-call argument list: expression context even
+                    # inside FROM (unnest((SELECT a)), range((SELECT n)))
+                    base = "SELECT"
+                depth_ctx.append(base)
+                ctx.append(base)
                 nn = _next_code(out, i + 1)
                 if (
                     nn < n_t
@@ -3649,6 +3669,139 @@ _CMP_ANY_ALL = re.compile(
 )
 
 
+def _select_list_span(toks: list[str]) -> tuple[int, int, list[str]] | None:
+    """(start, end, items) of the top-level select list in a SELECT-first
+    token stream: start is the first item token, end is the index of the
+    terminating top-level FROM/WHERE/… (or len), items are the top-level
+    comma-split argument texts."""
+    i = _next_code(toks, 0)
+    if i >= len(toks) or not _is_word(toks[i], "SELECT"):
+        return None
+    i = _next_code(toks, i + 1)
+    if i < len(toks) and re.match(r"^[A-Za-z_]", toks[i]) and \
+            toks[i].upper() in ("DISTINCT", "ALL"):
+        i = _next_code(toks, i + 1)
+    depth = 0
+    end = len(toks)
+    for j in range(i, len(toks)):
+        t = toks[j]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and re.match(r"^[A-Za-z_]", t) and t.upper() in (
+            "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+            "QUALIFY", "UNION", "INTERSECT", "EXCEPT", "WINDOW",
+        ):
+            end = j
+            break
+    items = _split_top_args(toks[i:end])
+    return i, end, items
+
+
+def _struct_wrap_select(sub: str) -> str:
+    """Wrap a multi-item top-level select list in one struct(...) so the
+    subquery is single-column row-valued (reference row-subquery
+    semantics)."""
+    toks = _tokens(sub)
+    span = _select_list_span(toks)
+    if span is None:
+        return sub
+    i, end, items = span
+    if len(items) < 2:
+        return sub
+    toks[i:end] = _tokens(
+        "struct(" + ", ".join(a.strip() for a in items) + ") "
+    )
+    return "".join(toks)
+
+
+def _rewrite_row_in_subquery(toks: list[str]) -> list[str]:
+    """Normalize `(a, b) IN (SELECT …)` / `row(…) IN (SELECT …)` arity
+    (reference row-subquery membership): 1-tuples unwrap to their single
+    element; an N-tuple against a single (struct-valued) subquery column
+    becomes struct(...); an N-tuple against N columns stays Spark-native
+    multi-column IN (row(…) spells as a raw tuple for it)."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if not (re.match(r"^[A-Za-z_]", t) and t.upper() == "IN"):
+            i += 1
+            continue
+        j = _next_code(out, i + 1)
+        if j >= len(out) or out[j] != "(":
+            i += 1
+            continue
+        f0 = _next_code(out, j + 1)
+        if f0 >= len(out) or not _is_word(out[f0], "SELECT"):
+            i += 1
+            continue
+        jc = _match_paren(out, j)
+        if jc < 0:
+            i += 1
+            continue
+        # LHS: `NOT` may sit between the tuple and IN
+        p = _prev_code(out, i - 1)
+        if p >= 0 and _is_word(out[p], "NOT"):
+            p = _prev_code(out, p - 1)
+        if p < 0 or out[p] != ")":
+            i += 1
+            continue
+        o = _match_paren_rev(out, p)
+        if o < 0:
+            i += 1
+            continue
+        q = _prev_code(out, o - 1)
+        is_row = q >= 0 and re.match(r"^[A-Za-z_]", out[q]) and \
+            out[q].lower() == "row"
+        lhs_start = q if is_row else o
+        if not is_row:
+            # raw group: only treat as tuple when it has a top-level comma
+            d = 0
+            has_comma = False
+            for tk in out[o + 1:p]:
+                if tk == "(":
+                    d += 1
+                elif tk == ")":
+                    d -= 1
+                elif tk == "," and d == 0:
+                    has_comma = True
+            if not has_comma:
+                i += 1
+                continue
+        args = [a.strip() for a in _split_top_args(out[o + 1:p])
+                if a.strip()]
+        span = _select_list_span(out[j + 1:jc])
+        if span is None:
+            i += 1
+            continue
+        n_r = len(span[2])
+        if len(args) == 1:
+            repl = f"({args[0]})"
+        elif n_r == 1:
+            item = span[2][0].strip()
+            im = re.match(r"(?is)^(?:row|struct)\s*\((.*)\)$", item) or \
+                (item.startswith("(") and item.endswith(")")
+                 and re.match(r"(?s)^\((.*)\)$", item))
+            if im:
+                n_item = len(_split_top_args(_tokens(im.group(1))))
+                if n_item != len(args):
+                    raise ValueError(
+                        f"Binder Error: subquery returns a row of "
+                        f"{n_item} columns, IN expects {len(args)}"
+                    )
+            repl = "named_struct(" + ", ".join(
+                f"'col{n + 1}', {a}" for n, a in enumerate(args)) + ")"
+        else:
+            repl = "(" + ", ".join(args) + ")"
+        new = _tokens(repl)
+        out[lhs_start:p + 1] = new
+        # resume past this IN (its index shifted by the splice)
+        i = i + len(new) - (p + 1 - lhs_start) + 1
+    return out
+
+
 def _rewrite_any_all(sql: str) -> str:
     """Quantified comparisons over subqueries (Spark lacks them):
     `= ANY` → IN, `<> ALL` → NOT IN; ordering comparators fold the
@@ -3689,6 +3842,10 @@ def _rewrite_any_all(sql: str) -> str:
                 (">", "ALL"): "max", (">=", "ALL"): "max",
                 ("<", "ALL"): "min", ("<=", "ALL"): "min",
             }[(op, quant)]
+            # row-valued subqueries (`(0,0) < ANY(SELECT a, b FROM t)`)
+            # fold the select list into one struct so min/max order it
+            # lexicographically like the reference's row comparison
+            sub = _struct_wrap_select(sub)
             out.append(
                 f"{op} (SELECT {agg}(__qv) FROM ({sub}) __anyq(__qv))"
             )
@@ -4207,6 +4364,8 @@ def _rewrite_quantified_region(
             continue
         x = "".join(out[start:opnd_end + 1]).strip()
         rm = re.match(r"(?is)^(?:row|struct)\s*\((.*)\)$", x)
+        _span = _select_list_span(_tokens(sub))
+        n_sub = len(_span[2]) if _span else 1
         if x.startswith("(") and x.endswith(")") and _has_top_level_comma(
             _tokens(x[1:-1])
         ):
@@ -4214,10 +4373,26 @@ def _rewrite_quantified_region(
                 i = close + 1  # lexicographic row comparison: native path
                 continue
             xs = [e.strip() for e in _split_top_args(_tokens(x[1:-1]))]
-        elif rm and op == "=":
+        elif rm and op == "=" and n_sub > 1:
             xs = [e.strip() for e in _split_top_args(_tokens(rm.group(1)))]
         else:
             xs = [x]
+        if len(xs) > 1 and n_sub == 1:
+            # row LHS against ONE (struct-valued) subquery column:
+            # compare whole structs instead of per-component
+            item = _span[2][0].strip() if _span else ""
+            im = re.match(r"(?is)^(?:row|struct)\s*\((.*)\)$", item)
+            if im is None and item.startswith("(") and item.endswith(")"):
+                im = re.match(r"(?s)^\((.*)\)$", item)
+            if im is not None:
+                n_item = len(_split_top_args(_tokens(im.group(1))))
+                if n_item != len(xs):
+                    raise ValueError(
+                        f"Binder Error: subquery returns a row of "
+                        f"{n_item} columns, comparison expects {len(xs)}"
+                    )
+            xs = ["named_struct(" + ", ".join(
+                f"'col{n + 1}', {e}" for n, e in enumerate(xs)) + ")"]
         quant = "ALL" if (is_quant and t.upper() == "ALL") else "ANY"
         if only_unfoldable and not (
             (op == "=" and quant == "ALL")
@@ -6101,7 +6276,8 @@ def _expand_range_tvf(out: list[str], i: int, j: int, close: int) -> int:
         and re.match(r"^[A-Za-z_]", out[k])
         and out[k].upper() not in _FROM_STOP
         and out[k].upper() not in ("ON", "USING", "JOIN", "LEFT", "RIGHT",
-                                   "FULL", "INNER", "CROSS", "NATURAL", "AS")
+                                   "FULL", "INNER", "CROSS", "NATURAL", "AS",
+                                   "TABLESAMPLE")
     ):
         alias = out[k]
         end = k
@@ -6578,7 +6754,7 @@ _SQL_FN_RENAMES: dict[str, str] = {
     "strlen": "octet_length", "nextafter": "nextafter",
     "iif": "if", "error": "raise_error", "unnest": "explode",
     "json_extract": "get_json_object", "json_extract_path": "get_json_object",
-    "row": "struct", "kurtosis_pop": "kurtosis", "skewness_pop": "skewness",
+    "kurtosis_pop": "kurtosis", "skewness_pop": "skewness",
     "gen_random_uuid": "uuid",
     "list_reverse": "reverse",
 }
@@ -7075,13 +7251,51 @@ def _macro_struct_search(name: str, s: str, v: str) -> str | None:
         vals = inner[1::2] if m.group(1).lower() == "named_struct" else inner
     if not vals:
         return None
+
+    # type-strict member matching (reference struct_contains.cpp binds the
+    # target to each member's own type: VARCHAR '1' never matches an
+    # INTEGER member — Spark's <=> would coerce and match)
+    def _kind(e: str) -> str | None:
+        t2 = e.strip()
+        if re.fullmatch(r"'(?:[^']|'')*'", t2):
+            return "str"
+        if re.fullmatch(r"(?i)(true|false)", t2):
+            return "bool"
+        if re.fullmatch(r"(?i)-?\d+(\.\d+)?(e-?\d+)?", t2):
+            return "num"
+        return None
+
+    tk = _kind(v)
+    ok = [
+        tk is None or _kind(e) is None or _kind(e) == tk for e in vals
+    ]
+
+    # non-literal members/targets get a runtime typeof-family guard (the
+    # nested if keeps the value comparison lazy, so e.g. a VARCHAR '2'
+    # never hits a BOOLEAN member's implicit cast at runtime)
+    def _fam(e: str) -> str:
+        return (
+            f"(case when typeof({e}) in ('tinyint', 'smallint', 'int', "
+            f"'bigint', 'float', 'double') or typeof({e}) like 'decimal%' "
+            f"then 'num' else typeof({e}) end)"
+        )
+
+    def _cmp(e: str) -> str:
+        if _kind(e) is not None and tk is not None:
+            return f"(({e}) <=> ({v}))"
+        return (
+            f"if({_fam(e)} = {_fam(v)}, (({e}) <=> ({v})), false)"
+        )
+
     if name == "struct_contains":
-        ors = " or ".join(f"(({e}) <=> ({v}))" for e in vals)
+        ors = " or ".join(
+            _cmp(e) for e, k in zip(vals, ok) if k
+        ) or "false"
         return f"(case when ({v}) is null then cast(null as boolean) else ({ors}) end)"
     hits = ", ".join(
-        f"if((({e}) <=> ({v})), {i + 1}, cast(null as int))"
-        for i, e in enumerate(vals)
-    )
+        f"if({_cmp(e)}, {i + 1}, cast(null as int))"
+        for i, (e, k) in enumerate(zip(vals, ok)) if k
+    ) or "cast(null as int)"
     return (
         f"try_element_at(filter(array({hits}), __p -> __p is not null), 1)"
     )
@@ -7370,6 +7584,137 @@ def _macro_unnest(args: list[str]) -> str | None:
     return f"explode({inner})"
 
 
+_TUPLE_PREV_WORDS = {
+    "SELECT", "DISTINCT", "WHERE", "HAVING", "WHEN", "THEN", "ELSE",
+    "AND", "OR", "NOT", "QUALIFY", "BETWEEN", "UNNEST",
+}
+_TUPLE_PREV_SYMS = {
+    "(", ",", "=", "<", ">", "<=", ">=", "<>", "!=", "==",
+    "+", "-", "*", "/", "%", "||", "[",
+}
+# groups whose DIRECT paren children are sub-lists, not tuple literals
+_TUPLE_PROTECT_WORDS = {"SETS", "ROLLUP", "CUBE", "VALUES"}
+
+
+def _rewrite_tuple_literals(toks: list[str]) -> list[str]:
+    """Python-style tuple literals (reference parser row literals;
+    types.hpp TUPLE): `()` is the empty tuple, `(a, b)` a tuple, `(x,)`
+    a 1-tuple, `(x)` plain grouping. Expression-position paren groups
+    with a top-level comma (or empty) become struct constructors —
+    Spark's auto field names col1..colN are the unnamed-struct marker
+    the renderers translate back to tuple syntax. Function calls,
+    IN-lists, VALUES rows, GROUPING SETS/ROLLUP/CUBE sub-lists,
+    BY-lists, subqueries and lambda parameter lists are untouched."""
+    out = list(toks)
+    rescan = True
+    while rescan:
+        rescan = False
+        # paren opens whose children must stay lists (VALUES rows,
+        # grouping-set sub-lists): mark the direct-child opens protected
+        protected: set[int] = set()
+        depth_stack: list[int] = []
+        i = 0
+        while i < len(out):
+            t = out[i]
+            if t == "(":
+                p = _prev_code(out, i - 1)
+                if p >= 0 and out[p].upper() in _TUPLE_PROTECT_WORDS:
+                    c = _match_paren(out, i)
+                    if c > 0:
+                        d = 0
+                        for j in range(i + 1, c):
+                            if out[j] == "(":
+                                if d == 0:
+                                    protected.add(j)
+                                d += 1
+                            elif out[j] == ")":
+                                d -= 1
+                # VALUES rows continue after commas: `VALUES (…), (…)`
+                if p >= 0 and out[p] == ",":
+                    # `, (` after a `) ,` chain that leads back to
+                    # VALUES: walk `) , ( … ) , (` pairs leftward
+                    j = p
+                    while True:
+                        pj = _prev_code(out, j - 1)
+                        if pj < 0 or out[pj] != ")":
+                            break
+                        o = _match_paren_rev(out, pj)
+                        if o < 0:
+                            break
+                        pk = _prev_code(out, o - 1)
+                        if pk >= 0 and out[pk].upper() == "VALUES":
+                            protected.add(i)
+                            break
+                        if pk >= 0 and out[pk] == ",":
+                            j = pk
+                            continue
+                        break
+            i += 1
+        i = 0
+        while i < len(out):
+            if out[i] != "(" or i in protected:
+                i += 1
+                continue
+            p = _prev_code(out, i - 1)
+            if p >= 0:
+                t = out[p]
+                if re.match(r"^[A-Za-z_`\"]", t):
+                    if t.upper() not in _TUPLE_PREV_WORDS:
+                        i += 1
+                        continue
+                elif t not in _TUPLE_PREV_SYMS:
+                    i += 1
+                    continue
+            c = _match_paren(out, i)
+            if c < 0:
+                i += 1
+                continue
+            first = _next_code(out, i + 1)
+            if first < c and re.match(r"^[A-Za-z_]", out[first]) and \
+                    out[first].upper() in ("SELECT", "VALUES", "WITH",
+                                           "FROM", "TABLE"):
+                i += 1
+                continue
+            nxt = _next_code(out, c + 1)
+            if nxt < len(out) and out[nxt] == "->":
+                i += 1  # lambda parameter list
+                continue
+            if nxt < len(out) and re.match(r"^[A-Za-z_]", out[nxt]) and \
+                    out[nxt].upper() in ("IN", "NOT"):
+                # Spark natively supports row-wise `(a, b) IN (…)`
+                i += 1
+                continue
+            inner = out[i + 1:c]
+            # top-level comma?
+            d = 0
+            has_comma = False
+            for tk in inner:
+                if tk == "(":
+                    d += 1
+                elif tk == ")":
+                    d -= 1
+                elif tk == "," and d == 0:
+                    has_comma = True
+                    break
+            body = "".join(inner).strip()
+            if body and not has_comma:
+                i += 1
+                continue
+            if body.endswith(","):
+                body = body[:-1].rstrip()
+            # named_struct with explicit colN names: struct(c0, c1) would
+            # inherit the COLUMN names, losing the unnamed-tuple marker
+            elems = [a.strip() for a in _split_top_args(_tokens(body))
+                     if a.strip()]
+            kv = ", ".join(
+                f"'col{n + 1}', {e}" for n, e in enumerate(elems))
+            out[i:c + 1] = _tokens(f"named_struct({kv})")
+            rescan = True
+            break
+        # loop re-scans from the top after each splice (indices shift)
+    return out
+
+
 def _agg_macro(name: str, args: list[str]) -> str | None:
     """Dispatch: returns replacement text, or None to leave the call."""
     n = len(args)
@@ -7378,6 +7723,25 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
         if m:
             return _macro_product_distinct(m.group(1).strip())
         return _macro_product(args[0])
+    if name == "row":
+        # ROW(…) builds an unnamed struct: explicit colN names are the
+        # tuple marker the renderers translate back to (a, b) syntax
+        # (reference types.hpp TUPLE; Spark struct() would inherit
+        # column names)
+        kv = ", ".join(f"'col{i + 1}', {a}" for i, a in enumerate(args))
+        return f"named_struct({kv})"
+    if name == "median" and n == 1 and re.search(
+        r"(?is)\bCAST\s*\(.*\bAS\s+(VARCHAR|STRING|TEXT)\s*\)|::\s*"
+        r"(VARCHAR|STRING|TEXT)\b|^\s*'", args[0].strip(),
+    ):
+        # median over VARCHAR takes the lexicographic lower-middle element
+        # (reference quantile_disc 0.5 over orderable types); Spark's
+        # native median would silently coerce the string to DOUBLE
+        a = args[0]
+        return (
+            f"element_at(array_sort(collect_list({a})), "
+            f"greatest(1, CAST(ceil(count(({a})) * 0.5) AS INT)))"
+        )
     if name == "histogram" and n == 1:
         return _macro_histogram(args[0])
     if name == "histogram" and n == 2:
@@ -7648,6 +8012,7 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
 
 
 _MACRO_NAMES = {
+    "median", "row",
     "count_star", "signbit", "json", "concat", "list_concat",
     "array_concat", "map",
     "corr", "regr_slope",
@@ -8084,7 +8449,7 @@ def _rewrite_cast_types(toks: list[str]) -> list[str]:
         # constant string → nested type: fold into constructors
         operand = "".join(out[p + 1:a]).strip()
         mlit = re.fullmatch(r"(?s)\s*'((?:[^']|'')*)'\s*", operand)
-        if mlit and re.match(r"(?is)^(STRUCT\s*\(|MAP\s*\(|.*\[\s*\d*\s*\]$)", ty):
+        if mlit and re.match(r"(?is)^(STRUCT\s*\(|MAP\s*\(|TUPLE\s*\(|.*\[\s*\d*\s*\]$)", ty):
             from duckdb_spark.sql.textcast import (
                 TextCastError,
                 fold_string_cast,
@@ -8129,7 +8494,7 @@ def _rewrite_cast_types(toks: list[str]) -> list[str]:
         # style then reparses, matching the reference value→text→value.
         if (
             get_session_setting("__text_cast_runtime")
-            and re.match(r"(?is)^(STRUCT\s*\(|MAP\s*\(|.*\[\s*\d*\s*\]$)", ty)
+            and re.match(r"(?is)^(STRUCT\s*\(|MAP\s*\(|TUPLE\s*\(|.*\[\s*\d*\s*\]$)", ty)
             and not re.match(
                 r"(?is)^\s*(array|named_struct|map|struct|collect_list|"
                 r"collect_set|split|sequence|transform)\s*\(", operand)
@@ -8142,11 +8507,12 @@ def _rewrite_cast_types(toks: list[str]) -> list[str]:
             i += 1
             continue
         if (
-            get_session_setting("__text_cast_runtime")
-            and re.match(r"(?is)^(VARCHAR|STRING|TEXT)$", ty.strip())
+            re.match(r"(?is)^(VARCHAR|STRING|TEXT)$", ty.strip())
             and mlit is None
-            and out[i].upper() == "CAST"
+            and out[i].upper() in ("CAST", "TRY_CAST")
             and not re.match(r"(?is)^\s*__dk", operand)
+            and (get_session_setting("__text_cast_runtime")
+                 or _NESTED_HINT_RE.search(operand))
         ):
             out[i:close + 1] = _tokens(f"__dkrender({operand})")
             i += 1
@@ -9020,6 +9386,28 @@ def translate(sql: str) -> str:
         lambda m: m.group(1).replace("_", ""),
         sql,
     )
+    # Python-style lambda spelling `lambda x, y: body` → `(x, y) -> body`
+    # (reference parser lambda syntax, DuckDB 1.1+)
+    sql = re.sub(
+        r"(?i)\blambda\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*:",
+        lambda m: "(" + m.group(1) + ") ->",
+        sql,
+    )
+    # DuckDB sample clause → Spark TABLESAMPLE (reference
+    # parser/tableref/sample spelling; bernoulli/system both map to
+    # Spark's percent sampling, REPEATABLE seeds are dropped)
+    sql = re.sub(
+        r"(?is)\bUSING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(?:%|\bPERCENT\b)\s*"
+        r"(?:\(\s*\w+\s*(?:,\s*\d+\s*)?\))?(?:\s*REPEATABLE\s*\(\s*\d+\s*\))?",
+        lambda m: f" TABLESAMPLE ({m.group(1)} PERCENT)",
+        sql,
+    )
+    sql = re.sub(
+        r"(?is)\bUSING\s+SAMPLE\s+(\d+)(?:\s+ROWS\b)?\s*"
+        r"(?:\(\s*\w+\s*(?:,\s*\d+\s*)?\))?(?:\s*REPEATABLE\s*\(\s*\d+\s*\))?",
+        lambda m: f" TABLESAMPLE ({m.group(1)} ROWS)",
+        sql,
+    )
     # FROM-first syntax: `FROM t [WHERE …]` ≡ `SELECT * FROM t …`, also
     # after a WITH clause (reference parser FROM-first statements)
     sql = _rewrite_from_first(sql)
@@ -9075,6 +9463,8 @@ def translate(sql: str) -> str:
                          m.group(2)) else m.group(0),
         sql,
     )
+    if re.search(r"(?i)\bIN\s*\(\s*SELECT\b", sql):
+        sql = "".join(_rewrite_row_in_subquery(_tokens(sql)))
     sql = "".join(_rewrite_select_in_subquery(_tokens(sql)))
     sql = _rewrite_any_all(sql)
     # GROUP BY () — empty grouping set ≡ global aggregate
@@ -9102,6 +9492,8 @@ def translate(sql: str) -> str:
             if _n < len(toks) and toks[_n].isdigit():
                 toks[_i] = ""
     toks = _rewrite_schema_refs(toks)
+    if "(" in sql:
+        toks = _rewrite_tuple_literals(toks)
     if ":" in sql:
         toks = _rewrite_colon_alias(toks)
     _check_grouping_set_limits(toks)
@@ -9254,6 +9646,13 @@ def translate(sql: str) -> str:
     if get_session_setting("scalar_subquery_error_on_multiple_rows") \
             == "false":
         out = limit_scalar_subqueries(out)
+    if "TABLESAMPLE" in out.upper():
+        # Spark's grammar puts the sample BEFORE the alias
+        out = re.sub(
+            r"(?is)\bAS\s+(\w+)\s+TABLESAMPLE\s*\(([^()]*)\)",
+            r"TABLESAMPLE (\2) AS \1",
+            out,
+        )
     return out
 
 

@@ -69,7 +69,8 @@ def _split_top(s: str, sep: str) -> list[str]:
     return parts
 
 
-_NESTED_TY = re.compile(r"(?is)^(.*\[\s*\d*\s*\]|STRUCT\s*\(|MAP\s*\()")
+_NESTED_TY = re.compile(
+    r"(?is)^(.*\[\s*\d*\s*\]|STRUCT\s*\(|MAP\s*\(|TUPLE\s*\()")
 
 
 def _elem(part: str, ducktype: str) -> tuple[str, bool]:
@@ -151,6 +152,8 @@ def emit_value(text: str, quoted: bool, ducktype: str,
     m = re.match(r"(?is)^(.*)\[\s*\d*\s*\]$", dt)
     if m:
         return emit_list(text, quoted, m.group(1), lenient)
+    if _TUPLE_TY_RE.match(dt):
+        return emit_tuple(text, quoted, dt, lenient)
     if re.match(r"(?is)^STRUCT\s*\(", dt):
         return emit_struct(text, dt, lenient)
     if re.match(r"(?is)^MAP\s*\(", dt):
@@ -244,7 +247,69 @@ def _split_type_fields(s: str) -> list[str]:
     return [p for p in parts if p.strip()]
 
 
+_TUPLE_TY_RE = re.compile(r"(?is)^TUPLE\s*\((.*)\)$")
+
+
+def _split_tuple_text(s: str) -> list[str]:
+    """Split tuple text `a, b` on top-level commas tracking (), [], {}
+    and quotes (tuple elements may themselves be tuples)."""
+    parts, depth, start, i = [], 0, 0, 0
+    quote = None
+    while i < len(s):
+        c = s[i]
+        if quote:
+            if c == "\\":
+                i += 2
+                continue
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+        elif c in "[{(":
+            depth += 1
+        elif c in ")}]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+        i += 1
+    parts.append(s[start:])
+    return parts
+
+
+def emit_tuple(text: str, quoted: bool, ducktype: str,
+               lenient: bool = False) -> str:
+    """`(a, b)` tuple text → named_struct('col1', …) of the TUPLE target
+    (reference unnamed-struct cast; the trailing-comma 1-tuple spelling
+    `(x,)` is accepted)."""
+    t = text.strip()
+    if not quoted and t.upper() == "NULL":
+        return f"cast(null as {duckdb_type_to_spark(ducktype).simpleString()})"
+    if not (t.startswith("(") and t.endswith(")")):
+        raise TextCastError(
+            f"Conversion Error: can't cast {text!r} to TUPLE")
+    body = t[1:-1].strip()
+    if body.endswith(","):
+        body = body[:-1].rstrip()
+    parts = [p for p in _split_tuple_text(body)] if body else []
+    fields = _struct_fields(ducktype)
+    if len(parts) != len(fields):
+        raise TextCastError(
+            f"Conversion Error: tuple {text!r} has {len(parts)} elements, "
+            f"target type expects {len(fields)}")
+    kvs = []
+    for (fname, ftype), part in zip(fields, parts):
+        it, q = _elem(part, ftype)
+        kvs.append(f"'{fname}', {emit_value(it, q, ftype, lenient)}")
+    return "named_struct(" + ", ".join(kvs) + ")"
+
+
 def _struct_fields(ducktype: str) -> list[tuple[str, str]]:
+    mt = _TUPLE_TY_RE.match(ducktype.strip())
+    if mt:
+        parts = (_split_type_fields(mt.group(1))
+                 if mt.group(1).strip() else [])
+        return [(f"col{i + 1}", p.strip()) for i, p in enumerate(parts)]
     body = ducktype.strip()[ducktype.index("(") + 1:ducktype.rindex(")")]
     fields = []
     for part in _split_type_fields(body):
@@ -515,8 +580,17 @@ def render_duck(v) -> str:
             f"{_render_nested(k)}={_render_nested(x)}" for k, x in v.items()
         ) + "}"
     if hasattr(v, "asDict"):
+        d = v.asDict()
+        names = list(d)
+        if names == [f"col{i + 1}" for i in range(len(names))]:
+            # ROW(…) auto-naming: unnamed struct renders as a tuple
+            # (reference value.cpp Value::ToString for STRUCT without
+            # field names)
+            if len(d) == 1:
+                return "(" + _render_nested(next(iter(d.values()))) + ",)"
+            return "(" + ", ".join(_render_nested(x) for x in d.values()) + ")"
         return "{" + ", ".join(
-            f"'{k}': {_render_nested(x)}" for k, x in v.asDict().items()
+            f"'{k}': {_render_nested(x)}" for k, x in d.items()
         ) + "}"
     return str(v)
 
@@ -571,6 +645,30 @@ def parse_typed(text: str, quoted: bool, ducktype: str,
                     raise
                 elems.append(None)
         return elems
+    if _TUPLE_TY_RE.match(dt):
+        t = text.strip()
+        if not quoted and t.upper() == "NULL":
+            return None
+        if not (t.startswith("(") and t.endswith(")")):
+            raise TextCastError(
+                f"Conversion Error: can't cast {text!r} to TUPLE")
+        body = t[1:-1].strip()
+        if body.endswith(","):
+            body = body[:-1].rstrip()
+        parts = _split_tuple_text(body) if body else []
+        fields = _struct_fields(dt)
+        if len(parts) != len(fields):
+            raise TextCastError(
+                f"Conversion Error: tuple {text!r} arity mismatch")
+        out = {}
+        for (fname, ftype), part in zip(fields, parts):
+            try:
+                out[fname] = parse_typed(*_elem(part, ftype), ftype, lenient)
+            except TextCastError:
+                if not lenient:
+                    raise
+                out[fname] = None
+        return out
     if re.match(r"(?is)^STRUCT\s*\(", dt):
         t = text.strip()
         if not quoted and t.upper() == "NULL":

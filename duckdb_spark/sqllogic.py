@@ -350,6 +350,13 @@ def format_value(v) -> str:
         ) + "}"
     if hasattr(v, "asDict"):  # Row / struct
         d = v.asDict()
+        names = list(d)
+        if names == [f"col{i + 1}" for i in range(len(names))]:
+            # ROW(…) auto-naming: unnamed struct renders as a tuple
+            # (reference value.cpp STRUCT without field names)
+            if len(d) == 1:
+                return "(" + _nested(next(iter(d.values()))) + ",)"
+            return "(" + ", ".join(_nested(x) for x in d.values()) + ")"
         return "{" + ", ".join(
             "'" + k.replace("\\", "\\\\").replace("'", "\\'")
             + f"': {_nested(x)}" for k, x in d.items()) + "}"

@@ -146,6 +146,15 @@ def duckdb_type_to_spark(name: str) -> T.DataType:
     s = name.strip()
     if re.match(r"(?i)^ROW\s*\(", s):  # pg spelling of STRUCT
         s = "STRUCT" + s[s.index("("):]
+    m = re.match(r"(?is)^TUPLE\s*\((.*)\)$", s)
+    if m:
+        # unnamed struct: TUPLE(T1, T2) ≡ STRUCT(col1 T1, col2 T2)
+        # (reference types.hpp TUPLE alias; col-N is Spark's row naming)
+        parts = _split_fields(m.group(1)) if m.group(1).strip() else []
+        return T.StructType([
+            T.StructField(f"col{i + 1}", duckdb_type_to_spark(p.strip()))
+            for i, p in enumerate(parts)
+        ])
     m = re.match(r"(?is)^(.*\S)\s+ARRAY$", s)  # SQL-standard `INT ARRAY`
     if m:
         return T.ArrayType(duckdb_type_to_spark(m.group(1)))
@@ -218,7 +227,9 @@ def spark_type_to_duckdb(dt: T.DataType) -> str:
         return f"MAP({spark_type_to_duckdb(dt.keyType)}, {spark_type_to_duckdb(dt.valueType)})"
     if isinstance(dt, T.StructType):
         names = [f.name for f in dt.fields]
-        if names and names == [f"col{i + 1}" for i in range(len(names))]:
+        if not names:
+            return "TUPLE"
+        if names == [f"col{i + 1}" for i in range(len(names))]:
             # ROW(…) auto-naming: an unnamed struct is a TUPLE
             # (reference types.hpp TUPLE alias)
             inner = ", ".join(
@@ -262,14 +273,23 @@ def duck_type_text(s: str) -> str:
             return f"MAP({kt}, {vt})", k2 + 1
         if name == "struct" and j < len(s) and s[j] == "<":
             fields = []
+            names = []
             k = j + 1
             while s[k] != ">":
                 c = s.index(":", k)
                 fname = s[k:c].strip()
                 ftype, k = parse(c + 1)
+                names.append(fname)
                 fields.append(f"{fname} {ftype}")
                 if s[k] == ",":
                     k += 1
+            if not names:
+                return "TUPLE", k + 1
+            if names == [f"col{n + 1}" for n in range(len(names))]:
+                # ROW(…) auto-naming: an unnamed struct is a TUPLE
+                # (reference types.hpp TUPLE alias)
+                return "TUPLE(" + ", ".join(
+                    f.split(" ", 1)[1] for f in fields) + ")", k + 1
             return "STRUCT(" + ", ".join(fields) + ")", k + 1
         return _DUCK_BASE_TYPES.get(name, name.upper()), j
 
