@@ -1018,16 +1018,21 @@ class Connection:
                 if re.search(r'"(DATE|TIMESTAMP)', msg):
                     # temporal median interpolates on the epoch scale and
                     # yields a timestamp (reference quantile_cont over
-                    # temporal types)
+                    # temporal types); instant-typed input keeps the
+                    # instant type (renders with the +00 offset)
+                    instant = bool(re.search(r'"TIMESTAMP"', msg))
+
                     def _tmed(a: str) -> str:
                         # to_timestamp avoids the dialect's TIMESTAMP →
                         # TIMESTAMP_NTZ cast remap (unix_micros needs the
                         # instant type; session TZ is UTC)
-                        return (
-                            f"cast(timestamp_micros(cast(percentile("
+                        core = (
+                            f"timestamp_micros(cast(percentile("
                             f"unix_micros(to_timestamp(({a}))), 0.5) "
-                            f"as bigint)) as timestamp_ntz)"
+                            f"as bigint))"
                         )
+                        return core if instant else \
+                            f"cast({core} as timestamp_ntz)"
                     new_q = _rewrite_fn_calls(query, "median", _tmed)
                 else:
                     new_q = _rewrite_fn_calls(
@@ -1038,6 +1043,28 @@ class Connection:
                             f"INT)))"
                         ),
                     )
+                if new_q != query:
+                    return Relation(self.spark.sql(translate(new_q)))
+            # derived-table alias lists shorter than the subquery output
+            # pad with the original column names (reference binder)
+            if "ASSIGNMENT_ARITY_MISMATCH" in msg:
+                from duckdb_spark.sql.dialect import pad_derived_aliases
+
+                new_q = pad_derived_aliases(query, self.spark)
+                if new_q != query:
+                    return Relation(self.spark.sql(translate(new_q)))
+            # set-op branch that is one string literal coerces to the
+            # sibling branch's nested column type (reference UNION casts)
+            if "INCOMPATIBLE_COLUMN_TYPE" in msg:
+                from duckdb_spark.sql.dialect import (
+                    coerce_setop_string_literals,
+                )
+                from duckdb_spark.sql.textcast import TextCastError
+
+                try:
+                    new_q = coerce_setop_string_literals(query, self.spark)
+                except TextCastError:
+                    raise
                 if new_q != query:
                     return Relation(self.spark.sql(translate(new_q)))
             # DuckDB resolves SELECT-list aliases in WHERE/HAVING/QUALIFY;

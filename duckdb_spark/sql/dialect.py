@@ -1667,7 +1667,34 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
                 m = k - 1
                 while m >= 0 and out[m].isspace():
                     m -= 1
-                if (
+                if m >= 0 and _is_word(out[m], "OVER"):
+                    # windowed atom: `fn(args) OVER (spec)::T` casts the
+                    # whole window expression
+                    mm = m - 1
+                    while mm >= 0 and out[mm].isspace():
+                        mm -= 1
+                    if mm >= 0 and out[mm] == ")":
+                        d2 = 0
+                        k2 = mm
+                        while k2 >= 0:
+                            if out[k2] == ")":
+                                d2 += 1
+                            elif out[k2] == "(":
+                                d2 -= 1
+                                if d2 == 0:
+                                    break
+                            k2 -= 1
+                        m2 = k2 - 1
+                        while m2 >= 0 and out[m2].isspace():
+                            m2 -= 1
+                        if (
+                            m2 >= 0
+                            and re.match(r"[A-Za-z_]", out[m2])
+                            and out[m2].lower() not in _NONFN_WORDS
+                        ):
+                            k2 = m2
+                        k = k2
+                elif (
                     m >= 0
                     and re.match(r"[A-Za-z_]", out[m])
                     and out[m].lower() not in _NONFN_WORDS
@@ -3630,7 +3657,7 @@ def _rewrite_filter_where(toks: list[str]) -> list[str]:
             if p >= 0 and out[p] == ")" and j < len(out) and out[j] == "(":
                 k = _next_code(out, j + 1)
                 if k < len(out) and not _is_word(out[k], "WHERE"):
-                    out[j + 1:j + 1] = ["WHERE "]
+                    out[j + 1:j + 1] = ["WHERE", " "]
         i += 1
     return out
 
@@ -3716,6 +3743,127 @@ def _struct_wrap_select(sub: str) -> str:
     return "".join(toks)
 
 
+def coerce_setop_string_literals(sql: str, spark) -> str:
+    """Set-op branches that are a single string literal coerce to the
+    sibling branch's (nested) column type at bind time (reference UNION
+    cast unification: `SELECT row(42,'x') UNION ALL SELECT '(84, y)'`).
+    Retry-only; raises TextCastError → Conversion Error on malformed
+    text, matching the reference."""
+    from duckdb_spark.sql.textcast import emit_value
+    from duckdb_spark.types import spark_type_to_duckdb
+
+    toks = _tokens(sql)
+    # top-level set-op split
+    cuts = []
+    depth = 0
+    for i, t in enumerate(toks):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and re.match(r"^[A-Za-z_]", t) and t.upper() in (
+            "UNION", "EXCEPT", "INTERSECT",
+        ):
+            j = _next_code(toks, i + 1)
+            hi = i
+            lo = j + 1 if j < len(toks) and _is_word(toks[j], "ALL") else i + 1
+            cuts.append((hi, lo))
+    if not cuts:
+        return sql
+    spans = []
+    prev = 0
+    for hi, lo in cuts:
+        spans.append((prev, hi))
+        prev = lo
+    spans.append((prev, len(toks)))
+    branches = ["".join(toks[a:b]) for a, b in spans]
+    lit_re = re.compile(r"(?is)^\s*SELECT\s+'((?:[^']|'')*)'\s*;?\s*$")
+    ref_schema = None
+    changed = False
+    for b in branches:
+        if lit_re.match(b):
+            continue
+        try:
+            ref_schema = spark.sql(translate(b)).schema
+            break
+        except Exception:  # noqa: BLE001
+            continue
+    if ref_schema is None or len(ref_schema) != 1:
+        return sql
+    ducktype = spark_type_to_duckdb(ref_schema.fields[0].dataType)
+    for k, b in enumerate(branches):
+        m = lit_re.match(b)
+        if not m:
+            continue
+        text = m.group(1).replace("''", "'")
+        branches[k] = "SELECT " + emit_value(text, False, ducktype)
+        changed = True
+    if not changed:
+        return sql
+    out = []
+    for k, (a, bnd) in enumerate(spans):
+        out.append(branches[k])
+        if k < len(cuts):
+            hi, lo = cuts[k]
+            out.append(" " + "".join(toks[hi:lo]) + " ")
+    return "".join(out)
+
+
+def pad_derived_aliases(sql: str, spark) -> str:
+    """Derived-table column alias lists shorter than the subquery's
+    output keep the original names for the missing columns (reference
+    binder; Spark requires all-or-none). Retry-only: resolves each
+    subquery's schema through the live session (analysis only, no
+    execution)."""
+    toks = _tokens(sql)
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if out[i] != "(":
+            i += 1
+            continue
+        c = _match_paren(out, i)
+        if c < 0:
+            i += 1
+            continue
+        f0 = _next_code(out, i + 1)
+        if f0 >= len(out) or not re.match(r"^[A-Za-z_(]", out[f0]) or (
+            out[f0] != "(" and out[f0].upper() not in ("SELECT", "WITH",
+                                                       "VALUES", "FROM")
+        ):
+            i += 1
+            continue
+        a = _next_code(out, c + 1)
+        if a < len(out) and _is_word(out[a], "AS"):
+            a = _next_code(out, a + 1)
+        if a >= len(out) or not re.match(r"^[A-Za-z_`\"]", out[a]):
+            i += 1
+            continue
+        p = _next_code(out, a + 1)
+        if p >= len(out) or out[p] != "(":
+            i += 1
+            continue
+        pc = _match_paren(out, p)
+        if pc < 0:
+            i += 1
+            continue
+        cols = [x.strip() for x in _split_top_args(out[p + 1:pc])]
+        if not cols or not all(re.fullmatch(r"[\w`\"]+", x) for x in cols):
+            i += 1
+            continue
+        try:
+            inner = "".join(out[i + 1:c])
+            schema = spark.sql(translate(inner)).schema
+        except Exception:  # noqa: BLE001 — leave this group unchanged
+            i = pc + 1
+            continue
+        if len(schema) > len(cols):
+            extra = [f"`{f.name}`" for f in schema.fields[len(cols):]]
+            out[p:pc + 1] = _tokens("(" + ", ".join(cols + extra) + ")")
+        i += 1
+    return "".join(out)
+
+
 def _rewrite_row_in_subquery(toks: list[str]) -> list[str]:
     """Normalize `(a, b) IN (SELECT …)` / `row(…) IN (SELECT …)` arity
     (reference row-subquery membership): 1-tuples unwrap to their single
@@ -3777,6 +3925,19 @@ def _rewrite_row_in_subquery(toks: list[str]) -> list[str]:
             i += 1
             continue
         n_r = len(span[2])
+        sub_toks = out[j + 1:jc]
+        if (
+            len(args) > 1 and n_r > 1
+            and _top_level_index(sub_toks, 0, len(sub_toks), "FROM") < 0
+            and re.search(r"[A-Za-z_]\w*\s*\.\s*[A-Za-z_]",
+                          "".join(sub_toks))
+        ):
+            # reference binder parity: correlated FROM-less row subqueries
+            # in IN are rejected (subquery_row_in_any.test FIXME)
+            raise ValueError(
+                "Binder Error: correlated columns in a row IN subquery "
+                "are not yet supported"
+            )
         if len(args) == 1:
             repl = f"({args[0]})"
         elif n_r == 1:
@@ -7245,10 +7406,25 @@ def _macro_struct_search(name: str, s: str, v: str) -> str | None:
         return ("cast(null as boolean)" if name == "struct_contains"
                 else "cast(null as int)")
     vals: list[str] | None = None
+    if re.match(r"(?s)^\{", t):
+        raise ValueError(
+            f"Binder Error: {name} can only be used on unnamed structs "
+            f"(tuples)"
+        )
     m = re.match(r"(?is)^(named_struct|struct)\s*\(", t)
     if m and t.endswith(")"):
         inner = _split_top_args(_tokens(t[m.end():-1]))
-        vals = inner[1::2] if m.group(1).lower() == "named_struct" else inner
+        if m.group(1).lower() == "named_struct":
+            keys = [re.sub(r"^'(.*)'$", r"\1", p.strip())
+                    for p in inner[0::2]]
+            if keys and keys != [f"col{i + 1}" for i in range(len(keys))]:
+                raise ValueError(
+                    f"Binder Error: {name} can only be used on unnamed "
+                    f"structs (tuples)"
+                )
+            vals = inner[1::2]
+        else:
+            vals = inner
     if not vals:
         return None
 
@@ -7280,7 +7456,13 @@ def _macro_struct_search(name: str, s: str, v: str) -> str | None:
             f"then 'num' else typeof({e}) end)"
         )
 
+    _MAPCTOR = re.compile(r"(?is)^\s*(map|map_from_arrays|map_from_entries)\s*\(")
+
     def _cmp(e: str) -> str:
+        if _MAPCTOR.match(e) or _MAPCTOR.match(v):
+            # Spark cannot <=> MAP values; JSON text is order-stable for
+            # constructor-built maps (reference nested-type comparison)
+            return f"(to_json({e}) <=> to_json({v}))"
         if _kind(e) is not None and tk is not None:
             return f"(({e}) <=> ({v}))"
         return (
@@ -7715,6 +7897,121 @@ def _rewrite_tuple_literals(toks: list[str]) -> list[str]:
     return out
 
 
+def _tuple_text_value(txt: str, sib: str) -> str:
+    """One tuple-text element → SQL expression, shaped by the sibling
+    constructor expression (reference string→struct cast against the
+    unified list element type). Recurses into nested tuples/structs."""
+    from duckdb_spark.sql.textcast import _split_tuple_text
+
+    txt = txt.strip()
+    sib = sib.strip()
+    if txt.upper() == "NULL" or not txt:
+        return "null"
+    m = re.match(r"(?is)^named_struct\s*\((.*)\)$", sib)
+    if m:
+        parts = [p.strip() for p in _split_top_args(_tokens(m.group(1)))]
+        names = [re.sub(r"^'(.*)'$", r"\1", p) for p in parts[0::2]]
+        vals = parts[1::2]
+        if txt.startswith("(") and txt.endswith(")"):
+            body = txt[1:-1].strip()
+            if body.endswith(","):
+                body = body[:-1].rstrip()
+            elems = ([e.strip() for e in _split_tuple_text(body)]
+                     if body else [])
+        elif txt.startswith("{") and txt.endswith("}"):
+            body = txt[1:-1].strip()
+            got = {}
+            for part in (_split_tuple_text(body) if body else []):
+                kk, _, vv = part.partition(":")
+                got[kk.strip().strip("'\"")] = vv.strip()
+            elems = [got.get(nm, "NULL") for nm in names]
+        else:
+            raise ValueError(
+                f"Conversion Error: can't cast {txt!r} to STRUCT")
+        elems += ["NULL"] * (len(names) - len(elems))
+        kv = ", ".join(
+            f"'{nm}', {_tuple_text_value(e, sv)}"
+            for nm, e, sv in zip(names, elems, vals))
+        return f"named_struct({kv})"
+    if re.fullmatch(r"-?\d+(\.\d+)?", txt) and not re.fullmatch(
+        r"(?s)'.*'", sib
+    ):
+        return txt
+    if len(txt) >= 2 and txt[0] == "'" and txt[-1] == "'":
+        txt = txt[1:-1]
+    return "'" + txt.replace("'", "''") + "'"
+
+
+def _unify_array_struct_elems(toks: list[str]) -> list[str]:
+    """List literals mixing struct constructors, tuple constructors, and
+    tuple-text strings unify to one struct type (reference list cast
+    unification): `[row('a'), '(abc)']` parses the string against the
+    sibling tuple's shape; `[{t: x}, ('y', 2)]` renames the unnamed
+    tuple's colN fields to the named sibling's."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if not (re.match(r"^[A-Za-z_]", out[i]) and out[i].lower() == "array"):
+            i += 1
+            continue
+        j = _next_code(out, i + 1)
+        if j >= len(out) or out[j] != "(":
+            i += 1
+            continue
+        close = _match_paren(out, j)
+        if close < 0:
+            i += 1
+            continue
+        args = [a.strip() for a in _split_top_args(out[j + 1:close])]
+        structs = {}
+        for k, a in enumerate(args):
+            m = re.match(r"(?is)^named_struct\s*\((.*)\)$", a)
+            if m:
+                parts = [p.strip() for p in _split_top_args(_tokens(m.group(1)))]
+                names = [re.sub(r"^'(.*)'$", r"\1", p) for p in parts[0::2]]
+                structs[k] = (names, parts[1::2])
+        lits = {
+            k: a for k, a in enumerate(args)
+            if re.fullmatch(r"(?s)'\(.*\)'", a.strip())
+        }
+        named = next(
+            (v for v in structs.values()
+             if v[0] != [f"col{n + 1}" for n in range(len(v[0]))]),
+            None,
+        ) or next(iter(structs.values()), None)
+        if named is None or not (lits or (
+            named[0] != [f"col{n + 1}" for n in range(len(named[0]))]
+            and any(v[0] == [f"col{n + 1}" for n in range(len(v[0]))]
+                    and len(v[0]) == len(named[0])
+                    for v in structs.values())
+        )):
+            i = close + 1
+            continue
+        names, vals = named
+        changed = False
+        for k in list(structs):
+            snames, svals = structs[k]
+            if snames == names or len(snames) != len(names):
+                continue
+            if snames == [f"col{n + 1}" for n in range(len(snames))]:
+                kv = ", ".join(
+                    f"'{nm}', {sv}" for nm, sv in zip(names, svals))
+                args[k] = f"named_struct({kv})"
+                changed = True
+        for k, lit in lits.items():
+            # SQL-unescape the string literal, then parse the tuple text
+            # recursively against the sibling constructor's shape
+            text = lit.strip()[1:-1].replace("''", "'").strip()
+            args[k] = _tuple_text_value(
+                text, "named_struct(" + ", ".join(
+                    f"'{nm}', {sv}" for nm, sv in zip(names, vals)) + ")")
+            changed = True
+        if changed:
+            out[i:close + 1] = _tokens("array(" + ", ".join(args) + ")")
+        i += 1
+    return out
+
+
 def _agg_macro(name: str, args: list[str]) -> str | None:
     """Dispatch: returns replacement text, or None to leave the call."""
     n = len(args)
@@ -7794,6 +8091,9 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
         # min_by/max_by would happily return that NULL — guard the key
         fn = "max_by" if name in ("arg_max", "max_by") else "min_by"
         a0, a1 = args[0].strip(), args[1].strip()
+        # DISTINCT is a no-op for arg_min/arg_max (min over distinct
+        # pairs = min over all pairs) — strip it
+        a0 = re.sub(r"(?is)^DISTINCT\s+", "", a0)
         return f"{fn}({a0}, case when ({a0}) is not null then ({a1}) end)"
     if name in ("arg_min", "arg_max", "min_by", "max_by") and n == 3:
         return _macro_arg_n(
@@ -7994,6 +8294,8 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
         # which avoids a division the dialect would ANSI-guard
         return (f"startswith(CAST(CAST({args[0]} AS DOUBLE) AS STRING), "
                 f"'-')")
+    if name == "struct_pack" and (n == 0 or (n == 1 and not args[0].strip())):
+        return "named_struct()"
     if name in ("struct_pack", "struct_insert") and n >= 1:
         kvs = []
         for a in args:
@@ -9497,6 +9799,17 @@ def translate(sql: str) -> str:
     if ":" in sql:
         toks = _rewrite_colon_alias(toks)
     _check_grouping_set_limits(toks)
+    # GROUPING(tbl.col) → GROUPING(col): Spark matches grouping() args to
+    # grouping keys textually, the reference resolves qualified refs
+    if re.search(r"(?i)\bGROUPING", "".join(toks)):
+        joined0 = "".join(toks)
+        joined0 = re.sub(
+            r"(?i)\b(GROUPING(?:_ID)?)\s*\(([^()]*)\)",
+            lambda m: m.group(1) + "(" + re.sub(
+                r"[A-Za-z_]\w*\s*\.\s*", "", m.group(2)) + ")",
+            joined0,
+        )
+        toks = _tokens(joined0)
     toks = _rewrite_group_by_all_having(toks)
     # grouping()/grouping_id() under a PLAIN group by: always 0 in the
     # reference; Spark requires grouping sets
@@ -9638,6 +9951,8 @@ def translate(sql: str) -> str:
     toks = _rewrite_values_structs(toks)
     toks = _rewrite_values_coerce(toks)
     toks = _rewrite_concat_null(toks)
+    if re.search(r"(?i)named_struct", "".join(toks)):
+        toks = _unify_array_struct_elems(toks)
     toks = _rewrite_named_struct_casts(toks)
     out = "".join(toks)
     out = _rewrite_distinct_orderby(out)

@@ -758,14 +758,26 @@ class SLSession:
                 cname = mm.group(2) or mm.group(1)
                 if re.search(r"(?i)\bprimary\s+key\b", mm.group(3)):
                     pk.append(cname.strip('"').lower())
+                coll = re.search(r"(?i)\bcollate\s+(\S+)", mm.group(3))
                 ctype = re.sub(
                     r"(?i)\s+(primary\s+key|not\s+null|unique|default\s+.*|check\s*\(.*|collate\s+\S+)",
                     "", mm.group(3)).strip()
                 from duckdb_spark.sql.dialect import expand_type_aliases
 
-                fields.append(T.StructField(
-                    cname, duckdb_type_to_spark(expand_type_aliases(ctype))
-                ))
+                dt = duckdb_type_to_spark(expand_type_aliases(ctype))
+                if coll and isinstance(dt, T.StringType):
+                    # DuckDB column collations → Spark 4 collated strings
+                    # (reference collate clauses; joins/set-ops/compares
+                    # become collation-aware through the column type)
+                    spark_coll = {
+                        "nocase": "UTF8_LCASE",
+                        "noaccent": "UNICODE_AI",
+                        "noaccent.nocase": "UNICODE_CI_AI",
+                        "nocase.noaccent": "UNICODE_CI_AI",
+                    }.get(coll.group(1).lower())
+                    if spark_coll:
+                        dt = T.StringType(spark_coll)
+                fields.append(T.StructField(cname, dt))
             self._register(name, T.StructType(fields), [])
             if pk:
                 self.pkeys[name] = pk
