@@ -906,12 +906,18 @@ class Connection:
             # ALL recursion through the driver loop
             if (
                 "RECURSIVE" in msg
-                and ("UNION_NOT_SUPPORTED" in msg or "INVALID_RECURSIVE" in msg
-                     or "RECURSION" in msg)
+                or re.search(r"(?i)\bWITH\s+RECURSIVE\b", query)
             ):
+                # Spark-native recursion also dies on subqueries in the
+                # anchor/step and nested recursive CTEs (internal errors,
+                # not typed analysis ones) — any failure of a
+                # WITH RECURSIVE query falls back to the driver loop
                 rec = split_recursive_cte(query, include_union_all=True)
                 if rec is not None:
-                    return self._recursive_cte_sql(rec)
+                    try:
+                        return self._recursive_cte_sql(rec)
+                    except Exception:  # noqa: BLE001 — keep original error
+                        pass
             if "LATERAL_COLUMN_ALIAS_IN_WINDOW" in msg:
                 from duckdb_spark.sql.dialect import set_session_setting
 

@@ -2766,6 +2766,19 @@ def _inline_fromless_subqueries(toks: list[str]) -> list[str]:
                     and ctx[-2] not in ("FROM", "JOIN", "USING")
                 ):
                     p = _prev_code(out, i - 1)
+                    if p >= 0 and _is_word(out[p], "EXISTS"):
+                        # FROM-less EXISTS is a 1-row relation: TRUE, or
+                        # the WHERE condition (reference exists binder)
+                        close0 = _match_paren(out, i)
+                        if close0 > 0:
+                            cond = _fromless_exists_cond(out, nn, close0)
+                            if cond is not None:
+                                out[p:close0 + 1] = _tokens(cond)
+                                n_t = len(out)
+                                changed = True
+                                depth_ctx.pop()
+                                ctx.pop()
+                                continue
                     guarded = p < 0 or (
                         re.match(r"^[A-Za-z_]", out[p])
                         and out[p].upper() in _FROMLESS_GUARD_PREV
@@ -2806,6 +2819,34 @@ def _inline_fromless_subqueries(toks: list[str]) -> list[str]:
         if not changed:
             return out
     return out
+
+
+def _fromless_exists_cond(toks: list[str], sel: int, close: int) -> str | None:
+    """`EXISTS (SELECT exprs [WHERE c])` with no FROM → `(true)` /
+    `coalesce((c), false)` (a FROM-less select is one row; reference
+    binder). None if the body has other clauses."""
+    depth = 0
+    where_at = -1
+    for k in range(sel + 1, close):
+        t = toks[k]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and re.match(r"^[A-Za-z_]", t):
+            up = t.upper()
+            if up == "WHERE" and where_at < 0:
+                where_at = k
+            elif up in (
+                "FROM", "GROUP", "HAVING", "ORDER", "LIMIT", "UNION",
+                "EXCEPT", "INTERSECT", "WINDOW", "QUALIFY", "VALUES",
+                "OFFSET", "WITH", "OVER",
+            ):
+                return None
+    if where_at < 0:
+        return "(true)"
+    cond = "".join(toks[where_at + 1:close]).strip()
+    return f"coalesce(cast(({cond}) as boolean), false)"
 
 
 def _fromless_repl(toks: list[str], sel: int, close: int) -> str | None:
@@ -3909,9 +3950,9 @@ def _rewrite_row_in_subquery(toks: list[str]) -> list[str]:
             d = 0
             has_comma = False
             for tk in out[o + 1:p]:
-                if tk == "(":
+                if tk in ("(", "["):
                     d += 1
-                elif tk == ")":
+                elif tk in (")", "]"):
                     d -= 1
                 elif tk == "," and d == 0:
                     has_comma = True
@@ -7768,7 +7809,7 @@ def _macro_unnest(args: list[str]) -> str | None:
 
 _TUPLE_PREV_WORDS = {
     "SELECT", "DISTINCT", "WHERE", "HAVING", "WHEN", "THEN", "ELSE",
-    "AND", "OR", "NOT", "QUALIFY", "BETWEEN", "UNNEST",
+    "AND", "OR", "NOT", "QUALIFY", "BETWEEN",
 }
 _TUPLE_PREV_SYMS = {
     "(", ",", "=", "<", ">", "<=", ">=", "<>", "!=", "==",
@@ -7867,13 +7908,13 @@ def _rewrite_tuple_literals(toks: list[str]) -> list[str]:
                 i += 1
                 continue
             inner = out[i + 1:c]
-            # top-level comma?
+            # top-level comma? (bracket subscripts/list literals nest too)
             d = 0
             has_comma = False
             for tk in inner:
-                if tk == "(":
+                if tk in ("(", "["):
                     d += 1
-                elif tk == ")":
+                elif tk in (")", "]"):
                     d -= 1
                 elif tk == "," and d == 0:
                     has_comma = True
@@ -9710,6 +9751,12 @@ def translate(sql: str) -> str:
         lambda m: f" TABLESAMPLE ({m.group(1)} ROWS)",
         sql,
     )
+    # `OFFSET n LIMIT m` spelling (reference accepts either order)
+    sql = re.sub(
+        r"(?is)\bOFFSET\s+(\d+)\s+LIMIT\s+(\d+\s*%?)",
+        lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}",
+        sql,
+    )
     # FROM-first syntax: `FROM t [WHERE …]` ≡ `SELECT * FROM t …`, also
     # after a WITH clause (reference parser FROM-first statements)
     sql = _rewrite_from_first(sql)
@@ -9961,6 +10008,10 @@ def translate(sql: str) -> str:
     if get_session_setting("scalar_subquery_error_on_multiple_rows") \
             == "false":
         out = limit_scalar_subqueries(out)
+    if re.search(r"(?i)\bOFFSET\b", out) and re.search(
+        r"(?i)\(\s*SELECT\b", out
+    ):
+        out = push_scalar_subquery_offset(out)
     if "TABLESAMPLE" in out.upper():
         # Spark's grammar puts the sample BEFORE the alias
         out = re.sub(
@@ -10575,6 +10626,70 @@ def _rewrite_collate(toks: list[str]) -> list[str]:
         out[start:j + 1] = [f"collate({operand}, '{mapped}')"]
         i = start + 1
     return out
+
+
+_AGG_WORD_RE = re.compile(
+    r"(?is)\b(sum|count|avg|mean|min|max|median|mode|product|first|last|"
+    r"string_agg|listagg|list|array_agg|collect_list|collect_set|"
+    r"stddev\w*|var\w*|corr|covar\w*|percentile\w*|quantile\w*)\s*\(")
+
+
+def push_scalar_subquery_offset(sql: str) -> str:
+    """Expression-position scalar subqueries with ORDER BY … OFFSET push
+    the ordering/offset into a derived table and keep only the projection
+    correlated (Spark evaluates OFFSET inside correlated subqueries
+    per-partition — silently wrong results; reference binds the offset to
+    the ordered subquery result as a whole)."""
+    toks = _tokens(sql)
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if out[i] != "(":
+            i += 1
+            continue
+        sel = _next_code(out, i + 1)
+        if sel >= len(out) or not _is_word(out[sel], "SELECT"):
+            i += 1
+            continue
+        p = _prev_code(out, i - 1)
+        if p >= 0 and re.match(r"^[A-Za-z_]", out[p]) and \
+                out[p].upper() in _FROMLESS_GUARD_PREV:
+            i += 1
+            continue
+        c = _match_paren(out, i)
+        if c < 0:
+            i += 1
+            continue
+        grp = out[i + 1:c]
+        io = _top_level_index(grp, 0, len(grp), "ORDER")
+        ofs = _top_level_index(grp, 0, len(grp), "OFFSET")
+        fromi = _top_level_index(grp, 0, len(grp), "FROM")
+        if io < 0 or ofs < io or fromi < 0 or fromi > io:
+            i += 1
+            continue
+        s0 = _next_code(grp, 0)  # SELECT
+        proj = "".join(grp[s0 + 1:fromi]).strip()
+        if _AGG_WORD_RE.search(proj) or re.match(r"(?is)^DISTINCT\b", proj):
+            i += 1
+            continue
+        body = "".join(grp[fromi:io]).strip()
+        tail = "".join(grp[io:]).strip()
+        if _top_level_index(grp, io, len(grp), "LIMIT") < 0:
+            # Spark grammar: LIMIT precedes OFFSET
+            tail = re.sub(r"(?is)\bOFFSET\b", "LIMIT 1 OFFSET", tail,
+                          count=1)
+        # keep the original trailing alias visible to the projection
+        alias = "__off"
+        malias = re.search(r"(?is)(?:\bAS\s+)?([A-Za-z_]\w*)\s*$", body)
+        if malias and malias.group(1).upper() not in (
+            "WHERE", "HAVING", "GROUP", "BY", "ON", "FROM",
+        ):
+            alias = malias.group(1)
+        repl = (f"(SELECT {proj} FROM (SELECT * {body} {tail}) "
+                f"AS {alias})")
+        out[i:c + 1] = _tokens(repl)
+        i += 1
+    return "".join(out)
 
 
 def limit_scalar_subqueries(sql: str) -> str:
