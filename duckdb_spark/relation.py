@@ -655,6 +655,12 @@ class Connection:
                         )
                 except Exception:
                     pass
+        # correlated recursive CTE inside LATERAL: per-outer-row driver
+        # loop (reference physical_recursive_cte correlated executions)
+        if re.search(r"(?is)\bLATERAL\s*\(\s*WITH\s+RECURSIVE\b", query):
+            res = self._lateral_recursive(query)
+            if res is not None:
+                return res
         # `recurring.<name>` (accumulated-state reference) only exists in
         # the driver loop — Spark's native recursion can't resolve it
         rec = split_recursive_cte(
@@ -959,6 +965,71 @@ class Connection:
                 )
                 if new_q != query:
                     return Relation(self.spark.sql(translate(new_q)))
+            # avg/sum over the INTERVAL struct emulation: componentwise
+            # with the reference's downward carry (interval.cpp AVG —
+            # fractional months spill to days, fractional days to micros)
+            avm = re.search(
+                r'Cannot resolve "(avg|sum)\((.+?)\)" due to data type '
+                r"mismatch", msg,
+            )
+            if avm and re.search(r'STRUCT<months', msg):
+                fn0, a = avm.group(1), avm.group(2)
+                dm0 = re.match(r"(?is)^\s*DISTINCT\s+(.*)$", a)
+                base_arg = dm0.group(1).strip() if dm0 else a.strip()
+                if fn0.lower() == "avg":
+                    # DISTINCT spelling folds the distinct struct set;
+                    # both spellings of this argument rewrite in one pass
+                    ad = base_arg
+                    cs = f"collect_set(({ad}))"
+                    nn = f"size({cs})"
+                    tm = (f"aggregate({cs}, 0L, (__a, __e) -> "
+                          f"__a + __e.months)")
+                    td = (f"aggregate({cs}, 0L, (__a, __e) -> "
+                          f"__a + __e.days)")
+                    tu = (f"aggregate({cs}, 0L, (__a, __e) -> "
+                          f"__a + __e.micros)")
+                    mm = f"({tm} div {nn})"
+                    rem_m = f"({tm} - {mm} * {nn})"
+                    d_num = f"({td} + {rem_m} * 30)"
+                    dd = f"({d_num} div {nn})"
+                    rem_d = f"({d_num} - {dd} * {nn})"
+                    uu = (f"cast(round((cast({tu} as double) + "
+                          f"cast({rem_d} as double) * 86400000000) / {nn})"
+                          f" as bigint)")
+                    repl = (f"named_struct('months', cast({mm} as int), "
+                            f"'days', cast({dd} as int), 'micros', {uu})")
+                    arg0 = re.escape(base_arg).replace(r"\ ", r"\s*")
+                    query = re.sub(
+                        rf"(?is)\b{fn0}\s*\(\s*DISTINCT\s+{arg0}\s*\)",
+                        repl, query,
+                    )
+                arg = re.escape(base_arg).replace(r"\ ", r"\s*")
+                a = base_arg
+                n_ = f"count(({a}).months)"
+                tm = f"sum(({a}).months)"
+                td = f"sum(({a}).days)"
+                tu = f"sum(({a}).micros)"
+                if fn0.lower() == "sum":
+                    repl = (f"named_struct('months', cast({tm} as int), "
+                            f"'days', cast({td} as int), "
+                            f"'micros', cast({tu} as bigint))")
+                else:
+                    mm = f"cast({tm} as bigint) div {n_}"
+                    rem_m = f"(cast({tm} as bigint) - ({mm}) * {n_})"
+                    d_num = f"(cast({td} as bigint) + {rem_m} * 30)"
+                    dd = f"({d_num} div {n_})"
+                    rem_d = f"({d_num} - ({dd}) * {n_})"
+                    uu = (f"cast(round((cast({tu} as double) + "
+                          f"cast({rem_d} as double) * 86400000000) / {n_}) "
+                          f"as bigint)")
+                    repl = (f"named_struct('months', cast({mm} as int), "
+                            f"'days', cast({dd} as int), "
+                            f"'micros', {uu})")
+                new_q = re.sub(
+                    rf"(?is)\b{fn0}\s*\(\s*{arg}\s*\)", repl, query,
+                )
+                if new_q != query:
+                    return Relation(self.spark.sql(translate(new_q)))
             # bit_and/bit_or/bit_xor over BIT (binary-backed '0'/'1'
             # emulation, SURVEY §1.2): positionwise bitwise agg via
             # base-2 conv to BIGINT and back (≤64 bits)
@@ -1053,6 +1124,23 @@ class Connection:
                     return Relation(self.spark.sql(translate(new_q)))
             # derived-table alias lists shorter than the subquery output
             # pad with the original column names (reference binder)
+            # correlated range()/generate_series() args: retry with the
+            # LATERAL VIEW explode(sequence) form
+            if "NON_FOLDABLE_ARGUMENT" in msg and re.search(
+                r"`(range|generate_series)`|`(start|end|step)`", msg
+            ):
+                from duckdb_spark.sql.dialect import set_session_setting
+
+                set_session_setting("__range_lateral", "1")
+                try:
+                    retried = translate(query)
+                finally:
+                    set_session_setting("__range_lateral", "")
+                if retried != translate(query):
+                    try:
+                        return Relation(self.spark.sql(retried))
+                    except Exception:  # noqa: BLE001
+                        pass
             if "ASSIGNMENT_ARITY_MISMATCH" in msg:
                 from duckdb_spark.sql.dialect import pad_derived_aliases
 
@@ -1376,6 +1464,134 @@ class Connection:
             query,
         )
 
+    def _lateral_recursive(self, query: str) -> "Relation | None":
+        """`SELECT … FROM <outer>, LATERAL (WITH RECURSIVE …) [alias]
+        [tail]` — the recursion is correlated on outer columns, which no
+        Spark shape supports. Driver loop: bind each outer row's columns
+        as literals inside the lateral body, run the recursive CTE, and
+        union the cross products (reference correlated recursive CTE;
+        outer side capped at 1000 rows — these are generator-style
+        probes, not fact scans)."""
+        from duckdb_spark.sql.dialect import _match_paren, _tokens
+
+        toks = _tokens(query)
+        lat = next(
+            (k for k, t in enumerate(toks)
+             if re.match(r"^[A-Za-z_]", t) and t.upper() == "LATERAL"),
+            None,
+        )
+        if lat is None:
+            return None
+        op = lat + 1
+        while op < len(toks) and toks[op].isspace():
+            op += 1
+        if op >= len(toks) or toks[op] != "(":
+            return None
+        oc = _match_paren(toks, op)
+        if oc < 0:
+            return None
+        inner = "".join(toks[op + 1:oc])
+        # outer region: top-level FROM … up to the comma before LATERAL
+        depth = 0
+        fromi = -1
+        for k in range(lat):
+            t = toks[k]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and re.match(r"^[A-Za-z_]", t) and \
+                    t.upper() == "FROM":
+                fromi = k
+        if fromi < 0:
+            return None
+        comma = -1
+        depth = 0
+        for k in range(fromi, lat):
+            t = toks[k]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif t == "," and depth == 0:
+                comma = k
+        if comma < 0:
+            return None
+        sel_start = next(
+            (k for k, t in enumerate(toks)
+             if re.match(r"^[A-Za-z_]", t) and t.upper() == "SELECT"),
+            None,
+        )
+        if sel_start is None or sel_start > fromi:
+            return None
+        sel = "".join(toks[sel_start + 1:fromi]).strip()
+        outer_src = "".join(toks[fromi + 1:comma]).strip()
+        # optional alias (+ column list) after the lateral group
+        k = oc + 1
+        while k < len(toks) and toks[k].isspace():
+            k += 1
+        if k < len(toks) and re.match(r"^[A-Za-z_]", toks[k]) and \
+                toks[k].upper() == "AS":
+            k += 1
+            while k < len(toks) and toks[k].isspace():
+                k += 1
+        inner_cols: list[str] | None = None
+        if k < len(toks) and re.match(r"^[A-Za-z_]\w*$", toks[k]) and \
+                toks[k].upper() not in ("ORDER", "WHERE", "GROUP", "LIMIT",
+                                        "QUALIFY", "HAVING", "UNION"):
+            k += 1  # alias name (scope is flat here)
+            while k < len(toks) and toks[k].isspace():
+                k += 1
+            if k < len(toks) and toks[k] == "(":
+                cc = _match_paren(toks, k)
+                if cc > 0:
+                    inner_cols = [
+                        c.strip() for c in
+                        "".join(toks[k + 1:cc]).split(",")
+                    ]
+                    k = cc + 1
+        tail = "".join(toks[k:]).strip()
+        outer_df = self.sql(f"SELECT * FROM {outer_src}").df()
+        outer_rows = outer_df.limit(1001).collect()
+        if len(outer_rows) > 1000:
+            raise ValueError(
+                "correlated recursive CTE: outer side exceeds the "
+                "1000-row driver-loop cap"
+            )
+        o_names = outer_df.columns
+        o_types = [f.dataType for f in outer_df.schema.fields]
+        combined = []
+        res_schema = None
+        for row in outer_rows:
+            bound = inner
+            for nm, val, dt in zip(o_names, row, o_types):
+                lit = _sql_lit(val, dt)
+                bound = re.sub(
+                    rf"(?is)(?<![\w.]){re.escape(nm)}(?!\s*\()\b(?!\s*\.)",
+                    lit.replace("\\", "\\\\"), bound,
+                )
+            r = self.sql(bound)
+            if r is None:
+                return None
+            rdf = r.df()
+            if inner_cols:
+                rdf = rdf.toDF(*(
+                    inner_cols + rdf.columns[len(inner_cols):]))
+            res_schema = rdf.schema
+            for irow in rdf.collect():
+                combined.append(tuple(row) + tuple(irow))
+        if res_schema is None:
+            return None
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            list(outer_df.schema.fields) + list(res_schema.fields))
+        out_df = self.spark.createDataFrame(combined, schema)
+        Connection._tvf_seq += 1
+        view = f"__lat_rec_{Connection._tvf_seq}"
+        out_df.createOrReplaceTempView(view)
+        return self.sql(f"SELECT {sel} FROM {view} {tail}")
+
     def _recursive_cte_sql(self, rec: dict) -> "Relation":
         """Driver-loop evaluation of the recursive-CTE forms Spark's
         native recursion can't run (UNION-distinct, USING KEY). The
@@ -1458,7 +1674,24 @@ class Connection:
                         except Exception:
                             pass
             working = acc
-            for _ in range(200):
+            lm = re.search(r"(?is)\bLIMIT\s+(\d+)\b", rec["tail"])
+            for _rnd in range(200):
+                if lm and _rnd % 16 == 15:
+                    # unbounded recursion drained through a LIMIT: stop
+                    # as soon as the tail is satisfied (reference
+                    # pipelined recursion; checked every 16 rounds)
+                    acc.createOrReplaceTempView(internal)
+                    res = self.sql(_subst(rec["tail"]))
+                    n_lim = int(lm.group(1))
+                    if res is not None and \
+                            res.df().limit(n_lim).count() >= n_lim:
+                        try:
+                            return res
+                        finally:
+                            try:
+                                self.spark.catalog.dropTempView(recurring)
+                            except Exception:  # noqa: BLE001
+                                pass
                 working.createOrReplaceTempView(internal)
                 acc.createOrReplaceTempView(recurring)
                 nxt = self.sql(step_sql).df().toDF(*out_cols)
@@ -1475,6 +1708,24 @@ class Connection:
                 acc = _materialize(acc.unionByName(nxt))
                 working = nxt
             else:
+                # unbounded recursion consumed through a LIMIT: if the
+                # tail is already satisfied by the accumulated rows,
+                # stop producing (reference pipelined recursion stops
+                # when the limit operator is full)
+                lm = re.search(r"(?is)\bLIMIT\s+(\d+)\b", rec["tail"])
+                if lm:
+                    acc.createOrReplaceTempView(internal)
+                    res = self.sql(_subst(rec["tail"]))
+                    n_lim = int(lm.group(1))
+                    if res is not None and \
+                            res.df().limit(n_lim).count() >= n_lim:
+                        try:
+                            return res
+                        finally:
+                            try:
+                                self.spark.catalog.dropTempView(recurring)
+                            except Exception:  # noqa: BLE001
+                                pass
                 raise RuntimeError(
                     "recursive CTE: no fixpoint after 200 rounds"
                 )
@@ -1586,6 +1837,11 @@ class Connection:
             if m:
                 # `avg(b)` / `arg_min(via, len)`: the first argument names
                 # the column the aggregate maintains
+                if m.group(1).lower() in aggs:
+                    raise ValueError(
+                        "Binder Error: column references in the USING KEY "
+                        "aggregate list must be unique"
+                    )
                 aggs[m.group(1).lower()] = k.strip()
             else:
                 plain.append(k)

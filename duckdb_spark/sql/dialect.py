@@ -114,8 +114,15 @@ def _rewrite_groups_frames(toks: list[str]) -> list[str]:
             spec[_next_code(spec, oo + 1) + 1:g]
         ).strip() if oo >= 0 else ""
         if not order:
-            i = oc + 1
-            continue  # GROUPS without ORDER BY errors downstream
+            # GROUPS without ORDER BY: every row is one peer group, so
+            # any GROUPS frame covers the whole partition — drop the
+            # frame (reference window_boundaries_state.cpp peer groups)
+            out[op + 1:oc] = _tokens(
+                f"PARTITION BY {part}" if part else ""
+            )
+            changed = True
+            i = op + 1
+            continue
         tail = "".join(spec[g + 1:]).strip()
         k = (part, order)
         if k not in keys:
@@ -1254,10 +1261,12 @@ def _rewrite_empty_frames(toks: list[str]) -> list[str]:
             i = oc + 1
             continue
         io = _top_level_index(out, po + 1, j, "ORDER")
-        if fn in ("LEAD", "LAG"):
+        if fn in ("LEAD", "LAG") and io < 0:
             # offset functions ignore framing entirely (reference
             # window_executor.cpp LeadLagExecutor) — the frame is stripped
-            # later, never folded to the empty-frame value
+            # later, never folded to the empty-frame value. The ORDERED-
+            # ARGUMENT form evaluates over the frame rows, so an empty
+            # frame folds to NULL like the other value functions.
             i = oc + 1
             continue
         if fn in _EXCLUDE_RANKING:
@@ -1431,7 +1440,19 @@ def _rewrite_named_struct_casts(toks: list[str]) -> list[str]:
                 continue
             # target-driven mapping: unmatched target fields become NULL,
             # extra source fields are dropped — but at least one member
-            # must match (struct_cast.cpp)
+            # must match (struct_cast.cpp). UNNAMED (colN) sources cast
+            # POSITIONALLY instead (ROW(42, 84)::STRUCT(a INT, b INT))
+            src_names = [kvs[k2].strip().strip("'")
+                         for k2 in range(0, len(kvs), 2)]
+            if src_names == [f"col{x + 1}" for x in range(len(src_names))] \
+                    and not any(n.lower() in vals for n, _t in fields):
+                pos_vals = [kvs[k2 + 1] for k2 in range(0, len(kvs), 2)]
+                repl = "named_struct(" + ", ".join(
+                    f"'{n}', CAST(({pos_vals[x] if x < len(pos_vals) else 'NULL'}) AS {t})"
+                    for x, (n, t) in enumerate(fields)) + ")"
+                out[i:oc + 1] = _tokens(repl)
+                changed = True
+                break
             if not any(n.lower() in vals for n, _t in fields):
                 raise ValueError(
                     "Binder Error: STRUCT to STRUCT cast must have at "
@@ -1874,6 +1895,22 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
             ):
                 out.extend(_tokens(f"__dkrender({operand})"))
                 continue
+            mfix = re.match(r"(?is)^(.*)\[\s*(\d+)\s*\]$", rawty.strip())
+            ops = operand.strip()
+            if mfix and re.match(r"(?is)^array\s*\(", ops) and \
+                    ops.endswith(")"):
+                # fixed-size ARRAY cast of a visible list literal checks
+                # the length (reference array_casts.cpp)
+                inner_n = len([
+                    a for a in _split_top_args(
+                        _tokens(ops[ops.index("(") + 1:-1]))
+                    if a.strip()
+                ])
+                if inner_n != int(mfix.group(2)):
+                    raise ValueError(
+                        f"Conversion Error: Cannot cast list of size "
+                        f"{inner_n} to array of size {mfix.group(2)}"
+                    )
             mtrunc = re.match(r"(?i)^TIMESTAMP_(MS|S)$", rawty.strip())
             if mtrunc:
                 unit = ("MILLISECOND" if mtrunc.group(1).upper() == "MS"
@@ -2852,6 +2889,10 @@ def _fromless_exists_cond(toks: list[str], sel: int, close: int) -> str | None:
 def _fromless_repl(toks: list[str], sel: int, close: int) -> str | None:
     """Inline text for a FROM-less `(SELECT …)` span, or None if the body
     has clauses/extra items that make it a real subquery."""
+    if any(re.match(r"^[A-Za-z_]", t) and t.upper() == "UNNEST"
+           for t in toks[sel + 1:close]):
+        # (SELECT UNNEST(...)) is a generator subquery, not a scalar
+        return None
     depth = 0
     where_at = -1
     for k in range(sel + 1, close):
@@ -3779,7 +3820,9 @@ def _struct_wrap_select(sub: str) -> str:
     if len(items) < 2:
         return sub
     toks[i:end] = _tokens(
-        "struct(" + ", ".join(a.strip() for a in items) + ") "
+        "named_struct(" + ", ".join(
+            f"'col{n + 1}', {a.strip()}" for n, a in enumerate(items))
+        + ") "
     )
     return "".join(toks)
 
@@ -4037,22 +4080,10 @@ def _rewrite_any_all(sql: str) -> str:
             out.append(f" IN ({sub})")
         elif op in ("<>", "!=") and quant == "ALL":
             out.append(f" NOT IN ({sub})")
-        elif op in (">", ">=", "<", "<="):
-            agg = {
-                (">", "ANY"): "min", (">=", "ANY"): "min",
-                ("<", "ANY"): "max", ("<=", "ANY"): "max",
-                (">", "ALL"): "max", (">=", "ALL"): "max",
-                ("<", "ALL"): "min", ("<=", "ALL"): "min",
-            }[(op, quant)]
-            # row-valued subqueries (`(0,0) < ANY(SELECT a, b FROM t)`)
-            # fold the select list into one struct so min/max order it
-            # lexicographically like the reference's row comparison
-            sub = _struct_wrap_select(sub)
-            out.append(
-                f"{op} (SELECT {agg}(__qv) FROM ({sub}) __anyq(__qv))"
-            )
         else:
-            # `= ALL` / `<> ANY`: no clean fold — leave as written
+            # ordering comparators and `= ALL` / `<> ANY`: rewritten by
+            # the token-level 3-valued pass (min/max folds alone get the
+            # NULL semantics wrong: `3 >= ALL {1,NULL}` is NULL, not true)
             out.append(sql[m.start():i + 1])
         pos = i + 1
     return "".join(out)
@@ -4461,6 +4492,45 @@ def _quantified_repl(xs: list[str], op: str, quant: str, sub: str) -> str:
         f"(({x}) {op} ({c}))" for x, c in zip(xs, cols)
     )
     cnt = f"(select count(*) from {src})"
+    if op in (">", ">=", "<", "<=") and len(xs) > 1:
+        # componentwise AND is NOT lexicographic — fold both sides into
+        # structs (reference row comparison semantics)
+        xs = ["named_struct(" + ", ".join(
+            f"'col{k + 1}', {x}" for k, x in enumerate(xs)) + ")"]
+        inner_struct = "named_struct(" + ", ".join(
+            f"'col{k + 1}', {c}" for k, c in enumerate(cols)) + ")"
+        src = (f"(select {inner_struct} as __c0 from ({sub}) "
+               f"__q_row({', '.join(cols)})) __q_sub(__c0)")
+        cols = ["__c0"]
+        cnt = f"(select count(*) from {src})"
+    if op in (">", ">=", "<", "<=") and len(xs) == 1:
+        # ordering quantifiers fold through ONE aggregate probe with the
+        # reference's 3-valued semantics (NULL set members / NULL operand
+        # yield NULL unless a non-null member already decides)
+        agg = {
+            (">", "ANY"): "min", (">=", "ANY"): "min",
+            ("<", "ANY"): "max", ("<=", "ANY"): "max",
+            (">", "ALL"): "max", (">=", "ALL"): "max",
+            ("<", "ALL"): "min", ("<=", "ALL"): "min",
+        }[(op, quant)]
+        aggv = f"(select {agg}(__c0) from {src})"
+        has_null = f"(select count(*) - count(__c0) from {src}) > 0"
+        x = xs[0]
+        if quant == "ANY":
+            return (
+                f"(case when {cnt} = 0 then false "
+                f"when (({x}) {op} {aggv}) then true "
+                f"when {has_null} or ({x}) is null "
+                f"then cast(null as boolean) "
+                f"else false end)"
+            )
+        return (
+            f"(case when {cnt} = 0 then true "
+            f"when (({x}) {op} {aggv}) is false then false "
+            f"when {has_null} or ({x}) is null "
+            f"then cast(null as boolean) "
+            f"else true end)"
+        )
     if quant == "ALL":
         return (
             f"(case when {cnt} = 0 then true "
@@ -4571,10 +4641,27 @@ def _rewrite_quantified_region(
         if x.startswith("(") and x.endswith(")") and _has_top_level_comma(
             _tokens(x[1:-1])
         ):
-            if op != "=":
-                i = close + 1  # lexicographic row comparison: native path
+            if op in (">", ">=", "<", "<="):
+                # lexicographic row comparison: one struct each side
+                comps = [e.strip() for e in _split_top_args(_tokens(x[1:-1]))]
+                xs = ["named_struct(" + ", ".join(
+                    f"'col{n + 1}', {e}" for n, e in enumerate(comps)) + ")"]
+                wrapped = _struct_wrap_select(sub)
+                if wrapped == sub:
+                    # star select list: alias positionally, then wrap
+                    rcols = [f"__r{n}" for n in range(len(comps))]
+                    ns = "named_struct(" + ", ".join(
+                        f"'col{n + 1}', {c}" for n, c in enumerate(rcols)
+                    ) + ")"
+                    wrapped = (f"SELECT {ns} FROM ({sub}) "
+                               f"__q_row({', '.join(rcols)})")
+                sub = wrapped
+                n_sub = 1
+            elif op != "=":
+                i = close + 1
                 continue
-            xs = [e.strip() for e in _split_top_args(_tokens(x[1:-1]))]
+            else:
+                xs = [e.strip() for e in _split_top_args(_tokens(x[1:-1]))]
         elif rm and op == "=" and n_sub > 1:
             xs = [e.strip() for e in _split_top_args(_tokens(rm.group(1)))]
         else:
@@ -4599,6 +4686,7 @@ def _rewrite_quantified_region(
         if only_unfoldable and not (
             (op == "=" and quant == "ALL")
             or (op == "<>" and quant == "ANY")
+            or op in (">", ">=", "<", "<=")
         ):
             i = close + 1
             continue
@@ -6514,6 +6602,29 @@ def _expand_range_tvf(out: list[str], i: int, j: int, close: int) -> int:
     temporal = bool(re.search(
         r"(?i)\b(date|timestamp|interval|now)\b", "".join(out[j:close + 1])
     ))
+    if get_session_setting("__range_lateral"):
+        # correlated arguments (range(t.level) in a FROM list): Spark's
+        # range TVF needs foldable args — LATERAL VIEW explode keeps the
+        # row-dependent sequence (retry-gated on NON_FOLDABLE_ARGUMENT)
+        pcm = _prev_code(out, i - 1)
+        start_cut = -1
+        if pcm >= 0 and out[pcm] == ",":
+            start_cut = pcm
+        elif pcm >= 0 and _is_word(out[pcm], "LATERAL"):
+            # [CROSS|INNER] JOIN LATERAL range(...) — consume the join
+            start_cut = pcm
+            pj = _prev_code(out, pcm - 1)
+            if pj >= 0 and _is_word(out[pj], "JOIN"):
+                start_cut = pj
+                pk2 = _prev_code(out, pj - 1)
+                if pk2 >= 0 and out[pk2].upper() in ("CROSS", "INNER"):
+                    start_cut = pk2
+        if start_cut >= 0:
+            seq = _seq_expr(name, args)
+            repl = (f" LATERAL VIEW explode({seq}) "
+                    f"{alias or f'__{name}_tvf'} AS {colname}")
+            out[start_cut:end + 1] = [repl]
+            return start_cut + 1
     if not temporal and len(args) <= 3 and name == "range":
         inner = f"range({', '.join(args)})"
         repl = f"(SELECT id AS {colname} FROM {inner})"
@@ -7819,6 +7930,48 @@ _TUPLE_PREV_SYMS = {
 _TUPLE_PROTECT_WORDS = {"SETS", "ROLLUP", "CUBE", "VALUES"}
 
 
+def _lateral_fromless_derived(toks: list[str]) -> list[str]:
+    """Comma-joined FROM-less derived tables (`FROM t, (SELECT [i+1]) s`)
+    are implicit LATERAL subqueries in the reference (each row of the
+    left side binds); Spark needs the LATERAL keyword spelled out. A
+    non-correlated one is unaffected by the keyword."""
+    out = list(toks)
+    ctx = ["X"]
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t == "(":
+            p = _prev_code(out, i - 1)
+            if ctx[-1] == "FROM" and p >= 0 and out[p] == ",":
+                c = _match_paren(out, i)
+                f0 = _next_code(out, i + 1)
+                if c > 0 and f0 < len(out) and _is_word(out[f0], "SELECT"):
+                    grp = out[i + 1:c]
+                    if _top_level_index(grp, 0, len(grp), "FROM") < 0:
+                        out[i:i] = ["LATERAL", " "]
+                        i = c + 3
+                        continue
+            if p >= 0 and re.match(r"^[A-Za-z_`\"]", out[p]) and out[p].upper() not in (
+                "FROM", "JOIN", "LATERAL",
+            ):
+                ctx.append("X")  # function call args
+            else:
+                ctx.append(ctx[-1])
+        elif t == ")":
+            if len(ctx) > 1:
+                ctx.pop()
+        elif re.match(r"^[A-Za-z_]", t):
+            up = t.upper()
+            if up in ("FROM", "JOIN"):
+                ctx[-1] = "FROM"
+            elif up in ("SELECT", "WHERE", "GROUP", "HAVING", "ORDER",
+                        "LIMIT", "ON", "QUALIFY", "WINDOW", "SET", "WHEN",
+                        "UNION", "EXCEPT", "INTERSECT", "USING"):
+                ctx[-1] = "X"
+        i += 1
+    return out
+
+
 def _rewrite_tuple_literals(toks: list[str]) -> list[str]:
     """Python-style tuple literals (reference parser row literals;
     types.hpp TUPLE): `()` is the empty tuple, `(a, b)` a tuple, `(x,)`
@@ -7833,9 +7986,36 @@ def _rewrite_tuple_literals(toks: list[str]) -> list[str]:
     while rescan:
         rescan = False
         # paren opens whose children must stay lists (VALUES rows,
-        # grouping-set sub-lists): mark the direct-child opens protected
+        # grouping-set sub-lists, GROUP BY key lists): mark the direct-
+        # child opens protected
         protected: set[int] = set()
         depth_stack: list[int] = []
+        gb_depth = -1  # depth of an active GROUP BY clause, else -1
+        depth_now = 0
+        i = 0
+        while i < len(out):
+            t = out[i]
+            if t == "(":
+                if depth_now == gb_depth:
+                    protected.add(i)
+                depth_now += 1
+            elif t == ")":
+                depth_now -= 1
+                if gb_depth > depth_now:
+                    gb_depth = -1
+            elif re.match(r"^[A-Za-z_]", t):
+                up = t.upper()
+                if up == "BY":
+                    pb = _prev_code(out, i - 1)
+                    if pb >= 0 and out[pb].upper() == "GROUP":
+                        gb_depth = depth_now
+                elif gb_depth == depth_now and up in (
+                    "ORDER", "HAVING", "LIMIT", "QUALIFY", "WINDOW",
+                    "UNION", "EXCEPT", "INTERSECT", "OFFSET", "SELECT",
+                    "FROM", "WHERE",
+                ):
+                    gb_depth = -1
+            i += 1
         i = 0
         while i < len(out):
             t = out[i]
@@ -8473,6 +8653,40 @@ def _agg_macro_windowed(name: str, args: list[str], over: str) -> str | None:
         return let(lst, f"if({nn} = 0, cast(null as double), {med2})")
     if name == "count_star" and n == 0:
         return f"count(*) {over}"
+    if name == "histogram" and n == 1:
+        # windowed histogram: sorted-key count map over the frame rows
+        # (reference histogram.cpp window path)
+        lst = f"collect_list({args[0]}) {over}"
+        body = (
+            "map_from_entries(transform(array_sort(array_distinct(__l)), "
+            "__k -> struct(__k, size(filter(__l, __e -> __e <=> __k)))))"
+        )
+        return let(lst, f"if(size(__l) = 0, null, {body})")
+    if name == "median" and n == 1 and re.search(
+        r"(?is)\bCAST\s*\(.*\bAS\s+(VARCHAR|STRING|TEXT)\s*\)|::\s*"
+        r"(VARCHAR|STRING|TEXT)\b|^\s*'", args[0].strip(),
+    ):
+        # windowed median over VARCHAR: discrete lower-middle element
+        # (reference quantile.cpp over non-interpolable types)
+        lst = f"collect_list({args[0]}) {over}"
+        s = "array_sort(__l)"
+        nn = "size(__l)"
+        pick = f"element_at({s}, cast(({nn} + 1) div 2 as int))"
+        return let(lst, f"if({nn} = 0, null, {pick})")
+    if name in ("median", "quantile_cont") and n in (1, 2):
+        # windowed continuous quantile: sorted frame collect +
+        # interpolation (reference quantile.cpp window path)
+        q = args[1] if n == 2 else "0.5"
+        lst = f"collect_list(cast({args[0]} as double)) {over}"
+        s = "array_sort(__l)"
+        nn = "size(__l)"
+        pos = f"(1 + ({q}) * ({nn} - 1))"
+        lo = f"element_at({s}, cast(floor({pos}) as int))"
+        hi = f"element_at({s}, cast(ceil({pos}) as int))"
+        interp = (
+            f"({lo} + ({hi} - {lo}) * ({pos} - floor({pos})))"
+        )
+        return let(lst, f"if({nn} = 0, cast(null as double), {interp})")
     if name in ("quantile_disc", "quantile") and n == 2:
         lst = f"collect_list({args[0]}) {over}"
         q = args[1]
@@ -8486,6 +8700,7 @@ def _agg_macro_windowed(name: str, args: list[str], over: str) -> str | None:
 _WINDOWED_MACROS = {
     "sem", "entropy", "weighted_avg", "wavg", "fsum", "sumkahan",
     "kahan_sum", "favg", "product", "mad", "quantile_disc", "quantile",
+    "quantile_cont", "median", "histogram",
     "skewness", "kurtosis", "mode", "count_star",
 }
 _FIRST_LAST = {"first", "last", "any_value", "arbitrary"}
@@ -9469,8 +9684,18 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
                 skey = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", order1).strip()
                 if sdm and len(okeys) == 1 and \
                         skey != sdm.group(1).strip():
-                    # DISTINCT ordered by an expression OF the argument:
-                    # dedupe+sort via (key, value) structs
+                    # DISTINCT ordered by an expression OF the argument
+                    # (e.g. ORDER BY upper(x)) dedupes+sorts via (key,
+                    # value) structs; a key NOT built from the argument
+                    # is the reference's binder error
+                    if not re.search(
+                        re.escape(sdm.group(1).strip()), skey
+                    ):
+                        raise ValueError(
+                            "Binder Error: In a DISTINCT aggregate, ORDER "
+                            "BY expressions must appear in the argument "
+                            "list"
+                        )
                     val = sdm.group(1).strip()
                     if filt_cond:
                         val = f"case when {filt_cond} then {val} end"
@@ -9508,6 +9733,13 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
                     ]
                     i += 1
                     continue
+                if sdm:
+                    # DISTINCT ordered by a non-argument key (reference
+                    # bound_aggregate_expression.cpp binder error)
+                    raise ValueError(
+                        "Binder Error: In a DISTINCT aggregate, ORDER BY "
+                        "expressions must appear in the argument list"
+                    )
                 del out[ob:close]
                 close = _match_paren(out, j)
                 if sep_needed and name != "listagg":
@@ -9751,6 +9983,24 @@ def translate(sql: str) -> str:
         lambda m: f" TABLESAMPLE ({m.group(1)} ROWS)",
         sql,
     )
+    # generate_subscripts(arr, 1) ≡ the 1-based index generator
+    # (reference pg-compat table function)
+    sql = re.sub(
+        r"(?is)\bgenerate_subscripts\s*\(\s*"
+        r"([^(),]*(?:\([^()]*\)[^(),]*)?)\s*,\s*\d+\s*\)",
+        lambda m: f"unnest(generate_series(1, size({m.group(1)})))",
+        sql,
+    )
+    # trailing comma in the select list (reference parser tolerance);
+    # token-level so string literals stay untouched
+    if re.search(r",\s*FROM\b", sql, re.I):
+        _tc = _tokens(sql)
+        for _k, _t in enumerate(_tc):
+            if re.match(r"^[A-Za-z_]", _t) and _t.upper() == "FROM":
+                _p = _prev_code(_tc, _k - 1)
+                if _p >= 0 and _tc[_p] == ",":
+                    _tc[_p] = " "
+        sql = "".join(_tc)
     # `OFFSET n LIMIT m` spelling (reference accepts either order)
     sql = re.sub(
         r"(?is)\bOFFSET\s+(\d+)\s+LIMIT\s+(\d+\s*%?)",
@@ -9816,6 +10066,18 @@ def translate(sql: str) -> str:
         sql = "".join(_rewrite_row_in_subquery(_tokens(sql)))
     sql = "".join(_rewrite_select_in_subquery(_tokens(sql)))
     sql = _rewrite_any_all(sql)
+    # empty () entries in a mixed GROUP BY key list contribute nothing
+    # (reference group-by binder): drop them while other keys exist
+    for _gb in range(8):
+        new_sql = re.sub(
+            r"(?is)(\bGROUP\s+BY\s+)\(\s*\)\s*,\s*", r"\1", sql)
+        new_sql = re.sub(
+            r"(?is)(\bGROUP\s+BY(?:[^();]|\((?:[^()]|\([^()]*\))*\))*?)"
+            r",\s*\(\s*\)",
+            r"\1", new_sql)
+        if new_sql == sql:
+            break
+        sql = new_sql
     # GROUP BY () — empty grouping set ≡ global aggregate
     sql = re.sub(r"(?i)\bGROUP\s+BY\s*\(\s*\)", " GROUP BY GROUPING SETS (()) ", sql)
     toks = _tokens(sql)
@@ -9843,6 +10105,8 @@ def translate(sql: str) -> str:
     toks = _rewrite_schema_refs(toks)
     if "(" in sql:
         toks = _rewrite_tuple_literals(toks)
+        if re.search(r"(?i)\bFROM\b", sql):
+            toks = _lateral_fromless_derived(toks)
     if ":" in sql:
         toks = _rewrite_colon_alias(toks)
     _check_grouping_set_limits(toks)
@@ -10663,8 +10927,9 @@ def push_scalar_subquery_offset(sql: str) -> str:
         grp = out[i + 1:c]
         io = _top_level_index(grp, 0, len(grp), "ORDER")
         ofs = _top_level_index(grp, 0, len(grp), "OFFSET")
+        lim = _top_level_index(grp, 0, len(grp), "LIMIT")
         fromi = _top_level_index(grp, 0, len(grp), "FROM")
-        if io < 0 or ofs < io or fromi < 0 or fromi > io:
+        if io < 0 or fromi < 0 or fromi > io or (ofs < io and lim < io):
             i += 1
             continue
         s0 = _next_code(grp, 0)  # SELECT
@@ -10674,7 +10939,7 @@ def push_scalar_subquery_offset(sql: str) -> str:
             continue
         body = "".join(grp[fromi:io]).strip()
         tail = "".join(grp[io:]).strip()
-        if _top_level_index(grp, io, len(grp), "LIMIT") < 0:
+        if lim < io:
             # Spark grammar: LIMIT precedes OFFSET
             tail = re.sub(r"(?is)\bOFFSET\b", "LIMIT 1 OFFSET", tail,
                           count=1)

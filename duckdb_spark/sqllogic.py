@@ -58,6 +58,94 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
 
+_IV_UNIT_US = {
+    "week": 7 * 86400_000_000, "day": 86400_000_000,
+    "hour": 3600_000_000, "minute": 60_000_000, "min": 60_000_000,
+    "second": 1_000_000, "sec": 1_000_000,
+    "millisecond": 1000, "ms": 1000, "microsecond": 1, "us": 1,
+}
+
+
+def _parse_interval_parts(s):
+    """DuckDB interval text ('30 days', '1 year 2 months', '1:30:00') →
+    (months, days, micros) triple (reference interval.cpp text parser)."""
+    months = days = us = 0
+    for num, unit in re.findall(
+        r"(-?\d+(?:\.\d+)?)\s*"
+        r"(year|month|mon|week|day|hour|minute|min|second|sec|"
+        r"millisecond|ms|microsecond|us)s?\b",
+        s, re.I,
+    ):
+        u = unit.lower()
+        if u == "year":
+            months += int(float(num) * 12)
+        elif u in ("month", "mon"):
+            months += int(float(num))
+        elif u == "week":
+            days += int(float(num) * 7)
+        elif u == "day":
+            days += int(float(num))
+        else:
+            us += int(float(num) * _IV_UNIT_US[u])
+    m = re.search(r"(-?)(\d+):(\d+):(\d+(?:\.\d+)?)", s)
+    if m:
+        sign = -1 if m.group(1) else 1
+        us += sign * int(
+            (int(m.group(2)) * 3600 + int(m.group(3)) * 60
+             + float(m.group(4))) * 1_000_000)
+    return months, days, us
+
+
+def _parse_interval_text(s):
+    """Interval text → timedelta (day-time part; months fold to 30-day
+    approximations like the reference's µs comparisons never do — only
+    used for DayTimeIntervalType targets, where months are absent)."""
+    if s is None or not isinstance(s, str):
+        return s
+    import datetime
+
+    months, days, us = _parse_interval_parts(s)
+    return datetime.timedelta(days=days + months * 30,
+                              microseconds=us)
+
+
+def _parse_interval_struct(s):
+    """Interval text → (months, days, micros) Row for the INTERVAL
+    struct emulation columns."""
+    if s is None or not isinstance(s, str):
+        return s
+    months, days, us = _parse_interval_parts(s)
+    return (months, days, us)
+
+
+def _is_interval_struct(dt) -> bool:
+    return (isinstance(dt, T.StructType)
+            and [f.name for f in dt.fields] == ["months", "days", "micros"])
+
+
+def _iv_text_build(total_m, days, us) -> str:
+    parts = []
+    years = int(abs(total_m) // 12) * (1 if total_m >= 0 else -1)
+    months = total_m - years * 12
+    if years:
+        parts.append(f"{years} year" + ("s" if abs(years) != 1 else ""))
+    if months:
+        parts.append(f"{months} month" + ("s" if abs(months) != 1 else ""))
+    if days:
+        parts.append(f"{days} day" + ("s" if abs(days) != 1 else ""))
+    if us or not parts:
+        neg = us < 0
+        u = abs(us)
+        hh, u = divmod(u, 3600_000_000)
+        mm, u = divmod(u, 60_000_000)
+        ss, frac = divmod(u, 1_000_000)
+        t = f"{'-' if neg else ''}{hh:02d}:{mm:02d}:{ss:02d}"
+        if frac:
+            t += f".{frac:06d}".rstrip("0")
+        parts.append(t)
+    return " ".join(parts)
+
+
 def _nullable_json(j):
     """Schema JSON with every nullable flag forced true (recursively)."""
     if isinstance(j, dict):
@@ -351,6 +439,10 @@ def format_value(v) -> str:
     if hasattr(v, "asDict"):  # Row / struct
         d = v.asDict()
         names = list(d)
+        if names == ["months", "days", "micros"]:
+            # INTERVAL struct emulation renders as interval text
+            return _iv_text_build(
+                d["months"] or 0, d["days"] or 0, d["micros"] or 0)
         if names == [f"col{i + 1}" for i in range(len(names))]:
             # ROW(…) auto-naming: unnamed struct renders as a tuple
             # (reference value.cpp STRUCT without field names)
@@ -900,10 +992,40 @@ class SLSession:
                              ).alias(d.name)
                             for d in f.dataType.fields
                         ]).alias(f.name)
+                if isinstance(f.dataType, T.DayTimeIntervalType) and \
+                        isinstance(st, T.StringType):
+                    # '30 days' text → interval: Spark has no such cast;
+                    # parsed Python-side after collect (tiny VALUES rows)
+                    return c.alias(f.name)
+                if _is_interval_struct(f.dataType) and \
+                        isinstance(st, T.StringType):
+                    return c.alias(f.name)
                 return c.cast(f.dataType).alias(f.name)
 
             casted = src.select(*[_coerce(f) for f in schema.fields])
             added = casted.collect()
+            iv_idx = {
+                k: ("dt" if isinstance(f.dataType, T.DayTimeIntervalType)
+                    else "st")
+                for k, f in enumerate(schema.fields)
+                if (isinstance(f.dataType, T.DayTimeIntervalType)
+                    or _is_interval_struct(f.dataType))
+                and isinstance(src_types.get(by_name.get(f.name)),
+                               T.StringType)
+            }
+            if iv_idx:
+                from pyspark.sql import Row as _Row
+
+                names = [f.name for f in schema.fields]
+                added = [
+                    _Row(**{
+                        n: (_parse_interval_text(v) if iv_idx.get(k) == "dt"
+                            else _parse_interval_struct(v)
+                            if iv_idx.get(k) == "st" else v)
+                        for k, (n, v) in enumerate(zip(names, r))
+                    })
+                    for r in added
+                ]
             pk = self.pkeys.get(name)
             idx = [i for i, f in enumerate(schema.fields)
                    if f.name.lower() in (pk or [])]
