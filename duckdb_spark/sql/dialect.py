@@ -1651,10 +1651,14 @@ def _rewrite_division(toks: list[str]) -> list[str]:
                 if oc2 > 0:
                     end = oc2
         start = _next_code(out, i + 1)
+        # nullif keeps x/0 NULL: the shipping DuckDB oracle returns NULL
+        # for division by zero (and ANSI Spark would raise); the newer
+        # reference's ieee inf path lives in the TRY() macro
         out[start:end + 1] = (
-            ["cast", "("] + out[start:end + 1] + [" as double", ")"]
+            ["nullif", "(", "cast", "("] + out[start:end + 1]
+            + [" as double", ")", ", 0.0d", ")"]
         )
-        i = start + 2  # resume inside the wrapped atom so nested
+        i = start + 4  # resume inside the wrapped atom so nested
         # divisions (e.g. f(g(y)/2)) still get rewritten
     return out
 
@@ -2891,8 +2895,27 @@ def _fromless_repl(toks: list[str], sel: int, close: int) -> str | None:
     has clauses/extra items that make it a real subquery."""
     if any(re.match(r"^[A-Za-z_]", t) and t.upper() == "UNNEST"
            for t in toks[sel + 1:close]):
-        # (SELECT UNNEST(...)) is a generator subquery, not a scalar
+        # (SELECT UNNEST(arr)) as a SCALAR is the array's single element
+        # (reference: the generator's one row; empty/[NULL] → NULL)
+        body0 = "".join(toks[sel + 1:close]).strip()
+        mu = re.match(r"(?is)^UNNEST\s*\((.*)\)$", body0)
+        if mu and _balanced(mu.group(1)):
+            return f"try_element_at(({mu.group(1)}), 1)"
         return None
+    # FROM-less OFFSET past the single implicit row → NULL
+    depth0 = 0
+    for k in range(sel + 1, close):
+        t = toks[k]
+        if t == "(":
+            depth0 += 1
+        elif t == ")":
+            depth0 -= 1
+        elif depth0 == 0 and re.match(r"^[A-Za-z_]", t) and \
+                t.upper() == "OFFSET":
+            nn0 = _next_code(toks, k + 1)
+            if nn0 < close and re.fullmatch(r"[1-9]\d*", toks[nn0]):
+                return "(NULL)"
+            break
     depth = 0
     where_at = -1
     for k in range(sel + 1, close):
@@ -2943,9 +2966,21 @@ def _rewrite_int_bool_context(toks: list[str]) -> list[str]:
         )
         next_bool = (
             n >= len(out)
-            or out[n] in (")", ";")
+            or out[n] in (")", ";", ",")
             or (re.match(r"^[A-Za-z_]", out[n]) and out[n].upper() in _BOOL_CTX_STOPS)
         )
+        # a literal LEFT operand of AND/OR (`SELECT 0 AND 0`): the
+        # right-neighbor being AND/OR is the boolean context
+        if not prev_bool and n < len(out) and re.match(
+            r"^[A-Za-z_]", out[n]
+        ) and out[n].upper() in ("AND", "OR") and not _is_between_and(
+            out, n
+        ) and (p < 0 or out[p] in ("(", ",") or (
+            re.match(r"^[A-Za-z_]", out[p])
+            and out[p].upper() in ("SELECT", "WHERE", "HAVING", "THEN",
+                                   "ELSE", "WHEN")
+        )):
+            prev_bool = next_bool = True
         if prev_bool and next_bool:
             if _is_word(out[p], "WHEN") and not _searched_case_when(out, p):
                 continue  # simple CASE (`CASE x WHEN 1 …`): value compare
@@ -7942,7 +7977,14 @@ def _lateral_fromless_derived(toks: list[str]) -> list[str]:
         t = out[i]
         if t == "(":
             p = _prev_code(out, i - 1)
-            if ctx[-1] == "FROM" and p >= 0 and out[p] == ",":
+            join_ok = False
+            if p >= 0 and _is_word(out[p], "JOIN"):
+                pj = _prev_code(out, p - 1)
+                join_ok = pj < 0 or not re.match(r"^[A-Za-z_]", out[pj]) \
+                    or out[pj].upper() not in ("RIGHT", "FULL", "OUTER")
+            if ctx[-1] == "FROM" and p >= 0 and (
+                out[p] == "," or join_ok
+            ):
                 c = _match_paren(out, i)
                 f0 = _next_code(out, i + 1)
                 if c > 0 and f0 < len(out) and _is_word(out[f0], "SELECT"):
@@ -7955,6 +7997,67 @@ def _lateral_fromless_derived(toks: list[str]) -> list[str]:
                 "FROM", "JOIN", "LATERAL",
             ):
                 ctx.append("X")  # function call args
+            else:
+                ctx.append(ctx[-1])
+        elif t == ")":
+            if len(ctx) > 1:
+                ctx.pop()
+        elif re.match(r"^[A-Za-z_]", t):
+            up = t.upper()
+            if up in ("FROM", "JOIN"):
+                ctx[-1] = "FROM"
+            elif up in ("SELECT", "WHERE", "GROUP", "HAVING", "ORDER",
+                        "LIMIT", "ON", "QUALIFY", "WINDOW", "SET", "WHEN",
+                        "UNION", "EXCEPT", "INTERSECT", "USING"):
+                ctx[-1] = "X"
+        i += 1
+    return out
+
+
+def _name_anonymous_derived(toks: list[str]) -> list[str]:
+    """Anonymous FROM-position derived tables get the reference's
+    predictable names (binder: unnamed_subquery, unnamed_subquery2, …) so
+    qualified references like `unnamed_subquery.a` resolve."""
+    out = list(toks)
+    ctx = ["X"]
+    n_anon = 0
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t == "(":
+            p = _prev_code(out, i - 1)
+            c = _match_paren(out, i)
+            f0 = _next_code(out, i + 1)
+            opens_from = ctx[-1] == "FROM" and (
+                p < 0 or out[p] == "," or (
+                    re.match(r"^[A-Za-z_]", out[p])
+                    and out[p].upper() in ("FROM", "JOIN", "LATERAL")
+                )
+            )
+            if (
+                opens_from and c > 0 and f0 < len(out)
+                and re.match(r"^[A-Za-z(]", out[f0])
+                and (out[f0] == "(" or out[f0].upper() in
+                     ("SELECT", "FROM", "VALUES", "WITH"))
+            ):
+                nx = _next_code(out, c + 1)
+                anon = nx >= len(out) or not re.match(
+                    r"^[A-Za-z_`\"]", out[nx]
+                ) or out[nx].upper() in (
+                    "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+                    "QUALIFY", "WINDOW", "UNION", "EXCEPT", "INTERSECT",
+                    "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS",
+                    "NATURAL", "ON", "USING", "ANTI", "SEMI", "ASOF",
+                    "POSITIONAL", "LATERAL", "TABLESAMPLE",
+                )
+                if anon:
+                    n_anon += 1
+                    name = ("unnamed_subquery" if n_anon == 1
+                            else f"unnamed_subquery{n_anon}")
+                    out[c + 1:c + 1] = [" AS ", name, " "]
+            if p >= 0 and re.match(r"^[A-Za-z_`\"]", out[p]) and \
+                    out[p].upper() not in ("FROM", "JOIN", "LATERAL"):
+                ctx.append("X")
             else:
                 ctx.append(ctx[-1])
         elif t == ")":
@@ -10107,6 +10210,8 @@ def translate(sql: str) -> str:
         toks = _rewrite_tuple_literals(toks)
         if re.search(r"(?i)\bFROM\b", sql):
             toks = _lateral_fromless_derived(toks)
+        if re.search(r"(?i)\bunnamed_subquery\b", sql):
+            toks = _name_anonymous_derived(toks)
     if ":" in sql:
         toks = _rewrite_colon_alias(toks)
     _check_grouping_set_limits(toks)
