@@ -963,6 +963,19 @@ class Connection:
                     f"TIMESTAMP_LTZ))) AS BIGINT))",
                     query,
                 )
+                if new_q == query and len(
+                    re.findall(r"(?is)\bavg\s*\(", query)
+                ) == 1:
+                    # the analyzer's spelling differs from the query text
+                    # (ts::DATE vs CAST(ts AS DATE)): with a single avg
+                    # call there is no ambiguity
+                    new_q = _rewrite_fn_calls(
+                        query, "avg",
+                        lambda x: (
+                            f"timestamp_micros(CAST(avg(unix_micros("
+                            f"CAST(({x}) AS TIMESTAMP_LTZ))) AS BIGINT))"
+                        ),
+                    )
                 if new_q != query:
                     return Relation(self.spark.sql(translate(new_q)))
             # avg/sum over the INTERVAL struct emulation: componentwise
@@ -993,9 +1006,7 @@ class Connection:
                     d_num = f"({td} + {rem_m} * 30)"
                     dd = f"({d_num} div {nn})"
                     rem_d = f"({d_num} - {dd} * {nn})"
-                    uu = (f"cast(round((cast({tu} as double) + "
-                          f"cast({rem_d} as double) * 86400000000) / {nn})"
-                          f" as bigint)")
+                    uu = (f"(({tu} + {rem_d} * 86400000000L) div {nn})")
                     repl = (f"named_struct('months', cast({mm} as int), "
                             f"'days', cast({dd} as int), 'micros', {uu})")
                     arg0 = re.escape(base_arg).replace(r"\ ", r"\s*")
@@ -1019,14 +1030,27 @@ class Connection:
                     d_num = f"(cast({td} as bigint) + {rem_m} * 30)"
                     dd = f"({d_num} div {n_})"
                     rem_d = f"({d_num} - ({dd}) * {n_})"
-                    uu = (f"cast(round((cast({tu} as double) + "
-                          f"cast({rem_d} as double) * 86400000000) / {n_}) "
-                          f"as bigint)")
+                    uu = (f"((cast({tu} as bigint) + {rem_d} * "
+                           f"86400000000L) div {n_})")
                     repl = (f"named_struct('months', cast({mm} as int), "
                             f"'days', cast({dd} as int), "
                             f"'micros', {uu})")
                 new_q = re.sub(
                     rf"(?is)\b{fn0}\s*\(\s*{arg}\s*\)", repl, query,
+                )
+                if new_q != query:
+                    return Relation(self.spark.sql(translate(new_q)))
+            # SUM over BIGINT overflows int64 where the reference
+            # promotes to HUGEINT — retry through DECIMAL(38,0)
+            if "ARITHMETIC_OVERFLOW" in msg and "long overflow" in msg \
+                    and re.search(r"(?is)\bsum\s*\(", query):
+                new_q = _rewrite_fn_calls(
+                    query, "sum",
+                    lambda a: "sum(cast({} as decimal(38,0)))".format(
+                        re.sub(r"(?is)^\s*DISTINCT\s+", "DISTINCT ", a)
+                    ) if not re.match(r"(?is)^\s*DISTINCT\b", a)
+                    else "sum(DISTINCT cast({} as decimal(38,0)))".format(
+                        re.sub(r"(?is)^\s*DISTINCT\s+", "", a)),
                 )
                 if new_q != query:
                     return Relation(self.spark.sql(translate(new_q)))

@@ -1145,6 +1145,16 @@ def _rewrite_ntile_null(toks: list[str]) -> list[str]:
             # then go native
             i = op + 1
             continue
+        mord = re.match(r"(?is)^(.*?)\s+ORDER\s+BY\b.*$", off)
+        if mord:
+            # ordered-argument form `nth_value(x, n ORDER BY k)`: the
+            # ORDER BY belongs to the call, not the offset — classify
+            # the bare offset and leave rewriting to the ordered pass
+            off_clean = mord.group(1).strip()
+            if re.fullmatch(r"\d+", off_clean):
+                i = op + 1
+                continue
+            off = off_clean
         is_null = off.upper() == "NULL"
         is_neg = bool(re.fullmatch(r"-\s*\d+", off))
         is_const = bool(re.fullmatch(r"\d+", off))
@@ -1901,13 +1911,17 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
                 continue
             mfix = re.match(r"(?is)^(.*)\[\s*(\d+)\s*\]$", rawty.strip())
             ops = operand.strip()
+            lit_list = None
             if mfix and re.match(r"(?is)^array\s*\(", ops) and \
                     ops.endswith(")"):
+                lit_list = ops[ops.index("(") + 1:-1]
+            elif mfix and ops.startswith("[") and ops.endswith("]"):
+                lit_list = ops[1:-1]
+            if lit_list is not None:
                 # fixed-size ARRAY cast of a visible list literal checks
                 # the length (reference array_casts.cpp)
                 inner_n = len([
-                    a for a in _split_top_args(
-                        _tokens(ops[ops.index("(") + 1:-1]))
+                    a for a in _split_top_args(_tokens(lit_list))
                     if a.strip()
                 ])
                 if inner_n != int(mfix.group(2)):
@@ -2964,6 +2978,11 @@ def _rewrite_int_bool_context(toks: list[str]) -> list[str]:
         prev_bool = p >= 0 and re.match(r"^[A-Za-z_]", out[p]) and out[p].upper() in (
             "AND", "OR", "WHEN", "NOT",
         )
+        if not prev_bool and p >= 0 and out[p] == "(":
+            pp = _prev_code(out, p - 1)
+            # NOT(0) / AND (0): parenthesized literal in boolean context
+            prev_bool = pp >= 0 and re.match(r"^[A-Za-z_]", out[pp]) and \
+                out[pp].upper() in ("AND", "OR", "NOT")
         next_bool = (
             n >= len(out)
             or out[n] in (")", ";", ",")
@@ -9180,6 +9199,20 @@ def _rewrite_cast_types(toks: list[str]) -> list[str]:
             continue
         # TIMESTAMP_MS / TIMESTAMP_S truncate sub-unit digits (reference
         # timestamp_t conversions); Spark has only µs timestamps
+        mfix2 = re.match(r"(?is)^(.*)\[\s*(\d+)\s*\]$", ty.strip())
+        ops2 = operand.strip()
+        if mfix2 and re.match(r"(?is)^array\s*\(", ops2) and \
+                ops2.endswith(")"):
+            inner_n2 = len([
+                a for a in _split_top_args(
+                    _tokens(ops2[ops2.index("(") + 1:-1]))
+                if a.strip()
+            ])
+            if inner_n2 != int(mfix2.group(2)):
+                raise ValueError(
+                    f"Conversion Error: Cannot cast list of size "
+                    f"{inner_n2} to array of size {mfix2.group(2)}"
+                )
         mtrunc = re.match(r"(?i)^TIMESTAMP_(MS|S)$", ty.strip())
         if mtrunc:
             unit = "MILLISECOND" if mtrunc.group(1).upper() == "MS" else "SECOND"

@@ -70,6 +70,7 @@ def _parse_interval_parts(s):
     """DuckDB interval text ('30 days', '1 year 2 months', '1:30:00') →
     (months, days, micros) triple (reference interval.cpp text parser)."""
     months = days = us = 0
+    neg = -1 if re.search(r"(?i)\bago\b", s) else 1
     for num, unit in re.findall(
         r"(-?\d+(?:\.\d+)?)\s*"
         r"(year|month|mon|week|day|hour|minute|min|second|sec|"
@@ -93,7 +94,7 @@ def _parse_interval_parts(s):
         us += sign * int(
             (int(m.group(2)) * 3600 + int(m.group(3)) * 60
              + float(m.group(4))) * 1_000_000)
-    return months, days, us
+    return neg * months, neg * days, neg * us
 
 
 def _parse_interval_text(s):
@@ -1302,7 +1303,26 @@ def run_file(
                         for f in df.schema.fields
                     ]
                     df = df.select(*cols)
-                rows = df.collect()
+                try:
+                    rows = df.collect()
+                except Exception as ce:  # noqa: BLE001
+                    if "ARITHMETIC_OVERFLOW" not in str(ce) or not re.search(
+                        r"(?is)\bsum\s*\(", rec.sql
+                    ):
+                        raise
+                    # SUM(BIGINT) overflow: the reference promotes to
+                    # HUGEINT — re-run through DECIMAL(38,0)
+                    from duckdb_spark.relation import _rewrite_fn_calls
+
+                    sql2 = _rewrite_fn_calls(
+                        rec.sql, "sum",
+                        lambda a:
+                        "sum(DISTINCT cast(%s as decimal(38,0)))"
+                        % re.sub(r"(?is)^\s*DISTINCT\s+", "", a)
+                        if re.match(r"(?is)^\s*DISTINCT\b", a)
+                        else f"sum(cast({a} as decimal(38,0)))",
+                    )
+                    rows = session.execute(sql2).df().collect()
             elif rec.expect_error:
                 # force evaluation: lazy plans only fail on action
                 if out is not None:
