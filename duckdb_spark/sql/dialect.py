@@ -7984,6 +7984,58 @@ _TUPLE_PREV_SYMS = {
 _TUPLE_PROTECT_WORDS = {"SETS", "ROLLUP", "CUBE", "VALUES"}
 
 
+def _rewrite_leadlag_named(toks: list[str]) -> list[str]:
+    """lead/lag named arguments (`lead("offset" := 2, col := c1)`) →
+    positional (col, offset[, default]) (reference named parameters)."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if not (re.match(r"^[A-Za-z_]", t) and t.lower() in ("lead", "lag")):
+            i += 1
+            continue
+        j = _next_code(out, i + 1)
+        if j >= len(out) or out[j] != "(":
+            i += 1
+            continue
+        c = _match_paren(out, j)
+        if c < 0 or ":=" not in "".join(out[j:c]):
+            i += 1
+            continue
+        args = [a.strip() for a in _split_top_args(out[j + 1:c])]
+        slots = {"col": None, "offset": None, "default": None}
+        order = ["col", "offset", "default"]
+        pos = 0
+        ok = True
+        for a in args:
+            mna = re.match(
+                r'(?is)^\s*(?:"([^"]+)"|`([^`]+)`|([A-Za-z_]\w*))\s*:=\s*(.*)$', a)
+            if mna:
+                key = (mna.group(1) or mna.group(2) or mna.group(3)).lower()
+                if key in ("value", "x", "expr"):
+                    key = "col"
+                if key not in slots or slots[key] is not None:
+                    ok = False
+                    break
+                slots[key] = mna.group(4).strip()
+            else:
+                while pos < 3 and slots[order[pos]] is not None:
+                    pos += 1
+                if pos >= 3:
+                    ok = False
+                    break
+                slots[order[pos]] = a
+        if not ok or slots["col"] is None:
+            i = c + 1
+            continue
+        built = [slots["col"], slots["offset"] or "1"]
+        if slots["default"] is not None:
+            built.append(slots["default"])
+        out[j + 1:c] = [", ".join(built)]
+        i = j + 2
+    return out
+
+
 def _lateral_fromless_derived(toks: list[str]) -> list[str]:
     """Comma-joined FROM-less derived tables (`FROM t, (SELECT [i+1]) s`)
     are implicit LATERAL subqueries in the reference (each row of the
@@ -8370,6 +8422,17 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
         # column names)
         kv = ", ".join(f"'col{i + 1}', {a}" for i, a in enumerate(args))
         return f"named_struct({kv})"
+    if name == "avg" and n == 1 and re.search(
+        r"(?is)::\s*TIMESTAMPTZ\b|\bAS\s+TIMESTAMPTZ\b|"
+        r"\bAS\s+TIMESTAMP\s+WITH\b|\bAS\s+timestamp\s*\)", args[0],
+    ) and not re.search(r"(?i)timestamp_ntz", args[0]):
+        # avg over TIMESTAMPTZ keeps the instant type (Spark silently
+        # coerces the timestamp to DOUBLE seconds)
+        a = args[0]
+        return (
+            f"timestamp_micros(cast(avg(unix_micros(to_timestamp(({a}))))"
+            f" as bigint))"
+        )
     if name == "median" and n == 1 and re.search(
         r"(?is)\bCAST\s*\(.*\bAS\s+(VARCHAR|STRING|TEXT)\s*\)|::\s*"
         r"(VARCHAR|STRING|TEXT)\b|^\s*'", args[0].strip(),
@@ -8657,7 +8720,7 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
 
 
 _MACRO_NAMES = {
-    "median", "row",
+    "median", "row", "avg",
     "count_star", "signbit", "json", "concat", "list_concat",
     "array_concat", "map",
     "corr", "regr_slope",
@@ -10239,6 +10302,8 @@ def translate(sql: str) -> str:
             if _n < len(toks) and toks[_n].isdigit():
                 toks[_i] = ""
     toks = _rewrite_schema_refs(toks)
+    if re.search(r"(?i)\b(lead|lag)\s*\(", sql) and ":=" in sql:
+        toks = _rewrite_leadlag_named(toks)
     if "(" in sql:
         toks = _rewrite_tuple_literals(toks)
         if re.search(r"(?i)\bFROM\b", sql):

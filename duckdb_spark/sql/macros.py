@@ -294,10 +294,72 @@ class MacroRegistry:
                 # parameter substitution, longest names first
                 for p in sorted(macro.params, key=len, reverse=True):
                     body = re.sub(rf"\b{re.escape(p)}\b", f"({binding[p]})", body)
+                rest = sql[i:]
+                mover = re.match(r"(?is)^\s*OVER\s*\(", rest)
+                if mover and not macro.is_table:
+                    # `macro(x) OVER (spec)` (reference window macro
+                    # binding): the OVER attaches to each aggregate call
+                    # inside the body, not to the whole expression
+                    depth2, k2 = 1, mover.end()
+                    while k2 < len(rest) and depth2:
+                        if rest[k2] == "(":
+                            depth2 += 1
+                        elif rest[k2] == ")":
+                            depth2 -= 1
+                        k2 += 1
+                    spec = rest[mover.end():k2 - 1]
+                    body = _push_over_into_aggs(body, spec)
+                    rest = rest[k2:]
                 expansion = f"({body})" if not macro.is_table else f"({body})"
-                sql = sql[: m.start()] + expansion + sql[i:]
+                sql = sql[: m.start()] + expansion + rest
                 m = pattern.search(sql)
         return sql
+
+
+_AGG_FN_NAMES = {
+    "sum", "count", "avg", "mean", "min", "max", "median", "mode",
+    "first", "last", "any_value", "arbitrary", "product", "string_agg",
+    "group_concat", "listagg", "list", "array_agg", "collect_list",
+    "collect_set", "stddev", "stddev_pop", "stddev_samp", "var_pop",
+    "var_samp", "variance", "corr", "covar_pop", "covar_samp",
+    "bit_and", "bit_or", "bit_xor", "bool_and", "bool_or", "entropy",
+    "arg_min", "arg_max", "min_by", "max_by", "quantile", "quantile_cont",
+    "quantile_disc", "histogram", "skewness", "kurtosis", "sem", "mad",
+}
+
+
+def _push_over_into_aggs(body: str, spec: str) -> str:
+    """Append ` OVER (spec)` after each top-level aggregate call in a
+    macro body (reference: window macros bind the OVER to the inner
+    aggregates)."""
+    out = []
+    i = 0
+    n = len(body)
+    while i < n:
+        mw = re.match(r"[A-Za-z_]\w*", body[i:])
+        if not mw:
+            out.append(body[i])
+            i += 1
+            continue
+        word = mw.group(0)
+        j = i + len(word)
+        while j < n and body[j].isspace():
+            j += 1
+        if j < n and body[j] == "(" and word.lower() in _AGG_FN_NAMES:
+            depth, k = 1, j + 1
+            while k < n and depth:
+                if body[k] == "(":
+                    depth += 1
+                elif body[k] == ")":
+                    depth -= 1
+                k += 1
+            out.append(body[i:k])
+            out.append(f" OVER ({spec})")
+            i = k
+        else:
+            out.append(word)
+            i = i + len(word)
+    return "".join(out)
 
 
 def quote_literal(v) -> str:
