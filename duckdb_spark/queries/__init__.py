@@ -44,28 +44,35 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness gate hard-checks the FIRST 50 registered queries.
-# ROUND-7 ROTATION (VERDICT r06 item 1d): 50 of the 65 round-6 TPC-DS
-# queries that have NEVER had a driver CORRECTNESS row, leading with the
-# three that shipped broken in r06 — tpcds_q02 (unparseable SQL, fixed),
-# tpcds_q65 / tpcds_q98 (driver hash fails from unpinned double rounding,
-# now pinned through the AVGR DECIMAL(20,6) pattern). The 15 remaining
-# never-checked queries (q69..q99 tail) rotate in next round; every other
-# registered query keeps its prior green row and is re-verified every
-# session by tests/test_queries.py (identical differential at sf0.001).
+# ROUND-8 ROTATION (VERDICT r07 items 1/3): the 4 r07-red queries whose raw
+# DECIMAL(7,2) output columns hash-mismatched (Decimal('23.70') vs float
+# 23.7 — values were identical; now CAST AS DOUBLE at the projection), the
+# 20 queries that have NEVER had a driver CORRECTNESS row (17 TPC-DS
+# q77–q99 stragglers + the 3 r07 window queries), and 26 refresh slots for
+# queries whose last green driver row is r01–r03 — prioritizing the
+# LLM-pipeline operators (dedup/similarity/text), DML, recursion, and
+# sketches so every component family regains current evidence. All 50
+# pre-verified by the now-driver-faithful scripts/check_contract.py
+# (canonical-rendering compare, no float tolerance).
 PRIORITY: list[str] = [
-    # broken in r06, fixed this round — must lead the window
-    "tpcds_q02", "tpcds_q65", "tpcds_q98",
-    # never driver-checked round-6 TPC-DS expansion (47 of the 64 others)
-    "tpcds_q04", "tpcds_q05", "tpcds_q08", "tpcds_q09", "tpcds_q10",
-    "tpcds_q11", "tpcds_q12", "tpcds_q14", "tpcds_q16", "tpcds_q18",
-    "tpcds_q20", "tpcds_q21", "tpcds_q22", "tpcds_q23", "tpcds_q24",
-    "tpcds_q30", "tpcds_q31", "tpcds_q32", "tpcds_q33", "tpcds_q35",
-    "tpcds_q37", "tpcds_q38", "tpcds_q39", "tpcds_q40", "tpcds_q44",
-    "tpcds_q45", "tpcds_q46", "tpcds_q47", "tpcds_q49", "tpcds_q51",
-    "tpcds_q54", "tpcds_q56", "tpcds_q57", "tpcds_q58", "tpcds_q59",
-    "tpcds_q60", "tpcds_q62", "tpcds_q64", "tpcds_q66", "tpcds_q67",
-    "tpcds_q69", "tpcds_q70", "tpcds_q71", "tpcds_q72", "tpcds_q74",
-    "tpcds_q75", "tpcds_q76",
+    # r07-red, fixed this round (decimal-output cast) — must lead the window
+    "tpcds_q12", "tpcds_q20", "tpcds_q65", "tpcds_q98",
+    # never driver-checked: TPC-DS q77–q99 stragglers
+    "tpcds_q77", "tpcds_q78", "tpcds_q80", "tpcds_q81", "tpcds_q82",
+    "tpcds_q83", "tpcds_q84", "tpcds_q85", "tpcds_q86", "tpcds_q87",
+    "tpcds_q90", "tpcds_q91", "tpcds_q92", "tpcds_q94", "tpcds_q95",
+    "tpcds_q97", "tpcds_q99",
+    # never driver-checked: r07 window-depth queries
+    "win_exclude_frames", "win_distinct_agg", "win_variable_bounds",
+    # refresh slots: last green row r01–r03
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "sim_cosine_topk", "sim_label_centroids", "text_fingerprint",
+    "text_quality", "tf_read_text", "dml_merge_into", "dml_update_delete",
+    "ev_asof_join", "ev_banded_range_join", "ev_pivot", "ev_set_ops",
+    "ev_json_extract", "rec_transitive_closure", "sketch_approx_top_k",
+    "sketch_summarize", "sketch_topk_merge", "pivot_dynamic",
+    "unnest_tokens", "unpivot_part", "win_groups_frame", "agg_quantiles",
+    "agg_argminmax", "fn_variant_batch",
 ]
 
 

@@ -526,10 +526,17 @@ def _spark_run(spark: SparkSession, sql: str, sf_dir: str = "") -> DataFrame:
 
     d = ensure_fixture(bench_scale_mult(sf_dir))
     if _BOUND.get(id(spark)) != d:
+        # Views carry a tpcds_ prefix: the raw names (customer, ...) collide
+        # with the TPC-H temp views other query modules bind in the SAME
+        # session, and the _BOUND cache would skip re-registration after a
+        # tpch_* call clobbered them (round-8 scan: 12 tpcds queries threw
+        # UNRESOLVED_COLUMN when run after tpch_* in one session).
         for t in TABLES:
-            spark.read.parquet(f"{d}/{t}.parquet").createOrReplaceTempView(t)
+            spark.read.parquet(f"{d}/{t}.parquet").createOrReplaceTempView(
+                f"tpcds_{t}"
+            )
         _BOUND[id(spark)] = d
-    return spark.sql(translate(sql.format(**{t: t for t in TABLES})))
+    return spark.sql(translate(sql.format(**{t: f"tpcds_{t}" for t in TABLES})))
 
 
 _AVGR = None
@@ -1420,8 +1427,12 @@ LIMIT 100
 # q65 — under-performing item/store revenue vs 10% of store average
 # (65.sql)
 _tpcds("tpcds_q65", """
-SELECT s_store_name, i_item_desc, sc.revenue, i_current_price,
-       i_wholesale_cost, i_brand
+SELECT s_store_name, i_item_desc, sc.revenue,
+       -- raw DECIMAL(7,2) output hashes as Decimal('23.70') on Spark vs
+       -- float 23.7 on DuckDB's pandas path (driver hash bug, VERDICT r07
+       -- item 1) — pin every decimal output column to DOUBLE
+       CAST(i_current_price AS DOUBLE) AS i_current_price,
+       CAST(i_wholesale_cost AS DOUBLE) AS i_wholesale_cost, i_brand
 FROM {store} store, {item} item,
   (SELECT ss_store_sk, AVGR(revenue) AS ave
    FROM
@@ -1471,7 +1482,8 @@ LIMIT 100
 
 # q98 — item revenue with class-partitioned ratio window (98.sql)
 _tpcds("tpcds_q98", """
-SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+SELECT i_item_id, i_item_desc, i_category, i_class,
+       CAST(i_current_price AS DOUBLE) AS i_current_price,
        ROUND(CAST(SUM(ss_ext_sales_price) AS DOUBLE), 2) AS itemrevenue,
        CAST(ROUND(CAST(
              CAST(SUM(ss_ext_sales_price) AS DOUBLE) * 100.0 /
@@ -1586,7 +1598,8 @@ WHERE r_reason_sk = 1
 
 # q12 — web item revenue with class-partitioned ratio window (12.sql)
 _tpcds("tpcds_q12", """
-SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+SELECT i_item_id, i_item_desc, i_category, i_class,
+       CAST(i_current_price AS DOUBLE) AS i_current_price,
        ROUND(CAST(SUM(ws_ext_sales_price) AS DOUBLE), 2) AS itemrevenue,
        ROUND(CAST(SUM(ws_ext_sales_price) * 100.0000 /
              SUM(SUM(ws_ext_sales_price)) OVER (PARTITION BY i_class)
@@ -1625,7 +1638,8 @@ WHERE d_date BETWEEN '2002-02-01' AND CAST('2002-04-02' AS DATE)
 
 # q20 — catalog item revenue ratio window (20.sql)
 _tpcds("tpcds_q20", """
-SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+SELECT i_item_id, i_item_desc, i_category, i_class,
+       CAST(i_current_price AS DOUBLE) AS i_current_price,
        ROUND(CAST(SUM(cs_ext_sales_price) AS DOUBLE), 2) AS itemrevenue,
        ROUND(CAST(SUM(cs_ext_sales_price) * 100.0000 /
              SUM(SUM(cs_ext_sales_price)) OVER (PARTITION BY i_class)
@@ -1763,7 +1777,8 @@ LIMIT 100
 
 # q37 — low-stock catalog items in a price/manufacturer slice (37.sql)
 _tpcds("tpcds_q37", """
-SELECT i_item_id, i_item_desc, i_current_price
+SELECT i_item_id, i_item_desc,
+       CAST(i_current_price AS DOUBLE) AS i_current_price
 FROM {item} item, {inventory} inventory, {date_dim} date_dim,
      {catalog_sales} catalog_sales
 WHERE i_current_price BETWEEN 68 AND 68 + 30
@@ -2322,7 +2337,8 @@ LIMIT 100
 
 # q82 — low-stock store items in a price/manufacturer slice (82.sql)
 _tpcds("tpcds_q82", """
-SELECT i_item_id, i_item_desc, i_current_price
+SELECT i_item_id, i_item_desc,
+       CAST(i_current_price AS DOUBLE) AS i_current_price
 FROM {item} item, {inventory} inventory, {date_dim} date_dim,
      {store_sales} store_sales
 WHERE i_current_price BETWEEN 62 AND 62 + 30

@@ -1584,25 +1584,61 @@ class Connection:
             )
         o_names = outer_df.columns
         o_types = [f.dataType for f in outer_df.schema.fields]
+        # Names the lateral body declares itself — recursive-CTE names and
+        # column lists, SELECT aliases — shadow same-named outer columns;
+        # substituting into them breaks the CTE's own references (ADVICE
+        # r07 item 4).
+        shadowed: set[str] = set()
+        for m in re.finditer(
+            r"(?is)\bRECURSIVE\s+([A-Za-z_]\w*)\s*\(([^()]*)\)", inner
+        ):
+            shadowed.add(m.group(1).lower())
+            shadowed.update(
+                c.strip().strip('`"').lower()
+                for c in m.group(2).split(",") if c.strip()
+            )
+        shadowed.update(
+            m.group(1).lower()
+            for m in re.finditer(r"(?is)\bAS\s+([A-Za-z_]\w*)", inner)
+        )
+        # outer alias (for dot-qualified correlated refs like alias.col)
+        oalias = None
+        ma = re.search(
+            r"(?is)(?:\bAS\s+)?([A-Za-z_]\w*)\s*"
+            r"(?:\(\s*[A-Za-z_][\w\s,]*\))?\s*$", outer_src,
+        )
+        if ma and ma.group(1).upper() not in ("WHERE", "ON", "USING"):
+            oalias = ma.group(1)
         combined = []
         res_schema = None
         for row in outer_rows:
             bound = inner
             for nm, val, dt in zip(o_names, row, o_types):
                 lit = _sql_lit(val, dt)
-                bound = re.sub(
-                    rf"(?is)(?<![\w.]){re.escape(nm)}(?!\s*\()\b(?!\s*\.)",
-                    lit.replace("\\", "\\\\"), bound,
-                )
-            r = self.sql(bound)
-            if r is None:
+                if oalias:
+                    bound = re.sub(
+                        rf"(?is)(?<![\w.]){re.escape(oalias)}\s*\.\s*"
+                        rf"{re.escape(nm)}\b(?!\s*\.)",
+                        lit.replace("\\", "\\\\"), bound,
+                    )
+                if nm.lower() not in shadowed:
+                    bound = re.sub(
+                        rf"(?is)(?<![\w.]){re.escape(nm)}(?!\s*\()\b(?!\s*\.)",
+                        lit.replace("\\", "\\\\"), bound,
+                    )
+            try:
+                r = self.sql(bound)
+                if r is None:
+                    return None
+                rdf = r.df()
+                if inner_cols:
+                    rdf = rdf.toDF(*(
+                        inner_cols + rdf.columns[len(inner_cols):]))
+                res_schema = rdf.schema
+                rows_i = rdf.collect()
+            except Exception:  # noqa: BLE001 — native path reports the error
                 return None
-            rdf = r.df()
-            if inner_cols:
-                rdf = rdf.toDF(*(
-                    inner_cols + rdf.columns[len(inner_cols):]))
-            res_schema = rdf.schema
-            for irow in rdf.collect():
+            for irow in rows_i:
                 combined.append(tuple(row) + tuple(irow))
         if res_schema is None:
             return None

@@ -2916,9 +2916,26 @@ def _fromless_repl(toks: list[str], sel: int, close: int) -> str | None:
         if mu and _balanced(mu.group(1)):
             return f"try_element_at(({mu.group(1)}), 1)"
         return None
-    # FROM-less OFFSET past the single implicit row → NULL
+    # FROM-less OFFSET past the single implicit row → NULL — but ONLY when
+    # the body really has no FROM: this fold used to run before the clause
+    # scan, so ANY expression-position subquery with a top-level OFFSET was
+    # folded to NULL even with a real FROM (ADVICE r07 item 1).
+    depth0 = 0
+    has_from = False
+    for k in range(sel + 1, close):
+        t = toks[k]
+        if t == "(":
+            depth0 += 1
+        elif t == ")":
+            depth0 -= 1
+        elif depth0 == 0 and re.match(r"^[A-Za-z_]", t) and \
+                t.upper() == "FROM":
+            has_from = True
+            break
     depth0 = 0
     for k in range(sel + 1, close):
+        if has_from:
+            break
         t = toks[k]
         if t == "(":
             depth0 += 1
@@ -9272,6 +9289,13 @@ def _rewrite_cast_types(toks: list[str]) -> list[str]:
                 if a.strip()
             ])
             if inner_n2 != int(mfix2.group(2)):
+                if out[i].upper() == "TRY_CAST":
+                    # reference TRY_CAST returns NULL on a failed
+                    # array-size cast (ADVICE r07 item 3)
+                    out[i:close + 1] = _tokens(
+                        f"cast(null as array<{_map_type(mfix2.group(1))}>)")
+                    i += 1
+                    continue
                 raise ValueError(
                     f"Conversion Error: Cannot cast list of size "
                     f"{inner_n2} to array of size {mfix2.group(2)}"
@@ -11123,6 +11147,30 @@ def push_scalar_subquery_offset(sql: str) -> str:
                 out[p].upper() in _FROMLESS_GUARD_PREV:
             i += 1
             continue
+        if p >= 0 and out[p] in (",", "("):
+            # comma/paren does NOT imply expression position: a derived
+            # table in a comma-join FROM list would get a silent LIMIT 1
+            # (ADVICE r07 item 2). Walk back for the nearest enclosing
+            # clause keyword at this depth — only SELECT-list / predicate
+            # positions are genuine scalar subqueries.
+            clause = ""
+            d2 = 0
+            for q in range(p - 1, -1, -1):
+                tq = out[q]
+                if tq == ")":
+                    d2 += 1
+                elif tq == "(":
+                    if d2 == 0:
+                        break
+                    d2 -= 1
+                elif d2 == 0 and re.match(r"^[A-Za-z_]", tq) and \
+                        tq.upper() in ("SELECT", "FROM", "JOIN", "WHERE",
+                                       "HAVING", "GROUP", "ORDER", "ON"):
+                    clause = tq.upper()
+                    break
+            if clause in ("FROM", "JOIN"):
+                i += 1
+                continue
         c = _match_paren(out, i)
         if c < 0:
             i += 1
@@ -11146,13 +11194,37 @@ def push_scalar_subquery_offset(sql: str) -> str:
             # Spark grammar: LIMIT precedes OFFSET
             tail = re.sub(r"(?is)\bOFFSET\b", "LIMIT 1 OFFSET", tail,
                           count=1)
-        # keep the original trailing alias visible to the projection
+        # Derive the wrapping alias from the FROM item itself (table name
+        # or its AS alias) — the old last-identifier-of-body heuristic
+        # picked up trailing WHERE predicates' column names and broke
+        # qualified projections (ADVICE r07 item 5).
         alias = "__off"
-        malias = re.search(r"(?is)(?:\bAS\s+)?([A-Za-z_]\w*)\s*$", body)
-        if malias and malias.group(1).upper() not in (
-            "WHERE", "HAVING", "GROUP", "BY", "ON", "FROM",
-        ):
-            alias = malias.group(1)
+        bt = _tokens(body)
+        fi = _next_code(bt, 0)  # FROM
+        ti = _next_code(bt, fi + 1) if fi >= 0 else -1
+        if ti >= 0 and bt[ti] == "(":
+            # derived-table FROM item: alias follows the closing paren
+            ce = _match_paren(bt, ti)
+            ti = _next_code(bt, ce + 1) if ce >= 0 else -1
+        if ti >= 0 and re.match(r"^[A-Za-z_`\"]", bt[ti]):
+            alias = bt[ti].strip('`"')
+            k2 = ti + 1
+            depth_b = 0
+            while k2 < len(bt):
+                t2 = bt[k2]
+                if t2 == "(":
+                    depth_b += 1
+                elif t2 == ")":
+                    depth_b -= 1
+                elif depth_b == 0:
+                    if t2 == "," or (re.match(r"^[A-Za-z_]", t2) and
+                                     t2.upper() in ("WHERE", "ON", "JOIN",
+                                                    "GROUP", "HAVING")):
+                        break
+                    if re.match(r"^[A-Za-z_`\"]", t2) and \
+                            t2.upper() != "AS":
+                        alias = t2.strip('`"')
+                k2 += 1
         repl = (f"(SELECT {proj} FROM (SELECT * {body} {tail}) "
                 f"AS {alias})")
         out[i:c + 1] = _tokens(repl)

@@ -23,7 +23,8 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 and __name__ == "__main__" else "/root/testdata/sf0.01"
-FIRST_N = int(sys.argv[2]) if len(sys.argv) > 2 and __name__ == "__main__" else 50
+# arg2: first-N count, "all", or a comma-separated list of query names
+_SEL = sys.argv[2] if len(sys.argv) > 2 and __name__ == "__main__" else "50"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -34,27 +35,43 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def cells_equal(a, b) -> bool:
-    if pd.isna(a) and pd.isna(b):
-        return True
-    # Spark DATE → datetime.date object; DuckDB DATE → Timestamp at midnight.
-    # The grading driver treats these as equal (r01 fn_date_batch was green
-    # with DATE columns), so normalize before comparing.
+def render(v) -> str:
+    """Canonical string rendering of one cell — the unit the driver's
+    value-hash consumes. NO numeric coercion: Decimal('23.70') must render
+    '23.70' and FAIL against float 23.7's '23.7' exactly like the driver
+    does (VERDICT r07 item 1 — the old float()-with-tolerance compare here
+    signed off two rounds of 50/50 that the driver failed)."""
     import datetime
 
-    if isinstance(a, datetime.date) or isinstance(b, datetime.date):
-        def _d(x):
-            if isinstance(x, pd.Timestamp):
-                return x.date() if x == x.normalize() else x
-            return x
-        a, b = _d(a), _d(b)
-        return a == b
-    if isinstance(a, float) or isinstance(b, float):
+    try:
+        if pd.isna(v):
+            return "<NULL>"
+    except (TypeError, ValueError):
+        pass  # arrays/lists: pd.isna is ambiguous
+    # Spark DATE → datetime.date; DuckDB DATE → Timestamp at midnight. The
+    # driver treats these as equal (r01 fn_date_batch green with DATE
+    # columns), so midnight timestamps render as their date.
+    if isinstance(v, pd.Timestamp):
+        return str(v.date()) if v == v.normalize() else str(v)
+    if isinstance(v, datetime.datetime):
+        return str(v.date()) if v.time() == datetime.time() else str(v)
+    # numpy scalars render like their python equivalents
+    if hasattr(v, "item") and getattr(v, "shape", None) in ((), None):
         try:
-            return abs(float(a) - float(b)) <= 1e-9 * max(1.0, abs(float(a)))
-        except (TypeError, ValueError):
-            return False
-    return a == b
+            v = v.item()
+        except (ValueError, AttributeError):
+            pass
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ", ".join(render(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ", ".join(f"{k}: {render(x)}" for k, x in v.items()) + "}"
+    return str(v)
+
+
+def cells_equal(a, b) -> bool:
+    return render(a) == render(b)
 
 
 def main() -> None:
@@ -74,7 +91,12 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet{'/*.parquet' if os.path.isdir(f'{SF_DIR}/{t}.parquet') else ''}')"
         )
     qs, osql = E.queries(), E.oracle_sql()
-    names = list(qs)[:FIRST_N]
+    if _SEL == "all":
+        names = list(qs)
+    elif _SEL.isdigit():
+        names = list(qs)[: int(_SEL)]
+    else:
+        names = [n for n in _SEL.split(",") if n in qs]
     bad = []
     for name in names:
         t0 = time.time()

@@ -30,6 +30,29 @@ def test_query_runs(spark, name):
     assert len(df.schema.fields) > 0
 
 
+def test_no_driver_unstable_output_types(spark):
+    """Registry-wide gate (VERDICT r07 item 1b): no registered query may
+    return a DECIMAL output column. The driver's value-hash renders Spark's
+    Decimal('23.70') differently from DuckDB's pandas float 23.7, so raw
+    DECIMAL passthrough fails the hash even when every value is numerically
+    identical (tpcds_q12/q20/q65/q98, rounds 6-7). Schema inspection is
+    analysis-only — no execution."""
+    from pyspark.sql.types import DecimalType
+
+    bad = []
+    for name, fn in q.QUERIES.items():
+        try:
+            df = fn(spark, SF_DIR)
+        except Exception:  # noqa: BLE001 — runnability is the other tests' job
+            continue
+        decs = [f.name for f in df.schema.fields
+                if isinstance(f.dataType, DecimalType)]
+        if decs:
+            bad.append(f"{name}: DECIMAL output column(s) {decs} — "
+                       "CAST(... AS DOUBLE) in both query and oracle")
+    assert not bad, "\n".join(bad)
+
+
 def test_every_oracle_parses(oracle):
     """Cheap syntactic gate: every registered oracle must at least be
     parseable by DuckDB (EXPLAIN, no execution). Guards against committing
