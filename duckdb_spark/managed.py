@@ -410,7 +410,7 @@ class ManagedTables:
                 raise ValueError(f"unparseable column def {coldef!r}")
             cname = mm.group(2) or mm.group(1)
             ctype = re.sub(
-                r"(?i)\s+(primary\s+key|not\s+null|unique|default\s+.*"
+                r"(?i)\s+(primary\s+key|not\s+null|unique|default\b.*"
                 r"|check\s*\(.*|collate\s+\S+)",
                 "", mm.group(3)).strip()
             fields.append(T.StructField(

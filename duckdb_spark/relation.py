@@ -300,6 +300,14 @@ class Connection:
             "__dkrender",
             lambda v: None if v is None else render_duck(v),
             "string")
+        # nested-comparison UDFs are reachable from the MAIN translate pass
+        # too (rewrite_nested_comparisons); worker threads' active-session
+        # lookup can miss, so bind them to THIS session eagerly
+        from duckdb_spark.sql.nestcmp import nest_eq, nest_in, nest_key
+
+        self.spark.udf.register("__dknesteq", nest_eq, "boolean")
+        self.spark.udf.register("__dknestkey", nest_key, "binary")
+        self.spark.udf.register("__dknestin", nest_in, "boolean")
 
     def sql(self, query: str, params=None) -> "Relation | None":
         """Run DuckDB-dialect SQL: macro/sequence/PREPARE DDL handled by our
@@ -308,11 +316,14 @@ class Connection:
         macro-expanded, dialect-translated (QUALIFY, DISTINCT ON, EXCLUDE,
         //, ::casts) and handed to Catalyst."""
         from duckdb_spark.sql.dialect import (
+            set_active_spark,
             split_recursive_cte,
             split_union_by_name,
             translate,
         )
         from duckdb_spark.sql.macros import bind_parameters
+
+        set_active_spark(self.spark)
 
         if params is not None:
             query = bind_parameters(query, params)
@@ -924,6 +935,91 @@ class Connection:
                         return self._recursive_cte_sql(rec)
                     except Exception:  # noqa: BLE001 — keep original error
                         pass
+            if "FILTER_NOT_BOOLEAN" in msg:
+                # DuckDB autocasts numerics in boolean contexts (WHERE c0
+                # with DOUBLE c0: nonzero → true, reference
+                # numeric_casts.cpp); Spark type-errors. Retry with every
+                # WHERE/HAVING predicate wrapped in a boolean coercion —
+                # TRY_CAST keeps already-boolean predicates intact.
+                from duckdb_spark.sql.dialect import (
+                    _next_code,
+                    _tokens as _tk,
+                    _top_level_index as _tli,
+                )
+
+                toks2 = _tk(translate(query))
+                changed2 = False
+                i2 = 0
+                while i2 < len(toks2):
+                    t2 = toks2[i2]
+                    if re.match(r"^[A-Za-z_]", t2) and t2.upper() in (
+                        "WHERE", "HAVING",
+                    ):
+                        st2 = _next_code(toks2, i2 + 1)
+                        d3 = 0
+                        j2 = st2
+                        while j2 < len(toks2):
+                            tj2 = toks2[j2]
+                            if tj2 == "(":
+                                d3 += 1
+                            elif tj2 == ")":
+                                if d3 == 0:
+                                    break
+                                d3 -= 1
+                            elif d3 == 0 and re.match(r"^[A-Za-z_]", tj2) \
+                                    and tj2.upper() in (
+                                    "GROUP", "ORDER", "LIMIT", "OFFSET",
+                                    "UNION", "EXCEPT", "INTERSECT",
+                                    "WINDOW", "QUALIFY", "HAVING",
+                                    "RETURNING",
+                            ):
+                                break
+                            j2 += 1
+                        pred = "".join(toks2[st2:j2]).strip()
+                        # NOT <numeric> inside the predicate type-errors
+                        # before any outer wrap can help — coerce it too
+                        pred = re.sub(
+                            r"(?is)\bNOT\s+"
+                            r"(?!(?:NULL|EXISTS|IN|LIKE|ILIKE|BETWEEN|"
+                            r"SIMILAR)\b)"
+                            r"(\([^()]*\)|[A-Za-z_][\w.]*)",
+                            lambda m2: (
+                                f"(CASE WHEN ({m2.group(1)}) IS NULL THEN "
+                                f"NULL ELSE CAST(({m2.group(1)}) AS DOUBLE)"
+                                f" = 0.0 END)"
+                            ),
+                            pred,
+                        )
+                        if pred and not re.match(
+                            r"(?is)^\(?\s*__dkbool", pred
+                        ):
+                            repl2 = _tk(
+                                f"(CASE WHEN ({pred}) IS NULL THEN NULL "
+                                f"ELSE CAST(CAST(({pred}) AS DOUBLE) <> 0.0 "
+                                f"AS BOOLEAN) END) "
+                            )
+                            toks2[st2:j2] = repl2
+                            changed2 = True
+                            i2 = st2 + len(repl2)
+                            continue
+                    i2 += 1
+                if changed2:
+                    try:
+                        return Relation(self.spark.sql("".join(toks2)))
+                    except Exception:  # noqa: BLE001 — keep original error
+                        pass
+            if "INCOMPATIBLE_JOIN_TYPES" in msg and re.search(
+                r"(?is)\bJOIN\s+LATERAL\b", query
+            ):
+                # DuckDB allows NATURAL/OUTER JOIN LATERAL; Spark's parser
+                # rejects the combination. An uncorrelated lateral works
+                # without the keyword; a correlated one then fails analysis
+                # loudly (UNRESOLVED_COLUMN) instead of silently.
+                try:
+                    return Relation(self.spark.sql(translate(re.sub(
+                        r"(?is)\b(JOIN)\s+LATERAL\b", r"\1", query))))
+                except Exception:  # noqa: BLE001 — keep original error
+                    pass
             if "LATERAL_COLUMN_ALIAS_IN_WINDOW" in msg:
                 from duckdb_spark.sql.dialect import set_session_setting
 

@@ -3816,31 +3816,108 @@ def _rewrite_filter_where(toks: list[str]) -> list[str]:
 
 
 def _rewrite_rowid(toks: list[str]) -> list[str]:
-    """DuckDB's `rowid` pseudo-column → monotonically_increasing_id()
-    (harness tables are single-partition, so values are the same 0..n-1
-    ordinals)."""
-    out = list(toks)
+    """DuckDB's `rowid` pseudo-column, bound at the BASE-TABLE SCAN.
+
+    The old rewrite substituted monotonically_increasing_id() at the
+    reference site, which numbers the rows of whatever operator the
+    expression lands in — under a join, the JOIN OUTPUT rows, not the base
+    table (natural_join.test:165 returned 59 distinct rowids for a 30-row
+    table). Instead, wrap each FROM item whose rowid is referenced in a
+    derived table that projects `row_number() OVER (ORDER BY
+    monotonically_increasing_id()) - 1 AS rowid` (scan-order 0..n-1, the
+    reference's in-memory rowid), and leave the references themselves
+    untouched so they resolve against the wrapped scan.
+
+    Limitations (documented, corpus-acceptable): `SELECT *` on a wrapped
+    table exposes the injected rowid column; the window is unpartitioned
+    (rowid is inherently a sequential numbering — not a 100 TB path).
+    Falls back to the old inline substitution when no FROM item can be
+    attributed."""
+    refs_alias: set[str] = set()
+    ref_positions: list[tuple[int, int, str | None]] = []  # (start, end, alias)
     i = 0
-    while i < len(out):
-        if out[i].lower() == "rowid":
-            j = _next_code(out, i + 1)
-            if j < len(out) and out[j] == "(":
+    n = len(toks)
+    while i < n:
+        if toks[i].lower() == "rowid":
+            j = _next_code(toks, i + 1)
+            if j < n and toks[j] == "(":
                 i += 1
                 continue
             start = i
-            p = i - 1
-            while p >= 0 and out[p].isspace():
-                p -= 1
-            if p >= 0 and out[p] == ".":
-                q = p - 1
-                while q >= 0 and out[q].isspace():
-                    q -= 1
-                if q >= 0 and re.match(r"^[A-Za-z_\"]", out[q]):
+            alias = None
+            p = _prev_code(toks, i - 1)
+            if p >= 0 and toks[p] == ".":
+                q = _prev_code(toks, p - 1)
+                if q >= 0 and re.match(r"^[A-Za-z_\"]", toks[q]):
+                    alias = toks[q].strip('"').lower()
                     start = q
-            out[start:i + 1] = ["monotonically_increasing_id()"]
-            i = start + 1
-            continue
+            ref_positions.append((start, i, alias))
+            if alias:
+                refs_alias.add(alias)
         i += 1
+    if not ref_positions:
+        return toks
+    out = list(toks)
+    # FROM items: (item_start, item_end_exclusive, alias_lower, table_name)
+    items: list[tuple[int, int, str, str]] = []
+    i = 0
+    while i < n:
+        t = toks[i]
+        if not (re.match(r"^[A-Za-z_]", t) and t.upper() in ("FROM", "JOIN")):
+            i += 1
+            continue
+        pv = _prev_code(toks, i - 1)
+        if pv >= 0 and re.match(r"^[A-Za-z_]", toks[pv]) and \
+                toks[pv].upper() == "DISTINCT":
+            i += 1
+            continue
+        j = _next_code(toks, i + 1)
+        while j < n:
+            item_start = j
+            if toks[j] == "(" or not re.match(r"^[A-Za-z_`\"]", toks[j]):
+                break
+            name = toks[j].strip('`"')
+            j2 = j + 1
+            while j2 + 1 < n and toks[j2] == "." and \
+                    re.match(r"^[A-Za-z_`\"]", toks[j2 + 1]):
+                name = toks[j2 + 1].strip('`"')
+                j2 += 2
+            j = _next_code(toks, j2)
+            if j < n and toks[j] == "(":
+                break  # TVF call — no rowid scan to wrap
+            alias = None
+            if j < n and re.match(r"^[A-Za-z_]", toks[j]) and \
+                    toks[j].upper() == "AS":
+                j = _next_code(toks, j + 1)
+            if j < n and re.match(r"^[A-Za-z_`\"]", toks[j]) and \
+                    toks[j].upper() not in _NESTCMP_ALIAS_STOP:
+                alias = toks[j].strip('`"')
+                j = _next_code(toks, j + 1)
+            end = (j if j < n else n)
+            items.append((item_start, end, (alias or name).lower(), name))
+            if j < n and toks[j] == ",":
+                j = _next_code(toks, j + 1)
+                continue
+            break
+        i += 1 if j <= i else (j - i)
+    # which FROM items need wrapping?
+    bare = any(a is None for _, _, a in ref_positions)
+    to_wrap: list[tuple[int, int, str, str]] = []
+    for st, en, alias, name in items:
+        if alias in refs_alias or (bare and len(items) == 1):
+            to_wrap.append((st, en, alias, name))
+    if not to_wrap:
+        # unattributable (derived tables, multi-item bare refs): old
+        # behavior — inline numbering of the local operator's rows
+        for st, en, _a in reversed(ref_positions):
+            out[st:en + 1] = ["monotonically_increasing_id()"]
+        return out
+    rowid_expr = ("CAST(row_number() OVER (ORDER BY "
+                  "monotonically_increasing_id()) - 1 AS BIGINT)")
+    for st, en, alias, name in sorted(to_wrap, reverse=True):
+        out[st:en] = _tokens(
+            f"(SELECT *, {rowid_expr} AS rowid FROM {name}) {alias} "
+        )
     return out
 
 
@@ -7619,6 +7696,11 @@ def _macro_quantile_disc(x: str, q: str) -> str:
     return _qdisc_pick(s, q)
 
 
+_MAPCTOR_SHAPE = re.compile(
+    r"(?is)^\s*(map|map_from_arrays|map_from_entries)\s*\("
+)
+
+
 def _macro_struct_search(name: str, s: str, v: str) -> str | None:
     """struct_contains / struct_position over a VISIBLE struct constructor
     (reference struct_contains.cpp): fold the member list out of the
@@ -7659,14 +7741,33 @@ def _macro_struct_search(name: str, s: str, v: str) -> str | None:
         if re.fullmatch(r"'(?:[^']|'')*'", t2):
             return "str"
         if re.fullmatch(r"(?i)(true|false)", t2):
-            return "bool"
+            # max-logical-type coercion: BOOLEAN and numerics share a
+            # family (struct_contains.test "cast to max logical type":
+            # struct_contains(ROW(1,2,3), TRUE) is true)
+            return "num"
         if re.fullmatch(r"(?i)-?\d+(\.\d+)?(e-?\d+)?", t2):
             return "num"
         return None
 
+    def _shape(e: str) -> str | None:
+        t2 = e.strip()
+        if re.match(r"(?is)^(array|list_value)\s*\(", t2) or \
+                t2.startswith("["):
+            return "list"
+        if re.match(r"(?is)^(named_struct|struct|row)\s*\(", t2):
+            return "struct"
+        if _MAPCTOR_SHAPE.match(t2):
+            return "map"
+        if _kind(e) is not None:
+            return "scalar"
+        return None
+
     tk = _kind(v)
+    vshape = _shape(v)
     ok = [
-        tk is None or _kind(e) is None or _kind(e) == tk for e in vals
+        (tk is None or _kind(e) is None or _kind(e) == tk)
+        and (vshape is None or _shape(e) is None or _shape(e) == vshape)
+        for e in vals
     ]
 
     # non-literal members/targets get a runtime typeof-family guard (the
@@ -7687,7 +7788,13 @@ def _macro_struct_search(name: str, s: str, v: str) -> str | None:
             # constructor-built maps (reference nested-type comparison)
             return f"(to_json({e}) <=> to_json({v}))"
         if _kind(e) is not None and tk is not None:
-            return f"(({e}) <=> ({v}))"
+            def _b(x: str) -> str:
+                # bool literal in a num comparison: Spark won't coerce
+                # BOOLEAN <=> INT — cast explicitly (TRUE → 1)
+                return (f"CAST(({x}) AS INT)"
+                        if re.fullmatch(r"(?i)\s*(true|false)\s*", x)
+                        else f"({x})")
+            return f"({_b(e)} <=> {_b(v)})"
         return (
             f"if({_fam(e)} = {_fam(v)}, (({e}) <=> ({v})), false)"
         )
@@ -8068,8 +8175,12 @@ def _lateral_fromless_derived(toks: list[str]) -> list[str]:
             join_ok = False
             if p >= 0 and _is_word(out[p], "JOIN"):
                 pj = _prev_code(out, p - 1)
+                # NATURAL JOIN LATERAL is a parse error in Spark
+                # (INCOMPATIBLE_JOIN_TYPES); an uncorrelated FROM-less
+                # derived works without the keyword there
                 join_ok = pj < 0 or not re.match(r"^[A-Za-z_]", out[pj]) \
-                    or out[pj].upper() not in ("RIGHT", "FULL", "OUTER")
+                    or out[pj].upper() not in ("RIGHT", "FULL", "OUTER",
+                                               "NATURAL")
             if ctx[-1] == "FROM" and p >= 0 and (
                 out[p] == "," or join_ok
             ):
@@ -10304,6 +10415,7 @@ def translate(sql: str) -> str:
     # GROUP BY () — empty grouping set ≡ global aggregate
     sql = re.sub(r"(?i)\bGROUP\s+BY\s*\(\s*\)", " GROUP BY GROUPING SETS (()) ", sql)
     toks = _tokens(sql)
+    check_duplicate_from_aliases(toks)
     # DuckDB double-quoted identifiers ("col") → Spark backticks; DuckDB
     # never uses double quotes for string literals, so this is unambiguous
     for _i, _t in enumerate(toks):
@@ -10510,6 +10622,7 @@ def translate(sql: str) -> str:
             r"TABLESAMPLE (\2) AS \1",
             out,
         )
+    out = rewrite_nested_comparisons(out)
     return out
 
 
@@ -11230,6 +11343,546 @@ def push_scalar_subquery_offset(sql: str) -> str:
         out[i:c + 1] = _tokens(repl)
         i += 1
     return "".join(out)
+
+
+_NESTCMP_OPS = {"=", "==", "!=", "<>", "<", "<=", ">", ">="}
+_NESTCMP_FN_RE = re.compile(
+    r"(?is)^\s*(array|named_struct|struct|map|collect_list|collect_set|"
+    r"array_agg|list_value|sequence|array_distinct|array_sort|sort_array|"
+    r"slice|array_remove|array_compact|arrays_zip|split)\s*\("
+)
+_NESTCMP_BOUND = {
+    "AND", "OR", "NOT", "WHERE", "ON", "WHEN", "THEN", "ELSE", "CASE",
+    "END", "SELECT", "FROM", "GROUP", "BY", "ORDER", "HAVING", "LIMIT",
+    "OFFSET", "QUALIFY", "WINDOW", "UNION", "EXCEPT", "INTERSECT",
+    "BETWEEN", "IS", "IN", "LIKE", "ILIKE", "AS", "DISTINCT", "ALL",
+    "ANY", "SOME", "EXISTS", "JOIN", "INNER", "LEFT", "RIGHT", "FULL",
+    "CROSS", "NATURAL", "USING", "VALUES", "RETURNING", "SET", "COLLATE",
+    "OVER", "PARTITION", "FILTER", "ESCAPE", "ASC", "DESC", "NULLS",
+    "FIRST", "LAST", "INSERT", "UPDATE", "RETURNS", "CAST",
+}
+_NESTCMP_ALIAS_STOP = {
+    "WHERE", "GROUP", "ORDER", "ON", "JOIN", "LEFT", "RIGHT", "INNER",
+    "FULL", "CROSS", "NATURAL", "LIMIT", "OFFSET", "UNION", "EXCEPT",
+    "INTERSECT", "HAVING", "QUALIFY", "WINDOW", "USING", "ASOF", "SEMI",
+    "ANTI", "LATERAL", "TABLESAMPLE", "FOR", "SET", "RETURNING", "AND",
+    "OR", "WHEN", "THEN", "ELSE", "END", "VALUES", "FROM", "BY", "IS",
+    "NOT", "IN", "LIKE", "ILIKE", "BETWEEN", "SELECT", "CASE", "ASC",
+    "DESC", "NULLS",
+}
+
+
+def _nestcmp_from_tables(toks: list[str]) -> dict[str, str]:
+    """alias (lower) → table name for plain-identifier FROM/JOIN items."""
+    tables: dict[str, str] = {}
+    i, n = 0, len(toks)
+    while i < n:
+        t = toks[i]
+        if not (re.match(r"^[A-Za-z_]", t) and t.upper() in ("FROM", "JOIN")):
+            i += 1
+            continue
+        # not a clause FROM: `IS [NOT] DISTINCT FROM`, `EXTRACT(x FROM y)`,
+        # `SUBSTRING(a FROM b)`, `TRIM(c FROM d)`
+        pv = _prev_code(toks, i - 1)
+        if pv >= 0 and re.match(r"^[A-Za-z_]", toks[pv]) and \
+                toks[pv].upper() == "DISTINCT":
+            i += 1
+            continue
+        j = _next_code(toks, i + 1)
+        while j < n:
+            name = None
+            if toks[j] == "(":
+                c = _match_paren(toks, j)
+                if c < 0:
+                    break
+                j = _next_code(toks, c + 1)
+            elif re.match(r"^[A-Za-z_`\"]", toks[j]):
+                parts = [toks[j].strip('`"')]
+                j2 = j + 1
+                while j2 + 1 < n and toks[j2] == "." and \
+                        re.match(r"^[A-Za-z_`\"]", toks[j2 + 1]):
+                    parts.append(toks[j2 + 1].strip('`"'))
+                    j2 += 2
+                j = _next_code(toks, j2)
+                if j < n and toks[j] == "(":
+                    # TVF call (range(...), read_parquet(...)): no table
+                    c = _match_paren(toks, j)
+                    if c < 0:
+                        break
+                    j = _next_code(toks, c + 1)
+                else:
+                    name = ".".join(parts)
+            else:
+                break
+            alias = None
+            if j < n and re.match(r"^[A-Za-z_]", toks[j]) and \
+                    toks[j].upper() == "AS":
+                j = _next_code(toks, j + 1)
+            if j < n and re.match(r"^[A-Za-z_`\"]", toks[j]) and \
+                    toks[j].upper() not in _NESTCMP_ALIAS_STOP:
+                alias = toks[j].strip('`"')
+                j = _next_code(toks, j + 1)
+                if j < n and toks[j] == "(":  # column list
+                    c = _match_paren(toks, j)
+                    if c < 0:
+                        break
+                    j = _next_code(toks, c + 1)
+            if name:
+                tables[(alias or name).lower()] = name
+            if j < n and toks[j] == ",":
+                j = _next_code(toks, j + 1)
+                continue
+            break
+        i = j if j > i else i + 1
+    return tables
+
+
+import threading as _threading
+
+_ACTIVE_SPARK = _threading.local()
+
+
+def set_active_spark(spark) -> None:
+    """Thread-local session for schema-aware passes. Worker threads (the
+    sqllogic runner uses spark.newSession() per worker) each carry their
+    own temp-view catalog, and SparkSession.getActiveSession() is not
+    reliably set before the first spark.sql of a thread — Connection.sql
+    pins its session here at entry."""
+    _ACTIVE_SPARK.spark = spark
+
+
+def _get_active_spark():
+    spark = getattr(_ACTIVE_SPARK, "spark", None)
+    if spark is not None:
+        return spark
+    try:
+        from pyspark.sql import SparkSession
+
+        return SparkSession.getActiveSession()
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _nestcmp_nested_cols(toks: list[str]) -> dict[str, bool]:
+    """Resolve FROM tables on the active session; return the set of
+    nested-typed (ARRAY/STRUCT/MAP) column keys: 'col' and 'alias.col'."""
+    try:
+        from pyspark.sql.types import ArrayType, MapType, StructType
+    except Exception:  # noqa: BLE001
+        return {}
+    spark = _get_active_spark()
+    if spark is None:
+        return {}
+    out: dict[str, bool] = {}
+    for alias, tbl in _nestcmp_from_tables(toks).items():
+        try:
+            schema = spark.table(tbl).schema
+        except Exception:  # noqa: BLE001 — derived/unknown: skip
+            continue
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, StructType, MapType)):
+                out[f"{alias}.{f.name.lower()}"] = True
+                out.setdefault(f.name.lower(), True)
+    return out
+
+
+def _nestcmp_is_nested(span: str, nested_cols: dict[str, bool]) -> bool:
+    s = span.strip()
+    # strip redundant outer parens ((lhs.i)) so wrapped ORDER BY items and
+    # parenthesized operands are still recognized
+    while s.startswith("(") and s.endswith(")"):
+        inner = s[1:-1].strip()
+        if not _balanced(inner):
+            break
+        s = inner
+    if not s:
+        return False
+    m = re.match(r"^([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)$", s)
+    if m:
+        return f"{m.group(1).lower()}.{m.group(2).lower()}" in nested_cols
+    if re.match(r"^[A-Za-z_]\w*$", s):
+        return s.lower() in nested_cols
+    if _NESTCMP_FN_RE.match(s):
+        return True
+    if re.match(r"(?is)^\(?\s*(TRY_)?CAST\s*\(", s) and re.search(
+        r"(?is)\bAS\s+(ARRAY|MAP|STRUCT)\s*<", s
+    ):
+        return True
+    return False
+
+
+def _nestcmp_operand_left(toks: list[str], k: int) -> int:
+    depth = 0
+    i = k - 1
+    start = k
+    while i >= 0:
+        t = toks[i]
+        if t.isspace():
+            i -= 1
+            continue
+        if t == ")":
+            depth += 1
+        elif t == "(":
+            if depth == 0:
+                break
+            depth -= 1
+        elif depth == 0:
+            if t == "," or t == ";" or t in _NESTCMP_OPS:
+                break
+            if re.match(r"^[A-Za-z_]", t) and t.upper() in _NESTCMP_BOUND:
+                break
+        start = i
+        i -= 1
+    return start
+
+
+def _nestcmp_operand_right(toks: list[str], k: int) -> int:
+    depth = 0
+    i = k + 1
+    end = k
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        if t.isspace():
+            i += 1
+            continue
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif depth == 0:
+            if t == "," or t == ";" or t in _NESTCMP_OPS:
+                break
+            if re.match(r"^[A-Za-z_]", t) and t.upper() in _NESTCMP_BOUND:
+                break
+        end = i
+        i += 1
+    return end
+
+
+def check_duplicate_from_aliases(toks: list[str]) -> None:
+    """Binder strictness: two FROM items with the same alias in one FROM
+    list are an error in the reference ('Ambiguous reference to table';
+    older releases said 'Duplicate alias') — Spark happily natural-joins
+    them (natural_join.test:246). One alias set per (depth, FROM clause);
+    UNION branches and subqueries each get their own."""
+    sets: dict[int, set[str]] = {}
+    depth = 0
+    i, n = 0, len(toks)
+    while i < n:
+        t = toks[i]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            sets.pop(depth, None)
+            depth -= 1
+        elif re.match(r"^[A-Za-z_]", t):
+            up = t.upper()
+            if up in ("SELECT", "WHERE", "GROUP", "ORDER", "HAVING",
+                      "UNION", "EXCEPT", "INTERSECT", "LIMIT", "WINDOW",
+                      "QUALIFY"):
+                sets.pop(depth, None)
+            elif up in ("FROM", "JOIN"):
+                pv = _prev_code(toks, i - 1)
+                if up == "FROM" and pv >= 0 and \
+                        re.match(r"^[A-Za-z_]", toks[pv]) and \
+                        toks[pv].upper() in ("DISTINCT", "EXTRACT",
+                                             "SUBSTRING", "TRIM"):
+                    i += 1
+                    continue
+                cur = sets.setdefault(depth, set())
+                j = _next_code(toks, i + 1)
+                while j < n:
+                    name = None
+                    if re.match(r"^[A-Za-z_]", toks[j]) and \
+                            toks[j].upper() == "LATERAL":
+                        j = _next_code(toks, j + 1)
+                        if j >= n:
+                            break
+                    if toks[j] == "(":
+                        c = _match_paren(toks, j)
+                        if c < 0:
+                            break
+                        j = _next_code(toks, c + 1)
+                    elif re.match(r"^[A-Za-z_`\"]", toks[j]):
+                        name = toks[j].strip('`"')
+                        j2 = j + 1
+                        while j2 + 1 < n and toks[j2] == "." and \
+                                re.match(r"^[A-Za-z_`\"]", toks[j2 + 1]):
+                            name = toks[j2 + 1].strip('`"')
+                            j2 += 2
+                        j = _next_code(toks, j2)
+                        if j < n and toks[j] == "(":
+                            c = _match_paren(toks, j)
+                            if c < 0:
+                                break
+                            j = _next_code(toks, c + 1)
+                    else:
+                        break
+                    alias = name
+                    if j < n and re.match(r"^[A-Za-z_]", toks[j]) and \
+                            toks[j].upper() == "AS":
+                        j = _next_code(toks, j + 1)
+                    if j < n and re.match(r"^[A-Za-z_`\"]", toks[j]) and \
+                            toks[j].upper() not in _NESTCMP_ALIAS_STOP:
+                        alias = toks[j].strip('`"')
+                        j = _next_code(toks, j + 1)
+                        if j < n and toks[j] == "(":
+                            c = _match_paren(toks, j)
+                            if c < 0:
+                                break
+                            j = _next_code(toks, c + 1)
+                    if alias:
+                        al = alias.lower()
+                        if al in cur:
+                            raise ValueError(
+                                f'Binder Error: Ambiguous reference to '
+                                f'table "{alias}" (duplicate alias)'
+                            )
+                        cur.add(al)
+                    if j < n and toks[j] == ",":
+                        j = _next_code(toks, j + 1)
+                        continue
+                    break
+                i = j if j > i else i + 1
+                continue
+        i += 1
+
+
+def rewrite_nested_comparisons(sql: str) -> str:
+    """Nested-type comparisons → __dknesteq / __dknestkey (see
+    duckdb_spark.sql.nestcmp). Spark treats NULL LIST/STRUCT members as
+    ordinary values in =/<>/ordering comparisons; the reference yields SQL
+    NULL for =/<> at the first NULL position and orders NULL children LAST
+    (comparison_operators.cpp). Operands are recognized when they are
+    nested constructors in the text or columns whose FROM-table schema
+    (resolved on the active session) is ARRAY/STRUCT/MAP; ORDER BY items
+    over nested values are wrapped in the total-order sort key."""
+    if not re.search(r"(?i)[=<>!]|\bORDER\b|\bIN\b", sql):
+        return sql
+    if re.match(r"(?is)^\s*(CREATE|COPY|EXPORT|IMPORT|PRAGMA|SET|DROP|"
+                r"ALTER|ATTACH|CALL)\b", sql):
+        return sql
+    toks = _tokens(sql)
+    changed = False
+    # ---- `v [NOT] IN <identifier>` — collection membership (reference: IN
+    # over LIST/STRUCT columns calls list_contains/struct_contains; Spark
+    # has no such syntax at all, so a bare-identifier RHS is always this)
+    k = 0
+    while k < len(toks):
+        t = toks[k]
+        if not (re.match(r"^[A-Za-z_]", t) and t.upper() == "IN"):
+            k += 1
+            continue
+        r0 = _next_code(toks, k + 1)
+        if r0 >= len(toks) or not re.match(r"^[A-Za-z_`\"]", toks[r0]):
+            k += 1
+            continue
+        # RHS identifier chain: ident[.ident]; reject function calls and
+        # keyword continuations
+        if toks[r0].upper() in _NESTCMP_BOUND or \
+                toks[r0].upper() in ("VALUES", "SELECT"):
+            k += 1
+            continue
+        rhs_end = r0
+        r1 = r0 + 1
+        while r1 + 1 < len(toks) and toks[r1] == "." and \
+                re.match(r"^[A-Za-z_`\"]", toks[r1 + 1]):
+            rhs_end = r1 + 1
+            r1 += 2
+        nxt = _next_code(toks, rhs_end + 1)
+        if nxt < len(toks) and toks[nxt] == "(":
+            k += 1
+            continue
+        neg = False
+        lhs_anchor = k
+        p0 = _prev_code(toks, k - 1)
+        if p0 >= 0 and re.match(r"^[A-Za-z_]", toks[p0]) and \
+                toks[p0].upper() == "NOT":
+            neg = True
+            lhs_anchor = p0
+        ls = _nestcmp_operand_left(toks, lhs_anchor)
+        if ls >= lhs_anchor:
+            k += 1
+            continue
+        # ANSI POSITION(substr IN str) / OVERLAY(... IN ...): not a
+        # membership test — skip when the enclosing call is one of those
+        po = _prev_code(toks, ls - 1)
+        if po >= 0 and toks[po] == "(":
+            pf = _prev_code(toks, po - 1)
+            if pf >= 0 and re.match(r"^[A-Za-z_]", toks[pf]) and \
+                    toks[pf].upper() in ("POSITION", "OVERLAY"):
+                k += 1
+                continue
+        left = "".join(toks[ls:lhs_anchor]).strip()
+        rhs = "".join(toks[r0:rhs_end + 1]).strip()
+        if not left:
+            k += 1
+            continue
+        repl = f"__dknestin({rhs}, {left})"
+        if neg:
+            repl = f"(NOT {repl})"
+        toks[ls:rhs_end + 1] = _tokens(repl)
+        changed = True
+        k = ls + 1
+    nested_cols = _nestcmp_nested_cols(toks)
+    has_literal_hint = bool(re.search(
+        r"(?i)\b(array|named_struct|struct|map)\s*\(", sql))
+    if not nested_cols and not has_literal_hint:
+        if changed:
+            try:
+                from duckdb_spark.sql.nestcmp import ensure_udfs
+
+                ensure_udfs(_get_active_spark())
+            except Exception:  # noqa: BLE001
+                pass
+            return "".join(toks)
+        return sql
+    # ---- comparison operators (right-to-left so indices stay valid)
+    op_idx = [k for k, t in enumerate(toks) if t in _NESTCMP_OPS]
+    for k in reversed(op_idx):
+        op = toks[k]
+        ls = _nestcmp_operand_left(toks, k)
+        re_ = _nestcmp_operand_right(toks, k)
+        if ls >= k or re_ <= k:
+            continue
+        left = "".join(toks[ls:k]).strip()
+        right = "".join(toks[k + 1:re_ + 1]).strip()
+        if not left or not right:
+            continue
+        if re.search(r"(?i)\bSELECT\b", left) or \
+                re.search(r"(?i)\bSELECT\b", right):
+            # subquery operand: the quantifier/scalar-subquery machinery
+            # owns its own three-valued logic — don't double-wrap
+            continue
+        if not (_nestcmp_is_nested(left, nested_cols)
+                or _nestcmp_is_nested(right, nested_cols)):
+            continue
+        if op in ("=", "=="):
+            repl = f"__dknesteq({left}, {right})"
+        elif op in ("!=", "<>"):
+            repl = f"(NOT __dknesteq({left}, {right}))"
+        else:
+            repl = (f"(__dknestkey({left}) {op} __dknestkey({right}))")
+        toks[ls:re_ + 1] = _tokens(repl)
+        changed = True
+    # ---- ORDER BY items over nested expressions → sort by total-order key
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if not (re.match(r"^[A-Za-z_]", t) and t.upper() == "ORDER"):
+            i += 1
+            continue
+        nb = _next_code(toks, i + 1)
+        if nb >= len(toks) or not _is_word(toks[nb], "BY"):
+            i += 1
+            continue
+        # select-list items of this scope (for ordinals / aliases)
+        sel_items: list[str] = []
+        depth = 0
+        sel_at = -1
+        for q in range(i - 1, -1, -1):
+            tq = toks[q]
+            if tq == ")":
+                depth += 1
+            elif tq == "(":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and re.match(r"^[A-Za-z_]", tq) and \
+                    tq.upper() == "SELECT":
+                sel_at = q
+                break
+        if sel_at >= 0:
+            fr = _top_level_index(toks, sel_at + 1, i, "FROM")
+            stop = fr if fr >= 0 else i
+            item, d2 = [], 0
+            for q in range(sel_at + 1, stop):
+                tq = toks[q]
+                if tq == "(":
+                    d2 += 1
+                elif tq == ")":
+                    d2 -= 1
+                if tq == "," and d2 == 0:
+                    sel_items.append("".join(item).strip())
+                    item = []
+                else:
+                    item.append(tq)
+            if item:
+                sel_items.append("".join(item).strip())
+        # walk the ORDER BY items
+        j = _next_code(toks, nb + 1)
+        while j < len(toks):
+            st = j
+            d2 = 0
+            while j < len(toks):
+                tj = toks[j]
+                if tj == "(":
+                    d2 += 1
+                elif tj == ")":
+                    if d2 == 0:
+                        break
+                    d2 -= 1
+                elif d2 == 0:
+                    if tj == "," or tj == ";":
+                        break
+                    if re.match(r"^[A-Za-z_]", tj) and tj.upper() in (
+                        "LIMIT", "OFFSET", "UNION", "EXCEPT", "INTERSECT",
+                        "FOR", "ROWS", "RANGE", "GROUPS", "WINDOW",
+                        "QUALIFY", "HAVING",
+                    ):
+                        break
+                j += 1
+            en = j  # exclusive
+            # strip trailing ASC/DESC/NULLS FIRST|LAST
+            expr_en = en
+            while expr_en > st:
+                p = _prev_code(toks, expr_en - 1)
+                if p >= st and re.match(r"^[A-Za-z_]", toks[p]) and \
+                        toks[p].upper() in ("ASC", "DESC", "NULLS",
+                                            "FIRST", "LAST"):
+                    expr_en = p
+                else:
+                    break
+            expr = "".join(toks[st:expr_en]).strip()
+            target = None
+            if re.fullmatch(r"[1-9]\d*", expr) and sel_items:
+                idx0 = int(expr) - 1
+                if idx0 < len(sel_items):
+                    si = sel_items[idx0]
+                    malias = re.search(
+                        r"(?is)\bAS\s+([A-Za-z_]\w*)\s*$", si)
+                    base = malias.group(1) if malias else si
+                    if _nestcmp_is_nested(
+                        re.sub(r"(?is)\s+AS\s+[A-Za-z_]\w*\s*$", "", si),
+                        nested_cols,
+                    ):
+                        target = base
+            elif _nestcmp_is_nested(expr, nested_cols):
+                target = expr
+            if target is not None:
+                toks[st:expr_en] = _tokens(f"__dknestkey({target})")
+                changed = True
+                # re-find current position after splice
+                delta = len(_tokens(f"__dknestkey({target})")) - \
+                    (expr_en - st)
+                j += delta
+            if j < len(toks) and toks[j] == ",":
+                j = _next_code(toks, j + 1)
+                continue
+            break
+        i = j if j > i else i + 1
+    if not changed:
+        return sql
+    try:
+        from duckdb_spark.sql.nestcmp import ensure_udfs
+
+        ensure_udfs(_get_active_spark())
+    except Exception:  # noqa: BLE001
+        pass
+    return "".join(toks)
 
 
 def limit_scalar_subqueries(sql: str) -> str:

@@ -1,0 +1,220 @@
+"""Nested-type comparison semantics (reference
+src/common/vector_operations/comparison_operators.cpp).
+
+Spark and the reference disagree on LIST/STRUCT/MAP comparisons whenever a
+NULL appears INSIDE the value:
+
+- ``=`` / ``<>``: the reference scans positionally and yields SQL NULL at
+  the first position where either child is NULL (before that, a non-NULL
+  mismatch decides FALSE; for lists a length mismatch decides FALSE up
+  front). Spark treats NULL members as ordinary values and always returns
+  TRUE/FALSE.
+- ``<`` ``<=`` ``>`` ``>=``: the reference uses DISTINCT child semantics —
+  a total order where NULL children sort GREATER than every value
+  (DistinctNullComparator: "default is NULLS LAST"), so the result is never
+  NULL for non-NULL top-level operands. Spark sorts NULL children FIRST.
+- ``IS [NOT] DISTINCT FROM``: Spark's ``<=>`` already matches (NULL
+  children compare as equal values) — no rewrite needed.
+
+The dialect rewrites nested comparisons to the two UDFs below; they are
+registered lazily on the active session the first time a rewrite fires.
+
+Scale note: these are row-at-a-time Python UDFs, used ONLY when a query
+compares nested columns that may carry NULL members — a correctness path,
+not an analytics hot path. The common case (no nested comparison in the
+query) costs one regex scan at translate time.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import struct
+from decimal import Decimal
+
+_I64_BIAS = 1 << 63
+_U64_MASK = (1 << 64) - 1
+
+
+def _is_struct(v) -> bool:
+    return hasattr(v, "__fields__")
+
+
+def _num(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    return v
+
+
+def nest_eq(a, b):
+    """Three-valued equality over nested values (reference
+    comparison_operators.cpp ListOrArrayComparator / StructComparator;
+    semantics fitted against the full 36-row matrix of
+    test/sql/types/list/list_null_members.test).
+
+    LIST scan (asymmetric, per the reference's not-equal pass then NULL
+    pass): a NULL LEFT element → NULL immediately; a NULL RIGHT element →
+    pending-NULL; a non-NULL mismatch → False; LEFT exhausting first →
+    False even with a pending NULL; RIGHT exhausting first → False only
+    without one; equal lengths at the end → NULL if pending else True.
+
+    STRUCT: no positional short-circuit — a decided mismatch in ANY field
+    → False; else any NULL field → NULL; else True."""
+    if a is None or b is None:
+        return None
+    a, b = _num(a), _num(b)
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True  # reference: NaN compares equal to NaN
+        return a == b
+    a_struct, b_struct = _is_struct(a), _is_struct(b)
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        if a_struct or b_struct:
+            saw_null = False
+            for x, y in zip(a, b):
+                if x is None or y is None:
+                    saw_null = True
+                    continue
+                r = nest_eq(x, y)
+                if r is False:
+                    return False
+                if r is None:
+                    saw_null = True
+            return None if saw_null else True
+        pending = False
+        for k in range(min(len(a), len(b))):
+            x, y = a[k], b[k]
+            if x is None:
+                return None
+            if y is None:
+                pending = True
+                continue
+            r = nest_eq(x, y)
+            if r is False:
+                return False
+            if r is None:
+                pending = True
+        if len(a) < len(b):
+            return False
+        if len(a) > len(b):
+            return None if pending else False
+        return None if pending else True
+    if isinstance(a, dict) and isinstance(b, dict):
+        if len(a) != len(b):
+            return False
+        saw_null = False
+        for (ka, va), (kb, vb) in zip(a.items(), b.items()):
+            for x, y in ((ka, kb), (va, vb)):
+                if x is None or y is None:
+                    saw_null = True
+                    continue
+                r = nest_eq(x, y)
+                if r is False:
+                    return False
+                if r is None:
+                    saw_null = True
+        return None if saw_null else True
+    return bool(a == b)
+
+
+def _enc(v, out: bytearray) -> None:
+    """Order-preserving byte encoding of one NON-NULL value. Bytes compare
+    unsigned-lexicographically in Spark, so key(a) < key(b) iff a sorts
+    before b under the reference's DISTINCT total order (NULL children
+    greatest, NaN greatest among doubles)."""
+    v = _num(v)
+    if isinstance(v, bool):
+        out += b"\x01" if v else b"\x00"
+    elif isinstance(v, int):
+        iv = max(-_I64_BIAS, min(v, _I64_BIAS - 1))
+        out += struct.pack(">Q", (iv + _I64_BIAS) & _U64_MASK)
+    elif isinstance(v, float):
+        bits = struct.unpack(">Q", struct.pack(">d", v))[0]
+        if bits >> 63:
+            bits = ~bits & _U64_MASK  # negative: flip all
+        else:
+            bits |= 1 << 63  # positive (incl. NaN): set sign
+        out += struct.pack(">Q", bits)
+    elif isinstance(v, str):
+        out += v.encode("utf-8").replace(b"\x00", b"\x00\x01") + b"\x00\x00"
+    elif isinstance(v, (bytes, bytearray)):
+        out += bytes(v).replace(b"\x00", b"\x00\x01") + b"\x00\x00"
+    elif isinstance(v, datetime.datetime):
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        out += struct.pack(
+            ">Q",
+            (int((v - epoch).total_seconds() * 1_000_000) + _I64_BIAS)
+            & _U64_MASK,
+        )
+    elif isinstance(v, datetime.date):
+        out += struct.pack(">Q", (v.toordinal() + _I64_BIAS) & _U64_MASK)
+    elif isinstance(v, datetime.time):
+        micros = ((v.hour * 60 + v.minute) * 60 + v.second) * 1_000_000 \
+            + v.microsecond
+        out += struct.pack(">Q", (micros + _I64_BIAS) & _U64_MASK)
+    elif isinstance(v, dict):
+        for k, val in v.items():
+            for child in (k, val):
+                if child is None:
+                    out += b"\x02"
+                else:
+                    out += b"\x01"
+                    _enc(child, out)
+        out += b"\x00"
+    elif isinstance(v, (list, tuple)):  # LIST and STRUCT(Row) alike
+        for child in v:
+            if child is None:
+                out += b"\x02"  # NULL child: after any present child
+            else:
+                out += b"\x01"
+                _enc(child, out)
+        out += b"\x00"  # exhausted: before longer lists' next element
+    else:
+        out += str(v).encode("utf-8", "replace") + b"\x00\x00"
+
+
+def nest_key(v):
+    """Total-order sort key: None for top-level NULL (Spark's NULLS
+    FIRST/LAST then applies), else the recursive encoding."""
+    if v is None:
+        return None
+    out = bytearray()
+    _enc(v, out)
+    return bytes(out)
+
+
+def nest_in(coll, v):
+    """`v IN <collection column>` (reference: IN over a LIST calls
+    list_contains semantics, over a STRUCT calls struct_contains) —
+    three-valued: a NULL member that was not decided earlier makes the
+    miss NULL, an equal member makes it True."""
+    if coll is None or v is None:
+        return None
+    if isinstance(coll, dict):
+        items = list(coll.keys())
+    else:
+        items = list(coll)
+    saw_null = False
+    for m in items:
+        if m is None:
+            saw_null = True
+            continue
+        r = nest_eq(m, v)
+        if r is True:
+            return True
+        if r is None:
+            saw_null = True
+    return None if saw_null else False
+
+
+_REGISTERED: set[int] = set()
+
+
+def ensure_udfs(spark) -> None:
+    """Register __dknesteq / __dknestkey on this session (idempotent)."""
+    if spark is None or id(spark) in _REGISTERED:
+        return
+    spark.udf.register("__dknesteq", nest_eq, "boolean")
+    spark.udf.register("__dknestkey", nest_key, "binary")
+    spark.udf.register("__dknestin", nest_in, "boolean")
+    _REGISTERED.add(id(spark))

@@ -853,7 +853,7 @@ class SLSession:
                     pk.append(cname.strip('"').lower())
                 coll = re.search(r"(?i)\bcollate\s+(\S+)", mm.group(3))
                 ctype = re.sub(
-                    r"(?i)\s+(primary\s+key|not\s+null|unique|default\s+.*|check\s*\(.*|collate\s+\S+)",
+                    r"(?i)\s+(primary\s+key|not\s+null|unique|default\b.*|check\s*\(.*|collate\s+\S+)",
                     "", mm.group(3)).strip()
                 from duckdb_spark.sql.dialect import expand_type_aliases
 
