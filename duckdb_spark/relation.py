@@ -935,6 +935,26 @@ class Connection:
                         return self._recursive_cte_sql(rec)
                     except Exception:  # noqa: BLE001 — keep original error
                         pass
+            if (
+                "UNSUPPORTED_SUBQUERY_EXPRESSION" in msg
+                or "INVALID_WHERE_CONDITION" in msg
+                or "SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_AGGREGATE" in msg
+                or "AGGREGATE_FUNCTION_MIXED_OUTER_LOCAL" in msg
+                or "CORRELATED_COLUMN_NOT_ALLOWED" in msg
+            ) and not getattr(self, "_in_decorrelate", False):
+                # deep correlation Catalyst won't decorrelate — manual
+                # flatten_dependent_join fallback (sql/decorrelate.py)
+                from duckdb_spark.sql.decorrelate import decorrelate_retry
+
+                self._in_decorrelate = True
+                try:
+                    r = decorrelate_retry(self, query)
+                    if r is not None:
+                        return r
+                except Exception:  # noqa: BLE001 — keep original error
+                    pass
+                finally:
+                    self._in_decorrelate = False
             if "FILTER_NOT_BOOLEAN" in msg:
                 # DuckDB autocasts numerics in boolean contexts (WHERE c0
                 # with DOUBLE c0: nonzero → true, reference
@@ -1045,18 +1065,30 @@ class Connection:
                 if new_q != query:
                     return Relation(self.spark.sql(translate(new_q)))
             # DuckDB averages DATE/TIMESTAMP values (returns timestamp);
-            # Spark rejects them. Retry through epoch micros.
+            # Spark rejects them. Retry through epoch micros. Output type
+            # follows the input: DATE / TIMESTAMP (our NTZ) average to a
+            # tz-naive timestamp, TIMESTAMPTZ (Spark "TIMESTAMP") keeps
+            # the instant type and renders with the +00 offset
+            # (test_avg.test:127-145).
             am = re.search(
                 r'Cannot resolve "avg\((.+?)\)" due to data type mismatch',
                 msg,
             )
-            if am and ('"DATE"' in msg or '"TIMESTAMP"' in msg):
+            if am and ('"DATE"' in msg or '"TIMESTAMP"' in msg
+                       or '"TIMESTAMP_NTZ"' in msg):
                 arg = re.escape(am.group(1)).replace(r"\ ", r"\s*")
                 a = am.group(1)
+                ntz_out = '"TIMESTAMP"' not in msg
+
+                def _avg_repl(x: str) -> str:
+                    inner = (f"timestamp_micros(CAST(avg(unix_micros("
+                             f"CAST(({x}) AS TIMESTAMP_LTZ))) AS BIGINT))")
+                    return (f"CAST({inner} AS TIMESTAMP_NTZ)"
+                            if ntz_out else inner)
+
                 new_q = re.sub(
                     rf"(?is)\bavg\s*\(\s*{arg}\s*\)",
-                    f"timestamp_micros(CAST(avg(unix_micros(CAST(({a}) AS "
-                    f"TIMESTAMP_LTZ))) AS BIGINT))",
+                    _avg_repl(a).replace("\\", "\\\\"),
                     query,
                 )
                 if new_q == query and len(
@@ -1065,13 +1097,7 @@ class Connection:
                     # the analyzer's spelling differs from the query text
                     # (ts::DATE vs CAST(ts AS DATE)): with a single avg
                     # call there is no ambiguity
-                    new_q = _rewrite_fn_calls(
-                        query, "avg",
-                        lambda x: (
-                            f"timestamp_micros(CAST(avg(unix_micros("
-                            f"CAST(({x}) AS TIMESTAMP_LTZ))) AS BIGINT))"
-                        ),
-                    )
+                    new_q = _rewrite_fn_calls(query, "avg", _avg_repl)
                 if new_q != query:
                     return Relation(self.spark.sql(translate(new_q)))
             # avg/sum over the INTERVAL struct emulation: componentwise

@@ -679,7 +679,11 @@ def _rewrite_frame_bound_exprs(toks: list[str]) -> list[str]:
                                     f"({base}), __e -> __e.r = ({target}))"
                                 )
                                 expr = (
-                                    f"CASE WHEN size({flt}) = 0 THEN "
+                                    # NULL offset → NULL, NOT the default
+                                    # (reference window_value_function.cpp;
+                                    # test_lead_lag.test:152)
+                                    f"CASE WHEN ({parts[1]}) IS NULL THEN "
+                                    f"NULL WHEN size({flt}) = 0 THEN "
                                     f"({dflt}) ELSE try_element_at("
                                     f"transform({flt}, __e -> __e.v), 1) "
                                     f"END"
@@ -9102,6 +9106,26 @@ def _ordered_window_repl(
     ]
     over = f"OVER ({spec})"
 
+    def _eq_before() -> str:
+        """0-based rank of the current row among rows whose pos-keys all
+        tie — position-stepping functions (lead/lag/row_number/ntile)
+        must walk THROUGH duplicate keys, one output per peer row, the
+        way the reference does (window/test_tpcc_results.test: two equal
+        tps rows get lead = the other duplicate and lead = the next
+        value, not the same value twice). A separate row_number window
+        over (partition + tied keys) supplies the per-row identity the
+        collect_list elements cannot carry."""
+        pm = re.search(
+            r"(?is)\bPARTITION\s+BY\s+(.*?)(?:\bORDER\b|\bROWS\b|"
+            r"\bRANGE\b|\bGROUPS\b|$)", spec,
+        )
+        parts = [pm.group(1).strip().rstrip(",")] if pm else []
+        parts += [k for k, _, _ in pos_entries]
+        order = om.group(1).strip().rstrip(",") if om else \
+            ", ".join(k for k, _, _ in pos_entries)
+        return (f"(row_number() OVER (PARTITION BY {', '.join(parts)} "
+                f"ORDER BY {order}) - 1)")
+
     def _fields(es):
         return ", ".join(f"'k{x}', ({k})" for x, (k, _, _) in enumerate(es))
 
@@ -9117,7 +9141,8 @@ def _ordered_window_repl(
     if name in ("rank", "dense_rank", "row_number"):
         if name == "row_number":
             karr = f"collect_list(named_struct({_fields(pos_entries)})) {over}"
-            return f"(1 + size(filter({karr}, __x -> ({pos_lt_cur}))))"
+            return (f"(1 + {_eq_before()} + "
+                    f"size(filter({karr}, __x -> ({pos_lt_cur}))))")
         karr = f"collect_list(named_struct({keyfields})) {over}"
         inner = f"filter({karr}, __x -> ({x_lt_cur}))"
         if name == "dense_rank":
@@ -9128,7 +9153,8 @@ def _ordered_window_repl(
         if n is None:
             return None
         karr = f"collect_list(named_struct({_fields(pos_entries)})) {over}"
-        p0 = f"size(filter({karr}, __x -> ({pos_lt_cur})))"
+        p0 = (f"(size(filter({karr}, __x -> ({pos_lt_cur}))) "
+              f"+ {_eq_before()})")
         m = f"size({karr})"
         # first (m % n) buckets get floor(m/n)+1 rows, the rest floor(m/n)
         big = f"(floor({m} / {n}) + 1)"
@@ -9192,7 +9218,8 @@ def _ordered_window_repl(
         el = f"named_struct('v', ({val}), {_fields(pos_entries)})"
         arr = f"collect_list({el}) {over}"
         sorted_ = f"array_sort({arr}, (l, r) -> {sort_cmp})"
-        idx = f"size(filter({arr}, __x -> ({pos_lt_cur})))"
+        idx = (f"(size(filter({arr}, __x -> ({pos_lt_cur}))) "
+               f"+ {_eq_before()})")
         sgn = "-" if name == "lag" else "+"
         tgt = f"({idx} + 1 {sgn} {n})"
         return (
@@ -10611,7 +10638,7 @@ def translate(sql: str) -> str:
     if get_session_setting("scalar_subquery_error_on_multiple_rows") \
             == "false":
         out = limit_scalar_subqueries(out)
-    if re.search(r"(?i)\bOFFSET\b", out) and re.search(
+    if re.search(r"(?i)\b(OFFSET|LIMIT)\b", out) and re.search(
         r"(?i)\(\s*SELECT\b", out
     ):
         out = push_scalar_subquery_offset(out)
@@ -10623,6 +10650,28 @@ def translate(sql: str) -> str:
             out,
         )
     out = rewrite_nested_comparisons(out)
+    # `FROM t WHERE (pred)`: Spark's parser reads `t WHERE (pred)` as table
+    # alias WHERE with a column list (WHERE is not reserved there) and
+    # silently renames columns. A leading non-paren token forces the
+    # WHERE-clause reading; `true AND (pred)` is identity in a boolean
+    # context (test_uncorrelated_exists_subquery.test:15 — EXISTS folds to
+    # `(true)`, producing exactly this shape).
+    wt = _tokens(out)
+    wchanged = False
+    wi = 0
+    while wi < len(wt):
+        if re.match(r"^[A-Za-z_]", wt[wi]) and wt[wi].upper() == "WHERE":
+            wn = _next_code(wt, wi + 1)
+            wp = _prev_code(wt, wi - 1)
+            if wn < len(wt) and wt[wn] == "(" and wp >= 0 and (
+                wt[wp] == ")" or re.match(r"^[A-Za-z_`\"]", wt[wp])
+            ):
+                wt[wi + 1:wi + 1] = [" ", "true", " ", "AND", " "]
+                wchanged = True
+                wi += 5
+        wi += 1
+    if wchanged:
+        out = "".join(wt)
     return out
 
 
@@ -11301,6 +11350,26 @@ def push_scalar_subquery_offset(sql: str) -> str:
         if _AGG_WORD_RE.search(proj) or re.match(r"(?is)^DISTINCT\b", proj):
             i += 1
             continue
+        if ofs < io:
+            # LIMIT-only subqueries: Spark evaluates them correctly when
+            # the projection is NOT correlated (the common greatest-per-
+            # key shape keeps its native plan) — only a correlated
+            # projection over an ordered+limited body silently evaluates
+            # the LIMIT before the outer binding
+            # (test_correlated_subquery.test:122: got i=3's value for
+            # every outer row). Detect correlation: a qualified reference
+            # whose qualifier is not a FROM-clause alias of the body.
+            body_aliases = {
+                a for a in _nestcmp_from_tables(grp[fromi:io])
+            }
+            quals = {
+                m.group(1).lower()
+                for m in re.finditer(r"\b([A-Za-z_]\w*)\s*\.\s*[A-Za-z_]",
+                                     proj)
+            }
+            if not (quals - body_aliases):
+                i += 1
+                continue
         body = "".join(grp[fromi:io]).strip()
         tail = "".join(grp[io:]).strip()
         if lim < io:

@@ -397,8 +397,10 @@ def parse_file(path: str) -> list[Record]:
 _HASH_RE = re.compile(r"^(\d+) values hashing to ([0-9a-f]{32})$")
 
 
-def format_value(v) -> str:
-    """reference result_helper.cpp:SQLLogicTestConvertValue."""
+def format_value(v, ltz: bool = False) -> str:
+    """reference result_helper.cpp:SQLLogicTestConvertValue. `ltz` marks
+    TIMESTAMPTZ columns (Spark TimestampType; session tz pinned to UTC) —
+    the reference renders those with a '+00' offset suffix."""
     import datetime
     import decimal
 
@@ -422,6 +424,8 @@ def format_value(v) -> str:
         s = v.strftime("%Y-%m-%d %H:%M:%S")
         if v.microsecond:
             s += f".{v.microsecond:06d}".rstrip("0")
+        if ltz:
+            s += "+00"
         return s
     if isinstance(v, datetime.date):
         return v.isoformat()
@@ -1303,6 +1307,10 @@ def run_file(
                         for f in df.schema.fields
                     ]
                     df = df.select(*cols)
+                from pyspark.sql import types as _TT
+
+                ltz_cols = [isinstance(f.dataType, _TT.TimestampType)
+                            for f in df.schema.fields]
                 try:
                     rows = df.collect()
                 except Exception as ce:  # noqa: BLE001
@@ -1350,7 +1358,10 @@ def run_file(
             return FileResult(
                 rel, "fail",
                 f"line {rec.line}: column count {len(rows[0])} != {ncols}", n)
-        actual = [format_value(v) for r in rows for v in r]
+        actual = [
+            format_value(v, ltz=(k < len(ltz_cols) and ltz_cols[k]))
+            for r in rows for k, v in enumerate(r)
+        ]
         if rec.sort == "rowsort":
             actual = _rowsorted(actual, ncols)
         elif rec.sort == "valuesort":
