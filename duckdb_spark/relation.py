@@ -941,6 +941,11 @@ class Connection:
                 or "SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_AGGREGATE" in msg
                 or "AGGREGATE_FUNCTION_MIXED_OUTER_LOCAL" in msg
                 or "CORRELATED_COLUMN_NOT_ALLOWED" in msg
+                or "MISSING_GROUP_BY" in msg
+                # two-level-deep correlation surfaces as a plain unresolved
+                # column (Spark only binds outer refs one level up)
+                or ("UNRESOLVED_COLUMN" in msg
+                    and re.search(r"(?i)\(\s*SELECT\b", query))
             ) and not getattr(self, "_in_decorrelate", False):
                 # deep correlation Catalyst won't decorrelate — manual
                 # flatten_dependent_join fallback (sql/decorrelate.py)

@@ -2814,8 +2814,10 @@ def _inline_fromless_subqueries(toks: list[str]) -> list[str]:
                 if pfn >= 0 and re.match(r"^[A-Za-z_`\"]", out[pfn]) and \
                         out[pfn].upper() not in _FROMLESS_GUARD_PREV:
                     # function-call argument list: expression context even
-                    # inside FROM (unnest((SELECT a)), range((SELECT n)))
-                    base = "SELECT"
+                    # inside FROM (unnest((SELECT a)), range((SELECT n)));
+                    # a WHERE context stays WHERE for aggregate folding
+                    if base in ("FROM", "JOIN", "USING"):
+                        base = "SELECT"
                 depth_ctx.append(base)
                 ctx.append(base)
                 nn = _next_code(out, i + 1)
@@ -2850,7 +2852,8 @@ def _inline_fromless_subqueries(toks: list[str]) -> list[str]:
                                                     "INTERSECT"):
                             guarded = True
                     if not guarded and close > 0:
-                        repl = _fromless_repl(out, nn, close)
+                        repl = _fromless_repl(
+                            out, nn, close, in_where=(ctx[-2] == "WHERE"))
                         if repl is not None:
                             out[i:close + 1] = _tokens(repl)
                             n_t = len(out)
@@ -2870,9 +2873,12 @@ def _inline_fromless_subqueries(toks: list[str]) -> list[str]:
                 up = t.upper()
                 if up in ("FROM", "JOIN", "USING"):
                     ctx[-1] = "FROM" if up != "USING" else "USING"
-                elif up in ("SELECT", "WHERE", "HAVING", "QUALIFY", "ON",
-                            "GROUP", "ORDER", "LIMIT", "SET", "WHEN",
-                            "THEN", "ELSE", "RETURNING"):
+                elif up in ("WHERE", "HAVING", "QUALIFY", "ON"):
+                    # runtime-predicate context: FROM-less aggregates fold
+                    # over the single implicit row instead of hoisting
+                    ctx[-1] = "WHERE"
+                elif up in ("SELECT", "GROUP", "ORDER", "LIMIT", "SET",
+                            "WHEN", "THEN", "ELSE", "RETURNING"):
                     ctx[-1] = "SELECT"
             i += 1
         if not changed:
@@ -2908,9 +2914,50 @@ def _fromless_exists_cond(toks: list[str], sel: int, close: int) -> str | None:
     return f"coalesce(cast(({cond}) as boolean), false)"
 
 
-def _fromless_repl(toks: list[str], sel: int, close: int) -> str | None:
+_ONE_ROW_AGGS = {"sum", "min", "max", "avg", "first", "last", "any_value"}
+
+
+def _fold_single_row_aggs(expr: str) -> str | None:
+    """Aggregates over a FROM-less SELECT's single implicit row: sum(x)
+    is x, count(x) is 0-or-1 (reference binder: a FROM-less select is one
+    row; `WHERE i=(SELECT SUM(1))` compares against 1,
+    test_uncorrelated_scalar_subquery.test:20). None if no fold applies."""
+    toks = _tokens(expr)
+    out = list(toks)
+    changed = False
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if re.match(r"^[A-Za-z_]", t):
+            low = t.lower()
+            j = _next_code(out, i + 1)
+            if j < len(out) and out[j] == "(":
+                c = _match_paren(out, j)
+                if c > 0 and low in _ONE_ROW_AGGS:
+                    arg = "".join(out[j + 1:c]).strip()
+                    arg = re.sub(r"(?is)^DISTINCT\s+", "", arg)
+                    out[i:c + 1] = _tokens(f"({arg})")
+                    changed = True
+                    continue
+                if c > 0 and low == "count":
+                    arg = "".join(out[j + 1:c]).strip()
+                    arg = re.sub(r"(?is)^DISTINCT\s+", "", arg)
+                    repl = ("1" if arg == "*"
+                            else f"(CASE WHEN ({arg}) IS NULL THEN 0 "
+                                 f"ELSE 1 END)")
+                    out[i:c + 1] = _tokens(repl)
+                    changed = True
+                    continue
+        i += 1
+    return "".join(out) if changed else None
+
+
+def _fromless_repl(toks: list[str], sel: int, close: int,
+                   in_where: bool = False) -> str | None:
     """Inline text for a FROM-less `(SELECT …)` span, or None if the body
-    has clauses/extra items that make it a real subquery."""
+    has clauses/extra items that make it a real subquery. With in_where,
+    aggregate calls fold over the single implicit row instead of hoisting
+    into the enclosing scope (which a predicate context cannot do)."""
     if any(re.match(r"^[A-Za-z_]", t) and t.upper() == "UNNEST"
            for t in toks[sel + 1:close]):
         # (SELECT UNNEST(arr)) as a SCALAR is the array's single element
@@ -2981,6 +3028,10 @@ def _fromless_repl(toks: list[str], sel: int, close: int) -> str | None:
     expr = "".join(toks[sel + 1:close]).strip()
     if not expr or expr == "*":
         return None
+    if in_where and _AGG_WORD_RE.search(expr):
+        folded = _fold_single_row_aggs(expr)
+        if folded is not None:
+            return f"(({folded}))"
     return f"(({expr}))"
 
 
@@ -4793,8 +4844,12 @@ def _rewrite_quantified_region(
         if x.startswith("(") and x.endswith(")") and _has_top_level_comma(
             _tokens(x[1:-1])
         ):
-            if op in (">", ">=", "<", "<="):
-                # lexicographic row comparison: one struct each side
+            if op in (">", ">=", "<", "<=", "<>"):
+                # lexicographic / whole-row comparison: one struct each
+                # side (for <> the struct operands are picked up by the
+                # nested-comparison pass, which supplies the reference's
+                # 3-valued NULL-member semantics —
+                # test_row_not_equal_any_null_semantics.test)
                 comps = [e.strip() for e in _split_top_args(_tokens(x[1:-1]))]
                 xs = ["named_struct(" + ", ".join(
                     f"'col{n + 1}', {e}" for n, e in enumerate(comps)) + ")"]
@@ -4814,14 +4869,69 @@ def _rewrite_quantified_region(
                 continue
             else:
                 xs = [e.strip() for e in _split_top_args(_tokens(x[1:-1]))]
-        elif rm and op == "=" and n_sub > 1:
-            xs = [e.strip() for e in _split_top_args(_tokens(rm.group(1)))]
+        elif rm and n_sub > 1:
+            comps = [e.strip() for e in _split_top_args(_tokens(rm.group(1)))]
+            if op == "=":
+                xs = comps
+            else:
+                # ordering / <> with an explicit ROW(...) constructor:
+                # struct-fold both sides (test_row_comparison_any_all
+                # .test:173 `ROW(0, 0) < ANY(SELECT 1, 0)`)
+                xs = ["named_struct(" + ", ".join(
+                    f"'col{n + 1}', {e}" for n, e in enumerate(comps)) + ")"]
+                wrapped = _struct_wrap_select(sub)
+                if wrapped == sub:
+                    rcols = [f"__r{n}" for n in range(len(comps))]
+                    ns = "named_struct(" + ", ".join(
+                        f"'col{n + 1}', {c}" for n, c in enumerate(rcols)
+                    ) + ")"
+                    wrapped = (f"SELECT {ns} FROM ({sub}) "
+                               f"__q_row({', '.join(rcols)})")
+                sub = wrapped
+                n_sub = 1
+        elif re.match(r"(?is)^named_struct\s*\(", x) and n_sub > 1:
+            # tuple-literal pass already folded the row LHS into a
+            # named_struct; wrap the multi-column subquery the same way
+            # and compare whole structs (test_row_not_equal_any_null
+            # _semantics.test, test_row_comparison_any_all.test:157)
+            xs = [x]
+            sub = _struct_wrap_select(sub)
+            n_sub = 1
         else:
             xs = [x]
         if len(xs) > 1 and n_sub == 1:
             # row LHS against ONE (struct-valued) subquery column:
             # compare whole structs instead of per-component
             item = _span[2][0].strip() if _span else ""
+            if item == "*":
+                if only_unfoldable and not (
+                    (op == "=" and is_quant and t.upper() == "ALL")
+                    or (op == "<>" and is_quant and t.upper() != "ALL")
+                    or op in (">", ">=", "<", "<=")
+                ):
+                    i = close + 1
+                    continue
+                # star subquery: column count is invisible here — alias
+                # positionally with the row's arity and wrap in a struct
+                rcols = [f"__r{n}" for n in range(len(xs))]
+                ns = "named_struct(" + ", ".join(
+                    f"'col{n + 1}', {c}" for n, c in enumerate(rcols)
+                ) + ")"
+                sub = (f"SELECT {ns} FROM ({sub}) "
+                       f"__q_row({', '.join(rcols)})")
+                xs = ["named_struct(" + ", ".join(
+                    f"'col{n + 1}', {e}" for n, e in enumerate(xs)) + ")"]
+                repl = _quantified_repl(xs, op, (
+                    "ALL" if (is_quant and t.upper() == "ALL") else "ANY"
+                ), sub)
+                if negated:
+                    repl = f"(not {repl})"
+                removed = close + 1 - start
+                out[start:close + 1] = [repl]
+                delta -= removed - 1
+                end -= removed - 1
+                i = start + 1
+                continue
             im = re.match(r"(?is)^(?:row|struct)\s*\((.*)\)$", item)
             if im is None and item.startswith("(") and item.endswith(")"):
                 im = re.match(r"(?s)^\((.*)\)$", item)
