@@ -264,3 +264,48 @@ def read_file(spark: SparkSession, path: str) -> DataFrame:
     """Alias surface: reference registers read_text/read_blob from
     read_file.cpp; read_file behaves as read_blob."""
     return read_blob(spark, path)
+
+
+def csv_for_copy_from(spark, path: str, opts: str, target_names,
+                      target_ducktypes=None):
+    """CSV source for COPY <table> FROM: DuckDB auto-detects the header
+    row (reference read_csv auto_detect). Emulate: read headerless, and
+    promote the first row to a header when it matches the target column
+    names OR fails a DuckDB TRY_CAST probe against the target types
+    (cast/string_to_list_cast.test writes one file with the default
+    expression-name header and one with HEADER 0)."""
+    import re as _re
+
+    hm = _re.search(r"(?i)\bHEADER\s+'?(\w+)'?", opts)
+    if hm:
+        hdr = hm.group(1).lower() in ("1", "true", "on")
+        return spark.read.option("header", str(hdr).lower()).csv(path)
+    df = spark.read.option("header", "false").csv(path)
+    first = df.limit(1).collect()
+    is_header = False
+    if first:
+        tl = [str(t).lower() for t in target_names]
+        vals = list(first[0])
+        if [str(v).lower() for v in vals] == tl[:len(vals)]:
+            is_header = True
+        elif target_ducktypes:
+            try:
+                import duckdb as _dk
+
+                con = _dk.connect()
+                for v, dt in zip(vals, target_ducktypes):
+                    if v is None or _re.match(r"(?i)^\s*(varchar|string|"
+                                              r"text)", dt):
+                        continue
+                    probe = con.execute(
+                        f"SELECT TRY_CAST(? AS {dt})", [str(v)]
+                    ).fetchone()[0]
+                    if probe is None:
+                        is_header = True
+                        break
+                con.close()
+            except Exception:  # noqa: BLE001 — keep headerless reading
+                pass
+    if is_header:
+        return spark.read.option("header", "true").csv(path)
+    return df

@@ -384,6 +384,50 @@ class Connection:
             copy_to(df, path, format=fmt, partition_by=part)
             return Relation(self.spark.createDataFrame(
                 [(n,)], "Count: bigint"))
+        # COPY <table> FROM 'path' [(opts)] — import side of COPY
+        # (reference physical_copy_to_file.cpp's read counterpart): load
+        # by format and INSERT into the managed table; string-rendered
+        # nested values go through the runtime text-cast retry.
+        m = re.match(
+            r"(?is)^\s*COPY\s+([\w\".]+)\s+FROM\s+'([^']+)'\s*"
+            r"(?:\((.*)\))?\s*;?\s*$",
+            query,
+        )
+        if m:
+            name, path, opts = m.group(1).strip('"'), m.group(2), \
+                m.group(3) or ""
+            fm = re.search(r"(?i)\bFORMAT\s+'?(\w+)'?", opts)
+            fmt = (fm.group(1).lower() if fm
+                   else {"csv": "csv", "json": "json", "ndjson": "json"}.get(
+                       path.rsplit(".", 1)[-1].lower(), "parquet"))
+            target = self.spark.table(name).schema
+            if fmt == "csv":
+                from duckdb_spark.io.readers import csv_for_copy_from
+
+                from duckdb_spark.types import spark_type_to_duckdb as _s2d
+
+                src = csv_for_copy_from(
+                    self.spark, path, opts,
+                    [f.name for f in target.fields],
+                    [_s2d(f.dataType) for f in target.fields])
+            elif fmt == "json":
+                src = self.spark.read.json(path)
+            else:
+                src = self.spark.read.parquet(path)
+            Connection._tvf_seq += 1
+            view = f"__copy_from_{Connection._tvf_seq}"
+            src.createOrReplaceTempView(view)
+            from duckdb_spark.types import spark_type_to_duckdb
+
+            sel = ", ".join(
+                f"CAST(\"{s}\" AS {spark_type_to_duckdb(f.dataType)}) "
+                f"AS \"{f.name}\""
+                for s, f in zip(src.columns, target.fields)
+            )
+            n = src.count()
+            self.sql(f"INSERT INTO \"{name}\" SELECT {sel} FROM {view}")
+            return Relation(self.spark.createDataFrame(
+                [(n,)], "Count: bigint"))
         # DESCRIBE / SUMMARIZE of a CTE in FROM position:
         # `WITH c AS (...) FROM (DESCRIBE TABLE c)` (cte_describe.test)
         m = re.match(

@@ -1937,8 +1937,12 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
             if mtrunc:
                 unit = ("MILLISECOND" if mtrunc.group(1).upper() == "MS"
                         else "SECOND")
+                # NTZ result: Spark's date_trunc returns the instant type,
+                # whose renderer adds the +00 offset the reference's
+                # tz-naive TIMESTAMP_MS/_S never shows
                 out.extend(_tokens(
-                    f"date_trunc('{unit}', CAST({operand} AS timestamp))"))
+                    f"CAST(date_trunc('{unit}', CAST({operand} AS "
+                    f"timestamp)) AS TIMESTAMP_NTZ)"))
                 continue
             target = _map_type(rawty)
             # DuckDB float→int casts ROUND (half away from zero); Spark
@@ -9548,12 +9552,47 @@ def _rewrite_cast_types(toks: list[str]) -> list[str]:
                     f"Conversion Error: Cannot cast list of size "
                     f"{inner_n2} to array of size {mfix2.group(2)}"
                 )
+        if re.match(r"(?i)^(TIMESTAMP(_MS|_NS|_S|TZ)?|DATE|DATETIME|"
+                    r"TIMESTAMP WITH TIME ZONE)$", ty.strip()) and \
+                re.fullmatch(r"(?i)\s*'([+-]?infinity)'\s*",
+                             operand or ""):
+            # ±infinity temporals have no Spark representation; the corpus
+            # only renders them back to text (test_string_cast.test:236) —
+            # fold the cast to its canonical text
+            lit = re.sub(r"(?i)^\+", "", operand.strip().strip("'").lower())
+            out[i:close + 1] = [f"'{lit}'"]
+            i += 1
+            continue
         mtrunc = re.match(r"(?i)^TIMESTAMP_(MS|S)$", ty.strip())
         if mtrunc:
             unit = "MILLISECOND" if mtrunc.group(1).upper() == "MS" else "SECOND"
             kw = out[i]
+            # TIMESTAMP_MS/_S are tz-naive in the reference — NTZ, or the
+            # renderer would add the TIMESTAMPTZ offset suffix
             out[i:close + 1] = _tokens(
-                f"date_trunc('{unit}', {kw}({operand} AS timestamp))")
+                f"CAST(date_trunc('{unit}', {kw}({operand} AS timestamp))"
+                f" AS TIMESTAMP_NTZ)")
+            i += 1
+            continue
+        if re.match(r"(?i)^TIMESTAMP_NS$", ty.strip()) and re.match(
+            r"(?is)^\s*TIMESTAMP\b|.*\bAS\s+TIMESTAMP\b", operand.strip()
+        ):
+            # ns range check: the int64-nanos carrier overflows past
+            # 2262-04-11 23:47:16.854775 (reference timestamp_t ns
+            # conversion; timestamp_casts.test:34 — TRY_CAST → NULL,
+            # CAST → Conversion Error). In-range values keep the µs
+            # timestamp (ns truncated to µs, documented SURVEY §1.2).
+            kw = out[i].upper()
+            over = (f"abs(unix_micros(CAST(({operand}) AS TIMESTAMP_LTZ)))"
+                    f" > 9223372036854775")
+            if kw == "TRY_CAST":
+                bad = "CAST(NULL AS TIMESTAMP_NTZ)"
+            else:
+                bad = ("CAST(raise_error('Conversion Error: timestamp "
+                       "out of TIMESTAMP_NS range') AS TIMESTAMP_NTZ)")
+            out[i:close + 1] = _tokens(
+                f"(CASE WHEN {over} THEN {bad} "
+                f"ELSE CAST(({operand}) AS TIMESTAMP_NTZ) END)")
             i += 1
             continue
         mapped = _map_type(ty)
@@ -11538,7 +11577,7 @@ _NESTCMP_BOUND = {
     "ANY", "SOME", "EXISTS", "JOIN", "INNER", "LEFT", "RIGHT", "FULL",
     "CROSS", "NATURAL", "USING", "VALUES", "RETURNING", "SET", "COLLATE",
     "OVER", "PARTITION", "FILTER", "ESCAPE", "ASC", "DESC", "NULLS",
-    "FIRST", "LAST", "INSERT", "UPDATE", "RETURNS", "CAST",
+    "FIRST", "LAST", "INSERT", "UPDATE", "RETURNS",
 }
 _NESTCMP_ALIAS_STOP = {
     "WHERE", "GROUP", "ORDER", "ON", "JOIN", "LEFT", "RIGHT", "INNER",

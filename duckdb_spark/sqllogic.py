@@ -777,6 +777,44 @@ class SLSession:
                 return None
             if isinstance(handled, str):
                 return self._execute_one(handled)
+        # COPY <table> FROM 'path' against a harness-store table: load the
+        # file and re-dispatch as INSERT INTO … SELECT so the driver-side
+        # table store sees the mutation (cast/string_to_list_cast.test:471)
+        cm = re.match(
+            r"(?is)^\s*COPY\s+([\w\".]+)\s+FROM\s+'([^']+)'\s*"
+            r"(?:\((.*)\))?\s*$", sql,
+        )
+        if cm and _flat(cm.group(1)) in self.tables:
+            from duckdb_spark.types import spark_type_to_duckdb
+
+            name, path, opts = _flat(cm.group(1)), cm.group(2), \
+                cm.group(3) or ""
+            fm2 = re.search(r"(?i)\bFORMAT\s+'?(\w+)'?", opts)
+            fmt = (fm2.group(1).lower() if fm2
+                   else {"csv": "csv", "json": "json"}.get(
+                       path.rsplit(".", 1)[-1].lower(), "parquet"))
+            schema0, _ = self.tables[name]
+            if fmt == "csv":
+                from duckdb_spark.io.readers import csv_for_copy_from
+
+                src = csv_for_copy_from(
+                    self.spark, path, opts,
+                    [f.name for f in schema0.fields],
+                    [spark_type_to_duckdb(f.dataType)
+                     for f in schema0.fields])
+            elif fmt == "json":
+                src = self.spark.read.json(path)
+            else:
+                src = self.spark.read.parquet(path)
+            view = f"__copy_from_{id(self) % 100000}_{len(self.tables)}"
+            src.createOrReplaceTempView(view)
+            sel = ", ".join(
+                f"CAST(\"{s}\" AS {spark_type_to_duckdb(f.dataType)}) "
+                f"AS \"{f.name}\""
+                for s, f in zip(src.columns, schema0.fields)
+            )
+            return self._execute_one(
+                f'INSERT INTO "{name}" SELECT {sel} FROM {view}')
         # WITH … INSERT/DELETE/UPDATE (reference: DML statements accept a
         # leading CTE list, including DML CTEs with RETURNING —
         # cte/insert_cte_bug_3417.test, cte/materialized/
