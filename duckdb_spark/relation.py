@@ -1004,6 +1004,100 @@ class Connection:
                     pass
                 finally:
                     self._in_decorrelate = False
+            if (
+                ("UNEXPECTED_INPUT_TYPE" in msg
+                 or "BINARY_OP_DIFF_TYPES" in msg)
+                and '"BIGINT"' in msg and "INTERVAL" in msg
+            ):
+                # TIME carrier (µs-of-day BIGINT) ± INTERVAL: add the
+                # interval's micros and wrap within the day (reference
+                # time + interval arithmetic, interval.cpp; DuckDB has no
+                # legal bare BIGINT ± INTERVAL, so this shape can only
+                # come from the TIME emulation)
+                from duckdb_spark.sql.dialect import (
+                    _match_paren as _mp,
+                    _next_code as _nc,
+                    _tokens as _tk,
+                )
+
+                toks3 = _tk(translate(query))
+                changed3 = False
+                k3 = 0
+                while k3 < len(toks3):
+                    if toks3[k3] not in ("+", "-"):
+                        k3 += 1
+                        continue
+                    nx3 = _nc(toks3, k3 + 1)
+                    if nx3 < len(toks3) and toks3[nx3] == "(":
+                        # parenthesized interval expression, e.g. the
+                        # translated forms (INTERVAL '01' HOUR * range) or
+                        # ((range) * INTERVAL '1' HOUR)
+                        c3 = _mp(toks3, nx3)
+                        if not (c3 > 0 and any(
+                            re.match(r"^[A-Za-z_]", t0)
+                            and t0.upper() == "INTERVAL"
+                            for t0 in toks3[nx3 + 1:c3]
+                        )):
+                            k3 += 1
+                            continue
+                        j3 = c3
+                    elif not (nx3 < len(toks3)
+                              and re.match(r"^[A-Za-z_]", toks3[nx3])
+                              and toks3[nx3].upper() == "INTERVAL"):
+                        k3 += 1
+                        continue
+                    else:
+                        # interval expr extends to the unit word (or a
+                        # paren group + unit): INTERVAL <n|(e)> <UNIT>
+                        j3 = _nc(toks3, nx3 + 1)
+                        if j3 < len(toks3) and toks3[j3] == "(":
+                            c3 = _mp(toks3, j3)
+                            j3 = _nc(toks3, c3 + 1) if c3 > 0 else j3
+                        elif j3 < len(toks3):
+                            j3 = _nc(toks3, j3 + 1)
+                        if not (j3 < len(toks3)
+                                and re.match(r"^[A-Za-z_']", toks3[j3])):
+                            k3 += 1
+                            continue
+                    iv = "".join(toks3[nx3:j3 + 1])
+                    sign = toks3[k3]
+                    ivm = (f"unix_micros(CAST('1970-01-01 00:00:00' AS "
+                           f"TIMESTAMP) + ({iv}))")
+                    repl3 = _tk(f"{sign} {ivm}, 86400000000) ")
+                    toks3[k3:j3 + 1] = repl3
+                    # wrap the LHS in pmod(: walk left one balanced unit
+                    ls3 = k3 - 1
+                    depth3 = 0
+                    while ls3 >= 0:
+                        t3 = toks3[ls3]
+                        if t3.isspace():
+                            ls3 -= 1
+                            continue
+                        if t3 == ")":
+                            depth3 += 1
+                        elif t3 == "(":
+                            if depth3 == 0:
+                                break
+                            depth3 -= 1
+                        elif depth3 == 0 and (
+                            t3 == "," or (re.match(r"^[A-Za-z_]", t3)
+                                          and t3.upper() in (
+                                "SELECT", "WHERE", "AND", "OR", "WHEN",
+                                "THEN", "ELSE", "BY", "FROM",
+                            ))
+                        ):
+                            break
+                        ls3 -= 1
+                    toks3[ls3 + 1:ls3 + 1] = [" ", "pmod", "(", " "]
+                    changed3 = True
+                    # continue past everything just inserted (the ivm text
+                    # contains a '+' the scan must not re-match)
+                    k3 += len(repl3) + 4
+                if changed3:
+                    try:
+                        return Relation(self.spark.sql("".join(toks3)))
+                    except Exception:  # noqa: BLE001 — keep original
+                        pass
             if "FILTER_NOT_BOOLEAN" in msg:
                 # DuckDB autocasts numerics in boolean contexts (WHERE c0
                 # with DOUBLE c0: nonzero → true, reference

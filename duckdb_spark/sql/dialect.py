@@ -5206,7 +5206,7 @@ def _fold_time_literals(sql: str) -> str:
     emulation, SURVEY §1.2; Spark has no TIME type)."""
     return re.sub(
         r"(?i)\bTIME\s*'([^']*)'",
-        lambda m: f"CAST({_parse_time_us(m.group(1))} AS BIGINT)",
+        lambda m: f"__dktm(CAST({_parse_time_us(m.group(1))} AS BIGINT))",
         sql,
     )
 
@@ -5322,7 +5322,7 @@ def _fold_const_string_int_casts(toks: list[str]) -> list[str]:
         tyname = out[ty].upper()
         if tyname == "TIME":
             us = _parse_time_us(out[lit][1:-1])
-            out[i:close + 1] = [f"CAST({us} AS BIGINT)"]
+            out[i:close + 1] = [f"__dktm(CAST({us} AS BIGINT))"]
             i += 1
             continue
         if tyname not in _INT_TYPE_NAMES:
@@ -9563,6 +9563,16 @@ def _rewrite_cast_types(toks: list[str]) -> list[str]:
             out[i:close + 1] = [f"'{lit}'"]
             i += 1
             continue
+        if re.match(r"(?i)^TIME$", ty.strip()) and operand and \
+                not re.match(r"(?is)^\s*'", operand.strip()):
+            # TIME over a non-literal operand: micros-of-day on the BIGINT
+            # carrier (Spark parses the TIME type but cannot execute it —
+            # UNSUPPORTED_TIME_TYPE; literal casts fold in textcast)
+            out[i:close + 1] = _tokens(
+                f"__dktm(pmod(unix_micros(CAST(({operand}) AS "
+                f"TIMESTAMP_LTZ)), 86400000000))")
+            i += 1
+            continue
         mtrunc = re.match(r"(?i)^TIMESTAMP_(MS|S)$", ty.strip())
         if mtrunc:
             unit = "MILLISECOND" if mtrunc.group(1).upper() == "MS" else "SECOND"
@@ -10799,6 +10809,7 @@ def translate(sql: str) -> str:
             out,
         )
     out = rewrite_nested_comparisons(out)
+    out = rewrite_time_outputs(out)
     # `FROM t WHERE (pred)`: Spark's parser reads `t WHERE (pred)` as table
     # alias WHERE with a column list (WHERE is not reserved there) and
     # silently renames columns. A leading non-paren token forces the
@@ -11867,6 +11878,209 @@ def check_duplicate_from_aliases(toks: list[str]) -> None:
                 i = j if j > i else i + 1
                 continue
         i += 1
+
+
+_TM_SAFE_FNS = {
+    "__dktm", "median", "avg", "min", "max", "mode", "first", "last",
+    "any_value", "lag", "lead", "pmod", "coalesce", "least", "greatest",
+}
+
+
+def rewrite_time_outputs(sql: str) -> str:
+    """TIME render parity. The TIME emulation carries µs-since-midnight
+    BIGINTs; fold sites mark them `__dktm(...)`. This pass (a) folds
+    marker ± INTERVAL arithmetic into day-wrapped micros at translate
+    time, (b) wraps top-level SELECT items that ARE TIME values (the
+    marker itself, or a value-preserving aggregate over one) in a text
+    formatter so they render 'HH:MM:SS[.ffffff]' like the reference
+    (test_scalar_aggr.test:42, test_mode.test:146), and (c) strips the
+    remaining markers so every other use stays a plain BIGINT."""
+    if "__dktm" not in sql:
+        return sql
+    toks = _tokens(sql)
+    # (a) __dktm(X) ± INTERVAL … → __dktm(pmod(X ± iv_us, day))
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if not (re.match(r"^[A-Za-z_]", t) and t == "__dktm"):
+            i += 1
+            continue
+        op = _next_code(toks, i + 1)
+        close = _match_paren(toks, op) if op < len(toks) and \
+            toks[op] == "(" else -1
+        if close < 0:
+            i += 1
+            continue
+        sgn = _next_code(toks, close + 1)
+        if not (sgn < len(toks) and toks[sgn] in ("+", "-")):
+            i += 1
+            continue
+        nx = _next_code(toks, sgn + 1)
+        j = -1
+        if nx < len(toks) and toks[nx] == "(":
+            c2 = _match_paren(toks, nx)
+            if c2 > 0 and any(
+                re.match(r"^[A-Za-z_]", t2) and t2.upper() == "INTERVAL"
+                for t2 in toks[nx + 1:c2]
+            ):
+                j = c2
+        elif nx < len(toks) and re.match(r"^[A-Za-z_]", toks[nx]) and \
+                toks[nx].upper() == "INTERVAL":
+            j = _next_code(toks, nx + 1)
+            if j < len(toks) and toks[j] == "(":
+                c2 = _match_paren(toks, j)
+                j = _next_code(toks, c2 + 1) if c2 > 0 else -1
+            elif j < len(toks):
+                j = _next_code(toks, j + 1)
+            if not (0 <= j < len(toks)
+                    and re.match(r"^[A-Za-z_']", toks[j])):
+                j = -1
+        if j < 0:
+            i += 1
+            continue
+        base = "".join(toks[op + 1:close])
+        iv = "".join(toks[nx:j + 1])
+        sign = toks[sgn]
+        ivm = (f"unix_micros(CAST('1970-01-01 00:00:00' AS TIMESTAMP) "
+               f"+ ({iv}))")
+        toks[i:j + 1] = _tokens(
+            f"__dktm(pmod(({base}) {sign} {ivm}, 86400000000))")
+        i += 1
+    # (a2) unit extraction over TIME markers: hour(t) / date_part('h', t)
+    # compute from micros-of-day (reference time_part functions)
+    _UNIT_EXPR = {
+        "hour": "CAST(floor({x}/3600000000) AS BIGINT) % 24",
+        "minute": "CAST(floor({x}/60000000) AS BIGINT) % 60",
+        "second": "CAST(floor({x}/1000000) AS BIGINT) % 60",
+        "millisecond": "CAST(floor({x}/1000) AS BIGINT) % 60000",
+        "microsecond": "CAST(({x}) AS BIGINT) % 60000000",
+        "epoch": "CAST(({x}) AS DOUBLE) / 1000000",
+    }
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if not re.match(r"^[A-Za-z_]", t):
+            i += 1
+            continue
+        low = t.lower()
+        op = _next_code(toks, i + 1)
+        if op >= len(toks) or toks[op] != "(":
+            i += 1
+            continue
+        close = _match_paren(toks, op)
+        if close < 0:
+            i += 1
+            continue
+        inner = toks[op + 1:close]
+        unit = None
+        argtoks = None
+        if low in ("date_part", "datepart") :
+            args = _split_top_args(inner)
+            if len(args) == 2 and re.fullmatch(
+                r"'(\w+)s?'", args[0].strip().lower()
+            ):
+                u = args[0].strip().strip("'").lower().rstrip("s")
+                if u in _UNIT_EXPR and "__dktm" in args[1]:
+                    unit, argtoks = u, args[1]
+        elif low.rstrip("s") in _UNIT_EXPR:
+            a = "".join(inner)
+            if "__dktm" in a:
+                unit, argtoks = low.rstrip("s"), a
+        if unit is not None:
+            x = argtoks.replace("__dktm", "")
+            toks[i:close + 1] = _tokens(
+                "(" + _UNIT_EXPR[unit].format(x=f"({x})") + ")")
+            i += 1
+            continue
+        i += 1
+    # (b) wrap TIME-valued top-level select items in the text formatter
+    sel_at = -1
+    depth = 0
+    for k, t in enumerate(toks):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and re.match(r"^[A-Za-z_]", t) and \
+                t.upper() == "SELECT":
+            sel_at = k
+            break
+    if sel_at >= 0:
+        fr = len(toks)
+        depth = 0
+        for k in range(sel_at + 1, len(toks)):
+            t = toks[k]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and re.match(r"^[A-Za-z_]", t) and t.upper() in (
+                "FROM", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+                "UNION", "EXCEPT", "INTERSECT", "QUALIFY", "WINDOW",
+            ):
+                fr = k
+                break
+        items = []
+        st = _next_code(toks, sel_at + 1)
+        if st < fr and re.match(r"^[A-Za-z_]", toks[st]) and \
+                toks[st].upper() == "DISTINCT":
+            st = _next_code(toks, st + 1)
+        depth = 0
+        for k in range(st, fr):
+            t = toks[k]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif t == "," and depth == 0:
+                items.append((st, k))
+                st = k + 1
+        items.append((st, fr))
+
+        def _fmt(x: str) -> str:
+            m = f"CAST(round({x}) AS BIGINT)"
+            return (
+                f"CASE WHEN ({x}) IS NULL THEN CAST(NULL AS STRING) ELSE "
+                f"concat("
+                f"lpad(CAST(CAST(floor(({x})/3600000000) AS BIGINT) AS "
+                f"STRING), 2, '0'), ':', "
+                f"lpad(CAST(CAST(floor(({x})/60000000) AS BIGINT) % 60 AS "
+                f"STRING), 2, '0'), ':', "
+                f"lpad(CAST(CAST(floor(({x})/1000000) AS BIGINT) % 60 AS "
+                f"STRING), 2, '0'), "
+                f"CASE WHEN {m} % 1000000 = 0 THEN '' ELSE "
+                f"regexp_replace(concat('.', lpad(CAST({m} % 1000000 AS "
+                f"STRING), 6, '0')), '0+$', '') END) END"
+            )
+
+        for a, b in reversed(items):
+            text = "".join(toks[a:b]).strip()
+            if "__dktm" not in text:
+                continue
+            malias = re.search(r"(?is)\s+AS\s+([A-Za-z_]\w*)\s*$", text)
+            expr = text[:malias.start()] if malias else text
+            alias = f" AS {malias.group(1)}" if malias else ""
+            body = expr.strip()
+            while body.startswith("(") and body.endswith(")") and \
+                    _balanced(body[1:-1]):
+                body = body[1:-1].strip()
+            fm = re.match(r"^([A-Za-z_]\w*)\s*\(", body)
+            if not (fm and fm.group(1).lower() in _TM_SAFE_FNS
+                    and body.endswith(")")):
+                continue
+            # the call must span the WHOLE item (`__dktm(a) > __dktm(b)`
+            # is a boolean, not a TIME)
+            bt = _tokens(body)
+            p0 = _next_code(bt, 1)
+            if bt and bt[0] == fm.group(1):
+                c0 = _match_paren(bt, p0) if p0 < len(bt) and \
+                    bt[p0] == "(" else -1
+                if c0 < 0 or _next_code(bt, c0 + 1) < len(bt):
+                    continue
+            toks[a:b] = _tokens(
+                " " + _fmt(expr.replace("__dktm", "")) + alias + " ")
+    out = "".join(toks).replace("__dktm", "")
+    return out
 
 
 def rewrite_nested_comparisons(sql: str) -> str:

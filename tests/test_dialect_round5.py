@@ -164,9 +164,14 @@ def test_null_cast_chain(con):
 
 
 def test_time_literal(con):
-    # TIME is the µs-since-midnight emulation (SURVEY §1.2)
+    # TIME is the µs-since-midnight emulation internally (SURVEY §1.2);
+    # a TIME-valued OUTPUT column renders the reference's text form
+    # (round 8: rewrite_time_outputs)
     r = _vals(con, "SELECT TIME '00:00:01' AS t")
-    assert r == [(1_000_000,)]
+    assert r == [("00:00:01",)]
+    # non-output positions keep the µs carrier
+    r = _vals(con, "SELECT TIME '00:00:01' = TIME '00:00:01'")
+    assert r == [(True,)]
 
 
 # ---------------------------------------------------- FROM-first / TABLE
