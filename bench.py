@@ -178,7 +178,7 @@ def main() -> None:
             sf1_timings = run_pass(spark, q, names, SF1_DIR)
             # Per-query cross-check against the same pass's sf0.1 time:
             # the fixture grows 10×, so a query whose sf1 time exceeds
-            # 15× its sf0.1 time (with a 2s absolute floor for job-launch
+            # 12× its sf0.1 time (with a 2s absolute floor for job-launch
             # noise) was almost certainly contaminated — rerun it once
             # and keep the better median rather than committing the
             # outlier (VERDICT r07 item 7: q21 published 21.1s, clean
@@ -186,7 +186,7 @@ def main() -> None:
             reruns = []
             for name, t1 in list(sf1_timings.items()):
                 t0 = timings.get(name, 0.0)
-                if t1 > 2.0 and t0 > 0 and t1 / t0 > 15.0:
+                if t1 > 2.0 and t0 > 0 and t1 / t0 > 12.0:
                     redo = run_pass(spark, q, [name], SF1_DIR)[name]
                     sf1_timings[name] = min(t1, redo)
                     reruns.append(

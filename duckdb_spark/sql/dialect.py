@@ -10808,6 +10808,7 @@ def translate(sql: str) -> str:
             r"TABLESAMPLE (\2) AS \1",
             out,
         )
+    out = rewrite_struct_concat(out)
     out = rewrite_nested_comparisons(out)
     out = rewrite_time_outputs(out)
     # `FROM t WHERE (pred)`: Spark's parser reads `t WHERE (pred)` as table
@@ -11878,6 +11879,125 @@ def check_duplicate_from_aliases(toks: list[str]) -> None:
                 i = j if j > i else i + 1
                 continue
         i += 1
+
+
+def rewrite_struct_concat(sql: str) -> str:
+    """struct_concat(a, b, …) → named_struct with the merged field lists
+    (reference struct_concat.cpp). Constructor arguments contribute their
+    literal pairs; typed NULLs contribute NULL fields; bare column
+    references resolve their field names from the FROM tables' schemas on
+    the active session. Zero args / non-struct args / duplicate names
+    raise the reference's Invalid Input Error."""
+    if not re.search(r"(?i)\bstruct_concat\s*\(", sql):
+        return sql
+    toks = _tokens(sql)
+    field_map: dict[str, list[str]] | None = None
+
+    def _fields_of(ref: str) -> list[str] | None:
+        nonlocal field_map
+        if field_map is None:
+            field_map = {}
+            spark = _get_active_spark()
+            if spark is not None:
+                try:
+                    from pyspark.sql.types import StructType
+
+                    for alias, tbl in _nestcmp_from_tables(toks).items():
+                        try:
+                            schema = spark.table(tbl).schema
+                        except Exception:  # noqa: BLE001
+                            continue
+                        for f in schema.fields:
+                            if isinstance(f.dataType, StructType):
+                                names = [c.name for c in f.dataType.fields]
+                                field_map[f"{alias}.{f.name.lower()}"] = names
+                                field_map.setdefault(f.name.lower(), names)
+                except Exception:  # noqa: BLE001
+                    pass
+        return field_map.get(ref.lower())
+
+    i = 0
+    changed = False
+    while i < len(toks):
+        t = toks[i]
+        if not (re.match(r"^[A-Za-z_]", t) and t.lower() == "struct_concat"):
+            i += 1
+            continue
+        op = _next_code(toks, i + 1)
+        close = _match_paren(toks, op) if op < len(toks) and \
+            toks[op] == "(" else -1
+        if close < 0:
+            i += 1
+            continue
+        args = [a.strip() for a in _split_top_args(toks[op + 1:close])
+                if a.strip()]
+        if not args:
+            raise ValueError(
+                "Invalid Input Error: struct_concat: At least one "
+                "argument is required")
+        pairs: list[tuple[str, str]] = []
+        arg_named: list[bool] = []
+        ok = True
+        for pos, a in enumerate(args, 1):
+            if re.fullmatch(r"(?i)\s*NULL\s*", a):
+                raise ValueError(
+                    f"Invalid Input Error: struct_concat: Argument at "
+                    f'position "{pos}" is not a STRUCT')
+            m = re.match(r"(?is)^named_struct\s*\((.*)\)\s*$", a)
+            if m:
+                parts = _split_top_args(_tokens(m.group(1)))
+                keys = [parts[k].strip().strip("'")
+                        for k in range(0, len(parts) - 1, 2)]
+                arg_named.append(not all(
+                    re.fullmatch(r"col\d+", k) for k in keys))
+                for k in range(0, len(parts) - 1, 2):
+                    key = parts[k].strip().strip("'")
+                    pairs.append((key, parts[k + 1].strip()))
+                continue
+            m = re.match(
+                r"(?is)^(?:TRY_)?CAST\s*\(\s*NULL\s+AS\s+STRUCT\s*<(.*)>"
+                r"\s*\)\s*$", a,
+            )
+            if m:
+                for fdef in _split_top_args(_tokens(m.group(1))):
+                    fname = fdef.strip().split(":")[0].strip().strip('`"')
+                    pairs.append((fname, "NULL"))
+                continue
+            if re.fullmatch(r"[A-Za-z_]\w*(\s*\.\s*[A-Za-z_]\w*)?",
+                            a.strip()):
+                names = _fields_of(re.sub(r"\s", "", a))
+                if names:
+                    for nm2 in names:
+                        pairs.append((nm2, f"{a}.`{nm2}`"))
+                    continue
+                ok = False
+                break
+            raise ValueError(
+                f"Invalid Input Error: struct_concat: Argument at "
+                f'position "{pos}" is not a STRUCT')
+        if not ok:
+            i = close + 1
+            continue
+        if arg_named and True in arg_named and False in arg_named:
+            raise ValueError(
+                "Invalid Input Error: struct_concat: Cannot mix named "
+                "and unnamed STRUCTs")
+        if arg_named and not any(arg_named):
+            # all unnamed (ROW tuples): renumber col1..colN sequentially
+            pairs = [(f"col{k + 1}", v) for k, (_, v) in enumerate(pairs)]
+        seen: set[str] = set()
+        for key, _v in pairs:
+            if key.lower() in seen:
+                raise ValueError(
+                    f"Invalid Input Error: struct_concat: Arguments "
+                    f'contain duplicate STRUCT entry "{key}"')
+            seen.add(key.lower())
+        repl = "named_struct(" + ", ".join(
+            f"'{k}', {v}" for k, v in pairs) + ")"
+        toks[i:close + 1] = _tokens(repl)
+        changed = True
+        i += 1
+    return "".join(toks) if changed else sql
 
 
 _TM_SAFE_FNS = {

@@ -362,6 +362,10 @@ def _push_over_into_aggs(body: str, spec: str) -> str:
     return "".join(out)
 
 
+class _RawParam(str):
+    """EXECUTE argument spliced verbatim (nested-value expression text)."""
+
+
 def quote_literal(v) -> str:
     """Render a Python value as a SQL literal (reference parameter binding,
     src/main/client_context.cpp:535-579 PendingStatementOrPreparedStatement:
@@ -369,6 +373,8 @@ def quote_literal(v) -> str:
     as correctly-quoted literals)."""
     import datetime
 
+    if isinstance(v, _RawParam):
+        return str(v)
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -489,6 +495,14 @@ class PreparedStatements:
                     args.append(part.upper() == "TRUE")
                 elif part.upper() == "NULL":
                     args.append(None)
+                elif part.startswith(("{", "[")) or re.match(
+                    r"(?is)^(row|struct|named_struct|struct_pack|map|"
+                    r"list_value|array|cast)\s*\(", part,
+                ):
+                    # nested-value parameter: splice the expression text
+                    # verbatim; the dialect translates it downstream
+                    # (struct_concat.test:82 EXECUTE v1({'b': 42}))
+                    args.append(_RawParam(part))
                 else:
                     try:
                         args.append(int(part))
