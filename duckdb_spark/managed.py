@@ -101,6 +101,9 @@ def _scan_top_level(body: str):
 
 def _split_coldefs(body: str) -> list[str]:
     """Split a column-definition list on top-level commas (quote-aware)."""
+    # line comments inside column lists (struct_projection_pushdown_
+    # optimizer_bug.test annotates every column with `-- N`)
+    body = re.sub(r"--[^\n]*", "", body)
     parts, cur = [], []
     for _, ch, depth, in_str in _scan_top_level(body):
         if ch == "," and depth == 0 and not in_str:

@@ -124,6 +124,70 @@ def _outer_from_span(toks: list[str]) -> tuple[int, int] | None:
     return None
 
 
+def _tvf_alias_cols(ft: list[str]) -> dict[str, set[str]]:
+    """alias → declared column set for `fn(args) alias(c1, c2)` items —
+    table functions carry their columns in the alias list, which the
+    plain FROM-table scanner skips (pg_lateral.test generate_series)."""
+    from duckdb_spark.sql.dialect import _match_paren, _next_code
+
+    out: dict[str, set[str]] = {}
+    k0 = 0
+    while k0 < len(ft):
+        if ft[k0] == "(":
+            # derived item `( … ) alias (cols)` (VALUES lists and
+            # subqueries with a declared column list)
+            c1 = _match_paren(ft, k0)
+            a1 = _next_code(ft, c1 + 1) if c1 > 0 else -1
+            if 0 <= a1 < len(ft) and _word(ft[a1]) and \
+                    ft[a1].upper() == "AS":
+                a1 = _next_code(ft, a1 + 1)
+            if 0 <= a1 < len(ft) and \
+                    re.match(r"^[A-Za-z_`\"]", ft[a1]) and \
+                    ft[a1].upper() not in ("WHERE", "GROUP", "ORDER",
+                                           "JOIN", "ON", "LIMIT",
+                                           "HAVING", "UNION", "LATERAL"):
+                alias = ft[a1].strip('`"').lower()
+                b1 = _next_code(ft, a1 + 1)
+                if b1 < len(ft) and ft[b1] == "(":
+                    cb1 = _match_paren(ft, b1)
+                    if cb1 > 0:
+                        out[alias] = {
+                            c.strip().strip('`"').lower()
+                            for c in "".join(ft[b1 + 1:cb1]).split(",")
+                            if c.strip()
+                        }
+                        k0 = cb1 + 1
+                        continue
+            k0 = (c1 + 1) if c1 > 0 else (k0 + 1)
+            continue
+        if _word(ft[k0]):
+            p1 = _next_code(ft, k0 + 1)
+            if p1 < len(ft) and ft[p1] == "(":
+                c1 = _match_paren(ft, p1)
+                a1 = _next_code(ft, c1 + 1) if c1 > 0 else -1
+                if 0 <= a1 < len(ft) and \
+                        re.match(r"^[A-Za-z_`\"]", ft[a1]) and \
+                        ft[a1].upper() not in ("WHERE", "GROUP", "ORDER",
+                                               "JOIN", "ON", "AS", "LIMIT",
+                                               "HAVING", "UNION"):
+                    alias = ft[a1].strip('`"').lower()
+                    b1 = _next_code(ft, a1 + 1)
+                    if b1 < len(ft) and ft[b1] == "(":
+                        cb1 = _match_paren(ft, b1)
+                        if cb1 > 0:
+                            out[alias] = {
+                                c.strip().strip('`"').lower()
+                                for c in "".join(ft[b1 + 1:cb1]).split(",")
+                                if c.strip()
+                            }
+                            k0 = cb1 + 1
+                            continue
+                    k0 = a1 + 1
+                    continue
+        k0 += 1
+    return out
+
+
 def _columns_of(spark, table: str) -> set[str] | None:
     try:
         return {f.name.lower() for f in spark.table(table).schema.fields}
@@ -155,6 +219,9 @@ def _find_refs(s_toks: list[str], outer_aliases: dict[str, str],
             own_unresolved = True
         else:
             own_cols |= cols
+    for alias, cols in _tvf_alias_cols(s_toks).items():
+        own.setdefault(alias, alias)
+        own_cols |= cols
     all_outer_cols = set()
     for cs in outer_cols.values():
         all_outer_cols |= cs
@@ -225,7 +292,10 @@ def _find_refs(s_toks: list[str], outer_aliases: dict[str, str],
         if pv >= 0 and s_toks[pv] == ".":
             i += 1
             continue
-        if low in own or low in outer_aliases:
+        if low in own or (low in outer_aliases
+                          and low not in all_outer_cols):
+            # a bare alias name is not a value — unless the alias doubles
+            # as its own column name (TVF collists: generate_series s1(s1))
             i += 1
             continue
         if t.upper() in _KEYWORDS:
@@ -288,20 +358,181 @@ def decorrelate_retry(con, query: str):
     from duckdb_spark.sql.dialect import _nestcmp_from_tables
 
     outer_from_text = "".join(toks[span[0]:span[1]]).strip()
+    # key-enumeration queries must not drag the (unplannable) LATERAL
+    # items along — strip `, LATERAL (…) alias[(cols)]` spans
+    oft = _tokens(outer_from_text)
+    k0 = 0
+    while k0 < len(oft):
+        if _word(oft[k0]) and oft[k0].upper() == "LATERAL":
+            from duckdb_spark.sql.dialect import (
+                _match_paren as _mp0,
+                _next_code as _nc0,
+                _prev_code as _pc0,
+            )
+
+            o0 = _nc0(oft, k0 + 1)
+            if o0 < len(oft) and oft[o0] == "(":
+                c0 = _mp0(oft, o0)
+                if c0 > 0:
+                    e0 = c0
+                    a0 = _nc0(oft, c0 + 1)
+                    if a0 < len(oft) and _word(oft[a0]) and \
+                            oft[a0].upper() == "AS":
+                        a0 = _nc0(oft, a0 + 1)
+                    if a0 < len(oft) and re.match(r"^[A-Za-z_`\"]", oft[a0]):
+                        e0 = a0
+                        b0 = _nc0(oft, a0 + 1)
+                        if b0 < len(oft) and oft[b0] == "(":
+                            cb = _mp0(oft, b0)
+                            if cb > 0:
+                                e0 = cb
+                    s0 = _pc0(oft, k0 - 1)
+                    st0 = s0 if (s0 >= 0 and oft[s0] == ",") else k0
+                    oft[st0:e0 + 1] = []
+                    k0 = st0
+                    continue
+        k0 += 1
+    keys_from_text = "".join(oft).strip()
     outer_aliases = _nestcmp_from_tables(_tokens(f"FROM {outer_from_text}"))
-    if not outer_aliases:
-        return None
     outer_cols: dict[str, set[str]] = {}
-    for alias, tbl in outer_aliases.items():
+    for alias, tbl in list(outer_aliases.items()):
         cols = _columns_of(con.spark, tbl)
         if cols is None:
-            return None
+            del outer_aliases[alias]
+            continue
         outer_cols[alias] = cols
+    for alias, cols in _tvf_alias_cols(_tokens(keys_from_text)).items():
+        if alias not in outer_aliases:
+            outer_aliases[alias] = alias
+            outer_cols[alias] = cols
+    if not outer_aliases:
+        return None
     gb = _clause_span(toks, "GROUP", _GB_STOPS)
     outer_group_by = "".join(toks[gb[0]:gb[1]]).strip() if gb else ""
 
     out = list(toks)
     changed = False
+    # ---- FROM-position LATERAL subqueries Catalyst refuses (grouping
+    # sets / mixed-reference aggregates under correlation): materialize
+    # rows per outer key and splice a Spark LATERAL VIEW inline() over a
+    # key-dispatched array-of-structs literal — LATERAL VIEW adds exactly
+    # the named columns, so SELECT * stays clean.
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if not (_word(t) and t.upper() == "LATERAL"):
+            i += 1
+            continue
+        op = _next_code(out, i + 1)
+        if op >= len(out) or out[op] != "(":
+            i += 1
+            continue
+        sel0 = _next_code(out, op + 1)
+        if sel0 >= len(out) or not (_word(out[sel0])
+                                    and out[sel0].upper() == "SELECT"):
+            i += 1
+            continue
+        close = _match_paren(out, op)
+        if close < 0:
+            i += 1
+            continue
+        pv = _prev_code(out, i - 1)
+        if not (pv >= 0 and out[pv] == ","):
+            i += 1
+            continue  # JOIN LATERAL forms: leave to Spark / other paths
+        s_toks = out[op + 1:close]
+        found = _find_refs(s_toks, outer_aliases, outer_cols, con.spark)
+        if found is None:
+            return None
+        refs, has_agg_ref = found
+        if not refs:
+            i = close + 1
+            continue
+        # alias [ (col list) ]
+        j = _next_code(out, close + 1)
+        alias = None
+        colnames: list[str] | None = None
+        if j < len(out) and _word(out[j]) and out[j].upper() == "AS":
+            j = _next_code(out, j + 1)
+        if j < len(out) and re.match(r"^[A-Za-z_`\"]", out[j]) and \
+                out[j].upper() not in ("WHERE", "GROUP", "ORDER", "LIMIT",
+                                       "HAVING", "UNION", "QUALIFY"):
+            alias = out[j].strip('`"')
+            j2 = _next_code(out, j + 1)
+            if j2 < len(out) and out[j2] == "(":
+                c2 = _match_paren(out, j2)
+                if c2 > 0:
+                    colnames = [c.strip().strip('`"') for c in
+                                "".join(out[j2 + 1:c2]).split(",")]
+                    j = c2
+        end = j if alias else close
+        # after the lateral item only clause keywords may follow (the
+        # LATERAL VIEW must trail every regular FROM item)
+        nxt = _next_code(out, end + 1)
+        if nxt < len(out) and not (
+            _word(out[nxt]) and out[nxt].upper() in (
+                "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "OFFSET",
+                "UNION", "EXCEPT", "INTERSECT", "QUALIFY", "WINDOW",
+            )
+        ) and out[nxt] != ")" and nxt < len(out):
+            i = close + 1
+            continue
+        s_text = "".join(s_toks)
+        keys_sql = "SELECT DISTINCT " + ", ".join(
+            f"{r} AS __k{k}" for k, r in enumerate(refs)
+        ) + f" FROM {keys_from_text}"
+        if has_agg_ref and outer_group_by:
+            keys_sql += f" GROUP BY {outer_group_by}"
+        keys_rel = con.sql(keys_sql)
+        if keys_rel is None:
+            return None
+        keys_df = keys_rel.df()
+        key_rows = keys_df.limit(MAX_KEYS + 1).collect()
+        if len(key_rows) > MAX_KEYS:
+            return None
+        dtypes = [f.dataType for f in keys_df.schema.fields]
+        entries = []
+        s_schema = None
+        for row in key_rows:
+            r = con.sql(_bind(s_text, refs, row, dtypes))
+            if r is None:
+                return None
+            rdf = r.df()
+            s_schema = rdf.schema
+            vals = rdf.collect()
+            cond = " AND ".join(
+                f"({ref}) <=> {_lit(row[k], dtypes[k])}"
+                for k, ref in enumerate(refs)
+            )
+            names = colnames or [f.name for f in s_schema.fields]
+            structs = []
+            for vr in vals:
+                kv = ", ".join(
+                    f"'{nm}', {_lit(v, f.dataType)}"
+                    for nm, v, f in zip(names, vr, s_schema.fields)
+                )
+                structs.append(f"named_struct({kv})")
+            entries.append((cond, structs))
+        if s_schema is None:
+            return None
+        names = colnames or [f.name for f in s_schema.fields]
+        sstr = "STRUCT<" + ", ".join(
+            f"`{nm}`: {f.dataType.simpleString()}"
+            for nm, f in zip(names, s_schema.fields)
+        ) + ">"
+        empty = f"CAST(array() AS ARRAY<{sstr}>)"
+        chain = "CASE " + " ".join(
+            f"WHEN {c} THEN array({', '.join(ss)})" if ss
+            else f"WHEN {c} THEN {empty}"
+            for c, ss in entries
+        ) + f" ELSE {empty} END" if entries else empty
+        lv = (f" LATERAL VIEW inline({chain}) "
+              f"{alias or '__dklat'} AS "
+              + ", ".join(f"`{nm}`" for nm in names) + " ")
+        # drop the preceding comma and the whole lateral item
+        out[pv:end + 1] = _tokens(lv)
+        changed = True
+        i = pv + 1
     i = 0
     while i < len(out):
         if out[i] != "(":
@@ -341,7 +572,7 @@ def decorrelate_retry(con, query: str):
         s_text = "".join(s_toks)
         keys_sql = "SELECT DISTINCT " + ", ".join(
             f"{r} AS __k{k}" for k, r in enumerate(refs)
-        ) + f" FROM {outer_from_text}"
+        ) + f" FROM {keys_from_text}"
         if has_agg_ref:
             keys_sql += f" GROUP BY {outer_group_by}" if outer_group_by \
                 else ""

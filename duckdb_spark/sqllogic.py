@@ -630,6 +630,9 @@ def _split_statements(sql: str) -> list[str]:
 
 
 def _split_coldefs(s: str) -> list[str]:
+    # line comments inside column lists (struct_projection_pushdown_
+    # optimizer_bug.test annotates every column with `-- N`)
+    s = re.sub(r"--[^\n]*", "", s)
     parts, depth, cur = [], 0, []
     quote = None
     for ch in s:
