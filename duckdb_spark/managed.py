@@ -237,6 +237,9 @@ class ManagedTables:
                 return False
             self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
             del self.tables[name]
+            from duckdb_spark.sql.dialect import TIME_TABLE_COLS
+
+            TIME_TABLE_COLS.pop(name.lower(), None)
             return None
         m = _TRUNCATE_RE.match(query)
         if m and _flat(m.group(1)) in self.tables:
@@ -404,6 +407,7 @@ class ManagedTables:
 
         inner = body[1:body.rfind(")")]
         fields = []
+        time_cols: set[str] = set()
         for coldef in _split_coldefs(inner):
             if re.match(r"(?i)^(primary|unique|check|foreign|constraint)\b",
                         coldef):
@@ -416,9 +420,19 @@ class ManagedTables:
                 r"(?i)\s+(primary\s+key|not\s+null|unique|default\b.*"
                 r"|check\s*\(.*|collate\s+\S+)",
                 "", mm.group(3)).strip()
+            expanded = expand_type_aliases(ctype)
+            if expanded.strip().upper() in ("TIME",
+                                            "TIME WITHOUT TIME ZONE"):
+                time_cols.add(cname.lower())
             fields.append(T.StructField(
-                cname, duckdb_type_to_spark(expand_type_aliases(ctype))
+                cname, duckdb_type_to_spark(expanded)
             ))
+        from duckdb_spark.sql.dialect import TIME_TABLE_COLS
+
+        if time_cols:
+            TIME_TABLE_COLS[name.lower()] = time_cols
+        else:
+            TIME_TABLE_COLS.pop(name.lower(), None)
         self._point(name, T.StructType(fields), 0)
         return None
 
@@ -437,7 +451,15 @@ class ManagedTables:
         if ridx >= 0:
             ret = src_sql[ridx + len("RETURNING"):].rstrip("; \t\n").strip()
             src_sql = src_sql[:ridx].strip()
-        if src_sql.upper().startswith("VALUES"):
+        from duckdb_spark.sql.dialect import TIME_TABLE_COLS
+
+        has_time_cols = bool(TIME_TABLE_COLS.get(name.lower()))
+        if src_sql.upper().startswith("VALUES") and has_time_cols:
+            # TIME columns carry BIGINT µs but VALUES feed text
+            # ('12:11:49.5'): consensus typing keeps the strings so the
+            # aligned select below can parse them (test_mode.test:146)
+            src = con.sql("SELECT * FROM (" + src_sql + "\n)").df()
+        elif src_sql.upper().startswith("VALUES"):
             # bind VALUES elements to the TARGET column types (reference
             # binder/statement/bind_insert.cpp: insert VALUES lists bind
             # against the table schema, not by literal consensus — e.g.
@@ -457,10 +479,29 @@ class ManagedTables:
                 "Binder Error: INSERT column count mismatch"
             )
         by_name = dict(zip(cols, src.columns))
+        tcols = TIME_TABLE_COLS.get(name.lower(), set())
+        src_types = {f.name: f.dataType for f in src.schema.fields}
+
+        def _bind(f):
+            if f.name not in by_name:
+                return F.lit(None).cast(f.dataType)
+            c = by_name[f.name]
+            if f.name.lower() in tcols and \
+                    src_types[c].simpleString() == "string":
+                # TIME column fed text ('12:11:49.5'): parse to
+                # µs-since-midnight (types.py TIME emulation;
+                # test_mode.test:146)
+                q = f"`{c}`"
+                return F.expr(
+                    f"CASE WHEN {q} IS NULL THEN CAST(NULL AS BIGINT) ELSE "
+                    f"CAST(split({q}, ':')[0] AS BIGINT) * 3600000000 + "
+                    f"CAST(split({q}, ':')[1] AS BIGINT) * 60000000 + "
+                    f"CAST(round(CAST(split({q}, ':')[2] AS DOUBLE) "
+                    f"* 1000000) AS BIGINT) END")
+            return F.col(c).cast(f.dataType)
+
         aligned = src.select(*[
-            (F.col(by_name[f.name]).cast(f.dataType) if f.name in by_name
-             else F.lit(None).cast(f.dataType)).alias(f.name)
-            for f in schema.fields
+            _bind(f).alias(f.name) for f in schema.fields
         ])
         # Materialize the count (and RETURNING rows) BEFORE the append:
         # `aligned` is a lazy plan that may read the target table itself

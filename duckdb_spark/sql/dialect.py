@@ -5201,6 +5201,32 @@ def _parse_time_us(txt: str) -> int:
     return ((h * 3600 + mi * 60 + s) * 1_000_000) + int(frac)
 
 
+def _fold_mixed_interval_literals(sql: str) -> str:
+    """`INTERVAL '5 months 2 days 12:11:49'` mixes year-month and
+    day-time fields — unrepresentable in Spark's split interval types
+    (ParseException). Fold such literals into the (months, days, micros)
+    struct emulation (types.py INTERVAL; test_mode.test:222)."""
+    if not re.search(r"(?i)\bINTERVAL\s*'", sql):
+        return sql
+
+    def rep(m: re.Match) -> str:
+        txt = m.group(1)
+        has_ym = re.search(r"(?i)\b(year|month|mon)s?\b", txt)
+        has_dt = re.search(
+            r"(?i)\b(week|day|hour|minute|min|second|sec|millisecond|ms|"
+            r"microsecond|us)s?\b|\d:\d", txt)
+        if not (has_ym and has_dt):
+            return m.group(0)
+        from duckdb_spark.sqllogic import _parse_interval_parts
+
+        months, days, us = _parse_interval_parts(txt)
+        return (f"named_struct('months', cast({months} as int), "
+                f"'days', cast({days} as int), "
+                f"'micros', cast({us} as bigint))")
+
+    return re.sub(r"(?i)\bINTERVAL\s*'([^']*)'", rep, sql)
+
+
 def _fold_time_literals(sql: str) -> str:
     """`TIME 'hh:mm:ss[.ffffff]'` → µs-since-midnight BIGINT (the TIME
     emulation, SURVEY §1.2; Spark has no TIME type)."""
@@ -5209,6 +5235,31 @@ def _fold_time_literals(sql: str) -> str:
         lambda m: f"__dktm(CAST({_parse_time_us(m.group(1))} AS BIGINT))",
         sql,
     )
+
+
+# TIMETZ emulation: DuckDB packs TIME WITH TIME ZONE into a sortable
+# int64 — µs-since-midnight in the top 40 bits, (MAX_OFFSET - offset
+# seconds) in the low 24 (reference common/types/time_tz.hpp). Emulating
+# the SAME packing makes comparisons, min/max, and packed-domain quantile
+# interpolation (test_median.test:140 — median of ten '00:00:00±HH'
+# values lands at offset -04:30) match by construction.
+_TIMETZ_MAX_OFFSET = 57599  # ±15:59:59
+_TIMETZ_OFF_MOD = 1 << 24
+
+
+def _parse_timetz_packed(txt: str) -> int:
+    m = re.match(r"^(.*?)([+-]\d{1,2}(?::\d{2})?(?::\d{2})?)?\s*$",
+                 txt.strip())
+    body, off = m.group(1), m.group(2)
+    off_sec = 0
+    if off:
+        sgn = -1 if off[0] == "-" else 1
+        parts = [int(p) for p in off[1:].split(":")]
+        while len(parts) < 3:
+            parts.append(0)
+        off_sec = sgn * (parts[0] * 3600 + parts[1] * 60 + parts[2])
+    us = _parse_time_us(body)
+    return us * _TIMETZ_OFF_MOD + (_TIMETZ_MAX_OFFSET - off_sec)
 
 
 _INT_TYPE_NAMES = {
@@ -5323,6 +5374,11 @@ def _fold_const_string_int_casts(toks: list[str]) -> list[str]:
         if tyname == "TIME":
             us = _parse_time_us(out[lit][1:-1])
             out[i:close + 1] = [f"__dktm(CAST({us} AS BIGINT))"]
+            i += 1
+            continue
+        if tyname == "TIMETZ":
+            p = _parse_timetz_packed(out[lit][1:-1])
+            out[i:close + 1] = [f"__dktz(CAST({p} AS BIGINT))"]
             i += 1
             continue
         if tyname not in _INT_TYPE_NAMES:
@@ -6913,7 +6969,14 @@ def _seq_expr(name: str, args: list[str]) -> str:
     a, b = args[0], args[1]
     c = args[2] if len(args) > 2 else "1"
     if name == "generate_series":
-        return f"sequence({a}, {b}, {c})"
+        if re.search(r"(?i)\binterval\b|timestamp|date", c + a):
+            return f"sequence({a}, {b}, {c})"
+        # start past stop → empty series (reference range.cpp);
+        # Spark's sequence raises on inverted boundaries
+        # (subquery/scalar/test_issue_7079.test:31 — arr = [])
+        return (f"(case when (({b}) - ({a})) * sign({c}) < 0 "
+                f"then slice(sequence(0, 0), 1, 0) "
+                f"else sequence({a}, {b}, {c}) end)")
     if re.search(r"(?i)\binterval\b", c):
         # temporal range: end-exclusive via a filter on the last element
         return (f"filter(sequence({a}, {b}, {c}), "
@@ -7315,6 +7378,7 @@ _SQL_FN_RENAMES: dict[str, str] = {
     "list_contains": "array_contains", "array_has": "array_contains",
     "list_position": "array_position", "list_indexof": "array_position",
     "array_length": "array_size", "list_value": "array", "list_pack": "array",
+    "array_value": "array",
     "list_slice": "slice", "array_slice": "slice",
     "string_split_regex": "split",
     "list_transform": "transform", "array_transform": "transform",
@@ -7805,6 +7869,13 @@ def _macro_quantile_disc(x: str, q: str) -> str:
     """quantile_disc(x, q) over the sorted non-NULL values (reference
     quantile.cpp discrete path). A list-typed q maps elementwise; an
     empty (all-NULL) group yields NULL, not a list of NULLs."""
+    if re.search(r"(?i)\bAS\s+DATE\b|::\s*DATE\b", x) and re.search(
+        r"(?i)\binterval\b", x
+    ) and not re.search(r"(?i)timestamptz|timestamp_ltz", x):
+        # DATE + INTERVAL is duck-naive TIMESTAMP; Spark types it as the
+        # instant type, which the renderer would suffix '+00'
+        # (test_quantile_disc_list.test:96)
+        x = f"CAST({x} AS TIMESTAMP_NTZ)"
     s = f"array_sort(collect_list({x}))"
     if re.match(r"(?is)^\s*array\s*\(", q):
         return (
@@ -8692,7 +8763,12 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
             f"greatest(1, CAST(ceil(count(({a})) * 0.5) AS INT)))"
         )
     if name == "histogram" and n == 1:
-        return _macro_histogram(args[0])
+        r = _macro_histogram(args[0])
+        # TIME-micros / packed-TIMETZ keys: mark so the renderer formats
+        # map keys (test_histogram.test:94,99)
+        if "__dktz" in args[0]:
+            return f"__dktzm({r})"
+        return f"__dktmm({r})" if "__dktm" in args[0] else r
     if name == "histogram" and n == 2:
         return _macro_histogram_binned(args[0], args[1])
     if name == "histogram_exact" and n == 2:
@@ -8797,12 +8873,77 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
         # exact decimal accumulation, surfaced back as double
         agg = "avg" if name == "favg" else "sum"
         return f"cast({agg}(cast({args[0]} as decimal(38,8))) as double)"
+    if name in ("quantile_disc", "quantile", "quantile_cont"):
+        # argument validation (reference quantile.cpp binder:
+        # test_quantile_cont.test:175-186, test_quantile_disc_list:183)
+        if n > 2 or (name == "quantile_cont" and n == 1):
+            raise ValueError(
+                "Binder Error: No function matches the given name and "
+                f"argument types '{name}(...)'. You might need to add "
+                "explicit type casts."
+            )
+        if n == 2:
+            q1 = args[1].strip()
+            if re.match(r"(?is)^(named_struct|struct)\s*\(", q1) or (
+                q1.startswith("(") and q1.endswith(")")
+                and _has_top_level_comma(_tokens(q1[1:-1]))
+            ):
+                raise ValueError(
+                    "Binder Error: No function matches the given name "
+                    f"and argument types '{name}(DOUBLE, STRUCT)'. You "
+                    "might need to add explicit type casts."
+                )
+            am = re.match(r"(?is)^array\s*\(", q1)
+            if am and q1.endswith(")"):
+                lits = [x.strip() for x in
+                        _split_top_args(_tokens(q1[am.end():-1]))]
+                if any(x.upper() == "NULL" for x in lits):
+                    raise ValueError(
+                        "Binder Error: QUANTILE parameter cannot be NULL"
+                    )
+                nums = [x for x in lits
+                        if re.fullmatch(r"-?\s*\d+\.?\d*|-?\s*\.\d+", x)]
+                if len(nums) == len(lits) and nums:
+                    if any(x.startswith("-") for x in nums) and \
+                            any(not x.startswith("-") for x in nums):
+                        raise ValueError(
+                            "Binder Error: QUANTILE parameters must have "
+                            "consistent signs"
+                        )
     if name in ("quantile_disc", "quantile") and n == 2:
         # `quantile` is the reference's alias for the discrete form
-        return _macro_quantile_disc(args[0], args[1])
+        r = _macro_quantile_disc(args[0], args[1])
+        if "__dktm" in args[0] or "__dktz" in args[0]:
+            z = "z" if "__dktz" in args[0] else "m"
+            lm = f"__dkt{z}l" if re.match(r"(?is)^\s*array\s*\(", args[1]) \
+                else f"__dkt{z}"
+            return f"{lm}({r})"
+        return r
     if name in ("quantile_disc", "quantile") and n == 1:
-        return _macro_quantile_disc(args[0], "0.5")
+        r = _macro_quantile_disc(args[0], "0.5")
+        if "__dktz" in args[0]:
+            return f"__dktz({r})"
+        return f"__dktm({r})" if "__dktm" in args[0] else r
     if name == "quantile_cont" and n == 2:
+        if re.match(r"(?is)^\s*array\s*\(\s*'", args[1]) or re.search(
+            r"(?i)::\s*(varchar|string|text)\b|\bAS\s+(STRING|VARCHAR|TEXT)\b",
+            args[0],
+        ):
+            # VARCHAR inputs / string fractions don't interpolate
+            # (test_quantile_cont_list.test:155,161)
+            raise ValueError(
+                "Binder Error: No function matches the given name and "
+                "argument types 'quantile_cont(VARCHAR)'. You might need "
+                "to add explicit type casts."
+            )
+        if re.match(r"(?s)^\s*array\s*\(\s*\)\s*$", args[1]):
+            # empty fraction list → empty list result, still an aggregate
+            # (test_quantile_cont_list.test:88)
+            return f"slice(array(percentile({args[0]}, 0.5)), 1, 0)"
+        if re.match(r"^\s*-", args[1]):
+            # negative fraction = quantile taken from the top (reference
+            # quantile.cpp descending fractions; test_quantile_cont:128)
+            return f"percentile({args[0]}, 1.0 + ({args[1]}))"
         # DECIMAL inputs: the reference interpolates then TRUNCATES back
         # to the input scale (quantile.cpp CastInterpolation)
         dm = re.search(
@@ -8828,10 +8969,34 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
                 f"percentile(cast(cast({args[0]} as timestamp) as double), "
                 f"{args[1]})"
             )
-            back = "cast(timestamp_seconds(__v) as timestamp_ntz)"
+            # TIMESTAMPTZ input keeps the instant type (renderer adds
+            # '+00'; test_quantile_cont_list.test:32)
+            ltz = re.search(
+                r"(?i)timestamptz|timestamp_ltz|timestamp\s+with\s+time",
+                args[0])
+            back = ("cast(timestamp_seconds(__v) as timestamp)" if ltz
+                    else "cast(timestamp_seconds(__v) as timestamp_ntz)")
             if re.match(r"(?is)^\s*array\s*\(", args[1]):
                 return f"transform({base}, __v -> {back})"
             return back.replace("__v", base)
+        if "__dktm" in args[0] or "__dktz" in args[0]:
+            # TIME micros / packed TIMETZ: interpolate in the packed
+            # domain, mark the result so the top-level renderer formats
+            # (test_quantile_cont.test:105, test_median.test:140)
+            z = "z" if "__dktz" in args[0] else "m"
+            base = f"percentile({args[0]}, {args[1]})"
+            if re.match(r"(?is)^\s*array\s*\(", args[1]):
+                return f"__dkt{z}l({base})"
+            return f"__dkt{'z' if z == 'z' else 'm'}({base})"
+        if re.search(r"(?i)\binterval\b", args[0]):
+            # the reference has no quantile_cont over INTERVAL (the TIME /
+            # TIMESTAMP / DATE interval-arithmetic shapes were consumed by
+            # the branches above; test_quantile_cont.test:110)
+            raise ValueError(
+                "Binder Error: No function matches the given name and "
+                f"argument types 'quantile_cont(INTERVAL, DOUBLE)'. "
+                "You might need to add explicit type casts."
+            )
         return None
     if name in ("arg_min_null", "arg_max_null") and n == 2:
         # keeps NULL args; NULL keys still skipped (min_by/max_by native)
@@ -9418,6 +9583,15 @@ def _map_type(ty: str) -> str:
     head = re.match(r"[A-Za-z_0-9]+", s)
     if head and head.group(0).upper() in ("INTERVAL", "TIME", "TIMETZ"):
         return ty  # storage emulations (types.py) would corrupt cast semantics
+    if head and head.group(0).upper() == "TIMESTAMPTZ":
+        # fixed-point spelling: plain 'timestamp' would be re-read as the
+        # duck-naive TIMESTAMP by a later _map_type visit and demoted to
+        # timestamp_ntz, losing the '+00' render (quantile_cont_list:32).
+        # Keep any trailing text — the `::` scanner can hand over a
+        # trailing close paren with the type.
+        return "timestamp_ltz" + s[head.end():]
+    if head and head.group(0).upper() == "TIMESTAMP_LTZ":
+        return ty
     try:
         from duckdb_spark.types import duckdb_type_to_spark, spark_ddl
 
@@ -9571,6 +9745,14 @@ def _rewrite_cast_types(toks: list[str]) -> list[str]:
             out[i:close + 1] = _tokens(
                 f"__dktm(pmod(unix_micros(CAST(({operand}) AS "
                 f"TIMESTAMP_LTZ)), 86400000000))")
+            i += 1
+            continue
+        if re.match(r"(?i)^TIMETZ$", ty.strip()) and operand and \
+                not re.match(r"(?is)^\s*'", operand.strip()):
+            # TIMETZ over a non-literal operand: runtime text parse onto
+            # the packed-int64 carrier (time_tz.hpp; test_median.test:140)
+            out[i:close + 1] = _tokens(
+                f"__dktz({_timetz_parse_sql(operand)})")
             i += 1
             continue
         mtrunc = re.match(r"(?i)^TIMESTAMP_(MS|S)$", ty.strip())
@@ -10395,7 +10577,19 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
                 # every other aggregate: DuckDB permits ORDER BY in any
                 # aggregate; for order-insensitive ones it cannot change
                 # the result — drop it (scalar calls never parse with it).
-                del out[ob:close]
+                _odesc = "".join(order_toks).strip().upper() \
+                    .endswith("DESC")
+                _qa2 = _split_top_args(arg_toks) if _odesc and \
+                    name == "quantile_cont" else None
+                if _qa2 and len(_qa2) == 2:
+                    # DESC order: the interpolated quantile is taken from
+                    # the top — complement the fraction (reference
+                    # quantile.cpp ordered path; test_quantile_cont:134)
+                    out[j + 1:close] = _tokens(
+                        f"{_qa2[0].strip()}, 1.0 - ({_qa2[1].strip()})")
+                    close = _match_paren(out, j)
+                else:
+                    del out[ob:close]
                 if name in _MACRO_NAMES:
                     close = _match_paren(out, j)
                     repl = _agg_macro(
@@ -10468,6 +10662,9 @@ def translate(sql: str) -> str:
     """DuckDB dialect → Spark SQL. Idempotent on plain ANSI SQL."""
     # CTE materialization hints: Spark has no SQL spelling (Catalyst decides)
     sql = re.sub(r"(?i)\bAS\s+(NOT\s+)?MATERIALIZED\s*\(", "AS (", sql)
+    # multiword TIMETZ spelling → single token (the TIMETZ packed-int64
+    # emulation folds literal casts; \bTIME\b never matches TIMESTAMP)
+    sql = re.sub(r"(?i)\bTIME\s+WITH\s+TIME\s+ZONE\b", "TIMETZ", sql)
     # dollar-quoted strings ($$..$$ / $tag$..$tag$) → standard quoting
     sql = re.sub(
         r"\$([A-Za-z_]\w*|)\$(.*?)\$\1\$",
@@ -10532,7 +10729,10 @@ def translate(sql: str) -> str:
     sql = _rewrite_from_first(sql)
     # … and inside parenthesized subqueries: `( FROM t ...`
     sql = re.sub(r"(?i)\(\s*FROM\b", "( SELECT * FROM", sql)
+    sql = _fold_mixed_interval_literals(sql)
     sql = _fold_time_literals(sql)
+    if TIME_TABLE_COLS:
+        sql = mark_time_table_columns(sql)
     sql = _rewrite_unnest_group_by(sql)
     # `TABLE t` ≡ `SELECT * FROM t` (reference parser TableStatement)
     sql = re.sub(
@@ -12003,7 +12203,174 @@ def rewrite_struct_concat(sql: str) -> str:
 _TM_SAFE_FNS = {
     "__dktm", "median", "avg", "min", "max", "mode", "first", "last",
     "any_value", "lag", "lead", "pmod", "coalesce", "least", "greatest",
+    # windowed mode/holistic macros expand to an element_at over the
+    # collected TIME values (test_mode.test:168)
+    "element_at", "try_element_at",
 }
+
+# Managed tables with declared TIME columns (µs-since-midnight BIGINTs):
+# table name (lower) → {column names (lower)}. Populated by
+# managed.ManagedTables._create, consumed by mark_time_table_columns.
+TIME_TABLE_COLS: dict[str, set[str]] = {}
+
+
+def _strip_time_markers(s: str) -> str:
+    # longest first: "__dktml".replace("__dktm", "") would leave "l"
+    return re.sub(r"__dkt[mz][lm]?", "", s)
+
+
+def _time_fmt_sql(x: str) -> str:
+    """µs-since-midnight (BIGINT or interpolated DOUBLE) →
+    'HH:MM:SS[.ffffff]' text, trailing fraction zeros trimmed (the
+    reference's Time::ToString, common/types/time.cpp)."""
+    m = f"CAST(round({x}) AS BIGINT)"
+    return (
+        f"CASE WHEN ({x}) IS NULL THEN CAST(NULL AS STRING) ELSE "
+        f"concat("
+        f"lpad(CAST(CAST(floor(({x})/3600000000) AS BIGINT) AS "
+        f"STRING), 2, '0'), ':', "
+        f"lpad(CAST(CAST(floor(({x})/60000000) AS BIGINT) % 60 AS "
+        f"STRING), 2, '0'), ':', "
+        f"lpad(CAST(CAST(floor(({x})/1000000) AS BIGINT) % 60 AS "
+        f"STRING), 2, '0'), "
+        f"CASE WHEN {m} % 1000000 = 0 THEN '' ELSE "
+        f"regexp_replace(concat('.', lpad(CAST({m} % 1000000 AS "
+        f"STRING), 6, '0')), '0+$', '') END) END"
+    )
+
+
+def _timetz_parse_sql(op: str) -> str:
+    """Runtime 'HH:MM:SS[.f][±HH[:MM[:SS]]]' text → packed TIMETZ int64
+    (character-class regexes only: no backslash escaping in SQL text)."""
+    body = f"regexp_extract(({op}), '^([0-9:.]+)', 1)"
+    # element_at: this SQL is emitted mid-translate, so duck 1-based
+    # bracket rewrites would still apply to [] subscripts
+    us = (
+        f"(CAST(element_at(split({body}, ':'), 1) AS BIGINT)"
+        f" * 3600000000 + "
+        f"CAST(element_at(split({body}, ':'), 2) AS BIGINT) * 60000000 + "
+        f"CAST(round(CAST(element_at(split({body}, ':'), 3) AS DOUBLE) "
+        f"* 1000000) AS BIGINT))"
+    )
+    sgn = (f"CASE WHEN regexp_extract(({op}), '([+-])[0-9]', 1) = '-' "
+           f"THEN -1 ELSE 1 END")
+    oh = (f"CAST(coalesce(nullif(regexp_extract(({op}), "
+          f"'[+-]([0-9]{{1,2}})', 1), ''), '0') AS BIGINT)")
+    om = (f"CAST(coalesce(nullif(regexp_extract(({op}), "
+          f"'[+-][0-9]{{1,2}}:([0-9]{{2}})', 1), ''), '0') AS BIGINT)")
+    os_ = (f"CAST(coalesce(nullif(regexp_extract(({op}), "
+           f"'[+-][0-9]{{1,2}}:[0-9]{{2}}:([0-9]{{2}})', 1), ''), '0') "
+           f"AS BIGINT)")
+    off = f"({sgn}) * ({oh} * 3600 + {om} * 60 + {os_})"
+    return (
+        f"(CASE WHEN ({op}) IS NULL THEN CAST(NULL AS BIGINT) ELSE "
+        f"{us} * {_TIMETZ_OFF_MOD} + ({_TIMETZ_MAX_OFFSET} - ({off})) "
+        f"END)"
+    )
+
+
+def _timetz_fmt_sql(x: str) -> str:
+    """Packed TIMETZ int64 (possibly interpolated DOUBLE) →
+    'HH:MM:SS[.ffffff]±HH[:MM[:SS]]' (reference Time::ToString +
+    time_tz.hpp decode)."""
+    p = f"CAST(round({x}) AS BIGINT)"
+    us = f"CAST(floor(({p}) / {_TIMETZ_OFF_MOD}) AS BIGINT)"
+    off = f"({_TIMETZ_MAX_OFFSET} - pmod({p}, {_TIMETZ_OFF_MOD}))"
+    ah = f"CAST(floor(abs({off}) / 3600) AS BIGINT)"
+    am = f"CAST(floor(pmod(abs({off}), 3600) / 60) AS BIGINT)"
+    asec = f"pmod(abs({off}), 60)"
+    return (
+        f"CASE WHEN ({x}) IS NULL THEN CAST(NULL AS STRING) ELSE concat("
+        f"{_time_fmt_sql(us)}, "
+        f"CASE WHEN {off} < 0 THEN '-' ELSE '+' END, "
+        f"lpad(CAST({ah} AS STRING), 2, '0'), "
+        f"CASE WHEN {am} = 0 AND {asec} = 0 THEN '' ELSE "
+        f"concat(':', lpad(CAST({am} AS STRING), 2, '0')) END, "
+        f"CASE WHEN {asec} = 0 THEN '' ELSE "
+        f"concat(':', lpad(CAST({asec} AS STRING), 2, '0')) END"
+        f") END"
+    )
+
+
+_TM_BARE_PREV_OK = {
+    "SELECT", "DISTINCT", "WHERE", "AND", "OR", "NOT", "BY", "ON",
+    "WHEN", "THEN", "ELSE", "CASE", "IN", "HAVING", "ALL", "BETWEEN",
+    "COALESCE", "IF", "RETURNING", "SET",
+}
+
+
+def mark_time_table_columns(sql: str) -> str:
+    """Re-attach the translate-time `__dktm` TIME marker to references of
+    managed-table columns DECLARED as TIME (types.py maps TIME → BIGINT
+    µs-since-midnight, so the Spark schema alone can't distinguish them;
+    test_mode.test:146 — `mode(v)` over a TIME column must render
+    'HH:MM:SS[.ffffff]'). Wraps qualified `alias.col` refs and bare refs
+    in operator/keyword positions; skips function calls and alias
+    definitions. The marker is identity once rewrite_time_outputs strips
+    it, so over-wrapping inside WHERE/GROUP BY is harmless."""
+    if not TIME_TABLE_COLS or "SELECT" not in sql.upper():
+        return sql
+    toks = _tokens(sql)
+    tables = _nestcmp_from_tables(toks)
+    live: dict[str, set[str]] = {}
+    for alias, tbl in tables.items():
+        for c in TIME_TABLE_COLS.get(tbl.lower(), ()):
+            live.setdefault(c, set()).add(alias)
+    if not live:
+        return sql
+    i = 0
+    changed = False
+    while i < len(toks):
+        t = toks[i]
+        if not re.match(r"^[A-Za-z_`\"]", t):
+            i += 1
+            continue
+        nm = t.strip('`"').lower()
+        nxt = _next_code(toks, i + 1)
+        pv = _prev_code(toks, i - 1)
+        # qualified alias.col
+        if nm in tables and nxt < len(toks) and toks[nxt] == "." and \
+                (pv < 0 or toks[pv] != "."):
+            ci = _next_code(toks, nxt + 1)
+            if ci < len(toks) and re.match(r"^[A-Za-z_`\"]", toks[ci]):
+                col = toks[ci].strip('`"').lower()
+                after = _next_code(toks, ci + 1)
+                if col in live and nm in live[col] and not (
+                    after < len(toks) and toks[after] in ("(", ".")
+                ):
+                    ref = "".join(toks[i:ci + 1])
+                    ins = _tokens(f"__dktm({ref})")
+                    toks[i:ci + 1] = ins
+                    changed = True
+                    i += len(ins)
+                    continue
+            i += 1
+            continue
+        if nm not in live:
+            i += 1
+            continue
+        # bare col: reject qualifier/call/alias-definition positions
+        if nxt < len(toks) and toks[nxt] in ("(", "."):
+            i += 1
+            continue
+        if pv >= 0 and toks[pv] == ".":
+            i += 1
+            continue
+        if pv >= 0 and re.match(r"^[A-Za-z_]", toks[pv]) and \
+                toks[pv].upper() == "AS":
+            i += 1
+            continue
+        if pv >= 0 and (
+            re.match(r"^[A-Za-z_`\"0-9']", toks[pv]) or toks[pv] == ")"
+        ) and toks[pv].upper() not in _TM_BARE_PREV_OK:
+            # likely an implicit-alias or qualifier position
+            i += 1
+            continue
+        ins = _tokens(f"__dktm({t})")
+        toks[i:i + 1] = ins
+        changed = True
+        i += len(ins)
+    return "".join(toks) if changed else sql
 
 
 def rewrite_time_outputs(sql: str) -> str:
@@ -12015,7 +12382,7 @@ def rewrite_time_outputs(sql: str) -> str:
     formatter so they render 'HH:MM:SS[.ffffff]' like the reference
     (test_scalar_aggr.test:42, test_mode.test:146), and (c) strips the
     remaining markers so every other use stays a plain BIGINT."""
-    if "__dktm" not in sql:
+    if "__dktm" not in sql and "__dktz" not in sql:
         return sql
     toks = _tokens(sql)
     # (a) __dktm(X) ± INTERVAL … → __dktm(pmod(X ± iv_us, day))
@@ -12113,8 +12480,11 @@ def rewrite_time_outputs(sql: str) -> str:
             i += 1
             continue
         i += 1
-    # (b) wrap TIME-valued top-level select items in the text formatter
-    sel_at = -1
+    # (b) wrap TIME-valued top-level select items in the text formatter —
+    # EVERY depth-0 SELECT branch of a set operation (test_scalar_aggr:42:
+    # the TIME values may sit in the second UNION branch), processed in
+    # reverse so earlier token indices stay valid
+    sel_positions = []
     depth = 0
     for k, t in enumerate(toks):
         if t == "(":
@@ -12123,9 +12493,8 @@ def rewrite_time_outputs(sql: str) -> str:
             depth -= 1
         elif depth == 0 and re.match(r"^[A-Za-z_]", t) and \
                 t.upper() == "SELECT":
-            sel_at = k
-            break
-    if sel_at >= 0:
+            sel_positions.append(k)
+    for sel_at in reversed(sel_positions):
         fr = len(toks)
         depth = 0
         for k in range(sel_at + 1, len(toks)):
@@ -12156,26 +12525,9 @@ def rewrite_time_outputs(sql: str) -> str:
                 items.append((st, k))
                 st = k + 1
         items.append((st, fr))
-
-        def _fmt(x: str) -> str:
-            m = f"CAST(round({x}) AS BIGINT)"
-            return (
-                f"CASE WHEN ({x}) IS NULL THEN CAST(NULL AS STRING) ELSE "
-                f"concat("
-                f"lpad(CAST(CAST(floor(({x})/3600000000) AS BIGINT) AS "
-                f"STRING), 2, '0'), ':', "
-                f"lpad(CAST(CAST(floor(({x})/60000000) AS BIGINT) % 60 AS "
-                f"STRING), 2, '0'), ':', "
-                f"lpad(CAST(CAST(floor(({x})/1000000) AS BIGINT) % 60 AS "
-                f"STRING), 2, '0'), "
-                f"CASE WHEN {m} % 1000000 = 0 THEN '' ELSE "
-                f"regexp_replace(concat('.', lpad(CAST({m} % 1000000 AS "
-                f"STRING), 6, '0')), '0+$', '') END) END"
-            )
-
         for a, b in reversed(items):
             text = "".join(toks[a:b]).strip()
-            if "__dktm" not in text:
+            if "__dktm" not in text and "__dktz" not in text:
                 continue
             malias = re.search(r"(?is)\s+AS\s+([A-Za-z_]\w*)\s*$", text)
             expr = text[:malias.start()] if malias else text
@@ -12185,21 +12537,46 @@ def rewrite_time_outputs(sql: str) -> str:
                     _balanced(body[1:-1]):
                 body = body[1:-1].strip()
             fm = re.match(r"^([A-Za-z_]\w*)\s*\(", body)
-            if not (fm and fm.group(1).lower() in _TM_SAFE_FNS
-                    and body.endswith(")")):
+            low0 = fm.group(1).lower() if fm else ""
+            if not (fm and body.endswith(")") and (
+                low0 in _TM_SAFE_FNS or re.fullmatch(
+                    r"__dkt[mz][lm]?", low0)
+            )):
                 continue
             # the call must span the WHOLE item (`__dktm(a) > __dktm(b)`
-            # is a boolean, not a TIME)
+            # is a boolean, not a TIME); a trailing OVER (spec) window
+            # clause is part of the call (test_mode.test:168)
             bt = _tokens(body)
             p0 = _next_code(bt, 1)
             if bt and bt[0] == fm.group(1):
                 c0 = _match_paren(bt, p0) if p0 < len(bt) and \
                     bt[p0] == "(" else -1
-                if c0 < 0 or _next_code(bt, c0 + 1) < len(bt):
+                if c0 < 0:
                     continue
-            toks[a:b] = _tokens(
-                " " + _fmt(expr.replace("__dktm", "")) + alias + " ")
-    out = "".join(toks).replace("__dktm", "")
+                rest = _next_code(bt, c0 + 1)
+                if rest < len(bt):
+                    if not _is_word(bt[rest], "OVER"):
+                        continue
+                    ov = _next_code(bt, rest + 1)
+                    oc = _match_paren(bt, ov) if ov < len(bt) and \
+                        bt[ov] == "(" else -1
+                    if oc < 0 or _next_code(bt, oc + 1) < len(bt):
+                        continue
+            tz = "__dktz" in text
+            fmt = _timetz_fmt_sql if tz else _time_fmt_sql
+            if low0 in ("__dktml", "__dktzl"):
+                # LIST of TIME micros (list-form quantiles): format each
+                inner = _strip_time_markers(body[len(low0):])
+                repl = f"transform({inner}, __tv -> {fmt('__tv')})"
+            elif low0 in ("__dktmm", "__dktzm"):
+                # MAP with TIME-micros keys (histogram): format the keys
+                inner = _strip_time_markers(body[len(low0):])
+                repl = (f"transform_keys({inner}, (__tk, __tv) -> "
+                        f"{fmt('__tk')})")
+            else:
+                repl = fmt(_strip_time_markers(expr))
+            toks[a:b] = _tokens(" " + repl + alias + " ")
+    out = _strip_time_markers("".join(toks))
     return out
 
 

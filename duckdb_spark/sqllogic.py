@@ -429,10 +429,15 @@ def format_value(v, ltz: bool = False) -> str:
         return s
     if isinstance(v, datetime.date):
         return v.isoformat()
+    if isinstance(v, datetime.timedelta):
+        # native DayTimeIntervalType → duck interval text ('00:16:39',
+        # '5 days 12:00:00'; reference interval.cpp ToString)
+        return _iv_text_build(
+            0, v.days, v.seconds * 1_000_000 + v.microseconds)
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).decode("utf-8", "backslashreplace")
     if isinstance(v, list):
-        return "[" + ", ".join(_nested(x) for x in v) + "]"
+        return "[" + ", ".join(_nested(x, ltz) for x in v) + "]"
     if isinstance(v, dict):  # MapType
         # ArrayBasedMapData keeps construction order through collect(), and
         # Python dicts keep insertion order — render entries as built
@@ -461,7 +466,7 @@ def format_value(v, ltz: bool = False) -> str:
     return s if s else "(empty)"
 
 
-def _nested(v) -> str:
+def _nested(v, ltz: bool = False) -> str:
     import datetime
 
     if v is None:
@@ -484,6 +489,9 @@ def _nested(v) -> str:
     if isinstance(v, datetime.datetime):
         # timestamps inside nested values ARE quoted (Value::ToSQLString
         # style), dates are bare
+        return f"'{format_value(v, ltz)}'"
+    if isinstance(v, datetime.timedelta):
+        # intervals inside nested values are quoted like timestamps
         return f"'{format_value(v)}'"
     return format_value(v)
 
@@ -882,6 +890,9 @@ class SLSession:
             body = body[1:body.rfind(")")]
             fields = []
             pk: list[str] = []
+            from duckdb_spark.sql.dialect import TIME_TABLE_COLS as _TTC
+
+            _TTC.pop(name.lower(), None)
             for coldef in _split_coldefs(body):
                 if re.match(r"(?i)^(primary|unique|check|foreign|constraint)\b", coldef):
                     km = re.match(
@@ -915,6 +926,13 @@ class SLSession:
                     }.get(coll.group(1).lower())
                     if spark_coll:
                         dt = T.StringType(spark_coll)
+                if expand_type_aliases(ctype).strip().upper() in (
+                    "TIME", "TIME WITHOUT TIME ZONE",
+                ):
+                    from duckdb_spark.sql.dialect import TIME_TABLE_COLS
+
+                    TIME_TABLE_COLS.setdefault(
+                        name.lower(), set()).add(cname.strip('"').lower())
                 fields.append(T.StructField(cname, dt))
             self._register(name, T.StructType(fields), [])
             if pk:
@@ -986,7 +1004,16 @@ class SLSession:
                     "Binder Error: data-modifying statement must be at "
                     "the top level"
                 )
-            if src_sql.upper().startswith("VALUES"):
+            from duckdb_spark.sql.dialect import TIME_TABLE_COLS as _TTC2
+
+            _tcols = _TTC2.get(name.lower(), set())
+            if src_sql.upper().startswith("VALUES") and _tcols:
+                # TIME columns carry BIGINT µs but VALUES feed text — keep
+                # consensus strings so _coerce can parse them
+                # (test_mode.test:146)
+                src = self.con.sql(
+                    "SELECT * FROM (" + src_sql + "\n)").df()
+            elif src_sql.upper().startswith("VALUES"):
                 # bind VALUES elements to the TARGET column types (reference
                 # bind_insert.cpp: INSERT VALUES bind against the table
                 # schema, not literal consensus)
@@ -1038,6 +1065,18 @@ class SLSession:
                              ).alias(d.name)
                             for d in f.dataType.fields
                         ]).alias(f.name)
+                if f.name.lower() in _tcols and \
+                        isinstance(st, T.StringType):
+                    # TIME column fed text: parse 'HH:MM:SS[.f]' →
+                    # µs-since-midnight (test_mode.test:146)
+                    q = f"`{by_name[f.name]}`"
+                    return F.expr(
+                        f"CASE WHEN {q} IS NULL THEN CAST(NULL AS BIGINT) "
+                        f"ELSE CAST(split({q}, ':')[0] AS BIGINT) "
+                        f"* 3600000000 + "
+                        f"CAST(split({q}, ':')[1] AS BIGINT) * 60000000 + "
+                        f"CAST(round(CAST(split({q}, ':')[2] AS DOUBLE) "
+                        f"* 1000000) AS BIGINT) END").alias(f.name)
                 if isinstance(f.dataType, T.DayTimeIntervalType) and \
                         isinstance(st, T.StringType):
                     # '30 days' text → interval: Spark has no such cast;
@@ -1302,9 +1341,10 @@ def run_file(
                                         if fparts else "'{}'")
                             s = f"cast({expr} as string)"
                             if isinstance(
-                                dt, (_T.DateType, _T.TimestampType,
-                                     _T.TimestampNTZType),
+                                dt, (_T.TimestampType, _T.TimestampNTZType),
                             ):
+                                # timestamps quoted, DATE bare (reference
+                                # Value::ToSQLString; test_histogram:104)
                                 return f"concat(\"'\", {s}, \"'\")"
                             if isinstance(dt, _T.StringType):
                                 # DuckDB quotes nested strings that need it
@@ -1350,7 +1390,14 @@ def run_file(
                     df = df.select(*cols)
                 from pyspark.sql import types as _TT
 
-                ltz_cols = [isinstance(f.dataType, _TT.TimestampType)
+                def _has_ltz(dt):
+                    if isinstance(dt, _TT.TimestampType):
+                        return True
+                    if isinstance(dt, _TT.ArrayType):
+                        return _has_ltz(dt.elementType)
+                    return False
+
+                ltz_cols = [_has_ltz(f.dataType)
                             for f in df.schema.fields]
                 try:
                     rows = df.collect()
