@@ -177,6 +177,15 @@ def _bind_values_types(src_sql: str, dtypes: list) -> str:
             text = "".join(toks[elo:ehi]).strip()
             if not text or text.upper() == "DEFAULT":
                 continue
+            if dt.simpleString() == "binary" and \
+                    re.fullmatch(r"(?s)'(?:[^']|'')*'", text):
+                # duck BLOB text literal: \xHH escapes are raw bytes that
+                # Spark's literal parser would eat (test_blob.test:12)
+                from duckdb_spark.sql.dialect import duck_blob_hex
+
+                edits.append(
+                    (elo, ehi, f" X'{duck_blob_hex(text[1:-1])}' "))
+                continue
             edits.append(
                 (elo, ehi, f" CAST(({text}) AS {dt.simpleString()}) "))
     for lo, hi, repl in sorted(edits, reverse=True):
@@ -408,6 +417,8 @@ class ManagedTables:
         inner = body[1:body.rfind(")")]
         fields = []
         time_cols: set[str] = set()
+        timetz_cols: set[str] = set()
+        enum_cols: dict[str, list[str]] = {}
         for coldef in _split_coldefs(inner):
             if re.match(r"(?i)^(primary|unique|check|foreign|constraint)\b",
                         coldef):
@@ -424,15 +435,35 @@ class ManagedTables:
             if expanded.strip().upper() in ("TIME",
                                             "TIME WITHOUT TIME ZONE"):
                 time_cols.add(cname.lower())
+            if expanded.strip().upper() in ("TIMETZ",
+                                            "TIME WITH TIME ZONE"):
+                timetz_cols.add(cname.lower())
+            from duckdb_spark.sql.dialect import lookup_enum_members
+
+            members = lookup_enum_members(ctype)
+            if members:
+                enum_cols[cname.lower()] = members
             fields.append(T.StructField(
                 cname, duckdb_type_to_spark(expanded)
             ))
-        from duckdb_spark.sql.dialect import TIME_TABLE_COLS
+        from duckdb_spark.sql.dialect import (
+            ENUM_TABLE_COLS,
+            TIME_TABLE_COLS,
+            TIMETZ_TABLE_COLS,
+        )
 
         if time_cols:
             TIME_TABLE_COLS[name.lower()] = time_cols
         else:
             TIME_TABLE_COLS.pop(name.lower(), None)
+        if timetz_cols:
+            TIMETZ_TABLE_COLS[name.lower()] = timetz_cols
+        else:
+            TIMETZ_TABLE_COLS.pop(name.lower(), None)
+        if enum_cols:
+            ENUM_TABLE_COLS[name.lower()] = enum_cols
+        else:
+            ENUM_TABLE_COLS.pop(name.lower(), None)
         self._point(name, T.StructType(fields), 0)
         return None
 
@@ -451,9 +482,13 @@ class ManagedTables:
         if ridx >= 0:
             ret = src_sql[ridx + len("RETURNING"):].rstrip("; \t\n").strip()
             src_sql = src_sql[:ridx].strip()
-        from duckdb_spark.sql.dialect import TIME_TABLE_COLS
+        from duckdb_spark.sql.dialect import (
+            TIME_TABLE_COLS,
+            TIMETZ_TABLE_COLS,
+        )
 
-        has_time_cols = bool(TIME_TABLE_COLS.get(name.lower()))
+        has_time_cols = bool(TIME_TABLE_COLS.get(name.lower())
+                             or TIMETZ_TABLE_COLS.get(name.lower()))
         if src_sql.upper().startswith("VALUES") and has_time_cols:
             # TIME columns carry BIGINT µs but VALUES feed text
             # ('12:11:49.5'): consensus typing keeps the strings so the
@@ -470,7 +505,9 @@ class ManagedTables:
                     src_sql,
                     [schema[c].dataType for c in cols])
                 src = con.sql("SELECT * FROM (" + bound + "\n)").df()
-            except Exception:  # noqa: BLE001 — fall back to consensus typing
+            except Exception as e:  # noqa: BLE001 — consensus fallback
+                if "Conversion Error" in str(e):
+                    raise  # invalid literal for the target type
                 src = con.sql("SELECT * FROM (" + src_sql + "\n)").df()
         else:
             src = con.sql(src_sql).df()
@@ -480,12 +517,19 @@ class ManagedTables:
             )
         by_name = dict(zip(cols, src.columns))
         tcols = TIME_TABLE_COLS.get(name.lower(), set())
+        tzcols = TIMETZ_TABLE_COLS.get(name.lower(), set())
         src_types = {f.name: f.dataType for f in src.schema.fields}
 
         def _bind(f):
             if f.name not in by_name:
                 return F.lit(None).cast(f.dataType)
             c = by_name[f.name]
+            if f.name.lower() in tzcols and \
+                    src_types[c].simpleString() == "string":
+                # TIMETZ column fed text: parse onto the packed carrier
+                from duckdb_spark.sql.dialect import _timetz_parse_sql
+
+                return F.expr(_timetz_parse_sql(f"`{c}`"))
             if f.name.lower() in tcols and \
                     src_types[c].simpleString() == "string":
                 # TIME column fed text ('12:11:49.5'): parse to

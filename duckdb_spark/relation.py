@@ -1191,6 +1191,109 @@ class Connection:
                     return Relation(self.spark.sql(translate(query)))
                 finally:
                     set_session_setting("__window_alias", "")
+            # DuckDB implicitly coerces numerics to boolean in WHERE / ON
+            # (x != 0); Spark refuses — retry with every WHERE/ON body
+            # wrapped in CAST(... AS BOOLEAN), which is the same nonzero
+            # semantics (test_exists_union_by_name.test:8).
+            if "FILTER_NOT_BOOLEAN" in msg or \
+                    "JOIN_CONDITION_IS_NOT_BOOLEAN" in msg:
+                from duckdb_spark.sql.dialect import _tokens as _tk
+
+                qt = _tk(query)
+                changed2 = False
+                i2 = 0
+                _stop = {
+                    "GROUP", "ORDER", "HAVING", "LIMIT", "WINDOW",
+                    "QUALIFY", "UNION", "EXCEPT", "INTERSECT", "WHERE",
+                    "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS",
+                    "OFFSET", "RETURNING",
+                }
+                while i2 < len(qt):
+                    t0 = qt[i2]
+                    if re.match(r"^[A-Za-z_]", t0) and \
+                            t0.upper() in ("WHERE", "ON"):
+                        depth2 = 0
+                        end2 = len(qt)
+                        k2 = i2 + 1
+                        while k2 < len(qt):
+                            t2 = qt[k2]
+                            if t2 == "(":
+                                depth2 += 1
+                            elif t2 == ")":
+                                if depth2 == 0:
+                                    end2 = k2
+                                    break
+                                depth2 -= 1
+                            elif t2 == ";" or (
+                                depth2 == 0
+                                and re.match(r"^[A-Za-z_]", t2)
+                                and t2.upper() in _stop
+                            ):
+                                end2 = k2
+                                break
+                            k2 += 1
+                        body2 = "".join(qt[i2 + 1:end2]).strip()
+                        if body2:
+                            qt[i2 + 1:end2] = [
+                                f" CAST(({body2}) AS BOOLEAN) "]
+                            changed2 = True
+                    i2 += 1
+                if changed2:
+                    return Relation(
+                        self.spark.sql(translate("".join(qt))))
+            # DuckDB lets a select alias be referenced inside an aggregate
+            # (`SELECT i%2 AS k, SUM(k) ... GROUP BY k`); Spark's lateral
+            # column aliases stop at aggregate functions. Substitute the
+            # alias definition for every standalone reference
+            # (test_group_by_alias.test:70).
+            lam = re.search(
+                r"LATERAL_COLUMN_ALIAS_IN_AGGREGATE_FUNC.*?"
+                r"lateral column alias `(\w+)`", msg, re.S)
+            if lam:
+                from duckdb_spark.sql.dialect import (
+                    _is_word,
+                    _next_code,
+                    _prev_code,
+                    _split_top_args,
+                    _tokens,
+                    _top_level_index,
+                )
+
+                al = lam.group(1)
+                qt = _tokens(query)
+                si = _top_level_index(qt, 0, len(qt), "SELECT")
+                fi = _top_level_index(qt, si + 1, len(qt), "FROM") \
+                    if si >= 0 else -1
+                defn = None
+                if 0 <= si < fi:
+                    for item in _split_top_args(qt[si + 1:fi]):
+                        am2 = re.search(
+                            rf"(?is)\s+AS\s+{al}\s*$", item)
+                        if am2:
+                            defn = item[:am2.start()].strip()
+                            break
+                if defn is not None:
+                    k2 = 0
+                    changed2 = False
+                    while k2 < len(qt):
+                        t2 = qt[k2]
+                        if re.match(r"^[A-Za-z_`\"]", t2) and \
+                                t2.strip('`"').lower() == al.lower():
+                            pv2 = _prev_code(qt, k2 - 1)
+                            nx2 = _next_code(qt, k2 + 1)
+                            if pv2 >= 0 and (qt[pv2] == "." or _is_word(
+                                    qt[pv2], "AS")):
+                                k2 += 1
+                                continue
+                            if nx2 < len(qt) and qt[nx2] in ("(", "."):
+                                k2 += 1
+                                continue
+                            qt[k2] = f"({defn})"
+                            changed2 = True
+                        k2 += 1
+                    if changed2:
+                        return Relation(
+                            self.spark.sql(translate("".join(qt))))
             # DuckDB sums BOOLEANs (count of TRUE, hugeint); Spark rejects
             # them. Retry with the offending sum argument cast to INT —
             # the failing expression text comes from the analyzer error.

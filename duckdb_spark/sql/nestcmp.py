@@ -81,6 +81,17 @@ def nest_eq(a, b):
                 if r is None:
                     saw_null = True
             return None if saw_null else True
+        # mismatch pass first: a DEFINITE inequality at any aligned
+        # position decides False even when an earlier pair is NULL
+        # ([NULL,1.0] = [2,3.0] is False, = [2,1.0] is NULL —
+        # list_null_members_small.test:36); THEN the asymmetric NULL
+        # scan fitted to the 36-row list_null_members.test matrix
+        for k in range(min(len(a), len(b))):
+            x, y = a[k], b[k]
+            if x is None or y is None:
+                continue
+            if nest_eq(x, y) is False:
+                return False
         pending = False
         for k in range(min(len(a), len(b))):
             x, y = a[k], b[k]
@@ -89,10 +100,7 @@ def nest_eq(a, b):
             if y is None:
                 pending = True
                 continue
-            r = nest_eq(x, y)
-            if r is False:
-                return False
-            if r is None:
+            if nest_eq(x, y) is None:
                 pending = True
         if len(a) < len(b):
             return False

@@ -86,6 +86,8 @@ _SIMPLE: dict[str, T.DataType] = {
     "BITSTRING": T.BinaryType(),
     "DATE": T.DateType(),
     "TIME": T.LongType(),               # µs since midnight (no Spark TIME)
+    "TIMETZ": T.LongType(),             # packed µs<<24 | offset (time_tz.hpp)
+    "TIME WITH TIME ZONE": T.LongType(),
     "TIMESTAMP": T.TimestampNTZType(),  # DuckDB TIMESTAMP is tz-naive
     "DATETIME": T.TimestampNTZType(),
     "TIMESTAMP_S": T.TimestampNTZType(),
