@@ -177,6 +177,19 @@ def _bind_values_types(src_sql: str, dtypes: list) -> str:
             text = "".join(toks[elo:ehi]).strip()
             if not text or text.upper() == "DEFAULT":
                 continue
+            from pyspark.sql import types as _T2
+
+            if isinstance(dt, _T2.StructType):
+                skeys = re.findall(
+                    r"[{,(]\s*['\"]?([A-Za-z_]\w*)['\"]?\s*:(?!:)", text)
+                if skeys and not re.match(r"(?is)^\s*row\s*\(", text):
+                    tnames = {f2.name.lower() for f2 in dt.fields}
+                    if not any(k2.lower() in tnames for k2 in skeys):
+                        # reference struct_cast.cpp binder
+                        # (struct_different_names.test:23)
+                        raise ValueError(
+                            "Binder Error: STRUCT to STRUCT cast must "
+                            "have at least one matching member")
             if dt.simpleString() == "binary" and \
                     re.fullmatch(r"(?s)'(?:[^']|'')*'", text):
                 # duck BLOB text literal: \xHH escapes are raw bytes that
@@ -506,7 +519,8 @@ class ManagedTables:
                     [schema[c].dataType for c in cols])
                 src = con.sql("SELECT * FROM (" + bound + "\n)").df()
             except Exception as e:  # noqa: BLE001 — consensus fallback
-                if "Conversion Error" in str(e):
+                if "Conversion Error" in str(e) or \
+                        "Binder Error" in str(e):
                     raise  # invalid literal for the target type
                 src = con.sql("SELECT * FROM (" + src_sql + "\n)").df()
         else:
@@ -515,6 +529,9 @@ class ManagedTables:
             raise ValueError(
                 "Binder Error: INSERT column count mismatch"
             )
+        # expression-derived source column names (dots, parens) break
+        # name-based resolution — normalize positionally first
+        src = src.toDF(*[f"__src{ci}" for ci in range(len(src.columns))])
         by_name = dict(zip(cols, src.columns))
         tcols = TIME_TABLE_COLS.get(name.lower(), set())
         tzcols = TIMETZ_TABLE_COLS.get(name.lower(), set())
@@ -542,7 +559,9 @@ class ManagedTables:
                     f"CAST(split({q}, ':')[1] AS BIGINT) * 60000000 + "
                     f"CAST(round(CAST(split({q}, ':')[2] AS DOUBLE) "
                     f"* 1000000) AS BIGINT) END")
-            return F.col(c).cast(f.dataType)
+            # df[name] indexing — expression-derived column names would
+            # break F.col's dotted parsing (list_join.test:11)
+            return src[c].cast(f.dataType)
 
         aligned = src.select(*[
             _bind(f).alias(f.name) for f in schema.fields

@@ -438,19 +438,39 @@ class Connection:
         if m and m.group(1).strip('"').lower() == \
                 m.group(4).strip('"').lower():
             query = f"{m.group(3)} {m.group(2)}"
-        # DESCRIBE as a general FROM-position source:
-        # `SELECT … FROM (DESCRIBE t) …` (struct_different_names.test)
-        if re.search(r"(?is)\(\s*DESCRIBE\s+[\w\"]+\s*\)", query) and \
+        # DESCRIBE as a general FROM-position source — both a table name
+        # and a whole sub-SELECT: `SELECT … FROM (DESCRIBE t) …`,
+        # `… FROM (describe SELECT j: 42)` (struct_different_names.test,
+        # test_select_alias_prefix_colon.test:10)
+        if re.search(r"(?is)\(\s*DESCRIBE\b", query) and \
                 not re.match(r"(?is)^\s*(DESCRIBE|SUMMARIZE)\b", query):
-            def _desc_view(dm: re.Match) -> str:
-                Connection._tvf_seq += 1
-                view = f"__describe_{Connection._tvf_seq}"
-                self.sql(f"DESCRIBE {dm.group(1)}").df() \
-                    .createOrReplaceTempView(view)
-                return f" {view} "
-            query = re.sub(
-                r"(?is)\(\s*DESCRIBE\s+([\w\"]+)\s*\)", _desc_view, query,
+            from duckdb_spark.sql.dialect import (
+                _is_word,
+                _match_paren,
+                _next_code,
+                _tokens,
             )
+
+            qt = _tokens(query)
+            i0 = 0
+            changed0 = False
+            while i0 < len(qt):
+                if qt[i0] == "(":
+                    j0 = _next_code(qt, i0 + 1)
+                    if j0 < len(qt) and _is_word(qt[j0], "DESCRIBE"):
+                        c0 = _match_paren(qt, i0)
+                        if c0 > 0:
+                            inner0 = "".join(qt[j0 + 1:c0]).strip()
+                            Connection._tvf_seq += 1
+                            view = f"__describe_{Connection._tvf_seq}"
+                            self.sql(f"DESCRIBE {inner0}").df() \
+                                .createOrReplaceTempView(view)
+                            qt[i0:c0 + 1] = [f" {view} "]
+                            changed0 = True
+                            continue
+                i0 += 1
+            if changed0:
+                query = "".join(qt)
         # DESCRIBE / SUMMARIZE statements (reference bind_describe.cpp /
         # bind_summarize.cpp): schema rows / per-column stats
         m = re.match(r"(?is)^\s*(DESCRIBE|SUMMARIZE)\s+(.+?);?\s*$", query)
@@ -1241,6 +1261,82 @@ class Connection:
                 if changed2:
                     return Relation(
                         self.spark.sql(translate("".join(qt))))
+            # Window functions over ROLLUP/CUBE output: Spark's analyzer
+            # refuses grouping columns as window inputs under grouping
+            # sets — evaluate the grouped query first, the windows over
+            # its result (test_streaming_window.test:654).
+            if "MISSING_AGGREGATION" in msg and re.search(
+                r"(?i)\b(ROLLUP|CUBE|GROUPING\s+SETS)\b", query
+            ) and re.search(r"(?i)\bOVER\b", query):
+                from duckdb_spark.sql.dialect import (
+                    _split_clauses as _sc,
+                )
+                from duckdb_spark.sql.dialect import (
+                    _split_top_args as _sta0,
+                )
+                from duckdb_spark.sql.dialect import _tokens as _tk0
+
+                cl = _sc(query)
+                if cl.get("SELECT") and cl.get("GROUP"):
+                    items = _sta0(_tk0(re.sub(
+                        r"(?is)^\s*SELECT\s+", "",
+                        cl["SELECT"].strip())))
+                    inner_items, outer_items = [], []
+                    gi2 = 0
+                    any_win = False
+                    for it in items:
+                        it = it.strip()
+                        if not it:
+                            continue
+                        if re.search(r"(?i)\bOVER\b", it):
+                            outer_items.append(it)
+                            any_win = True
+                            continue
+                        am3 = re.search(
+                            r"(?is)\s+AS\s+([A-Za-z_]\w*)\s*$", it)
+                        if am3:
+                            inner_items.append(it)
+                            outer_items.append(am3.group(1))
+                        elif re.fullmatch(r"[A-Za-z_]\w*", it):
+                            inner_items.append(it)
+                            outer_items.append(it)
+                        else:
+                            inner_items.append(f"{it} AS __ru{gi2}")
+                            outer_items.append(f"__ru{gi2}")
+                            gi2 += 1
+                    if any_win and inner_items:
+                        inner_sql = (
+                            "SELECT " + ", ".join(inner_items) + " "
+                            + "".join(cl.get(k3, "") for k3 in
+                                      ("FROM", "WHERE", "GROUP",
+                                       "HAVING")))
+                        tail3 = "".join(
+                            cl.get(k3, "") for k3 in
+                            ("ORDER", "LIMIT", "OFFSET"))
+                        new_q = (f"SELECT {', '.join(outer_items)} "
+                                 f"FROM ({inner_sql}) __ru {tail3}")
+                        if new_q != query:
+                            return Relation(
+                                self.spark.sql(translate(new_q)))
+            # IF with a numeric condition (duck coerces nonzero → true;
+            # test_streaming_window.test:492)
+            if "UNEXPECTED_INPUT_TYPE" in msg and '"BOOLEAN"' in msg and \
+                    re.search(r"\bIF\(", msg):
+                from duckdb_spark.sql.dialect import (
+                    _split_top_args as _sta,
+                )
+                from duckdb_spark.sql.dialect import _tokens as _tk2
+
+                def _ifb(argstr: str) -> str:
+                    parts = _sta(_tk2(argstr))
+                    if len(parts) == 3:
+                        return (f"if(CAST(({parts[0].strip()}) AS BOOLEAN)"
+                                f", {parts[1].strip()}, {parts[2].strip()})")
+                    return f"if({argstr})"
+
+                new_q = _rewrite_fn_calls(query, "if", _ifb)
+                if new_q != query:
+                    return Relation(self.spark.sql(translate(new_q)))
             # DuckDB lets a select alias be referenced inside an aggregate
             # (`SELECT i%2 AS k, SUM(k) ... GROUP BY k`); Spark's lateral
             # column aliases stop at aggregate functions. Substitute the

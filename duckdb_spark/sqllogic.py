@@ -1049,7 +1049,8 @@ class SLSession:
                     src = self.con.sql(
                         "SELECT * FROM (" + bound + "\n)").df()
                 except Exception as e:  # noqa: BLE001 — consensus fallback
-                    if "Conversion Error" in str(e):
+                    if "Conversion Error" in str(e) or \
+                            "Binder Error" in str(e):
                         raise  # invalid literal for the target type
                     src = self.con.sql(
                         "SELECT * FROM (" + src_sql + "\n)").df()
@@ -1060,13 +1061,20 @@ class SLSession:
             from pyspark.sql import functions as F
             from pyspark.sql import types as T
 
+            # expression-derived source column names ('CASE WHEN …',
+            # containing dots) break every name-based resolution path —
+            # normalize positionally first (list_join.test:11)
+            src = src.toDF(*[f"__src{ci}" for ci in range(len(src.columns))])
             by_name = dict(zip(cols, src.columns))
             src_types = {f.name: f.dataType for f in src.schema.fields}
 
             def _coerce(f):
                 if f.name not in by_name:
                     return F.lit(None).cast(f.dataType).alias(f.name)
-                c = F.col(by_name[f.name])
+                # df[name] indexing — expression-derived column names
+                # ('CASE WHEN …') would break F.col's dotted parsing
+                # (list_join.test:11)
+                c = src[by_name[f.name]]
                 st = src_types.get(by_name[f.name])
                 if isinstance(st, T.StructType) and \
                         isinstance(f.dataType, T.StructType):

@@ -237,7 +237,14 @@ def spark_type_to_duckdb(dt: T.DataType) -> str:
             inner = ", ".join(
                 spark_type_to_duckdb(f.dataType) for f in dt.fields)
             return f"TUPLE({inner})"
-        inner = ", ".join(f'"{f.name}" {spark_type_to_duckdb(f.dataType)}' for f in dt.fields)
+        # field names quote ONLY when they need it (reference
+        # KeywordHelper::WriteOptionallyQuoted; unnest_column_names:34
+        # expects STRUCT(bbb INTEGER), not STRUCT("bbb" INTEGER))
+        inner = ", ".join(
+            (f.name if re.fullmatch(r"[a-z_][a-z0-9_]*", f.name)
+             else f'"{f.name}"')
+            + f" {spark_type_to_duckdb(f.dataType)}"
+            for f in dt.fields)
         return f"STRUCT({inner})"
     return dt.simpleString().upper()
 
