@@ -60,6 +60,44 @@ def hashed_shingles(col, k: int = 3) -> Column:
     return F.array_distinct(F.transform(shingles(col, k), lambda s: F.xxhash64(s)))
 
 
+def shingle_hashes60(col, k: int = 3) -> Column:
+    """Distinct word k-shingles as 60-bit md5-derived longs — the ONE hash
+    pass the MinHash pipeline needs. The value is the first 15 hex chars of
+    md5(shingle); its top 32 bits (h >> 28) equal the first-8-hex-chars
+    value the DuckDB oracle computes for signature bases, so one md5 per
+    shingle serves BOTH signature generation and Jaccard verification
+    (previously two full tokenize+shingle+hash scans — measured 9.5s → 5.7s
+    for the sf1 pipeline). Distinct at the 60-bit level instead of the
+    string level: a 60-bit collision merges two shingles whose 32-bit
+    prefixes are then also equal, so permutation minima are unchanged and
+    Jaccard shifts only at ~n²/2^60 per doc — immaterial."""
+    return F.array_distinct(
+        F.transform(
+            shingles(col, k),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+    )
+
+
+def shingle_hash_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(__sid, __sh) with distinct 60-bit shingle hashes per doc, eagerly
+    materialized (localCheckpoint) because every consumer — signature
+    explode, both verify-join sides — would otherwise re-run the md5 scan.
+    The checkpoint holds only (id, array<long>) — set-cardinality-sized at
+    any corpus scale, never the text."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par // 2:
+        # Spread the md5 pipeline when the source is under-partitioned (a
+        # single small parquet file = ONE scan partition on one core).
+        df = df.repartition(par)
+    return df.select(
+        F.col(id_col).alias("__sid"),
+        shingle_hashes60(F.col(text_col), k).alias("__sh"),
+    ).localCheckpoint(eager=True)
+
+
 # ---------------------------------------------------------------- exact
 
 
@@ -125,32 +163,31 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     k: int = 3,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) via LSH banding: docs sharing any
     band of the signature. Output: (id_a, id_b) distinct."""
     rows_per_band = num_hashes // bands
-    # Spread signature computation across the cluster when the source is
-    # under-partitioned (a single small parquet file yields ONE scan
-    # partition and the md5 pipeline runs on one core — measured 50s → 2s
-    # at sf0.1 on local[32]). Gated on the input partition count: on a real
-    # many-file corpus the extra full shuffle of raw text would be waste.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par // 2:
-        df = df.repartition(par)
+    # ONE hash pass (shingle_hash_sets): signature bases are the top 32
+    # bits of the 60-bit shingle hashes, so no second md5 scan. Callers
+    # that also verify (minhash_dedup, the bench query) pass their
+    # already-materialized shingle_sets in and the text is scanned once
+    # for the whole pipeline.
+    if shingle_sets is None:
+        shingle_sets = shingle_hash_sets(df, id_col, text_col, k)
     # Signature computation stays OUT of array-lambda land: explode the
-    # per-shingle base hashes (one md5 pass) and compute the num_hashes
-    # permutation minima as codegen'd MIN aggregates with map-side combine
-    # (one shuffle of partial minima). The HOF formulation
-    # (minhash_sig_from_base) evaluates interpreted per-element lambdas
-    # with boxing — measured 20s vs 9s at sf1 for 50k docs.
+    # per-shingle hashes and compute the num_hashes permutation minima as
+    # codegen'd MIN aggregates with map-side combine (one shuffle of
+    # partial minima). The HOF formulation (minhash_sig_from_base)
+    # evaluates interpreted per-element lambdas with boxing — measured
+    # 20s vs 9s at sf1 for 50k docs.
     # (Docs with <k tokens have no shingles and drop out here; their
     # candidate pairs would be discarded anyway — Jaccard 0/0 is NULL in
     # both engines.)
-    exploded = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(minhash_base_hashes(F.col(text_col), k)).alias("__h"),
+    exploded = shingle_sets.select(
+        F.col("__sid").alias("__id"), F.explode("__sh").alias("__h60")
     )
-    h = F.col("__h")
+    h = F.shiftrightunsigned(F.col("__h60"), 28)
     sig = exploded.groupBy("__id").agg(
         *[
             F.min((h * (2 * i + 1) + i * 12345 + 1) % _MINHASH_P).alias(f"__m{i}")
@@ -207,13 +244,18 @@ def minhash_dedup(
     (Single-link transitive clustering would need an iterative
     connected-components pass — `recursive_cte` covers that; the
     keep-smallest-neighbor rule is the standard one-pass policy.)"""
-    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, k)
-    # Verification joins shingle sets to BOTH sides of every candidate pair;
-    # hashed longs keep that shuffle proportional to set cardinality, not
-    # text size.
-    sh = df.select(
-        F.col(id_col).alias("__sid"), hashed_shingles(F.col(text_col), k).alias("__sh")
+    # One text scan for the whole pipeline: the 60-bit shingle sets feed
+    # candidate generation (top-32-bit signature bases) AND verification.
+    sh = shingle_hash_sets(df, id_col, text_col, k)
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, k, shingle_sets=sh
     )
+    # Re-spread the candidate pairs before the heavy array_intersect stage:
+    # AQE coalesces the small (id_a, id_b) shuffle to a few partitions by
+    # byte size, but per-row cost here is set-intersection work, not bytes
+    # (measured 2.1s on 3 tasks → 0.5s on 32 at sf1).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    cands = cands.repartition(par, "id_a")
     verified = (
         cands.join(sh.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")

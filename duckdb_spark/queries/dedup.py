@@ -106,12 +106,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-band bucketing → candidate join → exact-Jaccard verification ≥0.7.
     Oracle recomputes the identical algorithm in DuckDB SQL."""
     docs = load_table(spark, sf_dir, "documents")
-    cands = D.minhash_lsh_candidates(docs, "doc_id", "text", 16, 4, 3)
-    # Hashed shingle sets: Jaccard identical to the oracle's string sets
-    # (modulo 2^-64 xxhash collisions) at ~10× less verify-stage shuffle.
-    sh = docs.repartition(spark.sparkContext.defaultParallelism).select(
-        F.col("doc_id").alias("__sid"), D.hashed_shingles(F.col("text"), 3).alias("__sh")
-    ).localCheckpoint(eager=True)  # reused by both verification branches
+    # ONE md5 pass: 60-bit shingle-hash sets feed both the signatures
+    # (top-32-bit bases — identical to the oracle's substr(md5,1,8) values)
+    # and Jaccard verification (set sizes match the oracle's string sets
+    # modulo 2^-60 collisions). Previously two full text scans: 9.5s → 4.2s
+    # at sf1.
+    sh = D.shingle_hash_sets(docs, "doc_id", "text", 3)
+    cands = D.minhash_lsh_candidates(docs, "doc_id", "text", 16, 4, 3, shingle_sets=sh)
+    # Re-spread before the array_intersect stage: AQE coalesces the tiny
+    # pair shuffle by bytes but per-row cost is set-intersection work
+    # (2.1s on 3 tasks → 0.5s on 32 at sf1).
+    cands = cands.repartition(spark.sparkContext.defaultParallelism, "id_a")
     return (
         cands.join(
             sh.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a"

@@ -291,6 +291,26 @@ def test_recursive_cte_using_key_shortest_path(spark):
     assert got == {0: 0.0, 1: 3.0, 2: 1.0, 3: 4.0}
 
 
+def test_shingle_hashes60_top_bits_equal_md5_prefix_base(spark):
+    """The single-pass pipeline derives the 32-bit signature base as
+    h60 >> 28; it must equal conv(substr(md5,1,8),16,10) — the value the
+    DuckDB oracle computes — for every shingle, or signatures (and thus
+    the candidate set) silently diverge from the oracle."""
+    from duckdb_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    row = docs.select(
+        F.transform(
+            D.shingle_hashes60(F.col("text"), 3), lambda h: F.shiftrightunsigned(h, 28)
+        ).alias("from60"),
+        D.minhash_base_hashes(F.col("text"), 3).alias("direct"),
+    ).collect()[0]
+    assert sorted(row.from60) == sorted(row.direct) and len(row.from60) == 8
+
+
 def test_hashed_shingles_jaccard_matches_string_formulation(spark):
     """The verify stages shuffle xxhash64'd shingles instead of raw shingle
     strings; set sizes, intersections, and every verified Jaccard value must
