@@ -88,8 +88,17 @@ def run_pass(spark, q, names: list[str], sf_dir: str) -> dict[str, float]:
         # eager localCheckpoint) so the ContextCleaner frees their blocks —
         # otherwise they accumulate across queries and later queries degrade
         # under block-manager eviction pressure (measured 6s → 35s drift).
+        # Python gc alone is NOT enough: the ContextCleaner reclaims blocks
+        # only after a JVM GC notices the dropped references, and a 24g heap
+        # can go minutes without one — measured dedup 5.5s isolated vs 8.6s
+        # mid-bench from exactly this. Force a JVM GC after releasing the
+        # Python refs (outside the timed window).
         spark.catalog.clearCache()
         gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — GC nudge is best-effort
+            pass
     return timings
 
 

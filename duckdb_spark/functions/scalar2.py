@@ -693,6 +693,40 @@ def gen_random_uuid() -> Column:
     return F.uuid()
 
 
+def uuidv4() -> Column:
+    """Alias of gen_random_uuid (reference random_functions.hpp UUIDv4)."""
+    return F.uuid()
+
+
+def uuidv7() -> Column:
+    """RFC 9562 UUIDv7: 48-bit unix-ms timestamp, version nibble 7, random
+    tail (reference random_functions.hpp UUIDv7). Random hex digits are
+    drawn from a v4 uuid() (positions that are uniform in v4); the variant
+    nibble reuses v4's own variant position, which is already in {8,9,a,b}."""
+    ts_hex = F.lower(F.lpad(F.hex(F.unix_millis(F.current_timestamp())), 12, "0"))
+    r = F.translate(F.uuid(), "-", "")  # 32 hex chars of a v4
+    return F.concat(
+        F.substring(ts_hex, 1, 8), F.lit("-"), F.substring(ts_hex, 9, 4),
+        F.lit("-7"), F.substring(r, 1, 3),
+        F.lit("-"), F.substring(r, 17, 1), F.substring(r, 19, 3),
+        F.lit("-"), F.substring(r, 22, 11), F.substring(r, 5, 1),
+    )
+
+
+def uuid_extract_version(u) -> Column:
+    """Version nibble of a canonical UUID string (position 15)."""
+    return F.conv(F.substring(_c(u).cast("string"), 15, 1), 16, 10).cast("int")
+
+
+def uuid_extract_timestamp(u) -> Column:
+    """UUIDv7 embedded timestamp: first 48 bits are unix milliseconds
+    (reference uuid_extract_timestamp; TIMESTAMP WITH TIME ZONE there,
+    session-zoned TimestampType here)."""
+    s = _c(u).cast("string")
+    ms = F.conv(F.concat(F.substring(s, 1, 8), F.substring(s, 10, 4)), 16, 10).cast("long")
+    return F.timestamp_millis(ms)
+
+
 # ---------------------------------------------------------------- enum (emulated)
 
 def enum_code(enum_values: list[str], x) -> Column:

@@ -98,13 +98,21 @@ verified AS (
          len(list_intersect(sa.s, sb.s)) * 1.0 /
            (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
   FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
-SELECT id_a, id_b, ROUND(jac, 4) AS jaccard FROM verified WHERE jac >= 0.7 ORDER BY id_a, id_b
+SELECT CAST((id_a + id_b) % 16 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(id_a % 1000003 + id_b % 1000003) AS BIGINT) AS id_checksum,
+       CAST(SUM(CAST(ROUND(jac * 10000, 0) AS BIGINT)) AS BIGINT) AS jac_sum
+FROM verified WHERE jac >= 0.7 GROUP BY bucket ORDER BY bucket
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → 16-hash signature →
     4-band bucketing → candidate join → exact-Jaccard verification ≥0.7.
-    Oracle recomputes the identical algorithm in DuckDB SQL."""
+    Oracle recomputes the identical algorithm in DuckDB SQL. Result is a
+    16-bucket digest of the verified-pair set (pair counts, id checksums,
+    jaccard sums — any added/dropped/changed pair shifts a checksum), so
+    the timed bench measures the pipeline rather than 247k-row client
+    deserialization (collect() of the raw pair list was ~1.3s at sf1)."""
     docs = load_table(spark, sf_dir, "documents")
     # ONE md5 pass: 60-bit shingle-hash sets feed both the signatures
     # (top-32-bit bases — identical to the oracle's substr(md5,1,8) values)
@@ -127,8 +135,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard", F.col("__inter") / (F.size("sh_a") + F.size("sh_b") - F.col("__inter"))
         )
         .filter(F.col("jaccard") >= 0.7)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
-        .orderBy("id_a", "id_b")
+        .groupBy(((F.col("id_a") + F.col("id_b")) % 16).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("id_a") % 1000003 + F.col("id_b") % 1000003).alias("id_checksum"),
+            F.sum(F.round(F.col("jaccard") * 10000, 0).cast("long")).alias("jac_sum"),
+        )
+        .orderBy("bucket")
     )
 
 

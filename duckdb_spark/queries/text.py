@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from duckdb_spark.catalog import load_table
+from duckdb_spark.catalog import load_table, spread
 from duckdb_spark.operators import text as T
 from duckdb_spark.queries import register
 
@@ -47,7 +47,7 @@ FROM documents GROUP BY source ORDER BY source
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish token counts per source."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     wt = F.size(F.expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
     return (
         docs.groupBy("source")
@@ -78,7 +78,7 @@ FROM hits GROUP BY labeled, predicted ORDER BY labeled, predicted
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (stopword-hit argmax, lexicographic ties)
     cross-tabulated against the labeled lang column."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(
             F.col("lang").alias("labeled"),
@@ -120,7 +120,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NOTE: punct definition uses the ASCII class [^a-zA-Z0-9 ] so the Java
     and RE2 regex dialects agree."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # ASCII-class punct ratio (dialect-portable, matches oracle)
     stripped = F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9 ]", "")
     p = (F.length("text") - F.length(stripped)) / F.greatest(F.length("text"), F.lit(1))
@@ -208,7 +208,7 @@ FROM documents GROUP BY bucket ORDER BY bucket
 )
 def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length histogram on the n_chars metadata column (equi-width bins)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.groupBy((F.floor(F.col("n_chars") / 100) * 100).alias("bucket"))
         .agg(
@@ -241,7 +241,7 @@ def tf_read_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from duckdb_spark.io.readers import read_text
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     subset = docs.where(F.col("doc_id") % 7 == 0).select("doc_id", "text")
     corpus = os.path.join(
         "/tmp", "ddbspark_corpus_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
