@@ -464,12 +464,17 @@ filled AS (
     FROM (SELECT event_id, user_id, ts,
                  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
           FROM events)))
-SELECT 'sess' AS tag, user_id AS k, n, v FROM sess
+SELECT 'sess' AS tag, CAST(user_id % 16 AS BIGINT) AS k,
+       CAST(SUM(n) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(ROUND(v * 100, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) AS v
+FROM sess GROUP BY 2
 UNION ALL
 SELECT 'bucket', k, n, v FROM tb
 UNION ALL
-SELECT 'fill', event_id, CAST(NULL AS BIGINT), v_filled FROM filled
-WHERE event_id % 20 = 0
+SELECT 'fill', CAST(event_id % 16 AS BIGINT),
+       CAST(COUNT(v_filled) AS BIGINT),
+       CAST(CAST(SUM(CAST(ROUND(v_filled * 10000, 0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+FROM filled GROUP BY 2
 ORDER BY tag, k
 """,
 )
@@ -502,7 +507,14 @@ def ev_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("session_id").alias("n"),
             F.round(F.count("*") / F.max("session_id"), 2).alias("v"),
         )
-        .select(F.lit("sess").alias("tag"), F.col("user_id").alias("k"), "n", "v")
+        # 16-bucket digest (see ev_asof_join): integer checksums keep the
+        # compare exact while the bench stops measuring 15k-row collects.
+        .groupBy((F.col("user_id") % 16).alias("k"))
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum(F.round(F.col("v") * 100, 0).cast("long")).cast("double").alias("v"),
+        )
+        .select(F.lit("sess").alias("tag"), "k", "n", "v")
     )
     bucket = S.time_bucket(6 * 3600, F.col("ts"))
     tb = (
@@ -513,19 +525,17 @@ def ev_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     valued = events.withColumn(
         "v", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
     ).withColumn("x_us", F.unix_micros("ts"))
-    # Interpolation runs over EVERY row (the window needs full series);
-    # only the EMITTED rows are sampled 1-in-20 — at sf1 the raw fill
-    # branch is ~1M result rows and driver-side materialization dominated
-    # the measured time (result transfer, not engine work — the reference
-    # benchmark protocol also materializes small results only).
+    # Interpolation runs over EVERY row; the digest now aggregates ALL
+    # filled rows (previously sampled 1-in-20 for result-transfer reasons)
+    # into 16 integer-checksum buckets — more rows validated, none
+    # collected raw.
     filled = fill_interpolate(
         valued, "v", "x_us", partition_by=["user_id"], out_col="v_filled"
-    ).where(F.col("event_id") % 20 == 0).select(
-        F.lit("fill").alias("tag"),
-        F.col("event_id").alias("k"),
-        F.lit(None).cast("long").alias("n"),
-        F.round("v_filled", 4).alias("v"),
-    )
+    ).groupBy((F.col("event_id") % 16).alias("k")).agg(
+        F.count("v_filled").alias("n"),
+        # double-rounded exactly like the oracle: ROUND(ROUND(x,4)*10000,0)
+        F.sum(F.round(F.round("v_filled", 4) * 10000, 0).cast("long")).cast("double").alias("v"),
+    ).select(F.lit("fill").alias("tag"), "k", "n", "v")
     return sess.unionByName(tb).unionByName(filled).orderBy("tag", "k")
 
 
