@@ -1669,6 +1669,44 @@ class Connection:
                 retried = _rewrite_setop_order_refs(query)
                 if retried != query:
                     return Relation(self.spark.sql(translate(retried)))
+            if "BINARY_OP_DIFF_TYPES" in msg:
+                tm = re.search(r'"\(?([A-Z_][A-Z_ ()0-9,]*)"\s+and\s+"'
+                               r'([A-Z_][A-Z_ ()0-9,]*)\)?"', msg)
+                types = (tm.group(1), tm.group(2)) if tm else ("?", "?")
+                # DuckDB binds a NATURAL join over incomparable shared
+                # columns by inserting a RUNTIME cast — the join succeeds
+                # on empty inputs and raises per-row otherwise
+                # (natural_join.test:260). Emulate with a deferred
+                # raise_error join condition; Spark only evaluates it when
+                # a row pair reaches the predicate.
+                nat = re.search(
+                    r"(?i)\bNATURAL\s+((?:LEFT|RIGHT|FULL|INNER)?\s*"
+                    r"(?:OUTER)?\s*JOIN)\s+"
+                    r"([A-Za-z_][\w.]*(?:\s+(?:AS\s+)?[A-Za-z_]\w*)?)",
+                    query,
+                )
+                if nat:
+                    err = (f"Conversion Error: Unimplemented type for cast "
+                           f"({types[0]} -> {types[1]})")
+                    new_q = (
+                        query[:nat.start()]
+                        + f"{nat.group(1)} {nat.group(2)} ON coalesce("
+                        + f"cast(raise_error('{err}') as boolean), true)"
+                        + query[nat.end():]
+                    )
+                    try:
+                        return Relation(self.spark.sql(translate(new_q)))
+                    except Exception:  # noqa: BLE001 — keep original error
+                        pass
+                # explicit comparisons: DuckDB folds the constant side at
+                # bind time and raises a Conversion/Binder error — surface
+                # a message carrying both DuckDB phrasings
+                raise ValueError(
+                    f"Binder Error: Cannot compare values of type "
+                    f"{types[0]} and type {types[1]} (Conversion Error: "
+                    f"Unimplemented type for cast ({types[0]} -> "
+                    f"{types[1]})): {msg[:300]}"
+                ) from None
             raise
 
     query = sql

@@ -5026,6 +5026,36 @@ def _rewrite_quantified_region(
     return delta
 
 
+def _rewrite_select_in_subquery_rec(toks: list[str]) -> list[str]:
+    """Apply the three-valued select-list rewrite at EVERY query level:
+    the top-level select list via _rewrite_select_in_subquery, then
+    recursively inside each parenthesized subquery (derived tables, CTE
+    bodies, scalar subqueries). Spark plans a projection-position
+    IN-subquery as an ExistenceJoin whose flag is false for NULL probe
+    keys, so an unrewritten `x IN (sub) AS flag` inside a derived table
+    silently loses the NULL group (hash_join_dictionary_probe.test:151).
+    WHERE-position forms at every level keep the native join rewrites."""
+    toks = _rewrite_select_in_subquery(toks)
+    i = 0
+    while i < len(toks):
+        if toks[i] == "(":
+            close = _match_paren(toks, i)
+            if close > 0:
+                n = _next_code(toks, i + 1)
+                if n < close and (
+                    _is_word(toks[n], "SELECT")
+                    or _is_word(toks[n], "WITH")
+                    or _is_word(toks[n], "FROM")
+                ):
+                    inner = _rewrite_select_in_subquery_rec(toks[i + 1:close])
+                    toks[i + 1:close] = inner
+                    close = i + 1 + len(inner)
+                i = close + 1
+                continue
+        i += 1
+    return toks
+
+
 def _rewrite_select_in_subquery(toks: list[str]) -> list[str]:
     """Three-valued quantified subqueries where the VALUE matters (not
     plain filtering): the top-level SELECT list, and parenthesized
@@ -6309,15 +6339,14 @@ def _rewrite_order_by_all(toks: list[str]) -> list[str]:
 
 
 def _normalize_null_order(toks: list[str]) -> list[str]:
-    """DuckDB sorts NULLs LAST under ASC and FIRST under DESC (NULLs as
-    largest, reference default_null_order); Spark's defaults are the
-    opposite. Make the DuckDB default explicit on every ORDER BY term
-    lacking a NULLS spec — query scopes and OVER specs; in-call
-    aggregate ORDER BYs keep their own comparator handling."""
-    if get_session_setting("default_null_order") in (
-        "nulls_first", "nulls first",
-    ):
-        return toks  # Spark's own default
+    """DuckDB's default_null_order is POSITIONAL: 'nulls_last' (the
+    default) puts NULLs last under BOTH ASC and DESC, 'nulls_first' puts
+    them first under both (verified against duckdb 1.0 and the reference
+    order tests; max_n_all_types_grouped.test ranks DESC with NULLs
+    last). Spark's defaults are direction-coupled (ASC→FIRST, DESC→LAST),
+    so make the positional order explicit on every ORDER BY term lacking
+    a NULLS spec — query scopes and OVER specs; in-call aggregate ORDER
+    BYs keep their own comparator handling."""
     out = list(toks)
     # classify each paren: normalize inside OVER(...) and subqueries,
     # skip inside function-call parens
@@ -6425,7 +6454,17 @@ def _normalize_null_order(toks: list[str]) -> list[str]:
 
         def _close(end_at: int) -> None:
             nonlocal desc, has_nulls
-            if last_code < 0 or has_nulls:
+            nf = get_session_setting("default_null_order") in (
+                "nulls_first", "nulls first",
+            )
+            # Only touch terms where Spark's direction-coupled default
+            # (ASC→FIRST, DESC→LAST) differs from DuckDB's positional
+            # setting: nulls_last needs explicit NULLS LAST on ASC terms,
+            # nulls_first needs explicit NULLS FIRST on DESC terms. The
+            # matching-direction terms stay untouched (and so avoid the
+            # ordinal-substitution path entirely — grouping.test:23).
+            needed = desc if nf else not desc
+            if last_code < 0 or has_nulls or not needed:
                 desc = False
                 has_nulls = False
                 item_codes.clear()
@@ -6455,8 +6494,8 @@ def _normalize_null_order(toks: list[str]) -> list[str]:
                     has_nulls = False
                     item_codes.clear()
                     return
-            word = " NULLS FIRST " if desc else " NULLS LAST "
-            out[end_at:end_at] = [word]
+            out[end_at:end_at] = [
+                " NULLS FIRST " if nf else " NULLS LAST "]
             desc = False
             has_nulls = False
             item_codes.clear()
@@ -6962,13 +7001,26 @@ def _rewrite_select_unnest(toks: list[str]) -> list[str]:
                     if not arg.lstrip().startswith(("named_struct(", "{")):
                         if len(parts) > 1:
                             # named-arg form: fold through the macro; only
-                            # plain-explode expansions can join the zip
+                            # plain-explode expansions can join the zip.
+                            # Track the raw outer expr of recursive forms —
+                            # mixed-depth alignment needs it (see rec2).
                             exp = _macro_unnest(parts)
                             if exp and exp.startswith("explode(") \
                                     and exp.endswith(")"):
-                                occ.append((i, close, exp[8:-1]))
+                                is_rec = any(
+                                    re.match(
+                                        r"(?is)^\s*(recursive\s*:\s*=\s*true"
+                                        r"|max_depth\s*:\s*=\s*[2-9])",
+                                        p,
+                                    )
+                                    for p in parts[1:]
+                                )
+                                occ.append(
+                                    (i, close, exp[8:-1],
+                                     parts[0] if is_rec else None)
+                                )
                         else:
-                            occ.append((i, close, arg))
+                            occ.append((i, close, arg, None))
                     i = close + 1
                     continue
         i += 1
@@ -6976,7 +7028,7 @@ def _rewrite_select_unnest(toks: list[str]) -> list[str]:
         return out
     if len(occ) == 1:
         # bare item (only commas/AS alias around it) → leave to explode
-        i0, c0, _ = occ[0]
+        i0, c0, _, _ = occ[0]
         p = i0 - 1
         while p > si and (out[p].isspace() or out[p] == ","):
             p -= 1
@@ -6991,14 +7043,53 @@ def _rewrite_select_unnest(toks: list[str]) -> list[str]:
             return out
     # distinct args in first-appearance order
     distinct: list[str] = []
-    for _, _, a in occ:
+    raw_rec: dict[str, str] = {}
+    for _, _, a, raw in occ:
         if a not in distinct:
             distinct.append(a)
+        if raw is not None:
+            raw_rec[a] = raw
+    # Recursive (depth>=2) unnests mixing with depth-1 unnests align
+    # level-by-level in DuckDB (deepest first): level 1 expands only the
+    # deep args' OUTER lists, level 2 zips each deep arg's inner list
+    # against the depth-1 args, padding per level-1 row
+    # (recursive_unnest.test:74 — [[1,2,3],[4,5]] with [1,2,3] yields
+    # 3+3=6 rows, not a flat 5-row zip). raw_rec maps the flattened form
+    # back to the outer expression; handled for depth 2 (deeper mixed
+    # forms keep the flat zip).
+    rec2 = raw_rec
     if len(distinct) == 1:
         gen = f"explode({distinct[0]})"
         var = "__un0"
         names = {distinct[0]: "__un0"}
         lateral = f" LATERAL VIEW {gen} __ut AS {var} "
+    elif rec2 and any(a not in rec2 for a in distinct):
+        def _maxof(xs: list[str]) -> str:
+            return xs[0] if len(xs) == 1 else "greatest({})".format(", ".join(xs))
+
+        n1 = _maxof([f"size({x})" for x in rec2.values()])
+        n2 = _maxof(
+            [
+                f"size(try_element_at({rec2[a]}, __o))" if a in rec2 else f"size({a})"
+                for a in distinct
+            ]
+        )
+        fields = ", ".join(
+            (
+                f"'c{k}', try_element_at(try_element_at({rec2[a]}, __o), __i)"
+                if a in rec2
+                else f"'c{k}', try_element_at({a}, __i)"
+            )
+            for k, a in enumerate(distinct)
+        )
+        gen = (
+            f"explode(flatten(if(coalesce({n1}, 0) < 1, array(), "
+            f"transform(sequence(1, {n1}), __o -> "
+            f"if(coalesce({n2}, 0) < 1, array(), "
+            f"transform(sequence(1, {n2}), __i -> named_struct({fields})))))))"
+        )
+        names = {a: f"__uz.c{k}" for k, a in enumerate(distinct)}
+        lateral = f" LATERAL VIEW {gen} __ut AS __uz "
     else:
         sizes = ", ".join(f"size({a})" for a in distinct)
         fields = ", ".join(
@@ -7013,7 +7104,7 @@ def _rewrite_select_unnest(toks: list[str]) -> list[str]:
         names = {a: f"__uz.c{k}" for k, a in enumerate(distinct)}
         lateral = f" LATERAL VIEW {gen} __ut AS __uz "
     # replace occurrences back-to-front
-    for i0, c0, a in reversed(occ):
+    for i0, c0, a, _raw in reversed(occ):
         out[i0:c0 + 1] = [names[a]]
     # find insertion point: first top-level clause after the FROM items
     # (or, FROM-less, the first clause after the select list)
@@ -8497,6 +8588,15 @@ def _parse_const(txt: str):
     if low == "null":
         return True, None
     m = re.match(r"(?is)^(date|timestamp)\s*'([^']*)'$", s)
+    if m is None:
+        # the prelude rewrites TIMESTAMP literals to their NTZ cast form
+        cm = re.match(
+            r"(?is)^cast\s*\(\s*'([^']*)'\s+as\s+timestamp_ntz\s*\)$", s)
+        if cm:
+            m = re.match(r"(?is)^(timestamp)\s*(')",
+                         "timestamp '" + cm.group(1) + "'")
+            m = re.match(r"(?is)^(date|timestamp)\s*'([^']*)'$",
+                         "timestamp '" + cm.group(1) + "'")
     if m:
         try:
             if m.group(1).lower() == "date":
@@ -8546,9 +8646,11 @@ def _fold_equi_width_bins(args: list[str]) -> str | None:
     parts = []
     for b in bins:
         if isinstance(b, _dt.datetime):
-            parts.append(f"timestamp '{b.strftime('%Y-%m-%d %H:%M:%S')}"
-                         + (f".{b.microsecond:06d}'".replace("000000'", "'")
-                            if b.microsecond else "'"))
+            txt = b.strftime("%Y-%m-%d %H:%M:%S") + (
+                f".{b.microsecond:06d}".rstrip("0") if b.microsecond else "")
+            # NTZ cast form: a bare TIMESTAMP literal is the instant type
+            # in Spark and the renderer would print a '+00' suffix
+            parts.append(f"cast('{txt}' as timestamp_ntz)")
         elif isinstance(b, _dt.date):
             parts.append(f"date '{b.isoformat()}'")
         elif isinstance(b, float):
@@ -8592,16 +8694,30 @@ def _macro_unnest(args: list[str]) -> str | None:
             return None
         key, val = em.group(1).lower(), em.group(2).strip().lower()
         if key == "recursive":
+            if val not in ("true", "false"):
+                raise ValueError(
+                    f"Binder Error: Could not convert string '{val}' to BOOL"
+                )
             recursive = val == "true"
         elif key == "max_depth":
             try:
                 max_depth = int(val)
             except ValueError:
-                return None
+                raise ValueError(
+                    f"Binder Error: Could not convert string '{val}' to BIGINT"
+                ) from None
         elif key == "keep_parent_names":
+            if val not in ("true", "false"):
+                raise ValueError(
+                    f"Binder Error: Could not convert string '{val}' to BOOL"
+                )
             keep_parent = val == "true"
         else:
-            return None
+            raise ValueError(
+                f'Binder Error: Unsupported parameter "{em.group(1)}" for unnest'
+            )
+    if max_depth is not None and max_depth <= 0:
+        raise ValueError("Binder Error: unnest cannot have a max depth of 0")
     depth = max_depth if max_depth is not None else (10**6 if recursive else 1)
     if arg.strip().upper() == "NULL":
         # bare NULL: zero rows whatever the (unknowable) element type
@@ -10224,8 +10340,8 @@ def _rewrite_cast_types(toks: list[str]) -> list[str]:
                     f"Conversion Error: Cannot cast list of size "
                     f"{inner_n2} to array of size {mfix2.group(2)}"
                 )
-        if re.match(r"(?i)^(TIMESTAMP(_MS|_NS|_S|TZ|TZ_NS)?|DATE|DATETIME|"
-                    r"TIMESTAMP WITH TIME ZONE)$", ty.strip()) and \
+        if re.match(r"(?i)^(TIMESTAMP(_MS|_NS|_S|TZ|TZ_NS|_LTZ|_NTZ)?|DATE|"
+                    r"DATETIME|TIMESTAMP WITH TIME ZONE)$", ty.strip()) and \
                 re.fullmatch(r"(?i)\s*'([+-]?infinity)'\s*",
                              operand or ""):
             # ±infinity temporals have no Spark representation; the corpus
@@ -11361,6 +11477,15 @@ def translate(sql: str) -> str:
         lambda m: f"cast('{m.group(1)}' as timestamp_ltz)",
         sql,
     )
+    # Bare TIMESTAMP/DATETIME typed literals: DuckDB TIMESTAMP is tz-naive
+    # (types.py maps the column type to TimestampNTZType); Spark's typed
+    # literal is the instant type, which the sqllogic renderer would print
+    # with a '+00' offset suffix (test_aggregate_types_scalar.test:47)
+    sql = re.sub(
+        r"(?i)\b(?:TIMESTAMP|DATETIME)\s*'([^']*)'",
+        lambda m: f"cast('{m.group(1)}' as timestamp_ntz)",
+        sql,
+    )
     # precision-suffixed typed literals AND literal :: casts → CAST form
     # (Spark has no such typed literals; the cast passes then apply the
     # infinity fold, ns rounding, and range semantics)
@@ -11406,7 +11531,7 @@ def translate(sql: str) -> str:
     )
     if re.search(r"(?i)\bIN\s*\(\s*SELECT\b", sql):
         sql = "".join(_rewrite_row_in_subquery(_tokens(sql)))
-    sql = "".join(_rewrite_select_in_subquery(_tokens(sql)))
+    sql = "".join(_rewrite_select_in_subquery_rec(_tokens(sql)))
     sql = _rewrite_any_all(sql)
     # empty () entries in a mixed GROUP BY key list contribute nothing
     # (reference group-by binder): drop them while other keys exist
