@@ -54,15 +54,37 @@ def duckdb_columns(spark: SparkSession) -> DataFrame:
 
 def duckdb_functions(spark: SparkSession) -> DataFrame:
     """duckdb_functions() — the engine's DuckDB-name function registry
-    plus every Spark SQL builtin reachable from SQL text."""
-    rows = [(name, "scalar", "duckdb_spark.functions") for name in sorted(FUNCTIONS)]
+    plus every Spark SQL builtin reachable from SQL text. return_type is
+    populated for the overload families the corpus introspects
+    (reservoir_quantile / approx_quantile: one row per signature, with and
+    without the sample/count argument — reference
+    src/core_functions/aggregate/holistic/reservoir_quantile.cpp)."""
+    rows = [
+        (name, "scalar", "duckdb_spark.functions", None)
+        for name in sorted(FUNCTIONS)
+        if name not in ("reservoir_quantile", "approx_quantile")
+    ]
+    _Q_TYPES = ["TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                "FLOAT", "DOUBLE", "DECIMAL"]
+    for fname in ("reservoir_quantile", "approx_quantile"):
+        for t in _Q_TYPES:
+            # scalar quantile: (T, DOUBLE) and (T, DOUBLE, INTEGER)
+            rows.append((fname, "aggregate", "duckdb_spark.functions", t))
+            rows.append((fname, "aggregate", "duckdb_spark.functions", t))
+            # list quantile: (T, DOUBLE[]) and (T, DOUBLE[], INTEGER)
+            rows.append(
+                (fname, "aggregate", "duckdb_spark.functions", f"{t}[]"))
+            rows.append(
+                (fname, "aggregate", "duckdb_spark.functions", f"{t}[]"))
     rows += [
-        (f.name, "builtin", "spark")
+        (f.name, "builtin", "spark", None)
         for f in spark.catalog.listFunctions()
         if not f.name.startswith("_")
     ]
     return spark.createDataFrame(
-        rows, "function_name string, function_type string, origin string"
+        rows,
+        "function_name string, function_type string, origin string, "
+        "return_type string",
     )
 
 

@@ -308,6 +308,14 @@ class Connection:
         self.spark.udf.register("__dknesteq", nest_eq, "boolean")
         self.spark.udf.register("__dknestkey", nest_key, "binary")
         self.spark.udf.register("__dknestin", nest_in, "boolean")
+        # C-style %g/%e formatting: java.util.Formatter's %g rounds via a
+        # different decimal path than C printf (0.9999999999999999 at %.17g
+        # → '...90' vs '...89'); Python's % operator is C-compatible
+        # (decimal_float_cast.test:26)
+        self.spark.udf.register(
+            "__dkfmtg",
+            lambda fmt, v: None if fmt is None or v is None else fmt % v,
+            "string")
 
     def sql(self, query: str, params=None) -> "Relation | None":
         """Run DuckDB-dialect SQL: macro/sequence/PREPARE DDL handled by our
@@ -844,7 +852,11 @@ class Connection:
             for branch, op in zip(branches[1:], ops):
                 rhs = _branch_df(branch)
                 if op.endswith("BY NAME") and op.startswith("UNION"):
-                    df = df.unionByName(rhs, allowMissingColumns=True)
+                    from duckdb_spark.sql.nestcmp import (
+                        union_by_name_unified,
+                    )
+
+                    df = union_by_name_unified(df, rhs)
                     if " ALL" not in op:
                         df = df.distinct()
                 elif op.endswith("BY NAME"):
@@ -1318,6 +1330,84 @@ class Connection:
                         if new_q != query:
                             return Relation(
                                 self.spark.sql(translate(new_q)))
+            # concat/array ops over struct arrays whose FIELD ORDER differs:
+            # DuckDB reorders by name (struct_different_names.test:52);
+            # Spark's concat wants identical types. Rebuild later args to
+            # the first argument's field order.
+            if "DATA_DIFF_TYPES" in msg and re.search(
+                r'"concat\(', msg
+            ) and "STRUCT" in msg.upper():
+                cm0 = re.search(r'"concat\(([^"]+)\)"', msg)
+                tm0 = re.findall(r'"ARRAY<STRUCT<([^>]*)>>"', msg)
+                if cm0 and len(tm0) >= 2:
+                    argnames = [a.strip() for a in cm0.group(1).split(",")]
+                    fieldsets = [
+                        [f.split(":")[0].strip().strip("`")
+                         for f in t.split(",")] for t in tm0
+                    ]
+                    canon = fieldsets[0]
+                    if all(sorted(x) == sorted(canon) for x in fieldsets) \
+                            and len(argnames) == len(fieldsets):
+                        tq = translate(query)
+                        reordered = [argnames[0]] + [
+                            a if fieldsets[k + 1] == canon else (
+                                f"transform({a}, __se -> named_struct("
+                                + ", ".join(
+                                    f"'{f}', __se.{f}" for f in canon)
+                                + "))")
+                            for k, a in enumerate(argnames[1:])
+                        ]
+                        pat = re.compile(
+                            r"(?i)(?<![A-Za-z_])concat\(\s*"
+                            + r"\s*,\s*".join(
+                                re.escape(a) for a in argnames)
+                            + r"\s*\)")
+                        new_q = pat.sub(
+                            "concat(" + ", ".join(reordered) + ")", tq)
+                        if new_q != tq:
+                            try:
+                                return Relation(self.spark.sql(new_q))
+                            except Exception:  # noqa: BLE001
+                                pass
+            # numeric subscript into an (unnamed) STRUCT: DuckDB's s[N]
+            # reads tuple field N; Spark's element_at only takes
+            # arrays/maps (struct_projection_pushdown_unnamed.test:9).
+            # The analyzer names the offending call — rewrite it to the
+            # positional field reference and re-run (nested subscripts
+            # resolve one per retry round).
+            if "UNEXPECTED_INPUT_TYPE" in msg and "STRUCT" in msg.upper():
+                em = re.search(
+                    r'"(?:try_)?element_at\(([^",]+), (\d+)\)"', msg)
+                cur_q, cur_em = translate(query), em
+                for _round in range(5):
+                    if cur_em is None:
+                        break
+                    base, idx = cur_em.group(1), int(cur_em.group(2))
+                    # the analyzer prints dotted paths unparenthesized
+                    # while the translated text may carry parens around
+                    # the head ((x).col2.payload) — accept both spellings
+                    head, dot, rest = base.partition(".")
+                    variants = [base] + (
+                        [f"({head}){dot}{rest}"] if dot else [])
+                    new_q = cur_q
+                    for b in variants:
+                        pat = re.compile(
+                            r"(?<![A-Za-z_])(?:try_)?element_at\(\s*"
+                            + re.escape(b)
+                            + r"\s*,\s*" + str(idx) + r"\s*\)")
+                        new_q = pat.sub(f"({b}).col{idx}", new_q)
+                    if new_q == cur_q:
+                        break
+                    try:
+                        return Relation(self.spark.sql(new_q))
+                    except Exception as e2:  # noqa: BLE001 — next round
+                        m2 = str(e2)
+                        cur_q, cur_em = new_q, (
+                            re.search(
+                                r'"(?:try_)?element_at\(([^",]+), (\d+)\)"',
+                                m2)
+                            if "UNEXPECTED_INPUT_TYPE" in m2
+                            and "STRUCT" in m2.upper() else None)
             # IF with a numeric condition (duck coerces nonzero → true;
             # test_streaming_window.test:492)
             if "UNEXPECTED_INPUT_TYPE" in msg and '"BOOLEAN"' in msg and \
@@ -1721,7 +1811,7 @@ class Connection:
         # Python API (io/readers.py) bound as SQL-text table functions
         "read_parquet", "parquet_scan", "read_csv", "read_csv_auto",
         "read_json", "read_json_auto", "read_json_objects", "read_ndjson",
-        "read_text", "read_blob",
+        "read_text", "read_blob", "sniff_csv", "lttb",
     )
     _tvf_seq = 0
 
@@ -1936,11 +2026,25 @@ class Connection:
                     if vals["n"] is None or isinstance(vals["v"], str):
                         return m.group(0)  # scalar string repeat
                     df = tablefn.repeat(self.spark, vals["v"], int(vals["n"]))
+                elif name == "lttb":
+                    # lttb(table, x, y, n): LTTB downsampling TVF over a
+                    # named table/view (operators/sketch.py lttb — the
+                    # beyond-reference pipeline operator surfaced to SQL
+                    # text; VERDICT r08 item 8)
+                    parts = _split_sql_args(args)
+                    if len(parts) != 4:
+                        return m.group(0)
+                    from duckdb_spark.operators import sketch
+
+                    src = self.sql(f"SELECT * FROM {parts[0].strip()}").df()
+                    df = sketch.lttb(
+                        src, parts[1].strip(), parts[2].strip(),
+                        int(parts[3].strip()))
                 elif name in (
                     "read_parquet", "parquet_scan", "read_csv",
                     "read_csv_auto", "read_json", "read_json_auto",
                     "read_json_objects", "read_ndjson", "read_text",
-                    "read_blob",
+                    "read_blob", "sniff_csv",
                 ):
                     from duckdb_spark.io import readers
 
@@ -1968,6 +2072,23 @@ class Connection:
                         if opts.get("delim") or opts.get("sep"):
                             kw["sep"] = (opts.get("delim") or opts["sep"]).strip("'\"")
                         df = readers.read_csv(self.spark, paths, **kw)
+                    elif name == "sniff_csv":
+                        # one-row result mirroring the reference's output
+                        # columns (src/function/table/sniff_csv.cpp);
+                        # Columns renders as its duck text form
+                        info = dict(readers.sniff_csv(
+                            paths[0] if isinstance(paths, list)
+                            else paths))
+                        info["Columns"] = str(info.get("Columns"))
+                        row = tuple(
+                            v if isinstance(v, (int, bool)) or v is None
+                            else str(v) for v in info.values())
+                        schema = ", ".join(
+                            f"{k} boolean" if isinstance(v, bool)
+                            else f"{k} bigint" if isinstance(v, int)
+                            else f"{k} string"
+                            for k, v in info.items())
+                        df = self.spark.createDataFrame([row], schema)
                     elif name == "read_text":
                         df = readers.read_text(self.spark, paths)
                     elif name == "read_blob":

@@ -226,3 +226,122 @@ def ensure_udfs(spark) -> None:
     spark.udf.register("__dknestkey", nest_key, "binary")
     spark.udf.register("__dknestin", nest_in, "boolean")
     _REGISTERED.add(id(spark))
+
+
+# --------------------------------------------------------- BY NAME unify
+
+
+def _unify_types(a, b):
+    """DuckDB set-op type unification for UNION BY NAME: VARCHAR absorbs
+    scalars, numerics widen, structs merge fields by name (lhs order, new
+    rhs fields appended), lists/maps unify element-wise (reference
+    bind_setop_node union-by-name casts; struct_cast_superset.test:31 —
+    {'e2': 42} ∪ {'e2': 'hello'} must carry e2 as VARCHAR, not cast
+    'hello' to the lhs integer type)."""
+    from pyspark.sql import types as T
+
+    if a == b:
+        return a
+    if isinstance(a, T.NullType):
+        return b
+    if isinstance(b, T.NullType):
+        return a
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        bmap = {f.name.lower(): f for f in b.fields}
+        fields = []
+        seen = set()
+        for f in a.fields:
+            bf = bmap.get(f.name.lower())
+            seen.add(f.name.lower())
+            fields.append(T.StructField(
+                f.name,
+                _unify_types(f.dataType, bf.dataType) if bf else f.dataType,
+                True))
+        for f in b.fields:
+            if f.name.lower() not in seen:
+                fields.append(T.StructField(f.name, f.dataType, True))
+        return T.StructType(fields)
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return T.ArrayType(
+            _unify_types(a.elementType, b.elementType), True)
+    if isinstance(a, T.MapType) and isinstance(b, T.MapType):
+        return T.MapType(
+            _unify_types(a.keyType, b.keyType),
+            _unify_types(a.valueType, b.valueType), True)
+    if isinstance(a, T.StringType) or isinstance(b, T.StringType):
+        return T.StringType()
+    num_rank = [T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                T.FloatType, T.DoubleType]
+
+    def _rank(t):
+        for i, cls in enumerate(num_rank):
+            if isinstance(t, cls):
+                return i
+        return None
+
+    ra, rb = _rank(a), _rank(b)
+    if ra is not None and rb is not None:
+        return num_rank[max(ra, rb)]()
+    if isinstance(a, T.DecimalType) and (
+        rb is not None or isinstance(b, T.DecimalType)
+    ):
+        return T.DoubleType() if isinstance(b, (T.FloatType, T.DoubleType)) \
+            else (a if not isinstance(b, T.DecimalType)
+                  else T.DecimalType(max(a.precision, b.precision),
+                                     max(a.scale, b.scale)))
+    if isinstance(b, T.DecimalType) and ra is not None:
+        return _unify_types(b, a)
+    return T.StringType()  # last resort: duck text unification
+
+
+def _coerce_to(expr, src, dst):
+    """Column expression casting `expr` of Spark type src to dst, building
+    structs field-by-field (a plain CAST cannot add struct members)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if src == dst:
+        return expr
+    if isinstance(src, T.StructType) and isinstance(dst, T.StructType):
+        smap = {f.name.lower(): f for f in src.fields}
+        parts = []
+        for f in dst.fields:
+            sf = smap.get(f.name.lower())
+            if sf is None:
+                parts.append(
+                    F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                parts.append(_coerce_to(
+                    expr.getField(sf.name), sf.dataType, f.dataType
+                ).alias(f.name))
+        built = F.struct(*parts)
+        return F.when(expr.isNull(), F.lit(None).cast(dst)).otherwise(built)
+    if isinstance(src, T.ArrayType) and isinstance(dst, T.ArrayType):
+        return F.transform(
+            expr, lambda e: _coerce_to(e, src.elementType, dst.elementType))
+    return expr.cast(dst)
+
+
+def union_by_name_unified(df, rhs):
+    """df.unionByName(rhs) with DuckDB type unification (see _unify_types):
+    both sides are first coerced to the column-wise unified schema."""
+    from pyspark.sql import functions as F
+
+    lmap = {f.name.lower(): f for f in df.schema.fields}
+    rmap = {f.name.lower(): f for f in rhs.schema.fields}
+    unified = {}
+    for k in set(lmap) & set(rmap):
+        if lmap[k].dataType != rmap[k].dataType:
+            unified[k] = _unify_types(lmap[k].dataType, rmap[k].dataType)
+    if unified:
+        df = df.select(*[
+            _coerce_to(F.col(f.name), f.dataType, unified[f.name.lower()])
+            .alias(f.name) if f.name.lower() in unified else F.col(f.name)
+            for f in df.schema.fields
+        ])
+        rhs = rhs.select(*[
+            _coerce_to(F.col(f.name), f.dataType, unified[f.name.lower()])
+            .alias(f.name) if f.name.lower() in unified else F.col(f.name)
+            for f in rhs.schema.fields
+        ])
+    return df.unionByName(rhs, allowMissingColumns=True)

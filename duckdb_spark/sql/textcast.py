@@ -189,6 +189,12 @@ def emit_value(text: str, quoted: bool, ducktype: str,
             return text.strip().lower()
         return _fail()
     # dates/timestamps/uuid/…: delegate to a Spark cast of the text
+    if up == "DATE" and re.match(r"^\d{5,7}-\d{2}-\d{2}$", text.strip()):
+        # valid DuckDB date beyond Python's year 9999: PySpark cannot
+        # collect such a DateType value (fromInternal overflows) — keep
+        # the text, which renders identically
+        # (string_to_struct_cast.test:52)
+        return _quote_sql(text.strip())
     kw = "try_cast" if lenient else "cast"
     return f"{kw}({_quote_sql(text.strip())} as {duckdb_type_to_spark(dt).simpleString()})"
 
@@ -783,10 +789,17 @@ def parse_typed(text: str, quoted: bool, ducktype: str,
             f"Conversion Error: Could not convert string {text!r} to BOOLEAN")
     try:
         if up == "DATE":
+            ym = re.match(r"^(\d{5,7})-(\d{2})-(\d{2})$", t)
+            if ym:
+                # beyond Python's year 9999 but valid in DuckDB (date max
+                # 5881580-07-10): keep the text — it renders identically
+                # and Spark/Python can't hold the value
+                # (string_to_struct_cast.test:52)
+                return t
             return datetime.date.fromisoformat(t)
         if up.startswith("TIMESTAMP") or up == "DATETIME":
             return datetime.datetime.fromisoformat(t)
-    except ValueError as e:
+    except (ValueError, OverflowError) as e:
         raise TextCastError(
             f"Conversion Error: Could not convert string {text!r} to {up}"
         ) from e

@@ -397,12 +397,25 @@ def parse_file(path: str) -> list[Record]:
 _HASH_RE = re.compile(r"^(\d+) values hashing to ([0-9a-f]{32})$")
 
 
-def format_value(v, ltz: bool = False) -> str:
+def _f32_repr(v: float) -> str:
+    """Shortest round-trip text of a FLOAT (float32) value — DuckDB renders
+    REAL columns via float32 shortest-repr ('0.9', not the float64 image
+    0.8999999761581421; string_to_struct_cast.test:52)."""
+    import numpy as np
+
+    return str(np.float32(v))
+
+
+def format_value(v, ltz: bool = False, dt=None) -> str:
     """reference result_helper.cpp:SQLLogicTestConvertValue. `ltz` marks
     TIMESTAMPTZ columns (Spark TimestampType; session tz pinned to UTC) —
-    the reference renders those with a '+00' offset suffix."""
+    the reference renders those with a '+00' offset suffix. `dt` is the
+    column's Spark DataType when known: FLOAT leaves render via float32
+    shortest-repr, and nested fields recurse with their field types."""
     import datetime
     import decimal
+
+    from pyspark.sql import types as _T
 
     if v is None:
         return "NULL"
@@ -417,6 +430,8 @@ def format_value(v, ltz: bool = False) -> str:
             return "-inf"
         if v == int(v) and abs(v) < 1e15:
             return f"{v:.1f}"
+        if isinstance(dt, _T.FloatType):
+            return _f32_repr(v)
         return repr(v)
     if isinstance(v, decimal.Decimal):
         return str(v)
@@ -442,18 +457,26 @@ def format_value(v, ltz: bool = False) -> str:
             for b in bytes(v)
         ) or "(empty)"
     if isinstance(v, list):
-        return "[" + ", ".join(_nested(x, ltz) for x in v) + "]"
+        et = dt.elementType if isinstance(dt, _T.ArrayType) else None
+        return "[" + ", ".join(_nested(x, ltz, et) for x in v) + "]"
     if isinstance(v, dict):  # MapType
         # ArrayBasedMapData keeps construction order through collect(), and
         # Python dicts keep insertion order — render entries as built
         # (histogram constructs sorted-key entries; struct→map casts keep
         # declaration order, both matching the reference's rendering)
+        kt = dt.keyType if isinstance(dt, _T.MapType) else None
+        vt = dt.valueType if isinstance(dt, _T.MapType) else None
         return "{" + ", ".join(
-            f"{_nested(k)}={_nested(x)}" for k, x in v.items()
+            f"{_nested(k, False, kt)}={_nested(x, False, vt)}"
+            for k, x in v.items()
         ) + "}"
     if hasattr(v, "asDict"):  # Row / struct
         d = v.asDict()
         names = list(d)
+        ftypes = (
+            {f.name: f.dataType for f in dt.fields}
+            if isinstance(dt, _T.StructType) else {}
+        )
         if names == ["months", "days", "micros"]:
             # INTERVAL struct emulation renders as interval text
             return _iv_text_build(
@@ -462,16 +485,19 @@ def format_value(v, ltz: bool = False) -> str:
             # ROW(…) auto-naming: unnamed struct renders as a tuple
             # (reference value.cpp STRUCT without field names)
             if len(d) == 1:
-                return "(" + _nested(next(iter(d.values()))) + ",)"
-            return "(" + ", ".join(_nested(x) for x in d.values()) + ")"
+                k0 = next(iter(d))
+                return "(" + _nested(d[k0], False, ftypes.get(k0)) + ",)"
+            return "(" + ", ".join(
+                _nested(x, False, ftypes.get(k)) for k, x in d.items()) + ")"
         return "{" + ", ".join(
             "'" + k.replace("\\", "\\\\").replace("'", "\\'")
-            + f"': {_nested(x)}" for k, x in d.items()) + "}"
+            + f"': {_nested(x, False, ftypes.get(k))}"
+            for k, x in d.items()) + "}"
     s = str(v)
     return s if s else "(empty)"
 
 
-def _nested(v, ltz: bool = False) -> str:
+def _nested(v, ltz: bool = False, dt=None) -> str:
     import datetime
 
     if v is None:
@@ -498,7 +524,7 @@ def _nested(v, ltz: bool = False) -> str:
     if isinstance(v, datetime.timedelta):
         # intervals inside nested values are quoted like timestamps
         return f"'{format_value(v)}'"
-    return format_value(v)
+    return format_value(v, ltz, dt)
 
 
 def values_equal(expected: str, actual: str, type_char: str) -> bool:
@@ -1439,6 +1465,7 @@ def run_file(
 
                 ltz_cols = [_has_ltz(f.dataType)
                             for f in df.schema.fields]
+                col_types = [f.dataType for f in df.schema.fields]
                 try:
                     rows = df.collect()
                 except Exception as ce:  # noqa: BLE001
@@ -1489,7 +1516,8 @@ def run_file(
                 rel, "fail",
                 f"line {rec.line}: column count {len(rows[0])} != {ncols}", n)
         actual = [
-            format_value(v, ltz=(k < len(ltz_cols) and ltz_cols[k]))
+            format_value(v, ltz=(k < len(ltz_cols) and ltz_cols[k]),
+                         dt=col_types[k] if k < len(col_types) else None)
             for r in rows for k, v in enumerate(r)
         ]
         if rec.sort == "rowsort":
