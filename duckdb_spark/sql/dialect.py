@@ -9721,10 +9721,22 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
     if name in ("list_extract", "array_extract") and n == 2:
         # 1-based, index 0 / out-of-range → NULL (reference list_extract)
         return f"try_element_at({args[0]}, nullif({args[1]}, 0))"
+    if name in ("date_trunc", "datetrunc") and n == 2 and not re.search(
+        r"(?i)__dktz|timestamp_ltz|timestamptz|time\s+zone", args[1]
+    ):
+        # duck-naive inputs (our TIMESTAMP/DATE are NTZ/DATE) keep a naive
+        # result; Spark's date_trunc always returns the instant type and
+        # the renderer would print '+00'
+        # (test_full_outer_join_issue_4252.test:37). TIMESTAMPTZ operands
+        # (LTZ carriers, textual hints above) keep the instant result.
+        return (f"cast(date_trunc({args[0]}, {args[1]}) as timestamp_ntz)")
     if name == "epoch" and n == 1:
         # seconds since epoch incl. fraction; Spark's timestamp→double
-        # cast has exactly this meaning
-        return f"cast({args[0]} as double)"
+        # cast has exactly this meaning. NTZ inputs (duck-naive TIMESTAMP
+        # literals/columns; session tz pinned UTC so the instant cast is
+        # value-preserving) have no double cast — go through LTZ
+        # (test_iejoin.test:112 after the NTZ-literal change).
+        return f"cast(to_timestamp_ltz({args[0]}) as double)"
     if name in _TO_INTERVAL_FNS and n == 1:
         return _TO_INTERVAL_FNS[name].format(x=args[0])
     if name in ("struct_contains", "struct_position") and n == 2:
@@ -9833,7 +9845,7 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
 
 _MACRO_NAMES = {
     "median", "row", "avg", "printf", "format", "format_string",
-    "approx_quantile", "reservoir_quantile",
+    "approx_quantile", "reservoir_quantile", "date_trunc", "datetrunc",
     "count_star", "signbit", "json", "concat", "list_concat",
     "array_concat", "map",
     "corr", "regr_slope",
