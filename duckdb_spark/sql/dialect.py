@@ -1879,16 +1879,12 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
             ):
                 # runtime range check for unsigned targets — see the CAST
                 # scanner's matching clause (cast_error_location.test:108)
-                lo, hi = _FOLD_CAST_RANGES[
-                    {"UINT8": "UTINYINT", "UINT16": "USMALLINT",
-                     "UINT32": "UINTEGER", "UINT64": "UBIGINT"}.get(
-                        rawtyU, rawtyU)]
                 carrier = _INT_TYPE_NAMES.get(rawtyU, "decimal(38,0)")
                 opx = f"({operand})"
+                _, probe = _unsigned_range_probes(rawtyU, opx)
                 out.extend(_tokens(
                     f"CAST((CASE WHEN {opx} IS NULL THEN NULL WHEN "
-                    f"round(cast({opx} as decimal(38,6))) BETWEEN {lo} "
-                    f"AND {hi} THEN {opx} ELSE raise_error(concat("
+                    f"{probe} THEN {opx} ELSE raise_error(concat("
                     f"'Conversion Error: value ', cast({opx} as string), "
                     f"' out of range for {rawtyU}')) END) AS {carrier})"))
                 continue
@@ -5439,6 +5435,25 @@ _FOLD_CAST_RANGES = {
 }
 
 
+def _unsigned_range_probes(tyU: str, opx: str) -> tuple[str, str]:
+    """(try_probe, probe) SQL for the unsigned-cast runtime range check.
+    UHUGEINT's bound 2^128-1 is 39 digits — over DECIMAL(38)'s max, so a
+    bare literal fails Spark analysis and the decimal(38,6) probe caps at
+    ~1e32 (ADVICE r09 #1); probe it through DOUBLE instead (2^128-1 rounds
+    to 3.402823669209385e38, the exact fold of the true bound)."""
+    if tyU == "UHUGEINT":
+        p = f"cast({opx} as double) BETWEEN 0 AND 3.402823669209385e38"
+        pt = f"try_cast({opx} as double) BETWEEN 0 AND 3.402823669209385e38"
+        return pt, p
+    lo, hi = _FOLD_CAST_RANGES[
+        {"UINT8": "UTINYINT", "UINT16": "USMALLINT",
+         "UINT32": "UINTEGER", "UINT64": "UBIGINT"}.get(tyU, tyU)]
+    return (
+        f"round(try_cast({opx} as decimal(38,6))) BETWEEN {lo} AND {hi}",
+        f"round(cast({opx} as decimal(38,6))) BETWEEN {lo} AND {hi}",
+    )
+
+
 def _fold_null_cast_chains(toks: list[str]) -> list[str]:
     """`NULL::a::b::…::z` → `CAST(NULL AS z)`: the reference folds a
     constant NULL through any cast chain; Spark rejects intermediate
@@ -8617,8 +8632,6 @@ def _parse_const(txt: str):
         cm = re.match(
             r"(?is)^cast\s*\(\s*'([^']*)'\s+as\s+timestamp_ntz\s*\)$", s)
         if cm:
-            m = re.match(r"(?is)^(timestamp)\s*(')",
-                         "timestamp '" + cm.group(1) + "'")
             m = re.match(r"(?is)^(date|timestamp)\s*'([^']*)'$",
                          "timestamp '" + cm.group(1) + "'")
     if m:
@@ -9729,6 +9742,19 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
         # the renderer would print '+00'
         # (test_full_outer_join_issue_4252.test:37). TIMESTAMPTZ operands
         # (LTZ carriers, textual hints above) keep the instant result.
+        # DATE operands with day-or-coarser parts return DATE in the
+        # reference (date_trunc over DATE renders '1992-01-01', not a
+        # midnight timestamp — ADVICE r09 #3); detect the textual
+        # DATE-literal/cast cases.
+        part_m = re.match(r"(?is)^\s*'(\w+)'\s*$", args[0])
+        coarse = part_m and part_m.group(1).lower() in (
+            "day", "week", "month", "quarter", "year", "decade",
+            "century", "millennium", "isoyear", "yearweek")
+        is_date_op = re.match(
+            r"(?is)^\s*(date\s*'|cast\s*\(.*\bas\s+date\s*\)\s*$)",
+            args[1]) or re.search(r"(?is)\bas\s+date\s*\)\s*$", args[1])
+        if coarse and is_date_op:
+            return f"cast(date_trunc({args[0]}, {args[1]}) as date)"
         return (f"cast(date_trunc({args[0]}, {args[1]}) as timestamp_ntz)")
     if name == "epoch" and n == 1:
         # seconds since epoch incl. fraction; Spark's timestamp→double
@@ -10474,21 +10500,17 @@ def _rewrite_cast_types(toks: list[str]) -> list[str]:
             # 1000::UTINYINT must raise). Range-check through an exact
             # decimal; huge doubles overflow the decimal to NULL and fail
             # the BETWEEN, which is the correct out-of-range outcome.
-            lo, hi = _FOLD_CAST_RANGES[
-                {"UINT8": "UTINYINT", "UINT16": "USMALLINT",
-                 "UINT32": "UINTEGER", "UINT64": "UBIGINT"}.get(tyU, tyU)]
             carrier = _INT_TYPE_NAMES.get(tyU, "decimal(38,0)")
             opx = f"({operand})"
+            probe_try, probe = _unsigned_range_probes(tyU, opx)
             if out[i].upper() == "TRY_CAST":
                 out[i:close + 1] = _tokens(
-                    f"TRY_CAST((CASE WHEN round(try_cast({opx} as "
-                    f"decimal(38,6))) BETWEEN {lo} AND {hi} THEN {opx} "
+                    f"TRY_CAST((CASE WHEN {probe_try} THEN {opx} "
                     f"END) AS {carrier})")
             else:
                 out[i:close + 1] = _tokens(
                     f"CAST((CASE WHEN {opx} IS NULL THEN NULL WHEN "
-                    f"round(cast({opx} as decimal(38,6))) BETWEEN {lo} "
-                    f"AND {hi} THEN {opx} ELSE raise_error(concat("
+                    f"{probe} THEN {opx} ELSE raise_error(concat("
                     f"'Conversion Error: value ', cast({opx} as string), "
                     f"' out of range for {tyU}')) END) AS {carrier})")
             i += 1

@@ -285,10 +285,21 @@ def _unify_types(a, b):
     if isinstance(a, T.DecimalType) and (
         rb is not None or isinstance(b, T.DecimalType)
     ):
-        return T.DoubleType() if isinstance(b, (T.FloatType, T.DoubleType)) \
-            else (a if not isinstance(b, T.DecimalType)
-                  else T.DecimalType(max(a.precision, b.precision),
-                                     max(a.scale, b.scale)))
+        if isinstance(b, (T.FloatType, T.DoubleType)):
+            return T.DoubleType()
+        if isinstance(b, T.DecimalType):
+            # keep ALL integer digits of both sides: DECIMAL(18,0) vs
+            # DECIMAL(18,3) must widen to DECIMAL(21,3), not DECIMAL(18,3)
+            # (ADVICE r09 #2: max(p),max(s) silently NULLs values >= 1e15)
+            s = max(a.scale, b.scale)
+            ip = max(a.precision - a.scale, b.precision - b.scale)
+            return T.DecimalType(min(38, ip + s), s)
+        # decimal vs integer: the integer carrier needs its full digit
+        # count (LongType = 19 integer digits) or large values truncate
+        int_digits = {T.ByteType: 3, T.ShortType: 5, T.IntegerType: 10,
+                      T.LongType: 19}[type(b)]
+        ip = max(a.precision - a.scale, int_digits)
+        return T.DecimalType(min(38, ip + a.scale), a.scale)
     if isinstance(b, T.DecimalType) and ra is not None:
         return _unify_types(b, a)
     return T.StringType()  # last resort: duck text unification
