@@ -44,35 +44,33 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness gate hard-checks the FIRST 50 registered queries.
-# ROUND-8 ROTATION (VERDICT r07 items 1/3): the 4 r07-red queries whose raw
-# DECIMAL(7,2) output columns hash-mismatched (Decimal('23.70') vs float
-# 23.7 — values were identical; now CAST AS DOUBLE at the projection), the
-# 20 queries that have NEVER had a driver CORRECTNESS row (17 TPC-DS
-# q77–q99 stragglers + the 3 r07 window queries), and 26 refresh slots for
-# queries whose last green driver row is r01–r03 — prioritizing the
-# LLM-pipeline operators (dedup/similarity/text), DML, recursion, and
-# sketches so every component family regains current evidence. All 50
-# pre-verified by the now-driver-faithful scripts/check_contract.py
-# (canonical-rendering compare, no float tolerance).
+# ROUND-10 ROTATION (VERDICT r09 item 2: rotate EVERY round; any query
+# whose implementation changed in-round MUST lead the next window): the 4
+# queries materially rewritten in r09 (tpch_q21 one-shuffle window rewrite,
+# tpcds_q25 broadcast restructuring, ev_timeseries shared-window + digest,
+# dedup_minhash_lsh single-md5-pass pipeline) lead so the driver artifact
+# finally carries post-rewrite evidence, followed by the 46 registered
+# queries with the OLDEST green driver rows (30 last-green r02 + 16
+# last-green r03, computed from CORRECTNESS_r01..r09). All 50 pre-verified
+# by the driver-faithful scripts/check_contract.py (canonical-rendering
+# compare, no float tolerance).
 PRIORITY: list[str] = [
-    # r07-red, fixed this round (decimal-output cast) — must lead the window
-    "tpcds_q12", "tpcds_q20", "tpcds_q65", "tpcds_q98",
-    # never driver-checked: TPC-DS q77–q99 stragglers
-    "tpcds_q77", "tpcds_q78", "tpcds_q80", "tpcds_q81", "tpcds_q82",
-    "tpcds_q83", "tpcds_q84", "tpcds_q85", "tpcds_q86", "tpcds_q87",
-    "tpcds_q90", "tpcds_q91", "tpcds_q92", "tpcds_q94", "tpcds_q95",
-    "tpcds_q97", "tpcds_q99",
-    # never driver-checked: r07 window-depth queries
-    "win_exclude_frames", "win_distinct_agg", "win_variable_bounds",
-    # refresh slots: last green row r01–r03
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "sim_cosine_topk", "sim_label_centroids", "text_fingerprint",
-    "text_quality", "tf_read_text", "dml_merge_into", "dml_update_delete",
-    "ev_asof_join", "ev_banded_range_join", "ev_pivot", "ev_set_ops",
-    "ev_json_extract", "rec_transitive_closure", "sketch_approx_top_k",
-    "sketch_summarize", "sketch_topk_merge", "pivot_dynamic",
-    "unnest_tokens", "unpivot_part", "win_groups_frame", "agg_quantiles",
-    "agg_argminmax", "fn_variant_batch",
+    # r09-rewritten — post-rewrite driver evidence must lead the window
+    "tpch_q21", "tpcds_q25", "ev_timeseries", "dedup_minhash_lsh",
+    # oldest driver evidence: last green row r02
+    "agg_collect_list", "agg_distributive", "agg_grouping", "agg_stats_wide",
+    "dml_batch", "ev_range_join_all", "fn_list_batch", "sample_bernoulli",
+    "stream_session_windows", "text_profile",
+    "tpch_q03", "tpch_q04", "tpch_q06", "tpch_q07", "tpch_q08", "tpch_q09",
+    "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q22",
+    "win_offsets", "win_qualify", "win_ranking",
+    # last green row r03
+    "agg_bool_bit", "agg_entropy", "agg_product", "agg_skew_kurtosis",
+    "agg_string_agg", "ev_distinct_on", "fn_conditional_batch",
+    "fn_date_batch", "fn_math_batch", "fn_string_batch",
+    "fn_struct_map_batch", "fn_wave2_agg", "fn_wave2_scalar",
+    "text_length_histogram", "tpch_q05", "tpch_q18",
 ]
 
 
