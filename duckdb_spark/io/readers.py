@@ -276,11 +276,18 @@ def csv_for_copy_from(spark, path: str, opts: str, target_names,
     expression-name header and one with HEADER 0)."""
     import re as _re
 
+    dm = _re.search(
+        r"(?i)\b(?:DELIMITER|DELIM|SEP|SEPARATOR)\s+'((?:[^']|'')*)'", opts)
+    sep = dm.group(1).replace("''", "'") if dm else ","
+    # DuckDB unescapes \t/\n/\r in COPY delimiter options (pg_lateral.test
+    # reads tenk.tsv.gz with DELIMITER '\t')
+    sep = sep.replace("\\t", "\t").replace("\\n", "\n").replace("\\r", "\r")
+    rd = spark.read.option("sep", sep)
     hm = _re.search(r"(?i)\bHEADER\s+'?(\w+)'?", opts)
     if hm:
         hdr = hm.group(1).lower() in ("1", "true", "on")
-        return spark.read.option("header", str(hdr).lower()).csv(path)
-    df = spark.read.option("header", "false").csv(path)
+        return rd.option("header", str(hdr).lower()).csv(path)
+    df = rd.option("header", "false").csv(path)
     first = df.limit(1).collect()
     is_header = False
     if first:
@@ -307,5 +314,5 @@ def csv_for_copy_from(spark, path: str, opts: str, target_names,
             except Exception:  # noqa: BLE001 — keep headerless reading
                 pass
     if is_header:
-        return spark.read.option("header", "true").csv(path)
+        return rd.option("header", "true").csv(path)
     return df

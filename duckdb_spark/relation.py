@@ -405,9 +405,18 @@ class Connection:
             name, path, opts = m.group(1).strip('"'), m.group(2), \
                 m.group(3) or ""
             fm = re.search(r"(?i)\bFORMAT\s+'?(\w+)'?", opts)
+            # extension sniff sees through compression suffixes
+            # (tenk.tsv.gz — pg_lateral.test), and CSV-only options imply
+            # CSV like the reference's copy binder does
+            base = re.sub(r"(?i)\.(gz|zst|bz2)$", "", path)
+            ext = base.rsplit(".", 1)[-1].lower()
             fmt = (fm.group(1).lower() if fm
-                   else {"csv": "csv", "json": "json", "ndjson": "json"}.get(
-                       path.rsplit(".", 1)[-1].lower(), "parquet"))
+                   else {"csv": "csv", "tsv": "csv", "json": "json",
+                         "ndjson": "json"}.get(ext, "parquet"))
+            if fm is None and fmt == "parquet" and re.search(
+                    r"(?i)\b(DELIM|DELIMITER|SEP|HEADER|QUOTE|NULLSTR|"
+                    r"SKIP|IGNORE_ERRORS)\b", opts):
+                fmt = "csv"
             target = self.spark.table(name).schema
             if fmt == "csv":
                 from duckdb_spark.io.readers import csv_for_copy_from
@@ -1759,6 +1768,17 @@ class Connection:
                 retried = _rewrite_setop_order_refs(query)
                 if retried != query:
                     return Relation(self.spark.sql(translate(retried)))
+                # DuckDB binds comma-joined FROM subqueries laterally
+                # without the LATERAL keyword; Spark needs it spelled
+                # (lateral_large_lists.test)
+                from duckdb_spark.sql.dialect import insert_implicit_lateral
+
+                retried = insert_implicit_lateral(query)
+                if retried != query:
+                    try:
+                        return Relation(self.spark.sql(translate(retried)))
+                    except Exception:  # noqa: BLE001 — keep original error
+                        pass
             if "BINARY_OP_DIFF_TYPES" in msg:
                 tm = re.search(r'"\(?([A-Z_][A-Z_ ()0-9,]*)"\s+and\s+"'
                                r'([A-Z_][A-Z_ ()0-9,]*)\)?"', msg)

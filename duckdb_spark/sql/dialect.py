@@ -6685,9 +6685,23 @@ def _array_subquery_repl(inner: list[str]) -> str | None:
         cm = re.search(
             r"(?is)\bAS\s+[A-Za-z_]\w*\s*\(\s*([A-Za-z_]\w*)\s*\)", from_where
         )
-        if not cm:
-            return None
-        sel = cm.group(1)
+        if cm:
+            sel = cm.group(1)
+        else:
+            # plain single-table FROM: resolve the (single) column on the
+            # active session (`ARRAY(SELECT * FROM integers WHERE …)` —
+            # subquery/scalar/order_by_correlated.test:40)
+            spark = _get_active_spark()
+            tbls = _nestcmp_from_tables(_tokens(from_where))
+            if spark is None or len(set(tbls.values())) != 1:
+                return None
+            try:
+                cols = spark.table(next(iter(tbls.values()))).columns
+            except Exception:  # noqa: BLE001
+                return None
+            if len(cols) != 1:
+                return None
+            sel = cols[0]
 
     entries: list[tuple[str, bool, bool]] = []
     if pos_order >= 0:
@@ -7172,6 +7186,19 @@ def _rewrite_select_unnest(toks: list[str]) -> list[str]:
     if fi < 0:
         # FROM-less: a single implicit row feeds the generator
         ins = stop_i
+        if len(distinct) == 1:
+            # bare `SELECT unnest(x) [alias]` keeps the generator in the
+            # SELECT position: Spark allows a correlated explode() in a
+            # Project but NOT in a Generate (LATERAL VIEW), so the lateral
+            # spelling breaks `, LATERAL (SELECT unnest(outer.l) …)`
+            # shapes (subquery/lateral/lateral_large_lists.test)
+            code = [k for k in range(si + 1, ins)
+                    if not out[k].isspace() and out[k] != ""]
+            if (code and out[code[0]] == "__un0" and len(code) <= 3
+                    and all(re.match(r"^[A-Za-z_`\"]", out[k])
+                            for k in code[1:])):
+                out[code[0]] = gen
+                return out
         return (
             out[:ins] + _tokens(" FROM (SELECT 1) " + lateral) + out[ins:]
         )
@@ -8983,7 +9010,12 @@ def _name_anonymous_derived(toks: list[str]) -> list[str]:
     qualified references like `unnamed_subquery.a` resolve."""
     out = list(toks)
     ctx = ["X"]
-    n_anon = 0
+    # per-binder-scope anonymous counters (reference names reset inside
+    # each subquery: `SELECT * FROM (SELECT unnamed_subquery.a FROM
+    # (SELECT 42 a)), (SELECT unnamed_subquery.b FROM (SELECT 43 b))` —
+    # each inner derived table is THE unnamed_subquery of its own scope).
+    # -1 marks a transparent paren (not a new query scope).
+    counts: list[int] = [0]
     i = 0
     while i < len(out):
         t = out[i]
@@ -8997,12 +9029,11 @@ def _name_anonymous_derived(toks: list[str]) -> list[str]:
                     and out[p].upper() in ("FROM", "JOIN", "LATERAL")
                 )
             )
-            if (
-                opens_from and c > 0 and f0 < len(out)
-                and re.match(r"^[A-Za-z(]", out[f0])
-                and (out[f0] == "(" or out[f0].upper() in
-                     ("SELECT", "FROM", "VALUES", "WITH"))
-            ):
+            is_subq = c > 0 and f0 < len(out) and re.match(
+                r"^[A-Za-z(]", out[f0]) and (
+                out[f0] == "(" or out[f0].upper() in
+                ("SELECT", "FROM", "VALUES", "WITH"))
+            if opens_from and is_subq:
                 nx = _next_code(out, c + 1)
                 anon = nx >= len(out) or not re.match(
                     r"^[A-Za-z_`\"]", out[nx]
@@ -9014,7 +9045,11 @@ def _name_anonymous_derived(toks: list[str]) -> list[str]:
                     "POSITIONAL", "LATERAL", "TABLESAMPLE",
                 )
                 if anon:
-                    n_anon += 1
+                    for k in range(len(counts) - 1, -1, -1):
+                        if counts[k] >= 0:
+                            counts[k] += 1
+                            n_anon = counts[k]
+                            break
                     name = ("unnamed_subquery" if n_anon == 1
                             else f"unnamed_subquery{n_anon}")
                     out[c + 1:c + 1] = [" AS ", name, " "]
@@ -9023,9 +9058,12 @@ def _name_anonymous_derived(toks: list[str]) -> list[str]:
                 ctx.append("X")
             else:
                 ctx.append(ctx[-1])
+            counts.append(0 if is_subq else -1)
         elif t == ")":
             if len(ctx) > 1:
                 ctx.pop()
+            if len(counts) > 1:
+                counts.pop()
         elif re.match(r"^[A-Za-z_]", t):
             up = t.upper()
             if up in ("FROM", "JOIN"):
@@ -10931,9 +10969,12 @@ def _rewrite_struct_literals(toks: list[str]) -> list[str]:
                 )
         if ok and kvs and is_map:
             del out[p:]
-            out.append("map(" + ", ".join(kvs) + ")")
+            # re-tokenize: a single blob token would hide the inner calls
+            # from every later pass (_rewrite_calls missed LIST()/renames
+            # inside struct literals — subquery/scalar/test_issue_6184)
+            out.extend(_tokens("map(" + ", ".join(kvs) + ")"))
         elif ok and kvs:
-            out.append("named_struct(" + ", ".join(kvs) + ")")
+            out.extend(_tokens("named_struct(" + ", ".join(kvs) + ")"))
         else:
             out.extend(toks[i:close + 1])
         i = close + 1
@@ -11536,6 +11577,254 @@ def _has_top_level_comma(toks: list[str]) -> bool:
     return False
 
 
+def _rewrite_escape_null(toks: list[str]) -> list[str]:
+    """`x [NOT] LIKE/ILIKE pat ESCAPE NULL` folds to NULL in the reference
+    (NULL escape poisons the whole match — lateral_fuzzer_5984_23.test);
+    Spark's grammar requires a string literal after ESCAPE and refuses to
+    parse NULL there. Excise the whole comparison."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if not _is_word(out[i], "ESCAPE"):
+            i += 1
+            continue
+        nx = _next_code(out, i + 1)
+        if nx >= len(out) or not _is_word(out[nx], "NULL"):
+            i += 1
+            continue
+        # find the LIKE/ILIKE keyword leftward at the same depth
+        depth = 0
+        like_i = -1
+        for k in range(i - 1, -1, -1):
+            t = out[k]
+            if t == ")":
+                depth += 1
+            elif t == "(":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and re.match(r"^[A-Za-z_]", t) and \
+                    t.upper() in ("LIKE", "ILIKE", "GLOB", "SIMILAR"):
+                like_i = k
+                break
+        if like_i < 0:
+            i += 1
+            continue
+        base = like_i
+        pv = _prev_code(out, like_i - 1)
+        if pv >= 0 and _is_word(out[pv], "NOT"):
+            base = pv
+        start = _nestcmp_operand_left(out, base)
+        if start >= base:
+            i += 1
+            continue
+        out[start:nx + 1] = _tokens("CAST(NULL AS BOOLEAN)")
+        i = start + 1
+    return out
+
+
+def insert_implicit_lateral(sql: str) -> str:
+    """DuckDB binds comma-joined FROM subqueries laterally — they may
+    reference columns of earlier FROM items without the LATERAL keyword
+    (subquery/lateral/lateral_large_lists.test). Spark requires LATERAL.
+    Retry helper: prefix LATERAL onto every comma-following FROM-position
+    derived table that doesn't already have it (LATERAL on an
+    uncorrelated subquery is a no-op, so over-application is safe)."""
+    toks = _tokens(sql)
+    ctx = ["X"]
+    changed = False
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t == "(":
+            p = _prev_code(toks, i - 1)
+            f0 = _next_code(toks, i + 1)
+            if (
+                ctx[-1] == "FROM" and p >= 0 and toks[p] == ","
+                and f0 < len(toks) and re.match(r"^[A-Za-z_]", toks[f0])
+                and toks[f0].upper() in ("SELECT", "FROM", "WITH")
+            ):
+                toks[i:i] = ["LATERAL", " "]
+                changed = True
+                i += 3
+                ctx.append("X")
+                continue
+            if p >= 0 and re.match(r"^[A-Za-z_`\"]", toks[p]) and \
+                    toks[p].upper() not in ("FROM", "JOIN", "LATERAL"):
+                ctx.append("X")
+            else:
+                ctx.append(ctx[-1])
+        elif t == ")":
+            if len(ctx) > 1:
+                ctx.pop()
+        elif re.match(r"^[A-Za-z_]", t):
+            up = t.upper()
+            if up in ("FROM", "JOIN", "LATERAL"):
+                ctx[-1] = "FROM"
+            elif up in ("SELECT", "WHERE", "GROUP", "HAVING", "ORDER",
+                        "LIMIT", "ON", "QUALIFY", "WINDOW", "SET", "WHEN",
+                        "UNION", "EXCEPT", "INTERSECT", "USING"):
+                ctx[-1] = "X"
+        i += 1
+    return "".join(toks) if changed else sql
+
+
+_VOLATILE_FNS = {"uuid", "rand", "randn"}
+_HOIST_AGG_NAMES = {
+    "count", "sum", "avg", "mean", "min", "max", "collect_list",
+    "collect_set", "listagg", "first", "last", "any_value", "min_by",
+    "max_by", "bool_and", "bool_or", "count_if", "first_value",
+    "last_value",
+}
+
+
+def _hoist_volatile_agg_args(toks: list[str]) -> list[str]:
+    """Spark rejects nondeterministic expressions inside aggregate
+    functions (AGGREGATE_FUNCTION_WITH_NONDETERMINISTIC_EXPRESSION); the
+    reference evaluates them per input row (volatile functions in
+    aggregates — subquery/scalar/test_correlated_side_effects.test,
+    subquery/lateral/lateral_large_lists.test). Hoist the volatile
+    argument into a per-row projection:
+
+        SELECT agg(DISTINCT <vol-expr>) FROM <from> [WHERE c]
+        → SELECT agg(DISTINCT __dkndK) FROM
+            (SELECT *, <vol-expr> AS __dkndK FROM <from> [WHERE c]) __t
+
+    Conservative: bails on GROUP BY / HAVING / QUALIFY blocks, a bare `*`
+    or qualified refs elsewhere in the select list (the wrap erases FROM
+    aliases), and windowed (OVER) calls."""
+    out = list(toks)
+    for rounds in range(4):
+        changed = False
+        i = 0
+        while i < len(out):
+            t = out[i]
+            if not (re.match(r"^[A-Za-z_]", t)
+                    and t.lower() in _HOIST_AGG_NAMES):
+                i += 1
+                continue
+            j = _next_code(out, i + 1)
+            if j >= len(out) or out[j] != "(":
+                i += 1
+                continue
+            close = _match_paren(out, j)
+            if close < 0:
+                i += 1
+                continue
+            arg = out[j + 1:close]
+            has_vol = any(
+                re.match(r"^[A-Za-z_]", a) and a.lower() in _VOLATILE_FNS
+                and (k + 1 < len(arg) and _next_code(arg, k + 1) < len(arg)
+                     and arg[_next_code(arg, k + 1)] == "(")
+                for k, a in enumerate(arg)
+            )
+            after = _next_code(out, close + 1)
+            if not has_vol or (after < len(out) and _is_word(out[after],
+                                                             "OVER")):
+                i += 1
+                continue
+            # enclosing SELECT: walk left; bal<=0 keeps us in our block
+            bal = 0
+            sel = -1
+            for k in range(i - 1, -1, -1):
+                if out[k] == ")":
+                    bal += 1
+                elif out[k] == "(":
+                    bal -= 1
+                elif bal <= 0 and _is_word(out[k], "SELECT"):
+                    sel = k
+                    break
+            if sel < 0:
+                i = close + 1
+                continue
+            blk = out[sel:]
+            fr = _clause_span_local(blk, "FROM")
+            if fr is None or sel + fr[0] <= i:
+                i = close + 1
+                continue  # no FROM, or the agg is not in the select list
+            # select-list guards: bare *, qualified refs outside the arg
+            sl = out[sel + 1:sel + fr[0] - 1]
+            sl_out = sl[:i - sel - 1] + sl[close - sel:]
+            if any(x == "*" or x == "." for x in sl_out):
+                i = close + 1
+                continue
+            if any(_is_word(x, w) for x in blk
+                   for w in ("GROUP", "HAVING", "QUALIFY")
+                   if _is_word(x, w)):
+                gspan = _clause_span_local(blk, "GROUP") \
+                    or _clause_span_local(blk, "HAVING") \
+                    or _clause_span_local(blk, "QUALIFY")
+                if gspan is not None:
+                    i = close + 1
+                    continue
+            wh = _clause_span_local(blk, "WHERE")
+            from_body = "".join(blk[fr[0]:fr[1]]).strip()
+            nd = f"__dknd{rounds}"
+            argl = list(arg)
+            a0 = _next_code(argl, 0)
+            prefix = ""
+            if a0 < len(argl) and _is_word(argl[a0], "DISTINCT"):
+                prefix = "DISTINCT "
+                argl = argl[a0 + 1:]
+            arg_expr = "".join(argl).strip()
+            if not arg_expr or arg_expr == "*":
+                i = close + 1
+                continue
+            wrap = (f" ( SELECT *, {arg_expr} AS {nd} FROM {from_body}"
+                    + (f" WHERE {''.join(blk[wh[0]:wh[1]]).strip()}"
+                       if wh else "") + f" ) __dkndt{rounds} ")
+            # splice: FROM..WHERE span first (it is after the agg arg)
+            end_repl = sel + (wh[1] if wh else fr[1])
+            start_repl = sel + fr[0]
+            out[start_repl:end_repl] = _tokens(wrap)
+            out[j + 1:close] = _tokens(prefix + nd)
+            changed = True
+            break
+        if not changed:
+            break
+    return out
+
+
+def _clause_span_local(blk: list[str], word: str) -> tuple[int, int] | None:
+    """depth-0 clause body span inside a SELECT-block token slice (stops
+    at the block's own closing paren)."""
+    depth = 0
+    start = -1
+    for i, t in enumerate(blk):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth < 0:
+                break
+        elif depth == 0 and re.match(r"^[A-Za-z_]", t) and \
+                t.upper() == word:
+            start = i + 1
+            if word == "GROUP":
+                start = _next_code(blk, start) + 1
+            break
+    if start < 0:
+        return None
+    depth = 0
+    end = len(blk)
+    stops = ("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+             "WINDOW", "QUALIFY", "UNION", "EXCEPT", "INTERSECT")
+    for i in range(start, len(blk)):
+        t = blk[i]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth < 0:
+                end = i
+                break
+        elif depth == 0 and re.match(r"^[A-Za-z_]", t) and \
+                t.upper() in stops and t.upper() != word:
+            end = i
+            break
+    return start, end
+
+
 def translate(sql: str) -> str:
     """DuckDB dialect → Spark SQL. Idempotent on plain ANSI SQL."""
     # CTE materialization hints: Spark has no SQL spelling (Catalyst decides)
@@ -11904,6 +12193,8 @@ def translate(sql: str) -> str:
     toks = _rewrite_exclude(toks)
     toks = _rewrite_floordiv(toks)
     toks = _rewrite_regex_op(toks)
+    if re.search(r"(?i)\bESCAPE\s+NULL\b", sql):
+        toks = _rewrite_escape_null(toks)
     toks = _fold_null_cast_chains(toks)
     toks = _fold_const_string_int_casts(toks)
     toks = _rewrite_pg_cast(toks)
@@ -11941,6 +12232,8 @@ def translate(sql: str) -> str:
     if re.search(r"(?i)named_struct", "".join(toks)):
         toks = _unify_array_struct_elems(toks)
     toks = _rewrite_named_struct_casts(toks)
+    if re.search(r"(?i)\b(uuid|rand|randn)\s*\(", "".join(toks)):
+        toks = _hoist_volatile_agg_args(toks)
     out = "".join(toks)
     out = _rewrite_distinct_orderby(out)
     out = _rewrite_distinct_on(out)

@@ -832,9 +832,14 @@ class SLSession:
             name, path, opts = _flat(cm.group(1)), cm.group(2), \
                 cm.group(3) or ""
             fm2 = re.search(r"(?i)\bFORMAT\s+'?(\w+)'?", opts)
+            ext = re.sub(r"(?i)\.(gz|zst|bz2)$", "",
+                         path).rsplit(".", 1)[-1].lower()
             fmt = (fm2.group(1).lower() if fm2
-                   else {"csv": "csv", "json": "json"}.get(
-                       path.rsplit(".", 1)[-1].lower(), "parquet"))
+                   else {"csv": "csv", "tsv": "csv", "json": "json"}.get(
+                       ext, "parquet"))
+            if fm2 is None and fmt == "parquet" and re.search(
+                    r"(?i)\b(DELIM|DELIMITER|SEP|HEADER|QUOTE)\b", opts):
+                fmt = "csv"
             schema0, _ = self.tables[name]
             if fmt == "csv":
                 from duckdb_spark.io.readers import csv_for_copy_from
