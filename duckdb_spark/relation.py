@@ -1031,12 +1031,17 @@ class Connection:
                 # column (Spark only binds outer refs one level up)
                 or ("UNRESOLVED_COLUMN" in msg
                     and re.search(r"(?i)\(\s*SELECT\b", query))
-            ) and not getattr(self, "_in_decorrelate", False):
+            ) and getattr(self, "_decorrelate_depth", 0) < 3:
                 # deep correlation Catalyst won't decorrelate — manual
-                # flatten_dependent_join fallback (sql/decorrelate.py)
+                # flatten_dependent_join fallback (sql/decorrelate.py).
+                # Bounded recursion (depth 3): nested LATERALs re-enter
+                # with the outer key already bound to a literal, and each
+                # nesting level consumes one slot
+                # (test_correlated_subquery_cte.test lateral_depth > 0)
                 from duckdb_spark.sql.decorrelate import decorrelate_retry
 
-                self._in_decorrelate = True
+                self._decorrelate_depth = \
+                    getattr(self, "_decorrelate_depth", 0) + 1
                 try:
                     r = decorrelate_retry(self, query)
                     if r is not None:
@@ -1044,7 +1049,7 @@ class Connection:
                 except Exception:  # noqa: BLE001 — keep original error
                     pass
                 finally:
-                    self._in_decorrelate = False
+                    self._decorrelate_depth -= 1
             if (
                 ("UNEXPECTED_INPUT_TYPE" in msg
                  or "BINARY_OP_DIFF_TYPES" in msg)
@@ -1762,7 +1767,28 @@ class Connection:
                 finally:
                     set_session_setting("__select_alias", "")
                 if retried != translate(query):
-                    return Relation(self.spark.sql(retried))
+                    try:
+                        return Relation(self.spark.sql(retried))
+                    except Exception:  # noqa: BLE001 — try narrower modes
+                        pass
+                # one specific unresolved name that IS a select alias:
+                # substitute it query-wide (lateral aliases inside
+                # select-list subqueries / GROUP BY —
+                # test_grouped_correlated_subquery.test)
+                nm = re.search(r"with name `([A-Za-z_]\w*)` cannot", msg)
+                if nm:
+                    set_session_setting("__select_alias", "1")
+                    set_session_setting("__select_alias_only", nm.group(1))
+                    try:
+                        retried = translate(query)
+                    finally:
+                        set_session_setting("__select_alias", "")
+                        set_session_setting("__select_alias_only", "")
+                    if retried != translate(query):
+                        try:
+                            return Relation(self.spark.sql(retried))
+                        except Exception:  # noqa: BLE001
+                            pass
                 # set-op ORDER BY referencing another branch's output name
                 # or a table-qualified first-branch column
                 retried = _rewrite_setop_order_refs(query)

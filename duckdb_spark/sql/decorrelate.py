@@ -195,6 +195,50 @@ def _columns_of(spark, table: str) -> set[str] | None:
         return None
 
 
+def _derived_alias_cols(con, ft: list[str]) -> dict[str, set[str]]:
+    """alias → column set for `( <uncorrelated body> ) [AS] alias` derived
+    tables (no declared collist — those go through _tvf_alias_cols):
+    resolve by asking Spark for the body's schema. Correlated bodies fail
+    the probe and are skipped (lateral_fuzzer_1463.test outer
+    `(SELECT 42 AS c1) AS ref`)."""
+    from duckdb_spark.sql.dialect import _match_paren, _next_code
+
+    out: dict[str, set[str]] = {}
+    k = 0
+    while k < len(ft):
+        if ft[k] != "(":
+            k += 1
+            continue
+        c = _match_paren(ft, k)
+        if c < 0:
+            k += 1
+            continue
+        a = _next_code(ft, c + 1)
+        if a < len(ft) and _word(ft[a]) and ft[a].upper() == "AS":
+            a = _next_code(ft, a + 1)
+        if a < len(ft) and re.match(r"^[A-Za-z_`\"]", ft[a]) and \
+                ft[a].upper() not in ("WHERE", "GROUP", "ORDER", "JOIN",
+                                      "ON", "LIMIT", "HAVING", "UNION",
+                                      "LATERAL", "LEFT", "RIGHT", "INNER",
+                                      "FULL", "CROSS"):
+            alias = ft[a].strip('`"').lower()
+            b = _next_code(ft, a + 1)
+            if not (b < len(ft) and ft[b] == "("):
+                body = "".join(ft[k + 1:c]).strip()
+                if re.match(r"(?is)^(SELECT|FROM|WITH|VALUES)\b", body):
+                    try:
+                        rel = con.sql(
+                            f"SELECT * FROM ({body}) __dkpcols WHERE 1=0")
+                        if rel is not None:
+                            out[alias] = {
+                                f.name.lower()
+                                for f in rel.df().schema.fields}
+                    except Exception:  # noqa: BLE001
+                        pass
+        k = c + 1
+    return out
+
+
 def _find_refs(s_toks: list[str], outer_aliases: dict[str, str],
                outer_cols: dict[str, set[str]],
                spark) -> tuple[list[str], bool] | None:
@@ -213,7 +257,25 @@ def _find_refs(s_toks: list[str], outer_aliases: dict[str, str],
     own = _nestcmp_from_tables(s_toks)
     own_cols: set[str] = set()
     own_unresolved = False
+    joined = "".join(s_toks)
+    # CTEs defined inside the subquery are internal names, not unresolved
+    # outer tables (correlation THROUGH a CTE —
+    # test_correlated_subquery_cte.test); their select-list aliases shadow
+    # outer columns, so fold every `AS x` alias into own_cols (cast
+    # type-names land there too — harmless over-shadowing).
+    cte_names = {
+        m.group(1).lower() for m in re.finditer(
+            r"(?is)(?:\bWITH\s+(?:RECURSIVE\s+)?|,)\s*([A-Za-z_]\w*)"
+            r"\s+AS\s*\(", joined)
+    }
+    if cte_names:
+        own_cols |= {
+            m.group(1).lower()
+            for m in re.finditer(r"(?is)\bAS\s+([A-Za-z_]\w*)", joined)
+        }
     for tbl in set(own.values()):
+        if tbl.lower() in cte_names:
+            continue
         cols = _columns_of(spark, tbl)
         if cols is None:
             own_unresolved = True
@@ -351,6 +413,13 @@ def decorrelate_retry(con, query: str):
         _tokens,
     )
 
+    from duckdb_spark.sql.dialect import insert_implicit_lateral
+
+    # comma-joined FROM subqueries bind laterally in the reference even
+    # without the keyword; spelling LATERAL up front routes them through
+    # the FROM-position LATERAL handler below instead of the scalar
+    # scanner (which would wrongly literal-fold a table item)
+    query = insert_implicit_lateral(query)
     toks = _tokens(query)
     span = _outer_from_span(toks)
     if span is None:
@@ -405,6 +474,11 @@ def decorrelate_retry(con, query: str):
         if alias not in outer_aliases:
             outer_aliases[alias] = alias
             outer_cols[alias] = cols
+    for alias, cols in _derived_alias_cols(
+            con, _tokens(keys_from_text)).items():
+        if alias not in outer_aliases:
+            outer_aliases[alias] = alias
+            outer_cols[alias] = cols
     if not outer_aliases:
         return None
     gb = _clause_span(toks, "GROUP", _GB_STOPS)
@@ -428,8 +502,8 @@ def decorrelate_retry(con, query: str):
             i += 1
             continue
         sel0 = _next_code(out, op + 1)
-        if sel0 >= len(out) or not (_word(out[sel0])
-                                    and out[sel0].upper() == "SELECT"):
+        if sel0 >= len(out) or not (_word(out[sel0]) and out[sel0].upper()
+                                    in ("SELECT", "WITH", "FROM")):
             i += 1
             continue
         close = _match_paren(out, op)
@@ -540,7 +614,7 @@ def decorrelate_retry(con, query: str):
             continue
         sel = _next_code(out, i + 1)
         if sel >= len(out) or not (_word(out[sel]) and
-                                   out[sel].upper() == "SELECT"):
+                                   out[sel].upper() in ("SELECT", "WITH")):
             i += 1
             continue
         p = _prev_code(out, i - 1)
@@ -568,7 +642,17 @@ def decorrelate_retry(con, query: str):
         elif prev_up == "IN":
             mode = "in"
         elif prev_up in ("ANY", "ALL", "SOME"):
-            return None  # quantifier set semantics: not expressible here
+            q2 = _prev_code(out, p - 1)
+            op2 = out[q2] if q2 >= 0 else ""
+            if prev_up in ("ANY", "SOME") and op2 in ("=", "=="):
+                # `x = ANY(sub)` ≡ `x IN (sub)` (issue_2999.test) — the
+                # IN branch below anchors the lhs from the op position;
+                # the stale ANY token sits inside the spliced-out span
+                mode = "in"
+                p = q2
+                out[q2] = "IN"
+            else:
+                return None  # ordering quantifiers: not expressible here
         s_text = "".join(s_toks)
         keys_sql = "SELECT DISTINCT " + ", ".join(
             f"{r} AS __k{k}" for k, r in enumerate(refs)

@@ -3083,6 +3083,7 @@ def _fromless_repl(toks: list[str], sel: int, close: int,
             break
     depth = 0
     where_at = -1
+    has_over = False
     for k in range(sel + 1, close):
         t = toks[k]
         if t == "(":
@@ -3096,21 +3097,68 @@ def _fromless_repl(toks: list[str], sel: int, close: int,
                 up = t.upper()
                 if up == "WHERE" and where_at < 0:
                     where_at = k
+                elif up == "OVER":
+                    has_over = True
+                elif up == "AS":
+                    # a trailing output alias is meaningless in expression
+                    # position (`(SELECT subq_0.c0 AS c1)` —
+                    # nested_subquery_window.test); anything but
+                    # `AS ident` right before the close/WHERE stays a
+                    # real subquery
+                    nn1 = _next_code(toks, k + 1)
+                    nn2 = _next_code(toks, nn1 + 1) if nn1 < close else close
+                    if not (nn1 < close
+                            and re.match(r"^[A-Za-z_`\"]", toks[nn1])
+                            and (nn2 >= close
+                                 or _is_word(toks[nn2], "WHERE"))):
+                        return None
                 elif up in (
                     "FROM", "GROUP", "HAVING", "ORDER", "LIMIT", "UNION",
                     "EXCEPT", "INTERSECT", "WINDOW", "QUALIFY", "DISTINCT",
-                    "VALUES", "OFFSET", "WITH", "OVER", "AS",
+                    "VALUES", "OFFSET", "WITH",
                 ):
                     return None
+
+    def _strip_alias(e: str) -> str:
+        m = re.match(r"(?is)^(.*?)\s+AS\s+[A-Za-z_`\"]\w*[`\"]?\s*$", e)
+        if m and m.group(1).count("(") == m.group(1).count(")"):
+            return m.group(1).strip()
+        return e
+
+    def _strip_over(e: str) -> str | None:
+        # single-implicit-row windows: `agg(args) OVER (…)` ≡ the
+        # aggregate over that one row — drop the OVER clause and fold
+        et = _tokens(e)
+        k2 = 0
+        while k2 < len(et):
+            if _is_word(et[k2], "OVER"):
+                o2 = _next_code(et, k2 + 1)
+                if o2 < len(et) and et[o2] == "(":
+                    c2 = _match_paren(et, o2)
+                    if c2 > 0:
+                        del et[k2:c2 + 1]
+                        continue
+                return None
+            k2 += 1
+        return _fold_single_row_aggs("".join(et))
     if where_at >= 0:
-        expr = "".join(toks[sel + 1:where_at]).strip()
+        expr = _strip_alias("".join(toks[sel + 1:where_at]).strip())
         cond = "".join(toks[where_at + 1:close]).strip()
         if not expr or not cond:
             return None
+        if has_over:
+            expr = _strip_over(expr)
+            if expr is None:
+                return None
         return f"(CASE WHEN ({cond}) THEN ({expr}) END)"
-    expr = "".join(toks[sel + 1:close]).strip()
+    expr = _strip_alias("".join(toks[sel + 1:close]).strip())
     if not expr or expr == "*":
         return None
+    if has_over:
+        folded = _strip_over(expr)
+        if folded is None:
+            return None
+        return f"(({folded}))"
     if in_where and _AGG_WORD_RE.search(expr):
         folded = _fold_single_row_aggs(expr)
         if folded is not None:
@@ -4060,7 +4108,7 @@ def _rewrite_rowid(toks: list[str]) -> list[str]:
 
 
 _CMP_ANY_ALL = re.compile(
-    r"(?is)(=|<>|!=|>=|<=|>|<)\s*(ANY|ALL|SOME)\s*\(\s*(SELECT\b)"
+    r"(?is)(=|<>|!=|>=|<=|>|<)\s*(ANY|ALL|SOME)\s*\(\s*(SELECT\b|WITH\b|FROM\b)"
 )
 
 
@@ -4394,8 +4442,10 @@ def _rewrite_list_quantifier(toks: list[str]) -> list[str]:
             i += 1
             continue
         inner0 = _next_code(out, j + 1)
-        if inner0 < len(out) and _is_word(out[inner0], "SELECT"):
-            i += 1
+        if inner0 < len(out) and (_is_word(out[inner0], "SELECT")
+                                  or _is_word(out[inner0], "WITH")
+                                  or _is_word(out[inner0], "FROM")):
+            i += 1  # subquery quantifier, not a LIST one
             continue
         close = _match_paren(out, j)
         p = _prev_code(out, i - 1)
@@ -6275,6 +6325,29 @@ def _substitute_filter_aliases(sql: str) -> str:
                 aliases[name] = "".join(etoks)
         if not changed:
             break
+    only = get_session_setting("__select_alias_only")
+    if only:
+        # second-stage retry: ONE named alias (taken from the analyzer's
+        # unresolved-column message) substituted query-wide — DuckDB lets
+        # correlated subqueries in the select list and GROUP BY reference
+        # lateral aliases (test_grouped_correlated_subquery.test:49
+        # `(col1+1) AS k, k IN (SELECT ColID + k …) GROUP BY k`)
+        name = only.lower()
+        if name not in aliases:
+            return sql
+        expr = aliases[name]
+        out = list(toks)
+        for k, t2 in enumerate(out):
+            if not (re.match(r"^[A-Za-z_]\w*$", t2) and t2.lower() == name):
+                continue
+            p = _prev_code(out, k - 1)
+            if p >= 0 and (out[p] == "." or _is_word(out[p], "AS")):
+                continue
+            n = _next_code(out, k + 1)
+            if n < len(out) and out[n] == "(":
+                continue
+            out[k] = "(" + expr + ")"
+        return "".join(out)
     out = list(toks)
     i = 0
     while i < len(out):
@@ -10742,6 +10815,9 @@ def _rewrite_brackets(toks: list[str]) -> list[str]:
         is_array_kw = p >= 0 and _is_word(out[p], "ARRAY")
         is_subscript = not is_array_kw and p >= 0 and (
             re.match(r"^[A-Za-z_\"]", out[p]) or out[p] in (")", "]")
+            # a string literal is a value: `'abc'[i]` indexes it
+            # (decorrelate binds outer string columns to literals)
+            or re.match(r"(?s)^'.*'$", out[p])
         ) and not _is_reserved_before_literal(out[p])
         inner_rw = _rewrite_brackets(inner)
         if any(t == "{" for t in inner_rw):
@@ -10825,9 +10901,20 @@ def _rewrite_brackets(toks: list[str]) -> list[str]:
             elif tk == ":" and depth == 0:
                 colon = k
                 break
+        str_base = re.match(r"(?s)^'(?:[^']|'')*'$", operand) is not None
         if colon >= 0:
             lo = "".join(inner_rw[:colon]).strip() or "1"
             hi = "".join(inner_rw[colon + 1:]).strip()
+            if str_base:
+                # string-literal base (decorrelate binds outer VARCHAR
+                # columns to literals): DuckDB slices characters
+                hi2 = hi or f"length({operand})"
+                out.extend(_tokens(
+                    f"substr({operand}, greatest(1, {lo}), "
+                    f"greatest(0, ({hi2}) - greatest(1, ({lo})) + 1))"
+                ))
+                i = close + 1
+                continue
             # DuckDB clamps slice bounds (l[0:0] → []); Spark's slice
             # raises on start 0 — clamp the start to 1 and the length to 0
             if hi:
@@ -10840,6 +10927,10 @@ def _rewrite_brackets(toks: list[str]) -> list[str]:
                     f"slice({operand}, greatest(1, {lo}), "
                     f"greatest(0, size({operand}) - greatest(1, ({lo})) + 1))"
                 ))
+        elif str_base:
+            idx = "".join(inner_rw).strip()
+            # single-char read of a string literal ('a'[n] after binding)
+            out.extend(_tokens(f"substr({operand}, {idx}, 1)"))
         else:
             idx = "".join(inner_rw).strip()
             # DuckDB out-of-range/zero subscripts yield NULL; Spark's
@@ -11577,6 +11668,53 @@ def _has_top_level_comma(toks: list[str]) -> bool:
     return False
 
 
+def _rewrite_lateral_values(toks: list[str]) -> list[str]:
+    """`LATERAL (VALUES (e1, e2), …) t(c1, c2)` — Spark refuses outer
+    references inside inline tables (INVALID_INLINE_TABLE,
+    subquery/lateral/lateral_values.test); spell each row as a SELECT:
+    `LATERAL (SELECT e1, e2 UNION ALL SELECT …) t(c1, c2)`."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if not _is_word(out[i], "LATERAL"):
+            i += 1
+            continue
+        op = _next_code(out, i + 1)
+        if op >= len(out) or out[op] != "(":
+            i += 1
+            continue
+        v = _next_code(out, op + 1)
+        if v >= len(out) or not _is_word(out[v], "VALUES"):
+            i += 1
+            continue
+        close = _match_paren(out, op)
+        if close < 0:
+            i += 1
+            continue
+        rows: list[str] = []
+        k = _next_code(out, v + 1)
+        ok = True
+        while k < close:
+            if out[k] != "(":
+                ok = False
+                break
+            rc = _match_paren(out, k)
+            if rc < 0 or rc > close:
+                ok = False
+                break
+            rows.append("".join(out[k + 1:rc]).strip())
+            k = _next_code(out, rc + 1)
+            if k < close and out[k] == ",":
+                k = _next_code(out, k + 1)
+        if not ok or not rows:
+            i += 1
+            continue
+        sel = " UNION ALL ".join(f"SELECT {r}" for r in rows)
+        out[op + 1:close] = _tokens(sel)
+        i += 1
+    return out
+
+
 def _rewrite_escape_null(toks: list[str]) -> list[str]:
     """`x [NOT] LIKE/ILIKE pat ESCAPE NULL` folds to NULL in the reference
     (NULL escape poisons the whole match — lateral_fuzzer_5984_23.test);
@@ -12218,6 +12356,8 @@ def translate(sql: str) -> str:
     toks = _rewrite_orderless_over(toks)
     toks = _rewrite_rowid(toks)
     toks = _rewrite_asof_join(toks)
+    if re.search(r"(?i)\bLATERAL\s*\(\s*VALUES\b", "".join(toks)):
+        toks = _rewrite_lateral_values(toks)
     toks = _rewrite_dynamic_interval(toks)
     toks = _rewrite_array_subquery(toks)
     toks = _rewrite_table_fns(toks)
@@ -14462,7 +14602,8 @@ def limit_scalar_subqueries(sql: str) -> str:
             i += 1
             continue
         j = _next_code(out, i + 1)
-        if j >= len(out) or not _is_word(out[j], "SELECT"):
+        if j >= len(out) or not (_is_word(out[j], "SELECT")
+                                 or _is_word(out[j], "WITH")):
             i += 1
             continue
         p = _prev_code(out, i - 1)
