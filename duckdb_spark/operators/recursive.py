@@ -66,15 +66,33 @@ def recursive_cte_using_key(
     union); the working set stays at |keys| rows instead of growing by
     |new rows| per round — exactly why the reference added the variant.
     """
+    from pyspark.sql import functions as F
+
     acc = base.localCheckpoint(eager=True)
+    payload = [c for c in base.columns if c not in key_cols]
     for _ in range(max_iterations):
         nxt = step(acc).localCheckpoint(eager=True)
         if nxt.isEmpty():
             return acc
-        # replace-by-key: new rows win; unchanged keys keep their row
-        merged = nxt.unionByName(
-            acc.join(nxt.select(*key_cols).distinct(), key_cols, "left_anti")
-        ).localCheckpoint(eager=True)
+        # replace-by-key: new rows win the PAYLOAD, but keys that already
+        # exist keep their STORED representation (reference keyed state —
+        # recursive_cte_key_probe.test:102: a -0.0 key probed with +0.0
+        # stays -0.0; a plain nxt-first union would re-store the probe's
+        # normalized key)
+        upd = (
+            acc.select(*key_cols).distinct().alias("a")
+            .join(nxt.alias("n"),
+                  [F.col(f"a.{k}") == F.col(f"n.{k}") for k in key_cols],
+                  "inner")
+            .select(*[F.col(f"a.{k}").alias(k) for k in key_cols],
+                    *[F.col(f"n.{c}").alias(c) for c in payload])
+        )
+        fresh = nxt.join(acc.select(*key_cols).distinct(),
+                         key_cols, "left_anti")
+        kept = acc.join(nxt.select(*key_cols).distinct(),
+                        key_cols, "left_anti")
+        merged = upd.unionByName(fresh).unionByName(kept) \
+            .localCheckpoint(eager=True)
         # fixpoint: nothing changed (same multiset of rows)
         if merged.exceptAll(acc).isEmpty() and acc.exceptAll(merged).isEmpty():
             return acc

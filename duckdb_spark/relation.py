@@ -2590,7 +2590,13 @@ class Connection:
                 else:
                     parts.append(f"max_by({c}, __iter) AS {c}")
             h.createOrReplaceTempView(hist_name)
-            sel = ", ".join(list(plain) + parts)
+            # keys keep their STORED representation: Spark's GROUP BY
+            # normalizes -0.0 to 0.0 in the output key, but the reference
+            # keyed state retains the first-stored value when an
+            # equality-compatible probe differs
+            # (recursive_cte_key_probe.test:102)
+            key_sel = [f"min_by({k}, __iter) AS {k}" for k in plain]
+            sel = ", ".join(key_sel + parts)
             return self.sql(
                 f"SELECT {sel} FROM {hist_name} GROUP BY {', '.join(plain)}"
             ).df().select(*out_cols)

@@ -1471,6 +1471,19 @@ def _rewrite_named_struct_casts(toks: list[str]) -> list[str]:
                 out[i:oc + 1] = _tokens(repl)
                 changed = True
                 break
+            tgt_names = [n for n, _t in fields]
+            if tgt_names == [f"col{x + 1}" for x in range(len(fields))] \
+                    and not any(n.lower() in vals for n, _t in fields):
+                # UNNAMED (TUPLE) target: named STRUCT casts positionally
+                # ({'x':1,'y':'a'}::TUPLE(INTEGER, VARCHAR) —
+                # test_tuple.test:108)
+                pos_vals = [kvs[k2 + 1] for k2 in range(0, len(kvs), 2)]
+                repl = "named_struct(" + ", ".join(
+                    f"'{n}', CAST(({pos_vals[x] if x < len(pos_vals) else 'NULL'}) AS {t})"
+                    for x, (n, t) in enumerate(fields)) + ")"
+                out[i:oc + 1] = _tokens(repl)
+                changed = True
+                break
             if not any(n.lower() in vals for n, _t in fields):
                 raise ValueError(
                     "Binder Error: STRUCT to STRUCT cast must have at "
@@ -8661,6 +8674,18 @@ def _macro_try(x: str) -> str:
     lhs = _macro_try("".join(toks[:split_at]))
     rhs = _macro_try("".join(toks[split_at + 1:]))
     if split_op == "/":
+        # _rewrite_division has already nullif-wrapped the denominator
+        # (x/0 → NULL for plain division); under TRY the reference keeps
+        # the ieee result, so unwrap or the zero probe below never fires
+        # (test_try_filter_doesnt_mutate_columns.test:127)
+        rs = rhs.strip()
+        if rs.startswith("(") and rs.endswith(")"):
+            rs = rs[1:-1].strip()
+        if re.match(r"(?is)^nullif\s*\(", rs) and \
+                rs.rstrip().endswith(", 0.0d)"):
+            inner = rs[rs.index("(") + 1:rs.rstrip().rfind(", 0.0d)")]
+            if inner.count("(") == inner.count(")"):
+                rhs = f"({inner.strip()})"
         return (
             f"(case when cast(({rhs}) as double) = 0 and ({lhs}) is not null "
             f"then (case when ({lhs}) > 0 then cast('Infinity' as double) "
@@ -9845,6 +9870,32 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
     if name in ("list_extract", "array_extract") and n == 2:
         # 1-based, index 0 / out-of-range → NULL (reference list_extract)
         return f"try_element_at({args[0]}, nullif({args[1]}, 0))"
+    if name in ("json_extract", "json_extract_path") and n == 2 and \
+            args[1].strip() in ("'$[*]'", "'$.*'"):
+        # wildcard path: DuckDB returns the LIST of matches ([] when
+        # empty), not a scalar (order/top_n_issue_21623.test renders
+        # {'f': []}); get_json_object would give NULL
+        return f"from_json(cast(({args[0]}) as string), 'array<string>')"
+    if name == "struct_values" and n == 1:
+        sm = re.match(r"(?is)^\s*named_struct\s*\((.*)\)\s*$",
+                      args[0].strip())
+        if sm and _balanced(sm.group(1)):
+            # literal struct → TUPLE of its values (Spark struct() emits
+            # the unnamed col1..colN marker — test_tuple.test:126)
+            parts = _split_top_args(_tokens(sm.group(1)))
+            vals = [parts[k].strip() for k in range(1, len(parts), 2)]
+            if vals:
+                return "struct(" + ", ".join(vals) + ")"
+    if name in ("struct_extract", "struct_extract_at") and n == 2:
+        key = args[1].strip()
+        if re.fullmatch(r"\d+", key):
+            # positional extraction: TUPLEs ride Spark's auto col1..colN
+            # field names (test_tuple.test:84)
+            return f"({args[0]}).col{key}"
+        km = re.match(r"(?s)^'(.*)'$", key)
+        if km:
+            return (f"({args[0]}).`"
+                    + km.group(1).replace("''", "'") + "`")
     if name in ("date_trunc", "datetrunc") and n == 2 and not re.search(
         r"(?i)__dktz|timestamp_ltz|timestamptz|time\s+zone", args[1]
     ):
@@ -9982,6 +10033,7 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
 
 _MACRO_NAMES = {
     "median", "row", "avg", "printf", "format", "format_string",
+    "struct_values",
     "approx_quantile", "reservoir_quantile", "date_trunc", "datetrunc",
     "count_star", "signbit", "json", "concat", "list_concat",
     "array_concat", "map",
@@ -9998,6 +10050,8 @@ _MACRO_NAMES = {
     "arg_max_nulls_last", "is_histogram_other_bin",
     "quantile", "quantile_cont", "skewness", "kurtosis",
     "list_extract", "array_extract", "epoch",
+    "struct_extract", "struct_extract_at", "json_extract",
+    "json_extract_path",
     "struct_contains", "struct_position", "try", "concat_ws",
     "string_split", "str_split", "string_to_array",
     "get_bit", "set_bit", "bit_position", "bit_length",
@@ -12102,6 +12156,18 @@ def translate(sql: str) -> str:
     # pass renames struct_pack to named_struct (test_tuple.test:46)
     sql = re.sub(r"(?is)\btypeof\s*\(\s*struct_pack\s*\(\s*\)\s*\)",
                  "'STRUCT'", sql)
+    # empty STRUCT vs empty TUPLE (test_tuple.test:52): both land on
+    # struct<>, so the renderer can't pick '{}' vs '()'. Comparisons
+    # between the two are trivially true (implicit cast); the empty
+    # STRUCT carries a marker field the renderer folds back to '{}'.
+    if re.search(r"(?is)\b(struct_pack|row)\s*\(\s*\)", sql):
+        sql = re.sub(
+            r"(?is)\b(?:struct_pack|row)\s*\(\s*\)\s*(?:::\s*STRUCT\b)?"
+            r"\s*=\s*(?:struct_pack|row)\s*\(\s*\)", "true", sql)
+        sql = re.sub(r"(?is)\bstruct_pack\s*\(\s*\)(?!\s*=)",
+                     "named_struct('__dkestruct', true)", sql)
+        sql = re.sub(r"(?is)\brow\s*\(\s*\)\s*::\s*STRUCT(?![\w(])",
+                     "named_struct('__dkestruct', true)", sql)
     # TIMESTAMPTZ typed literals: Spark spells the instant type TIMESTAMP
     sql = re.sub(
         r"(?i)\b(?:TIMESTAMPTZ|TIMESTAMP\s+WITH\s+TIME\s+ZONE)\s*'([^']*)'",
