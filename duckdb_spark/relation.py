@@ -1805,6 +1805,31 @@ class Connection:
                         return Relation(self.spark.sql(translate(retried)))
                     except Exception:  # noqa: BLE001 — keep original error
                         pass
+                # bare TABLE reference in ORDER BY = the row value
+                # (test_outer_joins_recursive_cte.test `ORDER BY p, t`)
+                nm2 = re.search(r"name `([A-Za-z_]\w*)` cannot", msg)
+                if nm2:
+                    from duckdb_spark.sql.dialect import (
+                        replace_bare_table_ref_in_order,
+                    )
+
+                    tbl2 = nm2.group(1)
+                    try:
+                        cols2 = self.spark.table(tbl2).columns
+                    except Exception:  # noqa: BLE001
+                        cols2 = None
+                    if cols2:
+                        repl2 = (f"{tbl2}.`{cols2[0]}`" if len(cols2) == 1
+                                 else "struct(" + ", ".join(
+                                     f"{tbl2}.`{c}`" for c in cols2) + ")")
+                        tq = translate(query)
+                        new_tq = replace_bare_table_ref_in_order(
+                            tq, tbl2, repl2)
+                        if new_tq != tq:
+                            try:
+                                return Relation(self.spark.sql(new_tq))
+                            except Exception:  # noqa: BLE001
+                                pass
             if "BINARY_OP_DIFF_TYPES" in msg:
                 tm = re.search(r'"\(?([A-Z_][A-Z_ ()0-9,]*)"\s+and\s+"'
                                r'([A-Z_][A-Z_ ()0-9,]*)\)?"', msg)

@@ -60,6 +60,12 @@ ENGINE_CONF: dict[str, str] = {
     # Scale posture: the size guards keep gigantic builds on the SMJ path,
     # and AQE's OptimizeSkewedJoin handles SHJ skew splitting since 3.2.
     "spark.sql.join.preferSortMergeJoin": "false",
+    # Native WITH RECURSIVE: Spark's default level cap (100) is far below
+    # the reference's long-thin recursions (5000 single-row levels in
+    # cte/recursive_cte_parallel_union_all_sink.test). 10k, not huge:
+    # infinite recursions drained by an outer LIMIT (which Spark does not
+    # push into the loop) must still terminate in bounded time.
+    "spark.sql.cteRecursionLevelLimit": "10000",
 }
 
 

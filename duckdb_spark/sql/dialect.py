@@ -7368,7 +7368,16 @@ def _expand_range_tvf(out: list[str], i: int, j: int, close: int) -> int:
             out[start_cut:end + 1] = [repl]
             return start_cut + 1
     if not temporal and len(args) <= 3 and name == "range":
-        inner = f"range({', '.join(args)})"
+        rargs = list(args)
+        if get_session_setting("threads") in ("1", "'1'"):
+            # SET threads=1: single-slice range so LIMIT pushdown stops
+            # the producer IN ORDER like the reference's single-threaded
+            # pipeline (test_materialized_cte.test:95 — a parallel range
+            # would evaluate the error() branch in later partitions)
+            while len(rargs) < 3:
+                rargs = (["0"] + rargs) if len(rargs) == 1 else rargs + ["1"]
+            rargs.append("1")
+        inner = f"range({', '.join(rargs)})"
         repl = f"(SELECT id AS {colname} FROM {inner})"
     else:
         seq = _seq_expr(name, args)
@@ -11815,6 +11824,44 @@ def _rewrite_escape_null(toks: list[str]) -> list[str]:
     return out
 
 
+def replace_bare_table_ref_in_order(sql: str, tbl: str, repl: str) -> str:
+    """DuckDB allows a bare table name in ORDER BY (orders by the row
+    value — test_outer_joins_recursive_cte.test `ORDER BY p, t`); Spark
+    resolves only columns there. Substitute `tbl` with `repl` inside
+    ORDER BY regions only."""
+    toks = _tokens(sql)
+    i = 0
+    in_order = 0  # paren depth snapshot when ORDER BY opened, else -1
+    order_depth = -1
+    depth = 0
+    changed = False
+    while i < len(toks):
+        t = toks[i]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if order_depth >= 0 and depth < order_depth:
+                order_depth = -1
+        elif re.match(r"^[A-Za-z_]", t):
+            up = t.upper()
+            if up == "ORDER":
+                order_depth = depth
+            elif order_depth >= 0 and depth == order_depth and up in (
+                    "LIMIT", "OFFSET", "UNION", "EXCEPT", "INTERSECT",
+                    "SELECT", "FROM", "WHERE"):
+                order_depth = -1
+            elif order_depth >= 0 and t.lower() == tbl.lower():
+                p = _prev_code(toks, i - 1)
+                nx = _next_code(toks, i + 1)
+                if not (p >= 0 and toks[p] == ".") and not (
+                        nx < len(toks) and toks[nx] in (".", "(")):
+                    toks[i] = repl
+                    changed = True
+        i += 1
+    return "".join(toks) if changed else sql
+
+
 def insert_implicit_lateral(sql: str) -> str:
     """DuckDB binds comma-joined FROM subqueries laterally — they may
     reference columns of earlier FROM items without the LATERAL keyword
@@ -11832,7 +11879,10 @@ def insert_implicit_lateral(sql: str) -> str:
             p = _prev_code(toks, i - 1)
             f0 = _next_code(toks, i + 1)
             if (
-                ctx[-1] == "FROM" and p >= 0 and toks[p] == ","
+                ctx[-1] == "FROM" and p >= 0
+                and (toks[p] == ","
+                     or (re.match(r"^[A-Za-z_]", toks[p])
+                         and toks[p].upper() == "JOIN"))
                 and f0 < len(toks) and re.match(r"^[A-Za-z_]", toks[f0])
                 and toks[f0].upper() in ("SELECT", "FROM", "WITH")
             ):
@@ -13574,6 +13624,7 @@ def check_duplicate_from_aliases(toks: list[str]) -> None:
                 j = _next_code(toks, i + 1)
                 while j < n:
                     name = None
+                    full_name = None
                     if re.match(r"^[A-Za-z_]", toks[j]) and \
                             toks[j].upper() == "LATERAL":
                         j = _next_code(toks, j + 1)
@@ -13586,10 +13637,12 @@ def check_duplicate_from_aliases(toks: list[str]) -> None:
                         j = _next_code(toks, c + 1)
                     elif re.match(r"^[A-Za-z_`\"]", toks[j]):
                         name = toks[j].strip('`"')
+                        full_name = name
                         j2 = j + 1
                         while j2 + 1 < n and toks[j2] == "." and \
                                 re.match(r"^[A-Za-z_`\"]", toks[j2 + 1]):
                             name = toks[j2 + 1].strip('`"')
+                            full_name += "." + name
                             j2 += 2
                         j = _next_code(toks, j2)
                         if j < n and toks[j] == "(":
@@ -13600,18 +13653,27 @@ def check_duplicate_from_aliases(toks: list[str]) -> None:
                     else:
                         break
                     alias = name
+                    had_explicit = False
                     if j < n and re.match(r"^[A-Za-z_]", toks[j]) and \
                             toks[j].upper() == "AS":
                         j = _next_code(toks, j + 1)
                     if j < n and re.match(r"^[A-Za-z_`\"]", toks[j]) and \
                             toks[j].upper() not in _NESTCMP_ALIAS_STOP:
                         alias = toks[j].strip('`"')
+                        had_explicit = True
                         j = _next_code(toks, j + 1)
                         if j < n and toks[j] == "(":
                             c = _match_paren(toks, j)
                             if c < 0:
                                 break
                             j = _next_code(toks, c + 1)
+                    if not had_explicit and full_name is not None \
+                            and full_name != alias:
+                        # schema-qualified unaliased table: its binding
+                        # name is the qualified path — a CTE with the
+                        # bare table name is NOT a duplicate
+                        # (cte/cte_schema.test:14)
+                        alias = full_name
                     if alias:
                         al = alias.lower()
                         if al in cur:

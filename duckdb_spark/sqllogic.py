@@ -1277,6 +1277,14 @@ class SLSession:
             # still reject syntactically broken PRAGMAs (unbalanced parens
             # or stray tokens — the reference parser does)
             if re.match(r"(?is)^\s*pragma\b", sql):
+                mth = re.match(r"(?is)^\s*pragma\s+threads\s*=\s*'?(\d+)'?",
+                               sql)
+                if mth:
+                    # the dialect single-slices range() under threads=1
+                    # (test_materialized_cte.test:95 limit-stops-producer)
+                    from duckdb_spark.sql.dialect import set_session_setting
+
+                    set_session_setting("threads", mth.group(1))
                 if sql.count("(") != sql.count(")") or re.search(
                     r"\(\s*\)\s*\)", sql
                 ):
