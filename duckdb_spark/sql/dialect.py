@@ -2004,6 +2004,35 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
                     f"CAST(date_trunc('{unit}', CAST({operand} AS "
                     f"timestamp)) AS TIMESTAMP_NTZ)"))
                 continue
+            mun = re.match(r"(?is)^UNION\s*\((.*)\)$", rawty.strip())
+            if mun:
+                # tagged UNION target (see the CAST scanner's clause)
+                from duckdb_spark.sql.textcast import _split_type_fields
+
+                members = []
+                okm = True
+                for part in _split_type_fields(mun.group(1)):
+                    pm = re.match(
+                        r"(?s)^\s*([A-Za-z_]\w*|\"[^\"]+\")\s+(.*)$",
+                        part.strip())
+                    if not pm:
+                        okm = False
+                        break
+                    members.append((pm.group(1).strip('"'),
+                                    _map_type(pm.group(2).strip())))
+                if okm and members:
+                    if len(members) == 1:
+                        out.extend(_tokens(
+                            f"CAST(({operand}) AS {members[0][1]})"))
+                    else:
+                        kvs0 = [f"'__dkutag', '{members[0][0]}'",
+                                f"'{members[0][0]}', CAST(({operand}) AS "
+                                f"{members[0][1]})"]
+                        kvs0 += [f"'{n0}', CAST(NULL AS {t0})"
+                                 for n0, t0 in members[1:]]
+                        out.extend(_tokens(
+                            "named_struct(" + ", ".join(kvs0) + ")"))
+                    continue
             target = _map_type(rawty)
             # DuckDB float→int casts ROUND (half away from zero); Spark
             # truncates. Wrap round() when the operand is visibly floating
@@ -10753,6 +10782,38 @@ def _rewrite_cast_types(toks: list[str]) -> list[str]:
                 f"ELSE CAST(({operand}) AS {outty}) END)")
             i += 1
             continue
+        mun = re.match(r"(?is)^UNION\s*\((.*)\)$", ty.strip())
+        if mun and operand:
+            # tagged UNION target (reference union_casts.cpp): a single
+            # member collapses to the member cast; multiple members build
+            # the tagged struct with the value in the FIRST member
+            # (cast/union_cast.test:20)
+            from duckdb_spark.sql.textcast import _split_type_fields
+
+            members = []
+            okm = True
+            for part in _split_type_fields(mun.group(1)):
+                pm = re.match(r"(?s)^\s*([A-Za-z_]\w*|\"[^\"]+\")\s+(.*)$",
+                              part.strip())
+                if not pm:
+                    okm = False
+                    break
+                members.append((pm.group(1).strip('"'),
+                                _map_type(pm.group(2).strip())))
+            if okm and members:
+                kw0 = out[i]
+                if len(members) == 1:
+                    repl = f"{kw0}(({operand}) AS {members[0][1]})"
+                else:
+                    kvs0 = [f"'__dkutag', '{members[0][0]}'",
+                            f"'{members[0][0]}', {kw0}(({operand}) AS "
+                            f"{members[0][1]})"]
+                    kvs0 += [f"'{n0}', CAST(NULL AS {t0})"
+                             for n0, t0 in members[1:]]
+                    repl = "named_struct(" + ", ".join(kvs0) + ")"
+                out[i:close + 1] = _tokens(repl)
+                i += 1
+                continue
         if re.match(r"(?is)^MAP\s*\(", ty.strip()) and re.match(
             r"(?is)^\s*(MAP|map_from_arrays|map_from_entries)\s*\(",
             operand or "",
@@ -13509,8 +13570,11 @@ def _nestcmp_nested_cols(toks: list[str]) -> dict[str, bool]:
             continue
         for f in schema.fields:
             if isinstance(f.dataType, (ArrayType, StructType, MapType)):
-                out[f"{alias}.{f.name.lower()}"] = True
-                out.setdefault(f.name.lower(), True)
+                # the VALUE is the DataType (truthy — membership checks
+                # unchanged); the ORDER BY rewrite uses it to build a
+                # pure-Column sort key for depth-1 shapes
+                out[f"{alias}.{f.name.lower()}"] = f.dataType
+                out.setdefault(f.name.lower(), f.dataType)
     return out
 
 
@@ -14693,11 +14757,27 @@ def rewrite_nested_comparisons(sql: str) -> str:
                 # orderable in Spark (test_histogram_3529.test:21)
                 target = expr
             if target is not None:
-                toks[st:expr_en] = _tokens(f"__dknestkey({target})")
+                # depth-1 LIST/STRUCT columns sort through a pure Column
+                # key (no BatchEvalPython in the plan — the UDF is the
+                # fallback for MAP/deep nesting); resolvable only for
+                # plain (qualified) column refs
+                key_sql = None
+                ts = target.strip()
+                while ts.startswith("(") and ts.endswith(")") and \
+                        _balanced(ts[1:-1]):
+                    ts = ts[1:-1].strip()
+                if re.fullmatch(r"[A-Za-z_]\w*(\s*\.\s*[A-Za-z_]\w*)?", ts):
+                    dt0 = nested_cols.get(
+                        re.sub(r"\s*\.\s*", ".", ts.lower()))
+                    if dt0 is not None and not isinstance(dt0, bool):
+                        from duckdb_spark.sql.nestcmp import order_key_sql
+
+                        key_sql = order_key_sql(ts, dt0)
+                repl_key = key_sql or f"__dknestkey({target})"
+                toks[st:expr_en] = _tokens(repl_key)
                 changed = True
                 # re-find current position after splice
-                delta = len(_tokens(f"__dknestkey({target})")) - \
-                    (expr_en - st)
+                delta = len(_tokens(repl_key)) - (expr_en - st)
                 j += delta
             if j < len(toks) and toks[j] == ",":
                 j = _next_code(toks, j + 1)

@@ -215,6 +215,64 @@ def nest_in(coll, v):
     return None if saw_null else False
 
 
+def _atomic_default_lit(t) -> str | None:
+    """A non-NULL placeholder literal of type t (only read when the null
+    flag already decided the comparison, so any constant works)."""
+    from pyspark.sql import types as T
+
+    if isinstance(t, T.BooleanType):
+        return "false"
+    if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "0"
+    if isinstance(t, T.FloatType):
+        return "cast(0 as float)"
+    if isinstance(t, T.DoubleType):
+        return "cast(0 as double)"
+    if isinstance(t, T.DecimalType):
+        return f"cast(0 as decimal({t.precision},{t.scale}))"
+    if isinstance(t, T.StringType):
+        return "''"
+    if isinstance(t, T.DateType):
+        return "date'1970-01-01'"
+    if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp'1970-01-01'"
+    if isinstance(t, T.BinaryType):
+        return "X''"
+    return None
+
+
+def order_key_sql(expr: str, dtype) -> str | None:
+    """Pure-Column ORDER BY key for depth-1 nested types (VERDICT r08/r09:
+    the __dknestkey Python UDF routed EVERY row of a LIST-keyed sort —
+    token arrays are a real training-data workload — through Python).
+    Pair each child with a null flag so NULL children sort GREATEST like
+    the reference's DISTINCT comparator; Spark's native array/struct
+    ordering (NaN greatest, shorter-prefix first) matches the rest.
+    Returns None when the shape still needs the UDF (MAP, nesting deeper
+    than one level, exotic child types)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.ArrayType):
+        d = _atomic_default_lit(dtype.elementType)
+        if d is None:
+            return None
+        return (f"transform({expr}, __ok -> struct("
+                f"if(__ok is null, 1, 0) AS n, coalesce(__ok, {d}) AS v))")
+    if isinstance(dtype, T.StructType):
+        parts = []
+        for f in dtype.fields:
+            d = _atomic_default_lit(f.dataType)
+            if d is None:
+                return None
+            fx = f"({expr}).`{f.name}`"
+            parts.append(f"if({fx} is null, 1, 0) AS `__n_{f.name}`")
+            parts.append(f"coalesce({fx}, {d}) AS `__v_{f.name}`")
+        if not parts:
+            return None
+        return "struct(" + ", ".join(parts) + ")"
+    return None
+
+
 _REGISTERED: set[int] = set()
 
 

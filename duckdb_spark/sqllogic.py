@@ -481,6 +481,11 @@ def format_value(v, ltz: bool = False, dt=None) -> str:
             # INTERVAL struct emulation renders as interval text
             return _iv_text_build(
                 d["months"] or 0, d["days"] or 0, d["micros"] or 0)
+        if names and names[0] == "__dkutag":
+            # tagged UNION emulation: render the active member's value
+            tag = d.get("__dkutag")
+            return _nested(d.get(tag), ltz, ftypes.get(tag)) \
+                if tag is not None else "NULL"
         if names == ["__dkestruct"]:
             # empty named STRUCT marker (dialect: struct_pack() —
             # test_tuple.test:52; an unmarked struct<> is a TUPLE '()')

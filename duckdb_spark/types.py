@@ -160,6 +160,26 @@ def duckdb_type_to_spark(name: str) -> T.DataType:
     m = re.match(r"(?is)^(.*\S)\s+ARRAY$", s)  # SQL-standard `INT ARRAY`
     if m:
         return T.ArrayType(duckdb_type_to_spark(m.group(1)))
+    m = re.match(r"(?is)^UNION\s*\((.*)\)$", s)
+    if m:
+        # DuckDB tagged UNION (union_casts.cpp): a single-member union
+        # collapses to its member's carrier (the value IS the member —
+        # cast/union_cast.test); multi-member unions ride a struct of the
+        # members (inactive members NULL)
+        parts = _split_fields(m.group(1))
+        members = []
+        for p in parts:
+            p = p.strip()
+            fname, ftype = p.split(" ", 1)
+            members.append((fname.strip('"'), duckdb_type_to_spark(ftype)))
+        if len(members) == 1:
+            return members[0][1]
+        # leading __dkutag names the active member (renderer shows only
+        # that member's value, like the reference's union rendering)
+        return T.StructType(
+            [T.StructField("__dkutag", T.StringType())]
+            + [T.StructField(n2, t2) for n2, t2 in members]
+        )
     up = s.upper()
     if up in _SIMPLE:
         return _SIMPLE[up]
@@ -174,9 +194,17 @@ def duckdb_type_to_spark(name: str) -> T.DataType:
     m = _LIST_RE.match(s)
     if m:
         return T.ArrayType(duckdb_type_to_spark(m.group(1)))
-    m = _MAP_RE.match(s)
+    m = re.match(r"(?is)^MAP\s*\((.*)\)$", s)
     if m:
-        return T.MapType(duckdb_type_to_spark(m.group(1)), duckdb_type_to_spark(m.group(2)))
+        # depth-aware key/value split: a greedy comma regex broke on
+        # nested parenthesized types (MAP(VARCHAR, UNION(i INT, ...)) —
+        # types/map/map_extract_nested_null.test)
+        kv = _split_fields(m.group(1))
+        if len(kv) == 2:
+            return T.MapType(duckdb_type_to_spark(kv[0].strip()),
+                             duckdb_type_to_spark(kv[1].strip()))
+        return T.MapType(duckdb_type_to_spark(m.group(1).split(",")[0]),
+                         T.StringType())
     m = _STRUCT_RE.match(s)
     if m:
         fields = []
