@@ -7493,6 +7493,14 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
         # empty), not a scalar (order/top_n_issue_21623.test renders
         # {'f': []}); get_json_object would give NULL
         return f"from_json(cast(({args[0]}) as string), 'array<string>')"
+    if name == "union_value" and n == 1:
+        # union constructor (reference union_value(tag := v)): the value
+        # rides its member's carrier; an enclosing ::UNION cast re-tags
+        # (test_row_not_equal_any_null_semantics.test:77)
+        um = re.match(r"(?s)^\s*[A-Za-z_]\w*\s*(?::\s*=|=\s*>)\s*(.*)$",
+                      args[0])
+        if um:
+            return f"({um.group(1).strip()})"
     if name == "struct_values" and n == 1:
         sm = re.match(r"(?is)^\s*named_struct\s*\((.*)\)\s*$",
                       args[0].strip())
@@ -7650,7 +7658,7 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
 
 _MACRO_NAMES = {
     "median", "row", "avg", "printf", "format", "format_string",
-    "struct_values",
+    "struct_values", "union_value",
     "approx_quantile", "reservoir_quantile", "date_trunc", "datetrunc",
     "count_star", "signbit", "json", "concat", "list_concat",
     "array_concat", "map",

@@ -1331,8 +1331,8 @@ class FileResult:
 def run_file(
     session: SLSession,
     path: str,
-    max_records: int | None = 400,
-    time_budget_s: float | None = 120.0,
+    max_records: int | None = 1200,
+    time_budget_s: float | None = 300.0,
 ) -> FileResult:
     """Execute one .test file. Loop-heavy files are bounded by max_records
     (expanded records, default 400) and a wall-clock budget; hitting either
