@@ -70,6 +70,33 @@ def read_csv(spark: SparkSession, path: str, **options) -> DataFrame:
     df = reader.csv(path)
     if names:
         df = df.toDF(*names)
+        if isinstance(names, dict):
+            # columns={'v': 'UUID[]'}: the declared types BIND — nested
+            # types parse through the textcast runtime so malformed text
+            # errors like the reference's child cast
+            # (cast/string_to_list_cast.test:503)
+            from pyspark.sql import functions as F
+            from pyspark.sql import types as T
+
+            from duckdb_spark.sql.textcast import (
+                RUNTIME_CASTS,
+                runtime_cast_fn,
+                runtime_cast_name,
+            )
+            from duckdb_spark.types import duckdb_type_to_spark
+
+            sel = []
+            for cn, dty in names.items():
+                st = duckdb_type_to_spark(dty)
+                if isinstance(st, (T.ArrayType, T.StructType, T.MapType)) \
+                        and isinstance(df.schema[cn].dataType, T.StringType):
+                    fn = runtime_cast_name(dty, False)
+                    spark.udf.register(
+                        fn, runtime_cast_fn(*RUNTIME_CASTS[fn]), st)
+                    sel.append(F.expr(f"{fn}(`{cn}`)").alias(cn))
+                else:
+                    sel.append(F.col(cn).cast(st).alias(cn))
+            df = df.select(*sel)
     return df
 
 

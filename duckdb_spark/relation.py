@@ -62,9 +62,9 @@ def _split_top_level(s: str) -> list[str]:
                 quote = None
         elif ch in "'\"":
             quote = ch
-        elif ch in "([":
+        elif ch in "([{":
             depth += 1
-        elif ch in ")]":
+        elif ch in ")]}":
             depth -= 1
         elif ch == "," and depth == 0:
             parts.append(s[start:i])
@@ -388,8 +388,11 @@ class Connection:
             pm = re.search(r"(?i)\bPARTITION_BY\s*\(([^)]*)\)", opts)
             part = ([c.strip().strip('"') for c in pm.group(1).split(",")]
                     if pm else None)
+            hm2 = re.search(r"(?i)\bHEADER\s+'?(\w+)'?", opts)
+            hdr = (hm2.group(1).lower() in ("1", "true", "on")
+                   if hm2 else True)
             n = df.count()
-            copy_to(df, path, format=fmt, partition_by=part)
+            copy_to(df, path, format=fmt, partition_by=part, header=hdr)
             return Relation(self.spark.createDataFrame(
                 [(n,)], "Count: bigint"))
         # COPY <table> FROM 'path' [(opts)] — import side of COPY
@@ -2142,6 +2145,22 @@ class Connection:
                             kw["header"] = opts["header"].lower() in ("true", "1")
                         if opts.get("delim") or opts.get("sep"):
                             kw["sep"] = (opts.get("delim") or opts["sep"]).strip("'\"")
+                        cm2 = opts.get("columns", "")
+                        if cm2.strip().startswith("{"):
+                            # columns={'id':'BIGINT','v':'UUID[]'}: the
+                            # declared types BIND (nested types parse via
+                            # the textcast runtime in readers.read_csv —
+                            # string_to_list_cast.test:503)
+                            cols2 = {}
+                            for pc in cm2.strip()[1:-1].split(","):
+                                km2 = re.match(
+                                    r"(?s)^\s*'([^']+)'\s*:\s*'([^']+)'\s*$",
+                                    pc)
+                                if km2:
+                                    cols2[km2.group(1)] = km2.group(2)
+                            if cols2:
+                                kw["columns"] = cols2
+                                kw["header"] = kw.get("header", True)
                         df = readers.read_csv(self.spark, paths, **kw)
                     elif name == "sniff_csv":
                         # one-row result mirroring the reference's output

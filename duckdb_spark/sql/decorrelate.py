@@ -651,8 +651,17 @@ def decorrelate_retry(con, query: str):
                 mode = "in"
                 p = q2
                 out[q2] = "IN"
+            elif op2 in (">", ">=", "<", "<="):
+                # ordering quantifier over the per-key row-set array:
+                # ANY folds against min/max of the non-NULL elements,
+                # 3-valued on NULL members (test_correlated_any_all.test
+                # `MIN(i) > ANY(SELECT i … WHERE i > MIN(i1.i))`)
+                mode = "quant"
+                quant = "ALL" if prev_up == "ALL" else "ANY"
+                quant_op = op2
+                p = q2
             else:
-                return None  # ordering quantifiers: not expressible here
+                return None  # = ALL / <> ANY: not expressible here
         s_text = "".join(s_toks)
         keys_sql = "SELECT DISTINCT " + ", ".join(
             f"{r} AS __k{k}" for k, r in enumerate(refs)
@@ -703,6 +712,43 @@ def decorrelate_retry(con, query: str):
                 f"WHEN {c} THEN {v}" for c, v in entries
             ) + f" ELSE {val_any} END" if entries else val_any) + ")"
             out[repl_start:close + 1] = _tokens(repl)
+        elif mode == "quant":
+            from duckdb_spark.sql.dialect import _nestcmp_operand_left
+
+            lstart = _nestcmp_operand_left(out, p)
+            if lstart >= p:
+                return None
+            lhs = "".join(out[lstart:p]).strip()
+            arr = "(CASE " + " ".join(
+                f"WHEN {c} THEN {v}" for c, v in entries
+            ) + " ELSE CAST(NULL AS ARRAY<STRING>) END)" if entries \
+                else "array()"
+            # array_min/array_max skip NULL elements, so the fold
+            # compares against the best non-NULL candidate; a remaining
+            # NULL member turns the miss 3-valued
+            agg_any = "array_min" if quant_op in (">", ">=") \
+                else "array_max"
+            agg_all = "array_max" if quant_op in (">", ">=") \
+                else "array_min"
+            if quant == "ANY":
+                expr = (
+                    f"(CASE WHEN size({arr}) = 0 THEN false "
+                    f"WHEN ({lhs}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+                    f"WHEN ({lhs}) {quant_op} {agg_any}({arr}) THEN true "
+                    f"WHEN exists({arr}, __qx -> __qx IS NULL) "
+                    f"THEN CAST(NULL AS BOOLEAN) ELSE false END)")
+            else:
+                expr = (
+                    f"(CASE WHEN size({arr}) = 0 THEN true "
+                    f"WHEN ({lhs}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+                    f"WHEN NOT (({lhs}) {quant_op} {agg_all}({arr})) "
+                    f"THEN false "
+                    f"WHEN exists({arr}, __qx -> __qx IS NULL) "
+                    f"THEN CAST(NULL AS BOOLEAN) ELSE true END)")
+            out[lstart:close + 1] = _tokens(expr)
+            changed = True
+            i = lstart + 1
+            continue
         else:  # in: rewrite `lhs IN (S)` as 3-valued array membership
             from duckdb_spark.sql.dialect import _nestcmp_operand_left
 

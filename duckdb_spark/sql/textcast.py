@@ -73,16 +73,19 @@ _NESTED_TY = re.compile(
     r"(?is)^(.*\[\s*\d*\s*\]|STRUCT\s*\(|MAP\s*\(|TUPLE\s*\()")
 
 
-def _elem(part: str, ducktype: str) -> tuple[str, bool]:
+def _elem(part: str, ducktype: str,
+          list_elem: bool = True) -> tuple[str, bool]:
     """Element text for a target type: scalar targets strip/unescape
     quotes; nested targets keep the raw text (inner quotes belong to the
-    recursive parse — reference VectorStringToList keeps nesting intact)."""
+    recursive parse — reference VectorStringToList keeps nesting intact).
+    list_elem applies the LIST grammar's bare-\" quirk (MAP/STRUCT
+    members pass False and unescape to the bare quote)."""
     if _NESTED_TY.match(ducktype.strip()):
         return part.strip(), False
-    return _strip_value(part)
+    return _strip_value(part, list_elem=list_elem)
 
 
-def _strip_value(s: str) -> tuple[str, bool]:
+def _strip_value(s: str, list_elem: bool = False) -> tuple[str, bool]:
     """Trim an element; returns (text, was_quoted). Quoted segments
     consume their quotes and unescape `\\x` → x; bare segments keep
     backslashes literally."""
@@ -94,15 +97,28 @@ def _strip_value(s: str) -> tuple[str, bool]:
         c = t[i]
         if c == "\\" and i + 1 < len(t):
             nxt = t[i + 1]
-            if nxt in "'\"":
+            if nxt == "'":
                 out.append(nxt)  # bare escaped quote: literal, no run opens
+            elif nxt == '"':
+                # LIST elements keep BOTH chars (reference list-cast
+                # 'weird' escape — string_to_list_cast.test:511 FIXME
+                # block); MAP keys/values unescape to the bare quote
+                # (string_to_map_escapes.test:11)
+                if list_elem:
+                    out.append(c)
+                out.append(nxt)
             else:
                 out.append(c)  # bare backslash is literal
                 out.append(nxt)
             i += 2
             continue
-        if c in "'\"":
-            # quoted run: quotes consumed, \x → x inside
+        if c in "'\"" and (not out or not list_elem):
+            # quoted run (consumed, \x → x inside). LIST elements only
+            # open a run on an element-INITIAL quote (mid-element quotes
+            # are literal — reference VectorStringToList;
+            # string_to_list_cast.test:511 '{"bar":"\""}' keeps its inner
+            # quotes); MAP/STRUCT members consume runs anywhere
+            # (string_to_map_escapes.test:48 key"with"quote → keywithquote)
             quoted_any = True
             q = c
             i += 1
@@ -305,7 +321,7 @@ def emit_tuple(text: str, quoted: bool, ducktype: str,
             f"target type expects {len(fields)}")
     kvs = []
     for (fname, ftype), part in zip(fields, parts):
-        it, q = _elem(part, ftype)
+        it, q = _elem(part, ftype, list_elem=False)
         kvs.append(f"'{fname}', {emit_value(it, q, ftype, lenient)}")
     return "named_struct(" + ", ".join(kvs) + ")"
 
@@ -377,7 +393,7 @@ def emit_struct(text: str, ducktype: str, lenient: bool = False) -> str:
     kvs = []
     for fname, ftype in fields:
         if fname.lower() in got:
-            vt, vq = _elem(got[fname.lower()], ftype)
+            vt, vq = _elem(got[fname.lower()], ftype, list_elem=False)
             kvs.append(_quote_sql(fname) + ", "
                        + emit_value(vt, vq, ftype, lenient))
         else:
@@ -445,8 +461,8 @@ def emit_map(text: str, ducktype: str, lenient: bool = False) -> str:
     kvs = []
     for part in merged:
         k, _, v = _part3(part, "=")
-        ktext, kq = _elem(k, kt)
-        vtext, vq = _elem(v, vt)
+        ktext, kq = _elem(k, kt, list_elem=False)
+        vtext, vq = _elem(v, vt, list_elem=False)
         kvs.append(emit_value(ktext, kq, kt, lenient))
         kvs.append(emit_value(vtext, vq, vt, lenient))
     return "map(" + ", ".join(kvs) + ")"
@@ -669,7 +685,7 @@ def parse_typed(text: str, quoted: bool, ducktype: str,
         out = {}
         for (fname, ftype), part in zip(fields, parts):
             try:
-                out[fname] = parse_typed(*_elem(part, ftype), ftype, lenient)
+                out[fname] = parse_typed(*_elem(part, ftype, list_elem=False), ftype, lenient)
             except TextCastError:
                 if not lenient:
                     raise
@@ -709,7 +725,7 @@ def parse_typed(text: str, quoted: bool, ducktype: str,
                     f"field in the destination type")
         def _field(raw, ftype):
             try:
-                return parse_typed(*_elem(raw, ftype), ftype, lenient)
+                return parse_typed(*_elem(raw, ftype, list_elem=False), ftype, lenient)
             except TextCastError:
                 if not lenient:
                     raise
@@ -746,8 +762,8 @@ def parse_typed(text: str, quoted: bool, ducktype: str,
         out = {}
         for part in merged:
             k, _, v = _part3(part, "=")
-            ktext, kq = _elem(k, kt)
-            vtext, vq = _elem(v, vt)
+            ktext, kq = _elem(k, kt, list_elem=False)
+            vtext, vq = _elem(v, vt, list_elem=False)
             try:
                 key = parse_typed(ktext, kq, kt, lenient)
                 val = parse_typed(vtext, vq, vt, lenient)
@@ -796,6 +812,12 @@ def parse_typed(text: str, quoted: bool, ducktype: str,
                 # and Spark/Python can't hold the value
                 # (string_to_struct_cast.test:52)
                 return t
+            dm = re.match(r"^(\d{1,4})-(\d{1,2})-(\d{1,2})$", t)
+            if dm:
+                # single-digit month/day fields are legal duck date text
+                # ('2022-12-2' — string_to_list_cast.test:485)
+                return datetime.date(int(dm.group(1)), int(dm.group(2)),
+                                     int(dm.group(3)))
             return datetime.date.fromisoformat(t)
         if up.startswith("TIMESTAMP") or up == "DATETIME":
             return datetime.datetime.fromisoformat(t)
@@ -803,7 +825,15 @@ def parse_typed(text: str, quoted: bool, ducktype: str,
         raise TextCastError(
             f"Conversion Error: Could not convert string {text!r} to {up}"
         ) from e
-    # remaining scalar types (UUID, TIME, BLOB, …): keep the text; Spark's
+    if up == "UUID" and not re.fullmatch(
+            r"[0-9a-fA-F]{8}(-[0-9a-fA-F]{4}){3}-[0-9a-fA-F]{12}",
+            t.strip()):
+        # malformed UUID text must raise like the reference's cast
+        # (string_to_list_cast.test:503 — a JSON-style nested list fed to
+        # UUID[] errors on the child cast)
+        raise TextCastError(
+            f"Conversion Error: Could not convert string {text!r} to UUID")
+    # remaining scalar types (TIME, BLOB, …): keep the text; Spark's
     # own cast of the string column applies downstream if needed
     return text
 

@@ -864,9 +864,35 @@ class SLSession:
                 src = self.spark.read.parquet(path)
             view = f"__copy_from_{id(self) % 100000}_{len(self.tables)}"
             src.createOrReplaceTempView(view)
+            from pyspark.sql import types as _T2
+            from duckdb_spark.sql.textcast import (
+                RUNTIME_CASTS,
+                runtime_cast_fn,
+                runtime_cast_name,
+            )
+            from duckdb_spark.types import duckdb_type_to_spark as _d2s
+
+            def _copy_cast(s: str, f) -> str:
+                dty = spark_type_to_duckdb(f.dataType)
+                if isinstance(f.dataType, (_T2.ArrayType, _T2.StructType,
+                                           _T2.MapType)):
+                    # CSV text → nested type has no native Spark cast:
+                    # route through the textcast runtime parser
+                    # (cast/string_to_list_cast.test:485 COPY FROM into
+                    # INT[]/VARCHAR[]/DATE[] columns)
+                    fn = runtime_cast_name(dty, False)
+                    if fn not in getattr(self, "_rtcast_done", set()):
+                        done = self._rtcast_done = getattr(
+                            self, "_rtcast_done", set())
+                        self.spark.udf.register(
+                            fn, runtime_cast_fn(*RUNTIME_CASTS[fn]),
+                            _d2s(dty))
+                        done.add(fn)
+                    return f'{fn}("{s}") AS "{f.name}"'
+                return f'CAST("{s}" AS {dty}) AS "{f.name}"'
+
             sel = ", ".join(
-                f"CAST(\"{s}\" AS {spark_type_to_duckdb(f.dataType)}) "
-                f"AS \"{f.name}\""
+                _copy_cast(s, f)
                 for s, f in zip(src.columns, schema0.fields)
             )
             return self._execute_one(
