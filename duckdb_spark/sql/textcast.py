@@ -82,10 +82,18 @@ def _elem(part: str, ducktype: str,
     members pass False and unescape to the bare quote)."""
     if _NESTED_TY.match(ducktype.strip()):
         return part.strip(), False
-    return _strip_value(part, list_elem=list_elem)
+    t = part.strip()
+    if list_elem and t[:1] in ("{", "["):
+        # brace/bracket-led LIST elements stay RAW — no quote runs, no
+        # unescaping (reference list-cast 'weird' escape:
+        # '[{"bar":"\""}]'::VARCHAR[] keeps the element verbatim,
+        # string_to_list_cast.test:511 — while flat elements unescape,
+        # string_to_list_roundtrip.test:4)
+        return t, False
+    return _strip_value(part)
 
 
-def _strip_value(s: str, list_elem: bool = False) -> tuple[str, bool]:
+def _strip_value(s: str) -> tuple[str, bool]:
     """Trim an element; returns (text, was_quoted). Quoted segments
     consume their quotes and unescape `\\x` → x; bare segments keep
     backslashes literally."""
@@ -97,28 +105,15 @@ def _strip_value(s: str, list_elem: bool = False) -> tuple[str, bool]:
         c = t[i]
         if c == "\\" and i + 1 < len(t):
             nxt = t[i + 1]
-            if nxt == "'":
+            if nxt in "'\"":
                 out.append(nxt)  # bare escaped quote: literal, no run opens
-            elif nxt == '"':
-                # LIST elements keep BOTH chars (reference list-cast
-                # 'weird' escape — string_to_list_cast.test:511 FIXME
-                # block); MAP keys/values unescape to the bare quote
-                # (string_to_map_escapes.test:11)
-                if list_elem:
-                    out.append(c)
-                out.append(nxt)
             else:
                 out.append(c)  # bare backslash is literal
                 out.append(nxt)
             i += 2
             continue
-        if c in "'\"" and (not out or not list_elem):
-            # quoted run (consumed, \x → x inside). LIST elements only
-            # open a run on an element-INITIAL quote (mid-element quotes
-            # are literal — reference VectorStringToList;
-            # string_to_list_cast.test:511 '{"bar":"\""}' keeps its inner
-            # quotes); MAP/STRUCT members consume runs anywhere
-            # (string_to_map_escapes.test:48 key"with"quote → keywithquote)
+        if c in "'\"":
+            # quoted run: quotes consumed, \x → x inside
             quoted_any = True
             q = c
             i += 1
