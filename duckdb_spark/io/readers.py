@@ -51,8 +51,17 @@ _CSV_OPTION_MAP = {
 
 def read_csv(spark: SparkSession, path: str, **options) -> DataFrame:
     """DuckDB `read_csv_auto` semantics: sniff dialect + infer types by
-    default; explicit options override the sniffer."""
-    spark_opts: dict[str, str] = {"header": "true", "inferSchema": "true"}
+    default; explicit options override the sniffer.
+
+    Defaults diverge from Spark's: RFC4180 `""` quote-doubling (DuckDB's
+    escape default, reference csv_reader_options.cpp) and multiLine for
+    quoted embedded newlines (test_thread_count.test's bigram CSV). Note
+    multiLine disables intra-file split parallelism — at 100-TB scale
+    pass `multiline=False` (or convert to parquet) for splittable scans;
+    DuckDB's boundary-detecting parallel CSV scanner has no Spark
+    equivalent."""
+    spark_opts: dict[str, str] = {"header": "true", "inferSchema": "true",
+                                  "escape": '"', "multiLine": "true"}
     schema = options.pop("schema", None)
     names = options.pop("names", None) or options.pop("columns", None)
     if options.pop("all_varchar", False):

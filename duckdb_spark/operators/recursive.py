@@ -79,18 +79,31 @@ def recursive_cte_using_key(
         # recursive_cte_key_probe.test:102: a -0.0 key probed with +0.0
         # stays -0.0; a plain nxt-first union would re-store the probe's
         # normalized key)
+        # NULL keys compare EQUAL in the reference's keyed hash table, so
+        # every key match below is eqNullSafe (a plain == would re-add a
+        # NULL-key row as "fresh" while keeping the old one — duplicating
+        # state instead of replacing it). Backtick-quote names so keys
+        # with spaces/dots resolve.
+        def _q(side: str, k: str):
+            return F.col(f"{side}.`" + k.replace("`", "``") + "`")
+
+        keyset = acc.select(*key_cols).distinct()
         upd = (
-            acc.select(*key_cols).distinct().alias("a")
+            keyset.alias("a")
             .join(nxt.alias("n"),
-                  [F.col(f"a.{k}") == F.col(f"n.{k}") for k in key_cols],
+                  [_q("a", k).eqNullSafe(_q("n", k)) for k in key_cols],
                   "inner")
-            .select(*[F.col(f"a.{k}").alias(k) for k in key_cols],
-                    *[F.col(f"n.{c}").alias(c) for c in payload])
+            .select(*[_q("a", k).alias(k) for k in key_cols],
+                    *[_q("n", c).alias(c) for c in payload])
         )
-        fresh = nxt.join(acc.select(*key_cols).distinct(),
-                         key_cols, "left_anti")
-        kept = acc.join(nxt.select(*key_cols).distinct(),
-                        key_cols, "left_anti")
+        fresh = nxt.alias("n").join(
+            keyset.alias("a"),
+            [_q("n", k).eqNullSafe(_q("a", k)) for k in key_cols],
+            "left_anti")
+        kept = acc.alias("a").join(
+            nxt.select(*key_cols).distinct().alias("n"),
+            [_q("a", k).eqNullSafe(_q("n", k)) for k in key_cols],
+            "left_anti")
         merged = upd.unionByName(fresh).unionByName(kept) \
             .localCheckpoint(eager=True)
         # fixpoint: nothing changed (same multiset of rows)

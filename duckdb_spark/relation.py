@@ -233,6 +233,26 @@ def _sql_lit(v, dt) -> str:
         return f"CAST('{v.isoformat(sep=' ')}' AS {ts})"
     if isinstance(v, datetime.date):
         return f"DATE '{v.isoformat()}'"
+    if isinstance(v, (bytes, bytearray)):
+        return f"CAST(unhex('{bytes(v).hex()}') AS BINARY)"
+    from pyspark.sql import types as _T
+
+    if isinstance(v, (list, tuple)) and isinstance(dt, _T.ArrayType):
+        if not v:
+            return f"CAST(array() AS {ts})"
+        return "array(" + ", ".join(
+            _sql_lit(e, dt.elementType) for e in v) + ")"
+    if isinstance(v, dict) and isinstance(dt, _T.MapType):
+        if not v:
+            return f"CAST(map() AS {ts})"
+        return "map(" + ", ".join(
+            f"{_sql_lit(k, dt.keyType)}, {_sql_lit(x, dt.valueType)}"
+            for k, x in v.items()) + ")"
+    if isinstance(dt, _T.StructType) and hasattr(v, "__fields__"):
+        return "named_struct(" + ", ".join(
+            "'" + f.name.replace("'", "''") + "', "
+            + _sql_lit(v[i], f.dataType)
+            for i, f in enumerate(dt.fields)) + ")"
     raise ValueError(f"not inlinable: {type(v)}")
 
 
@@ -518,6 +538,47 @@ class Connection:
                 "column_name string, column_type string, `null` string, "
                 "key string, `default` string, extra string",
             ))
+        # nested `LIMIT n%` (subquery / CTE-body position): resolve
+        # innermost-first by counting the body and folding to a literal
+        # LIMIT (reference physical_limit_percent.cpp executes the same
+        # two-pass count; test_cte_materialized.test:147)
+        if re.search(r"(?is)\bLIMIT\s+\d+(\.\d+)?\s*(%|\bPERCENT\b)", query):
+            from duckdb_spark.sql.dialect import _next_code, _tokens
+            from duckdb_spark.sql.dialect import _is_word as _isw
+
+            for _ in range(16):  # one nested occurrence folded per pass
+                toks = _tokens(query)
+                best = None
+                opens: list[int] = []
+                for idx, t in enumerate(toks):
+                    if t == "(":
+                        opens.append(idx)
+                    elif t == ")":
+                        if opens:
+                            opens.pop()
+                    elif opens and _isw(t, "LIMIT"):
+                        j = _next_code(toks, idx + 1)
+                        k2 = _next_code(toks, j + 1) if j < len(toks) \
+                            else len(toks)
+                        if j < len(toks) and \
+                                re.fullmatch(r"\d+(\.\d+)?", toks[j]) and \
+                                k2 < len(toks) and (
+                                    toks[k2] == "%"
+                                    or _isw(toks[k2], "PERCENT")):
+                            if best is None or len(opens) > best[0]:
+                                best = (len(opens), opens[-1], idx, j, k2)
+                if best is None:
+                    break
+                _, open_idx, li, pj, pk = best
+                body = "".join(toks[open_idx + 1:li]).strip()
+                pct = float(toks[pj])
+                if pct < 0 or pct > 100:
+                    raise ValueError(
+                        "Out of Range Error: Limit percent out of range, "
+                        "should be between 0% and 100%")
+                nrows = self.sql(body).df().count()
+                toks[li:pk + 1] = [f" LIMIT {int(nrows * pct / 100.0)} "]
+                query = "".join(toks)
         # LIMIT n% (reference physical_limit_percent.cpp): no Spark SQL
         # spelling — strip it and apply the two-pass relation operator
         m = re.match(
@@ -1033,6 +1094,12 @@ class Connection:
                 # two-level-deep correlation surfaces as a plain unresolved
                 # column (Spark only binds outer refs one level up)
                 or ("UNRESOLVED_COLUMN" in msg
+                    and re.search(r"(?i)\(\s*SELECT\b", query))
+                # deferred per-row sequence calls (macros._expand_once
+                # leaves correlated-volatile nextval/currval unexpanded
+                # for the decorrelator to evaluate per physical row)
+                or ("UNRESOLVED_ROUTINE" in msg
+                    and re.search(r"(?i)`(nextval|currval)`", msg)
                     and re.search(r"(?i)\(\s*SELECT\b", query))
             ) and getattr(self, "_decorrelate_depth", 0) < 3:
                 # deep correlation Catalyst won't decorrelate — manual

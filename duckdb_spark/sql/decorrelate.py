@@ -404,8 +404,153 @@ def _lit(v, dt) -> str:
     return _sql_lit(v, dt)
 
 
+def _empty_grouping_fallback(con, bound_sql: str):
+    """Rows the EMPTY grouping set `()` must contribute when the input is
+    empty. Spark's GROUP BY GROUPING SETS/ROLLUP/CUBE over an empty input
+    yields NO rows, but the reference (and the standard) gives one global-
+    aggregate row per `()` set (lateral_grouping_sets.test:5). Returns the
+    synthesized rows (may be []), or None when not applicable."""
+    from duckdb_spark.sql.dialect import (
+        _match_paren,
+        _next_code,
+        _split_top_args,
+        _tokens,
+    )
+
+    toks = _tokens(bound_sql)
+    gb = _clause_span(toks, "GROUP", _GB_STOPS)
+    if gb is None:
+        return None
+    gtoks = toks[gb[0]:gb[1]]
+    gtext = "".join(gtoks)
+    n_empty = 0
+    mgs = re.search(r"(?is)\bGROUPING\s+SETS\b", gtext)
+    if mgs:
+        # count top-level `()` entries in the GROUPING SETS list
+        k = 0
+        while k < len(gtoks):
+            if _word(gtoks[k]) and gtoks[k].upper() == "SETS":
+                o = _next_code(gtoks, k + 1)
+                if o < len(gtoks) and gtoks[o] == "(":
+                    c = _match_paren(gtoks, o)
+                    if c > 0:
+                        for part in _split_top_args(gtoks[o + 1:c]):
+                            if re.fullmatch(r"\s*\(\s*\)\s*",
+                                            "".join(part) if isinstance(part, list) else part):
+                                n_empty += 1
+                        k = c
+            k += 1
+    elif re.search(r"(?is)\b(ROLLUP|CUBE)\s*\(", gtext):
+        n_empty = 1
+    if n_empty == 0:
+        return None
+    # HAVING over the () group is out of this fallback's scope
+    rest = "".join(toks[gb[1]:])
+    if re.match(r"(?is)^\s*HAVING\b", rest):
+        return None
+    # global-aggregate variant: strip GROUP BY, NULL out non-aggregate
+    # select items (they are grouping refs — NULL in the () set)
+    lo = None
+    for i, t in enumerate(toks):
+        if _word(t) and t.upper() == "SELECT":
+            lo = _next_code(toks, i + 1)
+            break
+    if lo is None:
+        return None
+    hi = len(toks)
+    d = 0
+    for i in range(lo, len(toks)):
+        t = toks[i]
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        elif d == 0 and _word(t) and t.upper() == "FROM":
+            hi = i
+            break
+    items = _split_top_args(toks[lo:hi])
+    items = ["".join(p) if isinstance(p, list) else p for p in items]
+    if any(re.search(r"(?is)\bgrouping(_id)?\s*\(", it) for it in items):
+        return None  # grouping()=1 in the () set; not synthesized here
+    sel = ", ".join(
+        it if _COMMON_AGG_DETECT.search(it) else "NULL"
+        for it in items
+    )
+    # GROUP span starts after GROUP; back up to drop the GROUP keyword too
+    gstart = gb[0]
+    while gstart > 0 and not (_word(toks[gstart - 1])
+                              and toks[gstart - 1].upper() == "GROUP"):
+        gstart -= 1
+    fallback = ("SELECT " + sel + " "
+                + "".join(toks[hi:gstart - 1]) + " " + rest)
+    try:
+        r = con.sql(fallback)
+        if r is None:
+            return None
+        rows = r.df().collect()
+    except Exception:  # noqa: BLE001 — fallback is best-effort
+        return None
+    return rows * n_empty
+
+
+_COMMON_AGG_DETECT = re.compile(
+    r"(?is)\b(count|sum|avg|mean|min|max|first|last|any_value|string_agg|"
+    r"list|array_agg|collect_list|collect_set|median|mode|quantile\w*|"
+    r"percentile\w*|stddev\w*|var\w*|corr|covar\w*|regr_\w+|skewness|"
+    r"kurtosis\w*|entropy|product|bool_and|bool_or|bit_and|bit_or|bit_xor|"
+    r"arg_min\w*|arg_max\w*|min_by|max_by|approx_\w+|histogram\w*|"
+    r"bitstring_agg|sem|mad|grouping|grouping_id)\s*\("
+)
+
+
 def decorrelate_retry(con, query: str):
-    """Flatten hard correlated subqueries; returns a Relation or None."""
+    """Flatten hard correlated subqueries; returns a Relation or None.
+
+    When the statement's own FROM yields nothing to flatten, recurse into
+    top-level derived tables: `SELECT agg(...) FROM (SELECT EXISTS(...)
+    FROM t)` correlates entirely INSIDE the (possibly alias-less) derived
+    table, which the outer scan can't see
+    (test_correlated_side_effects.test:18)."""
+    text = _decorrelate_text(con, query)
+    if text is not None:
+        return con.sql(text)
+    # ---- derived-table recursion ----
+    from duckdb_spark.sql.dialect import _match_paren, _next_code, _tokens
+
+    toks = _tokens(query)
+    span = _outer_from_span(toks)
+    if span is None:
+        return None
+    changed = False
+    i = span[0]
+    while i < span[1]:
+        if toks[i] != "(":
+            i += 1
+            continue
+        sel = _next_code(toks, i + 1)
+        if sel >= len(toks) or not (
+            _word(toks[sel]) and toks[sel].upper() in ("SELECT", "WITH")
+        ):
+            i += 1
+            continue
+        close = _match_paren(toks, i)
+        if close < 0 or close > span[1]:
+            i += 1
+            continue
+        inner = "".join(toks[i + 1:close])
+        itext = _decorrelate_text(con, inner)
+        if itext is not None:
+            toks[i + 1:close] = [itext]
+            changed = True
+            break  # token indices shifted; one derived table per pass
+        i = close + 1
+    if not changed:
+        return None
+    return con.sql("".join(toks))
+
+
+def _decorrelate_text(con, query: str):
+    """Core flattener: returns the rewritten statement TEXT, or None."""
     from duckdb_spark.sql.dialect import (
         _match_paren,
         _next_code,
@@ -568,12 +713,19 @@ def decorrelate_retry(con, query: str):
         entries = []
         s_schema = None
         for row in key_rows:
-            r = con.sql(_bind(s_text, refs, row, dtypes))
+            bound = _bind(s_text, refs, row, dtypes)
+            r = con.sql(bound)
             if r is None:
                 return None
             rdf = r.df()
             s_schema = rdf.schema
             vals = rdf.collect()
+            if not vals:
+                # empty grouping set over empty input still produces its
+                # global-aggregate row (lateral_grouping_sets.test:5)
+                extra = _empty_grouping_fallback(con, bound)
+                if extra:
+                    vals = extra
             cond = " AND ".join(
                 f"({ref}) <=> {_lit(row[k], dtypes[k])}"
                 for k, ref in enumerate(refs)
@@ -663,12 +815,29 @@ def decorrelate_retry(con, query: str):
             else:
                 return None  # = ALL / <> ANY: not expressible here
         s_text = "".join(s_toks)
-        keys_sql = "SELECT DISTINCT " + ", ".join(
-            f"{r} AS __k{k}" for k, r in enumerate(refs)
-        ) + f" FROM {keys_from_text}"
-        if has_agg_ref:
-            keys_sql += f" GROUP BY {outer_group_by}" if outer_group_by \
-                else ""
+        # volatile subqueries (nextval/random/uuid) must run once per
+        # PHYSICAL outer row, not per distinct key: enumerate all outer
+        # rows in order, dispatching on every outer column so same-key
+        # rows stay distinct (test_correlated_side_effects.test:18;
+        # identical full rows still collapse — documented limit)
+        volatile = bool(re.search(
+            r"(?i)\b(nextval|gen_random_uuid|uuid|random)\s*\(", s_text))
+        if volatile and not has_agg_ref:
+            for al, cols in outer_cols.items():
+                for c in sorted(cols):
+                    q = f"{al}.{c}"
+                    if q not in refs:
+                        refs = refs + [q]
+            keys_sql = "SELECT " + ", ".join(
+                f"{r} AS __k{k}" for k, r in enumerate(refs)
+            ) + f" FROM {keys_from_text}"
+        else:
+            keys_sql = "SELECT DISTINCT " + ", ".join(
+                f"{r} AS __k{k}" for k, r in enumerate(refs)
+            ) + f" FROM {keys_from_text}"
+            if has_agg_ref:
+                keys_sql += f" GROUP BY {outer_group_by}" \
+                    if outer_group_by else ""
         keys_rel = con.sql(keys_sql)
         if keys_rel is None:
             return None
@@ -781,4 +950,4 @@ def decorrelate_retry(con, query: str):
         i += 1
     if not changed:
         return None
-    return con.sql("".join(out))
+    return "".join(out)

@@ -3348,10 +3348,25 @@ def split_recursive_cte(sql: str, include_union_all: bool = False) -> dict | Non
         step_start = after + 1
     if distinct is False and not key and not include_union_all:
         return None  # plain UNION ALL recursion: Spark-native
+    if key:
+        # reference binder: a column may appear at most once across the
+        # USING KEY column + aggregate entries
+        # (recursive_cte_key_aggregation.test:93)
+        seen_kc: set[str] = set()
+        for entry in key:
+            km = re.match(r"(?is)^\s*\w+\s*\(\s*([\w`\"]+)\s*\)\s*$", entry)
+            kc = (km.group(1) if km else entry).strip('`"').lower()
+            if kc in seen_kc:
+                raise ValueError(
+                    f'Binder Error: column "{kc}" was referenced multiple '
+                    f"times in the USING KEY clause")
+            seen_kc.add(kc)
     tail_toks = toks[body_close + 1:]
     t0 = _next_code(tail_toks, 0)
     if t0 < len(tail_toks) and tail_toks[t0] == ",":
-        tail = "WITH " + "".join(tail_toks[t0 + 1:])
+        # later CTEs in the same WITH may be recursive too
+        # (recursive_cte_key_probe.test:407 two USING KEY CTEs)
+        tail = "WITH RECURSIVE " + "".join(tail_toks[t0 + 1:])
     else:
         tail = "".join(tail_toks)
     return {
@@ -7494,13 +7509,16 @@ def _agg_macro(name: str, args: list[str]) -> str | None:
         # {'f': []}); get_json_object would give NULL
         return f"from_json(cast(({args[0]}) as string), 'array<string>')"
     if name == "union_value" and n == 1:
-        # union constructor (reference union_value(tag := v)): the value
-        # rides its member's carrier; an enclosing ::UNION cast re-tags
-        # (test_row_not_equal_any_null_semantics.test:77)
-        um = re.match(r"(?s)^\s*[A-Za-z_]\w*\s*(?::\s*=|=\s*>)\s*(.*)$",
+        # union constructor (reference union_value(tag := v)): emit the
+        # single-member tagged carrier so the TAG survives; an enclosing
+        # ::UNION cast re-tags by matching the tag against its member
+        # list (dialect_cast._union_cast_sql), per BindToUnionMemberCast
+        um = re.match(r"(?s)^\s*([A-Za-z_]\w*)\s*(?::\s*=|=\s*>)\s*(.*)$",
                       args[0])
         if um:
-            return f"({um.group(1).strip()})"
+            tag, val = um.group(1), um.group(2).strip()
+            return (f"named_struct('__dkutag', '{tag}', "
+                    f"'{tag}', ({val}))")
     if name == "struct_values" and n == 1:
         sm = re.match(r"(?is)^\s*named_struct\s*\((.*)\)\s*$",
                       args[0].strip())
@@ -8596,10 +8614,16 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
                         )
                     if filt_cond:
                         el = f"case when {filt_cond} then {el} end"
-                    out[i:(filt_end if filt_cond else close) + 1] = [
-                        f"try_element_at(array_sort(collect_list({el}), "
-                        f"(l, r) -> {cmp}), 1).v"
-                    ]
+                    _slow = (f"try_element_at(array_sort(collect_list({el}),"
+                             f" (l, r) -> {cmp}), 1).v")
+                    # TIME/TIMETZ carriers: the trailing `.v` defeats the
+                    # whole-item formatter match — re-mark the result
+                    # (test_last.test:124)
+                    if "__dktz" in arg:
+                        _slow = f"__dktz({_slow})"
+                    elif "__dktm" in arg:
+                        _slow = f"__dktm({_slow})"
+                    out[i:(filt_end if filt_cond else close) + 1] = [_slow]
             else:
                 # every other aggregate: DuckDB permits ORDER BY in any
                 # aggregate; for order-insensitive ones it cannot change
@@ -10770,6 +10794,9 @@ def rewrite_struct_concat(sql: str) -> str:
 _TM_SAFE_FNS = {
     "__dktm", "median", "avg", "min", "max", "mode", "first", "last",
     "any_value", "lag", "lead", "pmod", "coalesce", "least", "greatest",
+    # ordered first/last rewrite to min_by/max_by (value-preserving in
+    # their FIRST arg — guarded below; test_last.test:124 TIMETZ render)
+    "min_by", "max_by", "arg_min", "arg_max",
     # windowed mode/holistic macros expand to an element_at over the
     # collected TIME values (test_mode.test:168)
     "element_at", "try_element_at",
@@ -11344,6 +11371,19 @@ def rewrite_time_outputs(sql: str) -> str:
                     r"__dkt[mz][lm]?", low0)
             )):
                 continue
+            if low0 in ("min_by", "max_by", "arg_min", "arg_max"):
+                # value-preserving only in the FIRST argument; a marked
+                # KEY with an unmarked value must not format the value
+                bt0 = _tokens(body)
+                p00 = _next_code(bt0, 1)
+                c00 = _match_paren(bt0, p00) if p00 < len(bt0) and \
+                    bt0[p00] == "(" else -1
+                if c00 < 0:
+                    continue
+                a00 = _split_top_args(bt0[p00 + 1:c00])
+                first_arg = a00[0] if a00 else ""
+                if "__dktm" not in first_arg and "__dktz" not in first_arg:
+                    continue
             # the call must span the WHOLE item (`__dktm(a) > __dktm(b)`
             # is a boolean, not a TIME); a trailing OVER (spec) window
             # clause is part of the call (test_mode.test:168)

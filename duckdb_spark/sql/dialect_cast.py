@@ -514,17 +514,8 @@ def _rewrite_pg_cast(toks: list[str]) -> list[str]:
                     members.append((pm.group(1).strip('"'),
                                     _map_type(pm.group(2).strip())))
                 if okm and members:
-                    if len(members) == 1:
-                        out.extend(_tokens(
-                            f"CAST(({operand}) AS {members[0][1]})"))
-                    else:
-                        kvs0 = [f"'__dkutag', '{members[0][0]}'",
-                                f"'{members[0][0]}', CAST(({operand}) AS "
-                                f"{members[0][1]})"]
-                        kvs0 += [f"'{n0}', CAST(NULL AS {t0})"
-                                 for n0, t0 in members[1:]]
-                        out.extend(_tokens(
-                            "named_struct(" + ", ".join(kvs0) + ")"))
+                    out.extend(_tokens(
+                        _union_cast_sql("CAST", operand, members)))
                     continue
             target = _map_type(rawty)
             # DuckDB float→int casts ROUND (half away from zero); Spark
@@ -981,6 +972,118 @@ _TYPE_RENAMES = {
 }
 
 
+def _pick_union_member(operand: str, members: list[tuple[str, str]]) -> int:
+    """Index of the UNION member an operand binds to (reference
+    `src/function/cast/union_casts.cpp` BindToUnionMemberCast: lowest
+    implicit-cast cost wins). Heuristic on the operand's visible type
+    class: string literals bind the VARCHAR member, numeric literals the
+    numeric member, union_value(tag := v) carriers their tag. Unknown
+    operand class keeps the historical first-member binding."""
+    s = operand.strip()
+    while s.startswith("(") and s.endswith(")"):
+        d = 0
+        ok = True
+        for x, ch in enumerate(s):
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+                if d == 0 and x != len(s) - 1:
+                    ok = False
+                    break
+        if not ok:
+            break
+        s = s[1:-1].strip()
+    # union_value carrier: named_struct('__dkutag', '<tag>', ...) — or the
+    # not-yet-rewritten union_value(tag := v) call itself
+    tg = re.match(r"(?is)^named_struct\s*\(\s*'__dkutag'\s*,\s*'(\w+)'", s) \
+        or re.match(r"(?is)^union_value\s*\(\s*(\w+)\s*(?::\s*=|=\s*>)", s)
+    if tg:
+        for ix, (n0, _t0) in enumerate(members):
+            if n0.lower() == tg.group(1).lower():
+                return ix
+    cls = None
+    if re.match(r"(?s)^'(?:[^']|'')*'$", s) or re.match(
+            r"(?is)^(CAST|TRY_CAST)\s*\(.*\bAS\s+(STRING|VARCHAR)\s*\)$", s):
+        cls = "string"
+    elif re.match(r"^[+-]?\d+$", s):
+        cls = "int"
+    elif re.match(r"^[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?$", s):
+        cls = "float"
+    elif re.match(r"(?is)^(true|false)$", s):
+        cls = "boolean"
+    elif re.match(r"(?is)^(DATE)\s+'", s):
+        cls = "date"
+    elif re.match(r"(?is)^(TIMESTAMP(TZ)?)\s+'", s):
+        cls = "timestamp"
+    if cls is None:
+        return 0
+
+    def _mclass(t: str) -> str:
+        tu = t.strip().upper()
+        if tu in ("STRING", "VARCHAR") or tu.startswith("VARCHAR"):
+            return "string"
+        if tu in ("TINYINT", "SMALLINT", "INT", "INTEGER", "BIGINT",
+                  "LONG", "SHORT", "BYTE"):
+            return "int"
+        if tu in ("FLOAT", "DOUBLE", "REAL") or tu.startswith("DECIMAL"):
+            return "float"
+        if tu == "BOOLEAN":
+            return "boolean"
+        if tu == "DATE":
+            return "date"
+        if tu.startswith("TIMESTAMP"):
+            return "timestamp"
+        return "other"
+
+    _COST = {  # operand class -> member class -> cost (lower wins)
+        "string": {"string": 0},
+        "int": {"int": 0, "float": 1, "string": 5},
+        "float": {"float": 0, "string": 5},
+        "boolean": {"boolean": 0, "string": 5},
+        "date": {"date": 0, "timestamp": 1, "string": 5},
+        "timestamp": {"timestamp": 0, "string": 5},
+    }
+    best, best_cost = 0, None
+    for ix, (_n0, t0) in enumerate(members):
+        c = _COST.get(cls, {}).get(_mclass(t0))
+        if c is not None and (best_cost is None or c < best_cost):
+            best, best_cost = ix, c
+    return best if best_cost is not None else 0
+
+
+def _union_cast_sql(kw: str, operand: str,
+                    members: list[tuple[str, str]]) -> str:
+    """Render CAST(operand AS UNION(...)) as the tagged-struct carrier,
+    binding the member chosen by _pick_union_member. A union_value
+    carrier re-tags: its payload value is extracted into the member."""
+    if len(members) == 1:
+        return f"{kw}(({operand}) AS {members[0][1]})"
+    pick = _pick_union_member(operand, members)
+    src = operand
+    tg = re.match(r"(?is)^\s*\(*\s*named_struct\s*\(\s*'__dkutag'\s*,\s*"
+                  r"'(\w+)'\s*,\s*'(\w+)'\s*,", operand)
+    tg2 = re.match(r"(?is)^\s*\(*\s*union_value\s*\(\s*(\w+)\s*"
+                   r"(?::\s*=|=\s*>)\s*(.*?)\)*\s*$", operand)
+    if tg:
+        # extract the active member's payload from the carrier struct
+        src = f"({operand}).{tg.group(2)}"
+    elif tg2:
+        # union_value not yet macro-rewritten: take the payload directly
+        val = tg2.group(2).strip()
+        d = 0
+        for ch in val:
+            d += (ch == "(") - (ch == ")")
+        src = f"({val + ')' * max(0, -d)})" if val else operand
+    kvs = [f"'__dkutag', '{members[pick][0]}'"]
+    for ix, (n0, t0) in enumerate(members):
+        if ix == pick:
+            kvs.append(f"'{n0}', {kw}(({src}) AS {t0})")
+        else:
+            kvs.append(f"'{n0}', CAST(NULL AS {t0})")
+    return "named_struct(" + ", ".join(kvs) + ")"
+
+
 def _map_type(ty: str) -> str:
     """DuckDB type text → Spark DDL type text, via the §1.2 type mapping
     (handles nested LIST/MAP/STRUCT/ROW, decimal defaults, pg aliases).
@@ -1195,7 +1298,16 @@ def _rewrite_cast_types(toks: list[str]) -> list[str]:
             # operand takes its UTC time-of-day (+00); text parses onto
             # the packed-int64 carrier (time_tz.hpp; test_median.test:140)
             kw0 = "TRY_CAST" if out[i].upper() == "TRY_CAST" else "CAST"
-            if re.search(r"(?i)timestamp|date_trunc", operand):
+            if "__dktm" in operand:
+                # TIME micros carrier → TIMETZ: attach +00 (reference
+                # time→timetz cast; test_last.test:124)
+                from duckdb_spark.sql.dialect import _strip_time_markers
+
+                inner = _strip_time_markers(operand)
+                out[i:close + 1] = _tokens(
+                    f"__dktz(({inner}) * {_TIMETZ_OFF_MOD} "
+                    f"+ {_TIMETZ_MAX_OFFSET})")
+            elif re.search(r"(?i)timestamp|date_trunc", operand):
                 out[i:close + 1] = _tokens(
                     f"__dktz(pmod(unix_micros({kw0}(({operand}) AS "
                     f"TIMESTAMP_LTZ)), 86400000000) "
@@ -1244,9 +1356,8 @@ def _rewrite_cast_types(toks: list[str]) -> list[str]:
         mun = re.match(r"(?is)^UNION\s*\((.*)\)$", ty.strip())
         if mun and operand:
             # tagged UNION target (reference union_casts.cpp): a single
-            # member collapses to the member cast; multiple members build
-            # the tagged struct with the value in the FIRST member
-            # (cast/union_cast.test:20)
+            # member collapses to the member cast; multiple members bind
+            # the lowest-implicit-cast-cost member (_pick_union_member)
             from duckdb_spark.sql.textcast import _split_type_fields
 
             members = []
@@ -1260,17 +1371,8 @@ def _rewrite_cast_types(toks: list[str]) -> list[str]:
                 members.append((pm.group(1).strip('"'),
                                 _map_type(pm.group(2).strip())))
             if okm and members:
-                kw0 = out[i]
-                if len(members) == 1:
-                    repl = f"{kw0}(({operand}) AS {members[0][1]})"
-                else:
-                    kvs0 = [f"'__dkutag', '{members[0][0]}'",
-                            f"'{members[0][0]}', {kw0}(({operand}) AS "
-                            f"{members[0][1]})"]
-                    kvs0 += [f"'{n0}', CAST(NULL AS {t0})"
-                             for n0, t0 in members[1:]]
-                    repl = "named_struct(" + ", ".join(kvs0) + ")"
-                out[i:close + 1] = _tokens(repl)
+                out[i:close + 1] = _tokens(
+                    _union_cast_sql(out[i].upper(), operand, members))
                 i += 1
                 continue
         if re.match(r"(?is)^MAP\s*\(", ty.strip()) and re.match(

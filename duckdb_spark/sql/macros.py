@@ -40,6 +40,41 @@ _CREATE_SEQ_RE = re.compile(
 )
 
 
+def _correlated_seq_rowctx(sql: str) -> bool:
+    """True when some nextval() sits in a correlated no-FROM subquery of a
+    FROM-bearing statement. Such a call is per-row volatile (reference
+    sequence_catalog_entry.cpp): it must advance once per physical outer
+    row, so textual inlining would be wrong-multiplicity."""
+    for m in re.finditer(r"(?i)\bnextval\s*\(\s*'", sql):
+        pos = m.start()
+        if _has_from_in_scope(sql, pos):
+            continue  # handled by the per-row refusal below
+        # innermost paren span containing pos (quote-aware)
+        stack: list[int] = []
+        span = None
+        in_q = False
+        for i, c in enumerate(sql):
+            if c == "'":
+                in_q = not in_q
+            elif not in_q:
+                if c == "(":
+                    stack.append(i)
+                elif c == ")" and stack:
+                    st = stack.pop()
+                    if st < pos < i:
+                        span = (st + 1, i)
+                        break
+        if span is None:
+            continue
+        seg = sql[span[0]:span[1]]
+        if re.match(r"(?is)^\s*SELECT\b", seg) and re.search(
+            r"\b[A-Za-z_]\w*\.[A-Za-z_]\w*", re.sub(r"'[^']*'", "", seg)
+        ) and re.search(r"(?is)\bFROM\b",
+                        sql[:span[0]] + sql[span[1]:]):
+            return True
+    return False
+
+
 def _has_from_in_scope(sql: str, pos: int) -> bool:
     """True when the innermost set-op branch of the innermost paren scope
     containing `pos` has its own FROM — nextval there is per-row volatile;
@@ -228,9 +263,19 @@ class MacroRegistry:
         raise RecursionError("macro expansion did not converge (recursive macro?)")
 
     def _expand_once(self, sql: str) -> str:
+        defer_rowctx = _correlated_seq_rowctx(sql)
+
         def sub_seq(m: re.Match) -> str:
             fn, name = m.group(1).lower(), m.group(2)
             if name.lower() not in self._sequences:
+                return m.group(0)
+            if defer_rowctx:
+                # a nextval sits in a CORRELATED no-FROM subquery — it must
+                # run once per physical outer row, so expansion defers the
+                # whole statement's sequence calls to the decorrelator,
+                # which re-expands each per-row bound statement (and the
+                # rewritten outer query) separately
+                # (test_correlated_side_effects.test:18)
                 return m.group(0)
             # nextval in LIMIT/OFFSET is statement-scalar (evaluated once,
             # reference physical_limit.cpp) — only row-context uses are

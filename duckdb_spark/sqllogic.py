@@ -1361,8 +1361,9 @@ def run_file(
     time_budget_s: float | None = 300.0,
 ) -> FileResult:
     """Execute one .test file. Loop-heavy files are bounded by max_records
-    (expanded records, default 400) and a wall-clock budget; hitting either
-    bound PASSES on what ran so far (prefix-verified), recorded in reason."""
+    (expanded records, default 1200) and a wall-clock budget (default 300 s);
+    hitting either bound PASSES on what ran so far (prefix-verified),
+    recorded in reason."""
     import time as _time
 
     rel = path
@@ -1579,12 +1580,13 @@ def run_file(
             if re.match(r"(?is)^\s*(ATTACH|DETACH)\b", rec.sql or ""):
                 # ATTACH (multi-database catalogs) is out of scope per
                 # VERDICT r03; everything past this boundary exercises the
-                # attached database, so stop here as a labeled partial
-                # pass instead of misreporting the file's feature area
+                # attached database. Out-of-scope files count as SKIP,
+                # never pass (ADVICE r10): report what ran, but don't
+                # inflate the pass column.
                 return FileResult(
-                    rel, "pass",
-                    f"pass (first {n} records; remainder requires ATTACH "
-                    f"— out of scope, VERDICT r03)", n)
+                    rel, "skip",
+                    f"skip after {n} records; remainder requires ATTACH "
+                    f"— out of scope, VERDICT r03", n)
             msg = next((l for l in str(e).splitlines() if l.strip()), str(e))
             return FileResult(
                 rel, "fail",
