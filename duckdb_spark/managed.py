@@ -42,10 +42,13 @@ _INSERT_RE = re.compile(
     r"(?is)^\s*INSERT\s+INTO\s+([\w.\"]+)\s*(\([^)]*\))?\s*(.*?)\s*;?\s*$"
 )
 _DELETE_RE = re.compile(
-    r"(?is)^\s*DELETE\s+FROM\s+([\w.\"]+)\s*(.*?)\s*;?\s*$"
+    r"(?is)^\s*DELETE\s+FROM\s+([\w.\"]+)"
+    r"(?:\s+(?:AS\s+)?(?!WHERE\b|RETURNING\b|USING\b)(\w+))?"
+    r"\s*(.*?)\s*;?\s*$"
 )
 _UPDATE_RE = re.compile(
-    r"(?is)^\s*UPDATE\s+([\w.\"]+)\s+SET\s+(.*?)\s*;?\s*$"
+    r"(?is)^\s*UPDATE\s+([\w.\"]+)(?:\s+(?:AS\s+)?(?!SET\b)(\w+))?"
+    r"\s+SET\s+(.*?)\s*;?\s*$"
 )
 _TRUNCATE_RE = re.compile(
     r"(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.\"]+)\s*;?\s*$"
@@ -593,24 +596,27 @@ class ManagedTables:
         from duckdb_spark.sql.dialect import translate
 
         name = _flat(m.group(1))
-        cl = _split_clauses(m.group(2) or "", ["WHERE", "RETURNING"])
+        src = f"{name} AS {m.group(2)}" if m.group(2) else name
+        cl = _split_clauses(m.group(3) or "", ["WHERE", "RETURNING"])
         where, ret = cl.get("WHERE"), cl.get("RETURNING")
         before = self.spark.table(name).count()
         if where:
-            keep = self.spark.sql(translate(
-                f"SELECT * FROM {name} "
-                f"WHERE NOT COALESCE(({where}), FALSE)"))
+            # route through con.sql: a correlated subquery in the WHERE
+            # needs the decorrelation retries (test_delete_subquery.test)
+            keep = con.sql(
+                f"SELECT * FROM {src} "
+                f"WHERE NOT COALESCE(({where}), FALSE)").df()
             removed = None
             if ret:
-                removed = self.spark.sql(translate(
-                    f"SELECT {ret} FROM {name} "
-                    f"WHERE COALESCE(({where}), FALSE)")).collect()
+                removed = con.sql(
+                    f"SELECT {ret} FROM {src} "
+                    f"WHERE COALESCE(({where}), FALSE)").df().collect()
             self._rewrite(name, keep)
             after = self.spark.table(name).count()
             if ret:
                 return Relation(self.spark.createDataFrame(
                     removed, self.spark.sql(translate(
-                        f"SELECT {ret} FROM {name}")).schema))
+                        f"SELECT {ret} FROM {src}")).schema))
             return self._count(before - after)
         schema, version = self.tables[name]
         self._point(name, schema, version + 1)
@@ -621,8 +627,9 @@ class ManagedTables:
         from duckdb_spark.sql.dialect import translate
 
         name = _flat(m.group(1))
+        src = f"{name} AS {m.group(2)}" if m.group(2) else name
         schema, _ = self.tables[name]
-        cl = _split_clauses(m.group(2), ["WHERE", "RETURNING"])
+        cl = _split_clauses(m.group(3), ["WHERE", "RETURNING"])
         set_body, where, ret = cl["__head"], cl.get("WHERE"), cl.get("RETURNING")
         sets = {}
         for part in _split_coldefs(set_body):
@@ -637,15 +644,17 @@ class ManagedTables:
             if f.name.lower() in sets else f"`{f.name}`"
             for f in schema.fields
         )
-        updated = self.spark.sql(translate(f"SELECT {proj} FROM {name}"))
-        n = self.spark.sql(translate(
-            f"SELECT COUNT(*) FROM {name} "
-            f"WHERE COALESCE(({cond}), FALSE)")).collect()[0][0]
+        # con.sql: correlated subqueries in SET/WHERE take the
+        # decorrelation retries (test_update_subquery.test)
+        updated = con.sql(f"SELECT {proj} FROM {src}").df()
+        n = con.sql(
+            f"SELECT COUNT(*) FROM {src} "
+            f"WHERE COALESCE(({cond}), FALSE)").df().collect()[0][0]
         ret_rows = None
         if ret:
-            ret_rows = self.spark.sql(translate(
-                f"SELECT {ret} FROM (SELECT {proj} FROM {name} "
-                f"WHERE COALESCE(({cond}), FALSE))")).collect()
+            ret_rows = con.sql(
+                f"SELECT {ret} FROM (SELECT {proj} FROM {src} "
+                f"WHERE COALESCE(({cond}), FALSE))").df().collect()
         self._rewrite(name, updated.select(*[f.name for f in schema.fields])
                       .selectExpr(*[
                           f"CAST(`{f.name}` AS {f.dataType.simpleString()}) "

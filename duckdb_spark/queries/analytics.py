@@ -517,7 +517,14 @@ def ev_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("v", ignorenulls=True).over(fwd).alias("nv"),
         F.last(xv, ignorenulls=True).over(run).alias("px"),
         F.first(xv, ignorenulls=True).over(fwd).alias("nx"),
-    ).localCheckpoint(eager=True)
+    )
+    # No materialization: the three branches share one identical
+    # Exchange+Sort subtree, which Spark's exchange reuse dedupes at
+    # runtime (spark.sql.exchange.reuse). The former eager localCheckpoint
+    # cost a separate driver-blocking job per run — measured slower at
+    # BOTH sf0.1 (1.55s -> 1.05s) and sf1 (1.60s -> 1.42s), and the
+    # checkpoint blocks fed the block-manager eviction pressure bench.py's
+    # _reclaim exists to fight.
     sess = (
         enr.groupBy("user_id")
         .agg(

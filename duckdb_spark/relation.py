@@ -1116,10 +1116,76 @@ class Connection:
                     r = decorrelate_retry(self, query)
                     if r is not None:
                         return r
+                except ValueError as ve:
+                    # engine-semantic errors found while flattening (e.g.
+                    # multi-row scalar subquery) outrank the Spark
+                    # analysis error (test_issue_6136.test:16)
+                    if re.match(r"(Binder|Invalid Input|Conversion|"
+                                r"Out of Range) Error", str(ve)):
+                        raise
                 except Exception:  # noqa: BLE001 — keep original error
                     pass
                 finally:
                     self._decorrelate_depth -= 1
+            mu = re.search(r"name `(.+?)` cannot be resolved", msg)
+            if mu and "`" not in mu.group(1) and \
+                    "UNRESOLVED_COLUMN" in msg and \
+                    re.search(r"(?i)\(\s*SELECT\b", query):
+                # a SELECT-list alias referenced inside a subquery: the
+                # reference binds grouping-expression aliases there; Spark
+                # doesn't — inline the definition into subquery positions
+                # (test_grouped_correlated_subquery.test:49)
+                from duckdb_spark.sql.dialect import (
+                    _collect_select_aliases,
+                    _next_code as _nc4,
+                    _prev_code as _pc4,
+                    _tokens as _tk4,
+                )
+
+                toks4 = _tk4(query)
+                als = _collect_select_aliases(toks4)
+                nm = mu.group(1).lower()
+                if nm in als:
+                    stack4: list[bool] = []
+                    changed4 = False
+                    for x4, t4 in enumerate(toks4):
+                        if t4 == "(":
+                            nn = _nc4(toks4, x4 + 1)
+                            stack4.append(
+                                nn < len(toks4)
+                                and re.match(r"^[A-Za-z_]", toks4[nn])
+                                is not None
+                                and toks4[nn].upper() in ("SELECT", "WITH"))
+                        elif t4 == ")":
+                            if stack4:
+                                stack4.pop()
+                        elif re.fullmatch(r"[A-Za-z_]\w*", t4) and \
+                                t4.lower() == nm and any(stack4):
+                            p4 = _pc4(toks4, x4 - 1)
+                            n4 = _nc4(toks4, x4 + 1)
+                            if (p4 < 0 or toks4[p4] != ".") and \
+                                    (n4 >= len(toks4)
+                                     or toks4[n4] != "(") and \
+                                    not (p4 >= 0
+                                         and re.match(r"^[A-Za-z_]",
+                                                      toks4[p4])
+                                         and toks4[p4].upper() == "AS"):
+                                toks4[x4] = f"({als[nm]})"
+                                changed4 = True
+                    if changed4:
+                        try:
+                            return self.sql("".join(toks4))
+                        except Exception:  # noqa: BLE001 — keep original
+                            pass
+            if mu and "UNRESOLVED_COLUMN" in msg and re.search(
+                    r"(?is)\b(UNION|EXCEPT|INTERSECT)\b", query):
+                # ORDER BY over a set operation binds against ANY branch's
+                # column names (reference bind_setop); Spark only exposes
+                # the first branch's names — rewrite the item to its
+                # ordinal (test_union_binding.test:193)
+                r5 = self._setop_orderby_ordinal(query, mu.group(1))
+                if r5 is not None:
+                    return r5
             if (
                 ("UNEXPECTED_INPUT_TYPE" in msg
                  or "BINARY_OP_DIFF_TYPES" in msg)
@@ -1929,6 +1995,30 @@ class Connection:
                         return Relation(self.spark.sql(translate(new_q)))
                     except Exception:  # noqa: BLE001 — keep original error
                         pass
+                if "VARIANT" in (types[0], types[1]):
+                    # VARIANT equality uses a total, TYPE-FIRST order
+                    # (reference variant_comparator;
+                    # test_variant_filter.test:9): different type ranks
+                    # are simply not equal. Compare the canonical JSON of
+                    # both sides as variants — schema difference shows up
+                    # in the JSON rendering.
+                    em = re.search(r'Cannot resolve "\((.*?) (=|!=|<>) '
+                                   r'(.*?)\)" due to', msg)
+                    if em:
+                        lhs, op0, rhs = em.groups()
+                        eq = (f"(to_json(try_cast(({lhs}) as variant)) <=> "
+                              f"to_json(try_cast(({rhs}) as variant)))")
+                        repl = eq if op0 == "=" else f"(NOT {eq})"
+                        tq0 = translate(query)
+                        for cand in (f"{lhs} {op0} {rhs}",
+                                     f"{lhs} {'==' if op0 == '=' else op0}"
+                                     f" {rhs}"):
+                            if cand in tq0:
+                                try:
+                                    return Relation(self.spark.sql(
+                                        tq0.replace(cand, repl)))
+                                except Exception:  # noqa: BLE001
+                                    break
                 # explicit comparisons: DuckDB folds the constant side at
                 # bind time and raises a Conversion/Binder error — surface
                 # a message carrying both DuckDB phrasings
@@ -2432,6 +2522,118 @@ class Connection:
         out_df.createOrReplaceTempView(view)
         return self.sql(f"SELECT {sel} FROM {view} {tail}")
 
+    def _setop_orderby_ordinal(self, query: str, failed: str):
+        """Rewrite a set-op's trailing `ORDER BY <name>` to an ordinal when
+        <name> is a column of ANY branch (reference bind_setop ORDER BY
+        binding; test_union_binding.test:193). Returns a Relation or
+        None."""
+        from duckdb_spark.sql.dialect import (
+            _is_word as _isw,
+            _next_code as _nc,
+            _tokens as _tk,
+        )
+
+        toks = _tk(query)
+        # last top-level ORDER BY
+        depth = 0
+        ob = -1
+        for i, t in enumerate(toks):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and _isw(t, "ORDER"):
+                j = _nc(toks, i + 1)
+                if j < len(toks) and _isw(toks[j], "BY"):
+                    ob = i
+        if ob < 0:
+            return None
+        # set-op branches before the ORDER BY (depth-0 splits)
+        branches = []
+        depth = 0
+        st = 0
+        i = 0
+        while i < ob:
+            t = toks[i]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and _isw(t, "UNION") or depth == 0 and (
+                    _isw(t, "EXCEPT") or _isw(t, "INTERSECT")):
+                branches.append("".join(toks[st:i]).strip())
+                st = i + 1
+                j = _nc(toks, i + 1)
+                while j < ob and re.match(r"^[A-Za-z_]", toks[j]) and \
+                        toks[j].upper() in ("ALL", "BY", "NAME", "DISTINCT"):
+                    st = j + 1
+                    j = _nc(toks, j + 1)
+                i = st
+                continue
+            i += 1
+        branches.append("".join(toks[st:ob]).strip())
+        if len(branches) < 2:
+            return None
+        parts = failed.split("`.`")
+        want = parts[-1].lower()
+        qual = parts[0].lower() if len(parts) > 1 else None
+        ordinal = None
+        for br in branches:
+            b = br.strip()
+            while b.startswith("(") and b.endswith(")"):
+                b = b[1:-1].strip()
+            if qual and not re.search(
+                    rf"(?is)\b{re.escape(qual)}\b", b):
+                continue
+            try:
+                cols = [c.lower() for c in self.sql(b).df().columns]
+            except Exception:  # noqa: BLE001 — branch may not run alone
+                continue
+            if want in cols:
+                ordinal = cols.index(want) + 1
+                break
+        if ordinal is None:
+            return None
+        # replace ORDER BY items that reference the failed name
+        by = _nc(toks, ob + 1)
+        k = by + 1
+        depth = 0
+        changed = False
+        while k < len(toks):
+            t = toks[k]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and re.match(r"^[A-Za-z_]", t) and \
+                    t.upper() in ("LIMIT", "OFFSET"):
+                break
+            if depth == 0 and re.fullmatch(r"[A-Za-z_]\w*", t) and \
+                    t.lower() == want:
+                p0 = k - 1
+                while p0 >= 0 and toks[p0].isspace():
+                    p0 -= 1
+                lo = k
+                if p0 >= 1 and toks[p0] == "." and \
+                        toks[p0 - 1].lower() == (qual or ""):
+                    lo = p0 - 1
+                elif p0 >= 0 and toks[p0] == ".":
+                    k += 1
+                    continue
+                toks[lo:k + 1] = [str(ordinal)]
+                k = lo + 1
+                changed = True
+                continue
+            k += 1
+        if not changed:
+            return None
+        try:
+            return self.sql("".join(toks))
+        except Exception:  # noqa: BLE001 — keep original error
+            return None
+
     def _recursive_cte_sql(self, rec: dict) -> "Relation":
         """Driver-loop evaluation of the recursive-CTE forms Spark's
         native recursion can't run (UNION-distinct, USING KEY). The
@@ -2683,7 +2885,9 @@ class Connection:
                         "aggregate list must be unique"
                     )
                 aggs[m.group(1).lower()] = k.strip()
-            else:
+            elif k.lower() not in (p.lower() for p in plain):
+                # duplicate plain keys dedupe
+                # (recursive_cte_key_aggregation.test:116)
                 plain.append(k)
         hist = _materialize(base_df.withColumn("__iter", F.lit(0)))
         hist_name = internal + "__hist"

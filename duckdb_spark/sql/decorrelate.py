@@ -863,6 +863,18 @@ def _decorrelate_text(con, query: str):
                 vals = rdf.collect()
                 vdt = rdf.schema.fields[0].dataType
                 if mode == "scalar":
+                    if len(vals) > 1:
+                        from duckdb_spark.sql.dialect import \
+                            get_session_setting
+
+                        if get_session_setting(
+                            "scalar_subquery_error_on_multiple_rows"
+                        ) != "false":
+                            raise ValueError(
+                                "Invalid Input Error: More than one row "
+                                "returned by a subquery used as an "
+                                "expression - scalar subqueries can only "
+                                "return a single row.")
                     val = _lit(vals[0][0] if vals else None, vdt)
                 else:  # in: the full row set as an array literal
                     val = ("array(" + ", ".join(

@@ -3300,44 +3300,58 @@ def split_recursive_cte(sql: str, include_union_all: bool = False) -> dict | Non
     if i >= len(toks) or not _is_word(toks[i], "RECURSIVE"):
         return None
     i = _next_code(toks, i + 1)
-    if i >= len(toks) or not re.match(r"^[A-Za-z_`\"]", toks[i]):
-        return None
-    name = toks[i].strip('`"')
-    i = _next_code(toks, i + 1)
-    cols: list[str] = []
-    if i < len(toks) and toks[i] == "(":
-        c = _match_paren(toks, i)
-        if c < 0:
+    prefix_ctes: list[str] = []  # non-recursive CTEs BEFORE the recursive
+    while True:
+        if i >= len(toks) or not re.match(r"^[A-Za-z_`\"]", toks[i]):
             return None
-        cols = [a.strip().strip('`"') for a in _split_top_args(toks[i + 1:c])]
-        i = _next_code(toks, c + 1)
-    key: list[str] = []
-    if i < len(toks) and _is_word(toks[i], "USING"):
-        j = _next_code(toks, i + 1)
-        if j >= len(toks) or not _is_word(toks[j], "KEY"):
-            return None
-        j = _next_code(toks, j + 1)
-        if j >= len(toks) or toks[j] != "(":
-            return None
-        c = _match_paren(toks, j)
-        if c < 0:
-            return None
-        key = [a.strip().strip('`"') for a in _split_top_args(toks[j + 1:c])]
-        i = _next_code(toks, c + 1)
-    if i >= len(toks) or not _is_word(toks[i], "AS"):
-        return None
-    i = _next_code(toks, i + 1)
-    while i < len(toks) and re.match(r"^[A-Za-z_]", toks[i]) and \
-            toks[i].upper() in ("NOT", "MATERIALIZED"):
+        cte_start = i
+        name = toks[i].strip('`"')
         i = _next_code(toks, i + 1)
-    if i >= len(toks) or toks[i] != "(":
-        return None
-    body_close = _match_paren(toks, i)
-    if body_close < 0:
-        return None
-    body = toks[i + 1:body_close]
-    # first top-level UNION splits base from the recursive step
-    u = _top_level_index(body, 0, len(body), "UNION")
+        cols: list[str] = []
+        if i < len(toks) and toks[i] == "(":
+            c = _match_paren(toks, i)
+            if c < 0:
+                return None
+            cols = [a.strip().strip('`"')
+                    for a in _split_top_args(toks[i + 1:c])]
+            i = _next_code(toks, c + 1)
+        key: list[str] = []
+        if i < len(toks) and _is_word(toks[i], "USING"):
+            j = _next_code(toks, i + 1)
+            if j >= len(toks) or not _is_word(toks[j], "KEY"):
+                return None
+            j = _next_code(toks, j + 1)
+            if j >= len(toks) or toks[j] != "(":
+                return None
+            c = _match_paren(toks, j)
+            if c < 0:
+                return None
+            key = [a.strip().strip('`"')
+                   for a in _split_top_args(toks[j + 1:c])]
+            i = _next_code(toks, c + 1)
+        if i >= len(toks) or not _is_word(toks[i], "AS"):
+            return None
+        i = _next_code(toks, i + 1)
+        while i < len(toks) and re.match(r"^[A-Za-z_]", toks[i]) and \
+                toks[i].upper() in ("NOT", "MATERIALIZED"):
+            i = _next_code(toks, i + 1)
+        if i >= len(toks) or toks[i] != "(":
+            return None
+        body_close = _match_paren(toks, i)
+        if body_close < 0:
+            return None
+        body = toks[i + 1:body_close]
+        # first top-level UNION splits base from the recursive step
+        u = _top_level_index(body, 0, len(body), "UNION")
+        if u >= 0 or key:
+            break
+        # leading NON-recursive CTE (recursive_cte_key_probe.test:647):
+        # collect; its text is re-prefixed onto base/step/tail below
+        nxt0 = _next_code(toks, body_close + 1)
+        if nxt0 >= len(toks) or toks[nxt0] != ",":
+            return None
+        prefix_ctes.append("".join(toks[cte_start:body_close + 1]).strip())
+        i = _next_code(toks, nxt0 + 1)
     if u < 0:
         return None
     after = _next_code(body, u + 1)
@@ -3349,32 +3363,51 @@ def split_recursive_cte(sql: str, include_union_all: bool = False) -> dict | Non
     if distinct is False and not key and not include_union_all:
         return None  # plain UNION ALL recursion: Spark-native
     if key:
-        # reference binder: a column may appear at most once across the
-        # USING KEY column + aggregate entries
-        # (recursive_cte_key_aggregation.test:93)
-        seen_kc: set[str] = set()
+        # reference binder (recursive_cte_key_aggregation.test): plain key
+        # duplicates dedupe; a column referenced by an AGGREGATE entry may
+        # not appear anywhere else; at least one plain key column required
+        plain: list[str] = []
+        agg_cols: set[str] = set()
         for entry in key:
             km = re.match(r"(?is)^\s*\w+\s*\(\s*([\w`\"]+)\s*\)\s*$", entry)
-            kc = (km.group(1) if km else entry).strip('`"').lower()
-            if kc in seen_kc:
-                raise ValueError(
-                    f'Binder Error: column "{kc}" was referenced multiple '
-                    f"times in the USING KEY clause")
-            seen_kc.add(kc)
+            if km:
+                kc = km.group(1).strip('`"').lower()
+                if kc in agg_cols or kc in plain:
+                    raise ValueError(
+                        f'Binder Error: column "{kc}" was referenced '
+                        f"multiple times in the USING KEY clause")
+                agg_cols.add(kc)
+            else:
+                kc = entry.strip('`"').lower()
+                if kc in agg_cols:
+                    raise ValueError(
+                        f'Binder Error: column "{kc}" was referenced '
+                        f"multiple times in the USING KEY clause")
+                if kc not in plain:
+                    plain.append(kc)
+        if not plain:
+            raise ValueError(
+                "Binder Error: USING KEY requires at least one key column "
+                "(only aggregate entries given)")
     tail_toks = toks[body_close + 1:]
     t0 = _next_code(tail_toks, 0)
+    pfx = (", ".join(prefix_ctes) + ", ") if prefix_ctes else ""
     if t0 < len(tail_toks) and tail_toks[t0] == ",":
         # later CTEs in the same WITH may be recursive too
         # (recursive_cte_key_probe.test:407 two USING KEY CTEs)
-        tail = "WITH RECURSIVE " + "".join(tail_toks[t0 + 1:])
+        tail = "WITH RECURSIVE " + pfx + "".join(tail_toks[t0 + 1:])
+    elif prefix_ctes:
+        tail = "WITH " + pfx.rstrip(", ") + " " + "".join(tail_toks)
     else:
         tail = "".join(tail_toks)
     return {
         "name": name,
         "cols": cols,
         "key": key,
-        "base": "".join(body[:u]).strip(),
-        "step": "".join(body[step_start:]).strip(),
+        "base": (f"WITH {', '.join(prefix_ctes)} " if prefix_ctes else "")
+        + "".join(body[:u]).strip(),
+        "step": (f"WITH {', '.join(prefix_ctes)} " if prefix_ctes else "")
+        + "".join(body[step_start:]).strip(),
         "distinct": distinct,
         "tail": tail.strip(),
     }
@@ -6960,10 +6993,16 @@ def _tuple_text_value(txt: str, sib: str) -> str:
     unified list element type). Recurses into nested tuples/structs."""
     from duckdb_spark.sql.textcast import _split_tuple_text
 
+    if txt is None:
+        return "null"
     txt = txt.strip()
     sib = sib.strip()
-    if txt.upper() == "NULL" or not txt:
+    if txt.upper() == "NULL":
         return "null"
+    if not txt:
+        # explicit empty value ({'b':}) is the empty STRING when the
+        # sibling is one (string_to_unnamed_struct.test:65)
+        return "''" if re.fullmatch(r"(?s)'.*'", sib) else "null"
     m = re.match(r"(?is)^named_struct\s*\((.*)\)$", sib)
     if m:
         parts = [p.strip() for p in _split_top_args(_tokens(m.group(1)))]
@@ -6981,7 +7020,7 @@ def _tuple_text_value(txt: str, sib: str) -> str:
             for part in (_split_tuple_text(body) if body else []):
                 kk, _, vv = part.partition(":")
                 got[kk.strip().strip("'\"")] = vv.strip()
-            elems = [got.get(nm, "NULL") for nm in names]
+            elems = [got.get(nm) for nm in names]
         else:
             raise ValueError(
                 f"Conversion Error: can't cast {txt!r} to STRUCT")
@@ -6990,6 +7029,20 @@ def _tuple_text_value(txt: str, sib: str) -> str:
             f"'{nm}', {_tuple_text_value(e, sv)}"
             for nm, e, sv in zip(names, elems, vals))
         return f"named_struct({kv})"
+    ma = re.match(r"(?is)^(?:array|list_value)\s*\((.*)\)$", sib)
+    if ma and txt.startswith("[") and txt.endswith("]"):
+        # list text against a sibling array ctor: recurse on the first
+        # sibling element's shape (string_to_unnamed_struct.test:47)
+        from duckdb_spark.sql.textcast import _split_tuple_text as _stt
+
+        sx = _split_top_args(_tokens(ma.group(1)))
+        shape = sx[0].strip() if sx else "0"
+        body = txt[1:-1].strip()
+        elems = [e.strip() for e in _stt(body)] if body else []
+        if not elems:
+            return "array()"
+        return "array(" + ", ".join(
+            _tuple_text_value(e, shape) for e in elems) + ")"
     if re.fullmatch(r"-?\d+(\.\d+)?", txt) and not re.fullmatch(
         r"(?s)'.*'", sib
     ):
@@ -7029,7 +7082,7 @@ def _unify_array_struct_elems(toks: list[str]) -> list[str]:
                 structs[k] = (names, parts[1::2])
         lits = {
             k: a for k, a in enumerate(args)
-            if re.fullmatch(r"(?s)'\(.*\)'", a.strip())
+            if re.fullmatch(r"(?s)'\(.*\)'|'\{.*\}'", a.strip())
         }
         # elements with DIFFERENT field sets unify to the superset struct,
         # missing members NULL; unnamed tuples adopt the unified names
@@ -7077,6 +7130,11 @@ def _unify_array_struct_elems(toks: list[str]) -> list[str]:
              if v[0] != [f"col{n + 1}" for n in range(len(v[0]))]),
             None,
         ) or next(iter(structs.values()), None)
+        if named is None and lits and structs:
+            # all-ctor tuples (row(...)): the first tuple ctor is the
+            # shape template for sibling tuple-text strings
+            # (string_to_unnamed_struct.test:47)
+            named = next(iter(structs.values()))
         if named is None or not (lits or (
             named[0] != [f"col{n + 1}" for n in range(len(named[0]))]
             and any(v[0] == [f"col{n + 1}" for n in range(len(v[0]))]
@@ -10353,7 +10411,8 @@ def push_scalar_subquery_offset(sql: str) -> str:
 
 _NESTCMP_OPS = {"=", "==", "!=", "<>", "<", "<=", ">", ">="}
 _NESTCMP_FN_RE = re.compile(
-    r"(?is)^\s*(array|named_struct|struct|map|collect_list|collect_set|"
+    r"(?is)^\s*(array|named_struct|struct|map|map_from_arrays|"
+    r"map_from_entries|map_concat|collect_list|collect_set|"
     r"array_agg|list_value|sequence|array_distinct|array_sort|sort_array|"
     r"slice|array_remove|array_compact|arrays_zip|split)\s*\("
 )

@@ -675,7 +675,7 @@ def _rewrite_frame_bound_exprs(toks: list[str]) -> list[str]:
             fn_idx = _prev_code(out, po - 1)
         fn = out[fn_idx].upper() if fn_idx >= 0 and re.match(
             r"^[A-Za-z_]", out[fn_idx]) else ""
-        if fn not in ("SUM", "AVG", "COUNT", "MIN", "MAX"):
+        if fn not in ("SUM", "AVG", "COUNT", "MIN", "MAX", "MEDIAN"):
             i = oc + 1
             continue  # leave: Spark raises 'must be a literal'
         pp = _top_level_index(spec, 0, len(spec), "PARTITION")
@@ -729,6 +729,14 @@ def _rewrite_frame_bound_exprs(toks: list[str]) -> list[str]:
                     f"(__a, __x) -> __a + __x) / size({va}) AS DOUBLE)")
         elif fn == "MIN":
             expr = f"array_min({va})"
+        elif fn == "MEDIAN":
+            # continuous median over the materialized frame
+            # (test_quantile_window.test:237 variable bounds)
+            s2 = f"array_sort(transform({va}, __x -> CAST(__x AS DOUBLE)))"
+            nn = f"size({s2})"
+            expr = (f"if({nn} = 0, CAST(NULL AS DOUBLE), "
+                    f"(element_at({s2}, CAST(({nn} + 1) div 2 AS int)) + "
+                    f"element_at({s2}, CAST({nn} div 2 + 1 AS int))) / 2)")
         else:
             expr = f"array_max({va})"
         out[fn_idx:oc + 1] = _tokens(f"({expr})")
@@ -1736,7 +1744,12 @@ def _agg_macro_windowed(name: str, args: list[str], over: str) -> str | None:
             f"({lo} + ({hi} - {lo}) * ({pos} - floor({pos})))"
         )
         return let(lst, f"if({nn} = 0, cast(null as double), {interp})")
-    if name in ("quantile_disc", "quantile") and n == 2:
+    if name in ("quantile_disc", "quantile", "reservoir_quantile") and \
+            n in (2, 3):
+        # reservoir_quantile over a frame: the frame IS the reservoir, so
+        # the exact discrete quantile is correct (reference
+        # reservoir_quantile window path; test_empty_frames.test:187).
+        # The optional third arg is the sample size — irrelevant here.
         lst = f"collect_list({args[0]}) {over}"
         q = args[1]
         arr = "array_sort(__l)"
@@ -1749,7 +1762,7 @@ def _agg_macro_windowed(name: str, args: list[str], over: str) -> str | None:
 _WINDOWED_MACROS = {
     "sem", "entropy", "weighted_avg", "wavg", "fsum", "sumkahan",
     "kahan_sum", "favg", "product", "mad", "quantile_disc", "quantile",
-    "quantile_cont", "median", "histogram",
+    "quantile_cont", "median", "histogram", "reservoir_quantile",
     "skewness", "kurtosis", "mode", "count_star",
     "arg_min_null", "arg_max_null",
 }

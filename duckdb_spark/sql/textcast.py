@@ -310,14 +310,21 @@ def emit_tuple(text: str, quoted: bool, ducktype: str,
         body = body[:-1].rstrip()
     parts = [p for p in _split_tuple_text(body)] if body else []
     fields = _struct_fields(ducktype)
-    if len(parts) != len(fields):
+    if len(parts) > len(fields):
         raise TextCastError(
             f"Conversion Error: tuple {text!r} has {len(parts)} elements, "
             f"target type expects {len(fields)}")
     kvs = []
-    for (fname, ftype), part in zip(fields, parts):
-        it, q = _elem(part, ftype, list_elem=False)
-        kvs.append(f"'{fname}', {emit_value(it, q, ftype, lenient)}")
+    for k, (fname, ftype) in enumerate(fields):
+        if k < len(parts):
+            it, q = _elem(parts[k], ftype, list_elem=False)
+            kvs.append(f"'{fname}', {emit_value(it, q, ftype, lenient)}")
+        else:
+            # missing trailing children become NULL
+            # (string_to_unnamed_struct.test:58)
+            kvs.append(
+                f"'{fname}', cast(null as "
+                f"{duckdb_type_to_spark(ftype).simpleString()})")
     return "named_struct(" + ", ".join(kvs) + ")"
 
 
@@ -349,6 +356,10 @@ def emit_struct(text: str, ducktype: str, lenient: bool = False) -> str:
     t = text.strip()
     if t.upper() == "NULL":
         return f"cast(null as {duckdb_type_to_spark(ducktype).simpleString()})"
+    if t.startswith("(") and t.endswith(")"):
+        # tuple-paren text binds positionally to the struct fields
+        # (reference unnamed-struct cast; string_to_unnamed_struct.test)
+        return emit_tuple(text, False, ducktype, lenient)
     if not (t.startswith("{") and t.endswith("}")):
         raise TextCastError(f"Conversion Error: can't cast {text!r} to STRUCT")
     body = t[1:-1].strip()
@@ -360,6 +371,12 @@ def emit_struct(text: str, ducktype: str, lenient: bool = False) -> str:
         # `{user,name: Alice}` parses, `{age, 30}` does not)
         merged, acc = [], ""
         for part in _split_top(body, ","):
+            if not part.strip() and not acc:
+                # `{a:3,, b:1}` — empty entry (string_to_struct_cast:361)
+                raise TextCastError(
+                    f"Conversion Error: {text!r} can't be cast to the "
+                    f"destination type "
+                    f"{re.sub(r'(?i)\\bINT\\b', 'INTEGER', ducktype)}")
             acc = part if not acc else acc + "," + part
             try:
                 _part3(acc, ":")
@@ -463,6 +480,12 @@ def emit_map(text: str, ducktype: str, lenient: bool = False) -> str:
     return "map(" + ", ".join(kvs) + ")"
 
 
+_DUCK_INT_MSG = {  # reference error messages name the physical int type
+    "TINYINT": "INT8", "SMALLINT": "INT16", "INT": "INT32",
+    "INTEGER": "INT32", "BIGINT": "INT64", "HUGEINT": "INT128",
+}
+
+
 def _exact_int(text: str, up: str) -> int:
     """Numeric text -> int with DuckDB rounding (half away from zero) and
     target-range check; exact via Decimal (doubles lose int64 extremes)."""
@@ -471,7 +494,8 @@ def _exact_int(text: str, up: str) -> int:
     if not re.fullmatch(r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?",
                         text.strip()):
         raise TextCastError(
-            f"Conversion Error: Could not convert string {text!r} to {up}")
+            f"Conversion Error: Could not convert string {text!r} to "
+            f"{_DUCK_INT_MSG.get(up, up)}")
     try:
         d = decimal.Decimal(text.strip())
     except decimal.InvalidOperation as e:
@@ -632,6 +656,92 @@ def _render_nested(v) -> str:
     return render_duck(v)
 
 
+def render_duck_sql(expr: str, dtype, top: bool = True,
+                    _d: int = 0) -> str | None:
+    """Pure-Column SQL expression rendering `expr` of Spark type `dtype`
+    as DuckDB text — the JVM-side twin of render_duck/_render_nested, so
+    COPY TO csv of nested columns never routes rows through a Python UDF
+    (VERDICT r10 item 9; a 100-TB export throttles on BatchEvalPython).
+    Returns None for shapes the textual renderer still owns (rare —
+    unnamed-tuple markers aside, every type maps)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.StringType):
+        if top:
+            return expr
+        quoted_form = (
+            f"concat('\\'', replace(replace({expr}, '\\\\', '\\\\\\\\'), "
+            f"'\\'', '\\\\\\''), '\\'')")
+        need = (f"({expr} = '' OR upper({expr}) = 'NULL' OR "
+                f"{expr} rlike '[\\\\[\\\\]{{}},\\'\"=:\\\\\\\\]|^\\\\s|\\\\s$')")
+        return (f"CASE WHEN {expr} IS NULL THEN 'NULL' "
+                f"WHEN {need} THEN {quoted_form} ELSE {expr} END")
+    if isinstance(dtype, T.BooleanType):
+        base = f"if({expr}, 'true', 'false')"
+    elif isinstance(dtype, (T.FloatType, T.DoubleType)):
+        base = (
+            f"CASE WHEN isnan({expr}) THEN 'nan' "
+            f"WHEN {expr} = double('inf') THEN 'inf' "
+            f"WHEN {expr} = double('-inf') THEN '-inf' "
+            f"WHEN {expr} = floor({expr}) AND abs({expr}) < 1e15 THEN "
+            f"concat(cast(cast({expr} AS bigint) AS string), '.0') "
+            f"ELSE cast({expr} AS string) END")
+    elif isinstance(dtype, (T.DateType, T.TimestampType,
+                            T.TimestampNTZType)):
+        inner = f"cast({expr} AS string)"
+        if not top:
+            inner = f"concat('\\'', {inner}, '\\'')"
+        base = inner
+    elif isinstance(dtype, T.ArrayType):
+        var = f"__rx{_d}"
+        child = render_duck_sql(var, dtype.elementType, top=False,
+                                _d=_d + 1)
+        if child is None:
+            return None
+        base = (f"concat('[', array_join(transform({expr}, "
+                f"{var} -> coalesce({child}, 'NULL')), ', ', 'NULL'), ']')")
+    elif isinstance(dtype, T.MapType):
+        var = f"__re{_d}"
+        kx = render_duck_sql(f"{var}.key", dtype.keyType, top=False,
+                             _d=_d + 1)
+        vx = render_duck_sql(f"{var}.value", dtype.valueType, top=False,
+                             _d=_d + 1)
+        if kx is None or vx is None:
+            return None
+        base = (f"concat('{{', array_join(transform(map_entries({expr}), "
+                f"{var} -> concat(coalesce({kx}, 'NULL'), '=', "
+                f"coalesce({vx}, 'NULL'))), ', '), '}}')")
+    elif isinstance(dtype, T.StructType):
+        names = [f.name for f in dtype.fields]
+        is_tuple = names == [f"col{i + 1}" for i in range(len(names))]
+        parts = []
+        for f in dtype.fields:
+            cx = render_duck_sql(f"{expr}.`{f.name}`", f.dataType,
+                                 top=False, _d=_d + 1)
+            if cx is None:
+                return None
+            cx = f"coalesce({cx}, 'NULL')"
+            if is_tuple:
+                parts.append(cx)
+            else:
+                parts.append(f"concat('\\'{f.name}\\': ', {cx})")
+        if is_tuple and len(parts) == 1:
+            base = f"concat('(', {parts[0]}, ',)')"
+        elif is_tuple:
+            base = ("concat('(', " + ", ', ', ".join(parts) + ", ')')")
+        else:
+            base = ("concat('{', " + ", ', ', ".join(parts) + ", '}')")
+    elif isinstance(dtype, T.DecimalType) or isinstance(
+            dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        base = f"cast({expr} AS string)"
+    elif isinstance(dtype, T.BinaryType):
+        base = f"cast({expr} AS string)"
+    else:
+        return None
+    return f"CASE WHEN {expr} IS NULL THEN NULL ELSE {base} END" if top \
+        else f"CASE WHEN {expr} IS NULL THEN 'NULL' ELSE {base} END"
+
+
 def parse_typed(text: str, quoted: bool, ducktype: str,
                 lenient: bool = False):
     """One element of DuckDB cast text → a Python value Spark can convert
@@ -690,6 +800,32 @@ def parse_typed(text: str, quoted: bool, ducktype: str,
         t = text.strip()
         if not quoted and t.upper() == "NULL":
             return None
+        if t.startswith("(") and t.endswith(")"):
+            # tuple-paren text: positional binding, NULL-padded tail
+            # (string_to_unnamed_struct.test)
+            tb = t[1:-1].strip()
+            if tb.endswith(","):
+                tb = tb[:-1].rstrip()
+            tparts = [p for p in _split_tuple_text(tb)] if tb else []
+            tfields = _struct_fields(dt)
+            if len(tparts) > len(tfields):
+                raise TextCastError(
+                    f"Conversion Error: tuple {text!r} has {len(tparts)} "
+                    f"elements, target type expects {len(tfields)}")
+            outv = {}
+            for k, (fname, ftype) in enumerate(tfields):
+                if k < len(tparts):
+                    try:
+                        outv[fname] = parse_typed(
+                            *_elem(tparts[k], ftype, list_elem=False),
+                            ftype, lenient)
+                    except TextCastError:
+                        if not lenient:
+                            raise
+                        outv[fname] = None
+                else:
+                    outv[fname] = None
+            return outv
         if not (t.startswith("{") and t.endswith("}")):
             raise TextCastError(f"Conversion Error: can't cast {text!r} to STRUCT")
         body = t[1:-1].strip()
@@ -698,6 +834,11 @@ def parse_typed(text: str, quoted: bool, ducktype: str,
         if body:
             merged, acc = [], ""
             for part in _split_top(body, ","):
+                if not part.strip() and not acc:
+                    raise TextCastError(
+                        f"Conversion Error: {text!r} can't be cast to the "
+                        f"destination type "
+                        f"{re.sub(r'(?i)\\bINT\\b', 'INTEGER', dt)}")
                 acc = part if not acc else acc + "," + part
                 try:
                     _part3(acc, ":")

@@ -621,9 +621,13 @@ _INSERT_RE = re.compile(
     r"(?is)^\s*insert\s+(?:or\s+(?:replace|ignore)\s+)?into\s+([\w\".]+)\s*"
     r"(\([^)]*\))?\s*(values|select|with|from|\().*$"
 )
-_DELETE_RE = re.compile(r"(?is)^\s*delete\s+from\s+([\w\".]+)(?:\s+where\s+(.*))?\s*;?\s*$")
+_DELETE_RE = re.compile(
+    r"(?is)^\s*delete\s+from\s+([\w\".]+)"
+    r"(?:\s+(?:as\s+)?(?!where\b|using\b|returning\b)(\w+))?"
+    r"(?:\s+where\s+(.*))?\s*;?\s*$")
 _UPDATE_RE = re.compile(
-    r"(?is)^\s*update\s+([\w\".]+)\s+set\s+(.*?)"
+    r"(?is)^\s*update\s+([\w\".]+)(?:\s+(?:as\s+)?(?!set\b)(\w+))?"
+    r"\s+set\s+(.*?)"
     r"(?:\s+from\s+(.*?))?(?:\s+where\s+(.*))?\s*;?\s*$"
 )
 _DROP_RE = re.compile(
@@ -1248,14 +1252,15 @@ class SLSession:
             name = _flat(m.group(1))
             if name not in self.tables:
                 raise ValueError(f"unknown table {name}")
+            src = f"{name} AS {m.group(2)}" if m.group(2) else name
             schema, prev = self.tables[name]
-            if m.group(2):
-                from duckdb_spark.sql.dialect import translate
-
-                keep = self.spark.sql(translate(
-                    f"SELECT * FROM {name} WHERE NOT COALESCE(({m.group(2)}), FALSE)"
-                ))
-                kept = keep.collect()
+            if m.group(3):
+                # con.sql: correlated subqueries in the WHERE need the
+                # decorrelation retries (test_delete_subquery.test:12)
+                kept = self.con.sql(
+                    f"SELECT * FROM {src} "
+                    f"WHERE NOT COALESCE(({m.group(3)}), FALSE)"
+                ).df().collect()
                 self._register(name, schema, kept)
                 return self._count_result(len(prev) - len(kept))
             self._register(name, schema, [])
@@ -1265,29 +1270,28 @@ class SLSession:
             name = _flat(m.group(1))
             if name not in self.tables:
                 raise ValueError(f"unknown table {name}")
+            src = f"{name} AS {m.group(2)}" if m.group(2) else name
             schema, _ = self.tables[name]
             assigns = {}
-            for part in _split_coldefs(m.group(2)):
+            for part in _split_coldefs(m.group(3)):
                 k, _, v = part.partition("=")
                 assigns[k.strip().strip('"')] = v.strip()
-            cond = m.group(4) or "TRUE"
-            if m.group(3):
+            cond = m.group(5) or "TRUE"
+            if m.group(4):
                 # UPDATE … FROM (reference bind_update.cpp): a row updates
                 # when ANY from-row satisfies the predicate
-                cond = f"EXISTS (SELECT 1 FROM {m.group(3)} WHERE {cond})"
-            from duckdb_spark.sql.dialect import translate
-
-            cnt = self.spark.sql(translate(
-                f"SELECT COUNT(*) FROM {name} WHERE COALESCE(({cond}), FALSE)"
-            )).collect()[0][0]
+                cond = f"EXISTS (SELECT 1 FROM {m.group(4)} WHERE {cond})"
+            cnt = self.con.sql(
+                f"SELECT COUNT(*) FROM {src} WHERE COALESCE(({cond}), FALSE)"
+            ).df().collect()[0][0]
             proj = ", ".join(
                 f"CASE WHEN COALESCE(({cond}), FALSE) THEN CAST(({assigns[f.name]}) AS "
                 f"{f.dataType.simpleString()}) ELSE {f.name} END AS {f.name}"
                 if f.name in assigns else f.name
                 for f in schema.fields
             )
-            post = self.spark.sql(translate(f"SELECT {proj} FROM {name}"))
-            self._register(name, schema, post.collect())
+            post = self.con.sql(f"SELECT {proj} FROM {src}")
+            self._register(name, schema, post.df().collect())
             return self._count_result(int(cnt))
         m = _DROP_RE.match(sql)
         if m:
