@@ -44,33 +44,32 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness gate hard-checks the FIRST 50 registered queries.
-# ROUND-10 ROTATION (VERDICT r09 item 2: rotate EVERY round; any query
-# whose implementation changed in-round MUST lead the next window): the 4
-# queries materially rewritten in r09 (tpch_q21 one-shuffle window rewrite,
-# tpcds_q25 broadcast restructuring, ev_timeseries shared-window + digest,
-# dedup_minhash_lsh single-md5-pass pipeline) lead so the driver artifact
-# finally carries post-rewrite evidence, followed by the 46 registered
-# queries with the OLDEST green driver rows (30 last-green r02 + 16
-# last-green r03, computed from CORRECTNESS_r01..r09). All 50 pre-verified
-# by the driver-faithful scripts/check_contract.py (canonical-rendering
-# compare, no float tolerance).
+# ROUND-11 ROTATION (VERDICT r10 item 8: rotate EVERY round; any query
+# whose implementation changed in-round MUST lead the next window):
+# ev_timeseries was rewritten this round (eager checkpoint dropped in
+# favor of runtime exchange reuse) so it leads; the other 49 slots take
+# the registered queries with the OLDEST green driver rows — all 9 with
+# last-green r03 (the window/value suite) and 40 of the 49 with
+# last-green r05, leaving nothing older than r05 unrefreshed. Computed
+# from CORRECTNESS_r01..r10; pre-verified by the driver-faithful
+# scripts/check_contract.py (canonical-rendering compare, no tolerance).
 PRIORITY: list[str] = [
-    # r09-rewritten — post-rewrite driver evidence must lead the window
-    "tpch_q21", "tpcds_q25", "ev_timeseries", "dedup_minhash_lsh",
-    # oldest driver evidence: last green row r02
-    "agg_collect_list", "agg_distributive", "agg_grouping", "agg_stats_wide",
-    "dml_batch", "ev_range_join_all", "fn_list_batch", "sample_bernoulli",
-    "stream_session_windows", "text_profile",
-    "tpch_q03", "tpch_q04", "tpch_q06", "tpch_q07", "tpch_q08", "tpch_q09",
-    "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
-    "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q22",
-    "win_offsets", "win_qualify", "win_ranking",
-    # last green row r03
-    "agg_bool_bit", "agg_entropy", "agg_product", "agg_skew_kurtosis",
-    "agg_string_agg", "ev_distinct_on", "fn_conditional_batch",
-    "fn_date_batch", "fn_math_batch", "fn_string_batch",
-    "fn_struct_map_batch", "fn_wave2_agg", "fn_wave2_scalar",
-    "text_length_histogram", "tpch_q05", "tpch_q18",
+    # r11-rewritten — post-rewrite driver evidence must lead the window
+    "ev_timeseries",
+    # last green row r03 (oldest remaining evidence)
+    "val_generate_series", "win_first_last", "win_lag_gap",
+    "win_lead_ignorenulls", "win_moving_avg", "win_ntile",
+    "win_percent_rank", "win_range_frame", "win_running_total",
+    # last green row r05
+    "agg_cube", "agg_filter_distinct", "agg_grouping_sets", "agg_rollup",
+    "agg_stats", "ev_fill_gaps", "ev_range_join", "ev_sessionization",
+    "ev_time_bucket", "text_langid", "tpch_q01",
+    "tpcds_q01", "tpcds_q03", "tpcds_q07", "tpcds_q15", "tpcds_q19",
+    "tpcds_q26", "tpcds_q29", "tpcds_q34", "tpcds_q42", "tpcds_q48",
+    "tpcds_q55", "tpcds_q61", "tpcds_q68", "tpcds_q73", "tpcds_q79",
+    "tpcds_q88", "tpcds_q89", "tpcds_q96",
+    "cb_q00", "cb_q01", "cb_q02", "cb_q03", "cb_q04", "cb_q05", "cb_q06",
+    "cb_q07", "cb_q08", "cb_q09", "cb_q12",
 ]
 
 

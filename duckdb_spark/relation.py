@@ -1186,6 +1186,53 @@ class Connection:
                 r5 = self._setop_orderby_ordinal(query, mu.group(1))
                 if r5 is not None:
                     return r5
+            if "UNEXPECTED_INPUT_TYPE" in msg and "element_at" in msg and \
+                    '"STRING"' in msg:
+                # chained indexing bottoms out on a VARCHAR: `b[1][1]` is
+                # DuckDB string indexing — one character, '' out of range
+                # (list_updates_varchar.test:20)
+                em8 = re.search(
+                    r'Cannot resolve "((?:try_)?element_at\(.*, -?\d+\))" '
+                    r"due to", msg)
+                im8 = em8 and re.match(
+                    r"(?s)^(?:try_)?element_at\((.*),\s*(-?\d+)\)$",
+                    em8.group(1))
+                if im8:
+                    from duckdb_spark.sql.dialect import _tokens as _tk8
+
+                    inner8, idx8 = im8.groups()
+                    # the message normalizes try_element_at to element_at
+                    # — accept either spelling in the query text
+                    pat_inner = r"\s*".join(
+                        re.escape(t) for t in _tk8(inner8)
+                        if not t.isspace())
+                    pat8 = (rf"(?:try_)?element_at\(\s*{pat_inner}"
+                            rf"\s*,\s*{idx8}\s*\)")
+                    tq8, n8 = re.subn(
+                        pat8, f"substr({inner8}, {idx8}, 1)",
+                        translate(query), count=1)
+                    if n8:
+                        try:
+                            return Relation(self.spark.sql(tq8))
+                        except Exception:  # noqa: BLE001 — keep original
+                            pass
+            if "INCOMPATIBLE_COLUMN_TYPE" in msg and "INTERVAL" in msg:
+                # `NULL::INTERVAL` lands on Spark's CalendarIntervalType,
+                # which won't unify with the day-time/year-month interval
+                # of the other set-op branch (test_any_value.test:84) —
+                # retype the typeless NULL to the branch's flavor
+                tq6 = translate(query)
+                if re.search(r"(?i)CAST\s*\(\s*NULL\s+AS\s+INTERVAL\s*\)",
+                             tq6):
+                    unit6 = "YEAR TO MONTH" if "YEAR TO MONTH" in msg \
+                        else "DAY TO SECOND"
+                    retried6 = re.sub(
+                        r"(?i)CAST\s*\(\s*NULL\s+AS\s+INTERVAL\s*\)",
+                        f"CAST(NULL AS INTERVAL {unit6})", tq6)
+                    try:
+                        return Relation(self.spark.sql(retried6))
+                    except Exception:  # noqa: BLE001 — keep original
+                        pass
             if (
                 ("UNEXPECTED_INPUT_TYPE" in msg
                  or "BINARY_OP_DIFF_TYPES" in msg)
@@ -1967,8 +2014,8 @@ class Connection:
                             except Exception:  # noqa: BLE001
                                 pass
             if "BINARY_OP_DIFF_TYPES" in msg:
-                tm = re.search(r'"\(?([A-Z_][A-Z_ ()0-9,]*)"\s+and\s+"'
-                               r'([A-Z_][A-Z_ ()0-9,]*)\)?"', msg)
+                tm = re.search(r'"\(?([A-Z_][A-Z_<> ()0-9,]*)"\s+and\s+"'
+                               r'([A-Z_][A-Z_<> ()0-9,]*)\)?"', msg)
                 types = (tm.group(1), tm.group(2)) if tm else ("?", "?")
                 # DuckDB binds a NATURAL join over incomparable shared
                 # columns by inserting a RUNTIME cast — the join succeeds
@@ -2005,6 +2052,8 @@ class Connection:
                     em = re.search(r'Cannot resolve "\((.*?) (=|!=|<>) '
                                    r'(.*?)\)" due to', msg)
                     if em:
+                        from duckdb_spark.sql.dialect import _tokens as _tk7
+
                         lhs, op0, rhs = em.groups()
                         eq = (f"(to_json(try_cast(({lhs}) as variant)) <=> "
                               f"to_json(try_cast(({rhs}) as variant)))")
@@ -2013,10 +2062,15 @@ class Connection:
                         for cand in (f"{lhs} {op0} {rhs}",
                                      f"{lhs} {'==' if op0 == '=' else op0}"
                                      f" {rhs}"):
-                            if cand in tq0:
+                            # whitespace-insensitive match: Spark message
+                            # text normalizes ", " spacing
+                            pat = r"\s*".join(
+                                re.escape(t) for t in _tk7(cand)
+                                if not t.isspace())
+                            new_tq, nsub = re.subn(pat, repl, tq0, count=1)
+                            if nsub:
                                 try:
-                                    return Relation(self.spark.sql(
-                                        tq0.replace(cand, repl)))
+                                    return Relation(self.spark.sql(new_tq))
                                 except Exception:  # noqa: BLE001
                                     break
                 # explicit comparisons: DuckDB folds the constant side at
@@ -2901,6 +2955,16 @@ class Connection:
                     continue
                 expr = aggs.get(c.lower())
                 if expr:
+                    # ORDER-SENSITIVE aggregates consume the produced rows
+                    # in INSERTION order (reference keyed-aggregate state
+                    # appends round by round;
+                    # recursive_cte_key_aggregation.test:137)
+                    if expr.endswith(")") and re.match(
+                        r"(?is)^\s*(list|array_agg|collect_list|"
+                        r"string_agg|group_concat|listagg|first|last)\s*\(",
+                        expr,
+                    ) and not re.search(r"(?is)\bORDER\s+BY\b", expr):
+                        expr = expr[:-1] + " ORDER BY __iter)"
                     parts.append(f"{expr} AS {c}")
                 else:
                     parts.append(f"max_by({c}, __iter) AS {c}")
@@ -2922,7 +2986,11 @@ class Connection:
             working.createOrReplaceTempView(internal)
             state.createOrReplaceTempView(recurring)
             nxt = self.sql(step_sql).df().toDF(*out_cols)
-            if distinct:
+            if distinct and not aggs:
+                # aggregate entries consume EVERY produced row — a re-
+                # produced row still feeds string_agg/list
+                # (recursive_cte_key_aggregation.test:128); plain keyed
+                # recursion dedupes for termination
                 nxt = nxt.exceptAll(hist.drop("__iter")).distinct()
             nxt = _materialize(nxt)
             if nxt.isEmpty():

@@ -2879,38 +2879,8 @@ _SELECT_STOP = {
 }
 
 
-_WITHIN_GROUP_FOLD = {
-    # ordered-set spellings Spark lacks (or types differently: Spark's
-    # percentile_disc always returns DOUBLE, the reference keeps the input
-    # type): fold the ORDER BY key back into the argument list; the
-    # quantile forms re-dispatch through their macros
-    "mode": "mode", "quantile_cont": "quantile_cont",
-    "quantile_disc": "quantile_disc", "quantile": "quantile",
-    "median": "median", "mad": "mad",
-    "percentile_disc": "quantile_disc", "percentile_cont": "quantile_cont",
-}
 
 
-def _neg_q(q: str, cont: bool) -> str:
-    """Descending WITHIN GROUP order: continuous quantiles mirror to 1-q;
-    discrete ones use the reference's negative-quantile path. Literal
-    quantiles fold numerically (Spark's percentile requires a foldable
-    fraction array)."""
-
-    def one(e: str) -> str:
-        s = e.strip()
-        if re.fullmatch(r"[+-]?(\d+\.?\d*|\.\d+)", s):
-            v = float(s)
-            folded = 1 - v if cont else -v
-            return repr(round(folded, 12))
-        return f"(1 - ({s}))" if cont else f"-({s})"
-
-    qs = q.strip()
-    m = re.match(r"(?is)^array\s*\(", qs)
-    if m and qs.endswith(")"):
-        elems = _split_top_args(_tokens(qs[m.end():-1]))
-        return "array(" + ", ".join(one(e) for e in elems) + ")"
-    return one(qs)
 
 
 _QUANT_OPS = {"=", "<>", "!=", "<", ">", "<=", ">="}
@@ -3433,52 +3403,10 @@ def rename_table_ident(sql: str, old: str, new: str) -> str:
     return "".join(toks)
 
 
-def _parse_time_us(txt: str) -> int:
-    tm = re.fullmatch(
-        r"(\d{1,2}):(\d{2})(?::(\d{2})(?:\.(\d{1,6}))?)?", txt.strip()
-    )
-    if not tm:
-        raise ValueError(
-            f"Conversion Error: Could not convert string '{txt}' to TIME"
-        )
-    h, mi = int(tm.group(1)), int(tm.group(2))
-    s = int(tm.group(3) or 0)
-    frac = (tm.group(4) or "").ljust(6, "0")
-    if h > 24 or mi > 59 or s > 59:
-        raise ValueError(
-            f"Conversion Error: Could not convert string '{txt}' to TIME"
-        )
-    return ((h * 3600 + mi * 60 + s) * 1_000_000) + int(frac)
 
 
 
 
-def duck_blob_hex(raw: str) -> str:
-    """Duck BLOB literal text → hex digits (\\xHH escapes are raw bytes,
-    everything else UTF-8; reference common/types/blob.cpp)."""
-    data = bytearray()
-    k = 0
-    while k < len(raw):
-        if raw[k] == "\\" and k + 1 < len(raw) and raw[k + 1] in "xX":
-            hx = raw[k + 2:k + 4]
-            if len(hx) == 2 and re.fullmatch(r"[0-9a-fA-F]{2}", hx):
-                data.append(int(hx, 16))
-                k += 4
-                continue
-            raise ValueError(
-                f"Conversion Error: could not convert string "
-                f"'{raw}' to BLOB"
-            )
-        if not (32 <= ord(raw[k]) <= 126):
-            # non-printable octets must be \xHH-escaped (blob.cpp;
-            # test_blob.test:66)
-            raise ValueError(
-                f"Conversion Error: could not convert string "
-                f"'{raw}' to BLOB"
-            )
-        data.extend(raw[k].encode("utf-8"))
-        k += 1
-    return data.hex().upper()
 
 
 
@@ -3489,32 +3417,8 @@ def duck_blob_hex(raw: str) -> str:
 # the SAME packing makes comparisons, min/max, and packed-domain quantile
 # interpolation (test_median.test:140 — median of ten '00:00:00±HH'
 # values lands at offset -04:30) match by construction.
-_TIMETZ_MAX_OFFSET = 57599  # ±15:59:59
-_TIMETZ_OFF_MOD = 1 << 24
 
 
-def _parse_timetz_packed(txt: str) -> int:
-    m = re.match(r"^(.*?)([+-]\d{1,4}(?::\d{2})?(?::\d{2})?)?\s*$",
-                 txt.strip())
-    body, off = m.group(1), m.group(2)
-    off_sec = 0
-    if off:
-        sgn = -1 if off[0] == "-" else 1
-        raw = off[1:]
-        if ":" in raw:
-            parts = [int(p) for p in raw.split(":")]
-        elif len(raw) > 2:
-            # compact ±HHMM[SS] spelling ('+1559' = +15:59)
-            parts = [int(raw[:2]), int(raw[2:4])]
-            if len(raw) > 4:
-                parts.append(int(raw[4:6]))
-        else:
-            parts = [int(raw)]
-        while len(parts) < 3:
-            parts.append(0)
-        off_sec = sgn * (parts[0] * 3600 + parts[1] * 60 + parts[2])
-    us = _parse_time_us(body)
-    return us * _TIMETZ_OFF_MOD + (_TIMETZ_MAX_OFFSET - off_sec)
 
 
 
@@ -3967,6 +3871,116 @@ _COMMON_AGG_RE = re.compile(
     r"arg_max\w*|min_by|max_by|approx_\w+|histogram\w*|bitstring_agg|"
     r"kahan_sum|fsum|favg|sem|mad|reservoir_quantile)\s*\("
 )
+
+
+def _expand_dup_grouping(toks: list[str]) -> list[str]:
+    """CUBE/ROLLUP with DUPLICATE dimensions → explicit GROUPING SETS.
+    Spark's analyzer refuses grouping() over a cube with repeated exprs
+    (combined_with_grouping.test:205); the reference expands positionally
+    — CUBE(c, v, t, v) yields 2^4 sets where the two v positions group
+    identically, so the (v)-only sets appear with multiplicity."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if not (re.match(r"^[A-Za-z_]", t)
+                and t.upper() in ("CUBE", "ROLLUP")):
+            i += 1
+            continue
+        j = _next_code(out, i + 1)
+        if j >= len(out) or out[j] != "(":
+            i += 1
+            continue
+        p = i - 1
+        while p >= 0 and out[p].isspace():
+            p -= 1
+        if not (p >= 0 and (out[p] == "," or _is_word(out[p], "BY"))):
+            i += 1
+            continue
+        c = _match_paren(out, j)
+        if c < 0:
+            i += 1
+            continue
+        args = [a.strip() for a in _split_top_args(out[j + 1:c])]
+        norm = [re.sub(r"\s+", "", a).lower() for a in args]
+        if len(set(norm)) == len(norm) or not args or len(args) > 12:
+            i = c + 1
+            continue
+        sets = []
+        if t.upper() == "CUBE":
+            for mask in range(2 ** len(args)):
+                chosen = []
+                seen0: set[str] = set()
+                for x, a in enumerate(args):
+                    if mask >> x & 1 and norm[x] not in seen0:
+                        seen0.add(norm[x])
+                        chosen.append(a)
+                sets.append("(" + ", ".join(chosen) + ")")
+        else:  # ROLLUP: prefixes
+            for k2 in range(len(args), -1, -1):
+                chosen = []
+                seen0 = set()
+                for a, nn in zip(args[:k2], norm[:k2]):
+                    if nn not in seen0:
+                        seen0.add(nn)
+                        chosen.append(a)
+                sets.append("(" + ", ".join(chosen) + ")")
+        out[i:c + 1] = _tokens(
+            "GROUPING SETS (" + ", ".join(sets) + ")")
+        i += 1
+    # Spark refuses grouping() in HAVING when the expanded sets contain
+    # DUPLICATES — hoist the HAVING into an outer WHERE over aliased
+    # grouping() helper columns (combined_with_grouping.test:205)
+    if out != toks:
+        out = _hoist_grouping_having(out)
+    return out
+
+
+def _hoist_grouping_having(toks: list[str]) -> list[str]:
+    hv = _top_level_index(toks, 0, len(toks), "HAVING")
+    if hv < 0:
+        return toks
+    sel = _top_level_index(toks, 0, len(toks), "SELECT")
+    frm = _top_level_index(toks, sel + 1, len(toks), "FROM")
+    if sel < 0 or frm < 0:
+        return toks
+    hv_end = len(toks)
+    for stop in ("ORDER", "LIMIT", "OFFSET", "WINDOW", "QUALIFY"):
+        p = _top_level_index(toks, hv + 1, len(toks), stop)
+        if p >= 0:
+            hv_end = min(hv_end, p)
+    having = "".join(toks[hv + 1:hv_end]).strip()
+    if not re.search(r"(?i)\bgrouping(_id)?\s*\(", having):
+        return toks
+    items = _split_top_args(toks[sel + 1:frm])
+    inner_items, outer_items = [], []
+    for k2, it in enumerate(items):
+        it = it.strip()
+        am = re.search(r"(?is)\s+AS\s+([A-Za-z_]\w*)\s*$", it)
+        alias = am.group(1) if am else (
+            it if re.fullmatch(r"[A-Za-z_]\w*", it) else f"__c{k2}")
+        body = it[:am.start()] if am else it
+        inner_items.append(f"{body} AS {alias}" if alias != it else it)
+        outer_items.append(f"`{alias}`")
+    helpers = []
+    hv2 = having
+    for k2, gm in enumerate(re.finditer(
+            r"(?is)\bgrouping(?:_id)?\s*\(", having)):
+        d0 = 1
+        x = gm.end()
+        while x < len(having) and d0:
+            d0 += (having[x] == "(") - (having[x] == ")")
+            x += 1
+        expr = having[gm.start():x]
+        nm = f"__dkg{k2}"
+        helpers.append(f"{expr} AS {nm}")
+        hv2 = hv2.replace(expr, nm)
+    inner = ("SELECT " + ", ".join(inner_items + helpers) + " "
+             + "".join(toks[frm:hv]))
+    tail = "".join(toks[hv_end:])
+    return _tokens(
+        "SELECT " + ", ".join(outer_items)
+        + f" FROM ({inner}) __dkgh WHERE {hv2} " + tail)
 
 
 def _check_grouping_set_limits(toks: list[str]) -> None:
@@ -4742,120 +4756,6 @@ def _array_union_repl(
     return f"coalesce((SELECT {expr} FROM ({body}) AS __asq(__v)), array())"
 
 
-def _rewrite_within_group(toks: list[str]) -> list[str]:
-    """`fn(args) WITHIN GROUP (ORDER BY key [dir])` → `fn(key[, args])`
-    for ordered-set aggregates Spark has no WITHIN GROUP spelling for
-    (reference transform_function.cpp ordered-aggregate path).
-    percentile_cont/percentile_disc/listagg keep the native syntax."""
-    out = list(toks)
-    i = 0
-    while i < len(out):
-        t = out[i]
-        if not re.match(r"^[A-Za-z_]", t) or t.lower() not in _WITHIN_GROUP_FOLD:
-            i += 1
-            continue
-        j = _next_code(out, i + 1)
-        if j >= len(out) or out[j] != "(":
-            i += 1
-            continue
-        close = _match_paren(out, j)
-        if close < 0:
-            i += 1
-            continue
-        w = _next_code(out, close + 1)
-        if w >= len(out) or not _is_word(out[w], "WITHIN"):
-            i = j
-            continue
-        g = _next_code(out, w + 1)
-        if g >= len(out) or not _is_word(out[g], "GROUP"):
-            i = j
-            continue
-        p = _next_code(out, g + 1)
-        if p >= len(out) or out[p] != "(":
-            i = j
-            continue
-        pc = _match_paren(out, p)
-        body = "".join(out[p + 1:pc]).strip()
-        key = re.sub(r"(?is)^ORDER\s+BY\s*", "", body).strip()
-        if len(_split_top_args(_tokens(key))) > 1:
-            raise ValueError(
-                "Binder Error: Cannot use multiple ORDER BY clauses "
-                "with WITHIN GROUP"
-            )
-        desc = bool(re.search(r"(?i)\s+DESC\s*$", key))
-        key = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", key).strip()
-        key = re.sub(r"(?i)\s+NULLS\s+(FIRST|LAST)\s*$", "", key).strip()
-        prior0 = [a for a in _split_top_args(out[j + 1:close]) if a.strip()]
-        prior = []
-        for a in prior0:
-            nm = re.match(r"(?is)^\s*(\w+)\s*:\s*=\s*(.*)$", a)
-            if nm:
-                # only the documented parameter name resolves
-                if nm.group(1).lower() != "quantile":
-                    raise ValueError(
-                        f"Binder Error: No function matches the given name "
-                        f"and argument types '{t.lower()}({nm.group(1)})'"
-                    )
-                prior.append(nm.group(2).strip())
-            else:
-                prior.append(a)
-        fn = _WITHIN_GROUP_FOLD[t.lower()]
-        if t.lower().startswith("percentile") and len(prior) != 1:
-            raise ValueError(
-                f"Binder Error: Wrong number of arguments for "
-                f"{t.upper()}"
-            )
-        if fn in ("mode", "median", "mad") and prior:
-            raise ValueError(
-                f"Binder Error: Wrong number of arguments for {t.upper()}"
-            )
-        for q in prior:
-            if fn.startswith("quantile"):
-                if re.search(r"(?i)'nan'|\bnull\b", q):
-                    raise ValueError(
-                        "Binder Error: QUANTILE parameter cannot be NaN/NULL"
-                    )
-                if re.fullmatch(r"(?is)array\s*\(\s*\)", q.strip()):
-                    raise ValueError(
-                        "Binder Error: QUANTILE requires a non-empty list"
-                    )
-                if re.search(r"(?i)\b(sum|count|avg|min|max|median|mode)\s*\(", q):
-                    raise ValueError(
-                        "Binder Error: aggregate function calls cannot be "
-                        "nested"
-                    )
-                if re.search(r"(?is)\bcase\b", q) and not re.search(
-                    r"(?i)\belse\b", q
-                ):
-                    # ELSE-less CASE over non-matching literals is a NULL
-                    # fraction (reference rejects NULL fractions)
-                    raise ValueError(
-                        "Binder Error: QUANTILE parameter cannot be NULL"
-                    )
-                if t.lower().startswith("percentile"):
-                    # the SQL-standard spelling requires fractions in
-                    # [0, 1] — only quantile_* admits negatives
-                    lits = [q.strip()]
-                    qm = re.match(r"(?is)^array\s*\(", q.strip())
-                    if qm and q.strip().endswith(")"):
-                        lits = _split_top_args(_tokens(q.strip()[qm.end():-1]))
-                    for lit in lits:
-                        if re.match(r"^\s*-\s*(\d+\.?\d*|\.\d+)\s*$", lit):
-                            raise ValueError(
-                                "Binder Error: PERCENTILE fraction must be "
-                                "between 0 and 1"
-                            )
-        if fn in ("mode", "median", "mad"):
-            args = [key]
-        else:
-            # quantile_disc(q) WITHIN GROUP (ORDER BY x) = quantile_disc(x, q)
-            args = [key] + prior
-        if desc and fn in ("quantile_disc", "quantile", "quantile_cont"):
-            cont = fn == "quantile_cont"
-            args = [args[0]] + [_neg_q(a, cont) for a in args[1:]]
-        out[i:pc + 1] = _tokens(f"{fn}(" + ", ".join(args) + ")")
-        i += 1
-    return out
 
 
 def _rewrite_select_unnest(toks: list[str]) -> list[str]:
@@ -5702,420 +5602,31 @@ def _split_top_args(toks: list[str]) -> list[str]:
     return args
 
 
-def _macro_product(x: str) -> str:
-    """Sign-aware exp/sum/ln (reference product.cpp); 0 if any zero."""
-    ln = f"exp(sum(ln(abs(nullif(cast(({x}) as double), 0.0d)))))"
-    return (
-        f"(case when sum(case when ({x}) = 0 then 1 else 0 end) > 0 then 0.0d "
-        f"when pmod(sum(case when ({x}) < 0 then 1 else 0 end), 2) = 1 then -{ln} "
-        f"else {ln} end)"
-    )
 
 
-def _macro_product_distinct(x: str) -> str:
-    """product(DISTINCT x): Σ ln|v| over the distinct values. Positive and
-    negative values sum separately so |v|-collisions across sign (−2 vs 2)
-    stay distinct; sign flips when the count of distinct negatives is odd;
-    any zero value zeroes the product."""
-    pos = f"sum(distinct case when ({x}) > 0 then ln(cast(({x}) as double)) end)"
-    neg = f"sum(distinct case when ({x}) < 0 then ln(cast(-({x}) as double)) end)"
-    mag = f"exp(coalesce({pos}, 0.0d) + coalesce({neg}, 0.0d))"
-    return (
-        f"(case when count(case when ({x}) = 0 then 1 end) > 0 then 0.0d "
-        f"when count(distinct case when ({x}) < 0 then ({x}) end) % 2 = 1 "
-        f"then -{mag} "
-        f"when count(case when ({x}) is not null then 1 end) = 0 then "
-        f"cast(null as double) "
-        f"else {mag} end)"
-    )
 
 
-def _macro_histogram(x: str) -> str:
-    """value → count map, keys sorted; all-NULL/empty input → NULL
-    (reference histogram.cpp). Enum-marked inputs sort keys by member
-    position, not lexically (enum_type.cpp; test_histogram.test:140)."""
-    lst = f"collect_list({x})"
-    em = re.search(r"__dkenum(\d+)", x)
-    if em:
-        members = _enum_marks()[int(em.group(1))]
-        arr = "array(" + ", ".join(
-            "'" + m.replace("'", "''") + "'" for m in members) + ")"
-        sorted_ = (
-            f"array_sort(array_distinct({lst}), (__hl, __hr) -> "
-            f"case when array_position({arr}, __hl) < "
-            f"array_position({arr}, __hr) then -1 "
-            f"when array_position({arr}, __hl) > "
-            f"array_position({arr}, __hr) then 1 else 0 end)"
-        )
-    else:
-        sorted_ = f"array_sort(array_distinct({lst}))"
-    inner = (
-        f"map_from_entries(transform({sorted_}, "
-        f"__hk -> struct(__hk, cast(size(filter({lst}, __hv -> __hv <=> __hk)) as bigint))))"
-    )
-    return f"(case when size({lst}) = 0 then null else {inner} end)"
 
 
-def _macro_histogram_binned(x: str, bins: str) -> str:
-    """histogram(x, bin_uppers): count per (prev, bound] bucket; values
-    above the last bound collect under a sentinel key (reference uses the
-    input type's max / +inf — a single statically-typed SQL expression
-    cannot produce both, so the argument TEXT picks the variant: a visible
-    double cast / float literal / infinity literal selects double keys with
-    an inf sentinel, anything else bigint-max)."""
-    dbl = bool(
-        re.search(r"(?i)::\s*(double|float4?|float8|real)\b", x + " " + bins)
-        or re.search(r"(?i)\bas\s+(double|float)\b", x + " " + bins)
-        or "infinity" in (x + bins).lower()
-        or re.search(r"\d\.\d", bins)
-    )
-    if dbl:
-        B0 = (f"array_sort(array_distinct(transform(any_value(({bins}), true), "
-              f"__bb -> cast(__bb as double))))")
-    else:
-        B0 = f"array_sort(array_distinct(any_value(({bins}), true)))"
-    # a NULL bin list is an error in the reference; element_at on an empty
-    # array raises only when the branch is taken
-    B = f"if(({B0}) is null, array(element_at(slice({B0}, 1, 0), 1)), {B0})"
-    XS = f"collect_list({x})"
-    if dbl:
-        sent_lit = "cast('Infinity' as double)"
-    elif re.search(r"(?i)\btimestamp\b", x + " " + bins):
-        sent_lit = "timestamp '9999-12-31 23:59:59.999999'"
-    elif re.search(r"(?i)\bdate\b", x + " " + bins):
-        sent_lit = "date '9999-12-31'"
-    elif re.search(r"'|\bstruct\b|->\s*array\(", bins):
-        # non-numeric key type (strings/structs/lists): no representable
-        # "type max"; reuse the last bin so the expression typechecks —
-        # overflow rows would collide with it, which no reference test
-        # exercises for these types
-        sent_lit = f"element_at({B}, greatest(size({B}), 1))"
-    else:
-        sent_lit = "9223372036854775807"
-    sent = f"(case when 1=0 then element_at({B}, 1) else {sent_lit} end)"
-    over = (
-        f"size(filter({XS}, __v -> if(size({B}) = 0, true, "
-        f"__v > element_at({B}, size({B})))))"
-    )
-    kb = f"(case when {over} > 0 then concat({B}, array({sent})) else {B} end)"
-    cnt = (
-        f"cast(size(filter({XS}, __v -> "
-        f"case when __i >= size({B}) then if(size({B}) = 0, true, __v > element_at({B}, size({B}))) "
-        f"when __i = 0 then __v <= __b "
-        f"else __v > element_at({B}, __i) and __v <= __b end)) as bigint)"
-    )
-    if re.search(r"->\s*array\(|^\s*array\(\s*array\(", bins):
-        # array-typed keys: pyspark cannot hand a map<array,_> back to
-        # Python (unhashable dict key) — render DuckDB's text form directly
-        return (
-            f"concat('{{', array_join(transform({kb}, (__b, __i) -> "
-            f"concat(cast(__b as string), '=', cast({cnt} as string))), ', '), '}}')"
-        )
-    return f"map_from_entries(transform({kb}, (__b, __i) -> struct(__b, {cnt})))"
 
 
-def _macro_histogram_exact(x: str, elems: str) -> str:
-    """Per-element counts plus the reference's catch-all "other" bucket
-    keyed at the type max for values outside the element list
-    (reference histogram_exact / is_histogram_other_bin)."""
-    E = f"any_value(({elems}), true)"
-    XS = f"collect_list({x})"
-    dbl = bool(
-        re.search(r"(?i)::\s*(double|float4?|float8|real)\b", x + " " + elems)
-        or re.search(r"(?i)\bas\s+(double|float)\b", x + " " + elems)
-        or re.search(r"\d\.\d", elems)
-    )
-    if dbl:
-        sent0 = "cast('Infinity' as double)"
-    elif re.search(r"(?i)\btimestamp\b", x + " " + elems) and not \
-            re.search(r"(?i)::\s*date\b|\bas\s+date\s*\)", x):
-        sent0 = "timestamp '9999-12-31 23:59:59.999999'"
-    elif re.search(r"(?i)\bdate\b", x + " " + elems):
-        # DATE keys with the 'infinity' other-bucket (reference date
-        # special values; histogram_exact.test:25) — string keys so the
-        # sentinel renders 'infinity' and timestamp-typed elements
-        # (DATE + INTERVAL arithmetic) fold back to dates
-        E = f"any_value(({elems}), true)"
-        other = (f"size(filter({XS}, "
-                 f"__v -> not exists({E}, __e -> __e <=> __v)))")
-        entries = (
-            f"transform({E}, __e -> "
-            f"struct(cast(cast(__e as date) as string) AS k, "
-            f"cast(size(filter({XS}, __v -> __v <=> __e)) as bigint)"
-            f" AS c))"
-        )
-        kb = (
-            f"(case when {other} > 0 then concat({entries}, "
-            f"array(struct('infinity' AS k, "
-            f"cast({other} as bigint) AS c))) else {entries} end)"
-        )
-        return f"map_from_entries({kb})"
-    elif re.match(r"(?is)^\s*array\s*\(", x.strip()):
-        # LIST keys: the other-bucket sentinel is the empty list
-        # (histogram_exact.test:37)
-        sent0 = "array()"
-    elif re.search(r"(?i)varchar|string|'", x + " " + elems):
-        # VARCHAR keys with the ''-other bucket: elements may be numeric
-        # literals DuckDB coerces to text (histogram_exact.test:31)
-        E = f"any_value(({elems}), true)"
-        other = (f"size(filter({XS}, __v -> not exists({E}, "
-                 f"__e -> cast(__e as string) <=> __v)))")
-        entries = (
-            f"transform({E}, __e -> struct(cast(__e as string) AS k, "
-            f"cast(size(filter({XS}, __v -> __v <=> "
-            f"cast(__e as string))) as bigint) AS c))"
-        )
-        kb = (
-            f"(case when {other} > 0 then concat({entries}, "
-            f"array(struct('' AS k, cast({other} as bigint) AS c))) "
-            f"else {entries} end)"
-        )
-        return f"map_from_entries({kb})"
-    else:
-        sent0 = "9223372036854775807"
-    # typecheck against the element type without evaluating
-    sent = f"if(1=0, element_at({E}, 1), {sent0})"
-    other = (
-        f"size(filter({XS}, __v -> not exists({E}, __e -> __e <=> __v)))"
-    )
-    # both key exprs go through the same dead if() so Spark unifies the
-    # element/sentinel types identically on both concat sides
-    entries = (
-        f"transform({E}, __e -> struct(if(1=0, {sent0}, __e) AS k, "
-        f"cast(size(filter({XS}, __v -> __v <=> __e)) as bigint) AS c))"
-    )
-    kb = (
-        f"(case when {other} > 0 then concat({entries}, "
-        f"array(struct({sent} AS k, cast({other} as bigint) AS c))) "
-        f"else {entries} end)"
-    )
-    return f"map_from_entries({kb})"
 
 
-def _macro_lttb(x: str, y: str, n: str, o: str,
-                ts_keys: bool = False) -> str:
-    """lttb(x, y, n ORDER BY o) as one JVM-side expression (reference
-    core_functions lttb aggregate): collect the series, then a
-    deterministic sequential fold with aggregate(); transform-over-
-    single-element-array binds subexpressions once (SQL has no LET).
-    The x axis keeps its original type in the output; the double axis
-    used for the triangle geometry is normalized to the first point
-    BEFORE the double conversion, so selection is translation-invariant
-    even for epoch-nanosecond magnitudes. With ts_keys (the internal
-    lttb_ts retry spelling) x/o convert through epoch micros."""
-    if ts_keys:
-        def num(e: str) -> str:
-            return f"unix_micros(CAST(({e}) AS TIMESTAMP_LTZ))"
-    else:
-        def num(e: str) -> str:
-            return f"({e})"
-
-    pts0 = (
-        f"array_sort(collect_list(case when ({x}) is not null and "
-        f"({y}) is not null and ({o}) is not null then named_struct("
-        f"'o', {num(o)}, 'xr', {num(x)}, 'x', ({x}), "
-        # y keeps its exact type in the output (FLOAT stays FLOAT); the
-        # geometry below adds 0.0D, which is also what rejects TIMESTAMP
-        # y values at analysis like the reference's bind error (a plain
-        # CAST would happily convert)
-        f"'y', ({y})) end), "
-        f"(l, r) -> case when l.o < r.o then -1 "
-        f"when l.o > r.o then 1 else 0 end)"
-    )
-    norm = (
-        f"transform(__p0, p -> named_struct("
-        f"'xd', CAST((p.xr - element_at(__p0, 1).xr) AS DOUBLE), "
-        f"'yd', (p.y + 0.0D), 'x', p.x, 'y', p.y))"
-    )
-
-    def edge(k: str) -> str:
-        # np.linspace(1, cnt-1, n_out-1).astype(int)[k]
-        return (f"CAST(1.0D + ({k}) * (size(__pts) - 2.0D) / "
-                f"(({n}) - 2.0D) AS INT)")
-
-    # per-step bounds: lo/hi of this bucket, next bucket [nl, nh)
-    bounds = (
-        f"named_struct('lo', {edge('b')}, "
-        f"'hi', greatest({edge('b + 1')}, {edge('b')} + 1), "
-        f"'nl', {edge('b + 1')}, "
-        f"'nh', case when b + 2 <= ({n}) - 2 then {edge('b + 2')} "
-        f"else size(__pts) end)"
-    )
-    # anchor point + next-bucket averages
-    metrics = (
-        f"named_struct("
-        f"'xa', element_at(__pts, acc.a + 1).xd, "
-        f"'ya', element_at(__pts, acc.a + 1).yd, "
-        f"'ax', case when __c.nh > __c.nl then "
-        f"aggregate(slice(__pts, __c.nl + 1, __c.nh - __c.nl), 0.0D, "
-        f"(s, p) -> s + p.xd) / (__c.nh - __c.nl) "
-        f"else element_at(__pts, size(__pts)).xd end, "
-        f"'ay', case when __c.nh > __c.nl then "
-        f"aggregate(slice(__pts, __c.nl + 1, __c.nh - __c.nl), 0.0D, "
-        f"(s, p) -> s + p.yd) / (__c.nh - __c.nl) "
-        f"else element_at(__pts, size(__pts)).yd end)"
-    )
-    area = (
-        f"abs((__m.xa - __m.ax) * (element_at(__pts, i + 1).yd - __m.ya) "
-        f"- (__m.xa - element_at(__pts, i + 1).xd) * (__m.ay - __m.ya))"
-    )
-    best = (
-        f"aggregate(sequence(__c.lo, __c.hi - 1), "
-        f"named_struct('bi', __c.lo, 'ba', CAST(-1.0 AS DOUBLE)), "
-        f"(ac2, i) -> element_at(transform(array({area}), "
-        f"__ar -> case when __ar > ac2.ba then "
-        f"named_struct('bi', i, 'ba', __ar) else ac2 end), 1), "
-        f"ac2 -> ac2.bi)"
-    )
-    step = (
-        f"element_at(transform(array({bounds}), __c -> "
-        f"element_at(transform(array({metrics}), __m -> "
-        f"element_at(transform(array({best}), __b -> "
-        f"named_struct('a', __b, 's', concat(acc.s, array(__b)))"
-        f"), 1)), 1)), 1)"
-    )
-    fold = (
-        f"aggregate(sequence(0, ({n}) - 3), "
-        f"named_struct('a', 0, 's', CAST(array() AS ARRAY<INT>)), "
-        f"(acc, b) -> {step}, acc -> acc.s)"
-    )
-    body = (
-        f"case when size(__pts) = 0 then NULL "
-        f"when size(__pts) <= ({n}) then "
-        f"transform(__pts, p -> named_struct('x', p.x, 'y', p.y)) "
-        f"else transform(array_sort(array_distinct(concat(array(0), "
-        f"case when ({n}) >= 3 then {fold} else "
-        f"CAST(array() AS ARRAY<INT>) end, array(size(__pts) - 1)))), "
-        f"__i -> named_struct('x', element_at(__pts, __i + 1).x, "
-        f"'y', element_at(__pts, __i + 1).y)) end"
-    )
-    return (f"element_at(transform(array({pts0}), __p0 -> "
-            f"element_at(transform(array({norm}), __pts -> {body}), 1)"
-            f"), 1)")
 
 
-def _macro_bitstring(x: str, mn: str | None = None, mx: str | None = None) -> str:
-    """'0'/'1' string with bit (x - min) set (reference bitstring_agg;
-    BIT emulated as char string). 1-arg form derives bounds from the data."""
-    # values may exceed INT64 (HUGEINT input): keep bounds in DECIMAL(38,0)
-    # and only cast the OFFSET (x - min), which is bounded by the string
-    # width, down to INT
-    if mn is None:
-        mn_e, mx_e = (f"cast(min({x}) as decimal(38,0))",
-                      f"cast(max({x}) as decimal(38,0))")
-    else:
-        mn_e, mx_e = (f"cast(({mn}) as decimal(38,0))",
-                      f"cast(({mx}) as decimal(38,0))")
-    body = (
-        f"array_join(transform(sequence(0, cast({mx_e} - {mn_e} as int)), "
-        f"__i -> case when array_contains(collect_set(cast(({x}) as "
-        f"decimal(38,0))), cast(__i as decimal(38,0)) + {mn_e}) "
-        f"then '1' else '0' end), '')"
-    )
-    if mn is not None:
-        # explicit bounds: a value outside them is an error
-        # (reference bitstring_agg bind: Out of Range)
-        return (
-            f"if(max(case when cast(({x}) as decimal(38,0)) < {mn_e} or "
-            f"cast(({x}) as decimal(38,0)) > {mx_e} then 1 else 0 end) = 1, "
-            f"raise_error('Out of Range Error: Value is outside of provided "
-            f"min and max range'), {body})"
-        )
-    return body
 
 
 _LIST_AGG_NAMES = {"list_aggregate", "list_aggr", "array_aggregate", "array_aggr"}
 
 
-def _macro_list_aggregate(lst: str, fname_lit: str) -> str | None:
-    """list_aggregate(l, 'fn') — reference nested/list_aggregates.cpp.
-    Folds the named aggregate over the list with array HOFs."""
-    m = re.match(r"^'(\w+)'$", fname_lit.strip())
-    if not m:
-        return None
-    fn = m.group(1).lower()
-    # NULL typed as the element type (index 0 is rejected even by try_)
-    null0 = f"try_element_at(({lst}), 2147483647)"
-    if fn == "sum":
-        return (f"aggregate(({lst}), {null0}, "
-                f"(__a, __x) -> coalesce(__a + __x, __x, __a))")
-    if fn == "min":
-        return f"array_min({lst})"
-    if fn == "max":
-        return f"array_max({lst})"
-    if fn == "count":
-        return f"cast(size(filter(({lst}), __x -> __x is not null)) as bigint)"
-    if fn in ("avg", "mean"):
-        return (f"(aggregate(({lst}), cast({null0} as double), "
-                f"(__a, __x) -> coalesce(__a + __x, cast(__x as double), __a)) "
-                f"/ size(filter(({lst}), __x -> __x is not null)))")
-    if fn == "first":
-        return f"try_element_at(({lst}), 1)"
-    if fn == "last":
-        return f"try_element_at(({lst}), -1)"
-    if fn == "string_agg":
-        return f"array_join(({lst}), ',')"
-    return None
 
 
-def _macro_mad(x: str) -> str:
-    """mad(x): median absolute deviation (reference holistic/mad —
-    quantile machinery). Two-level median via sorted collect_list with
-    continuous interpolation, all JVM-side."""
-    s = f"array_sort(collect_list(cast({x} as double)))"
-    n = f"size({s})"
-
-    def med(arr: str) -> str:
-        return (
-            f"((element_at({arr}, cast(({n} + 1) div 2 as int)) + "
-            f"element_at({arr}, cast({n} div 2 + 1 as int))) / 2)"
-        )
-
-    m1 = med(s)
-    s2 = f"array_sort(transform({s}, __mv -> abs(__mv - {m1})))"
-    return f"if({n} = 0, null, {med(s2)})"
 
 
-def _macro_approx_top_k(x: str, k: str) -> str:
-    """approx_top_k(x, k) SQL surface (reference holistic/approx_top_k.cpp):
-    k most frequent values, most→least frequent, NULL on empty input. This
-    exact distinct-count form matches the oracle at test scale; the
-    mergeable filtered-space-saving sketch in operators/sketch.py is the
-    100 TB path."""
-    _check_topn(k, "approx_top_k")
-    lst = f"collect_list({x})"
-    ranked = (
-        f"array_sort(transform(array_distinct({lst}), __tv -> "
-        f"struct(cast(-size(filter({lst}, __ty -> __ty <=> __tv)) as bigint) as __negc, "
-        f"__tv as __v)))"
-    )
-    expr = f"transform(slice({ranked}, 1, {k}), __s -> __s.__v)"
-    return f"if(size({lst}) = 0, null, {expr})"
 
 
-def _check_topn(n_txt: str, fname: str) -> None:
-    t = n_txt.strip().lower()
-    if t == "null":
-        raise ValueError(f"Invalid input for {fname}: n value cannot be NULL")
-    try:
-        n = int(t)
-    except ValueError:
-        return  # non-literal n: no static check
-    if n <= 0:
-        raise ValueError(f"Invalid input for {fname}: n value must be > 0")
-    if n >= 1_000_000:
-        raise ValueError(f"Invalid input for {fname}: n value must be < 1000000")
 
 
-def _macro_minmax_n(x: str, n: str, want_max: bool) -> str:
-    _check_topn(n, "MIN/MAX")
-    if want_max:
-        cmp = ", (l, r) -> case when l > r then -1 when l < r then 1 else 0 end"
-    else:
-        cmp = ""
-    s = f"array_sort(collect_list({x}){cmp})"
-    # all-NULL/empty groups give NULL, not [] (reference minmax_n.cpp)
-    return f"if(size({s}) = 0, null, slice({s}, 1, {n}))"
 
 
 _TO_INTERVAL_FNS = {
@@ -6133,58 +5644,8 @@ _TO_INTERVAL_FNS = {
 }
 
 
-def _qdisc_pick(arr: str, qq: str) -> str:
-    """1-based discrete-quantile pick (reference quantile_sort_tree.hpp
-    Index(): max(1, n - floor(n - n*|q|)), descending order for q < 0 —
-    mapped onto the ascending array as position n - idx + 1)."""
-    n = f"size({arr})"
-    pos = f"greatest(1, {n} - cast(floor({n} - {n} * abs({qq})) as int))"
-    return (
-        f"if(({qq}) >= 0, try_element_at({arr}, {pos}), "
-        f"try_element_at({arr}, {n} - ({pos}) + 1))"
-    )
 
 
-def _macro_skew_kurt(name: str, x: str, over: str = "") -> str:
-    """Sample (bias-corrected) skewness/kurtosis, exact reference
-    semantics incl. the out-of-range runtime error (skew.cpp /
-    kurtosis.cpp); SQL twin of functions/aggregates.py. The optional OVER
-    clause attaches to every constituent aggregate (windowed form)."""
-    X = f"cast({x} as double)"
-    cn = f"cast(count({X}) {over} as double)"
-    s1, s2 = f"sum({X}) {over}", f"sum({X} * {X}) {over}"
-    s3 = f"sum({X} * {X} * {X}) {over}"
-    tmp = f"(1.0d / {cn})"
-    raw_m2 = f"({s2} - {s1} * {s1} * {tmp})"
-    var = f"({tmp} * {raw_m2})"
-    if name == "skewness":
-        target = (
-            f"(sqrt({cn} * ({cn} - 1)) / ({cn} - 2) * {tmp} * "
-            f"({s3} - 3 * {s2} * {s1} * {tmp} + "
-            f"2 * power({s1}, 3) * {tmp} * {tmp}) / "
-            f"sqrt(power({var}, 3)))"
-        )
-        guard_n, msg = 2, "SKEW is out of range!"
-    else:
-        s4 = f"sum({X} * {X} * {X} * {X}) {over}"
-        m4 = (
-            f"({tmp} * ({s4} - 4 * {s3} * {s1} * {tmp} + "
-            f"6 * {s2} * {s1} * {s1} * {tmp} * {tmp} - "
-            f"3 * power({s1}, 4) * power({tmp}, 3)))"
-        )
-        target = (
-            f"(({cn} - 1) * (({cn} + 1) * {m4} / ({var} * {var}) - "
-            f"3 * ({cn} - 1)) / (({cn} - 2) * ({cn} - 3)))"
-        )
-        guard_n, msg = 3, "Kurtosis is out of range!"
-    return (
-        f"(case when {cn} <= {guard_n} then cast(null as double) "
-        f"when {raw_m2} = 0 then cast(null as double) "
-        f"when {var} <= 0 then cast(null as double) "
-        f"when isnan({target}) or abs({target}) = cast('Infinity' as double) "
-        f"then cast(raise_error('{msg}') as double) "
-        f"else {target} end)"
-    )
 
 
 
@@ -6194,460 +5655,21 @@ _MAPCTOR_SHAPE = re.compile(
 )
 
 
-def _macro_struct_search(name: str, s: str, v: str) -> str | None:
-    """struct_contains / struct_position over a VISIBLE struct constructor
-    (reference struct_contains.cpp): fold the member list out of the
-    constructor text. Non-constructor struct expressions need schema
-    knowledge this layer doesn't have — left unresolved."""
-    t = s.strip()
-    if t.upper() == "NULL" or re.match(r"(?is)^cast\s*\(\s*null\b", t):
-        return ("cast(null as boolean)" if name == "struct_contains"
-                else "cast(null as int)")
-    vals: list[str] | None = None
-    if re.match(r"(?s)^\{", t):
-        raise ValueError(
-            f"Binder Error: {name} can only be used on unnamed structs "
-            f"(tuples)"
-        )
-    m = re.match(r"(?is)^(named_struct|struct)\s*\(", t)
-    if m and t.endswith(")"):
-        inner = _split_top_args(_tokens(t[m.end():-1]))
-        if m.group(1).lower() == "named_struct":
-            keys = [re.sub(r"^'(.*)'$", r"\1", p.strip())
-                    for p in inner[0::2]]
-            if keys and keys != [f"col{i + 1}" for i in range(len(keys))]:
-                raise ValueError(
-                    f"Binder Error: {name} can only be used on unnamed "
-                    f"structs (tuples)"
-                )
-            vals = inner[1::2]
-        else:
-            vals = inner
-    if not vals:
-        return None
-
-    # type-strict member matching (reference struct_contains.cpp binds the
-    # target to each member's own type: VARCHAR '1' never matches an
-    # INTEGER member — Spark's <=> would coerce and match)
-    def _kind(e: str) -> str | None:
-        t2 = e.strip()
-        if re.fullmatch(r"'(?:[^']|'')*'", t2):
-            return "str"
-        if re.fullmatch(r"(?i)(true|false)", t2):
-            # max-logical-type coercion: BOOLEAN and numerics share a
-            # family (struct_contains.test "cast to max logical type":
-            # struct_contains(ROW(1,2,3), TRUE) is true)
-            return "num"
-        if re.fullmatch(r"(?i)-?\d+(\.\d+)?(e-?\d+)?", t2):
-            return "num"
-        return None
-
-    def _shape(e: str) -> str | None:
-        t2 = e.strip()
-        if re.match(r"(?is)^(array|list_value)\s*\(", t2) or \
-                t2.startswith("["):
-            return "list"
-        if re.match(r"(?is)^(named_struct|struct|row)\s*\(", t2):
-            return "struct"
-        if _MAPCTOR_SHAPE.match(t2):
-            return "map"
-        if _kind(e) is not None:
-            return "scalar"
-        return None
-
-    tk = _kind(v)
-    vshape = _shape(v)
-    ok = [
-        (tk is None or _kind(e) is None or _kind(e) == tk)
-        and (vshape is None or _shape(e) is None or _shape(e) == vshape)
-        for e in vals
-    ]
-
-    # non-literal members/targets get a runtime typeof-family guard (the
-    # nested if keeps the value comparison lazy, so e.g. a VARCHAR '2'
-    # never hits a BOOLEAN member's implicit cast at runtime)
-    def _fam(e: str) -> str:
-        return (
-            f"(case when typeof({e}) in ('tinyint', 'smallint', 'int', "
-            f"'bigint', 'float', 'double') or typeof({e}) like 'decimal%' "
-            f"then 'num' else typeof({e}) end)"
-        )
-
-    _MAPCTOR = re.compile(r"(?is)^\s*(map|map_from_arrays|map_from_entries)\s*\(")
-
-    def _cmp(e: str) -> str:
-        if _MAPCTOR.match(e) or _MAPCTOR.match(v):
-            # Spark cannot <=> MAP values; JSON text is order-stable for
-            # constructor-built maps (reference nested-type comparison)
-            return f"(to_json({e}) <=> to_json({v}))"
-        if _kind(e) is not None and tk is not None:
-            def _b(x: str) -> str:
-                # bool literal in a num comparison: Spark won't coerce
-                # BOOLEAN <=> INT — cast explicitly (TRUE → 1)
-                return (f"CAST(({x}) AS INT)"
-                        if re.fullmatch(r"(?i)\s*(true|false)\s*", x)
-                        else f"({x})")
-            return f"({_b(e)} <=> {_b(v)})"
-        return (
-            f"if({_fam(e)} = {_fam(v)}, (({e}) <=> ({v})), false)"
-        )
-
-    if name == "struct_contains":
-        ors = " or ".join(
-            _cmp(e) for e, k in zip(vals, ok) if k
-        ) or "false"
-        return f"(case when ({v}) is null then cast(null as boolean) else ({ors}) end)"
-    hits = ", ".join(
-        f"if({_cmp(e)}, {i + 1}, cast(null as int))"
-        for i, (e, k) in enumerate(zip(vals, ok)) if k
-    ) or "cast(null as int)"
-    return (
-        f"try_element_at(filter(array({hits}), __p -> __p is not null), 1)"
-    )
 
 
-def _macro_try(x: str) -> str:
-    """TRY(expr): arithmetic/casts inside become non-throwing (reference
-    TRY expression). Casts → try_cast; the top-level binary chain →
-    try_add/try_subtract/try_multiply; `/` keeps DuckDB's double-division
-    semantics (x/0 → ±inf / nan, which TRY does not nullify)."""
-    toks = _tokens(x)
-    for idx, t in enumerate(toks):
-        if t.lower() == "cast":
-            toks[idx] = "try_cast"
-    # rightmost lowest-precedence top-level binary operator
-    depth = 0
-    split_at, split_op = -1, None
-    best_tier = 99
-    for idx, t in enumerate(toks):
-        if t in "([":
-            depth += 1
-        elif t in ")]":
-            depth -= 1
-        elif depth == 0 and t in ("+", "-", "*", "/"):
-            p = idx - 1
-            while p >= 0 and toks[p].isspace():
-                p -= 1
-            if p < 0 or not (re.match(r"^[A-Za-z_0-9'\"]", toks[p])
-                             or toks[p] in (")", "]")):
-                continue  # unary sign
-            tier = 0 if t in ("+", "-") else 1
-            if tier <= best_tier:
-                best_tier, split_at, split_op = tier, idx, t
-    if split_at < 0:
-        return "(" + "".join(toks) + ")"
-    lhs = _macro_try("".join(toks[:split_at]))
-    rhs = _macro_try("".join(toks[split_at + 1:]))
-    if split_op == "/":
-        # _rewrite_division has already nullif-wrapped the denominator
-        # (x/0 → NULL for plain division); under TRY the reference keeps
-        # the ieee result, so unwrap or the zero probe below never fires
-        # (test_try_filter_doesnt_mutate_columns.test:127)
-        rs = rhs.strip()
-        if rs.startswith("(") and rs.endswith(")"):
-            rs = rs[1:-1].strip()
-        if re.match(r"(?is)^nullif\s*\(", rs) and \
-                rs.rstrip().endswith(", 0.0d)"):
-            inner = rs[rs.index("(") + 1:rs.rstrip().rfind(", 0.0d)")]
-            if inner.count("(") == inner.count(")"):
-                rhs = f"({inner.strip()})"
-        return (
-            f"(case when cast(({rhs}) as double) = 0 and ({lhs}) is not null "
-            f"then (case when ({lhs}) > 0 then cast('Infinity' as double) "
-            f"when ({lhs}) < 0 then cast('-Infinity' as double) "
-            f"else cast('NaN' as double) end) "
-            f"else try_divide({lhs}, {rhs}) end)"
-        )
-    fn = {"+": "try_add", "-": "try_subtract", "*": "try_multiply"}[split_op]
-    return f"{fn}({lhs}, {rhs})"
 
 
-def _macro_arg_n(
-    v: str, k: str, n: str, want_max: bool,
-    order: str | None = None, order_desc: bool = False,
-    nulls_last: bool = False,
-) -> str:
-    """arg_min/arg_max(v, k, n): the n values for the extreme n keys
-    (reference minmax_n.cpp: fixed-size heap fed in input order, NULL keys
-    skipped). With an ORDER BY modifier the heap sees rows in that order,
-    so ties on the key keep the first-seen rows but surface in reverse —
-    emulated as: select by (key, order) then present by (key, -order)."""
-    _check_topn(n, "arg_min/arg_max")
-    fields = f"({k}) as __k, ({v}) as __v"
-    if order is not None:
-        fields = f"({k}) as __k, ({order}) as __o, ({v}) as __v"
-    if nulls_last:
-        # _nulls_last variants keep NULL keys, ordered after everything
-        s = f"collect_list(struct({fields}))"
-        null_arms = (
-            "when (l.__k is null) and (r.__k is null) then 0 "
-            "when l.__k is null then 1 when r.__k is null then -1 "
-        )
-    else:
-        s = f"filter(collect_list(struct({fields})), __s -> __s.__k is not null)"
-        null_arms = ""
-    if want_max:
-        p = f"case {null_arms}when l.__k > r.__k then -1 when l.__k < r.__k then 1 "
-    else:
-        p = f"case {null_arms}when l.__k < r.__k then -1 when l.__k > r.__k then 1 "
-    if order is None:
-        picked = f"slice(array_sort({s}, (l, r) -> {p}else 0 end), 1, {n})"
-    else:
-        asc = "when l.__o < r.__o then -1 when l.__o > r.__o then 1 "
-        desc = "when l.__o > r.__o then -1 when l.__o < r.__o then 1 "
-        sec_sel, sec_out = (desc, asc) if order_desc else (asc, desc)
-        sel = f"array_sort({s}, (l, r) -> {p}{sec_sel}else 0 end)"
-        picked = f"array_sort(slice({sel}, 1, {n}), (l, r) -> {p}{sec_out}else 0 end)"
-    # empty/all-skipped groups give NULL, not [] (reference minmax_n.cpp)
-    return f"if(size({s}) = 0, null, transform({picked}, __s -> __s.__v))"
 
 
 _SQL_LIT_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
 
 
-def _parse_const(txt: str):
-    """Literal SQL scalar → Python value (for equi_width_bins folding).
-    Returns (ok, value)."""
-    import datetime as _dt
-
-    s = txt.strip()
-    low = s.lower()
-    if low in ("true", "false"):
-        return True, low == "true"
-    if low == "null":
-        return True, None
-    m = re.match(r"(?is)^(date|timestamp)\s*'([^']*)'$", s)
-    if m is None:
-        # the prelude rewrites TIMESTAMP literals to their NTZ cast form
-        cm = re.match(
-            r"(?is)^cast\s*\(\s*'([^']*)'\s+as\s+timestamp_ntz\s*\)$", s)
-        if cm:
-            m = re.match(r"(?is)^(date|timestamp)\s*'([^']*)'$",
-                         "timestamp '" + cm.group(1) + "'")
-    if m:
-        try:
-            if m.group(1).lower() == "date":
-                return True, _dt.date.fromisoformat(m.group(2))
-            txt = m.group(2).strip()
-            # tolerate single-digit time fields ('2024-06-22 9:00:00')
-            tm = re.match(
-                r"^(\d{4})-(\d{1,2})-(\d{1,2})(?:[ T](\d{1,2}):(\d{1,2})"
-                r"(?::(\d{1,2})(?:\.(\d{1,6}))?)?)?$",
-                txt,
-            )
-            if not tm:
-                return False, None
-            y, mo, d = int(tm.group(1)), int(tm.group(2)), int(tm.group(3))
-            h = int(tm.group(4) or 0)
-            mi = int(tm.group(5) or 0)
-            sec = int(tm.group(6) or 0)
-            us = int((tm.group(7) or "0").ljust(6, "0"))
-            return True, _dt.datetime(y, mo, d, h, mi, sec, us)
-        except ValueError:
-            return False, None
-    if _SQL_LIT_RE.match(s):
-        if "." in s or "e" in low:
-            return True, float(s)
-        return True, int(s)
-    return False, None
 
 
-def _fold_equi_width_bins(args: list[str]) -> str | None:
-    """Constant-fold equi_width_bins(min, max, n, nice) with literal args
-    into an inline array literal; non-literal args stay unresolved (the
-    reference exposes this as a scalar fn, but every practical call site
-    feeds histogram() with constants)."""
-    import datetime as _dt
-
-    if len(args) != 4:
-        return None
-    vals = []
-    for a in args:
-        ok, v = _parse_const(a)
-        if not ok:
-            return None
-        vals.append(v)
-    from duckdb_spark.functions.binning import equi_width_bins
-
-    bins = equi_width_bins(*vals)  # raises ValueError on reference errors
-    parts = []
-    for b in bins:
-        if isinstance(b, _dt.datetime):
-            txt = b.strftime("%Y-%m-%d %H:%M:%S") + (
-                f".{b.microsecond:06d}".rstrip("0") if b.microsecond else "")
-            # NTZ cast form: a bare TIMESTAMP literal is the instant type
-            # in Spark and the renderer would print a '+00' suffix
-            parts.append(f"cast('{txt}' as timestamp_ntz)")
-        elif isinstance(b, _dt.date):
-            parts.append(f"date '{b.isoformat()}'")
-        elif isinstance(b, float):
-            parts.append(f"cast('{b!r}' as double)")
-        else:
-            parts.append(str(b))
-    return "array(" + ", ".join(parts) + ")"
 
 
-def _struct_literal_pairs(text: str) -> list[tuple[str, str]] | None:
-    """named_struct('k', v, ...) text → [(k, v)] or None."""
-    t = text.strip()
-    m = re.match(r"(?is)^named_struct\s*\(", t)
-    if not m or not t.endswith(")"):
-        return None
-    parts = _split_top_args(_tokens(t[m.end():-1]))
-    if len(parts) % 2:
-        return None
-    pairs = []
-    for k, v in zip(parts[::2], parts[1::2]):
-        km = re.match(r"(?s)^\s*'(.*)'\s*$", k)
-        if not km:
-            return None
-        pairs.append((km.group(1), v.strip()))
-    return pairs
 
 
-def _macro_unnest(args: list[str]) -> str | None:
-    """UNNEST named-arg forms (reference unnest.cpp):
-    - struct literal → inline(array(named_struct(...))) column expansion,
-      recursively flattened for recursive:=true / max_depth:=N, with
-      keep_parent_names:=true dotted spellings
-    - nested-list literal/cast + recursive → explode(flatten^k)
-    """
-    arg = args[0]
-    recursive, keep_parent = False, False
-    max_depth = None
-    for extra in args[1:]:
-        em = re.match(r"(?is)^\s*(\w+)\s*:\s*=\s*(.*)$", extra)
-        if not em:
-            return None
-        key, val = em.group(1).lower(), em.group(2).strip().lower()
-        if key == "recursive":
-            if val not in ("true", "false"):
-                raise ValueError(
-                    f"Binder Error: Could not convert string '{val}' to BOOL"
-                )
-            recursive = val == "true"
-        elif key == "max_depth":
-            try:
-                max_depth = int(val)
-            except ValueError:
-                raise ValueError(
-                    f"Binder Error: Could not convert string '{val}' to BIGINT"
-                ) from None
-        elif key == "keep_parent_names":
-            if val not in ("true", "false"):
-                raise ValueError(
-                    f"Binder Error: Could not convert string '{val}' to BOOL"
-                )
-            keep_parent = val == "true"
-        else:
-            raise ValueError(
-                f'Binder Error: Unsupported parameter "{em.group(1)}" for unnest'
-            )
-    if max_depth is not None and max_depth <= 0:
-        raise ValueError("Binder Error: unnest cannot have a max depth of 0")
-    depth = max_depth if max_depth is not None else (10**6 if recursive else 1)
-    if arg.strip().upper() == "NULL":
-        # bare NULL: zero rows whatever the (unknowable) element type
-        return "explode(cast(null as array<int>))"
-
-    def flatten(text: str, levels: int, prefix: str) -> list[tuple[str, str]] | None:
-        pairs = _struct_literal_pairs(text)
-        if pairs is None:
-            return None
-        # unnamed tuples flatten as element1..N and never contribute a
-        # parent prefix (reference unnest naming;
-        # unnest_column_names.test:54)
-        unnamed = [k for k, _ in pairs] == [
-            f"col{x + 1}" for x in range(len(pairs))]
-        fields: list[tuple[str, str]] = []
-        for x, (k, v) in enumerate(pairs):
-            kk = f"element{x + 1}" if unnamed else k
-            label = kk if unnamed else f"{prefix}{kk}"
-            sub = (
-                flatten(v, levels - 1, f"{label}." if keep_parent else "")
-                if levels > 1 else None
-            )
-            if sub is not None:
-                fields.extend(sub)
-            else:
-                fields.append((label, v))
-        return fields
-
-    if arg.lstrip().startswith(("named_struct(", "{")):
-        if depth <= 1:
-            pairs0 = _struct_literal_pairs(arg)
-            if pairs0 is not None and [k for k, _ in pairs0] == [
-                f"col{x + 1}" for x in range(len(pairs0))
-            ]:
-                # unnamed tuple: single-level unnest renames to
-                # element1..N (reference unnest naming;
-                # unnest_column_names.test:64)
-                body0 = ", ".join(
-                    f"'element{x + 1}', ({v})"
-                    for x, (_, v) in enumerate(pairs0)
-                )
-                return f"inline(array(named_struct({body0})))"
-            return f"inline(array({arg}))"
-        flat = flatten(arg, depth, "")
-        if flat is None:
-            return f"inline(array({arg}))"
-        # duplicate flattened names dedup with _N suffixes (reference
-        # unnest.cpp; unnest_struct.test:100 — a, a_1)
-        seen: dict[str, int] = {}
-        dedup: list[tuple[str, str]] = []
-        for k, v in flat:
-            n0 = seen.get(k, 0)
-            seen[k] = n0 + 1
-            dedup.append((k if n0 == 0 else f"{k}_{n0}", v))
-        body = ", ".join(f"'{k}', ({v})" for k, v in dedup)
-        return f"inline(array(named_struct({body})))"
-    if not args[1:]:
-        return None  # plain list unnest: the explode rename handles it
-
-    def elems_of(text: str) -> list[str] | None:
-        t2 = text.strip()
-        m2 = re.match(r"(?is)^array\s*\(", t2)
-        if not m2 or not t2.endswith(")"):
-            return None
-        return [
-            e.strip() for e in _split_top_args(_tokens(t2[m2.end():-1]))
-        ]
-
-    # literal list tree: peel one list level per depth unit, then (budget
-    # permitting) expand struct-literal elements into columns via inline()
-    rows = [arg]
-    budget = depth
-    peeled = 0
-    while budget > 0:
-        es = [elems_of(r) for r in rows]
-        if not es or any(e is None for e in es):
-            break
-        rows = [x for e in es for x in e]
-        budget -= 1
-        peeled += 1
-    if peeled and budget > 0 and rows and all(
-        _struct_literal_pairs(r) is not None for r in rows
-    ):
-        outs = []
-        for e in rows:
-            flat = flatten(e, budget, "")
-            body = ", ".join(f"'{k}', ({v})" for k, v in flat)
-            outs.append(f"named_struct({body})")
-        return "inline(array(" + ", ".join(outs) + "))"
-    if peeled:
-        return "explode(array(" + ", ".join(rows) + "))"
-    # non-literal nested list: flatten per the visible type text
-    low = arg.lower()
-    nest = max(
-        low.count("array<") - 1,
-        len(re.findall(r"(?i)\barray\s*\(\s*array", arg)),
-    )
-    if "[" in arg and nest == 0:
-        nest = max(low.count("[") - 1, 0)
-    inner = arg
-    for _ in range(min(nest, depth - 1)):
-        inner = f"flatten({inner})"
-    return f"explode({inner})"
 
 
 _TUPLE_PREV_WORDS = {
@@ -7168,596 +6190,8 @@ def _unify_array_struct_elems(toks: list[str]) -> list[str]:
     return out
 
 
-def _agg_macro(name: str, args: list[str]) -> str | None:
-    """Dispatch: returns replacement text, or None to leave the call."""
-    n = len(args)
-    if name == "product" and n == 1:
-        m = re.match(r"(?is)^\s*DISTINCT\s+(.*)$", args[0])
-        if m:
-            return _macro_product_distinct(m.group(1).strip())
-        return _macro_product(args[0])
-    if name == "row":
-        # ROW(…) builds an unnamed struct: explicit colN names are the
-        # tuple marker the renderers translate back to (a, b) syntax
-        # (reference types.hpp TUPLE; Spark struct() would inherit
-        # column names)
-        kv = ", ".join(f"'col{i + 1}', {a}" for i, a in enumerate(args))
-        return f"named_struct({kv})"
-    if name == "avg" and n == 1 and re.search(
-        r"(?is)::\s*TIMESTAMPTZ\b|\bAS\s+TIMESTAMPTZ\b|timestamp_ltz|"
-        r"\bAS\s+TIMESTAMP\s+WITH\b|\bAS\s+timestamp\s*\)", args[0],
-    ) and not re.search(r"(?i)timestamp_ntz|unix_micros", args[0]):
-        # avg over TIMESTAMPTZ keeps the instant type (Spark silently
-        # coerces the timestamp to DOUBLE seconds)
-        a = args[0]
-        return (
-            f"timestamp_micros(cast(avg(unix_micros(to_timestamp(({a}))))"
-            f" as bigint))"
-        )
-    if name == "median" and n == 1 and re.search(
-        r"(?is)\bCAST\s*\(.*\bAS\s+(VARCHAR|STRING|TEXT)\s*\)|::\s*"
-        r"(VARCHAR|STRING|TEXT)\b|^\s*'", args[0].strip(),
-    ):
-        # median over VARCHAR takes the lexicographic lower-middle element
-        # (reference quantile_disc 0.5 over orderable types); Spark's
-        # native median would silently coerce the string to DOUBLE
-        a = args[0]
-        return (
-            f"element_at(array_sort(collect_list({a})), "
-            f"greatest(1, CAST(ceil(count(({a})) * 0.5) AS INT)))"
-        )
-    if name == "histogram" and n == 1:
-        r = _macro_histogram(args[0])
-        # TIME-micros / packed-TIMETZ keys: mark so the renderer formats
-        # map keys (test_histogram.test:94,99)
-        if "__dktz" in args[0]:
-            return f"__dktzm({r})"
-        return f"__dktmm({r})" if "__dktm" in args[0] else r
-    if name == "histogram" and n == 2:
-        return _macro_histogram_binned(args[0], args[1])
-    if name == "histogram_exact" and n == 2:
-        return _macro_histogram_exact(args[0], args[1])
-    if name == "typeof" and n == 1:
-        a0 = args[0].strip().lower().replace(" ", "")
-        if a0 == "struct_pack()":
-            # empty named struct: Spark can't distinguish it from row()
-            # at the type level — fold (test_tuple.test:46)
-            return "'STRUCT'"
-        if a0 == "row()":
-            return "'TUPLE'"
-        # DuckDB type spelling over Spark's typeof (reference
-        # LogicalType::ToString; __ducktype registered in functions/registry)
-        return f"__ducktype(typeof({args[0]}))"
-    if name == "make_timestamp_ns" and n == 1:
-        # TIMESTAMP_NS carried as BIGINT epoch nanos (SURVEY §1.2: Spark
-        # has no ns timestamp; the µs cast would collapse sub-µs values)
-        return f"CAST(({args[0]}) AS BIGINT)"
-    if name == "epoch_ns" and n == 1:
-        # ns for the BIGINT carrier, µs*1000 for real timestamps
-        return (f"case when typeof(({args[0]})) in ('bigint', 'int') then "
-                f"CAST(({args[0]}) AS BIGINT) else "
-                f"unix_micros(CAST(({args[0]}) AS TIMESTAMP_LTZ)) * 1000 "
-                f"end")
-    if name == "bit_length" and n == 1 and (
-        re.match(r"(?is)^\s*array_join\s*\(\s*transform\s*\(\s*sequence",
-                 args[0])
-        or re.search(r"(?is)as\s+binary\s*\)\s*$", args[0])
-    ):
-        # bit_length of a BIT value counts BITS (reference
-        # bit_functions.hpp) — our emulation stores one char per bit
-        return f"length(CAST(({args[0]}) AS STRING))"
-    if name == "get_bit" and n == 2:
-        # BIT emulation is a binary of ASCII '0'/'1' (SURVEY §1.2;
-        # reference bit_functions.hpp) — 0-indexed from the left
-        return (f"CAST(substr(CAST(({args[0]}) AS STRING), "
-                f"CAST(({args[1]}) AS INT) + 1, 1) AS INT)")
-    if name == "set_bit" and n == 3:
-        s = f"CAST(({args[0]}) AS STRING)"
-        return (f"CAST(concat(substr({s}, 1, CAST(({args[1]}) AS INT)), "
-                f"CAST(({args[2]}) AS STRING), "
-                f"substr({s}, CAST(({args[1]}) AS INT) + 2)) AS BINARY)")
-    if name == "bit_position" and n == 2:
-        return (f"instr(CAST(({args[1]}) AS STRING), "
-                f"CAST(({args[0]}) AS STRING))")
-    if name == "bitstring_agg" and n == 1:
-        return _macro_bitstring(args[0])
-    if name == "bitstring_agg" and n == 3:
-        return _macro_bitstring(args[0], args[1], args[2])
-    if name in ("min", "max") and n == 2:
-        return _macro_minmax_n(args[0], args[1], want_max=name == "max")
-    if name in ("arg_min", "arg_max", "min_by", "max_by") and n == 2:
-        # DuckDB ignores rows whose VALUE is NULL (arg_min_max.cpp); Spark
-        # min_by/max_by would happily return that NULL — guard the key
-        fn = "max_by" if name in ("arg_max", "max_by") else "min_by"
-        a0, a1 = args[0].strip(), args[1].strip()
-        # DISTINCT is a no-op for arg_min/arg_max (min over distinct
-        # pairs = min over all pairs) — strip it
-        a0 = re.sub(r"(?is)^DISTINCT\s+", "", a0)
-        return f"{fn}({a0}, case when ({a0}) is not null then ({a1}) end)"
-    if name in ("arg_min", "arg_max", "min_by", "max_by") and n == 3:
-        return _macro_arg_n(
-            args[0], args[1], args[2], want_max=name in ("arg_max", "max_by")
-        )
-    if name == "equi_width_bins":
-        return _fold_equi_width_bins(args)
-    if name in _RANGE_FNS and 1 <= n <= 3:
-        # scalar list form (reference range.cpp registers both)
-        return _seq_expr(name, args)
-    if name in _LIST_AGG_NAMES and n == 2:
-        return _macro_list_aggregate(args[0], args[1])
-    if name == "approx_top_k" and n == 2:
-        return _macro_approx_top_k(args[0], args[1])
-    if name == "mad" and n == 1:
-        return _macro_mad(args[0])
-    if name == "sem" and n == 1:
-        # standard error of the mean (reference sem: stddev_pop/sqrt(n))
-        return f"(stddev_pop({args[0]}) / sqrt(count({args[0]})))"
-    if name in ("skewness", "kurtosis") and n == 1:
-        return _macro_skew_kurt(name, args[0])
-    if name == "entropy" and n == 1:
-        # Shannon entropy (log2) over value counts, NULLs ignored; empty
-        # input and all-NULL input give 0 (reference entropy.cpp)
-        x = args[0]
-        lst = f"collect_list({x})"
-        cnts = (
-            f"transform(array_distinct({lst}), "
-            f"__ek -> size(filter({lst}, __ev -> __ev <=> __ek)))"
-        )
-        return (
-            f"coalesce(aggregate({cnts}, cast(0 as double), (__acc, __c) -> "
-            f"__acc - (__c / size({lst})) * log2(__c / size({lst}))), "
-            f"cast(0 as double))"
-        )
-    if name in ("weighted_avg", "wavg") and n == 2:
-        # sum(v*w)/sum(w) skipping rows where v OR w is NULL; an all-zero
-        # weight sum yields NaN (reference weighted_avg semantics)
-        v, w = args[0], args[1]
-        g = f"({v}) is not null and ({w}) is not null"
-        num = f"sum(case when {g} then cast({v} as double) * ({w}) end)"
-        den = f"sum(case when {g} then cast({w} as double) end)"
-        return (
-            f"(case when ({den}) = 0 then cast('NaN' as double) "
-            f"else ({num}) / ({den}) end)"
-        )
-    if name == "avg" and n == 1 and "__dktz" in args[0]:
-        # avg(TIMETZ) averages the UTC-normalised times and renders at
-        # +00 (reference time_tz avg; test_avg.test:178)
-        x = f"({_strip_time_markers(args[0])})"
-        us = f"CAST(floor({x} / {_TIMETZ_OFF_MOD}) AS BIGINT)"
-        off = f"({_TIMETZ_MAX_OFFSET} - pmod({x}, {_TIMETZ_OFF_MOD}))"
-        norm = f"pmod({us} - {off} * 1000000, 86400000000)"
-        return (f"__dktz(CAST(round(avg({norm})) AS BIGINT) "
-                f"* {_TIMETZ_OFF_MOD} + {_TIMETZ_MAX_OFFSET})")
-    if name in ("stddev", "stddev_samp", "stddev_pop", "var_samp",
-                "var_pop", "variance") and n == 1 and not re.match(
-                    r"(?is)^\s*DISTINCT\b", args[0]):
-        # IEEE overflow parity: squared deviations of ±1e301 overflow to
-        # +inf; Spark's central-moment fold yields NaN where the
-        # reference propagates inf (test_stddev.test:140). A NaN result
-        # over NaN-free input can only be overflow.
-        fn = {"stddev": "stddev_samp", "variance": "var_samp"}.get(
-            name, name)
-        a = args[0]
-        ad = f"cast(({a}) as double)"
-        # non-finite inputs legitimately produce NaN (inf - inf)
-        return (
-            f"(case when isnan({fn}({a})) and count_if(isnan({ad}) or "
-            f"abs({ad}) = cast('Infinity' as double)) = 0 "
-            f"then cast('Infinity' as double) else {fn}({a}) end)"
-        )
-    if name in ("regr_sxx", "regr_syy") and n == 2:
-        # overflow parity: Σ(x-μ)² of ±2e230 values is IEEE +inf where
-        # Spark's fold gives NaN (test_regression.test:121)
-        a = args[0 if name == "regr_syy" else 1]
-        ad = f"cast(({a}) as double)"
-        nat = f"{name}({args[0]}, {args[1]})"
-        return (
-            f"(case when isnan({nat}) and count_if(isnan({ad}) or "
-            f"abs({ad}) = cast('Infinity' as double)) = 0 "
-            f"then cast('Infinity' as double) else {nat} end)"
-        )
-    if name == "regr_r2" and n == 2:
-        # reference regr_functions: var_pop(x)=0 → NULL, var_pop(y)=0 →
-        # 1, else corr²; extreme values overflow Spark's fold to NaN
-        # where the IEEE corr² limit is 0 (test_regression.test:98)
-        y, x = args[0], args[1]
-        nn = f"(({y}) is not null and ({x}) is not null)"
-        vx = f"var_pop(case when {nn} then cast(({x}) as double) end)"
-        vy = f"var_pop(case when {nn} then cast(({y}) as double) end)"
-        nat = f"regr_r2({y}, {x})"
-        return (
-            f"(case when {vx} = 0 then cast(null as double) "
-            f"when {vy} = 0 then cast(1.0 as double) "
-            f"when isnan({nat}) and count_if("
-            f"isnan(cast(({y}) as double)) or "
-            f"isnan(cast(({x}) as double)) or "
-            f"abs(cast(({y}) as double)) = cast('Infinity' as double) or "
-            f"abs(cast(({x}) as double)) = cast('Infinity' as double)"
-            f") = 0 "
-            f"then cast(0.0 as double) else {nat} end)"
-        )
-    if name in ("fsum", "sumkahan", "kahan_sum", "favg") and n == 1:
-        # Kahan-compensated float sum/avg (reference sum.cpp FSUM/FAVG):
-        # exact decimal accumulation, surfaced back as double
-        agg = "avg" if name == "favg" else "sum"
-        return f"cast({agg}(cast({args[0]} as decimal(38,8))) as double)"
-    if name in ("quantile_disc", "quantile", "quantile_cont"):
-        # argument validation (reference quantile.cpp binder:
-        # test_quantile_cont.test:175-186, test_quantile_disc_list:183)
-        if n > 2 or (name == "quantile_cont" and n == 1):
-            raise ValueError(
-                "Binder Error: No function matches the given name and "
-                f"argument types '{name}(...)'. You might need to add "
-                "explicit type casts."
-            )
-        if n == 2:
-            q1 = args[1].strip()
-            if re.match(r"(?is)^(named_struct|struct)\s*\(", q1) or (
-                q1.startswith("(") and q1.endswith(")")
-                and _has_top_level_comma(_tokens(q1[1:-1]))
-            ):
-                raise ValueError(
-                    "Binder Error: No function matches the given name "
-                    f"and argument types '{name}(DOUBLE, STRUCT)'. You "
-                    "might need to add explicit type casts."
-                )
-            am = re.match(r"(?is)^array\s*\(", q1)
-            if am and q1.endswith(")"):
-                lits = [x.strip() for x in
-                        _split_top_args(_tokens(q1[am.end():-1]))]
-                if any(x.upper() == "NULL" for x in lits):
-                    raise ValueError(
-                        "Binder Error: QUANTILE parameter cannot be NULL"
-                    )
-                nums = [x for x in lits
-                        if re.fullmatch(r"-?\s*\d+\.?\d*|-?\s*\.\d+", x)]
-                if len(nums) == len(lits) and nums:
-                    if any(x.startswith("-") for x in nums) and \
-                            any(not x.startswith("-") for x in nums):
-                        raise ValueError(
-                            "Binder Error: QUANTILE parameters must have "
-                            "consistent signs"
-                        )
-    if name in ("quantile_disc", "quantile") and n == 2:
-        # `quantile` is the reference's alias for the discrete form
-        r = _macro_quantile_disc(args[0], args[1])
-        if "__dktm" in args[0] or "__dktz" in args[0]:
-            z = "z" if "__dktz" in args[0] else "m"
-            lm = f"__dkt{z}l" if re.match(r"(?is)^\s*array\s*\(", args[1]) \
-                else f"__dkt{z}"
-            return f"{lm}({r})"
-        return r
-    if name in ("quantile_disc", "quantile") and n == 1:
-        r = _macro_quantile_disc(args[0], "0.5")
-        if "__dktz" in args[0]:
-            return f"__dktz({r})"
-        return f"__dktm({r})" if "__dktm" in args[0] else r
-    if name in ("approx_quantile", "reservoir_quantile") and n in (2, 3) \
-            and ("__dktz" in args[0] or "__dktm" in args[0]):
-        # approximate quantiles over the packed TIME/TIMETZ carrier: the
-        # packed BIGINT orders by time-of-day, so the percentile is valid
-        # on the carrier — re-mark the result for rendering
-        # (test_approx_quantile.test:110; the optional third arg is the
-        # reservoir/sample size, irrelevant to the exact local percentile)
-        z = "z" if "__dktz" in args[0] else "m"
-        r = f"approx_percentile({args[0]}, {args[1]})"
-        lm = f"__dkt{z}l" if re.match(r"(?is)^\s*array\s*\(", args[1]) \
-            else f"__dkt{z}"
-        return f"{lm}({r})"
-    if name == "quantile_cont" and n == 2:
-        if re.match(r"(?is)^\s*array\s*\(\s*'", args[1]) or re.search(
-            r"(?i)::\s*(varchar|string|text)\b|\bAS\s+(STRING|VARCHAR|TEXT)\b",
-            args[0],
-        ):
-            # VARCHAR inputs / string fractions don't interpolate
-            # (test_quantile_cont_list.test:155,161)
-            raise ValueError(
-                "Binder Error: No function matches the given name and "
-                "argument types 'quantile_cont(VARCHAR)'. You might need "
-                "to add explicit type casts."
-            )
-        if re.match(r"(?s)^\s*array\s*\(\s*\)\s*$", args[1]):
-            # empty fraction list → empty list result, still an aggregate
-            # (test_quantile_cont_list.test:88)
-            return f"slice(array(percentile({args[0]}, 0.5)), 1, 0)"
-        if re.match(r"^\s*-", args[1]):
-            # negative fraction = quantile taken from the top (reference
-            # quantile.cpp descending fractions; test_quantile_cont:128)
-            return f"percentile({args[0]}, 1.0 + ({args[1]}))"
-        # DECIMAL inputs: the reference interpolates then TRUNCATES back
-        # to the input scale (quantile.cpp CastInterpolation)
-        dm = re.search(
-            r"(?i)(?:::|\bas)\s*decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)",
-            args[0],
-        )
-        if dm:
-            p_, s_ = dm.group(1), dm.group(2)
-            fac = 10 ** int(s_)
-            base = f"percentile({args[0]}, {args[1]})"
-            if re.match(r"(?is)^\s*array\s*\(", args[1]):
-                return (
-                    f"transform({base}, __v -> "
-                    f"cast(floor(__v * {fac}) / {fac} as decimal({p_},{s_})))"
-                )
-            return f"cast(floor({base} * {fac}) / {fac} as decimal({p_},{s_}))"
-        if re.search(r"(?i)timestamp|\bdate\b", args[0]):
-            # temporal interpolation: seconds-domain percentile, back to
-            # timestamp (reference interpolates temporals directly)
-            # timestamp_ntz has no direct double cast; hop through the
-            # (UTC-session) timestamp type both ways
-            base = (
-                f"percentile(cast(cast({args[0]} as timestamp) as double), "
-                f"{args[1]})"
-            )
-            # TIMESTAMPTZ input keeps the instant type (renderer adds
-            # '+00'; test_quantile_cont_list.test:32)
-            ltz = re.search(
-                r"(?i)timestamptz|timestamp_ltz|timestamp\s+with\s+time",
-                args[0])
-            back = ("cast(timestamp_seconds(__v) as timestamp)" if ltz
-                    else "cast(timestamp_seconds(__v) as timestamp_ntz)")
-            if re.match(r"(?is)^\s*array\s*\(", args[1]):
-                return f"transform({base}, __v -> {back})"
-            return back.replace("__v", base)
-        if "__dktm" in args[0] or "__dktz" in args[0]:
-            # TIME micros / packed TIMETZ: interpolate in the packed
-            # domain, mark the result so the top-level renderer formats
-            # (test_quantile_cont.test:105, test_median.test:140)
-            z = "z" if "__dktz" in args[0] else "m"
-            base = f"percentile({args[0]}, {args[1]})"
-            if re.match(r"(?is)^\s*array\s*\(", args[1]):
-                return f"__dkt{z}l({base})"
-            return f"__dkt{'z' if z == 'z' else 'm'}({base})"
-        if re.search(r"(?i)\binterval\b", args[0]):
-            # the reference has no quantile_cont over INTERVAL (the TIME /
-            # TIMESTAMP / DATE interval-arithmetic shapes were consumed by
-            # the branches above; test_quantile_cont.test:110)
-            raise ValueError(
-                "Binder Error: No function matches the given name and "
-                f"argument types 'quantile_cont(INTERVAL, DOUBLE)'. "
-                "You might need to add explicit type casts."
-            )
-        return None
-    if name in ("arg_min_null", "arg_max_null") and n == 2:
-        # keeps NULL args; NULL keys still skipped (min_by/max_by native)
-        fn = "max_by" if name == "arg_max_null" else "min_by"
-        return f"{fn}({args[0]}, {args[1]})"
-    if name in ("arg_min_null", "arg_max_null") and n == 3:
-        return _macro_arg_n(
-            args[0], args[1], args[2], want_max=name == "arg_max_null"
-        )
-    if name in ("arg_min_nulls_last", "arg_max_nulls_last") and n == 2:
-        want_max = name == "arg_max_nulls_last"
-        lt, gt = ("1", "-1") if want_max else ("-1", "1")
-        cmp = (
-            f"case when l.__k <=> r.__k then 0 "
-            f"when l.__k is null then 1 when r.__k is null then -1 "
-            f"when l.__k < r.__k then {lt} else {gt} end"
-        )
-        return (
-            f"try_element_at(array_sort(collect_list(named_struct("
-            f"'__v', {args[0]}, '__k', {args[1]})), (l, r) -> {cmp}), 1).__v"
-        )
-    if name in ("arg_min_nulls_last", "arg_max_nulls_last") and n == 3:
-        return _macro_arg_n(
-            args[0], args[1], args[2],
-            want_max=name == "arg_max_nulls_last", nulls_last=True,
-        )
-    if name == "is_histogram_other_bin" and n == 1:
-        # true iff x equals the overflow-bin sentinel for its type (the
-        # same per-type sentinels _macro_histogram_binned emits)
-        x = args[0]
-        if re.search(r"(?i)::\s*(double|float4?|float8|real)\b", x) or \
-                re.search(r"(?i)\bas\s+(double|float)\b", x):
-            sent = "cast('Infinity' as double)"
-        elif re.search(r"(?i)\btimestamp\b", x):
-            sent = "timestamp '9999-12-31 23:59:59.999999'"
-        elif re.search(r"(?i)\bdate\b", x):
-            sent = "date '9999-12-31'"
-        else:
-            sent = "9223372036854775807"
-        return f"(case when ({x}) is null then null else ({x}) = {sent} end)"
-    if name in ("list_extract", "array_extract") and n == 2:
-        # 1-based, index 0 / out-of-range → NULL (reference list_extract)
-        return f"try_element_at({args[0]}, nullif({args[1]}, 0))"
-    if name in ("json_extract", "json_extract_path") and n == 2 and \
-            args[1].strip() in ("'$[*]'", "'$.*'"):
-        # wildcard path: DuckDB returns the LIST of matches ([] when
-        # empty), not a scalar (order/top_n_issue_21623.test renders
-        # {'f': []}); get_json_object would give NULL
-        return f"from_json(cast(({args[0]}) as string), 'array<string>')"
-    if name == "union_value" and n == 1:
-        # union constructor (reference union_value(tag := v)): emit the
-        # single-member tagged carrier so the TAG survives; an enclosing
-        # ::UNION cast re-tags by matching the tag against its member
-        # list (dialect_cast._union_cast_sql), per BindToUnionMemberCast
-        um = re.match(r"(?s)^\s*([A-Za-z_]\w*)\s*(?::\s*=|=\s*>)\s*(.*)$",
-                      args[0])
-        if um:
-            tag, val = um.group(1), um.group(2).strip()
-            return (f"named_struct('__dkutag', '{tag}', "
-                    f"'{tag}', ({val}))")
-    if name == "struct_values" and n == 1:
-        sm = re.match(r"(?is)^\s*named_struct\s*\((.*)\)\s*$",
-                      args[0].strip())
-        if sm and _balanced(sm.group(1)):
-            # literal struct → TUPLE of its values (Spark struct() emits
-            # the unnamed col1..colN marker — test_tuple.test:126)
-            parts = _split_top_args(_tokens(sm.group(1)))
-            vals = [parts[k].strip() for k in range(1, len(parts), 2)]
-            if vals:
-                return "struct(" + ", ".join(vals) + ")"
-    if name in ("struct_extract", "struct_extract_at") and n == 2:
-        key = args[1].strip()
-        if re.fullmatch(r"\d+", key):
-            # positional extraction: TUPLEs ride Spark's auto col1..colN
-            # field names (test_tuple.test:84)
-            return f"({args[0]}).col{key}"
-        km = re.match(r"(?s)^'(.*)'$", key)
-        if km:
-            return (f"({args[0]}).`"
-                    + km.group(1).replace("''", "'") + "`")
-    if name in ("date_trunc", "datetrunc") and n == 2 and not re.search(
-        r"(?i)__dktz|timestamp_ltz|timestamptz|time\s+zone", args[1]
-    ):
-        # duck-naive inputs (our TIMESTAMP/DATE are NTZ/DATE) keep a naive
-        # result; Spark's date_trunc always returns the instant type and
-        # the renderer would print '+00'
-        # (test_full_outer_join_issue_4252.test:37). TIMESTAMPTZ operands
-        # (LTZ carriers, textual hints above) keep the instant result.
-        # DATE operands with day-or-coarser parts return DATE in the
-        # reference (date_trunc over DATE renders '1992-01-01', not a
-        # midnight timestamp — ADVICE r09 #3); detect the textual
-        # DATE-literal/cast cases.
-        part_m = re.match(r"(?is)^\s*'(\w+)'\s*$", args[0])
-        coarse = part_m and part_m.group(1).lower() in (
-            "day", "week", "month", "quarter", "year", "decade",
-            "century", "millennium", "isoyear", "yearweek")
-        is_date_op = re.match(
-            r"(?is)^\s*(date\s*'|cast\s*\(.*\bas\s+date\s*\)\s*$)",
-            args[1]) or re.search(r"(?is)\bas\s+date\s*\)\s*$", args[1])
-        if coarse and is_date_op:
-            return f"cast(date_trunc({args[0]}, {args[1]}) as date)"
-        return (f"cast(date_trunc({args[0]}, {args[1]}) as timestamp_ntz)")
-    if name == "epoch" and n == 1:
-        # seconds since epoch incl. fraction; Spark's timestamp→double
-        # cast has exactly this meaning. NTZ inputs (duck-naive TIMESTAMP
-        # literals/columns; session tz pinned UTC so the instant cast is
-        # value-preserving) have no double cast — go through LTZ
-        # (test_iejoin.test:112 after the NTZ-literal change).
-        return f"cast(to_timestamp_ltz({args[0]}) as double)"
-    if name in _TO_INTERVAL_FNS and n == 1:
-        return _TO_INTERVAL_FNS[name].format(x=args[0])
-    if name in ("struct_contains", "struct_position") and n == 2:
-        return _macro_struct_search(name, args[0], args[1])
-    if name == "try" and n == 1:
-        return _macro_try(args[0])
-    if name in ("string_split", "str_split", "string_to_array") and n == 2:
-        # DuckDB splits on a LITERAL separator; Spark split() takes a
-        # regex — escape metacharacters (at translate time for literals,
-        # at runtime otherwise)
-        sep = args[1].strip()
-        m = re.match(r"(?s)^'(.*)'$", sep)
-        if m:
-            esc = re.sub(r"([.^$*+?()\[\]{}|\\])", r"\\\\\1", m.group(1))
-            return f"split({args[0]}, '{esc}')"
-        return (
-            f"split({args[0]}, regexp_replace({sep}, "
-            r"'([.^$*+?()\\[\\]{}|\\\\])', '\\\\\\\\$1'))"
-        )
-    if name == "concat_ws" and n == 2 and re.search(
-        r"(?i)\[|\barray\s*\(|collect_list|string_split|\bsplit\s*\(|"
-        r"list_reverse|sort_array|transform\s*\(|sequence\s*\(", args[1],
-    ):
-        # DuckDB concat_ws casts a single LIST argument to its text form
-        # instead of joining its elements (Spark flattens) — surface the
-        # list itself; the result renderer produces the same text
-        return f"({args[1]})"
-    if name == "unnest" and n >= 1:
-        return _macro_unnest(args)
-    if name in ("printf", "format", "format_string") and n >= 2:
-        # Spark's format_string rejects DecimalType args for %g/%e/%f
-        # (java.util.Formatter: "g != Decimal"); DuckDB parses bare decimal
-        # literals as DECIMAL. Feed floating conversions doubles
-        # (decimal_float_cast.test:21 — the reference itself prints the
-        # double-rounded value).
-        if n == 2 and re.fullmatch(
-            r"'%[-+ #0-9.]*[geE]'", args[0].strip()
-        ):
-            # single %g/%e arg: C-compatible formatting via the Python UDF
-            # (Java Formatter's %g rounds through a different decimal path)
-            return (f"__dkfmtg({args[0]}, cast(({args[1]}) as double))")
-        if re.search(r"%[-+ #0-9.]*[geEfF]", args[0]):
-            coerced = [args[0]] + [
-                f"cast(({a}) as double)"
-                if re.fullmatch(r"[+-]?\d+\.\d+", a.strip()) else a
-                for a in args[1:]
-            ]
-            return f"format_string({', '.join(coerced)})"
-        return None
-    if name == "count_star" and n == 0:
-        return "count(*)"
-    if name in ("corr", "regr_slope") and n == 2:
-        # degenerate inputs (one pair / zero variance) are NaN in the
-        # reference (corr.cpp / regr_slope.cpp); Spark yields NULL there,
-        # and NULL only when no non-NULL pair exists
-        pairs = (f"count(CASE WHEN ({args[0]}) IS NOT NULL AND "
-                 f"({args[1]}) IS NOT NULL THEN 1 END)")
-        return (f"(CASE WHEN {pairs} > 0 THEN coalesce("
-                f"{name}({args[0]}, {args[1]}), CAST('NaN' AS DOUBLE)) "
-                f"END)")
-    if name in ("concat", "list_concat", "array_concat") and n >= 1:
-        # the reference's concat FUNCTION skips NULL arguments (concat.cpp;
-        # the || operator propagates them instead) — drop literal NULLs,
-        # the only ones visible at text level
-        keep = [a for a in args
-                if a.strip().upper() != "NULL"
-                and not re.match(r"(?is)^CAST\s*\(\s*NULL\s+AS\s",
-                                 a.strip())]
-        if len(keep) != n or name != "concat":
-            # all-NULL args: concat() is '' but list_concat is NULL
-            # (duckdb-fuzzer #4296)
-            return "concat(" + ", ".join(keep) + ")" if keep else (
-                "''" if name == "concat" else "NULL")
-        return None
-    if name == "map" and n == 2:
-        # MAP(keys, values) builds from two lists (reference map.cpp);
-        # Spark's two-arg map() would make a single entry instead
-        return f"map_from_arrays({args[0]}, {args[1]})"
-    if name == "json" and n == 1:
-        # json(x) parses/normalizes; the values we compare are already
-        # minified, so the identity read is exact for this surface
-        return f"({args[0]})"
-    if name == "signbit" and n == 1:
-        # -0.0 carries the sign bit; its string form keeps the minus,
-        # which avoids a division the dialect would ANSI-guard
-        return (f"startswith(CAST(CAST({args[0]} AS DOUBLE) AS STRING), "
-                f"'-')")
-    if name == "struct_pack" and (n == 0 or (n == 1 and not args[0].strip())):
-        return "named_struct()"
-    if name in ("struct_pack", "struct_insert") and n >= 1:
-        kvs = []
-        for a in args:
-            m = re.match(r"(?s)^\s*([A-Za-z_]\w*)\s*(?::\s*=|=\s*>)\s*(.*)$", a)
-            if m:
-                kvs.append(f"'{m.group(1)}', {m.group(2).strip()}")
-                continue
-            # bare column shorthand: struct_pack(e) ≡ struct_pack(e := e)
-            bare = a.strip()
-            if re.fullmatch(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)*", bare):
-                kvs.append(f"'{bare.split('.')[-1]}', {bare}")
-                continue
-            return None
-        return "named_struct(" + ", ".join(kvs) + ")"
-    return None
 
 
-_MACRO_NAMES = {
-    "median", "row", "avg", "printf", "format", "format_string",
-    "struct_values", "union_value",
-    "approx_quantile", "reservoir_quantile", "date_trunc", "datetrunc",
-    "count_star", "signbit", "json", "concat", "list_concat",
-    "array_concat", "map",
-    "corr", "regr_slope",
-    "product", "histogram", "histogram_exact", "bitstring_agg",
-    "min", "max", "arg_min", "arg_max", "min_by", "max_by", "equi_width_bins",
-    "range", "generate_series", "approx_top_k", "mad", "struct_pack",
-    "unnest",
-    "sem", "entropy", "weighted_avg", "wavg",
-    "fsum", "sumkahan", "kahan_sum", "favg", "quantile_disc",
-    "stddev", "stddev_samp", "stddev_pop", "var_samp", "var_pop",
-    "variance", "regr_r2", "regr_sxx", "regr_syy",
-    "arg_min_null", "arg_max_null", "arg_min_nulls_last",
-    "arg_max_nulls_last", "is_histogram_other_bin",
-    "quantile", "quantile_cont", "skewness", "kurtosis",
-    "list_extract", "array_extract", "epoch",
-    "struct_extract", "struct_extract_at", "json_extract",
-    "json_extract_path",
-    "struct_contains", "struct_position", "try", "concat_ws",
-    "string_split", "str_split", "string_to_array",
-    "get_bit", "set_bit", "bit_position", "bit_length",
-    "make_timestamp_ns", "epoch_ns", "typeof",
-} | _LIST_AGG_NAMES | set(_TO_INTERVAL_FNS)
 
 
 
@@ -7766,38 +6200,8 @@ _FIRST_LAST = {"first", "last", "any_value", "arbitrary"}
 
 
 
-def _ow_entries(order_toks: list[str]) -> list[tuple[str, bool, bool]]:
-    """Parse an in-call ORDER BY list → [(key, desc, nulls_first)];
-    DuckDB's default null order is NULLS LAST in either direction."""
-    entries: list[tuple[str, bool, bool]] = []
-    for part in _split_top_args(order_toks):
-        p = part.strip()
-        p = re.sub(r"(?i)\s+(IGNORE|RESPECT)\s+NULLS\s*$", "", p).strip()
-        if not p:
-            continue
-        nf = bool(re.search(r"(?i)\bNULLS\s+FIRST\s*$", p))
-        p = re.sub(r"(?i)\s+NULLS\s+(FIRST|LAST)\s*$", "", p).strip()
-        d = bool(re.search(r"(?i)\s+DESC\s*$", p))
-        p = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", p).strip()
-        entries.append((p, d, nf))
-    return entries
 
 
-def _ow_cmp(entries: list[tuple[str, bool, bool]], lf, rf) -> str:
-    """-1/0/1 comparator over key tuples; lf(i)/rf(i) give the SQL for
-    key i on each side (struct field ref or raw current-row expression)."""
-    cmp = "0"
-    for x, (_, d, nf) in reversed(list(enumerate(entries))):
-        l, r = lf(x), rf(x)
-        lt, gt = ("1", "-1") if d else ("-1", "1")
-        ln, rn = ("-1", "1") if nf else ("1", "-1")
-        cmp = (
-            f"case when {l} <=> {r} then {cmp} "
-            f"when {l} is null then {ln} "
-            f"when {r} is null then {rn} "
-            f"when {l} < {r} then {lt} else {gt} end"
-        )
-    return cmp
 
 
 
@@ -9365,6 +7769,8 @@ def translate(sql: str) -> str:
     if ":" in sql:
         toks = _rewrite_colon_alias(toks)
     _check_grouping_set_limits(toks)
+    if re.search(r"(?i)\b(CUBE|ROLLUP)\s*\(", sql):
+        toks = _expand_dup_grouping(toks)
     # GROUPING(tbl.col) → GROUPING(col): Spark matches grouping() args to
     # grouping keys textually, the reference resolves qualified refs
     if re.search(r"(?i)\bGROUPING", "".join(toks)):
@@ -10850,24 +9256,12 @@ def rewrite_struct_concat(sql: str) -> str:
     return "".join(toks) if changed else sql
 
 
-_TM_SAFE_FNS = {
-    "__dktm", "median", "avg", "min", "max", "mode", "first", "last",
-    "any_value", "lag", "lead", "pmod", "coalesce", "least", "greatest",
-    # ordered first/last rewrite to min_by/max_by (value-preserving in
-    # their FIRST arg — guarded below; test_last.test:124 TIMETZ render)
-    "min_by", "max_by", "arg_min", "arg_max",
-    # windowed mode/holistic macros expand to an element_at over the
-    # collected TIME values (test_mode.test:168)
-    "element_at", "try_element_at",
-}
 
 # Managed tables with declared TIME columns (µs-since-midnight BIGINTs):
 # table name (lower) → {column names (lower)}. Populated by
 # managed.ManagedTables._create, consumed by mark_time_table_columns.
-TIME_TABLE_COLS: dict[str, set[str]] = {}
 
 # Same for TIMETZ columns (packed int64 carrier, time_tz.hpp emulation).
-TIMETZ_TABLE_COLS: dict[str, set[str]] = {}
 
 # Managed-table columns declared with a CREATE TYPE … AS ENUM alias:
 # table (lower) → {col (lower): member list in declaration order}.
@@ -10964,89 +9358,12 @@ def mark_enum_table_columns(sql: str) -> str:
     return "".join(toks) if changed else sql
 
 
-def _strip_time_markers(s: str) -> str:
-    # longest first: "__dktml".replace("__dktm", "") would leave "l"
-    return re.sub(r"__dkt[mz][lm]?", "", s)
 
 
-def _time_fmt_sql(x: str) -> str:
-    """µs-since-midnight (BIGINT or interpolated DOUBLE) →
-    'HH:MM:SS[.ffffff]' text, trailing fraction zeros trimmed (the
-    reference's Time::ToString, common/types/time.cpp)."""
-    m = f"CAST(round({x}) AS BIGINT)"
-    return (
-        f"CASE WHEN ({x}) IS NULL THEN CAST(NULL AS STRING) ELSE "
-        f"concat("
-        f"lpad(CAST(CAST(floor(({x})/3600000000) AS BIGINT) AS "
-        f"STRING), 2, '0'), ':', "
-        f"lpad(CAST(CAST(floor(({x})/60000000) AS BIGINT) % 60 AS "
-        f"STRING), 2, '0'), ':', "
-        f"lpad(CAST(CAST(floor(({x})/1000000) AS BIGINT) % 60 AS "
-        f"STRING), 2, '0'), "
-        f"CASE WHEN {m} % 1000000 = 0 THEN '' ELSE "
-        f"regexp_replace(concat('.', lpad(CAST({m} % 1000000 AS "
-        f"STRING), 6, '0')), '0+$', '') END) END"
-    )
 
 
-def _timetz_parse_sql(op: str, lenient: bool = False) -> str:
-    """Runtime 'HH:MM:SS[.f][±HH[:MM[:SS]]]' text → packed TIMETZ int64
-    (character-class regexes only: no backslash escaping in SQL text).
-    `lenient` (TRY_CAST) yields NULL on unparseable text."""
-    kw = "TRY_CAST" if lenient else "CAST"
-    body = f"regexp_extract(({op}), '^([0-9:.]+)', 1)"
-    # element_at: this SQL is emitted mid-translate, so duck 1-based
-    # bracket rewrites would still apply to [] subscripts
-    us = (
-        f"({kw}(element_at(split({body}, ':'), 1) AS BIGINT)"
-        f" * 3600000000 + "
-        f"{kw}(element_at(split({body}, ':'), 2) AS BIGINT) * 60000000 + "
-        f"{kw}(round({kw}(element_at(split({body}, ':'), 3) AS DOUBLE) "
-        f"* 1000000) AS BIGINT))"
-    )
-    sgn = (f"CASE WHEN regexp_extract(({op}), '([+-])[0-9]', 1) = '-' "
-           f"THEN -1 ELSE 1 END")
-    oh = (f"CAST(coalesce(nullif(regexp_extract(({op}), "
-          f"'[+-]([0-9]{{1,2}})', 1), ''), '0') AS BIGINT)")
-    # minutes: ':MM' spelling or the compact '±HHMM' form ('+1559')
-    om = (f"CAST(coalesce(nullif(regexp_extract(({op}), "
-          f"'[+-][0-9]{{1,2}}:([0-9]{{2}})', 1), ''), "
-          f"nullif(regexp_extract(({op}), "
-          f"'[+-][0-9]{{2}}([0-9]{{2}})', 1), ''), '0') AS BIGINT)")
-    os_ = (f"CAST(coalesce(nullif(regexp_extract(({op}), "
-           f"'[+-][0-9]{{1,2}}:[0-9]{{2}}:([0-9]{{2}})', 1), ''), "
-           f"nullif(regexp_extract(({op}), "
-           f"'[+-][0-9]{{4}}([0-9]{{2}})', 1), ''), '0') "
-           f"AS BIGINT)")
-    off = f"({sgn}) * ({oh} * 3600 + {om} * 60 + {os_})"
-    return (
-        f"(CASE WHEN ({op}) IS NULL THEN CAST(NULL AS BIGINT) ELSE "
-        f"{us} * {_TIMETZ_OFF_MOD} + ({_TIMETZ_MAX_OFFSET} - ({off})) "
-        f"END)"
-    )
 
 
-def _timetz_fmt_sql(x: str) -> str:
-    """Packed TIMETZ int64 (possibly interpolated DOUBLE) →
-    'HH:MM:SS[.ffffff]±HH[:MM[:SS]]' (reference Time::ToString +
-    time_tz.hpp decode)."""
-    p = f"CAST(round({x}) AS BIGINT)"
-    us = f"CAST(floor(({p}) / {_TIMETZ_OFF_MOD}) AS BIGINT)"
-    off = f"({_TIMETZ_MAX_OFFSET} - pmod({p}, {_TIMETZ_OFF_MOD}))"
-    ah = f"CAST(floor(abs({off}) / 3600) AS BIGINT)"
-    am = f"CAST(floor(pmod(abs({off}), 3600) / 60) AS BIGINT)"
-    asec = f"pmod(abs({off}), 60)"
-    return (
-        f"CASE WHEN ({x}) IS NULL THEN CAST(NULL AS STRING) ELSE concat("
-        f"{_time_fmt_sql(us)}, "
-        f"CASE WHEN {off} < 0 THEN '-' ELSE '+' END, "
-        f"lpad(CAST({ah} AS STRING), 2, '0'), "
-        f"CASE WHEN {am} = 0 AND {asec} = 0 THEN '' ELSE "
-        f"concat(':', lpad(CAST({am} AS STRING), 2, '0')) END, "
-        f"CASE WHEN {asec} = 0 THEN '' ELSE "
-        f"concat(':', lpad(CAST({asec} AS STRING), 2, '0')) END"
-        f") END"
-    )
 
 
 _TM_BARE_PREV_OK = {
@@ -11056,85 +9373,6 @@ _TM_BARE_PREV_OK = {
 }
 
 
-def mark_time_table_columns(sql: str) -> str:
-    """Re-attach the translate-time `__dktm` TIME marker to references of
-    managed-table columns DECLARED as TIME (types.py maps TIME → BIGINT
-    µs-since-midnight, so the Spark schema alone can't distinguish them;
-    test_mode.test:146 — `mode(v)` over a TIME column must render
-    'HH:MM:SS[.ffffff]'). Wraps qualified `alias.col` refs and bare refs
-    in operator/keyword positions; skips function calls and alias
-    definitions. The marker is identity once rewrite_time_outputs strips
-    it, so over-wrapping inside WHERE/GROUP BY is harmless."""
-    if (not TIME_TABLE_COLS and not TIMETZ_TABLE_COLS) or \
-            "SELECT" not in sql.upper():
-        return sql
-    toks = _tokens(sql)
-    tables = _nestcmp_from_tables(toks)
-    live: dict[str, set[str]] = {}
-    tz_cols: set[str] = set()
-    for alias, tbl in tables.items():
-        for c in TIME_TABLE_COLS.get(tbl.lower(), ()):
-            live.setdefault(c, set()).add(alias)
-        for c in TIMETZ_TABLE_COLS.get(tbl.lower(), ()):
-            live.setdefault(c, set()).add(alias)
-            tz_cols.add(c)
-    if not live:
-        return sql
-    i = 0
-    changed = False
-    while i < len(toks):
-        t = toks[i]
-        if not re.match(r"^[A-Za-z_`\"]", t):
-            i += 1
-            continue
-        nm = t.strip('`"').lower()
-        nxt = _next_code(toks, i + 1)
-        pv = _prev_code(toks, i - 1)
-        # qualified alias.col
-        if nm in tables and nxt < len(toks) and toks[nxt] == "." and \
-                (pv < 0 or toks[pv] != "."):
-            ci = _next_code(toks, nxt + 1)
-            if ci < len(toks) and re.match(r"^[A-Za-z_`\"]", toks[ci]):
-                col = toks[ci].strip('`"').lower()
-                after = _next_code(toks, ci + 1)
-                if col in live and nm in live[col] and not (
-                    after < len(toks) and toks[after] in ("(", ".")
-                ):
-                    ref = "".join(toks[i:ci + 1])
-                    mk = "__dktz" if col in tz_cols else "__dktm"
-                    ins = _tokens(f"{mk}({ref})")
-                    toks[i:ci + 1] = ins
-                    changed = True
-                    i += len(ins)
-                    continue
-            i += 1
-            continue
-        if nm not in live:
-            i += 1
-            continue
-        # bare col: reject qualifier/call/alias-definition positions
-        if nxt < len(toks) and toks[nxt] in ("(", "."):
-            i += 1
-            continue
-        if pv >= 0 and toks[pv] == ".":
-            i += 1
-            continue
-        if pv >= 0 and re.match(r"^[A-Za-z_]", toks[pv]) and \
-                toks[pv].upper() == "AS":
-            i += 1
-            continue
-        if pv >= 0 and (
-            re.match(r"^[A-Za-z_`\"0-9']", toks[pv]) or toks[pv] == ")"
-        ) and toks[pv].upper() not in _TM_BARE_PREV_OK:
-            # likely an implicit-alias or qualifier position
-            i += 1
-            continue
-        mk = "__dktz" if nm in tz_cols else "__dktm"
-        ins = _tokens(f"{mk}({t})")
-        toks[i:i + 1] = ins
-        changed = True
-        i += len(ins)
-    return "".join(toks) if changed else sql
 
 
 def _rewrite_prefix_colon_aliases(sql: str) -> str:
@@ -11260,224 +9498,6 @@ def _depth_at(toks: list[str], idx: int) -> int:
     return d
 
 
-def rewrite_time_outputs(sql: str) -> str:
-    """TIME render parity. The TIME emulation carries µs-since-midnight
-    BIGINTs; fold sites mark them `__dktm(...)`. This pass (a) folds
-    marker ± INTERVAL arithmetic into day-wrapped micros at translate
-    time, (b) wraps top-level SELECT items that ARE TIME values (the
-    marker itself, or a value-preserving aggregate over one) in a text
-    formatter so they render 'HH:MM:SS[.ffffff]' like the reference
-    (test_scalar_aggr.test:42, test_mode.test:146), and (c) strips the
-    remaining markers so every other use stays a plain BIGINT."""
-    if "__dktm" not in sql and "__dktz" not in sql:
-        return sql
-    toks = _tokens(sql)
-    # (a) __dktm(X) ± INTERVAL … → __dktm(pmod(X ± iv_us, day))
-    i = 0
-    while i < len(toks):
-        t = toks[i]
-        if not (re.match(r"^[A-Za-z_]", t) and t == "__dktm"):
-            i += 1
-            continue
-        op = _next_code(toks, i + 1)
-        close = _match_paren(toks, op) if op < len(toks) and \
-            toks[op] == "(" else -1
-        if close < 0:
-            i += 1
-            continue
-        sgn = _next_code(toks, close + 1)
-        if not (sgn < len(toks) and toks[sgn] in ("+", "-")):
-            i += 1
-            continue
-        nx = _next_code(toks, sgn + 1)
-        j = -1
-        if nx < len(toks) and toks[nx] == "(":
-            c2 = _match_paren(toks, nx)
-            if c2 > 0 and any(
-                re.match(r"^[A-Za-z_]", t2) and t2.upper() == "INTERVAL"
-                for t2 in toks[nx + 1:c2]
-            ):
-                j = c2
-        elif nx < len(toks) and re.match(r"^[A-Za-z_]", toks[nx]) and \
-                toks[nx].upper() == "INTERVAL":
-            j = _next_code(toks, nx + 1)
-            if j < len(toks) and toks[j] == "(":
-                c2 = _match_paren(toks, j)
-                j = _next_code(toks, c2 + 1) if c2 > 0 else -1
-            elif j < len(toks):
-                j = _next_code(toks, j + 1)
-            if not (0 <= j < len(toks)
-                    and re.match(r"^[A-Za-z_']", toks[j])):
-                j = -1
-        if j < 0:
-            i += 1
-            continue
-        base = "".join(toks[op + 1:close])
-        iv = "".join(toks[nx:j + 1])
-        sign = toks[sgn]
-        ivm = (f"unix_micros(CAST('1970-01-01 00:00:00' AS TIMESTAMP) "
-               f"+ ({iv}))")
-        toks[i:j + 1] = _tokens(
-            f"__dktm(pmod(({base}) {sign} {ivm}, 86400000000))")
-        i += 1
-    # (a2) unit extraction over TIME markers: hour(t) / date_part('h', t)
-    # compute from micros-of-day (reference time_part functions)
-    _UNIT_EXPR = {
-        "hour": "CAST(floor({x}/3600000000) AS BIGINT) % 24",
-        "minute": "CAST(floor({x}/60000000) AS BIGINT) % 60",
-        "second": "CAST(floor({x}/1000000) AS BIGINT) % 60",
-        "millisecond": "CAST(floor({x}/1000) AS BIGINT) % 60000",
-        "microsecond": "CAST(({x}) AS BIGINT) % 60000000",
-        "epoch": "CAST(({x}) AS DOUBLE) / 1000000",
-    }
-    i = 0
-    while i < len(toks):
-        t = toks[i]
-        if not re.match(r"^[A-Za-z_]", t):
-            i += 1
-            continue
-        low = t.lower()
-        op = _next_code(toks, i + 1)
-        if op >= len(toks) or toks[op] != "(":
-            i += 1
-            continue
-        close = _match_paren(toks, op)
-        if close < 0:
-            i += 1
-            continue
-        inner = toks[op + 1:close]
-        unit = None
-        argtoks = None
-        if low in ("date_part", "datepart") :
-            args = _split_top_args(inner)
-            if len(args) == 2 and re.fullmatch(
-                r"'(\w+)s?'", args[0].strip().lower()
-            ):
-                u = args[0].strip().strip("'").lower().rstrip("s")
-                if u in _UNIT_EXPR and "__dktm" in args[1]:
-                    unit, argtoks = u, args[1]
-        elif low.rstrip("s") in _UNIT_EXPR:
-            a = "".join(inner)
-            if "__dktm" in a:
-                unit, argtoks = low.rstrip("s"), a
-        if unit is not None:
-            x = argtoks.replace("__dktm", "")
-            toks[i:close + 1] = _tokens(
-                "(" + _UNIT_EXPR[unit].format(x=f"({x})") + ")")
-            i += 1
-            continue
-        i += 1
-    # (b) wrap TIME-valued top-level select items in the text formatter —
-    # EVERY depth-0 SELECT branch of a set operation (test_scalar_aggr:42:
-    # the TIME values may sit in the second UNION branch), processed in
-    # reverse so earlier token indices stay valid
-    sel_positions = []
-    depth = 0
-    for k, t in enumerate(toks):
-        if t == "(":
-            depth += 1
-        elif t == ")":
-            depth -= 1
-        elif depth == 0 and re.match(r"^[A-Za-z_]", t) and \
-                t.upper() == "SELECT":
-            sel_positions.append(k)
-    for sel_at in reversed(sel_positions):
-        fr = len(toks)
-        depth = 0
-        for k in range(sel_at + 1, len(toks)):
-            t = toks[k]
-            if t == "(":
-                depth += 1
-            elif t == ")":
-                depth -= 1
-            elif depth == 0 and re.match(r"^[A-Za-z_]", t) and t.upper() in (
-                "FROM", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
-                "UNION", "EXCEPT", "INTERSECT", "QUALIFY", "WINDOW",
-            ):
-                fr = k
-                break
-        items = []
-        st = _next_code(toks, sel_at + 1)
-        if st < fr and re.match(r"^[A-Za-z_]", toks[st]) and \
-                toks[st].upper() == "DISTINCT":
-            st = _next_code(toks, st + 1)
-        depth = 0
-        for k in range(st, fr):
-            t = toks[k]
-            if t == "(":
-                depth += 1
-            elif t == ")":
-                depth -= 1
-            elif t == "," and depth == 0:
-                items.append((st, k))
-                st = k + 1
-        items.append((st, fr))
-        for a, b in reversed(items):
-            text = "".join(toks[a:b]).strip()
-            if "__dktm" not in text and "__dktz" not in text:
-                continue
-            malias = re.search(r"(?is)\s+AS\s+([A-Za-z_]\w*)\s*$", text)
-            expr = text[:malias.start()] if malias else text
-            alias = f" AS {malias.group(1)}" if malias else ""
-            body = expr.strip()
-            while body.startswith("(") and body.endswith(")") and \
-                    _balanced(body[1:-1]):
-                body = body[1:-1].strip()
-            fm = re.match(r"^([A-Za-z_]\w*)\s*\(", body)
-            low0 = fm.group(1).lower() if fm else ""
-            if not (fm and body.endswith(")") and (
-                low0 in _TM_SAFE_FNS or re.fullmatch(
-                    r"__dkt[mz][lm]?", low0)
-            )):
-                continue
-            if low0 in ("min_by", "max_by", "arg_min", "arg_max"):
-                # value-preserving only in the FIRST argument; a marked
-                # KEY with an unmarked value must not format the value
-                bt0 = _tokens(body)
-                p00 = _next_code(bt0, 1)
-                c00 = _match_paren(bt0, p00) if p00 < len(bt0) and \
-                    bt0[p00] == "(" else -1
-                if c00 < 0:
-                    continue
-                a00 = _split_top_args(bt0[p00 + 1:c00])
-                first_arg = a00[0] if a00 else ""
-                if "__dktm" not in first_arg and "__dktz" not in first_arg:
-                    continue
-            # the call must span the WHOLE item (`__dktm(a) > __dktm(b)`
-            # is a boolean, not a TIME); a trailing OVER (spec) window
-            # clause is part of the call (test_mode.test:168)
-            bt = _tokens(body)
-            p0 = _next_code(bt, 1)
-            if bt and bt[0] == fm.group(1):
-                c0 = _match_paren(bt, p0) if p0 < len(bt) and \
-                    bt[p0] == "(" else -1
-                if c0 < 0:
-                    continue
-                rest = _next_code(bt, c0 + 1)
-                if rest < len(bt):
-                    if not _is_word(bt[rest], "OVER"):
-                        continue
-                    ov = _next_code(bt, rest + 1)
-                    oc = _match_paren(bt, ov) if ov < len(bt) and \
-                        bt[ov] == "(" else -1
-                    if oc < 0 or _next_code(bt, oc + 1) < len(bt):
-                        continue
-            tz = "__dktz" in text
-            fmt = _timetz_fmt_sql if tz else _time_fmt_sql
-            if low0 in ("__dktml", "__dktzl"):
-                # LIST of TIME micros (list-form quantiles): format each
-                inner = _strip_time_markers(body[len(low0):])
-                repl = f"transform({inner}, __tv -> {fmt('__tv')})"
-            elif low0 in ("__dktmm", "__dktzm"):
-                # MAP with TIME-micros keys (histogram): format the keys
-                inner = _strip_time_markers(body[len(low0):])
-                repl = (f"transform_keys({inner}, (__tk, __tv) -> "
-                        f"{fmt('__tk')})")
-            else:
-                repl = fmt(_strip_time_markers(expr))
-            toks[a:b] = _tokens(" " + repl + alias + " ")
-    out = _strip_time_markers("".join(toks))
-    return out
 
 
 def rewrite_nested_comparisons(sql: str) -> str:
@@ -11972,7 +9992,53 @@ _UGB_COUNTER: list[str] = []
 # pass families live in sibling modules; importing them HERE (after
 # every shared helper above is defined) lets them import those
 # helpers at their module top without a circular-import failure.
+from duckdb_spark.sql.dialect_time import (  # noqa: E402,F401
+    TIMETZ_TABLE_COLS,
+    TIME_TABLE_COLS,
+    _TIMETZ_MAX_OFFSET,
+    _TIMETZ_OFF_MOD,
+    _TM_SAFE_FNS,
+    _parse_time_us,
+    _parse_timetz_packed,
+    _strip_time_markers,
+    _time_fmt_sql,
+    _timetz_fmt_sql,
+    _timetz_parse_sql,
+    mark_time_table_columns,
+    rewrite_time_outputs,
+)
+from duckdb_spark.sql.dialect_macros import (  # noqa: E402,F401
+    _MACRO_NAMES,
+    _agg_macro,
+    _check_topn,
+    _fold_equi_width_bins,
+    _macro_approx_top_k,
+    _macro_arg_n,
+    _macro_bitstring,
+    _macro_histogram,
+    _macro_histogram_binned,
+    _macro_histogram_exact,
+    _macro_list_aggregate,
+    _macro_lttb,
+    _macro_mad,
+    _macro_minmax_n,
+    _macro_product,
+    _macro_product_distinct,
+    _macro_skew_kurt,
+    _macro_struct_search,
+    _macro_try,
+    _macro_unnest,
+    _parse_const,
+    _qdisc_pick,
+    _struct_literal_pairs,
+)
 from duckdb_spark.sql.dialect_window import (  # noqa: E402,F401
+    _WITHIN_GROUP_FOLD,
+    _neg_q,
+    _ow_cmp,
+    _ow_entries,
+    _rewrite_within_group,
+    duck_blob_hex,
     _DISTINCT_WINDOW_FNS,
     _EXCLUDE_NOT_SUPPORTED,
     _EXCLUDE_RANKING,

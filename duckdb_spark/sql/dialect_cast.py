@@ -628,8 +628,12 @@ def _check_const_cast_ranges(toks: list[str]) -> None:
         if target in _INT_CAST_RANGES:
             lo, hi = _INT_CAST_RANGES[target]
             try:
-                v = float(lit)
-            except ValueError:
+                # exact compare: float() rounds int64-edge literals past
+                # the BIGINT max (test_quantile_cont.test:302)
+                import decimal as _dec
+
+                v = _dec.Decimal(lit)
+            except Exception:  # noqa: BLE001
                 continue
             if v < lo or v > hi:
                 raise ValueError(

@@ -22,8 +22,6 @@ from duckdb_spark.sql.dialect import (  # noqa: E402 — bound at the
     _match_paren,
     _match_paren_rev,
     _next_code,
-    _ow_cmp,
-    _ow_entries,
     _prev_code,
     _qdisc_pick,
     _scope_span,
@@ -675,7 +673,8 @@ def _rewrite_frame_bound_exprs(toks: list[str]) -> list[str]:
             fn_idx = _prev_code(out, po - 1)
         fn = out[fn_idx].upper() if fn_idx >= 0 and re.match(
             r"^[A-Za-z_]", out[fn_idx]) else ""
-        if fn not in ("SUM", "AVG", "COUNT", "MIN", "MAX", "MEDIAN"):
+        if fn not in ("SUM", "AVG", "COUNT", "MIN", "MAX", "MEDIAN",
+                      "QUANTILE_DISC", "QUANTILE"):
             i = oc + 1
             continue  # leave: Spark raises 'must be a literal'
         pp = _top_level_index(spec, 0, len(spec), "PARTITION")
@@ -707,6 +706,13 @@ def _rewrite_frame_bound_exprs(toks: list[str]) -> list[str]:
             conds.append(f"__e.r <= {rn}")
         keep = " AND ".join(conds) or "true"
         arg0 = "".join(args).strip() or "1"
+        qfrac = None
+        if fn in ("QUANTILE_DISC", "QUANTILE"):
+            aparts = _split_top_args(_tokens(arg0))
+            if len(aparts) != 2:
+                i = oc + 1
+                continue
+            arg0, qfrac = aparts[0].strip(), aparts[1].strip()
         star = arg0 == "*"
         base = (
             (f"PARTITION BY {part} " if part else "")
@@ -737,6 +743,18 @@ def _rewrite_frame_bound_exprs(toks: list[str]) -> list[str]:
             expr = (f"if({nn} = 0, CAST(NULL AS DOUBLE), "
                     f"(element_at({s2}, CAST(({nn} + 1) div 2 AS int)) + "
                     f"element_at({s2}, CAST({nn} div 2 + 1 AS int))) / 2)")
+        elif fn in ("QUANTILE_DISC", "QUANTILE"):
+            # discrete quantile (scalar or list fractions) over the
+            # materialized frame (test_quantile_window.test:279)
+            arr2 = f"array_sort({va})"
+            if re.match(r"(?is)^\s*(array\s*\(|\[)", qfrac or ""):
+                # bracket lists rewrite to array() in a later pass; an
+                # EMPTY frame yields NULL, not a list of NULLs
+                # (test_quantile_window.test:321)
+                expr = (f"if(size({arr2}) = 0, NULL, transform({qfrac}, "
+                        f"__q -> {_qdisc_pick(arr2, '__q')}))")
+            else:
+                expr = _qdisc_pick(arr2, qfrac or "0.5")
         else:
             expr = f"array_max({va})"
         out[fn_idx:oc + 1] = _tokens(f"({expr})")
@@ -1753,8 +1771,11 @@ def _agg_macro_windowed(name: str, args: list[str], over: str) -> str | None:
         lst = f"collect_list({args[0]}) {over}"
         q = args[1]
         arr = "array_sort(__l)"
-        if re.match(r"(?is)^\s*array\s*\(", q):
-            return let(lst, f"transform({q}, __q -> {_qdisc_pick(arr, '__q')})")
+        if re.match(r"(?is)^\s*(array\s*\(|\[)", q):
+            # empty frame → NULL, not a list of NULLs
+            # (test_quantile_window.test:321)
+            return let(lst, f"if(size({arr}) = 0, NULL, transform({q}, "
+                            f"__q -> {_qdisc_pick(arr, '__q')}))")
         return let(lst, _qdisc_pick(arr, q))
     return None
 
@@ -1980,3 +2001,205 @@ def _strip_orderless_range_frames(sql: str) -> str:
     return "".join(toks) if changed else sql
 
 
+
+
+_WITHIN_GROUP_FOLD = {
+    # ordered-set spellings Spark lacks (or types differently: Spark's
+    # percentile_disc always returns DOUBLE, the reference keeps the input
+    # type): fold the ORDER BY key back into the argument list; the
+    # quantile forms re-dispatch through their macros
+    "mode": "mode", "quantile_cont": "quantile_cont",
+    "quantile_disc": "quantile_disc", "quantile": "quantile",
+    "median": "median", "mad": "mad",
+    "percentile_disc": "quantile_disc", "percentile_cont": "quantile_cont",
+}
+def _neg_q(q: str, cont: bool) -> str:
+    """Descending WITHIN GROUP order: continuous quantiles mirror to 1-q;
+    discrete ones use the reference's negative-quantile path. Literal
+    quantiles fold numerically (Spark's percentile requires a foldable
+    fraction array)."""
+
+    def one(e: str) -> str:
+        s = e.strip()
+        if re.fullmatch(r"[+-]?(\d+\.?\d*|\.\d+)", s):
+            v = float(s)
+            folded = 1 - v if cont else -v
+            return repr(round(folded, 12))
+        return f"(1 - ({s}))" if cont else f"-({s})"
+
+    qs = q.strip()
+    m = re.match(r"(?is)^array\s*\(", qs)
+    if m and qs.endswith(")"):
+        elems = _split_top_args(_tokens(qs[m.end():-1]))
+        return "array(" + ", ".join(one(e) for e in elems) + ")"
+    return one(qs)
+def duck_blob_hex(raw: str) -> str:
+    """Duck BLOB literal text → hex digits (\\xHH escapes are raw bytes,
+    everything else UTF-8; reference common/types/blob.cpp)."""
+    data = bytearray()
+    k = 0
+    while k < len(raw):
+        if raw[k] == "\\" and k + 1 < len(raw) and raw[k + 1] in "xX":
+            hx = raw[k + 2:k + 4]
+            if len(hx) == 2 and re.fullmatch(r"[0-9a-fA-F]{2}", hx):
+                data.append(int(hx, 16))
+                k += 4
+                continue
+            raise ValueError(
+                f"Conversion Error: could not convert string "
+                f"'{raw}' to BLOB"
+            )
+        if not (32 <= ord(raw[k]) <= 126):
+            # non-printable octets must be \xHH-escaped (blob.cpp;
+            # test_blob.test:66)
+            raise ValueError(
+                f"Conversion Error: could not convert string "
+                f"'{raw}' to BLOB"
+            )
+        data.extend(raw[k].encode("utf-8"))
+        k += 1
+    return data.hex().upper()
+def _rewrite_within_group(toks: list[str]) -> list[str]:
+    """`fn(args) WITHIN GROUP (ORDER BY key [dir])` → `fn(key[, args])`
+    for ordered-set aggregates Spark has no WITHIN GROUP spelling for
+    (reference transform_function.cpp ordered-aggregate path).
+    percentile_cont/percentile_disc/listagg keep the native syntax."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if not re.match(r"^[A-Za-z_]", t) or t.lower() not in _WITHIN_GROUP_FOLD:
+            i += 1
+            continue
+        j = _next_code(out, i + 1)
+        if j >= len(out) or out[j] != "(":
+            i += 1
+            continue
+        close = _match_paren(out, j)
+        if close < 0:
+            i += 1
+            continue
+        w = _next_code(out, close + 1)
+        if w >= len(out) or not _is_word(out[w], "WITHIN"):
+            i = j
+            continue
+        g = _next_code(out, w + 1)
+        if g >= len(out) or not _is_word(out[g], "GROUP"):
+            i = j
+            continue
+        p = _next_code(out, g + 1)
+        if p >= len(out) or out[p] != "(":
+            i = j
+            continue
+        pc = _match_paren(out, p)
+        body = "".join(out[p + 1:pc]).strip()
+        key = re.sub(r"(?is)^ORDER\s+BY\s*", "", body).strip()
+        if len(_split_top_args(_tokens(key))) > 1:
+            raise ValueError(
+                "Binder Error: Cannot use multiple ORDER BY clauses "
+                "with WITHIN GROUP"
+            )
+        desc = bool(re.search(r"(?i)\s+DESC\s*$", key))
+        key = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", key).strip()
+        key = re.sub(r"(?i)\s+NULLS\s+(FIRST|LAST)\s*$", "", key).strip()
+        prior0 = [a for a in _split_top_args(out[j + 1:close]) if a.strip()]
+        prior = []
+        for a in prior0:
+            nm = re.match(r"(?is)^\s*(\w+)\s*:\s*=\s*(.*)$", a)
+            if nm:
+                # only the documented parameter name resolves
+                if nm.group(1).lower() != "quantile":
+                    raise ValueError(
+                        f"Binder Error: No function matches the given name "
+                        f"and argument types '{t.lower()}({nm.group(1)})'"
+                    )
+                prior.append(nm.group(2).strip())
+            else:
+                prior.append(a)
+        fn = _WITHIN_GROUP_FOLD[t.lower()]
+        if t.lower().startswith("percentile") and len(prior) != 1:
+            raise ValueError(
+                f"Binder Error: Wrong number of arguments for "
+                f"{t.upper()}"
+            )
+        if fn in ("mode", "median", "mad") and prior:
+            raise ValueError(
+                f"Binder Error: Wrong number of arguments for {t.upper()}"
+            )
+        for q in prior:
+            if fn.startswith("quantile"):
+                if re.search(r"(?i)'nan'|\bnull\b", q):
+                    raise ValueError(
+                        "Binder Error: QUANTILE parameter cannot be NaN/NULL"
+                    )
+                if re.fullmatch(r"(?is)array\s*\(\s*\)", q.strip()):
+                    raise ValueError(
+                        "Binder Error: QUANTILE requires a non-empty list"
+                    )
+                if re.search(r"(?i)\b(sum|count|avg|min|max|median|mode)\s*\(", q):
+                    raise ValueError(
+                        "Binder Error: aggregate function calls cannot be "
+                        "nested"
+                    )
+                if re.search(r"(?is)\bcase\b", q) and not re.search(
+                    r"(?i)\belse\b", q
+                ):
+                    # ELSE-less CASE over non-matching literals is a NULL
+                    # fraction (reference rejects NULL fractions)
+                    raise ValueError(
+                        "Binder Error: QUANTILE parameter cannot be NULL"
+                    )
+                if t.lower().startswith("percentile"):
+                    # the SQL-standard spelling requires fractions in
+                    # [0, 1] — only quantile_* admits negatives
+                    lits = [q.strip()]
+                    qm = re.match(r"(?is)^array\s*\(", q.strip())
+                    if qm and q.strip().endswith(")"):
+                        lits = _split_top_args(_tokens(q.strip()[qm.end():-1]))
+                    for lit in lits:
+                        if re.match(r"^\s*-\s*(\d+\.?\d*|\.\d+)\s*$", lit):
+                            raise ValueError(
+                                "Binder Error: PERCENTILE fraction must be "
+                                "between 0 and 1"
+                            )
+        if fn in ("mode", "median", "mad"):
+            args = [key]
+        else:
+            # quantile_disc(q) WITHIN GROUP (ORDER BY x) = quantile_disc(x, q)
+            args = [key] + prior
+        if desc and fn in ("quantile_disc", "quantile", "quantile_cont"):
+            cont = fn == "quantile_cont"
+            args = [args[0]] + [_neg_q(a, cont) for a in args[1:]]
+        out[i:pc + 1] = _tokens(f"{fn}(" + ", ".join(args) + ")")
+        i += 1
+    return out
+def _ow_entries(order_toks: list[str]) -> list[tuple[str, bool, bool]]:
+    """Parse an in-call ORDER BY list → [(key, desc, nulls_first)];
+    DuckDB's default null order is NULLS LAST in either direction."""
+    entries: list[tuple[str, bool, bool]] = []
+    for part in _split_top_args(order_toks):
+        p = part.strip()
+        p = re.sub(r"(?i)\s+(IGNORE|RESPECT)\s+NULLS\s*$", "", p).strip()
+        if not p:
+            continue
+        nf = bool(re.search(r"(?i)\bNULLS\s+FIRST\s*$", p))
+        p = re.sub(r"(?i)\s+NULLS\s+(FIRST|LAST)\s*$", "", p).strip()
+        d = bool(re.search(r"(?i)\s+DESC\s*$", p))
+        p = re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", p).strip()
+        entries.append((p, d, nf))
+    return entries
+def _ow_cmp(entries: list[tuple[str, bool, bool]], lf, rf) -> str:
+    """-1/0/1 comparator over key tuples; lf(i)/rf(i) give the SQL for
+    key i on each side (struct field ref or raw current-row expression)."""
+    cmp = "0"
+    for x, (_, d, nf) in reversed(list(enumerate(entries))):
+        l, r = lf(x), rf(x)
+        lt, gt = ("1", "-1") if d else ("-1", "1")
+        ln, rn = ("-1", "1") if nf else ("1", "-1")
+        cmp = (
+            f"case when {l} <=> {r} then {cmp} "
+            f"when {l} is null then {ln} "
+            f"when {r} is null then {rn} "
+            f"when {l} < {r} then {lt} else {gt} end"
+        )
+    return cmp

@@ -373,10 +373,10 @@ def emit_struct(text: str, ducktype: str, lenient: bool = False) -> str:
         for part in _split_top(body, ","):
             if not part.strip() and not acc:
                 # `{a:3,, b:1}` — empty entry (string_to_struct_cast:361)
+                _tyname = re.sub(r"(?i)\bINT\b", "INTEGER", ducktype)
                 raise TextCastError(
                     f"Conversion Error: {text!r} can't be cast to the "
-                    f"destination type "
-                    f"{re.sub(r'(?i)\\bINT\\b', 'INTEGER', ducktype)}")
+                    f"destination type {_tyname}")
             acc = part if not acc else acc + "," + part
             try:
                 _part3(acc, ":")
@@ -835,10 +835,10 @@ def parse_typed(text: str, quoted: bool, ducktype: str,
             merged, acc = [], ""
             for part in _split_top(body, ","):
                 if not part.strip() and not acc:
+                    _tyname = re.sub(r"(?i)\bINT\b", "INTEGER", dt)
                     raise TextCastError(
                         f"Conversion Error: {text!r} can't be cast to the "
-                        f"destination type "
-                        f"{re.sub(r'(?i)\\bINT\\b', 'INTEGER', dt)}")
+                        f"destination type {_tyname}")
                 acc = part if not acc else acc + "," + part
                 try:
                     _part3(acc, ":")

@@ -627,8 +627,7 @@ _DELETE_RE = re.compile(
     r"(?:\s+where\s+(.*))?\s*;?\s*$")
 _UPDATE_RE = re.compile(
     r"(?is)^\s*update\s+([\w\".]+)(?:\s+(?:as\s+)?(?!set\b)(\w+))?"
-    r"\s+set\s+(.*?)"
-    r"(?:\s+from\s+(.*?))?(?:\s+where\s+(.*))?\s*;?\s*$"
+    r"\s+set\s+(.*?)\s*;?\s*$"
 )
 _DROP_RE = re.compile(
     r"(?is)^\s*drop\s+(table|view)\s+(?:if\s+exists\s+)?([\w\".]+)\s*(?:cascade\s*)?;?\s*$"
@@ -741,6 +740,7 @@ class SLSession:
         self.tables: dict[str, tuple] = {}   # name -> (schema, rows)
         self.views: set[str] = set()
         self.pkeys: dict[str, list[str]] = {}  # name -> primary-key columns
+        self.defaults: dict[str, dict[str, str]] = {}  # name -> col -> expr
         # BEGIN snapshot of the row store (reference transaction/rollback
         # semantics over this runner's driver-side tables)
         self._txn: dict[str, tuple] | None = None
@@ -982,6 +982,13 @@ class SLSession:
                 cname = mm.group(2) or mm.group(1)
                 if re.search(r"(?i)\bprimary\s+key\b", mm.group(3)):
                     pk.append(cname.strip('"').lower())
+                dm = re.search(
+                    r"(?is)\bdefault\s*(\((?:[^()]|\([^()]*\))*\)|"
+                    r"'(?:[^']|'')*'(?:\s*::\s*\w+)?|[^\s,]+)",
+                    mm.group(3))
+                if dm:
+                    self.defaults.setdefault(name, {})[
+                        cname.strip('"').lower()] = dm.group(1)
                 coll = re.search(r"(?i)\bcollate\s+(\S+)", mm.group(3))
                 ctype = re.sub(
                     r"(?i)\s+(primary\s+key|not\s+null|unique|default\b.*|check\s*\(.*|collate\s+\S+)",
@@ -1272,15 +1279,27 @@ class SLSession:
                 raise ValueError(f"unknown table {name}")
             src = f"{name} AS {m.group(2)}" if m.group(2) else name
             schema, _ = self.tables[name]
+            from duckdb_spark.managed import _split_clauses
+
+            # paren-aware clause split: a FROM/WHERE inside a SET
+            # subquery must not be mistaken for the statement clauses
+            # (test_update_subquery.test:12)
+            cl = _split_clauses(m.group(3), ["FROM", "WHERE"])
             assigns = {}
-            for part in _split_coldefs(m.group(3)):
+            for part in _split_coldefs(cl["__head"]):
                 k, _, v = part.partition("=")
-                assigns[k.strip().strip('"')] = v.strip()
-            cond = m.group(5) or "TRUE"
-            if m.group(4):
+                v = v.strip()
+                if v.upper() == "DEFAULT":
+                    # SET col=DEFAULT: declared default or NULL
+                    # (test_update_subquery.test:60)
+                    v = self.defaults.get(name, {}).get(
+                        k.strip().strip('"').lower(), "NULL")
+                assigns[k.strip().strip('"')] = v
+            cond = cl.get("WHERE") or "TRUE"
+            if cl.get("FROM"):
                 # UPDATE … FROM (reference bind_update.cpp): a row updates
                 # when ANY from-row satisfies the predicate
-                cond = f"EXISTS (SELECT 1 FROM {m.group(4)} WHERE {cond})"
+                cond = f"EXISTS (SELECT 1 FROM {cl['FROM']} WHERE {cond})"
             cnt = self.con.sql(
                 f"SELECT COUNT(*) FROM {src} WHERE COALESCE(({cond}), FALSE)"
             ).df().collect()[0][0]
