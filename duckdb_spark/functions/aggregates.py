@@ -56,8 +56,11 @@ def skewness(x) -> Column:
     target = (
         F.sqrt(n * (n - 1)) / (n - 2) * temp
         * (s3 - 3 * s2 * s1 * temp + 2 * F.pow(s1, 3) * temp * temp)
-        / F.sqrt(F.pow(variance, 3))
+        / F.nullif(F.sqrt(F.pow(variance, 3)), F.lit(0.0))
     )
+    # nullif: a DENORMAL variance underflows pow(var,3) to 0.0 while
+    # var > 0 — ANSI division would raise where the reference yields NULL
+    # (hypothesis-found [0,0,0,8e-70])
     # Zero-variance check matches the SHIPPING DuckDB (the correctness
     # oracle): raw_m2 == 0 → NULL. Reference HEAD (skew.cpp:60-66) widens
     # this to an epsilon-scaled tolerance — a semantics change newer than
@@ -88,7 +91,7 @@ def kurtosis(x) -> Column:
         - 3 * F.pow(s1, 4) * F.pow(temp, 3)
     )
     m2 = temp * (s2 - s1 * s1 * temp)
-    target = (n - 1) * ((n + 1) * m4 / (m2 * m2) - 3 * (n - 1)) / ((n - 2) * (n - 3))
+    target = (n - 1) * ((n + 1) * m4 / F.nullif(m2 * m2, F.lit(0.0)) - 3 * (n - 1)) / ((n - 2) * (n - 3))
     return (
         F.when(n <= 3, F.lit(None).cast("double"))
         .when(s2 - s1 * s1 * temp == 0, F.lit(None).cast("double"))

@@ -66,7 +66,12 @@ def copy_to(
             if max_records_per_file:
                 writer = writer.option(
                     "maxRecordsPerFile", str(max_records_per_file))
-        writer.option("header", str(header).lower()).csv(path)
+        # RFC4180 quote-doubling on the WRITE side too — matches DuckDB's
+        # CSV writer and our reader's default (read_csv escape='\"');
+        # Spark's backslash-escape default would corrupt embedded quotes
+        # on roundtrip (string_to_list_roundtrip.test:12)
+        writer.option("escape", '"') \
+            .option("header", str(header).lower()).csv(path)
     elif fmt == "json":
         writer.json(path)
     elif fmt == "parquet":

@@ -1101,6 +1101,9 @@ class Connection:
                 or ("UNRESOLVED_ROUTINE" in msg
                     and re.search(r"(?i)`(nextval|currval)`", msg)
                     and re.search(r"(?i)\(\s*SELECT\b", query))
+                # correlated column under a generator (UNNEST of an outer
+                # struct/list — unnest_struct_subquery.test:15)
+                or ("UNEXPECTED_INPUT_TYPE" in msg and "outer(" in msg)
             ) and getattr(self, "_decorrelate_depth", 0) < 3:
                 # deep correlation Catalyst won't decorrelate — manual
                 # flatten_dependent_join fallback (sql/decorrelate.py).

@@ -1507,6 +1507,31 @@ def _fromless_repl(toks: list[str], sel: int, close: int,
             return None
         return f"(({folded}))"
     if in_where and _AGG_WORD_RE.search(expr):
+        # aggregates over COLUMN references refuse to fold (reference
+        # binder raises 'WHERE clause cannot contain aggregates!' —
+        # correlated_missing_columns.test:26); constant-arg aggregates
+        # fold over the implicit single row
+        for am0 in _AGG_WORD_RE.finditer(expr):
+            o0 = expr.find("(", am0.end() - 1)
+            if o0 < 0:
+                continue
+            d0 = 1
+            x0 = o0 + 1
+            while x0 < len(expr) and d0:
+                d0 += (expr[x0] == "(") - (expr[x0] == ")")
+                x0 += 1
+            at0 = _tokens(expr[o0 + 1:x0 - 1])
+            for ti0, t0 in enumerate(at0):
+                if re.fullmatch(r"[A-Za-z_]\w*", t0) and t0.upper() not in (
+                    "NULL", "TRUE", "FALSE", "DISTINCT", "ALL", "AS",
+                    "AND", "OR", "NOT", "CASE", "WHEN", "THEN", "ELSE",
+                    "END", "CAST", "INTERVAL", "IS",
+                ):
+                    nt0 = _next_code(at0, ti0 + 1)
+                    if nt0 >= len(at0) or at0[nt0] != "(":
+                        raise ValueError(
+                            "Binder Error: WHERE clause cannot contain "
+                            "aggregates!")
         folded = _fold_single_row_aggs(expr)
         if folded is not None:
             return f"(({folded}))"
@@ -3937,25 +3962,41 @@ def _expand_dup_grouping(toks: list[str]) -> list[str]:
 
 
 def _hoist_grouping_having(toks: list[str]) -> list[str]:
-    hv = _top_level_index(toks, 0, len(toks), "HAVING")
-    if hv < 0:
-        return toks
+    """Hoist grouping()/grouping_id() out of HAVING and/or ORDER BY into
+    helper columns of an inner aggregate, filtered/ordered by an outer
+    query. Spark refuses grouping() in HAVING over DUPLICATE grouping
+    sets and in ORDER BY over non-output grouping columns
+    (combined_with_grouping.test:205,254)."""
     sel = _top_level_index(toks, 0, len(toks), "SELECT")
-    frm = _top_level_index(toks, sel + 1, len(toks), "FROM")
+    frm = _top_level_index(toks, sel + 1, len(toks), "FROM") if sel >= 0 \
+        else -1
     if sel < 0 or frm < 0:
         return toks
-    hv_end = len(toks)
-    for stop in ("ORDER", "LIMIT", "OFFSET", "WINDOW", "QUALIFY"):
-        p = _top_level_index(toks, hv + 1, len(toks), stop)
+    hv = _top_level_index(toks, 0, len(toks), "HAVING")
+    ob = _top_level_index(toks, 0, len(toks), "ORDER")
+    hv_end = ob if (hv >= 0 and ob > hv) else len(toks)
+    for stop in ("LIMIT", "OFFSET", "WINDOW", "QUALIFY"):
+        p = _top_level_index(toks, (hv if hv >= 0 else 0) + 1,
+                             len(toks), stop)
         if p >= 0:
             hv_end = min(hv_end, p)
-    having = "".join(toks[hv + 1:hv_end]).strip()
-    if not re.search(r"(?i)\bgrouping(_id)?\s*\(", having):
+    ob_end = len(toks)
+    if ob >= 0:
+        for stop in ("LIMIT", "OFFSET"):
+            p = _top_level_index(toks, ob + 1, len(toks), stop)
+            if p >= 0:
+                ob_end = min(ob_end, p)
+    having = "".join(toks[hv + 1:hv_end]).strip() if hv >= 0 else ""
+    order = "".join(toks[ob:ob_end]).strip() if ob >= 0 else ""
+    gre = r"(?i)\bgrouping(_id)?\s*\("
+    if not (re.search(gre, having) or re.search(gre, order)):
         return toks
     items = _split_top_args(toks[sel + 1:frm])
     inner_items, outer_items = [], []
     for k2, it in enumerate(items):
         it = it.strip()
+        if not it:
+            continue
         am = re.search(r"(?is)\s+AS\s+([A-Za-z_]\w*)\s*$", it)
         alias = am.group(1) if am else (
             it if re.fullmatch(r"[A-Za-z_]\w*", it) else f"__c{k2}")
@@ -3963,24 +4004,36 @@ def _hoist_grouping_having(toks: list[str]) -> list[str]:
         inner_items.append(f"{body} AS {alias}" if alias != it else it)
         outer_items.append(f"`{alias}`")
     helpers = []
-    hv2 = having
-    for k2, gm in enumerate(re.finditer(
-            r"(?is)\bgrouping(?:_id)?\s*\(", having)):
-        d0 = 1
-        x = gm.end()
-        while x < len(having) and d0:
-            d0 += (having[x] == "(") - (having[x] == ")")
-            x += 1
-        expr = having[gm.start():x]
-        nm = f"__dkg{k2}"
-        helpers.append(f"{expr} AS {nm}")
-        hv2 = hv2.replace(expr, nm)
+    seen_g: dict[str, str] = {}
+
+    def _sub_grouping(text: str) -> str:
+        outx = text
+        for gm in re.finditer(r"(?is)\bgrouping(?:_id)?\s*\(", text):
+            d0 = 1
+            x = gm.end()
+            while x < len(text) and d0:
+                d0 += (text[x] == "(") - (text[x] == ")")
+                x += 1
+            expr = text[gm.start():x]
+            if expr not in seen_g:
+                nm = f"__dkg{len(seen_g)}"
+                seen_g[expr] = nm
+                helpers.append(f"{expr} AS {nm}")
+            outx = outx.replace(expr, seen_g[expr])
+        return outx
+
+    hv2 = _sub_grouping(having) if having else ""
+    ob2 = _sub_grouping(order) if order else ""
+    body_end = hv if hv >= 0 else (ob if ob >= 0 else len(toks))
     inner = ("SELECT " + ", ".join(inner_items + helpers) + " "
-             + "".join(toks[frm:hv]))
-    tail = "".join(toks[hv_end:])
+             + "".join(toks[frm:body_end]))
+    tail = "".join(toks[ob_end if ob >= 0 else hv_end:])
     return _tokens(
         "SELECT " + ", ".join(outer_items)
-        + f" FROM ({inner}) __dkgh WHERE {hv2} " + tail)
+        + f" FROM ({inner}) __dkgh "
+        + (f"WHERE {hv2} " if hv2 else "")
+        + (ob2 + " " if ob2 else "")
+        + tail)
 
 
 def _check_grouping_set_limits(toks: list[str]) -> None:
@@ -7771,6 +7824,15 @@ def translate(sql: str) -> str:
     _check_grouping_set_limits(toks)
     if re.search(r"(?i)\b(CUBE|ROLLUP)\s*\(", sql):
         toks = _expand_dup_grouping(toks)
+    if re.search(r"(?i)\b(CUBE|ROLLUP|GROUPING\s+SETS)\s*\(", sql) and \
+            re.search(r"(?i)\bORDER\s+BY\b", sql):
+        _obx = _top_level_index(toks, 0, len(toks), "ORDER")
+        if _obx >= 0 and re.search(
+                r"(?i)\bgrouping(_id)?\s*\(",
+                "".join(toks[_obx:])):
+            # grouping() in ORDER BY over non-output grouping columns:
+            # Spark's Sort can't bind it (combined_with_grouping.test:254)
+            toks = _hoist_grouping_having(toks)
     # GROUPING(tbl.col) → GROUPING(col): Spark matches grouping() args to
     # grouping keys textually, the reference resolves qualified refs
     if re.search(r"(?i)\bGROUPING", "".join(toks)):

@@ -439,6 +439,10 @@ def _macro_skew_kurt(name: str, x: str, over: str = "") -> str:
     semantics incl. the out-of-range runtime error (skew.cpp /
     kurtosis.cpp); SQL twin of functions/aggregates.py. The optional OVER
     clause attaches to every constituent aggregate (windowed form)."""
+    # denominators go through nullif: a DENORMAL variance underflows
+    # power(var,3)/var*var to 0.0 while var > 0, and ANSI division would
+    # raise instead of yielding the reference's NULL (hypothesis-found:
+    # [0,0,0,8e-70])
     X = f"cast({x} as double)"
     cn = f"cast(count({X}) {over} as double)"
     s1, s2 = f"sum({X}) {over}", f"sum({X} * {X}) {over}"
@@ -451,7 +455,7 @@ def _macro_skew_kurt(name: str, x: str, over: str = "") -> str:
             f"(sqrt({cn} * ({cn} - 1)) / ({cn} - 2) * {tmp} * "
             f"({s3} - 3 * {s2} * {s1} * {tmp} + "
             f"2 * power({s1}, 3) * {tmp} * {tmp}) / "
-            f"sqrt(power({var}, 3)))"
+            f"nullif(sqrt(power({var}, 3)), 0.0d))"
         )
         guard_n, msg = 2, "SKEW is out of range!"
     else:
@@ -462,7 +466,7 @@ def _macro_skew_kurt(name: str, x: str, over: str = "") -> str:
             f"3 * power({s1}, 4) * power({tmp}, 3)))"
         )
         target = (
-            f"(({cn} - 1) * (({cn} + 1) * {m4} / ({var} * {var}) - "
+            f"(({cn} - 1) * (({cn} + 1) * {m4} / nullif({var} * {var}, 0.0d) - "
             f"3 * ({cn} - 1)) / (({cn} - 2) * ({cn} - 3)))"
         )
         guard_n, msg = 3, "Kurtosis is out of range!"
