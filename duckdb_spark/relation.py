@@ -1219,6 +1219,13 @@ class Connection:
                             return Relation(self.spark.sql(tq8))
                         except Exception:  # noqa: BLE001 — keep original
                             pass
+            if "VARIANT" in msg and (
+                    "DATA_DIFF_TYPES" in msg
+                    or "BINARY_OP_DIFF_TYPES" in msg
+                    or "CAST_WITHOUT_SUGGESTION" in msg):
+                r9 = self._variant_retry(translate(query), msg)
+                if r9 is not None:
+                    return Relation(r9)
             if "INCOMPATIBLE_COLUMN_TYPE" in msg and "INTERVAL" in msg:
                 # `NULL::INTERVAL` lands on Spark's CalendarIntervalType,
                 # which won't unify with the day-time/year-month interval
@@ -2578,6 +2585,110 @@ class Connection:
         view = f"__lat_rec_{Connection._tvf_seq}"
         out_df.createOrReplaceTempView(view)
         return self.sql(f"SELECT {sel} FROM {view} {tail}")
+
+    def _variant_retry(self, tq: str, msg: str, depth: int = 0):
+        """Apply ONE variant-shape fix implied by a Spark analysis error
+        and re-run; recurse on the next error (fixes compose — a mixed
+        variant array AND a variant equality in one statement:
+        test_variant_filter.test:54). Returns a DataFrame or None."""
+        if depth > 3:
+            return None
+        from duckdb_spark.sql.dialect import (
+            _split_top_args as _sta9,
+            _tokens as _tk9,
+        )
+
+        def _wspat(text: str) -> str:
+            # the message strips quotes from literals AND struct field
+            # names ('2' → 2, named_struct('a', …) → named_struct(a, …))
+            return r"(?i)(" + r"\s*".join(
+                (r"'?" + re.escape(t) + r"'?")
+                if re.fullmatch(r"\d+(\.\d+)?|[A-Za-z_]\w*", t)
+                else re.escape(t)
+                for t in _tk9(text) if not t.isspace()) + r")"
+
+        new_tq = None
+        em9 = re.search(r'Cannot resolve "(array\(.*\))" due to', msg) \
+            if "DATA_DIFF_TYPES" in msg else None
+        if em9 and "VARIANT" in msg:
+            # array literal mixing ::VARIANT elements with scalars:
+            # lift every element to variant
+            m9 = re.search(_wspat(em9.group(1)), tq)
+            if m9:
+                matched = m9.group(1)
+                inner9 = matched[matched.find("(") + 1:-1]
+                parts9 = ["".join(p) if isinstance(p, list) else p
+                          for p in _sta9(_tk9(inner9))]
+                repl9 = "array(" + ", ".join(
+                    p.strip() if "VARIANT" in p.upper()
+                    else f"try_cast({p.strip()} as variant)"
+                    for p in parts9) + ")"
+                new_tq = tq[:m9.start(1)] + repl9 + tq[m9.end(1):]
+        if new_tq is None and "CAST_WITHOUT_SUGGESTION" in msg and \
+                "VARIANT" in msg:
+            # struct/array → VARIANT cast Spark refuses: go through JSON
+            emc = re.search(r'Cannot resolve "((?:TRY_)?CAST\(.* AS '
+                            r'VARIANT\))" due to', msg)
+            if emc:
+                mc = re.search(_wspat(emc.group(1)), tq)
+                if mc:
+                    matched = mc.group(1)
+                    body = matched[matched.find("(") + 1:]
+                    body = re.sub(r"(?is)\s+AS\s+VARIANT\s*\)\s*$", "",
+                                  body)
+                    new_tq = (tq[:mc.start(1)]
+                              + f"parse_json(to_json({body}))"
+                              + tq[mc.end(1):])
+        if new_tq is None and "BINARY_OP_DIFF_TYPES" in msg and \
+                "VARIANT" in msg:
+            # variant equality: total type-first order via canonical JSON
+            em = re.search(r'Cannot resolve "\((.*?) (=|!=|<>) (.*?)\)" '
+                           r"due to", msg)
+            if em:
+                lhs, op0, rhs = em.groups()
+                for cand in (f"{lhs} {op0} {rhs}",
+                             f"{lhs} {'==' if op0 == '=' else op0} {rhs}"):
+                    m0 = re.search(_wspat(cand), tq)
+                    if m0:
+                        # rebuild operands from the MATCHED query text —
+                        # the message strips quotes from field names, so
+                        # interpolating msg text would unresolve them
+                        mt = _tk9(m0.group(1))
+                        d1 = 0
+                        lhs_t = rhs_t = None
+                        for ix1, t1 in enumerate(mt):
+                            if t1 == "(":
+                                d1 += 1
+                            elif t1 == ")":
+                                d1 -= 1
+                            elif d1 == 0 and t1 in ("=", "==", "!=",
+                                                    "<>", "!", "<"):
+                                j1 = ix1 + 1
+                                # the tokenizer may split ==, != and <>
+                                if j1 < len(mt) and t1 in ("=", "!", "<") \
+                                        and mt[j1] in ("=", ">"):
+                                    j1 += 1
+                                elif t1 in ("!", "<"):
+                                    continue  # bare ! or <: not our op
+                                lhs_t = "".join(mt[:ix1]).strip()
+                                rhs_t = "".join(mt[j1:]).strip()
+                                break
+                        if lhs_t is None:
+                            break
+                        eq = (f"(to_json(try_cast({lhs_t} as variant)) "
+                              f"<=> to_json(try_cast({rhs_t} as "
+                              f"variant)))")
+                        repl = eq if op0 == "=" else f"(NOT {eq})"
+                        new_tq = tq[:m0.start(1)] + repl + tq[m0.end(1):]
+                        break
+        if new_tq is None:
+            return None
+        try:
+            df = self.spark.sql(new_tq)
+            df.schema  # force analysis
+            return df
+        except Exception as e2:  # noqa: BLE001 — try the next fix
+            return self._variant_retry(new_tq, str(e2), depth + 1)
 
     def _setop_orderby_ordinal(self, query: str, failed: str):
         """Rewrite a set-op's trailing `ORDER BY <name>` to an ordinal when

@@ -674,7 +674,7 @@ def _rewrite_frame_bound_exprs(toks: list[str]) -> list[str]:
         fn = out[fn_idx].upper() if fn_idx >= 0 and re.match(
             r"^[A-Za-z_]", out[fn_idx]) else ""
         if fn not in ("SUM", "AVG", "COUNT", "MIN", "MAX", "MEDIAN",
-                      "QUANTILE_DISC", "QUANTILE"):
+                      "QUANTILE_DISC", "QUANTILE", "QUANTILE_CONT"):
             i = oc + 1
             continue  # leave: Spark raises 'must be a literal'
         pp = _top_level_index(spec, 0, len(spec), "PARTITION")
@@ -707,7 +707,7 @@ def _rewrite_frame_bound_exprs(toks: list[str]) -> list[str]:
         keep = " AND ".join(conds) or "true"
         arg0 = "".join(args).strip() or "1"
         qfrac = None
-        if fn in ("QUANTILE_DISC", "QUANTILE"):
+        if fn in ("QUANTILE_DISC", "QUANTILE", "QUANTILE_CONT"):
             aparts = _split_top_args(_tokens(arg0))
             if len(aparts) != 2:
                 i = oc + 1
@@ -743,6 +743,25 @@ def _rewrite_frame_bound_exprs(toks: list[str]) -> list[str]:
             expr = (f"if({nn} = 0, CAST(NULL AS DOUBLE), "
                     f"(element_at({s2}, CAST(({nn} + 1) div 2 AS int)) + "
                     f"element_at({s2}, CAST({nn} div 2 + 1 AS int))) / 2)")
+        elif fn == "QUANTILE_CONT":
+            # continuous quantile over the materialized frame
+            # (test_quantile_window.test:342)
+            s9 = f"array_sort(transform({va}, __x -> CAST(__x AS DOUBLE)))"
+            n9 = f"size({s9})"
+
+            def _qc_pick(qq: str) -> str:
+                pos = f"(1 + ({qq}) * ({n9} - 1))"
+                lo9 = f"element_at({s9}, CAST(floor({pos}) AS int))"
+                hi9 = f"element_at({s9}, CAST(ceil({pos}) AS int))"
+                return (f"({lo9} + ({hi9} - {lo9}) * "
+                        f"({pos} - floor({pos})))")
+
+            if re.match(r"(?is)^\s*(array\s*\(|\[)", qfrac or ""):
+                expr = (f"if({n9} = 0, NULL, transform({qfrac}, "
+                        f"__q -> {_qc_pick('__q')}))")
+            else:
+                expr = (f"if({n9} = 0, CAST(NULL AS DOUBLE), "
+                        f"{_qc_pick(qfrac or '0.5')})")
         elif fn in ("QUANTILE_DISC", "QUANTILE"):
             # discrete quantile (scalar or list fractions) over the
             # materialized frame (test_quantile_window.test:279)
