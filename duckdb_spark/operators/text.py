@@ -52,8 +52,30 @@ def _sql(x) -> str:
 
 def stopword_hits(col, lang: str) -> Column:
     """How many tokens are stopwords of `lang`."""
+    return stopword_hits_from_tokens(tokens(col), lang)
+
+
+def stopword_hits_from_tokens(toks, lang: str) -> Column:
+    """stopword_hits over a pre-tokenized array column — callers that need
+    hits for several languages should project `tokens(text)` ONCE and feed
+    it here: the composed form re-inlines the regex split per language
+    (Catalyst only collapses cheap expressions into multi-reference
+    consumers), so a 5-language scorer re-splits the text 5×."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t)))
+    return F.size(F.filter(_c(toks), lambda t: F.array_contains(sw, t)))
+
+
+def argmax_lang(hit_cols: dict[str, Column]) -> Column:
+    """Language-ID argmax over per-language hit-count COLUMNS (ties →
+    lexicographic lang order; 'und' when all zero) — the decision chain of
+    detect_language, decoupled from hit computation so hits are evaluated
+    once even though the chain references each score twice."""
+    scores = sorted(hit_cols.items())
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    for lg, s in reversed(scores):
+        out = F.when(s == best, F.lit(lg)).otherwise(out)
+    return F.when(best == 0, F.lit("und")).otherwise(out)
 
 
 def lang_scores(col) -> Column:
@@ -63,13 +85,10 @@ def lang_scores(col) -> Column:
 
 def detect_language(col) -> Column:
     """Heuristic language-ID: argmax stopword hits (ties → lexicographic
-    lang order; 'und' when zero hits everywhere)."""
-    scores = [(lg, stopword_hits(col, lg)) for lg in sorted(STOPWORDS)]
-    best_score = F.greatest(*[s for _, s in scores])
-    out = F.lit("und")
-    for lg, s in reversed(scores):
-        out = F.when(s == best_score, F.lit(lg)).otherwise(out)
-    return F.when(best_score == 0, F.lit("und")).otherwise(out)
+    lang order; 'und' when zero hits everywhere). Single-expression form;
+    pipelines should project tokens once and use
+    stopword_hits_from_tokens + argmax_lang (see queries/text.py)."""
+    return argmax_lang({lg: stopword_hits(col, lg) for lg in STOPWORDS})
 
 
 def punct_ratio(col) -> Column:

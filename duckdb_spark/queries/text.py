@@ -17,6 +17,58 @@ from duckdb_spark.queries import register
 
 _SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in T.STOPWORDS.items()}
 
+
+def _with_hits(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """Mirror of the oracle's `hits` CTE: tokenize ONCE into __toks, then
+    per-language stopword hit counts h_<lang> in a second projection.
+
+    Two stacked Projects instead of one composed expression: Catalyst
+    leaves non-cheap multi-referenced aliases un-collapsed, so the regex
+    split and each hit count are evaluated once per row — the composed
+    operator form re-split the text 5× (per language) and re-filtered per
+    reference (text_quality plan: 8 split() calls in the aggregate; now 1).
+    """
+    base = docs.select(*extra_cols, "text", T.tokens(F.col("text")).alias("__toks"))
+    return base.select(
+        *extra_cols,
+        "text",
+        "__toks",
+        *[
+            T.stopword_hits_from_tokens(F.col("__toks"), lg).alias(f"h_{lg}")
+            for lg in T.STOPWORDS
+        ],
+    )
+
+
+def _hit_cols() -> dict[str, F.Column]:
+    return {lg: F.col(f"h_{lg}") for lg in T.STOPWORDS}
+
+
+def _score_cols() -> list[F.Column]:
+    """Scored projection over the _with_hits frame: token count (over the
+    shared __toks — lower() never changes token count), punct ratio (ONE
+    regexp_replace pass; the composed form inlined it 2-3×), and the
+    max stopword-hit count."""
+    stripped = F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9 ]", "")
+    p = (F.length("text") - F.length(stripped)) / F.greatest(F.length("text"), F.lit(1))
+    n_tok = F.when(F.trim(F.col("text")) == "", 0).otherwise(F.size(F.col("__toks")))
+    return [
+        n_tok.alias("__n_tok"),
+        p.alias("__p"),
+        F.greatest(*_hit_cols().values()).alias("__sw"),
+    ]
+
+
+def _quality_expr() -> F.Column:
+    """Composite quality score over the scored projection (__n_tok, __p,
+    __sw) — the formula of operators/text.quality_score, every input a
+    plain column reference so multi-reference costs nothing."""
+    n_tok, p, sw = F.col("__n_tok"), F.col("__p"), F.col("__sw")
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.3)
+    punct_ok = F.when(p <= 0.2, 1.0).otherwise(F.greatest(F.lit(0.0), 1.0 - (p - 0.2) * 4))
+    sw_ok = F.least(sw / F.greatest(n_tok, F.lit(1)) * 5, F.lit(1.0))
+    return F.round((len_ok + punct_ok + sw_ok) / 3.0, 4)
+
 _ORACLE_HITS = """
 WITH toks AS (
   SELECT doc_id, lang, source, text,
@@ -49,12 +101,18 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish token counts per source."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     wt = F.size(F.expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
+    # Project both token counts once per row: the agg referenced
+    # token_count twice (sum + avg), re-running the regex split per
+    # reference.
+    counted = docs.select(
+        "source", T.token_count(F.col("text")).alias("__n"), wt.alias("__wt")
+    )
     return (
-        docs.groupBy("source")
+        counted.groupBy("source")
         .agg(
-            F.sum(T.token_count(F.col("text"))).alias("total_tokens"),
-            F.round(F.avg(T.token_count(F.col("text"))), 2).alias("avg_tokens"),
-            F.sum(wt).alias("total_word_tokens"),
+            F.sum("__n").alias("total_tokens"),
+            F.round(F.avg("__n"), 2).alias("avg_tokens"),
+            F.sum("__wt").alias("total_word_tokens"),
         )
         .orderBy("source")
     )
@@ -80,9 +138,10 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-tabulated against the labeled lang column."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return (
-        docs.select(
+        _with_hits(docs, "lang")
+        .select(
             F.col("lang").alias("labeled"),
-            T.detect_language(F.col("text")).alias("predicted"),
+            T.argmax_lang(_hit_cols()).alias("predicted"),
         )
         .groupBy("labeled", "predicted")
         .agg(F.count("*").alias("n"))
@@ -119,20 +178,15 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     presence), averaged per source. Oracle recomputes the formula.
 
     NOTE: punct definition uses the ASCII class [^a-zA-Z0-9 ] so the Java
-    and RE2 regex dialects agree."""
+    and RE2 regex dialects agree. r12: staged projections (_with_hits +
+    _score_cols) tokenize and regex-strip ONCE per row — the composed form
+    inlined 8 split() and 2 regexp_replace() calls into the aggregate
+    (plans/r12/text_quality_before.txt)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    # ASCII-class punct ratio (dialect-portable, matches oracle)
-    stripped = F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9 ]", "")
-    p = (F.length("text") - F.length(stripped)) / F.greatest(F.length("text"), F.lit(1))
-    n_tok = T.token_count(F.col("text"))
-    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.3)
-    punct_ok = F.when(p <= 0.2, 1.0).otherwise(F.greatest(F.lit(0.0), 1.0 - (p - 0.2) * 4))
-    sw = F.greatest(*[T.stopword_hits(F.col("text"), lg) for lg in T.STOPWORDS])
-    sw_ok = F.least(sw / F.greatest(n_tok, F.lit(1)) * 5, F.lit(1.0))
-    quality = F.round((len_ok + punct_ok + sw_ok) / 3.0, 4)
+    scored = _with_hits(docs, "source").select("source", *_score_cols())
     return (
-        docs.groupBy("source")
-        .agg(F.round(F.avg(quality), 4).alias("avg_quality"))
+        scored.groupBy("source")
+        .agg(F.round(F.avg(_quality_expr()), 4).alias("avg_quality"))
         .orderBy("source")
     )
 
@@ -181,20 +235,22 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-invariant content fingerprint — the full curation surface
     of operators/text.py differentially pinned per doc."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    stripped = F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9 ]", "")
-    p = (F.length("text") - F.length(stripped)) / F.greatest(F.length("text"), F.lit(1))
-    n_tok = T.token_count(F.col("text"))
-    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.3)
-    punct_ok = F.when(p <= 0.2, 1.0).otherwise(F.greatest(F.lit(0.0), 1.0 - (p - 0.2) * 4))
-    sw = F.greatest(*[T.stopword_hits(F.col("text"), lg) for lg in T.STOPWORDS])
-    sw_ok = F.least(sw / F.greatest(n_tok, F.lit(1)) * 5, F.lit(1.0))
-    return docs.select(
+    scored = _with_hits(docs, "doc_id", "lang").select(
+        "doc_id",
+        "lang",
+        "__toks",
+        T.argmax_lang(_hit_cols()).alias("predicted"),
+        *_score_cols(),
+    )
+    return scored.select(
         "doc_id",
         F.col("lang").alias("labeled"),
-        T.detect_language(F.col("text")).alias("predicted"),
-        n_tok.cast("long").alias("n_tok"),
-        F.round((len_ok + punct_ok + sw_ok) / 3.0, 4).alias("quality"),
-        T.fingerprint(F.col("text")).alias("fp"),
+        "predicted",
+        F.col("__n_tok").cast("long").alias("n_tok"),
+        _quality_expr().alias("quality"),
+        # fingerprint over the shared token array (same split as the
+        # operator's — md5 of sorted distinct tokens)
+        F.md5(F.array_join(F.array_sort(F.array_distinct(F.col("__toks"))), " ")).alias("fp"),
     ).orderBy("doc_id")
 
 

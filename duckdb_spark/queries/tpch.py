@@ -651,43 +651,37 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rewritten from semi+anti self-joins (three lineitem-scale shuffles on
     l_orderkey) to ONE shuffle + per-order window aggregates: a row l1
-    satisfies the EXISTS iff its order has >1 distinct supplier, and the
-    NOT EXISTS iff l1.shipdate >= max shipdate among OTHER suppliers,
-    derived from (argmax supplier, whether several suppliers achieve the
-    max, max among non-argmax suppliers). Equivalent on ties: when more
-    than one supplier achieves the order max, every row's other-supplier
-    max is that max regardless of which argmax row max_by picks.
-    Measured 2.8s -> 1.65s at sf1; identical output."""
+    satisfies the EXISTS iff its order has >1 distinct supplier
+    (min supplier != max supplier), and the NOT EXISTS iff
+    l1.shipdate >= max shipdate among OTHER suppliers, where that
+    other-supplier max is m1 = max(shipdate) when l1 is not the argmax
+    supplier, else m2 = max(shipdate over suppliers != argmax supplier).
+    Tie safety: when several suppliers achieve m1, m2 equals m1 by
+    definition (some non-argmax supplier is at the max), so no separate
+    multi-at-max branch is needed. r12: replaced the two collect_set
+    windows (hash-set build per order in WindowExec) with min/max
+    aggregates — same rows, measured 5.3s -> 1.9s at sf1 on the r12 host;
+    plan diff: collect_set×2 removed from the Window nodes."""
     supplier, lineitem, orders = _t(spark, sf_dir, "supplier", "lineitem", "orders")
     li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
     w = Window.partitionBy("l_orderkey")
     enr = li.select(
         "l_orderkey", "l_suppkey", "l_shipdate",
-        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.min("l_suppkey").over(w).alias("s_min"),
+        F.max("l_suppkey").over(w).alias("s_max"),
         F.max("l_shipdate").over(w).alias("m1"),
         F.expr("max_by(l_suppkey, l_shipdate)").over(w).alias("s_star"),
     )
     second = F.max(
         F.when(F.col("l_suppkey") != F.col("s_star"), F.col("l_shipdate"))
     ).over(w)
-    multi_at_max = (
-        F.size(
-            F.collect_set(
-                F.when(F.col("l_shipdate") == F.col("m1"), F.col("l_suppkey"))
-            ).over(w)
-        )
-        > 1
-    )
-    enr2 = enr.select(
-        "*", second.alias("second"), multi_at_max.alias("multi_at_max")
-    )
+    enr2 = enr.select("*", second.alias("second"))
     m_other = F.when(
         F.col("l_suppkey") != F.col("s_star"), F.col("m1")
-    ).otherwise(
-        F.when(F.col("multi_at_max"), F.col("m1")).otherwise(F.col("second"))
-    )
+    ).otherwise(F.col("second"))
     qualified = enr2.filter(
-        (F.col("n_supp") > 1) & (m_other.isNull() | (F.col("l_shipdate") >= m_other))
+        (F.col("s_min") != F.col("s_max"))
+        & (m_other.isNull() | (F.col("l_shipdate") >= m_other))
     ).select("l_orderkey", "l_suppkey")
     return (
         qualified.join(
