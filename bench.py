@@ -174,6 +174,19 @@ def main() -> None:
     if extra:
         names = [n.strip() for n in extra.split(",") if n.strip() in q.QUERIES]
 
+    # Host-noise gate (r12): this sandbox shows multi-minute windows where
+    # BOTH engines run 3-20× slow (r12 baseline: q01 13.4s at sf0.1 vs
+    # 0.9s committed r11; DuckDB's own companion doubled in the same
+    # window). Wait for load to drain before the timed passes and record
+    # what we saw so the artifact is interpretable.
+    load_seen = []
+    for _ in range(24):  # up to ~2 min
+        load = os.getloadavg()[0]
+        load_seen.append(round(load, 2))
+        if load < max(4.0, 0.25 * (os.cpu_count() or 32)):
+            break
+        time.sleep(5)
+
     timings = run_pass(spark, q, names, SF_DIR)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -183,6 +196,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "loadavg_at_start": load_seen,
     }
 
     # Secondary pass at the primary gate scale (sf1). Best-effort: any
@@ -201,10 +215,15 @@ def main() -> None:
             # and keep the better median rather than committing the
             # outlier (VERDICT r07 item 7: q21 published 21.1s, clean
             # rerun 3.4s). Reruns are recorded in the artifact.
+            # r12: threshold 12 → 6. The r12 baseline caught q18 (34.6s →
+            # 1.9s on rerun) but missed q21 at ratio 10.5 because its
+            # sf0.1 counterpart was itself contaminated. A genuinely
+            # ~6-12× query only costs one redundant rerun (min() keeps
+            # the honest larger time); a contaminated one is recovered.
             reruns = []
             for name, t1 in list(sf1_timings.items()):
                 t0 = timings.get(name, 0.0)
-                if t1 > 2.0 and t0 > 0 and t1 / t0 > 12.0:
+                if t1 > 2.0 and t0 > 0 and t1 / t0 > 6.0:
                     redo = run_pass(spark, q, [name], SF1_DIR)[name]
                     sf1_timings[name] = min(t1, redo)
                     reruns.append(
@@ -215,6 +234,23 @@ def main() -> None:
             }
             if reruns:
                 result["sf1"]["reruns"] = reruns
+            # r12: symmetric recovery for the sf0.1 pass — a query whose
+            # sf0.1 time EXCEEDS its sf1 time on 10× the data was measured
+            # inside a noise window (r12 baseline: q05 32.2s at sf0.1 vs
+            # 4.8s at sf1). Rerun it now that the window has passed and
+            # keep the min; reruns recorded.
+            reruns01 = []
+            for name, t0 in list(timings.items()):
+                t1 = sf1_timings.get(name, 0.0)
+                if t0 > 2.0 and t1 > 0 and t0 > 1.5 * t1:
+                    redo = run_pass(spark, q, [name], SF_DIR)[name]
+                    timings[name] = min(t0, redo)
+                    reruns01.append(
+                        {"query": name, "first": t0, "rerun": redo})
+            if reruns01:
+                result["queries"] = timings
+                result["value"] = round(sum(timings.values()), 3)
+                result["reruns"] = reruns01
             # sf0.1 wall-time above sf1 means the smaller pass was
             # contaminated (GC, eviction, host noise) — flag it rather
             # than publishing it silently (VERDICT r06 wrong-item 3).
@@ -234,6 +270,32 @@ def main() -> None:
                 "value": round(sum(ddb.values()), 3), "queries": ddb}
             if "sf1" in result:
                 ddb1 = duckdb_pass(q, names, SF1_DIR)
+                # Same noise-window recovery as the Spark passes (the
+                # denominator must be equally honest: a contaminated
+                # DuckDB run flatters our ratio). Rerun sf1 outliers vs
+                # their sf0.1 counterpart, then sf0.1 rows slower than
+                # their 10×-data sf1 counterpart; keep the min.
+                ddb_reruns = []
+                for name, t1 in list(ddb1.items()):
+                    t0 = ddb.get(name, 0.0)
+                    if t1 > 1.0 and t0 > 0 and t1 / t0 > 6.0:
+                        redo = duckdb_pass(q, [name], SF1_DIR)[name]
+                        ddb1[name] = min(t1, redo)
+                        ddb_reruns.append(
+                            {"query": name, "sf": 1, "first": t1,
+                             "rerun": redo})
+                for name, t0 in list(ddb.items()):
+                    t1 = ddb1.get(name, 0.0)
+                    if t0 > 1.0 and t1 > 0 and t0 > 1.5 * t1:
+                        redo = duckdb_pass(q, [name], SF_DIR)[name]
+                        ddb[name] = min(t0, redo)
+                        ddb_reruns.append(
+                            {"query": name, "sf": 0.1, "first": t0,
+                             "rerun": redo})
+                if ddb_reruns:
+                    result["duckdb"]["queries"] = ddb
+                    result["duckdb"]["value"] = round(sum(ddb.values()), 3)
+                    result["duckdb"]["reruns"] = ddb_reruns
                 result["sf1"]["duckdb"] = {
                     "value": round(sum(ddb1.values()), 3), "queries": ddb1}
                 if result["sf1"]["duckdb"]["value"] > 0:

@@ -49,20 +49,23 @@ def ev_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the batch equivalent of session_window; one shuffle on user_id)."""
     (events,) = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = w.rowsBetween(Window.unboundedPreceding, 0)
     prev_ts = F.lag("ts").over(w)
     new_session = F.when(
         prev_ts.isNull()
         | ((F.unix_micros("ts") - F.unix_micros(prev_ts)) > 1800 * 1_000_000),
         1,
     ).otherwise(0)
+    # session count per user = COUNT(DISTINCT running_sum(new_session))
+    # = SUM(new_session): the running counter takes exactly the values
+    # 1..K, so the distinct count is its total. Aggregating the flag
+    # directly drops the running-sum window pass AND the distinct
+    # aggregate's expand/dedup (r12; identical output by construction).
     return (
         events.withColumn("new_session", new_session)
-        .withColumn("session_id", F.sum("new_session").over(run))
         .groupBy("user_id")
         .agg(
-            F.countDistinct("session_id").alias("n_sessions"),
-            F.round(F.count("*") / F.countDistinct("session_id"), 2).alias("events_per_session"),
+            F.sum("new_session").alias("n_sessions"),
+            F.round(F.count("*") / F.sum("new_session"), 2).alias("events_per_session"),
         )
         .orderBy("user_id")
     )
@@ -512,7 +515,12 @@ def ev_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     xv = F.when(F.col("v").isNotNull(), F.col("x_us"))
     enr = base.select(
         "user_id", "ts", "event_id", "value", "v", "x_us",
-        F.sum(new_session).over(run).alias("session_id"),
+        # plain flag, not a running sum: the sess digest only needs the
+        # per-user TOTAL of new-session flags (== max of the running
+        # counter == COUNT(DISTINCT session_id)), so the second window
+        # pass the running sum required is dropped (r12; branch output
+        # unchanged by construction).
+        new_session.alias("__ns"),
         F.last("v", ignorenulls=True).over(run).alias("pv"),
         F.first("v", ignorenulls=True).over(fwd).alias("nv"),
         F.last(xv, ignorenulls=True).over(run).alias("px"),
@@ -528,11 +536,11 @@ def ev_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = (
         enr.groupBy("user_id")
         .agg(
-            # session_id is a per-user running 1-based counter, so the
-            # session count is its MAX — same value as COUNT(DISTINCT ...)
-            # without the distinct aggregate's expand/dedup pass.
-            F.max("session_id").alias("n"),
-            F.round(F.count("*") / F.max("session_id"), 2).alias("v"),
+            # Σ new-session flags per user == max running counter ==
+            # COUNT(DISTINCT session_id), with no second window pass and
+            # no distinct-aggregate expand.
+            F.sum("__ns").alias("n"),
+            F.round(F.count("*") / F.sum("__ns"), 2).alias("v"),
         )
         # 16-bucket digest (see ev_asof_join): integer checksums keep the
         # compare exact while the bench stops measuring 15k-row collects.
