@@ -44,32 +44,31 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness gate hard-checks the FIRST 50 registered queries.
-# ROUND-11 ROTATION (VERDICT r10 item 8: rotate EVERY round; any query
+# ROUND-12 ROTATION (VERDICT r10 item 8: rotate EVERY round; any query
 # whose implementation changed in-round MUST lead the next window):
-# ev_timeseries was rewritten this round (eager checkpoint dropped in
-# favor of runtime exchange reuse) so it leads; the other 49 slots take
-# the registered queries with the OLDEST green driver rows — all 9 with
-# last-green r03 (the window/value suite) and 40 of the 49 with
-# last-green r05, leaving nothing older than r05 unrefreshed. Computed
-# from CORRECTNESS_r01..r10; pre-verified by the driver-faithful
+# the 8 queries whose bodies the optimization round rewrote (q21 window
+# aggregates, text tokenization staging, minhash verify stage,
+# sessionization sum-of-flags) lead; the other 42 slots take the
+# registered queries with the OLDEST green driver rows — the 9 last-green
+# r05 (cb top-k/regex slice) and 33 of the r06 cohort. Computed from
+# CORRECTNESS_r01..r11; pre-verified by the driver-faithful
 # scripts/check_contract.py (canonical-rendering compare, no tolerance).
 PRIORITY: list[str] = [
-    # r11-rewritten — post-rewrite driver evidence must lead the window
-    "ev_timeseries",
-    # last green row r03 (oldest remaining evidence)
-    "val_generate_series", "win_first_last", "win_lag_gap",
-    "win_lead_ignorenulls", "win_moving_avg", "win_ntile",
-    "win_percent_rank", "win_range_frame", "win_running_total",
-    # last green row r05
-    "agg_cube", "agg_filter_distinct", "agg_grouping_sets", "agg_rollup",
-    "agg_stats", "ev_fill_gaps", "ev_range_join", "ev_sessionization",
-    "ev_time_bucket", "text_langid", "tpch_q01",
-    "tpcds_q01", "tpcds_q03", "tpcds_q07", "tpcds_q15", "tpcds_q19",
-    "tpcds_q26", "tpcds_q29", "tpcds_q34", "tpcds_q42", "tpcds_q48",
-    "tpcds_q55", "tpcds_q61", "tpcds_q68", "tpcds_q73", "tpcds_q79",
-    "tpcds_q88", "tpcds_q89", "tpcds_q96",
-    "cb_q00", "cb_q01", "cb_q02", "cb_q03", "cb_q04", "cb_q05", "cb_q06",
-    "cb_q07", "cb_q08", "cb_q09", "cb_q12",
+    # r12-rewritten — post-rewrite driver evidence must lead the window
+    "tpch_q21", "text_quality", "text_langid", "text_profile",
+    "text_token_stats", "dedup_minhash_lsh", "ev_timeseries",
+    "ev_sessionization",
+    # last green row r05 (oldest remaining evidence)
+    "cb_q16", "cb_q18", "cb_q20", "cb_q21", "cb_q23", "cb_q25", "cb_q28",
+    "cb_q32", "cb_q40",
+    # last green row r06
+    "cb_q10", "cb_q11", "cb_q13", "cb_q14", "cb_q15", "cb_q17", "cb_q19",
+    "cb_q22", "cb_q24", "cb_q26", "cb_q27", "cb_q29", "cb_q30", "cb_q31",
+    "cb_q33", "cb_q34", "cb_q35", "cb_q36", "cb_q37", "cb_q38", "cb_q39",
+    "cb_q41", "cb_q42",
+    "dedup_exact", "dedup_minhash_sig", "dedup_simhash", "sim_lsh_topk",
+    "sketch_lttb", "stream_windowed_counts",
+    "tpcds_q06", "tpcds_q13", "tpcds_q17", "tpcds_q27",
 ]
 
 
