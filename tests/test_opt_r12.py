@@ -1,0 +1,104 @@
+"""Focused tests for the r12 optimization rewrites.
+
+Each pins an equivalence that the optimization relied on by argument:
+- tpch_q21's collect_set-free window reduction (the multi-at-max tie case
+  is the subtle one) against a brute-force EXISTS/NOT-EXISTS reference.
+- the minhash verify size-prefilter boundary (jac == threshold exactly,
+  where min(|A|,|B|) == t·max(|A|,|B|) — the prefilter must keep it).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def q21_fixture_dir(spark, tmp_path_factory):
+    """Tiny lineitem/orders/supplier parquet triple engineered around the
+    tie cases of the q21 window reduction:
+    - order 1: two suppliers, BOTH achieve the max shipdate (multi-at-max)
+      → every row of the order qualifies.
+    - order 2: argmax supplier unique; its row qualifies, the earlier
+      other-supplier row does not.
+    - order 3: single supplier (EXISTS fails) → no rows qualify.
+    - order 4: three suppliers, argmax unique, another supplier ties the
+      SECOND date → only the argmax row qualifies.
+    """
+    d = str(tmp_path_factory.mktemp("q21"))
+    rows = [
+        # (l_orderkey, l_suppkey, l_shipdate)
+        (1, 10, "1995-01-05"), (1, 20, "1995-01-05"), (1, 10, "1995-01-01"),
+        (2, 10, "1995-02-05"), (2, 20, "1995-02-01"),
+        (3, 30, "1995-03-05"), (3, 30, "1995-03-09"),
+        (4, 10, "1995-04-09"), (4, 20, "1995-04-05"), (4, 30, "1995-04-05"),
+    ]
+    li = spark.createDataFrame(
+        [(o, s, d_) for o, s, d_ in rows],
+        "l_orderkey long, l_suppkey long, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    orders = spark.createDataFrame(
+        [(k, "F") for k in (1, 2, 3, 4)], "o_orderkey long, o_orderstatus string"
+    )
+    supplier = spark.createDataFrame(
+        [(s, f"supp#{s}") for s in (10, 20, 30)], "s_suppkey long, s_name string"
+    )
+    li.write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    orders.write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    supplier.write.mode("overwrite").parquet(os.path.join(d, "supplier.parquet"))
+    return d
+
+
+def test_q21_window_reduction_matches_bruteforce(spark, q21_fixture_dir):
+    from duckdb_spark.queries.tpch import tpch_q21
+
+    got = {(r.s_name, r.numwait) for r in tpch_q21(spark, q21_fixture_dir).collect()}
+
+    # Brute-force reference: literal EXISTS / NOT EXISTS semi/anti joins.
+    li = spark.read.parquet(os.path.join(q21_fixture_dir, "lineitem.parquet"))
+    l1, l2, l3 = li.alias("l1"), li.alias("l2"), li.alias("l3")
+    exists = l1.join(
+        l2,
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    not_exists = exists.alias("l1").join(
+        l3,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
+        & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+        "left_anti",
+    )
+    supplier = spark.read.parquet(os.path.join(q21_fixture_dir, "supplier.parquet"))
+    expected = {
+        (r.s_name, r.numwait)
+        for r in not_exists.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name").agg(F.count("*").alias("numwait")).collect()
+    }
+    assert got == expected
+    # the tie case must actually be exercised: order 1's BOTH tied-at-max
+    # suppliers qualify (supp#20's single win comes from there); supp#10
+    # adds the argmax rows of orders 2 and 4; supp#30 never qualifies
+    # (single-supplier order 3, dominated in order 4)
+    assert expected == {("supp#10", 3), ("supp#20", 1)}
+
+
+def test_minhash_verify_prefilter_keeps_boundary_pair(spark):
+    """jac == 0.7 exactly with |A| = 7, |B| = 10 (A's shingles ⊂ B's):
+    the size prefilter min/max >= t holds with equality and the pair must
+    survive to the verified set (doc with larger id dropped)."""
+    from duckdb_spark.operators.dedup import minhash_dedup
+
+    words = [f"w{i}" for i in range(12)]  # 10 3-shingles
+    b_text = " ".join(words)
+    a_text = " ".join(words[:9])  # 7 3-shingles, strict subset
+    docs = spark.createDataFrame(
+        [(1, a_text), (2, b_text), (3, "completely different tokens here okay")],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in minhash_dedup(docs, jaccard_threshold=0.7).collect()}
+    # jaccard(A,B) = 7 / 10 = 0.7 >= 0.7 → doc 2 is a near-dup of doc 1
+    assert kept == {1, 3}
