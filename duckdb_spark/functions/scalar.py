@@ -514,6 +514,34 @@ def float_to_int_cast(x, dtype: str = "bigint") -> Column:
     return F.round(_c(x)).cast(dtype)
 
 
+def _std_round(y) -> Column:
+    """C++ std::round(double): round half AWAY FROM ZERO on the actual
+    binary64 value. floor(y + 0.5) is NOT equivalent at the boundary (for
+    y one ulp below k+0.5 the fp sum can land exactly on k+1 and round up);
+    floor(y) + (y - floor(y) >= 0.5) is exact because y - floor(y) is an
+    exact fp subtraction (Sterbenz) and the comparison is exact."""
+    y = _c(y)
+    pos = F.floor(y) + F.when(y - F.floor(y) >= 0.5, 1).otherwise(0)
+    neg = F.ceil(y) - F.when(F.ceil(y) - y >= 0.5, 1).otherwise(0)
+    return F.when(y >= 0, pos).otherwise(neg).cast("double")
+
+
+def duck_round(x, scale: int = 0) -> Column:
+    """DuckDB ROUND(DOUBLE, s) — the reference RoundOperatorPrecision
+    (extension/core_functions/scalar/math/numeric.cpp:902) computes
+    std::round(input * 10^s) / 10^s IN DOUBLE ARITHMETIC. Spark's round()
+    instead rounds the shortest DECIMAL rendering of the double half-up
+    (BigDecimal.valueOf), so the engines disagree whenever the decimal
+    rendering is a tie but the fp-scaled value sits below it: 82/80 renders
+    "1.025" → Spark 1.03, while DuckDB scales first (1.025*100 =
+    102.49999999999999) → 1.02. Use this wherever a declared query's value
+    must match an oracle ROUND on doubles with tie-prone inputs."""
+    if scale == 0:
+        return _std_round(_c(x))
+    p = float(10 ** scale)
+    return _std_round(_c(x) * p) / p
+
+
 def typeof(x) -> Column:
     return F.typeof(_c(x))
 

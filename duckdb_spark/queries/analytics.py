@@ -65,7 +65,12 @@ def ev_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.sum("new_session").alias("n_sessions"),
-            F.round(F.count("*") / F.sum("new_session"), 2).alias("events_per_session"),
+            # duck_round, not F.round: Spark rounds the decimal rendering
+            # (82/80 → "1.025" → 1.03) where DuckDB rounds the fp-scaled
+            # value (102.4999… → 1.02) — two sf0.1 users sit exactly on
+            # that tie (r12 fix; see functions/scalar.py duck_round).
+            S.duck_round(F.count("*") / F.sum("new_session"), 2)
+            .alias("events_per_session"),
         )
         .orderBy("user_id")
     )
@@ -487,14 +492,23 @@ def ev_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     origin), and gap-fill interpolation — merged so the driver's 50-query
     window covers all three.
 
-    ONE window pass serves sessionization AND interpolation: both need
-    (user_id, ts, event_id) partitioned sort order, so the enriched frame
-    (running session counter + the four interpolation neighbors) is
-    computed in a single Exchange+Sort and eagerly checkpointed for the
-    three aggregation branches (previously each branch re-shuffled the
-    events scan; measured 1.95s -> 1.66s at sf1). The interpolation
-    formula is fill_interpolate's (operators/fill.py), inlined so it
-    shares the window chain."""
+    ONE window pass serves sessionization AND interpolation (r12 final
+    form): the sess and fill digests previously lived on separate union
+    branches, and column pruning specialized their subtrees so exchange
+    reuse could NOT dedupe them — the physical plan scanned, shuffled,
+    sorted and windowed events TWICE (plans/r12/ev_timeseries_before.txt
+    nodes 3/22: two Exchanges on user_id). Now both digests are computed
+    from a single windowed pass with exactly one consumer: partial
+    aggregate at (user_id, event_id % 16) grain — no extra exchange, the
+    window's user_id partitioning already satisfies it — then grouping
+    sets ((user_id), (__k)) split the partials into the per-user sess rows
+    and per-k fill rows, and one final (tag, key) aggregate produces both
+    digests (plan: ONE scan + ONE Exchange+Sort+Window for the window
+    path; the 6h-bucket branch stays a bare scan-agg). Sums of longs are
+    associative and the row-level rounding expressions are unchanged, so
+    the digests are exact — verified identical at sf0.01/sf0.1/sf1. The
+    interpolation formula is fill_interpolate's (operators/fill.py),
+    inlined so it shares the window chain."""
     (events,) = _t(spark, sf_dir, "events")
     base = events.select(
         "user_id", "ts", "event_id", "event_type", "value"
@@ -526,37 +540,6 @@ def ev_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(xv, ignorenulls=True).over(run).alias("px"),
         F.first(xv, ignorenulls=True).over(fwd).alias("nx"),
     )
-    # No materialization: the three branches share one identical
-    # Exchange+Sort subtree, which Spark's exchange reuse dedupes at
-    # runtime (spark.sql.exchange.reuse). The former eager localCheckpoint
-    # cost a separate driver-blocking job per run — measured slower at
-    # BOTH sf0.1 (1.55s -> 1.05s) and sf1 (1.60s -> 1.42s), and the
-    # checkpoint blocks fed the block-manager eviction pressure bench.py's
-    # _reclaim exists to fight.
-    sess = (
-        enr.groupBy("user_id")
-        .agg(
-            # Σ new-session flags per user == max running counter ==
-            # COUNT(DISTINCT session_id), with no second window pass and
-            # no distinct-aggregate expand.
-            F.sum("__ns").alias("n"),
-            F.round(F.count("*") / F.sum("__ns"), 2).alias("v"),
-        )
-        # 16-bucket digest (see ev_asof_join): integer checksums keep the
-        # compare exact while the bench stops measuring 15k-row collects.
-        .groupBy((F.col("user_id") % 16).alias("k"))
-        .agg(
-            F.sum("n").alias("n"),
-            F.sum(F.round(F.col("v") * 100, 0).cast("long")).cast("double").alias("v"),
-        )
-        .select(F.lit("sess").alias("tag"), "k", "n", "v")
-    )
-    bucket = S.time_bucket(6 * 3600, F.col("ts"))
-    tb = (
-        enr.groupBy((F.unix_micros(bucket) / 1_000_000).cast("long").alias("k"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
-        .select(F.lit("bucket").alias("tag"), "k", "n", "v")
-    )
     vf = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
         F.when(F.col("pv").isNull(), F.col("nv")).otherwise(
             F.when(F.col("nv").isNull(), F.col("pv")).otherwise(
@@ -565,19 +548,70 @@ def ev_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + (F.col("nv") - F.col("pv"))
                     * (F.col("x_us") - F.col("px"))
                     / (F.col("nx") - F.col("px"))))))
-    filled = (
-        enr.withColumn("v_filled", vf)
-        .groupBy((F.col("event_id") % 16).alias("k"))
+    # Partial grain (user_id, event_id % 16): fine enough to rebuild BOTH
+    # digests (sess needs per-user sums; fill needs per-k sums), coarse
+    # enough that everything downstream is ~16×n_users rows. The row-level
+    # rounding (ROUND(ROUND(x,4)*10000,0) cast long, exactly the oracle's)
+    # happens here, so the later sums are exact integer arithmetic.
+    lvl1 = (
+        enr.withColumn("__k", F.col("event_id") % 16)
+        .groupBy("user_id", "__k")
         .agg(
-            F.count("v_filled").alias("n"),
-            # double-rounded exactly like the oracle:
-            # ROUND(ROUND(x,4)*10000,0)
-            F.sum(F.round(F.round("v_filled", 4) * 10000, 0).cast("long"))
-            .cast("double").alias("v"),
+            F.count("*").alias("cnt"),
+            # Σ new-session flags per user == max running counter ==
+            # COUNT(DISTINCT session_id), with no second window pass and
+            # no distinct-aggregate expand.
+            F.sum("__ns").alias("ns"),
+            F.count(vf).alias("nvf"),
+            # inner round MUST be duck_round (DuckDB fp-scaled semantics):
+            # interpolated doubles hit decimal-rendering ties where Spark's
+            # round disagrees with the oracle (see ev_sessionization note).
+            # The outer ×10000 round can't tie (operand is k/10000±1ulp,
+            # never exactly k+0.5), so plain F.round is safe there.
+            F.sum(F.round(S.duck_round(vf, 4) * 10000, 0).cast("long")).alias("svf"),
         )
-        .select(F.lit("fill").alias("tag"), "k", "n", "v")
     )
-    return sess.unionByName(tb).unionByName(filled).orderBy("tag", "k")
+    # grouping sets ((user_id), (__k)): one Expand over the partials
+    # instead of a second consumer of the window subtree.
+    gs = (
+        lvl1.groupingSets([["user_id"], ["__k"]], "user_id", "__k")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("ns").alias("ns"),
+            F.sum("nvf").alias("nvf"),
+            F.sum("svf").alias("svf"),
+            F.grouping("user_id").alias("__gu"),
+        )
+    )
+    # __gu = 0 → grouped by user_id (sess partial); 1 → by __k (fill).
+    # 16-bucket digests (see ev_asof_join): integer checksums keep the
+    # compare exact while the bench stops measuring 15k-row collects.
+    tagged = gs.select(
+        F.when(F.col("__gu") == 0, F.lit("sess"))
+        .otherwise(F.lit("fill")).alias("tag"),
+        F.when(F.col("__gu") == 0, F.col("user_id") % 16)
+        .otherwise(F.col("__k")).alias("k"),
+        F.when(F.col("__gu") == 0, F.col("ns"))
+        .otherwise(F.col("nvf")).alias("n"),
+        F.when(
+            F.col("__gu") == 0,
+            # duck_round on the ratio: 82/80 = "1.025" renders as a decimal
+            # tie (Spark 1.03, DuckDB 1.02) — two sf0.1 users hit it.
+            F.round(S.duck_round(F.col("cnt") / F.col("ns"), 2) * 100, 0).cast("long"),
+        ).otherwise(F.col("svf")).alias("vrow"),
+    )
+    sessfill = (
+        tagged.groupBy("tag", "k")
+        .agg(F.sum("n").alias("n"), F.sum("vrow").cast("double").alias("v"))
+        .select("tag", "k", "n", "v")
+    )
+    bucket = S.time_bucket(6 * 3600, F.col("ts"))
+    tb = (
+        base.groupBy((F.unix_micros(bucket) / 1_000_000).cast("long").alias("k"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .select(F.lit("bucket").alias("tag"), "k", "n", "v")
+    )
+    return sessfill.unionByName(tb).orderBy("tag", "k")
 
 
 @register(

@@ -102,3 +102,36 @@ def test_minhash_verify_prefilter_keeps_boundary_pair(spark):
     kept = {r.doc_id for r in minhash_dedup(docs, jaccard_threshold=0.7).collect()}
     # jaccard(A,B) = 7 / 10 = 0.7 >= 0.7 → doc 2 is a near-dup of doc 1
     assert kept == {1, 3}
+
+
+def test_duck_round_matches_duckdb_on_rendering_ties(spark):
+    """duck_round must reproduce DuckDB's ROUND(DOUBLE, s) = std::round
+    (x*10^s)/10^s exactly — including the decimal-rendering ties where
+    Spark's round() disagrees (82/80 renders "1.025" → Spark 1.03, DuckDB
+    1.02). Differential against duckdb itself, plus plain values, negatives
+    and the scale-4 path used by ev_timeseries' fill digest."""
+    import duckdb
+
+    from duckdb_spark.functions.scalar import duck_round
+
+    vals = [
+        82 / 80,          # the sf0.1 sessionization tie (1.025 rendering)
+        -82 / 80,
+        2.675,            # classic fp tie: 2.675*100 = 267.49999…
+        1.005, -1.005, 0.125, 2.5, -2.5, 0.0, 1.0 / 3.0,
+        12345.6789, -0.00005, 7.0,
+    ]
+    for scale in (0, 2, 4):
+        exp = [
+            duckdb.execute(
+                "SELECT ROUND(CAST(? AS DOUBLE), ?)", [v, scale]
+            ).fetchone()[0]
+            for v in vals
+        ]
+        got = [
+            r.r
+            for r in spark.createDataFrame([(v,) for v in vals], "x double")
+            .select(duck_round(F.col("x"), scale).alias("r"))
+            .collect()
+        ]
+        assert got == exp, f"scale={scale}: {list(zip(vals, got, exp))}"
