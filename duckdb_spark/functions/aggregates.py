@@ -324,3 +324,70 @@ regr_sxy = F.regr_sxy
 regr_syy = F.regr_syy
 sumkahan = F.sum
 fsum = F.sum
+
+
+# -------- reference-exact streaming folds (bit-identical regr_s** family)
+#
+# Spark's regr_sxx/sxy/syy and DuckDB's produce doubles that differ in the
+# last ulps (different update formulas / accumulation orders), which a
+# downstream ROUND amplifies to a wrong digit whenever the exact value sits
+# on a decimal tie (observed: fn_wave2_agg at sf0.1 — exact sxx 1269759/40
+# = 31743.975; DuckDB's Welford error lands one ulp BELOW the tie, Spark's
+# at it). These folds replay DuckDB's own per-row updates in file order so
+# the unrounded double is bit-identical: verified 25/25 groups at sf0.1
+# and by the differential unit test. Requirements: `vals` is the group's
+# rows as structs sorted by scan position (parquet _metadata.row_index) —
+# valid as long as the oracle's table fits one parquet row group per file
+# (DuckDB then accumulates each group single-threaded in scan order; all
+# test fixtures qualify). Fold cost is an interpreted per-element lambda —
+# use only where a declared query must match an oracle ROUND boundary, not
+# in benched paths.
+
+
+def welford_sq_fold(vals, field: str) -> Column:
+    """count * var_pop over `field` of a position-sorted struct array —
+    DuckDB's regr_sxx/regr_syy (extension/core_functions/aggregate/
+    regression/regr_sxx_syy.cpp; update formula STDDevBaseOperation in
+    algebraic/stddev.hpp), replayed operation-for-operation."""
+    vals = _c(vals)
+    init = F.struct(
+        F.lit(0.0).alias("n"), F.lit(0.0).alias("mean"), F.lit(0.0).alias("dsq")
+    )
+
+    def upd(s, e):
+        inp = e[field]
+        n = s["n"] + F.lit(1.0)
+        md = (inp - s["mean"]) / n
+        nm = s["mean"] + md
+        inc = (inp - nm) * (inp - s["mean"])
+        return F.struct(n.alias("n"), nm.alias("mean"), (s["dsq"] + inc).alias("dsq"))
+
+    st = F.aggregate(vals, init, upd)
+    var_pop = F.when(st["n"] > 1, st["dsq"] / st["n"]).otherwise(F.lit(0.0))
+    return F.when(st["n"] > 0, st["n"] * var_pop)
+
+
+def covar_sxy_fold(vals, xfield: str = "x", yfield: str = "y") -> Column:
+    """count * covar_pop over (xfield, yfield) of a position-sorted struct
+    array — DuckDB's regr_sxy (regression/regr_sxy.cpp; update formula
+    CovarOperation in algebraic/covar.hpp, Schubert & Gertz SSDBM 2018
+    eq. 4.3), replayed operation-for-operation (note: the co-moment update
+    uses the NEW y mean and the OLD x delta)."""
+    vals = _c(vals)
+    init = F.struct(
+        F.lit(0.0).alias("n"), F.lit(0.0).alias("mx"),
+        F.lit(0.0).alias("my"), F.lit(0.0).alias("c"),
+    )
+
+    def upd(s, e):
+        x, y = e[xfield], e[yfield]
+        n = s["n"] + F.lit(1.0)
+        dx = x - s["mx"]
+        mx = s["mx"] + dx / n
+        dy = y - s["my"]
+        my = s["my"] + dy / n
+        c = s["c"] + dx * (y - my)
+        return F.struct(n.alias("n"), mx.alias("mx"), my.alias("my"), c.alias("c"))
+
+    st = F.aggregate(vals, init, upd)
+    return F.when(st["n"] > 0, st["n"] * (st["c"] / st["n"]))

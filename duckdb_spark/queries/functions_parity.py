@@ -466,12 +466,29 @@ FROM grouped g JOIN det_mode d USING (n_name) ORDER BY g.n_name
 )
 def fn_wave2_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wave-2 aggregates: mode, histogram (serialized entries), single-
-    column entropy, bitstring_agg (BIT emulation), regr_sxx/sxy/syy."""
+    column entropy, bitstring_agg (BIT emulation), regr_sxx/sxy/syy.
+
+    The regr_s** trio uses the reference-exact folds (aggregates.py
+    welford_sq_fold/covar_sxy_fold) over scan-position-sorted per-group
+    arrays instead of F.regr_*: the engines' native accumulations differ
+    in the last ulps, and ROUND(x, 2) amplifies that to a wrong digit
+    whenever the exact value is a decimal tie (sf0.1 NATION_9: exact sxx
+    = 31743.975 — DuckDB 31743.97, Spark's native regr_sxx 31743.98)."""
     from duckdb_spark.functions import aggregates as A
 
     supplier, nation = (load_table(spark, sf_dir, t) for t in ("supplier", "nation"))
+    supplier = supplier.select("*", F.col("_metadata.row_index").alias("__pos"))
     sk, bal = F.col("s_suppkey"), F.col("s_acctbal")
     hist = A.histogram(sk % 5)
+    vals = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("__pos").alias("pos"),
+                (sk % 100).cast("double").alias("x"),
+                bal.cast("double").alias("y"),
+            )
+        )
+    )
     return (
         supplier.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
@@ -488,11 +505,17 @@ def fn_wave2_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hist"),
             F.round(A.entropy(sk % 5), 4).alias("ent"),
             A.bitstring_agg(sk % 8, 0, 7).alias("bits"),
-            F.round(F.regr_sxx(bal, (sk % 100).cast("double")), 2).alias("sxx"),
-            F.round(F.regr_sxy(bal, (sk % 100).cast("double")), 2).alias("sxy"),
-            F.round(F.regr_syy(bal, (sk % 100).cast("double")), 2).alias("syy"),
+            vals.alias("__vals"),
             F.max_by(sk, bal).alias("amax"),
         )
+        .select(
+            "n_name", "md", "hist", "ent", "bits",
+            F.round(A.welford_sq_fold(F.col("__vals"), "x"), 2).alias("sxx"),
+            F.round(A.covar_sxy_fold(F.col("__vals")), 2).alias("sxy"),
+            F.round(A.welford_sq_fold(F.col("__vals"), "y"), 2).alias("syy"),
+            "amax",
+        )
+        .select("n_name", "md", "hist", "ent", "bits", "sxx", "sxy", "syy", "amax")
         .orderBy("n_name")
     )
 

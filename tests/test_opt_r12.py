@@ -135,3 +135,62 @@ def test_duck_round_matches_duckdb_on_rendering_ties(spark):
             .collect()
         ]
         assert got == exp, f"scale={scale}: {list(zip(vals, got, exp))}"
+
+
+def test_regr_folds_bit_identical_to_duckdb(spark):
+    """welford_sq_fold / covar_sxy_fold must reproduce DuckDB's
+    regr_sxx/sxy/syy UNROUNDED doubles bit-for-bit (they replay the
+    reference's per-row updates in scan order). Differential on the
+    sf0.01 supplier/nation fixture — the exact-tie amplification this
+    guards (ROUND on a .975 decimal tie) is fn_wave2_agg's sxx."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from duckdb_spark.catalog import load_table
+    from duckdb_spark.functions.aggregates import covar_sxy_fold, welford_sq_fold
+
+    sf_dir = "/root/testdata/sf0.01"
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "*", F.col("_metadata.row_index").alias("__pos")
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    sk, bal = F.col("s_suppkey"), F.col("s_acctbal")
+    vals = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("__pos").alias("pos"),
+                (sk % 100).cast("double").alias("x"),
+                bal.cast("double").alias("y"),
+            )
+        )
+    )
+    got = {
+        r.n_name: (r.sxx, r.sxy, r.syy)
+        for r in sup.join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(vals.alias("v"))
+        .select(
+            "n_name",
+            welford_sq_fold(F.col("v"), "x").alias("sxx"),
+            covar_sxy_fold(F.col("v")).alias("sxy"),
+            welford_sq_fold(F.col("v"), "y").alias("syy"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    for t in ("supplier", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    exp = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            """SELECT n_name, regr_sxx(s_acctbal, s_suppkey % 100),
+                      regr_sxy(s_acctbal, s_suppkey % 100),
+                      regr_syy(s_acctbal, s_suppkey % 100)
+               FROM supplier JOIN nation ON s_nationkey = n_nationkey
+               GROUP BY n_name"""
+        ).fetchall()
+    }
+    assert got == exp  # exact float equality — bit-identity is the contract
