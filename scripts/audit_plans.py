@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Plan audit over ALL registered queries (guide §1.3): flag Python
+boundary nodes (BatchEvalPython/ArrowEvalPython), CartesianProduct,
+BroadcastNestedLoopJoin, and count Exchange/parquet-scan nodes per query.
+
+Usage: python scripts/audit_plans.py [sf_dir] > plans/r12/AUDIT_all.txt
+Analysis only — no query execution (recursive-CTE driver loops excepted,
+since their plans are built by running the frontier loop).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from duckdb_spark import queries as q
+from duckdb_spark.session import get_spark
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+FLAGS = ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+         "BroadcastNestedLoopJoin")
+
+
+def main() -> None:
+    q.load_all()
+    spark = get_spark(app_name="audit_plans")
+    rows, errors = [], []
+    for name, fn in q.QUERIES.items():
+        try:
+            df = fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001 — audit must cover the rest
+            errors.append((name, repr(e)))
+            continue
+        flags = [f for f in FLAGS if f in plan]
+        nex = len(re.findall(r"\bExchange\b", plan))
+        nscan = len(re.findall(r"Scan parquet|FileScan parquet", plan))
+        rows.append((name, nex, nscan, ",".join(flags) or "-"))
+    rows.sort(key=lambda r: (-len(r[3].replace("-", "")), -r[1]))
+    print(f"# plan audit over {len(rows)} queries at {SF_DIR}")
+    print(f"# {'query':28s} exchanges scans flags")
+    for name, nex, nscan, flags in rows:
+        print(f"{name:30s} {nex:3d} {nscan:3d}  {flags}")
+    for name, err in errors:
+        print(f"ERROR {name}: {err[:200]}")
+
+
+if __name__ == "__main__":
+    main()
