@@ -391,3 +391,33 @@ def covar_sxy_fold(vals, xfield: str = "x", yfield: str = "y") -> Column:
 
     st = F.aggregate(vals, init, upd)
     return F.when(st["n"] > 0, st["n"] * (st["c"] / st["n"]))
+
+
+def arg_max_fold(vals, argfield: str, byfield: str) -> Column:
+    """arg_max over a position-sorted struct array with DuckDB's exact tie
+    semantics — the reference updates only on STRICTLY greater
+    (COMPARATOR::Operation(y, state.value) in distributive/
+    arg_min_max.cpp:174), so the FIRST scan-order row bearing the max wins.
+    Spark's max_by breaks ties arbitrarily, which diverges on any fixture
+    where the by-value repeats (e.g. the FK-replicated sf1 bench fixture
+    duplicates every s_acctbal 10×)."""
+    vals = _c(vals)
+    init = F.struct(
+        F.lit(False).alias("set"),
+        F.lit(None).cast("double").alias("by"),
+        F.lit(None).cast("long").alias("arg"),
+    )
+
+    def upd(s, e):
+        take = (~s["set"]) | (e[byfield] > s["by"])
+        return F.when(
+            take & e[byfield].isNotNull(),
+            F.struct(
+                F.lit(True).alias("set"),
+                e[byfield].alias("by"),
+                e[argfield].cast("long").alias("arg"),
+            ),
+        ).otherwise(s)
+
+    st = F.aggregate(vals, init, upd)
+    return F.when(st["set"], st["arg"])

@@ -486,6 +486,7 @@ def fn_wave2_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("__pos").alias("pos"),
                 (sk % 100).cast("double").alias("x"),
                 bal.cast("double").alias("y"),
+                sk.alias("a"),
             )
         )
     )
@@ -506,14 +507,15 @@ def fn_wave2_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(A.entropy(sk % 5), 4).alias("ent"),
             A.bitstring_agg(sk % 8, 0, 7).alias("bits"),
             vals.alias("__vals"),
-            F.max_by(sk, bal).alias("amax"),
         )
         .select(
             "n_name", "md", "hist", "ent", "bits",
             F.round(A.welford_sq_fold(F.col("__vals"), "x"), 2).alias("sxx"),
             F.round(A.covar_sxy_fold(F.col("__vals")), 2).alias("sxy"),
             F.round(A.welford_sq_fold(F.col("__vals"), "y"), 2).alias("syy"),
-            "amax",
+            # arg_max via the fold too: max_by ties are arbitrary in Spark,
+            # DuckDB keeps the first scan-order max (strict-greater update)
+            A.arg_max_fold(F.col("__vals"), "a", "y").alias("amax"),
         )
         .select("n_name", "md", "hist", "ent", "bits", "sxx", "sxy", "syy", "amax")
         .orderBy("n_name")

@@ -194,3 +194,27 @@ def test_regr_folds_bit_identical_to_duckdb(spark):
         ).fetchall()
     }
     assert got == exp  # exact float equality — bit-identity is the contract
+
+
+def test_arg_max_fold_first_scan_order_max_wins(spark):
+    """DuckDB's arg_max updates only on STRICTLY greater, so on tied
+    by-values the first row in scan order wins — pin the fold to that
+    (and to null by-values being skipped)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_spark.functions.aggregates import arg_max_fold
+
+    rows = [
+        # (pos, arg, by): max by=9.0 is tied at pos 1 and 3 → arg 20 wins
+        (0, 10, 1.0), (1, 20, 9.0), (2, 30, 5.0), (3, 40, 9.0), (4, 50, None),
+    ]
+    df = spark.createDataFrame(rows, "pos int, a long, y double")
+    vals = F.array_sort(
+        F.collect_list(F.struct(F.col("pos"), F.col("a"), F.col("y")))
+    )
+    got = df.agg(arg_max_fold(vals, "a", "y").alias("m")).collect()[0].m
+    assert got == 20
+    # all-null by-values → NULL result, like the reference's ReturnNull
+    df2 = spark.createDataFrame([(0, 1, None)], "pos int, a long, y double")
+    got2 = df2.agg(arg_max_fold(vals, "a", "y").alias("m")).collect()[0].m
+    assert got2 is None
