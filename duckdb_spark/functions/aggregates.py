@@ -421,3 +421,25 @@ def arg_max_fold(vals, argfield: str, byfield: str) -> Column:
 
     st = F.aggregate(vals, init, upd)
     return F.when(st["set"], st["arg"])
+
+
+def product_fold(vals, field: str) -> Column:
+    """PRODUCT over `field` of a position-sorted struct array — DuckDB's
+    product aggregate (distributive/product.cpp ProductReduce) is a plain
+    sequential multiply in scan order from 1.0; the registry's
+    sign-aware exp(Σ ln|x|) `product` is mathematically equal but lands
+    on different last-ulp doubles, which a downstream ROUND amplifies
+    (observed: agg_distributive's prod digit at the sf1 fixture). Nulls
+    skipped; all-null → NULL, matching the reference's optional state."""
+    vals = _c(vals)
+    init = F.struct(F.lit(False).alias("set"), F.lit(1.0).alias("val"))
+
+    def upd(s, e):
+        x = e[field]
+        return F.when(
+            x.isNotNull(),
+            F.struct(F.lit(True).alias("set"), (s["val"] * x).alias("val")),
+        ).otherwise(s)
+
+    st = F.aggregate(vals, init, upd)
+    return F.when(st["set"], st["val"])

@@ -419,7 +419,25 @@ def agg_distributive(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus two-level Shannon entropy (broadcast-joined back — entropy is the
     only one needing a second aggregation level)."""
     supplier, nation = _t(spark, sf_dir, "supplier", "nation")
+    # Scan position (file, row) carried for product_fold: DuckDB's PRODUCT
+    # is a sequential multiply in scan order and ROUND(…, 4) exposes the
+    # last-ulp difference vs exp(Σ ln) on one sf1 group (r12 fix; see
+    # functions/aggregates.py product_fold).
+    supplier = supplier.select(
+        "*",
+        F.col("_metadata.file_path").alias("__f"),
+        F.col("_metadata.row_index").alias("__p"),
+    )
     sn = supplier.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+    pvals = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("__f").alias("f"),
+                F.col("__p").alias("p"),
+                (1 + F.col("s_acctbal") / 100000).cast("double").alias("v"),
+            )
+        )
+    )
     main = sn.groupBy("n_name").agg(
         F.count("*").alias("n_supp"),
         F.count(F.when(F.col("s_acctbal") > 0, 1)).alias("n_pos"),
@@ -427,7 +445,7 @@ def agg_distributive(spark: SparkSession, sf_dir: str) -> DataFrame:
         A.string_agg(F.col("s_name"), ",").alias("names"),
         F.max_by("s_name", "s_acctbal").alias("richest"),
         F.min_by("s_name", "s_acctbal").alias("poorest"),
-        F.round(A.product(1 + F.col("s_acctbal") / 100000), 4).alias("prod"),
+        F.round(A.product_fold(pvals, "v"), 4).alias("prod"),
         F.bool_and(F.col("s_acctbal") > 0).alias("all_pos"),
         F.bool_or(F.col("s_acctbal") > 9000).alias("any_rich"),
         F.bit_and("s_suppkey").alias("band"),

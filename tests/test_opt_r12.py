@@ -218,3 +218,55 @@ def test_arg_max_fold_first_scan_order_max_wins(spark):
     df2 = spark.createDataFrame([(0, 1, None)], "pos int, a long, y double")
     got2 = df2.agg(arg_max_fold(vals, "a", "y").alias("m")).collect()[0].m
     assert got2 is None
+
+
+def test_product_fold_bit_identical_to_duckdb(spark):
+    """product_fold must reproduce DuckDB's sequential scan-order PRODUCT
+    bit-for-bit on single-row-group inputs (the driver's scales). On
+    multi-file fixtures DuckDB's own multi-threaded product is
+    nondeterministic in the last ulps (combine order) — threads=1 is the
+    canonical sequential semantics the fold replays."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from duckdb_spark.catalog import load_table
+    from duckdb_spark.functions.aggregates import product_fold
+
+    sf_dir = "/root/testdata/sf0.01"
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "*",
+        F.col("_metadata.file_path").alias("__f"),
+        F.col("_metadata.row_index").alias("__p"),
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    vals = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("__f").alias("f"),
+                F.col("__p").alias("p"),
+                (1 + F.col("s_acctbal") / 100000).cast("double").alias("v"),
+            )
+        )
+    )
+    got = {
+        r.n_name: r.prod
+        for r in sup.join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(product_fold(vals, "v").alias("prod"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("SET threads TO 1")
+    for t in ("supplier", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    exp = dict(
+        con.execute(
+            """SELECT n_name, PRODUCT(1 + s_acctbal / 100000)
+               FROM supplier JOIN nation ON s_nationkey = n_nationkey
+               GROUP BY n_name"""
+        ).fetchall()
+    )
+    assert got == exp  # exact float equality — bit-identity is the contract
