@@ -263,13 +263,31 @@ GROUP BY l_orderkey ORDER BY l_orderkey
 """,
 )
 def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """product() aggregate (reference product.cpp) via sign-aware exp∘Σ∘ln."""
+    """product() aggregate (reference product.cpp) — sequential scan-order
+    multiply via product_fold: the products reach ~1e16 where double
+    spacing exceeds 1, so ROUND(x, 0) is identity and the former
+    exp(Σ ln) formulation's last-ulp drift was visible directly (r12;
+    see functions/aggregates.py product_fold)."""
     (lineitem,) = _t(spark, sf_dir, "lineitem")
+    li = lineitem.select(
+        "l_orderkey", "l_quantity",
+        F.col("_metadata.file_path").alias("__f"),
+        F.col("_metadata.row_index").alias("__p"),
+    )
+    pvals = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("__f").alias("f"),
+                F.col("__p").alias("p"),
+                F.col("l_quantity").cast("double").alias("v"),
+            )
+        )
+    )
     return (
-        lineitem.filter(F.col("l_orderkey") % 997 == 0)
+        li.filter(F.col("l_orderkey") % 997 == 0)
         .groupBy("l_orderkey")
         .agg(
-            F.round(A.product("l_quantity"), 0).alias("qty_product"),
+            F.round(A.product_fold(pvals, "v"), 0).alias("qty_product"),
             F.count("*").alias("n_items"),
         )
         .orderBy("l_orderkey")

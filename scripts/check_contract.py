@@ -80,6 +80,9 @@ def main() -> None:
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
+        # default 1g heap dies on the exact-percentile queries at the sf1
+        # fixture (holistic buffering); value-irrelevant, survival only
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_CHECK_MEM", "8g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
