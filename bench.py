@@ -68,6 +68,46 @@ def ensure_sf1() -> str | None:
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
+# Calibration probe (VERDICT r12 item 2): the r12 32-core artifact was
+# inflated ~1.7× by a hypervisor-steal window that the loadavg gate cannot
+# see (load read 2.66) and the per-query outlier rules cannot catch when
+# the inflation is UNIFORM across a pass. Fix: time a fixed-cost canonical
+# job immediately before each timed pass; after all passes, any pass whose
+# probe reading exceeds PROBE_TOLERANCE × the session's best probe was
+# measured in a steal window — re-run it once (after the probe recovers)
+# and keep the per-query min, recording both. Methodology of the passes
+# themselves (same queries, same scales, warmup + median of RUNS) is
+# unchanged.
+PROBE_TOLERANCE = 1.4
+
+
+def spark_probe(spark, runs: int = 3) -> float:
+    """Seconds for a canonical CPU-bound scan-agg (64M xxhash64 on all
+    cores): depends only on host compute throughput, not on any query or
+    fixture, so run-to-run drift measures host contention/steal."""
+    from pyspark.sql import functions as F
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+    df = spark.range(0, 64_000_000, 1, cpus).agg(F.sum(F.xxhash64("id")))
+    df.collect()  # warm
+    samples = []
+    for _ in range(max(1, runs)):
+        t0 = time.perf_counter()
+        df.collect()
+        samples.append(time.perf_counter() - t0)
+    return round(min(samples), 3)
+
+
+def wait_for_quiet(spark, best: float, max_wait_s: int = 120) -> float:
+    """Wait (bounded) for the probe to return to the session's steady band
+    before a recovery rerun; returns the last probe reading."""
+    deadline = time.time() + max_wait_s
+    p = spark_probe(spark)
+    while p > PROBE_TOLERANCE * best and time.time() < deadline:
+        time.sleep(10)
+        p = spark_probe(spark)
+    return p
+
 
 def run_pass(spark, q, names: list[str], sf_dir: str) -> dict[str, float]:
     import gc
@@ -159,6 +199,26 @@ def duckdb_pass(q, names: list[str], sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def duckdb_probe(runs: int = 3) -> float:
+    """DuckDB twin of spark_probe: fixed-cost hash-agg over range(64M) on
+    the same core count — calibrates the companion's passes against the
+    same steal windows (a contaminated denominator flatters our ratio)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count())}")
+    sql = "SELECT sum(hash(i)) FROM range(64000000) t(i)"
+    con.execute(sql).fetchall()  # warm
+    samples = []
+    for _ in range(max(1, runs)):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        samples.append(time.perf_counter() - t0)
+    con.close()
+    return round(min(samples), 3)
+
+
 def main() -> None:
     from duckdb_spark import queries as q
     from duckdb_spark.session import get_spark
@@ -187,6 +247,8 @@ def main() -> None:
             break
         time.sleep(5)
 
+    probes: dict[str, float] = {}
+    probes["pass_sf0.1"] = spark_probe(spark)
     timings = run_pass(spark, q, names, SF_DIR)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -197,6 +259,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "loadavg_at_start": load_seen,
+        "probes": probes,
     }
 
     # Secondary pass at the primary gate scale (sf1). Best-effort: any
@@ -207,6 +270,7 @@ def main() -> None:
         and ensure_sf1()
     ):
         try:
+            probes["pass_sf1"] = spark_probe(spark)
             sf1_timings = run_pass(spark, q, names, SF1_DIR)
             # Per-query cross-check against the same pass's sf0.1 time:
             # the fixture grows 10×, so a query whose sf1 time exceeds
@@ -251,6 +315,33 @@ def main() -> None:
                 result["queries"] = timings
                 result["value"] = round(sum(timings.values()), 3)
                 result["reruns"] = reruns01
+            # r13 pass-level steal recovery (VERDICT r12 item 2): a UNIFORM
+            # slowdown across a whole pass defeats both per-query rules
+            # above (r12's committed 32-core pass was ~1.7× inflated with
+            # zero rule hits). The calibration probe timed right before
+            # each pass sees host steal regardless of query shape: re-run
+            # any pass whose probe exceeded PROBE_TOLERANCE× the session's
+            # best Spark probe, after waiting for the probe to recover;
+            # keep the per-query min and record both readings.
+            spark_best = min(probes["pass_sf0.1"], probes["pass_sf1"])
+            pass_reruns = []
+            for key, tgt, d in (("pass_sf0.1", timings, SF_DIR),
+                                ("pass_sf1", sf1_timings, SF1_DIR)):
+                if probes[key] <= PROBE_TOLERANCE * spark_best:
+                    continue
+                p2 = wait_for_quiet(spark, spark_best)
+                redo = run_pass(spark, q, names, d)
+                for name, t in redo.items():
+                    tgt[name] = min(tgt.get(name, t), t)
+                pass_reruns.append({"pass": key, "probe_first": probes[key],
+                                    "probe_at_rerun": p2,
+                                    "rerun_queries": redo})
+            if pass_reruns:
+                result["pass_reruns"] = pass_reruns
+                result["queries"] = timings
+                result["value"] = round(sum(timings.values()), 3)
+                result["sf1"]["queries"] = sf1_timings
+                result["sf1"]["value"] = round(sum(sf1_timings.values()), 3)
             # sf0.1 wall-time above sf1 means the smaller pass was
             # contaminated (GC, eviction, host noise) — flag it rather
             # than publishing it silently (VERDICT r06 wrong-item 3).
@@ -265,10 +356,12 @@ def main() -> None:
     # Same-line DuckDB companion at both scales (best-effort).
     if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
         try:
+            probes["duckdb_sf0.1"] = duckdb_probe()
             ddb = duckdb_pass(q, names, SF_DIR)
             result["duckdb"] = {
                 "value": round(sum(ddb.values()), 3), "queries": ddb}
             if "sf1" in result:
+                probes["duckdb_sf1"] = duckdb_probe()
                 ddb1 = duckdb_pass(q, names, SF1_DIR)
                 # Same noise-window recovery as the Spark passes (the
                 # denominator must be equally honest: a contaminated
@@ -292,6 +385,20 @@ def main() -> None:
                         ddb_reruns.append(
                             {"query": name, "sf": 0.1, "first": t0,
                              "rerun": redo})
+                # r13: same pass-level probe recovery as the Spark side.
+                ddb_best = min(probes["duckdb_sf0.1"], probes["duckdb_sf1"])
+                for key, tgt, d in (("duckdb_sf0.1", ddb, SF_DIR),
+                                    ("duckdb_sf1", ddb1, SF1_DIR)):
+                    if probes[key] <= PROBE_TOLERANCE * ddb_best:
+                        continue
+                    p2 = duckdb_probe()
+                    redo = duckdb_pass(q, names, d)
+                    for name, t in redo.items():
+                        tgt[name] = min(tgt.get(name, t), t)
+                    ddb_reruns.append({"pass": key,
+                                       "probe_first": probes[key],
+                                       "probe_at_rerun": p2,
+                                       "rerun_queries": redo})
                 if ddb_reruns:
                     result["duckdb"]["queries"] = ddb
                     result["duckdb"]["value"] = round(sum(ddb.values()), 3)

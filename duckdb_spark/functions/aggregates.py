@@ -342,6 +342,30 @@ fsum = F.sum
 # test fixtures qualify). Fold cost is an interpreted per-element lambda —
 # use only where a declared query must match an oracle ROUND boundary, not
 # in benched paths.
+#
+# Executable containment (VERDICT r12 item 6): each fold refuses groups
+# above _FOLD_GROUP_LIMIT elements — per-group memory is otherwise
+# unbounded (collect_list buffers the whole group), and the refusal keeps
+# any future reuse in a hot path from silently OOMing an executor instead
+# of failing loudly. scripts/audit_plans.py additionally flags any
+# HEADLINE bench plan containing an aggregate( lambda so the parity-only
+# constraint is enforced in CI, not just comments.
+
+_FOLD_GROUP_LIMIT = 1_000_000
+
+
+def _fold_guard(vals, result: Column) -> Column:
+    """Raise at runtime if a fold group exceeds the containment limit;
+    otherwise pass `result` through (assert_true returns NULL on pass)."""
+    ok = F.assert_true(
+        F.size(vals) <= _FOLD_GROUP_LIMIT,
+        F.lit(
+            "reference-exact fold group exceeds "
+            f"{_FOLD_GROUP_LIMIT} elements — these folds buffer whole "
+            "groups and are parity-only; use native aggregates"
+        ),
+    )
+    return F.when(ok.isNull(), result)
 
 
 def welford_sq_fold(vals, field: str) -> Column:
@@ -360,11 +384,16 @@ def welford_sq_fold(vals, field: str) -> Column:
         md = (inp - s["mean"]) / n
         nm = s["mean"] + md
         inc = (inp - nm) * (inp - s["mean"])
-        return F.struct(n.alias("n"), nm.alias("mean"), (s["dsq"] + inc).alias("dsq"))
+        # NULL skip (ADVICE r12): DuckDB's regr_sxx/syy skip NULL rows;
+        # propagating one through the accumulator NULLed the whole group.
+        return F.when(
+            inp.isNotNull(),
+            F.struct(n.alias("n"), nm.alias("mean"), (s["dsq"] + inc).alias("dsq")),
+        ).otherwise(s)
 
     st = F.aggregate(vals, init, upd)
     var_pop = F.when(st["n"] > 1, st["dsq"] / st["n"]).otherwise(F.lit(0.0))
-    return F.when(st["n"] > 0, st["n"] * var_pop)
+    return _fold_guard(vals, F.when(st["n"] > 0, st["n"] * var_pop))
 
 
 def covar_sxy_fold(vals, xfield: str = "x", yfield: str = "y") -> Column:
@@ -387,10 +416,15 @@ def covar_sxy_fold(vals, xfield: str = "x", yfield: str = "y") -> Column:
         dy = y - s["my"]
         my = s["my"] + dy / n
         c = s["c"] + dx * (y - my)
-        return F.struct(n.alias("n"), mx.alias("mx"), my.alias("my"), c.alias("c"))
+        # NULL skip (ADVICE r12): DuckDB's regr_sxy skips rows where
+        # either operand is NULL (binary aggregate null handling).
+        return F.when(
+            x.isNotNull() & y.isNotNull(),
+            F.struct(n.alias("n"), mx.alias("mx"), my.alias("my"), c.alias("c")),
+        ).otherwise(s)
 
     st = F.aggregate(vals, init, upd)
-    return F.when(st["n"] > 0, st["n"] * (st["c"] / st["n"]))
+    return _fold_guard(vals, F.when(st["n"] > 0, st["n"] * (st["c"] / st["n"])))
 
 
 def arg_max_fold(vals, argfield: str, byfield: str) -> Column:
@@ -420,7 +454,7 @@ def arg_max_fold(vals, argfield: str, byfield: str) -> Column:
         ).otherwise(s)
 
     st = F.aggregate(vals, init, upd)
-    return F.when(st["set"], st["arg"])
+    return _fold_guard(vals, F.when(st["set"], st["arg"]))
 
 
 def product_fold(vals, field: str) -> Column:
@@ -442,4 +476,4 @@ def product_fold(vals, field: str) -> Column:
         ).otherwise(s)
 
     st = F.aggregate(vals, init, upd)
-    return F.when(st["set"], st["val"])
+    return _fold_guard(vals, F.when(st["set"], st["val"]))

@@ -477,12 +477,21 @@ def fn_wave2_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_spark.functions import aggregates as A
 
     supplier, nation = (load_table(spark, sf_dir, t) for t in ("supplier", "nation"))
-    supplier = supplier.select("*", F.col("_metadata.row_index").alias("__pos"))
+    # Scan-position sort key: (file_path, row_index) — row_index alone
+    # restarts per file, so on multi-file tables the folds would replay a
+    # non-scan order (ADVICE r12); agg_product/agg_distributive already
+    # carry the file path as the leading struct field.
+    supplier = supplier.select(
+        "*",
+        F.col("_metadata.file_path").alias("__fp"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
     sk, bal = F.col("s_suppkey"), F.col("s_acctbal")
     hist = A.histogram(sk % 5)
     vals = F.array_sort(
         F.collect_list(
             F.struct(
+                F.col("__fp").alias("f"),
                 F.col("__pos").alias("pos"),
                 (sk % 100).cast("double").alias("x"),
                 bal.cast("double").alias("y"),

@@ -24,11 +24,22 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 FLAGS = ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
          "BroadcastNestedLoopJoin")
 
+# The reference-exact folds (functions/aggregates.py) are interpreted
+# per-group array replays, contained to unbenched parity queries. The
+# expression prints as a bare `aggregate(` (higher-order function) in the
+# plan — HashAggregate/SortAggregate/ObjectHashAggregate all carry a
+# letter before "aggregate", so the pattern only matches the HOF.
+_FOLD_RE = re.compile(r"[^A-Za-z_]aggregate\(")
+
 
 def main() -> None:
     q.load_all()
+    import bench
+
+    headline = set(bench.HEADLINE)
     spark = get_spark(app_name="audit_plans")
     rows, errors = [], []
+    fold_in_headline = []
     for name, fn in q.QUERIES.items():
         try:
             df = fn(spark, SF_DIR)
@@ -37,6 +48,9 @@ def main() -> None:
             errors.append((name, repr(e)))
             continue
         flags = [f for f in FLAGS if f in plan]
+        if name in headline and _FOLD_RE.search(plan):
+            flags.append("FOLD_IN_HEADLINE")
+            fold_in_headline.append(name)
         nex = len(re.findall(r"\bExchange\b", plan))
         nscan = len(re.findall(r"Scan parquet|FileScan parquet", plan))
         rows.append((name, nex, nscan, ",".join(flags) or "-"))
@@ -47,6 +61,10 @@ def main() -> None:
         print(f"{name:30s} {nex:3d} {nscan:3d}  {flags}")
     for name, err in errors:
         print(f"ERROR {name}: {err[:200]}")
+    if fold_in_headline:
+        print(f"FAIL: interpreted fold lambda in HEADLINE plan(s): "
+              f"{','.join(fold_in_headline)}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -89,6 +89,11 @@ def main() -> None:
     import __spark_entry__ as E
 
     con = duckdb.connect()
+    # Single-threaded oracle (ADVICE r12): the reference-exact folds replay
+    # DuckDB's sequential accumulation; a multi-threaded oracle combines
+    # per-thread states in nondeterministic order on any fixture whose
+    # groups span row groups/files, making bit-identity compares flaky.
+    con.execute("SET threads TO 1")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet{'/*.parquet' if os.path.isdir(f'{SF_DIR}/{t}.parquet') else ''}')"
