@@ -88,7 +88,10 @@ def spark_probe(spark, runs: int = 3) -> float:
     from pyspark.sql import functions as F
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
-    df = spark.range(0, 64_000_000, 1, cpus).agg(F.sum(F.xxhash64("id")))
+    # % bounds the summand: a raw sum of 64-bit hashes overflows LONG after
+    # ~2 rows and ANSI mode (Spark 4 default) turns that into a hard error.
+    df = spark.range(0, 64_000_000, 1, cpus).agg(
+        F.sum(F.xxhash64("id") % 1_000_003))
     df.collect()  # warm
     samples = []
     for _ in range(max(1, runs)):

@@ -37,7 +37,8 @@ def main() -> None:
     q.load_all()
     spark = get_spark(app_name="capture_plans")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r12")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_TAG", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         if name not in q.QUERIES:
