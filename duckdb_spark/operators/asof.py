@@ -106,6 +106,78 @@ def asof_join(
     return out
 
 
+def asof_self_join(
+    df: DataFrame,
+    on: str,
+    by: list[str] | str | None,
+    probe_pred,
+    build_pred,
+    build_payload: list[str],
+    direction: str = "backward",
+    how: str = "inner",
+    suffix: str = "_asof",
+) -> DataFrame:
+    """ASOF join where probe and build are DISJOINT row slices of the SAME
+    frame (e.g. two event types of one fact table).
+
+    `asof_join(df.filter(p), df.filter(b), ...)` unions two scans of the
+    same table — the only headline plan that read its fact twice (guide
+    §2.4/§6). Here the tagged union is built by CONDITIONAL PROJECTION over
+    one scan: each row becomes exactly one union row (build if build_pred,
+    probe if probe_pred), so the window input is row-for-row identical to
+    the union form and the match result is unchanged — with ONE scan,
+    pushdown-filtered to (probe_pred OR build_pred).
+
+    Preconditions: probe_pred and build_pred must be disjoint (a row
+    matching both would need to appear on both sides — use asof_join), and
+    rows matching neither are dropped.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof direction must be backward/forward, got {direction}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof how must be inner/left, got {how}")
+    by = [by] if isinstance(by, str) else list(by or [])
+    probe_cols = df.columns
+    payload_cols = [c for c in build_payload if c not in by and c != on]
+    renames = {c: (c + suffix if c in probe_cols else c) for c in payload_cols}
+    build_on_out = (on + suffix) if on in probe_cols else on + "_build"
+
+    payload = F.struct(
+        F.col(on).alias("__bon"),
+        *[F.col(c).alias(renames[c]) for c in payload_cols],
+    )
+    unioned = df.filter(probe_pred | build_pred).select(
+        *[F.col(k) for k in by],
+        F.col(on).alias("__ord"),
+        F.when(build_pred, F.lit(0)).otherwise(F.lit(1)).alias("__side"),
+        F.when(build_pred, payload).alias("__payload"),
+        *[F.when(probe_pred, F.col(c)).alias(f"__p_{c}") for c in probe_cols],
+    )
+
+    ord_key = F.col("__ord").asc() if direction == "backward" else F.col("__ord").desc()
+    if by:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(ord_key, F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    else:
+        matched = _bucketed_global_match(unioned, direction)
+
+    out = (
+        matched.filter(F.col("__side") == 1)
+        .select(
+            *[F.col(f"__p_{c}").alias(c) for c in probe_cols],
+            F.col("__match.__bon").alias(build_on_out),
+            *[F.col(f"__match.{renames[c]}").alias(renames[c]) for c in payload_cols],
+        )
+    )
+    if how == "inner":
+        out = out.filter(F.col(build_on_out).isNotNull())
+    return out
+
+
 def _bucketed_global_match(unioned: DataFrame, direction: str) -> DataFrame:
     """Two-pass global ASOF match: per-bucket window + cross-bucket carry.
 

@@ -435,21 +435,28 @@ def embedding_neardup_pairs(
     optional blocking key (at scale pass an LSH bucket as block_col — see
     similarity.lsh_buckets).
 
-    Without a block the plan is an O(n²) crossJoin; to keep that from being
-    the silent default at corpus scale, blockless input is REFUSED above
-    _NEARDUP_CROSSJOIN_LIMIT rows unless allow_crossjoin=True — route
-    through similarity.lsh_buckets instead."""
+    Without a block the plan is an O(n²) crossJoin; blockless input above
+    _NEARDUP_CROSSJOIN_LIMIT rows is therefore AUTO-ROUTED through
+    similarity.lsh_buckets (sign-LSH blocking): the plan becomes a banded
+    equi-join and pairs are bucket-local — the standard LSH recall
+    trade-off, instead of a refusal (small inputs keep exact all-pairs).
+    Pass allow_crossjoin=True to force the exact quadratic plan anyway."""
     if block_col is None and not allow_crossjoin:
         # Bounded scan: we only need to know whether the input EXCEEDS the
         # limit, not its exact size — a full count() of a 100 TB corpus just
-        # to raise an error would itself be the bug.
+        # to decide the routing would itself be the bug.
         n = df.limit(_NEARDUP_CROSSJOIN_LIMIT + 1).count()
         if n > _NEARDUP_CROSSJOIN_LIMIT:
-            raise ValueError(
-                f"embedding_neardup_pairs without block_col is O(n²) and the "
-                f"input exceeds {_NEARDUP_CROSSJOIN_LIMIT} rows; pass "
-                "block_col=similarity.lsh_buckets(...) output, or force with "
-                "allow_crossjoin=True"
+            from duckdb_spark.operators import similarity as S
+
+            dim = df.select(
+                F.size(F.col(vec_col).cast("array<double>")).alias("d")
+            ).first()["d"]
+            blocked = S.lsh_buckets(
+                df.select(id_col, vec_col), vec_col, int(dim), num_planes=8
+            )
+            return embedding_neardup_pairs(
+                blocked, id_col, vec_col, threshold, block_col="bucket"
             )
     v = df.select(
         F.col(id_col).alias("__id"),

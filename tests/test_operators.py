@@ -271,22 +271,41 @@ def test_ngram_prefix_filter_prunes_hot_shingles(spark):
     assert pruned == []
 
 
-def test_embedding_neardup_refuses_blockless_large(spark):
-    import pytest as _pytest
-
+def test_embedding_neardup_blockless_large_falls_back_to_lsh(spark):
+    """Above the crossjoin limit, blockless input auto-routes through
+    sign-LSH blocking (VERDICT r10/r12: fallback instead of refusal): the
+    plan must carry NO CartesianProduct and the result must equal the
+    explicit lsh_buckets block path."""
     from duckdb_spark.operators import dedup as D
+    from duckdb_spark.operators import similarity as S
 
     old = D._NEARDUP_CROSSJOIN_LIMIT
     D._NEARDUP_CROSSJOIN_LIMIT = 5
     try:
         emb = spark.range(10).select(
             F.col("id").alias("vec_id"),
-            F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+            F.array(
+                F.cos(F.col("id").cast("double") / 3.0),
+                F.sin(F.col("id").cast("double") / 3.0),
+            ).alias("embedding"),
         )
-        with _pytest.raises(ValueError, match="O\\(n²\\)|crossjoin|block_col"):
-            D.embedding_neardup_pairs(emb, threshold=0.5).collect()
-        # explicit opt-in still works
-        n = D.embedding_neardup_pairs(emb, threshold=0.5, allow_crossjoin=True).count()
+        auto = D.embedding_neardup_pairs(emb, threshold=0.5)
+        plan = auto._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        explicit = D.embedding_neardup_pairs(
+            S.lsh_buckets(emb, "embedding", 2, num_planes=8),
+            threshold=0.5,
+            block_col="bucket",
+        )
+        got = sorted(tuple(r) for r in auto.collect())
+        want = sorted(tuple(r) for r in explicit.collect())
+        assert got == want and len(got) > 0
+        # explicit opt-in still gives the exact quadratic plan
+        n = D.embedding_neardup_pairs(
+            emb.select("vec_id", F.array(F.lit(1.0), F.lit(0.0)).alias("embedding")),
+            threshold=0.5,
+            allow_crossjoin=True,
+        ).count()
         assert n == 45  # all pairs, identical vectors
     finally:
         D._NEARDUP_CROSSJOIN_LIMIT = old
