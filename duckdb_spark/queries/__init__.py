@@ -44,31 +44,33 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness gate hard-checks the FIRST 50 registered queries.
-# ROUND-12 ROTATION (VERDICT r10 item 8: rotate EVERY round; any query
+# ROUND-13 ROTATION (VERDICT r10 item 8: rotate EVERY round; any query
 # whose implementation changed in-round MUST lead the next window):
-# the 8 queries whose bodies the optimization round rewrote (q21 window
-# aggregates, text tokenization staging, minhash verify stage,
-# sessionization sum-of-flags) lead; the other 42 slots take the
-# registered queries with the OLDEST green driver rows — the 9 last-green
-# r05 (cb top-k/regex slice) and 33 of the r06 cohort. Computed from
-# CORRECTNESS_r01..r11; pre-verified by the driver-faithful
-# scripts/check_contract.py (canonical-rendering compare, no tolerance).
+# leads are the 7 queries this round restructured (asof single-scan,
+# packed-key cb rollups, tpcds CTE materialization / single-scan q09),
+# dedup_embedding_cosine (operator gained the auto-LSH fallback), and the
+# 3 parity queries r12 rewrote onto reference-exact folds that ADVICE r12
+# flagged as never driver-gated post-rewrite. The other 39 slots take the
+# OLDEST green driver rows: the full r06 cohort (12) and 27 of the r07
+# cohort, computed from CORRECTNESS_r01..r12; pre-verified by the
+# driver-faithful scripts/check_contract.py.
 PRIORITY: list[str] = [
-    # r12-rewritten — post-rewrite driver evidence must lead the window
-    "tpch_q21", "text_quality", "text_langid", "text_profile",
-    "text_token_stats", "dedup_minhash_lsh", "ev_timeseries",
-    "ev_sessionization",
-    # last green row r05 (oldest remaining evidence)
-    "cb_q16", "cb_q18", "cb_q20", "cb_q21", "cb_q23", "cb_q25", "cb_q28",
-    "cb_q32", "cb_q40",
-    # last green row r06
-    "cb_q10", "cb_q11", "cb_q13", "cb_q14", "cb_q15", "cb_q17", "cb_q19",
-    "cb_q22", "cb_q24", "cb_q26", "cb_q27", "cb_q29", "cb_q30", "cb_q31",
-    "cb_q33", "cb_q34", "cb_q35", "cb_q36", "cb_q37", "cb_q38", "cb_q39",
-    "cb_q41", "cb_q42",
-    "dedup_exact", "dedup_minhash_sig", "dedup_simhash", "sim_lsh_topk",
-    "sketch_lttb", "stream_windowed_counts",
-    "tpcds_q06", "tpcds_q13", "tpcds_q17", "tpcds_q27",
+    # r13-rewritten — post-rewrite driver evidence must lead the window
+    "ev_asof_join", "cb_q30", "cb_q31", "cb_q32",
+    "tpcds_q09", "tpcds_q14", "tpcds_q31", "dedup_embedding_cosine",
+    # r12 fold rewrites never driver-gated post-rewrite (ADVICE r12 item 2)
+    "agg_product", "agg_distributive", "fn_wave2_agg",
+    # last green row r06 (oldest remaining evidence)
+    "tpch_q02", "win_frames", "win_topk_per_group", "tpcds_q28",
+    "tpcds_q36", "tpcds_q41", "tpcds_q43", "tpcds_q50", "tpcds_q52",
+    "tpcds_q53", "tpcds_q63", "tpcds_q93",
+    # last green row r07
+    "tpcds_q02", "tpcds_q16", "tpcds_q21", "tpcds_q30", "tpcds_q32",
+    "tpcds_q37", "tpcds_q40", "tpcds_q45", "tpcds_q46", "tpcds_q47",
+    "tpcds_q51", "tpcds_q57", "tpcds_q59", "tpcds_q62", "tpcds_q69",
+    "tpcds_q75", "tpcds_q76", "tpcds_q05", "tpcds_q66", "tpcds_q04",
+    "tpcds_q08", "tpcds_q10", "tpcds_q11", "tpcds_q18", "tpcds_q22",
+    "tpcds_q23", "tpcds_q24",
 ]
 
 

@@ -28,8 +28,16 @@ FLAGS = ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
 # per-group array replays, contained to unbenched parity queries. The
 # expression prints as a bare `aggregate(` (higher-order function) in the
 # plan — HashAggregate/SortAggregate/ObjectHashAggregate all carry a
-# letter before "aggregate", so the pattern only matches the HOF.
+# letter before "aggregate", so the pattern only matches the HOF. A HOF
+# aggregate alone is NOT the hazard (sim_cosine_topk's dot product folds a
+# fixed-length per-ROW array and beat the unrolled codegen form 4× in the
+# r13 A/B); the hazard is a fold over a PER-GROUP collect_list buffer, so
+# the flag requires both.
 _FOLD_RE = re.compile(r"[^A-Za-z_]aggregate\(")
+
+
+def _fold_hazard(plan: str) -> bool:
+    return bool(_FOLD_RE.search(plan)) and "collect_list(" in plan
 
 
 def main() -> None:
@@ -48,7 +56,7 @@ def main() -> None:
             errors.append((name, repr(e)))
             continue
         flags = [f for f in FLAGS if f in plan]
-        if name in headline and _FOLD_RE.search(plan):
+        if name in headline and _fold_hazard(plan):
             flags.append("FOLD_IN_HEADLINE")
             fold_in_headline.append(name)
         nex = len(re.findall(r"\bExchange\b", plan))
