@@ -330,12 +330,28 @@ def main() -> None:
             # any pass whose probe exceeded PROBE_TOLERANCE× the session's
             # best Spark probe, after waiting for the probe to recover;
             # keep the per-query min and record both readings.
-            spark_best = min(probes["pass_sf0.1"], probes["pass_sf1"])
+            # r13.2: sweep until stable — the best probe may only be
+            # DISCOVERED during a recovery rerun (r13 final run 1: probes
+            # read 0.211/0.054, so 0.054 was "best" and the sf1 pass it
+            # measured — genuinely 2.25× steal-inflated, untouched queries
+            # at 3-4× — passed the gate; the sf0.1 rerun then probed
+            # 0.024, exposing it). Each pass re-runs at most once.
             pass_reruns = []
-            for key, tgt, d in (("pass_sf0.1", timings, SF_DIR),
-                                ("pass_sf1", sf1_timings, SF1_DIR)):
-                if probes[key] <= PROBE_TOLERANCE * spark_best:
-                    continue
+            redone: set[str] = set()
+            while True:
+                spark_best = min(
+                    [probes["pass_sf0.1"], probes["pass_sf1"]]
+                    + [pr["probe_at_rerun"] for pr in pass_reruns])
+                todo = [
+                    (key, tgt, d)
+                    for key, tgt, d in (("pass_sf0.1", timings, SF_DIR),
+                                        ("pass_sf1", sf1_timings, SF1_DIR))
+                    if key not in redone
+                    and probes[key] > PROBE_TOLERANCE * spark_best
+                ]
+                if not todo:
+                    break
+                key, tgt, d = todo[0]
                 p2 = wait_for_quiet(spark, spark_best)
                 redo = run_pass(spark, q, names, d)
                 for name, t in redo.items():
@@ -343,6 +359,7 @@ def main() -> None:
                 pass_reruns.append({"pass": key, "probe_first": probes[key],
                                     "probe_at_rerun": p2,
                                     "rerun_queries": redo})
+                redone.add(key)
             if pass_reruns:
                 result["pass_reruns"] = pass_reruns
                 result["queries"] = timings
@@ -392,12 +409,26 @@ def main() -> None:
                         ddb_reruns.append(
                             {"query": name, "sf": 0.1, "first": t0,
                              "rerun": redo})
-                # r13: same pass-level probe recovery as the Spark side.
-                ddb_best = min(probes["duckdb_sf0.1"], probes["duckdb_sf1"])
-                for key, tgt, d in (("duckdb_sf0.1", ddb, SF_DIR),
-                                    ("duckdb_sf1", ddb1, SF1_DIR)):
-                    if probes[key] <= PROBE_TOLERANCE * ddb_best:
-                        continue
+                # r13: same pass-level probe recovery as the Spark side,
+                # r13.2: same until-stable sweep (best probe may only be
+                # discovered during a rerun). Each pass re-runs at most
+                # once.
+                ddb_redone: set[str] = set()
+                while True:
+                    ddb_best = min(
+                        [probes["duckdb_sf0.1"], probes["duckdb_sf1"]]
+                        + [pr["probe_at_rerun"] for pr in ddb_reruns
+                           if "probe_at_rerun" in pr])
+                    todo = [
+                        (key, tgt, d)
+                        for key, tgt, d in (("duckdb_sf0.1", ddb, SF_DIR),
+                                            ("duckdb_sf1", ddb1, SF1_DIR))
+                        if key not in ddb_redone
+                        and probes[key] > PROBE_TOLERANCE * ddb_best
+                    ]
+                    if not todo:
+                        break
+                    key, tgt, d = todo[0]
                     p2 = duckdb_probe()
                     redo = duckdb_pass(q, names, d)
                     for name, t in redo.items():
@@ -406,6 +437,7 @@ def main() -> None:
                                        "probe_first": probes[key],
                                        "probe_at_rerun": p2,
                                        "rerun_queries": redo})
+                    ddb_redone.add(key)
                 if ddb_reruns:
                     result["duckdb"]["queries"] = ddb
                     result["duckdb"]["value"] = round(sum(ddb.values()), 3)
