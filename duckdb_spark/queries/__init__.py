@@ -57,7 +57,9 @@ def register(name: str, oracle: str | None = None):
 PRIORITY: list[str] = [
     # r13-rewritten — post-rewrite driver evidence must lead the window
     "ev_asof_join", "cb_q30", "cb_q31", "cb_q32",
-    "tpcds_q09", "tpcds_q14", "tpcds_q31", "dedup_embedding_cosine",
+    "tpcds_q09", "tpcds_q14", "tpcds_q31",
+    "tpcds_q04", "tpcds_q11", "tpcds_q74", "tpcds_q47", "tpcds_q57",
+    "dedup_embedding_cosine",
     # r12 fold rewrites never driver-gated post-rewrite (ADVICE r12 item 2)
     "agg_product", "agg_distributive", "fn_wave2_agg",
     # last green row r06 (oldest remaining evidence)
@@ -66,11 +68,11 @@ PRIORITY: list[str] = [
     "tpcds_q53", "tpcds_q63", "tpcds_q93",
     # last green row r07
     "tpcds_q02", "tpcds_q16", "tpcds_q21", "tpcds_q30", "tpcds_q32",
-    "tpcds_q37", "tpcds_q40", "tpcds_q45", "tpcds_q46", "tpcds_q47",
-    "tpcds_q51", "tpcds_q57", "tpcds_q59", "tpcds_q62", "tpcds_q69",
-    "tpcds_q75", "tpcds_q76", "tpcds_q05", "tpcds_q66", "tpcds_q04",
-    "tpcds_q08", "tpcds_q10", "tpcds_q11", "tpcds_q18", "tpcds_q22",
-    "tpcds_q23", "tpcds_q24",
+    "tpcds_q37", "tpcds_q40", "tpcds_q45", "tpcds_q46",
+    "tpcds_q51", "tpcds_q59", "tpcds_q62", "tpcds_q69",
+    "tpcds_q75", "tpcds_q76", "tpcds_q05", "tpcds_q66",
+    "tpcds_q08", "tpcds_q10", "tpcds_q18", "tpcds_q22",
+    "tpcds_q23",
 ]
 
 

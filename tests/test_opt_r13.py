@@ -118,3 +118,30 @@ def test_cb_q30_q31_packed_key_match_sql_form(spark):
             (f.name, f.dataType) for f in ref.schema
         ]
         assert [tuple(r) for r in got.collect()] == [tuple(r) for r in ref.collect()]
+
+
+def test_fold_guard_refuses_oversized_groups(spark):
+    """VERDICT r12 item 6: the reference-exact folds buffer whole groups,
+    so the containment guard must REFUSE a group above the limit at
+    runtime (and pass values through below it)."""
+    import pytest as _pytest
+
+    from duckdb_spark.functions import aggregates as A
+
+    df = spark.range(10).select(
+        F.lit(1).alias("g"),
+        F.struct(F.col("id").cast("double").alias("v")).alias("e"),
+    )
+    grouped = df.groupBy("g").agg(F.collect_list("e").alias("vals"))
+    old = A._FOLD_GROUP_LIMIT
+    try:
+        A._FOLD_GROUP_LIMIT = 5
+        with _pytest.raises(Exception, match="fold group exceeds"):
+            grouped.select(A.product_fold(F.col("vals"), "v")).collect()
+        A._FOLD_GROUP_LIMIT = 1_000
+        [row] = grouped.select(
+            A.product_fold(F.col("vals"), "v").alias("p")
+        ).collect()
+        assert row["p"] == 0.0  # 0*1*...*9 sequential product
+    finally:
+        A._FOLD_GROUP_LIMIT = old
