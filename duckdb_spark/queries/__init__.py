@@ -59,7 +59,7 @@ PRIORITY: list[str] = [
     "ev_asof_join", "cb_q30", "cb_q31", "cb_q32",
     "tpcds_q09", "tpcds_q14", "tpcds_q31",
     "tpcds_q04", "tpcds_q11", "tpcds_q74", "tpcds_q47", "tpcds_q57",
-    "dedup_embedding_cosine",
+    "tpcds_q23", "dedup_embedding_cosine",
     # r12 fold rewrites never driver-gated post-rewrite (ADVICE r12 item 2)
     "agg_product", "agg_distributive", "fn_wave2_agg",
     # last green row r06 (oldest remaining evidence)
@@ -72,7 +72,6 @@ PRIORITY: list[str] = [
     "tpcds_q51", "tpcds_q59", "tpcds_q62", "tpcds_q69",
     "tpcds_q75", "tpcds_q76", "tpcds_q05", "tpcds_q66",
     "tpcds_q08", "tpcds_q10", "tpcds_q18", "tpcds_q22",
-    "tpcds_q23",
 ]
 
 

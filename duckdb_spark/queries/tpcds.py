@@ -3170,7 +3170,7 @@ LIMIT 100
 # q23 (part 1) — best store customers buying frequent items (23.sql;
 # the fixture's (item, day) pairs are unique by construction, so the
 # frequency threshold adapts from > 4 to > 0 — the shape is unchanged)
-_tpcds("tpcds_q23", """
+_Q23_ORACLE = """
 WITH frequent_ss_items AS
   (SELECT itemdesc, i_item_sk item_sk, d_date solddate, COUNT(*) cnt
    FROM {store_sales} store_sales, {date_dim} date_dim,
@@ -3221,7 +3221,33 @@ FROM (SELECT c_last_name, c_first_name,
 ORDER BY c_last_name NULLS FIRST, c_first_name NULLS FIRST,
          sales NULLS FIRST
 LIMIT 100
-""")
+"""
+
+# Spark side of q23 (§3.3): frequent_ss_items and best_ss_customer are
+# each referenced twice (the two channel branches); materialize each once
+# per invocation. best_ss_customer keeps its max_store_sales CTE inline
+# (single reference). View names reuse the CTE names, so the main SELECT
+# text is byte-identical to the oracle's.
+_q23_rest = _Q23_ORACLE.split("WITH frequent_ss_items AS\n  (", 1)[1]
+_Q23_FREQ, _q23_rest = _q23_rest.split("),\nmax_store_sales AS\n  (", 1)
+_Q23_MAX, _q23_rest = _q23_rest.split("),\nbest_ss_customer AS\n  (", 1)
+_Q23_BEST, _Q23_MAIN = _q23_rest.split(")\nSELECT c_last_name", 1)
+_Q23_BEST = "WITH max_store_sales AS (" + _Q23_MAX + ") " + _Q23_BEST
+_Q23_MAIN = "SELECT c_last_name" + _Q23_MAIN
+assert _Q23_FREQ.lstrip().startswith("SELECT itemdesc")
+assert _Q23_BEST.lstrip().startswith("WITH max_store_sales")
+del _q23_rest
+
+
+@register("tpcds_q23", oracle=_oracle(_Q23_ORACLE))
+def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q23 with the twice-referenced CTEs materialized once."""
+    _spark_run(spark, _Q23_FREQ, sf_dir).localCheckpoint(eager=True) \
+        .createOrReplaceTempView("frequent_ss_items")
+    _spark_run(spark, _Q23_BEST, sf_dir).localCheckpoint(eager=True) \
+        .createOrReplaceTempView("best_ss_customer")
+    return _spark_run(spark, _Q23_MAIN, sf_dir)
+
 
 # q24 (part 1) — store-return customers by color, zip-matched stores
 # (24.sql; i_color adapted to the fixture palette)
