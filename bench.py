@@ -112,7 +112,8 @@ def wait_for_quiet(spark, best: float, max_wait_s: int = 120) -> float:
     return p
 
 
-def run_pass(spark, q, names: list[str], sf_dir: str) -> dict[str, float]:
+def run_pass(spark, q, names: list[str], sf_dir: str,
+             probes_out: dict[str, float] | None = None) -> dict[str, float]:
     import gc
     import statistics
 
@@ -130,6 +131,13 @@ def run_pass(spark, q, names: list[str], sf_dir: str) -> dict[str, float]:
             pass
 
     for name in names:
+        if probes_out is not None:
+            # r13.3 mid-pass burst detection: one cheap probe reading per
+            # query (~30 ms — outside the timed loop, between queries).
+            # The pass-level probe is point-in-time and a steal window
+            # that starts MID-pass is invisible to it (final run 4: a
+            # clean 0.032 pass probe followed by q01 at 6.5× baseline).
+            probes_out[name] = spark_probe(spark, runs=2)
         q.QUERIES[name](spark, sf_dir).collect()  # warmup run
         # NOTE: no reclaim between warmup and the timed loop — a full
         # System.gc right before measurement left cold CPU caches and
@@ -151,10 +159,45 @@ def run_pass(spark, q, names: list[str], sf_dir: str) -> dict[str, float]:
         # warmup and after each query's timed loop — NOT between samples
         # (a full System.gc between samples measured ~15% slower across
         # the board).
+    if probes_out is not None and names:
+        # trailing reading: a burst starting during the LAST query's loop
+        # would otherwise be invisible
+        probes_out["__after"] = spark_probe(spark, runs=2)
     return timings
 
 
-def duckdb_pass(q, names: list[str], sf_dir: str) -> dict[str, float]:
+def _burst_suspects(names: list[str], probes_by_q: dict[str, float],
+                    best: float, tol: float = 3.0) -> list[str]:
+    """Queries whose adjacent probe readings (before it, or before the
+    NEXT query — a burst during query k's timed loop shows in reading
+    k+1) exceeded tol × the session's best probe. The min-of-2 readings
+    still jitter more than the min-of-3 pass probes (measured 0.05–0.15 s
+    spread on a quiet host for min-of-1), hence the wider 3× — the
+    mid-pass bursts this targets read ~6× (final run 4)."""
+    seq = [probes_by_q.get(n) for n in names] + [probes_by_q.get("__after")]
+    sus = []
+    for i, n in enumerate(names):
+        before, after = seq[i], seq[i + 1]
+        if (before is not None and before > tol * best) or (
+                after is not None and after > tol * best):
+            sus.append(n)
+    return sus
+
+
+def duckdb_qprobe(con) -> float:
+    """Small per-query probe for the DuckDB companion (~0.15 s: 8M-row
+    hash-agg, vs ~1.1 s for the 64M pass probe; min of 2 to damp
+    single-reading jitter). Compared only within its own reading series."""
+    samples = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        con.execute("SELECT sum(hash(i)) FROM range(8000000) t(i)").fetchall()
+        samples.append(time.perf_counter() - t0)
+    return round(min(samples), 3)
+
+
+def duckdb_pass(q, names: list[str], sf_dir: str,
+                probes_out: dict[str, float] | None = None) -> dict[str, float]:
     """Same-day DuckDB companion (BASELINE protocol): run each query's
     ORACLE SQL on the same parquet, median of the same RUNS count. Lives
     in the SAME JSON line as the Spark numbers so a round's artifact is
@@ -188,6 +231,8 @@ def duckdb_pass(q, names: list[str], sf_dir: str) -> dict[str, float]:
     for name in names:
         if name not in q.ORACLE:
             continue
+        if probes_out is not None:
+            probes_out[name] = duckdb_qprobe(con)
         sql = q.ORACLE[name]
         for base, scaled in subs.items():
             sql = sql.replace(base + "/", scaled + "/")
@@ -198,6 +243,8 @@ def duckdb_pass(q, names: list[str], sf_dir: str) -> dict[str, float]:
             con.execute(sql).fetchall()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
+    if probes_out is not None and names:
+        probes_out["__after"] = duckdb_qprobe(con)
     con.close()
     return timings
 
@@ -256,7 +303,8 @@ def main() -> None:
     # steady), which made the pass-rerun rule fire on a clean pass.
     spark_probe(spark)
     probes["pass_sf0.1"] = spark_probe(spark)
-    timings = run_pass(spark, q, names, SF_DIR)
+    qprobes01: dict[str, float] = {}
+    timings = run_pass(spark, q, names, SF_DIR, probes_out=qprobes01)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -278,7 +326,9 @@ def main() -> None:
     ):
         try:
             probes["pass_sf1"] = spark_probe(spark)
-            sf1_timings = run_pass(spark, q, names, SF1_DIR)
+            qprobes1: dict[str, float] = {}
+            sf1_timings = run_pass(spark, q, names, SF1_DIR,
+                                   probes_out=qprobes1)
             # Per-query cross-check against the same pass's sf0.1 time:
             # the fixture grows 10×, so a query whose sf1 time exceeds
             # 12× its sf0.1 time (with a 2s absolute floor for job-launch
@@ -362,6 +412,37 @@ def main() -> None:
                 redone.add(key)
             if pass_reruns:
                 result["pass_reruns"] = pass_reruns
+            # r13.3 per-query burst recovery: a steal window that starts
+            # MID-pass is invisible to the point-in-time pass probe (final
+            # run 4: clean 0.032 pass probe, then q01 at 6.5× baseline).
+            # The per-query readings bracket every timed loop; re-run
+            # queries whose adjacent readings exceeded 2× the session's
+            # best reading — unless the whole pass was already re-run by
+            # the sweep above. min() keeps honest larger times; everything
+            # recorded.
+            all_readings = (
+                [probes["pass_sf0.1"], probes["pass_sf1"]]
+                + [pr["probe_at_rerun"] for pr in pass_reruns]
+                + [v for d in (qprobes01, qprobes1) for v in d.values()])
+            qbest = min(all_readings)
+            burst_reruns = []
+            for key, tgt, d, qpr in (("sf0.1", timings, SF_DIR, qprobes01),
+                                     ("sf1", sf1_timings, SF1_DIR, qprobes1)):
+                if any(pr["pass"].endswith(key) for pr in pass_reruns):
+                    continue
+                for name in _burst_suspects(names, qpr, qbest):
+                    redo = run_pass(spark, q, [name], d)[name]
+                    prev = tgt[name]
+                    tgt[name] = min(prev, redo)
+                    burst_reruns.append({"pass": key, "query": name,
+                                         "first": prev, "rerun": redo})
+            if burst_reruns:
+                result["burst_reruns"] = burst_reruns
+            # the per-query reading series justify (or rule out) burst
+            # reruns — keep them in the artifact
+            probes["by_query_sf0.1"] = qprobes01
+            probes["by_query_sf1"] = qprobes1
+            if pass_reruns or burst_reruns:
                 result["queries"] = timings
                 result["value"] = round(sum(timings.values()), 3)
                 result["sf1"]["queries"] = sf1_timings
@@ -381,12 +462,14 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
         try:
             probes["duckdb_sf0.1"] = duckdb_probe()
-            ddb = duckdb_pass(q, names, SF_DIR)
+            ddb_qpr01: dict[str, float] = {}
+            ddb = duckdb_pass(q, names, SF_DIR, probes_out=ddb_qpr01)
             result["duckdb"] = {
                 "value": round(sum(ddb.values()), 3), "queries": ddb}
             if "sf1" in result:
                 probes["duckdb_sf1"] = duckdb_probe()
-                ddb1 = duckdb_pass(q, names, SF1_DIR)
+                ddb_qpr1: dict[str, float] = {}
+                ddb1 = duckdb_pass(q, names, SF1_DIR, probes_out=ddb_qpr1)
                 # Same noise-window recovery as the Spark passes (the
                 # denominator must be equally honest: a contaminated
                 # DuckDB run flatters our ratio). Rerun sf1 outliers vs
@@ -438,6 +521,27 @@ def main() -> None:
                                        "probe_at_rerun": p2,
                                        "rerun_queries": redo})
                     ddb_redone.add(key)
+                # r13.3: per-query burst recovery, identical rule to the
+                # Spark side (a contaminated companion flatters our
+                # ratio). The small 8M-row readings form their own series.
+                ddb_qbest = min(
+                    v for d in (ddb_qpr01, ddb_qpr1) for v in d.values())
+                ddb_passes_redone = {pr["pass"] for pr in ddb_reruns
+                                     if "pass" in pr}
+                for key, tgt, d, qpr in (
+                        ("duckdb_sf0.1", ddb, SF_DIR, ddb_qpr01),
+                        ("duckdb_sf1", ddb1, SF1_DIR, ddb_qpr1)):
+                    if key in ddb_passes_redone:
+                        continue
+                    for name in _burst_suspects(names, qpr, ddb_qbest):
+                        if name not in tgt:
+                            continue
+                        redo = duckdb_pass(q, [name], d)[name]
+                        prev = tgt[name]
+                        tgt[name] = min(prev, redo)
+                        ddb_reruns.append({"pass": key, "query": name,
+                                           "burst": True, "first": prev,
+                                           "rerun": redo})
                 if ddb_reruns:
                     result["duckdb"]["queries"] = ddb
                     result["duckdb"]["value"] = round(sum(ddb.values()), 3)
